@@ -1,0 +1,30 @@
+"""Aggregated query registry — importing this module registers every
+named query in the engine (relational, scalar, LLM-data, streaming,
+synthetic-ingest). ``__spark_entry__`` re-exports from here.
+"""
+
+from __future__ import annotations
+
+# Import order is cosmetic; each module registers into registry.REGISTRY.
+import lakehouse_test_spark.queries_relational  # noqa: F401
+import lakehouse_test_spark.queries_scalar  # noqa: F401
+
+from lakehouse_test_spark.registry import REGISTRY, all_oracles, all_queries
+
+# Optional modules land as they are built; keep imports tolerant so a
+# broken optional surface never takes down the whole registry.
+for _mod in (
+    "lakehouse_test_spark.operators.dedup",
+    "lakehouse_test_spark.operators.similarity",
+    "lakehouse_test_spark.operators.text",
+    "lakehouse_test_spark.operators.joins",
+    "lakehouse_test_spark.operators.multimodal",
+    "lakehouse_test_spark.sources.synthetic",
+    "lakehouse_test_spark.streaming.jobs",
+):
+    try:
+        __import__(_mod)
+    except ImportError:
+        pass
+
+__all__ = ["REGISTRY", "all_queries", "all_oracles"]

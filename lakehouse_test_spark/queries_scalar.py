@@ -1,0 +1,356 @@
+"""Scalar expression surface (SURVEY.md §2b): string, date/time,
+math, conditional, JSON, and array functions — all JVM-side
+built-ins inside whole-stage codegen, no Python in the data path.
+
+The reference's only expression-level logic is CSV quote parsing
+(`AmazonReviewProducer.java:143-151`, re-expressed in
+sources/csv_ingest.py); everything here is the mandated query-surface
+extension over the lakehouse tables.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from lakehouse_test_spark.registry import query
+from lakehouse_test_spark.session import load_table
+
+
+def T(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
+    return load_table(spark, sf_dir, name)
+
+
+@query(
+    "scalar_string_funcs",
+    oracle="""
+    SELECT p_partkey,
+           lower(p_name)                                   AS name_lower,
+           upper(p_brand)                                  AS brand_upper,
+           CAST(length(p_name) AS INTEGER)                 AS name_len,
+           substr(p_type, 1, 3)                            AS type_prefix,
+           concat(p_brand, ':', p_type)                    AS brand_type,
+           replace(p_name, ' ', '_')                       AS name_snake,
+           trim(concat(' ', p_name, ' '))                  AS name_trimmed,
+           regexp_extract(p_brand, 'Brand#([0-9]+)', 1)    AS brand_num,
+           CASE WHEN p_name LIKE '%a%' THEN 1 ELSE 0 END   AS has_a
+    FROM part
+    """,
+    tags=("scalar", "string"),
+)
+def scalar_string_funcs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """String function battery over part (codegen'd, zero shuffle)."""
+    p = T(spark, sf_dir, "part")
+    return p.select(
+        "p_partkey",
+        F.lower("p_name").alias("name_lower"),
+        F.upper("p_brand").alias("brand_upper"),
+        F.length("p_name").cast("int").alias("name_len"),
+        F.substring("p_type", 1, 3).alias("type_prefix"),
+        F.concat(F.col("p_brand"), F.lit(":"), F.col("p_type")).alias("brand_type"),
+        F.regexp_replace("p_name", " ", "_").alias("name_snake"),
+        F.trim(F.concat(F.lit(" "), F.col("p_name"), F.lit(" "))).alias("name_trimmed"),
+        F.regexp_extract("p_brand", "Brand#([0-9]+)", 1).alias("brand_num"),
+        F.when(F.col("p_name").like("%a%"), 1).otherwise(0).alias("has_a"),
+    )
+
+
+@query(
+    "scalar_split_tokens",
+    oracle="""
+    SELECT p_partkey,
+           CAST(len(string_split(p_name, ' ')) AS INTEGER) AS n_words,
+           string_split(p_name, ' ')[1]                    AS first_word,
+           array_to_string(list_sort(string_split(p_name, ' ')), '|') AS sorted_words
+    FROM part
+    """,
+    tags=("scalar", "string", "array"),
+)
+def scalar_split_tokens(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """split → array ops (size / element_at / sort_array / join)."""
+    p = T(spark, sf_dir, "part")
+    toks = F.split("p_name", " ")
+    return p.select(
+        "p_partkey",
+        F.size(toks).cast("int").alias("n_words"),
+        F.element_at(toks, 1).alias("first_word"),
+        F.array_join(F.sort_array(toks), "|").alias("sorted_words"),
+    )
+
+
+@query(
+    "scalar_date_funcs",
+    oracle="""
+    SELECT o_orderkey,
+           CAST(year(o_orderdate) AS INTEGER)                       AS order_year,
+           CAST(month(o_orderdate) AS INTEGER)                      AS order_month,
+           CAST(day(o_orderdate) AS INTEGER)                        AS order_day,
+           CAST(isodow(o_orderdate) AS INTEGER)                     AS order_dow_iso,
+           CAST(date_trunc('month', o_orderdate) AS DATE)           AS month_start,
+           CAST(last_day(CAST(o_orderdate AS DATE)) AS DATE)        AS month_end,
+           CAST(CAST(o_orderdate AS DATE) + 30 AS DATE)             AS due_date,
+           CAST(date_diff('day', DATE '1995-01-01',
+                          CAST(o_orderdate AS DATE)) AS INTEGER)    AS days_since_1995
+    FROM orders
+    """,
+    tags=("scalar", "date"),
+)
+def scalar_date_funcs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Date/time battery (extract, trunc, arithmetic, diff).
+
+    Note: DuckDB ``dayofweek`` is ISO-ish Monday=1..Sunday=7 via
+    ``isodow``; Spark's ``dayofweek`` is Sunday=1. We emit ISO dow on
+    both sides (Spark: ``weekday()+1`` = Monday=1).
+    """
+    o = T(spark, sf_dir, "orders")
+    d = F.col("o_orderdate").cast("date")
+    return o.select(
+        "o_orderkey",
+        F.year("o_orderdate").cast("int").alias("order_year"),
+        F.month("o_orderdate").cast("int").alias("order_month"),
+        F.dayofmonth("o_orderdate").cast("int").alias("order_day"),
+        (F.weekday("o_orderdate") + 1).cast("int").alias("order_dow_iso"),
+        F.to_date(F.date_trunc("month", "o_orderdate")).alias("month_start"),
+        F.last_day(d).alias("month_end"),
+        F.date_add(d, 30).alias("due_date"),
+        F.datediff(d, F.lit("1995-01-01").cast("date")).cast("int").alias("days_since_1995"),
+    )
+
+
+@query(
+    "scalar_math_funcs",
+    oracle="""
+    SELECT l_orderkey, l_linenumber,
+           CAST(round(abs(l_extendedprice - 50000), 2) AS DOUBLE)      AS abs_dev,
+           CAST(ceil(l_quantity) AS BIGINT)                             AS qty_ceil,
+           CAST(floor(l_quantity) AS BIGINT)                            AS qty_floor,
+           CAST(round(sqrt(l_extendedprice), 4) AS DOUBLE)              AS price_sqrt,
+           CAST(round(ln(l_extendedprice + 1), 6) AS DOUBLE)            AS price_ln,
+           CAST(round(log10(l_extendedprice + 1), 6) AS DOUBLE)         AS price_log10,
+           CAST(round(pow(l_discount, 2), 6) AS DOUBLE)                 AS disc_sq,
+           CAST(l_orderkey % 7 AS BIGINT)                               AS key_mod7,
+           CAST(round(greatest(l_discount, l_tax), 2) AS DOUBLE)        AS max_rate,
+           CAST(round(least(l_discount, l_tax), 2) AS DOUBLE)           AS min_rate
+    FROM lineitem
+    """,
+    tags=("scalar", "math"),
+)
+def scalar_math_funcs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Math battery (abs/ceil/floor/sqrt/ln/log10/pow/mod/greatest)."""
+    li = T(spark, sf_dir, "lineitem")
+    return li.select(
+        "l_orderkey",
+        "l_linenumber",
+        F.round(F.abs(F.col("l_extendedprice") - 50000), 2).alias("abs_dev"),
+        F.ceil("l_quantity").cast("bigint").alias("qty_ceil"),
+        F.floor("l_quantity").cast("bigint").alias("qty_floor"),
+        F.round(F.sqrt("l_extendedprice"), 4).alias("price_sqrt"),
+        F.round(F.log(F.col("l_extendedprice") + 1), 6).alias("price_ln"),
+        F.round(F.log10(F.col("l_extendedprice") + 1), 6).alias("price_log10"),
+        F.round(F.pow("l_discount", F.lit(2)), 6).alias("disc_sq"),
+        (F.col("l_orderkey") % 7).cast("bigint").alias("key_mod7"),
+        F.round(F.greatest("l_discount", "l_tax"), 2).alias("max_rate"),
+        F.round(F.least("l_discount", "l_tax"), 2).alias("min_rate"),
+    )
+
+
+@query(
+    "scalar_conditional",
+    oracle="""
+    SELECT c_custkey,
+           CASE WHEN c_acctbal < 0 THEN 'debt'
+                WHEN c_acctbal < 5000 THEN 'low'
+                WHEN c_acctbal < 8000 THEN 'mid'
+                ELSE 'high' END                              AS balance_band,
+           coalesce(nullif(c_mktsegment, 'MACHINERY'), 'OTHER') AS segment_or_other,
+           CAST(c_acctbal > 0 AS BOOLEAN)                    AS is_positive
+    FROM customer
+    """,
+    tags=("scalar", "conditional"),
+)
+def scalar_conditional(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """CASE/coalesce/nullif/boolean-projection battery."""
+    c = T(spark, sf_dir, "customer")
+    return c.select(
+        "c_custkey",
+        F.when(F.col("c_acctbal") < 0, "debt")
+        .when(F.col("c_acctbal") < 5000, "low")
+        .when(F.col("c_acctbal") < 8000, "mid")
+        .otherwise("high")
+        .alias("balance_band"),
+        F.coalesce(F.nullif(F.col("c_mktsegment"), F.lit("MACHINERY")), F.lit("OTHER")).alias(
+            "segment_or_other"
+        ),
+        (F.col("c_acctbal") > 0).alias("is_positive"),
+    )
+
+
+@query(
+    "json_extract_props",
+    oracle="""
+    SELECT event_id,
+           CAST(json_extract_string(props, '$.k') AS INTEGER) AS prop_k
+    FROM events
+    """,
+    tags=("scalar", "json", "events"),
+)
+def json_extract_props(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """JSON field extraction from events.props (string JSON column)."""
+    e = T(spark, sf_dir, "events")
+    return e.select(
+        "event_id", F.get_json_object("props", "$.k").cast("int").alias("prop_k")
+    )
+
+
+@query(
+    "json_agg_by_prop",
+    oracle="""
+    SELECT CAST(json_extract_string(props, '$.k') AS INTEGER) % 10 AS k_bucket,
+           count(*) AS n,
+           CAST(round(avg(value), 4) AS DOUBLE) AS avg_value
+    FROM events
+    GROUP BY 1
+    """,
+    tags=("scalar", "json", "agg", "events"),
+)
+def json_agg_by_prop(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Aggregate keyed on an extracted JSON field (schema-on-read)."""
+    e = T(spark, sf_dir, "events")
+    return (
+        e.withColumn("k_bucket", (F.get_json_object("props", "$.k").cast("int") % 10))
+        .groupBy("k_bucket")
+        .agg(F.count(F.lit(1)).alias("n"), F.round(F.avg("value"), 4).alias("avg_value"))
+    )
+
+
+@query(
+    "array_funcs_embeddings",
+    oracle="""
+    SELECT vec_id, label,
+           CAST(len(embedding) AS INTEGER)                       AS dim,
+           CAST(round(CAST(embedding[1] AS DOUBLE), 4) AS DOUBLE) AS first_component,
+           CAST(round(list_aggregate(list_transform(embedding, x -> CAST(x AS DOUBLE)), 'sum'), 3) AS DOUBLE)
+             AS component_sum,
+           CAST(round(CAST(list_aggregate(list_transform(embedding, x -> CAST(x AS DOUBLE)), 'max') AS DOUBLE), 4) AS DOUBLE)
+             AS component_max
+    FROM embeddings
+    """,
+    tags=("scalar", "array", "embeddings"),
+)
+def array_funcs_embeddings(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Array battery on the embedding column (size / index / fold).
+
+    Scale: F.aggregate / F.transform run inside codegen — vector math
+    without leaving the JVM; this is the pattern the similarity ops
+    build on (operators/similarity.py).
+    """
+    e = T(spark, sf_dir, "embeddings")
+    emb_d = F.transform(F.col("embedding"), lambda x: x.cast("double"))
+    return e.select(
+        "vec_id",
+        "label",
+        F.size("embedding").cast("int").alias("dim"),
+        F.round(F.element_at("embedding", 1).cast("double"), 4).alias("first_component"),
+        F.round(F.aggregate(emb_d, F.lit(0.0), lambda a, x: a + x), 3).alias("component_sum"),
+        F.round(F.array_max(emb_d), 4).alias("component_max"),
+    )
+
+
+@query(
+    "array_posexplode",
+    oracle="""
+    SELECT i AS pos,
+           CAST(round(sum(CAST(embedding[i] AS DOUBLE)), 3) AS DOUBLE) AS comp_sum,
+           CAST(round(avg(CAST(embedding[i] AS DOUBLE)), 5) AS DOUBLE) AS comp_avg
+    FROM embeddings, range(1, 65) t(i)
+    GROUP BY i
+    """,
+    tags=("scalar", "array", "explode", "embeddings"),
+)
+def array_posexplode(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """posexplode → per-dimension stats (columnarize the vector).
+
+    Scale: explode fans out 64×, then partial aggregation collapses
+    to 64 groups map-side — shuffle stays O(partitions × 64).
+    """
+    e = T(spark, sf_dir, "embeddings")
+    return (
+        e.select(F.posexplode("embedding").alias("pos0", "x"))
+        .select((F.col("pos0") + 1).alias("pos"), F.col("x").cast("double").alias("x"))
+        .groupBy("pos")
+        .agg(
+            F.round(F.sum("x"), 3).alias("comp_sum"),
+            F.round(F.avg("x"), 5).alias("comp_avg"),
+        )
+    )
+
+
+@query(
+    "events_daily_rollup",
+    oracle="""
+    SELECT CAST(date_trunc('day', ts) AS DATE) AS day,
+           event_type,
+           count(*) AS n_events,
+           count(DISTINCT user_id) AS n_users,
+           CAST(round(sum(value), 2) AS DOUBLE) AS total_value
+    FROM events
+    GROUP BY 1, 2
+    """,
+    tags=("agg", "date", "events"),
+)
+def events_daily_rollup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Daily per-type event rollup (the batch twin of the streaming
+    tumbling window in streaming/jobs.py)."""
+    e = T(spark, sf_dir, "events")
+    return (
+        e.groupBy(
+            F.to_date(F.date_trunc("day", "ts")).alias("day"),
+            "event_type",
+        )
+        .agg(
+            F.count(F.lit(1)).alias("n_events"),
+            F.countDistinct("user_id").alias("n_users"),
+            F.round(F.sum("value"), 2).alias("total_value"),
+        )
+    )
+
+
+@query(
+    "events_hourly_activity",
+    oracle="""
+    SELECT CAST(extract(hour FROM ts) AS INTEGER) AS hour_of_day,
+           count(*) AS n_events,
+           CAST(round(avg(value), 4) AS DOUBLE) AS avg_value
+    FROM events
+    GROUP BY 1
+    """,
+    tags=("agg", "date", "events"),
+)
+def events_hourly_activity(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Hour-of-day activity profile over the event stream."""
+    e = T(spark, sf_dir, "events")
+    return (
+        e.groupBy(F.hour("ts").cast("int").alias("hour_of_day"))
+        .agg(F.count(F.lit(1)).alias("n_events"), F.round(F.avg("value"), 4).alias("avg_value"))
+    )
+
+
+@query(
+    "events_user_segment_join",
+    oracle="""
+    SELECT c_mktsegment, event_type, count(*) AS n,
+           CAST(round(sum(value), 2) AS DOUBLE) AS total_value
+    FROM events JOIN customer ON user_id = c_custkey
+    GROUP BY c_mktsegment, event_type
+    """,
+    tags=("join", "agg", "events"),
+)
+def events_user_segment_join(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Stream⋈dim enrichment (events.user_id → customer) + rollup."""
+    e = T(spark, sf_dir, "events")
+    c = T(spark, sf_dir, "customer")
+    return (
+        e.join(F.broadcast(c), e.user_id == c.c_custkey)
+        .groupBy("c_mktsegment", "event_type")
+        .agg(F.count(F.lit(1)).alias("n"), F.round(F.sum("value"), 2).alias("total_value"))
+    )

@@ -1,0 +1,115 @@
+"""SparkSession factory + fixture-table catalog.
+
+The session is configured for deterministic oracle comparison (UTC
+timezone) and for scale (AQE on, skew handling on, partition
+coalescing on). On a real cluster the same builder is used with a
+cluster master; nothing here is local-mode-specific except defaults.
+
+Reference surface covered here (SURVEY.md §2a):
+- op 7 (partition expansion): parquet/Delta-style sources map file
+  splits to tasks automatically; ``spark.sql.files.maxPartitionBytes``
+  is the oversplit knob.
+- op 9 (exclusive partition assignment): inherent in Spark's task
+  scheduling.
+"""
+
+from __future__ import annotations
+
+import os
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+#: fixture tables written by the driver (TESTDATA.md); bare names are
+#: also the DuckDB oracle view names.
+TABLE_NAMES = (
+    "region",
+    "nation",
+    "customer",
+    "supplier",
+    "part",
+    "orders",
+    "lineitem",
+    "events",
+    "documents",
+    "embeddings",
+)
+
+DEFAULT_SF_DIR = os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
+
+
+def get_spark(
+    app_name: str = "lakehouse_test_spark",
+    master: str | None = None,
+    shuffle_partitions: int | None = None,
+    extra_conf: dict[str, str] | None = None,
+) -> SparkSession:
+    """Build (or reuse) a SparkSession tuned for this engine.
+
+    Scale notes: AQE re-plans joins at runtime (broadcast conversion,
+    skew-split), partition coalescing keeps small shuffles from
+    producing thousands of empty tasks, and the 64 MB advisory size
+    targets healthy reduce-partition sizes at any SF.
+    """
+    cpus = os.environ.get("SPARK_GRAFT_CPUS")
+    if master is None:
+        master = f"local[{cpus}]" if cpus else "local[*]"
+    if shuffle_partitions is None:
+        shuffle_partitions = int(cpus) if cpus else 32
+
+    builder = (
+        SparkSession.builder.appName(app_name)
+        .master(master)
+        # determinism for the DuckDB oracle comparison
+        .config("spark.sql.session.timeZone", "UTC")
+        # the driver fixtures carry TIMESTAMP(NANOS) (events.ts);
+        # Spark has no ns timestamp, so read as long and convert in
+        # load_tables().
+        .config("spark.sql.legacy.parquet.nanosAsLong", "true")
+        # scale: adaptive execution end-to-end
+        .config("spark.sql.adaptive.enabled", "true")
+        .config("spark.sql.adaptive.coalescePartitions.enabled", "true")
+        .config("spark.sql.adaptive.skewJoin.enabled", "true")
+        .config("spark.sql.adaptive.advisoryPartitionSizeInBytes", "64m")
+        .config("spark.sql.shuffle.partitions", str(shuffle_partitions))
+        # Arrow for every pandas_udf / toPandas boundary
+        .config("spark.sql.execution.arrow.pyspark.enabled", "true")
+        .config("spark.sql.execution.arrow.maxRecordsPerBatch", "10000")
+        # columnar storage for our own sinks
+        .config("spark.sql.parquet.compression.codec", "zstd")
+        .config("spark.driver.memory", os.environ.get("SPARK_GRAFT_DRIVER_MEM", "8g"))
+        .config("spark.ui.enabled", "false")
+    )
+    for k, v in (extra_conf or {}).items():
+        builder = builder.config(k, v)
+    spark = builder.getOrCreate()
+    spark.sparkContext.setLogLevel("WARN")
+    return spark
+
+
+def load_table(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
+    """Load one fixture table, normalizing ns-timestamps to Spark µs.
+
+    ``events.ts`` is TIMESTAMP(NANOS) in the driver parquet; with
+    ``nanosAsLong`` it surfaces as a bigint of epoch-nanos which we
+    convert (truncating) to TimestampType. All oracle queries bucket
+    time at >= 1 s granularity so the truncation is invisible to the
+    correctness gate.
+    """
+    df = spark.read.parquet(f"{sf_dir}/{name}.parquet")
+    if name == "events" and dict(df.dtypes).get("ts") == "bigint":
+        df = df.withColumn("ts", F.timestamp_micros(F.expr("ts div 1000")))
+    return df
+
+
+def load_tables(spark: SparkSession, sf_dir: str = DEFAULT_SF_DIR) -> dict[str, DataFrame]:
+    """Load all fixture tables as DataFrames keyed by bare name."""
+    return {name: load_table(spark, sf_dir, name) for name in TABLE_NAMES}
+
+
+def register_views(spark: SparkSession, sf_dir: str = DEFAULT_SF_DIR) -> dict[str, DataFrame]:
+    """Register every fixture table as a temp view (for spark.sql)."""
+    tables = load_tables(spark, sf_dir)
+    for name, df in tables.items():
+        df.createOrReplaceTempView(name)
+    return tables
