@@ -1,0 +1,322 @@
+"""Deduplication operators over ``documents`` / ``embeddings``:
+exact (hash-groupBy), MinHash-LSH, SimHash, n-gram Jaccard, and
+embedding-cosine near-dup.
+
+Scale design (the whole point at 100 TB):
+- exact dedup is a single hash-shuffle on a 16-byte fingerprint;
+- MinHash/SimHash signatures are computed map-side (explode + 64
+  partial min/sum aggregations — one shuffle on doc_id);
+- LSH banding turns the O(n²) pair problem into an equi-join on
+  (band, band_hash) — only colliding candidates are verified
+  exactly, so verification cost tracks the true duplicate rate;
+- every hash is Spark's xxhash64 (JVM, codegen) — no Python.
+
+The reference has no dedup (SURVEY.md §2a "explicitly absent");
+mandated by the BASELINE.json north star.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import Column, DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from lakehouse_test_spark.operators.text import word_shingles, ws_tokens
+from lakehouse_test_spark.registry import query
+from lakehouse_test_spark.session import load_table
+
+NUM_PERMS = 64
+LSH_BANDS = 32
+ROWS_PER_BAND = NUM_PERMS // LSH_BANDS
+JACCARD_THRESHOLD = 0.5
+
+
+# ---------------------------------------------------------------------------
+# exact dedup
+# ---------------------------------------------------------------------------
+
+
+@query(
+    "dedup_exact_fingerprint",
+    oracle="""
+    SELECT md5(lower(trim(text))) AS fingerprint,
+           CAST(min(doc_id) AS BIGINT) AS keeper_doc_id,
+           count(*) AS n_copies
+    FROM documents
+    GROUP BY 1
+    """,
+    tags=("dedup", "llm"),
+)
+def dedup_exact_fingerprint(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Exact dedup groups: md5(normalized text) → keeper + copy count.
+
+    Scale: one shuffle keyed on a 16-byte hash (never the full text);
+    min(doc_id) keeps the earliest copy deterministically. Filtering
+    n_copies > 1 yields the purge list.
+    """
+    d = load_table(spark, sf_dir, "documents")
+    return (
+        d.groupBy(F.md5(F.lower(F.trim(F.col("text")))).alias("fingerprint"))
+        .agg(
+            F.min("doc_id").cast("bigint").alias("keeper_doc_id"),
+            F.count(F.lit(1)).alias("n_copies"),
+        )
+    )
+
+
+@query(
+    "dedup_exact_summary",
+    oracle="""
+    SELECT lang,
+           count(*) AS n_docs,
+           count(DISTINCT md5(lower(trim(text)))) AS n_unique,
+           count(*) - count(DISTINCT md5(lower(trim(text)))) AS n_dupes
+    FROM documents GROUP BY lang
+    """,
+    tags=("dedup", "llm"),
+)
+def dedup_exact_summary(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-language dedup accounting (docs vs unique fingerprints)."""
+    d = load_table(spark, sf_dir, "documents")
+    fp = F.md5(F.lower(F.trim(F.col("text"))))
+    return d.groupBy("lang").agg(
+        F.count(F.lit(1)).alias("n_docs"),
+        F.countDistinct(fp).alias("n_unique"),
+        (F.count(F.lit(1)) - F.countDistinct(fp)).alias("n_dupes"),
+    )
+
+
+# ---------------------------------------------------------------------------
+# n-gram Jaccard (exact, SQL-expressible on a linear pairing)
+# ---------------------------------------------------------------------------
+
+
+def _jaccard(a: Column, b: Column) -> Column:
+    """Exact Jaccard of two string-array columns (distinct semantics)."""
+    inter = F.size(F.array_intersect(a, b))
+    union = F.size(F.array_distinct(F.concat(a, b)))
+    return F.when(union > 0, inter.cast("double") / union).otherwise(F.lit(0.0))
+
+
+@query(
+    "dedup_ngram_jaccard",
+    oracle="""
+    WITH s AS (
+      SELECT doc_id,
+             list_distinct(list_transform(
+               range(1, greatest(len(toks) - 1, 1)),
+               i -> concat(toks[i], ' ', toks[i+1], ' ', toks[i+2]))) AS sh
+      FROM (SELECT doc_id, string_split_regex(lower(text), '\\s+') AS toks FROM documents)
+    )
+    SELECT a.doc_id AS doc_a, b.doc_id AS doc_b,
+           CAST(round(len(list_intersect(a.sh, b.sh)) * 1.0
+                      / len(list_distinct(list_concat(a.sh, b.sh))), 4) AS DOUBLE) AS jaccard
+    FROM s a JOIN s b ON b.doc_id = a.doc_id + 1
+    """,
+    tags=("dedup", "llm"),
+)
+def dedup_ngram_jaccard(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Exact 3-gram-shingle Jaccard on a linear pairing (doc i vs i+1).
+
+    The linear pairing keeps this oracle-checkable at O(n); the full
+    O(n²) problem is what dedup_minhash_lsh solves with banding.
+    """
+    d = load_table(spark, sf_dir, "documents")
+    sh = d.select("doc_id", word_shingles(ws_tokens(F.col("text")), 3).alias("sh"))
+    a, b = sh.alias("a"), sh.alias("b")
+    return (
+        a.join(b, F.col("b.doc_id") == F.col("a.doc_id") + 1)
+        .select(
+            F.col("a.doc_id").alias("doc_a"),
+            F.col("b.doc_id").alias("doc_b"),
+            F.round(_jaccard(F.col("a.sh"), F.col("b.sh")), 4).alias("jaccard"),
+        )
+    )
+
+
+# ---------------------------------------------------------------------------
+# MinHash + LSH fuzzy dedup (the scale path)
+# ---------------------------------------------------------------------------
+
+
+def minhash_signatures(
+    docs: DataFrame, id_col: str = "doc_id", text_col: str = "text", num_perms: int = NUM_PERMS
+) -> DataFrame:
+    """Per-doc MinHash signature: min over shingles of xxhash64(i, s).
+
+    Scale: shingles explode map-side; the only shuffle is the
+    partial-aggregated min per (doc, 64 perms) — O(docs), not
+    O(shingles). xxhash64 with a per-perm salt column stands in for
+    64 independent permutations.
+    """
+    sh = docs.select(F.col(id_col), F.explode(word_shingles(ws_tokens(F.col(text_col)), 3)).alias("s"))
+    aggs = [F.min(F.xxhash64(F.lit(i), F.col("s"))).alias(f"mh{i}") for i in range(num_perms)]
+    return sh.groupBy(id_col).agg(*aggs)
+
+
+def lsh_candidate_pairs(sig: DataFrame, id_col: str = "doc_id") -> DataFrame:
+    """Band the signature (32 bands × 2 rows) and self-join on
+    (band, band_hash) to produce candidate pairs (a < b).
+
+    Scale: the join key is (band_id, 8-byte hash) — collisions are
+    rare for non-duplicates, so join output ≈ true-duplicate pairs.
+    Hot buckets (boilerplate docs) are the skew risk; AQE skew-join
+    splits them.
+    """
+    bands = F.array(
+        *[
+            F.struct(
+                F.lit(b).alias("band"),
+                F.xxhash64(F.lit(b), *[F.col(f"mh{b * ROWS_PER_BAND + r}") for r in range(ROWS_PER_BAND)]).alias("bh"),
+            )
+            for b in range(LSH_BANDS)
+        ]
+    )
+    banded = sig.select(F.col(id_col), F.explode(bands).alias("x")).select(
+        F.col(id_col), F.col("x.band").alias("band"), F.col("x.bh").alias("bh")
+    )
+    a, b = banded.alias("a"), banded.alias("b")
+    return (
+        a.join(b, (F.col("a.band") == F.col("b.band")) & (F.col("a.bh") == F.col("b.bh")))
+        .where(F.col(f"a.{id_col}") < F.col(f"b.{id_col}"))
+        .select(F.col(f"a.{id_col}").alias("id_a"), F.col(f"b.{id_col}").alias("id_b"))
+        .distinct()
+    )
+
+
+@query("dedup_minhash_lsh", oracle=None, tags=("dedup", "llm", "approx"))
+def dedup_minhash_lsh(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """MinHash-LSH fuzzy dedup: signature → band → candidate join →
+    exact Jaccard verification at threshold 0.5.
+
+    Rows-only check (xxhash64 has no DuckDB twin); tests/test_dedup.py
+    validates recall+precision against the exact O(n²) answer at
+    sf0.001. Deterministic: every hash is seeded, no RNG.
+    """
+    d = load_table(spark, sf_dir, "documents")
+    sig = minhash_signatures(d)
+    cand = lsh_candidate_pairs(sig)
+    sh = d.select("doc_id", word_shingles(ws_tokens(F.col("text")), 3).alias("sh"))
+    verified = (
+        cand.join(sh.withColumnRenamed("doc_id", "id_a").withColumnRenamed("sh", "sh_a"), "id_a")
+        .join(sh.withColumnRenamed("doc_id", "id_b").withColumnRenamed("sh", "sh_b"), "id_b")
+        .withColumn("jaccard", F.round(_jaccard(F.col("sh_a"), F.col("sh_b")), 4))
+        .where(F.col("jaccard") >= JACCARD_THRESHOLD)
+    )
+    return verified.select(
+        F.col("id_a").alias("doc_a"), F.col("id_b").alias("doc_b"), "jaccard"
+    )
+
+
+# ---------------------------------------------------------------------------
+# SimHash near-dup
+# ---------------------------------------------------------------------------
+
+
+@query("dedup_simhash", oracle=None, tags=("dedup", "llm", "approx"))
+def dedup_simhash(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """SimHash near-dup: 64-bit fingerprint from token hashes, split
+    into 4×16-bit bands; pairs matching any band are verified by
+    Hamming distance ≤ 3 (pigeonhole guarantees recall).
+
+    Scale: fingerprinting is 64 conditional sums over exploded tokens
+    (map-side partials); candidate generation is 4 equi-joins on
+    16-bit band values + full-fingerprint verify. Rows-only check;
+    tests validate the Hamming property directly.
+    """
+    d = load_table(spark, sf_dir, "documents")
+    toks = d.select("doc_id", F.explode(ws_tokens(F.col("text"))).alias("tok"))
+    h = F.xxhash64("tok")
+    bit_sums = [
+        F.sum(F.when(F.shiftright(h, b).bitwiseAND(F.lit(1)) == 1, 1).otherwise(-1)).alias(f"s{b}")
+        for b in range(64)
+    ]
+    sums = toks.groupBy("doc_id").agg(*bit_sums)
+    band_cols = []
+    for k in range(4):
+        expr = F.lit(0)
+        for j in range(16):
+            b = 16 * k + j
+            expr = expr + F.when(F.col(f"s{b}") > 0, F.lit(1 << j)).otherwise(F.lit(0))
+        band_cols.append(expr.cast("int").alias(f"band{k}"))
+    fp = sums.select("doc_id", *band_cols)
+
+    a = fp.select(
+        F.col("doc_id").alias("id_a"), *[F.col(f"band{k}").alias(f"a{k}") for k in range(4)]
+    )
+    b_ = fp.select(
+        F.col("doc_id").alias("id_b"), *[F.col(f"band{k}").alias(f"b{k}") for k in range(4)]
+    )
+    cands = None
+    for k in range(4):
+        c = a.join(b_, (F.col(f"a{k}") == F.col(f"b{k}")) & (F.col("id_a") < F.col("id_b")))
+        cands = c if cands is None else cands.unionByName(c)
+    hamming = sum(
+        F.bit_count(F.col(f"a{k}").bitwiseXOR(F.col(f"b{k}"))) for k in range(4)
+    )
+    return (
+        cands.dropDuplicates(["id_a", "id_b"])
+        .withColumn("hamming", hamming.cast("int"))
+        .where(F.col("hamming") <= 3)
+        .select(F.col("id_a").alias("doc_a"), F.col("id_b").alias("doc_b"), "hamming")
+    )
+
+
+# ---------------------------------------------------------------------------
+# embedding-cosine near-dup
+# ---------------------------------------------------------------------------
+
+
+def cosine(a: Column, b: Column) -> Column:
+    """Cosine similarity of two float-array columns, computed in
+    double with a fixed operation order (dot / (sqrt(na)*sqrt(nb)))
+    so Spark and the DuckDB oracle produce bit-identical IEEE results.
+    """
+    prod = F.zip_with(a, b, lambda x, y: x.cast("double") * y.cast("double"))
+    dot = F.aggregate(prod, F.lit(0.0), lambda acc, x: acc + x)
+    na = F.aggregate(
+        F.transform(a, lambda x: x.cast("double") * x.cast("double")), F.lit(0.0), lambda acc, x: acc + x
+    )
+    nb = F.aggregate(
+        F.transform(b, lambda x: x.cast("double") * x.cast("double")), F.lit(0.0), lambda acc, x: acc + x
+    )
+    return dot / (F.sqrt(na) * F.sqrt(nb))
+
+
+#: DuckDB twin of cosine() — same op order, double math.
+DUCKDB_COSINE = """
+list_aggregate(list_transform(range(1, len({a}) + 1),
+               i -> CAST({a}[i] AS DOUBLE) * CAST({b}[i] AS DOUBLE)), 'sum')
+/ (sqrt(list_aggregate(list_transform(range(1, len({a}) + 1),
+        i -> CAST({a}[i] AS DOUBLE) * CAST({a}[i] AS DOUBLE)), 'sum'))
+   * sqrt(list_aggregate(list_transform(range(1, len({b}) + 1),
+          i -> CAST({b}[i] AS DOUBLE) * CAST({b}[i] AS DOUBLE)), 'sum')))
+"""
+
+
+@query(
+    "dedup_embedding_cosine",
+    oracle=f"""
+    SELECT a.vec_id AS vec_a, b.vec_id AS vec_b,
+           CAST(round({DUCKDB_COSINE.format(a="a.embedding", b="b.embedding")}, 4) AS DOUBLE) AS cos_sim
+    FROM embeddings a JOIN embeddings b ON b.vec_id = a.vec_id + 1
+    """,
+    tags=("dedup", "llm", "embeddings"),
+)
+def dedup_embedding_cosine(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Embedding near-dup scores on a linear pairing (vec i vs i+1).
+
+    Oracle-checkable exact path; the scale path for all-pairs is LSH
+    bucketing (operators/similarity.py) with this same cosine kernel
+    as the verifier.
+    """
+    e = load_table(spark, sf_dir, "embeddings")
+    a = e.select(F.col("vec_id").alias("vec_a"), F.col("embedding").alias("emb_a"))
+    b = e.select(F.col("vec_id").alias("vec_b"), F.col("embedding").alias("emb_b"))
+    return (
+        a.join(b, F.col("vec_b") == F.col("vec_a") + 1)
+        .select(
+            "vec_a",
+            "vec_b",
+            F.round(cosine(F.col("emb_a"), F.col("emb_b")), 4).alias("cos_sim"),
+        )
+    )

@@ -1,0 +1,214 @@
+"""Text-analysis operators over the ``documents`` table: quality
+scoring, token counting, language-ID heuristic, fingerprinting.
+
+These are the per-document (embarrassingly parallel) stages of a
+training-data pipeline: pure projections, no shuffle, fully inside
+whole-stage codegen — the shape that scales linearly to 100 TB.
+
+The reference has no text ops (its only string handling is CSV quote
+parsing, AmazonReviewProducer.java:143-151); these are the mandated
+LLM-data extension (BASELINE.json north star).
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import Column, DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from lakehouse_test_spark.registry import query
+from lakehouse_test_spark.session import load_table
+
+#: tiny per-language stopword profiles for the lang-ID heuristic
+STOPWORDS = {
+    "en": ["the", "a", "and", "of", "to", "in", "is"],
+    "de": ["der", "die", "das", "und", "ist", "ein"],
+    "fr": ["le", "la", "et", "les", "des", "est"],
+    "es": ["el", "los", "las", "es", "una", "y"],
+}
+EN_STOPWORDS = STOPWORDS["en"]
+
+
+def ws_tokens(col) -> Column:
+    """Whitespace tokenization (lowercased)."""
+    return F.split(F.lower(col), r"\s+")
+
+
+def word_shingles(tokens: Column, n: int = 3) -> Column:
+    """Distinct n-gram word shingles from a token array (JVM-side).
+
+    sequence+transform stay in codegen; used by the MinHash dedup
+    pipeline (operators/dedup.py).
+    """
+    idx = F.sequence(F.lit(1), F.greatest(F.size(tokens) - (n - 1), F.lit(0)))
+    shingle = lambda i: F.concat_ws(" ", *[F.element_at(tokens, i + j) for j in range(n)])  # noqa: E731
+    return F.array_distinct(F.transform(idx, shingle))
+
+
+@query(
+    "text_quality_scores",
+    oracle="""
+    WITH t AS (
+      SELECT doc_id, lang, text,
+             string_split_regex(lower(text), '\\s+') AS toks,
+             CAST(length(text) AS BIGINT) AS n_chars2
+      FROM documents
+    )
+    SELECT doc_id, lang,
+           n_chars2 AS n_chars,
+           CAST(len(toks) AS INTEGER) AS n_words,
+           CAST(round(CAST(n_chars2 AS DOUBLE) / len(toks), 4) AS DOUBLE) AS avg_word_len,
+           CAST(round(len(list_filter(toks, x -> list_contains(['the','a','and','of','to','in','is'], x)))
+                      * 1.0 / len(toks), 4) AS DOUBLE) AS stopword_ratio,
+           CAST(round(length(regexp_replace(text, '[A-Za-z0-9\\s]', '', 'g'))
+                      * 1.0 / n_chars2, 4) AS DOUBLE) AS punct_ratio,
+           CAST(len(list_distinct(toks)) AS INTEGER) AS n_distinct_words,
+           CAST(round(len(list_distinct(toks)) * 1.0 / len(toks), 4) AS DOUBLE) AS ttr
+    FROM t
+    """,
+    tags=("text", "llm"),
+)
+def text_quality_scores(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-document quality signals: length, word stats, stopword
+    ratio, punctuation ratio, type-token ratio.
+
+    Scale: narrow projection, zero shuffle; every expression is a
+    codegen'd built-in. This is the filter stage of a pretraining
+    pipeline (drop low-quality docs by thresholding these columns).
+    """
+    d = load_table(spark, sf_dir, "documents")
+    toks = ws_tokens(F.col("text"))
+    sw = F.array(*[F.lit(s) for s in EN_STOPWORDS])
+    n_chars = F.length("text").cast("bigint")
+    n_words = F.size(toks)
+    return d.select(
+        "doc_id",
+        "lang",
+        n_chars.alias("n_chars"),
+        n_words.cast("int").alias("n_words"),
+        F.round(n_chars.cast("double") / n_words, 4).alias("avg_word_len"),
+        F.round(
+            F.size(F.filter(toks, lambda x: F.array_contains(sw, x))).cast("double") / n_words, 4
+        ).alias("stopword_ratio"),
+        F.round(
+            F.length(F.regexp_replace("text", r"[A-Za-z0-9\s]", "")).cast("double") / n_chars, 4
+        ).alias("punct_ratio"),
+        F.size(F.array_distinct(toks)).cast("int").alias("n_distinct_words"),
+        F.round(F.size(F.array_distinct(toks)).cast("double") / n_words, 4).alias("ttr"),
+    )
+
+
+@query(
+    "text_token_count",
+    oracle="""
+    SELECT doc_id,
+           CAST(len(string_split_regex(text, '\\s+')) AS INTEGER) AS ws_tokens,
+           CAST(len(regexp_extract_all(text, '[A-Za-z]+|[0-9]+|[^A-Za-z0-9\\s]')) AS INTEGER) AS bpe_ish_tokens,
+           CAST(ceil(length(text) / 4.0) AS BIGINT) AS byte_len_estimate
+    FROM documents
+    """,
+    tags=("text", "llm"),
+)
+def text_token_count(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Token counting: whitespace tokens, a BPE-ish regex token count
+    (letter runs / digit runs / other symbols), and the chars/4
+    budget estimate used for quick corpus sizing."""
+    d = load_table(spark, sf_dir, "documents")
+    return d.select(
+        "doc_id",
+        F.size(F.split("text", r"\s+")).cast("int").alias("ws_tokens"),
+        F.regexp_count("text", F.lit(r"[A-Za-z]+|[0-9]+|[^A-Za-z0-9\s]")).cast("int").alias(
+            "bpe_ish_tokens"
+        ),
+        F.ceil(F.length("text") / 4.0).cast("bigint").alias("byte_len_estimate"),
+    )
+
+
+def _langid_hits_sql(lang: str) -> str:
+    words = ", ".join(f"'{w}'" for w in STOPWORDS[lang])
+    return f"len(list_filter(toks, x -> list_contains([{words}], x)))"
+
+
+@query(
+    "text_lang_id",
+    oracle=f"""
+    WITH t AS (SELECT doc_id, string_split_regex(lower(text), '\\s+') AS toks FROM documents),
+    h AS (SELECT doc_id,
+                 {_langid_hits_sql('en')} AS en_hits,
+                 {_langid_hits_sql('de')} AS de_hits,
+                 {_langid_hits_sql('fr')} AS fr_hits,
+                 {_langid_hits_sql('es')} AS es_hits
+          FROM t)
+    SELECT doc_id,
+           CAST(en_hits AS INTEGER) AS en_hits,
+           CAST(de_hits AS INTEGER) AS de_hits,
+           CAST(fr_hits AS INTEGER) AS fr_hits,
+           CAST(es_hits AS INTEGER) AS es_hits,
+           CASE WHEN en_hits >= de_hits AND en_hits >= fr_hits AND en_hits >= es_hits THEN 'en'
+                WHEN de_hits >= fr_hits AND de_hits >= es_hits THEN 'de'
+                WHEN fr_hits >= es_hits THEN 'fr'
+                ELSE 'es' END AS predicted_lang
+    FROM h
+    """,
+    tags=("text", "llm"),
+)
+def text_lang_id(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Stopword-profile language ID (n-gram heuristic).
+
+    Scores each doc against tiny per-language stopword sets and takes
+    a deterministic argmax (tie order en>de>fr>es). The real-corpus
+    version swaps the profiles for char-trigram tables — same plan
+    shape, still shuffle-free.
+    """
+    d = load_table(spark, sf_dir, "documents")
+    toks = ws_tokens(F.col("text"))
+    def _hits(words: list[str]):
+        sw = F.array(*[F.lit(w) for w in words])
+        return F.size(F.filter(toks, lambda x: F.array_contains(sw, x)))
+
+    hits = {lang: _hits(words) for lang, words in STOPWORDS.items()}
+    pred = (
+        F.when(
+            (hits["en"] >= hits["de"]) & (hits["en"] >= hits["fr"]) & (hits["en"] >= hits["es"]), "en"
+        )
+        .when((hits["de"] >= hits["fr"]) & (hits["de"] >= hits["es"]), "de")
+        .when(hits["fr"] >= hits["es"], "fr")
+        .otherwise("es")
+    )
+    return d.select(
+        "doc_id",
+        hits["en"].cast("int").alias("en_hits"),
+        hits["de"].cast("int").alias("de_hits"),
+        hits["fr"].cast("int").alias("fr_hits"),
+        hits["es"].cast("int").alias("es_hits"),
+        pred.alias("predicted_lang"),
+    )
+
+
+@query(
+    "text_fingerprint",
+    oracle="""
+    WITH t AS (SELECT doc_id, string_split_regex(lower(trim(text)), '\\s+') AS toks FROM documents)
+    SELECT doc_id,
+           md5(array_to_string(list_sort(list_distinct(toks)), ' ')) AS vocab_fingerprint,
+           md5(lower(trim((SELECT text FROM documents d2 WHERE d2.doc_id = t.doc_id)))) AS exact_fingerprint,
+           CAST(greatest(len(toks) - 2, 0) AS INTEGER) AS n_shingles
+    FROM t
+    """,
+    tags=("text", "llm", "dedup"),
+)
+def text_fingerprint(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Document fingerprints: exact (md5 of normalized text) and
+    bag-of-words (md5 of the sorted distinct vocabulary).
+
+    The vocab fingerprint catches word-order-shuffled duplicates that
+    exact hashing misses; both are the groupBy keys for the exact
+    dedup operators (operators/dedup.py).
+    """
+    d = load_table(spark, sf_dir, "documents")
+    toks = ws_tokens(F.trim(F.col("text")))
+    return d.select(
+        "doc_id",
+        F.md5(F.array_join(F.sort_array(F.array_distinct(toks)), " ")).alias("vocab_fingerprint"),
+        F.md5(F.lower(F.trim(F.col("text")))).alias("exact_fingerprint"),
+        F.greatest(F.size(toks) - 2, F.lit(0)).cast("int").alias("n_shingles"),
+    )
