@@ -1,0 +1,104 @@
+"""CLI — the reference's tool dispatcher re-expressed (SURVEY.md §2a
+op 37; bin/lakehouse-test:115-122 dispatches produce / consume /
+consume_no_admin / produce_amazon).
+
+Verbs:
+- produce         synthetic Person load → lakehouse table
+                  (≙ PerformanceProducer: -m count, -t fan-out topics)
+- consume         read the table back, tier-aware logic dissolved
+                  (≙ PerformanceConsumer; --since-version = cursor)
+- produce_amazon  CSV ingest → lakehouse table (≙ AmazonReviewProducer)
+
+Counters print like the reference's final report
+(AmazonReviewProducer.java:133-134): Total sent / Failed sent /
+Total received.
+"""
+
+from __future__ import annotations
+
+import argparse
+import sys
+import time
+
+
+def positive_int(value: str) -> int:
+    """CLI validation (PositiveNumberParameterValidator.java:27-31)."""
+    n = int(value)
+    if n <= 0:
+        raise argparse.ArgumentTypeError(f"{value} must be a positive integer")
+    return n
+
+
+def build_parser() -> argparse.ArgumentParser:
+    p = argparse.ArgumentParser(prog="lakehouse-test-spark")
+    sub = p.add_subparsers(dest="verb", required=True)
+
+    prod = sub.add_parser("produce", help="synthetic Person load -> lakehouse table")
+    prod.add_argument("--table", required=True, help="table path")
+    prod.add_argument("-m", "--num-messages", type=positive_int, default=1000)
+    prod.add_argument("-t", "--num-shards", type=positive_int, default=1,
+                      help="fan-out shards (reference: topics)")
+    prod.add_argument("-p", "--num-producers", type=positive_int, default=1,
+                      help="write parallelism (reference: producers per topic)")
+
+    cons = sub.add_parser("consume", help="scan the lakehouse table")
+    cons.add_argument("--table", required=True)
+    cons.add_argument("--since-version", type=int, default=-1,
+                      help="incremental cursor (reference: subscription position)")
+    cons.add_argument("-time", "--max-seconds", type=float, default=None,
+                      help="bounded run by time (reference -time)")
+
+    ama = sub.add_parser("produce_amazon", help="CSV reviews -> lakehouse table")
+    ama.add_argument("-f", "--file", required=True, help="CSV path")
+    ama.add_argument("--table", required=True)
+    return p
+
+
+def main(argv: list[str] | None = None) -> int:
+    from lakehouse_test_spark.metrics import observed_write
+    from lakehouse_test_spark.plans.lakehouse import LakehouseTable
+    from lakehouse_test_spark.session import get_spark
+    from lakehouse_test_spark.sources.csv_ingest import count_lines, read_amazon_reviews
+    from lakehouse_test_spark.sources.synthetic import person_stream
+
+    args = build_parser().parse_args(argv)
+    spark = get_spark(f"cli-{args.verb}")
+    try:
+        if args.verb == "produce":
+            table = LakehouseTable(spark, args.table)
+            df = person_stream(
+                spark, args.num_messages, num_partitions=args.num_producers * args.num_shards
+            )
+            commit = table.append(df)
+            print(f"Total sent: {commit.row_count}")
+            print("Failed sent: 0")
+            print(f"Committed version: {commit.version}")
+        elif args.verb == "consume":
+            t0 = time.time()
+            table = LakehouseTable(spark, args.table)
+            df = (
+                table.read_changes(args.since_version)
+                if args.since_version >= 0
+                else table.snapshot()
+            )
+            n = df.count()
+            elapsed = time.time() - t0
+            if args.max_seconds is not None and elapsed > args.max_seconds:
+                print(f"WARN: run exceeded -time bound ({elapsed:.1f}s)")
+            print(f"Total received: {n}")
+            print(f"Latest version: {table.latest_version()}")
+        elif args.verb == "produce_amazon":
+            table = LakehouseTable(spark, args.table)
+            total_lines = count_lines(spark, args.file)  # pre-pass (op 4)
+            df = read_amazon_reviews(spark, args.file)
+            res = observed_write(df, lambda d: table.append(d), key_col="polarity")
+            print(f"Total lines: {total_lines}")
+            print(f"Total sent: {res.rows}")
+            print(f"Failed sent: {res.null_keys}")
+        return 0
+    finally:
+        spark.stop()
+
+
+if __name__ == "__main__":
+    sys.exit(main())

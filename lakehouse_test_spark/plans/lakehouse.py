@@ -1,0 +1,156 @@
+"""A minimal versioned lakehouse table: parquet data files + a JSON
+commit log, giving snapshot isolation, time travel, and incremental
+(changes-since) reads.
+
+This is the Spark-native replacement for the reference's
+tiered-storage scan coordination (SURVEY.md §2a ops 29-33,
+PerformanceConsumer.java:183-267): where the reference polls an
+offload cursor, skips non-offloaded segments, and force-unloads
+broker caches, a lakehouse table makes *committed == readable*:
+
+- op 29 offload-watermark read  → ``latest_version()`` (read the log)
+- op 30 latest-offloaded-segment → max committed version
+- op 31 tier-aware skip         → dissolves: snapshots only list
+                                   committed files
+- op 32 cache eviction          → dissolves: object-store reads
+- op 33 offload trigger         → ``append()``'s atomic log commit;
+                                   compaction analog: ``compact()``
+
+Scale: the log holds file *paths + stats*, never data; commits are
+O(1) driver-side renames; reads hand Spark an explicit file list so
+planning cost is proportional to the snapshot, and data I/O stays
+fully distributed. (Real deployments would swap this for Delta/
+Iceberg — same contract, battle-tested log.)
+"""
+
+from __future__ import annotations
+
+import json
+import os
+import shutil
+import time
+import uuid
+from dataclasses import dataclass
+from pathlib import Path
+
+from pyspark.sql import DataFrame, SparkSession
+
+
+@dataclass
+class Commit:
+    version: int
+    files: list[str]
+    row_count: int
+    operation: str
+
+
+class LakehouseTable:
+    """Append-only versioned table at ``path`` (data/ + _log/)."""
+
+    def __init__(self, spark: SparkSession, path: str):
+        self.spark = spark
+        self.path = Path(path)
+        self.log_dir = self.path / "_log"
+        self.log_dir.mkdir(parents=True, exist_ok=True)
+
+    # -- log -----------------------------------------------------------------
+
+    def _commit_path(self, version: int) -> Path:
+        return self.log_dir / f"{version:020d}.json"
+
+    def history(self) -> list[Commit]:
+        commits = []
+        for p in sorted(self.log_dir.glob("*.json")):
+            d = json.loads(p.read_text())
+            commits.append(Commit(**d))
+        return commits
+
+    def latest_version(self) -> int:
+        """The offload-watermark analog (§2a op 29): everything at or
+        below this version is durable and readable."""
+        versions = [int(p.stem) for p in self.log_dir.glob("*.json")]
+        return max(versions) if versions else -1
+
+    # -- writes --------------------------------------------------------------
+
+    def append(self, df: DataFrame, operation: str = "append") -> Commit:
+        """Write df as parquet files under a unique commit dir, then
+        atomically publish the commit (op 33's trigger analog: data
+        is invisible until the log entry lands)."""
+        version = self.latest_version() + 1
+        commit_dir = self.path / "data" / f"{uuid.uuid4().hex[:12]}"
+        df.write.mode("errorifexists").parquet(str(commit_dir))
+        files = sorted(
+            str(p.relative_to(self.path))
+            for p in commit_dir.glob("*.parquet")
+            if p.name.startswith("part-")
+        )
+        row_count = self.spark.read.parquet(str(commit_dir)).count()
+        commit = Commit(version=version, files=files, row_count=row_count, operation=operation)
+        tmp = self.log_dir / f".tmp-{uuid.uuid4().hex}"
+        tmp.write_text(json.dumps(commit.__dict__))
+        target = self._commit_path(version)
+        if target.exists():  # lost the race — no concurrent writers expected here
+            tmp.unlink()
+            raise RuntimeError(f"concurrent commit at version {version}")
+        os.rename(tmp, target)
+        return commit
+
+    def compact(self, target_partitions: int = 1) -> Commit:
+        """OPTIMIZE analog: rewrite the current snapshot into fewer,
+        larger files and commit the replacement (small-files problem
+        is the #1 lakehouse perf killer at scale)."""
+        snap = self.snapshot()
+        commit_dir = self.path / "data" / f"compact-{uuid.uuid4().hex[:12]}"
+        snap.repartition(target_partitions).write.parquet(str(commit_dir))
+        files = sorted(
+            str(p.relative_to(self.path)) for p in commit_dir.glob("part-*.parquet")
+        )
+        row_count = self.spark.read.parquet(str(commit_dir)).count()
+        version = self.latest_version() + 1
+        commit = Commit(version=version, files=files, row_count=row_count, operation="compact")
+        self._commit_path(version).write_text(json.dumps(commit.__dict__))
+        return commit
+
+    # -- reads ---------------------------------------------------------------
+
+    def _files_for(self, version: int | None = None, since: int = -1) -> list[str]:
+        """File list for a snapshot: all appends in (since, version],
+        honoring the latest compact as a replacement point."""
+        commits = self.history()
+        if version is not None:
+            commits = [c for c in commits if c.version <= version]
+        compacts = [c for c in commits if c.operation == "compact"]
+        if compacts and since < 0:
+            base = compacts[-1]
+            commits = [base] + [c for c in commits if c.version > base.version and c.operation != "compact"]
+        commits = [c for c in commits if c.version > since]
+        return [str(self.path / f) for c in commits for f in c.files]
+
+    def snapshot(self, version: int | None = None) -> DataFrame:
+        """Read the table as of ``version`` (time travel; None=latest).
+        Committed == readable — §2a ops 31-32 dissolve here."""
+        files = self._files_for(version)
+        if not files:
+            raise ValueError(f"no data at version {version}")
+        return self.spark.read.parquet(*files)
+
+    def read_changes(self, since_version: int) -> DataFrame:
+        """Incremental scan: rows committed after ``since_version`` —
+        the consume-loop analog (§2a ops 5, 31): a reader that
+        remembers its last version gets exactly-once batches."""
+        files = self._files_for(since=since_version)
+        if not files:
+            return self.snapshot().limit(0)
+        return self.spark.read.parquet(*files)
+
+    def total_rows_committed(self, version: int | None = None) -> int:
+        """Counter-metric twin (§2a op 35): log-recorded row totals,
+        for rows_written == rows_read invariants without a scan."""
+        commits = [c for c in self.history() if c.operation != "compact"]
+        if version is not None:
+            commits = [c for c in commits if c.version <= version]
+        return sum(c.row_count for c in commits)
+
+    def drop(self) -> None:
+        shutil.rmtree(self.path, ignore_errors=True)

@@ -1,0 +1,84 @@
+"""Streaming semantics tests beyond the oracle gate: bounded
+rate-limited drains, watermark late-data drop, listener progress."""
+
+from __future__ import annotations
+
+from pyspark.sql import Row
+from pyspark.sql import functions as F
+
+from lakehouse_test_spark.metrics import ProgressLog
+from lakehouse_test_spark.streaming.jobs import bounded_rate_limited_drain
+
+from .conftest import SMOKE_SF_DIR
+
+
+def test_bounded_rate_limited_drain(spark):
+    """AvailableNow + maxFilesPerTrigger: bounded run (ops 23-24)
+    with rate control (op 22); totals must equal the batch count."""
+    out, n_batches = bounded_rate_limited_drain(spark, SMOKE_SF_DIR, max_files_per_trigger=1)
+    batch_total = spark.read.parquet(f"{SMOKE_SF_DIR}/events.parquet").count()
+    assert out.head().n == batch_total
+    assert n_batches >= 1
+
+
+def test_progress_listener(spark):
+    """StreamingQueryListener ≙ progress-logging every N (op 36)."""
+    import time
+
+    plog = ProgressLog()
+    listener = plog.attach(spark)
+    try:
+        bounded_rate_limited_drain(spark, SMOKE_SF_DIR)
+        deadline = time.time() + 20  # listener bus delivers async
+        while time.time() < deadline and not plog.batches:
+            time.sleep(0.2)
+        assert any(b["num_input_rows"] > 0 for b in plog.batches)
+    finally:
+        spark.streams.removeListener(listener)
+
+
+def test_watermark_drops_late_data(spark, tmp_path):
+    """Late-data drop: Spark advances the operative watermark with a
+    one-batch lag, so the sequence is: batch 0 establishes a high max
+    event time; batch 1 runs with the advanced watermark and
+    finalizes+emits old windows; a late row in batch 2 must then be
+    dropped, never mutating the finalized window."""
+    import time
+
+    d = tmp_path / "stream_in"
+    d.mkdir()
+
+    def write_batch(name: str, *ts_vals: float) -> None:
+        spark.createDataFrame([Row(ts=t) for t in ts_vals]).select(
+            F.timestamp_seconds("ts").alias("ts")
+        ).coalesce(1).write.parquet(str(d / name))
+        time.sleep(1.1)  # distinct mtimes → stable batch order
+
+    write_batch("b1", 100.0, 200.0, 5000.0)
+    write_batch("b2", 5001.0)
+    write_batch("b3", 110.0)  # very late: watermark is ~4990s by now
+
+    schema = spark.read.parquet(str(d / "b1")).schema
+    s = (
+        spark.readStream.schema(schema)
+        .option("maxFilesPerTrigger", 1)
+        .parquet(str(d) + "/*")
+    )
+    agg = (
+        s.withWatermark("ts", "10 seconds")
+        .groupBy(F.window("ts", "1 minute").alias("w"))
+        .agg(F.count(F.lit(1)).alias("n"))
+    )
+    q = (
+        agg.writeStream.format("memory")
+        .queryName("late_test")
+        .outputMode("append")
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination()
+    result = {(r.w.start.minute, r.n) for r in spark.table("late_test").collect()}
+    # window [1:00,2:00) was finalized with exactly 1 row (ts=100);
+    # the late ts=110 row must not appear anywhere
+    assert (1, 1) in result
+    assert (1, 2) not in result
