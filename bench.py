@@ -39,11 +39,13 @@ HEADLINE = [
     "events_daily_rollup",
     "json_agg_by_prop",
     "array_posexplode",
-    # LLM-data ops (present from the rounds where they land)
+    # LLM-data ops
     "dedup_exact_fingerprint",
     "dedup_minhash_lsh",
     "text_quality_scores",
     "similarity_bruteforce_topk",
+    "join_asof_events",
+    "streaming_tumbling_counts",
 ]
 
 
@@ -53,8 +55,13 @@ def main() -> None:
     sf = float(m.group(1).rstrip(".")) if m else -1.0
 
     spark = get_spark("bench")
-    # warm the JVM + parquet footers with a trivial action
+    # warm the JVM, parquet footers, and OS page cache so the first
+    # timed query doesn't absorb one-time startup costs
     spark.range(1).count()
+    from lakehouse_test_spark.session import TABLE_NAMES, load_table
+
+    for t in TABLE_NAMES:
+        load_table(spark, sf_dir, t).count()
 
     timings: dict[str, float] = {}
     for name in HEADLINE:

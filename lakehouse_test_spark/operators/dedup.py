@@ -138,19 +138,48 @@ def dedup_ngram_jaccard(spark: SparkSession, sf_dir: str) -> DataFrame:
 # ---------------------------------------------------------------------------
 
 
+def shingle_hashes(
+    docs: DataFrame, id_col: str = "doc_id", text_col: str = "text"
+) -> DataFrame:
+    """Per-doc array of distinct 64-bit shingle hashes.
+
+    Each shingle string is hashed exactly once (xxhash64); everything
+    downstream (signatures, verification) works on longs — smaller
+    shuffles, and permutation hashing runs over fixed 12-byte inputs
+    instead of re-scanning strings 64×. Jaccard over 64-bit hashes
+    equals string Jaccard w.h.p. (collision ~n²/2⁶⁴).
+    """
+    sh = word_shingles(ws_tokens(F.col(text_col)), 3)
+    # CPU-heavy per-row stage: make sure it runs on every core even
+    # when the source is a single small file (at 100 TB the scan
+    # already yields thousands of partitions and this is a no-op-ish
+    # round-robin; locally it is the difference between 1 and N cores)
+    spark = docs.sparkSession
+    target = spark.sparkContext.defaultParallelism
+    if docs.rdd.getNumPartitions() < target:
+        docs = docs.repartition(target)
+    return docs.select(
+        F.col(id_col),
+        F.array_distinct(F.transform(sh, lambda s: F.xxhash64(s))).alias("shl"),
+    )
+
+
 def minhash_signatures(
     docs: DataFrame, id_col: str = "doc_id", text_col: str = "text", num_perms: int = NUM_PERMS
 ) -> DataFrame:
-    """Per-doc MinHash signature: min over shingles of xxhash64(i, s).
+    """Per-doc MinHash signature: min over shingle hashes of
+    xxhash64(i, h) — i-salted rehash of the base hash stands in for
+    ``num_perms`` independent permutations.
 
     Scale: shingles explode map-side; the only shuffle is the
     partial-aggregated min per (doc, 64 perms) — O(docs), not
-    O(shingles). xxhash64 with a per-perm salt column stands in for
-    64 independent permutations.
+    O(shingles).
     """
-    sh = docs.select(F.col(id_col), F.explode(word_shingles(ws_tokens(F.col(text_col)), 3)).alias("s"))
-    aggs = [F.min(F.xxhash64(F.lit(i), F.col("s"))).alias(f"mh{i}") for i in range(num_perms)]
-    return sh.groupBy(id_col).agg(*aggs)
+    exploded = shingle_hashes(docs, id_col, text_col).select(
+        F.col(id_col), F.explode("shl").alias("h")
+    )
+    aggs = [F.min(F.xxhash64(F.lit(i), F.col("h"))).alias(f"mh{i}") for i in range(num_perms)]
+    return exploded.groupBy(id_col).agg(*aggs)
 
 
 def lsh_candidate_pairs(sig: DataFrame, id_col: str = "doc_id") -> DataFrame:
@@ -193,12 +222,14 @@ def dedup_minhash_lsh(spark: SparkSession, sf_dir: str) -> DataFrame:
     sf0.001. Deterministic: every hash is seeded, no RNG.
     """
     d = load_table(spark, sf_dir, "documents")
-    sig = minhash_signatures(d)
+    shl = shingle_hashes(d).cache()  # shared by signature + verify paths
+    exploded = shl.select("doc_id", F.explode("shl").alias("h"))
+    aggs = [F.min(F.xxhash64(F.lit(i), F.col("h"))).alias(f"mh{i}") for i in range(NUM_PERMS)]
+    sig = exploded.groupBy("doc_id").agg(*aggs)
     cand = lsh_candidate_pairs(sig)
-    sh = d.select("doc_id", word_shingles(ws_tokens(F.col("text")), 3).alias("sh"))
     verified = (
-        cand.join(sh.withColumnRenamed("doc_id", "id_a").withColumnRenamed("sh", "sh_a"), "id_a")
-        .join(sh.withColumnRenamed("doc_id", "id_b").withColumnRenamed("sh", "sh_b"), "id_b")
+        cand.join(shl.select(F.col("doc_id").alias("id_a"), F.col("shl").alias("sh_a")), "id_a")
+        .join(shl.select(F.col("doc_id").alias("id_b"), F.col("shl").alias("sh_b")), "id_b")
         .withColumn("jaccard", F.round(_jaccard(F.col("sh_a"), F.col("sh_b")), 4))
         .where(F.col("jaccard") >= JACCARD_THRESHOLD)
     )
@@ -224,6 +255,8 @@ def dedup_simhash(spark: SparkSession, sf_dir: str) -> DataFrame:
     tests validate the Hamming property directly.
     """
     d = load_table(spark, sf_dir, "documents")
+    if d.rdd.getNumPartitions() < spark.sparkContext.defaultParallelism:
+        d = d.repartition(spark.sparkContext.defaultParallelism)
     toks = d.select("doc_id", F.explode(ws_tokens(F.col("text"))).alias("tok"))
     h = F.xxhash64("tok")
     bit_sums = [

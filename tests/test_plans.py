@@ -1,0 +1,75 @@
+"""Physical-plan assertions — the 100 TB guarantees, checked.
+
+These tests pin the *plan shape*, not timings: filters reach the
+parquet scan, projections prune columns, small dims broadcast, top-k
+avoids global sorts, rank-filter windows get partial top-k. A
+regression here is a scale regression even if sf0.01 stays fast.
+"""
+
+from __future__ import annotations
+
+import io
+from contextlib import redirect_stdout
+
+import pytest
+
+from lakehouse_test_spark.queries import REGISTRY
+
+
+def plan_of(spark, sf_dir: str, name: str, mode: str = "simple") -> str:
+    buf = io.StringIO()
+    with redirect_stdout(buf):
+        REGISTRY[name].fn(spark, sf_dir).explain(mode=mode)
+    return buf.getvalue()
+
+
+def test_q6_filters_and_columns_pushed(spark, sf_dir):
+    p = plan_of(spark, sf_dir, "q6_forecast_revenue", "formatted")
+    assert "GreaterThanOrEqual(l_shipdate" in p, "shipdate filter not pushed to scan"
+    assert "GreaterThanOrEqual(l_discount" in p, "discount filter not pushed to scan"
+    # column pruning: only the 4 referenced columns in ReadSchema
+    read = [l for l in p.splitlines() if "ReadSchema" in l][0]
+    assert "l_returnflag" not in read and "l_orderkey" not in read
+
+
+def test_q3_broadcasts_dims_no_smj(spark, sf_dir):
+    p = plan_of(spark, sf_dir, "q3_shipping_priority")
+    assert p.count("BroadcastHashJoin") >= 1
+    assert "TakeOrdered" in p, "top-10 should be TakeOrdered, not global sort"
+
+
+def test_sort_limit_is_take_ordered(spark, sf_dir):
+    assert "TakeOrderedAndProject" in plan_of(spark, sf_dir, "sort_limit_topn")
+
+
+def test_broadcast_dim_join(spark, sf_dir):
+    assert "BroadcastHashJoin" in plan_of(spark, sf_dir, "join_broadcast_dim")
+
+
+def test_window_topk_partial_limit(spark, sf_dir):
+    """Spark's WindowGroupLimit pushes the rank filter below the
+    shuffle — each mapper ships at most k rows per group."""
+    assert "WindowGroupLimit" in plan_of(spark, sf_dir, "window_topk_per_group")
+
+
+def test_nonequi_join_is_hash_not_nested_loop(spark, sf_dir):
+    """Equi-key + theta residual must plan as a hash/SMJ join, never
+    BroadcastNestedLoop over the full cross product."""
+    p = plan_of(spark, sf_dir, "join_nonequi_theta")
+    assert "NestedLoop" not in p
+
+
+def test_q1_partial_aggregation(spark, sf_dir):
+    """Map-side partial agg: two HashAggregate levels around the
+    exchange so the shuffle carries 6 groups/partition, not raw rows."""
+    p = plan_of(spark, sf_dir, "q1_pricing_summary")
+    assert p.count("HashAggregate") >= 2
+    assert "Exchange" in p
+
+
+def test_text_ops_no_shuffle(spark, sf_dir):
+    """Per-document text analysis must stay embarrassingly parallel —
+    any Exchange in the plan is a scale bug."""
+    for name in ("text_quality_scores", "text_token_count", "text_lang_id"):
+        p = plan_of(spark, sf_dir, name)
+        assert "Exchange" not in p, f"{name} plan shuffles: {p}"
