@@ -6,8 +6,10 @@ synthetic-ingest). ``__spark_entry__`` re-exports from here.
 from __future__ import annotations
 
 # Import order is cosmetic; each module registers into registry.REGISTRY.
+import lakehouse_test_spark.queries_aggwin2  # noqa: F401
 import lakehouse_test_spark.queries_relational  # noqa: F401
 import lakehouse_test_spark.queries_scalar  # noqa: F401
+import lakehouse_test_spark.queries_tpch2  # noqa: F401
 
 from lakehouse_test_spark.registry import REGISTRY, all_oracles, all_queries
 

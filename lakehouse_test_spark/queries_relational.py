@@ -16,6 +16,7 @@ from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 from pyspark.sql.window import Window
 
+from lakehouse_test_spark.fpsafe import ddiv, dround, dsum
 from lakehouse_test_spark.registry import query
 from lakehouse_test_spark.session import load_table
 
@@ -33,14 +34,14 @@ def T(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
     "q1_pricing_summary",
     oracle="""
     SELECT l_returnflag, l_linestatus,
-           CAST(round(sum(l_quantity), 2) AS DOUBLE)                                    AS sum_qty,
-           CAST(round(sum(l_extendedprice), 2) AS DOUBLE)                               AS sum_base_price,
-           CAST(round(sum(l_extendedprice * (1 - l_discount)), 2) AS DOUBLE)            AS sum_disc_price,
-           CAST(round(sum(l_extendedprice * (1 - l_discount) * (1 + l_tax)), 2) AS DOUBLE) AS sum_charge,
-           CAST(round(avg(l_quantity), 4) AS DOUBLE)                                    AS avg_qty,
-           CAST(round(avg(l_extendedprice), 4) AS DOUBLE)                               AS avg_price,
-           CAST(round(avg(l_discount), 6) AS DOUBLE)                                    AS avg_disc,
-           count(*)                                                                     AS count_order
+           CAST(round(sum(l_quantity), 2) AS DOUBLE)  AS sum_qty,
+           CAST(round(sum(CAST(l_extendedprice AS DECIMAL(18,6))), 2) AS DOUBLE) AS sum_base_price,
+           CAST(round(sum(CAST(l_extendedprice * (1 - l_discount) AS DECIMAL(18,6))), 2) AS DOUBLE) AS sum_disc_price,
+           CAST(round(sum(CAST(l_extendedprice * (1 - l_discount) * (1 + l_tax) AS DECIMAL(18,6))), 2) AS DOUBLE) AS sum_charge,
+           CAST(round(avg(l_quantity), 4) AS DOUBLE)  AS avg_qty,
+           CAST(round(CAST(sum(CAST(l_extendedprice AS DECIMAL(18,6))) AS DOUBLE) / count(*), 4) AS DOUBLE) AS avg_price,
+           CAST(round(CAST(sum(CAST(l_discount AS DECIMAL(18,6))) AS DOUBLE) / count(*), 6) AS DOUBLE) AS avg_disc,
+           count(*) AS count_order
     FROM lineitem
     WHERE l_shipdate <= TIMESTAMP '1998-09-02 00:00:00'
     GROUP BY l_returnflag, l_linestatus
@@ -59,15 +60,17 @@ def q1_pricing_summary(spark: SparkSession, sf_dir: str) -> DataFrame:
         li.where(F.col("l_shipdate") <= F.lit("1998-09-02 00:00:00").cast("timestamp"))
         .groupBy("l_returnflag", "l_linestatus")
         .agg(
-            F.round(F.sum("l_quantity"), 2).alias("sum_qty"),
-            F.round(F.sum("l_extendedprice"), 2).alias("sum_base_price"),
-            F.round(F.sum(F.col("l_extendedprice") * (1 - F.col("l_discount"))), 2).alias("sum_disc_price"),
-            F.round(
-                F.sum(F.col("l_extendedprice") * (1 - F.col("l_discount")) * (1 + F.col("l_tax"))), 2
+            F.round(F.sum("l_quantity"), 2).alias("sum_qty"),  # integral → exact in any order
+            dround(dsum(F.col("l_extendedprice")), 2).alias("sum_base_price"),
+            dround(dsum(F.col("l_extendedprice") * (1 - F.col("l_discount"))), 2).alias(
+                "sum_disc_price"
+            ),
+            dround(
+                dsum(F.col("l_extendedprice") * (1 - F.col("l_discount")) * (1 + F.col("l_tax"))), 2
             ).alias("sum_charge"),
             F.round(F.avg("l_quantity"), 4).alias("avg_qty"),
-            F.round(F.avg("l_extendedprice"), 4).alias("avg_price"),
-            F.round(F.avg("l_discount"), 6).alias("avg_disc"),
+            F.round(ddiv(dsum(F.col("l_extendedprice")), F.count(F.lit(1))), 4).alias("avg_price"),
+            F.round(ddiv(dsum(F.col("l_discount")), F.count(F.lit(1))), 6).alias("avg_disc"),
             F.count(F.lit(1)).alias("count_order"),
         )
     )
@@ -77,7 +80,7 @@ def q1_pricing_summary(spark: SparkSession, sf_dir: str) -> DataFrame:
     "q3_shipping_priority",
     oracle="""
     SELECT l_orderkey,
-           CAST(round(sum(l_extendedprice * (1 - l_discount)), 2) AS DOUBLE) AS revenue,
+           CAST(round(sum(CAST(l_extendedprice * (1 - l_discount) AS DECIMAL(18,6))), 2) AS DOUBLE) AS revenue,
            CAST(o_orderdate AS DATE) AS orderdate
     FROM customer JOIN orders ON c_custkey = o_custkey
                   JOIN lineitem ON l_orderkey = o_orderkey
@@ -108,7 +111,7 @@ def q3_shipping_priority(spark: SparkSession, sf_dir: str) -> DataFrame:
         li.join(orders, li.l_orderkey == orders.o_orderkey)
         .join(F.broadcast(cust), orders.o_custkey == cust.c_custkey)
         .groupBy("l_orderkey", "o_orderdate")
-        .agg(F.round(F.sum(F.col("l_extendedprice") * (1 - F.col("l_discount"))), 2).alias("revenue"))
+        .agg(dround(dsum(F.col("l_extendedprice") * (1 - F.col("l_discount"))), 2).alias("revenue"))
         .select("l_orderkey", "revenue", F.col("o_orderdate").cast("date").alias("orderdate"))
         .orderBy(F.desc("revenue"), F.asc("l_orderkey"))
         .limit(10)
@@ -119,7 +122,7 @@ def q3_shipping_priority(spark: SparkSession, sf_dir: str) -> DataFrame:
     "q5_local_supplier_volume",
     oracle="""
     SELECT n_name,
-           CAST(round(sum(l_extendedprice * (1 - l_discount)), 2) AS DOUBLE) AS revenue
+           CAST(round(sum(CAST(l_extendedprice * (1 - l_discount) AS DECIMAL(18,6))), 2) AS DOUBLE) AS revenue
     FROM customer
       JOIN orders   ON c_custkey = o_custkey
       JOIN lineitem ON l_orderkey = o_orderkey
@@ -160,14 +163,14 @@ def q5_local_supplier_volume(spark: SparkSession, sf_dir: str) -> DataFrame:
         .join(F.broadcast(nation), supp.s_nationkey == nation.n_nationkey)
         .join(F.broadcast(region), nation.n_regionkey == region.r_regionkey)
         .groupBy("n_name")
-        .agg(F.round(F.sum(F.col("l_extendedprice") * (1 - F.col("l_discount"))), 2).alias("revenue"))
+        .agg(dround(dsum(F.col("l_extendedprice") * (1 - F.col("l_discount"))), 2).alias("revenue"))
     )
 
 
 @query(
     "q6_forecast_revenue",
     oracle="""
-    SELECT CAST(round(sum(l_extendedprice * l_discount), 2) AS DOUBLE) AS revenue,
+    SELECT CAST(round(sum(CAST(l_extendedprice * l_discount AS DECIMAL(18,6))), 2) AS DOUBLE) AS revenue,
            count(*) AS n_items
     FROM lineitem
     WHERE l_shipdate >= TIMESTAMP '1996-01-01 00:00:00'
@@ -191,7 +194,7 @@ def q6_forecast_revenue(spark: SparkSession, sf_dir: str) -> DataFrame:
         & (F.col("l_discount").between(0.05, 0.07))
         & (F.col("l_quantity") < 24)
     ).agg(
-        F.round(F.sum(F.col("l_extendedprice") * F.col("l_discount")), 2).alias("revenue"),
+        dround(dsum(F.col("l_extendedprice") * F.col("l_discount")), 2).alias("revenue"),
         F.count(F.lit(1)).alias("n_items"),
     )
 
@@ -200,7 +203,7 @@ def q6_forecast_revenue(spark: SparkSession, sf_dir: str) -> DataFrame:
     "q10_returned_items",
     oracle="""
     SELECT c_custkey, c_name,
-           CAST(round(sum(l_extendedprice * (1 - l_discount)), 2) AS DOUBLE) AS revenue,
+           CAST(round(sum(CAST(l_extendedprice * (1 - l_discount) AS DECIMAL(18,6))), 2) AS DOUBLE) AS revenue,
            n_name
     FROM customer
       JOIN orders   ON c_custkey = o_custkey
@@ -234,7 +237,7 @@ def q10_returned_items(spark: SparkSession, sf_dir: str) -> DataFrame:
         .join(cust, orders.o_custkey == cust.c_custkey)
         .join(F.broadcast(nation), cust.c_nationkey == nation.n_nationkey)
         .groupBy("c_custkey", "c_name", "n_name")
-        .agg(F.round(F.sum(F.col("l_extendedprice") * (1 - F.col("l_discount"))), 2).alias("revenue"))
+        .agg(dround(dsum(F.col("l_extendedprice") * (1 - F.col("l_discount"))), 2).alias("revenue"))
         .select("c_custkey", "c_name", "revenue", "n_name")
         .orderBy(F.desc("revenue"), F.asc("c_custkey"))
         .limit(20)
@@ -279,9 +282,9 @@ def q4_order_priority(spark: SparkSession, sf_dir: str) -> DataFrame:
 @query(
     "q14_promo_revenue",
     oracle="""
-    SELECT CAST(round(100.0 * sum(CASE WHEN p_type = 'PROMO'
-                                       THEN l_extendedprice * (1 - l_discount) ELSE 0 END)
-                       / sum(l_extendedprice * (1 - l_discount)), 4) AS DOUBLE) AS promo_revenue_pct
+    SELECT CAST(round(100.0 * CAST(sum(CAST(CASE WHEN p_type = 'PROMO'
+                                       THEN l_extendedprice * (1 - l_discount) ELSE 0 END AS DECIMAL(18,6))) AS DOUBLE)
+                       / CAST(sum(CAST(l_extendedprice * (1 - l_discount) AS DECIMAL(18,6))) AS DOUBLE), 4) AS DOUBLE) AS promo_revenue_pct
     FROM lineitem JOIN part ON l_partkey = p_partkey
     WHERE l_shipdate >= TIMESTAMP '1996-09-01 00:00:00'
       AND l_shipdate <  TIMESTAMP '1996-10-01 00:00:00'
@@ -300,7 +303,11 @@ def q14_promo_revenue(spark: SparkSession, sf_dir: str) -> DataFrame:
         li.join(F.broadcast(part), li.l_partkey == part.p_partkey)
         .agg(
             F.round(
-                100.0 * F.sum(F.when(F.col("p_type") == "PROMO", disc).otherwise(0.0)) / F.sum(disc), 4
+                100.0
+                * ddiv(
+                    dsum(F.when(F.col("p_type") == "PROMO", disc).otherwise(0.0)), dsum(disc)
+                ),
+                4,
             ).alias("promo_revenue_pct")
         )
     )
@@ -350,7 +357,7 @@ def q18_large_orders(spark: SparkSession, sf_dir: str) -> DataFrame:
 @query(
     "q19_disjunctive_predicates",
     oracle="""
-    SELECT CAST(round(sum(l_extendedprice * (1 - l_discount)), 2) AS DOUBLE) AS revenue,
+    SELECT CAST(round(sum(CAST(l_extendedprice * (1 - l_discount) AS DECIMAL(18,6))), 2) AS DOUBLE) AS revenue,
            count(*) AS n
     FROM lineitem JOIN part ON p_partkey = l_partkey
     WHERE (p_brand = 'Brand#1' AND p_size BETWEEN 1 AND 15 AND l_quantity BETWEEN 1 AND 21)
@@ -368,7 +375,7 @@ def q19_disjunctive_predicates(spark: SparkSession, sf_dir: str) -> DataFrame:
     c2 = (F.col("p_brand") == "Brand#2") & F.col("p_size").between(1, 25) & F.col("l_quantity").between(10, 30)
     c3 = (F.col("p_brand") == "Brand#3") & F.col("p_size").between(1, 35) & F.col("l_quantity").between(20, 40)
     return j.where(c1 | c2 | c3).agg(
-        F.round(F.sum(F.col("l_extendedprice") * (1 - F.col("l_discount"))), 2).alias("revenue"),
+        dround(dsum(F.col("l_extendedprice") * (1 - F.col("l_discount"))), 2).alias("revenue"),
         F.count(F.lit(1)).alias("n"),
     )
 
@@ -492,7 +499,7 @@ def join_cross(spark: SparkSession, sf_dir: str) -> DataFrame:
     "join_broadcast_dim",
     oracle="""
     SELECT n_name, count(*) AS n_customers,
-           CAST(round(sum(c_acctbal), 2) AS DOUBLE) AS total_acctbal
+           CAST(round(sum(CAST(c_acctbal AS DECIMAL(18,6))), 2) AS DOUBLE) AS total_acctbal
     FROM customer JOIN nation ON c_nationkey = n_nationkey
     GROUP BY n_name
     """,
@@ -511,7 +518,7 @@ def join_broadcast_dim(spark: SparkSession, sf_dir: str) -> DataFrame:
         .groupBy("n_name")
         .agg(
             F.count(F.lit(1)).alias("n_customers"),
-            F.round(F.sum("c_acctbal"), 2).alias("total_acctbal"),
+            dround(dsum(F.col("c_acctbal")), 2).alias("total_acctbal"),
         )
     )
 
@@ -579,8 +586,8 @@ def join_range_bucketed(spark: SparkSession, sf_dir: str) -> DataFrame:
     oracle="""
     SELECT o_orderstatus,
            count(*) AS n_orders,
-           CAST(round(sum(o_totalprice), 2) AS DOUBLE) AS sum_price,
-           CAST(round(avg(o_totalprice), 4) AS DOUBLE) AS avg_price,
+           CAST(round(sum(CAST(o_totalprice AS DECIMAL(18,6))), 2) AS DOUBLE) AS sum_price,
+           CAST(round(CAST(sum(CAST(o_totalprice AS DECIMAL(18,6))) AS DOUBLE) / count(*), 4) AS DOUBLE) AS avg_price,
            CAST(round(min(o_totalprice), 2) AS DOUBLE) AS min_price,
            CAST(round(max(o_totalprice), 2) AS DOUBLE) AS max_price,
            CAST(round(stddev_samp(o_totalprice), 4) AS DOUBLE) AS std_price
@@ -593,8 +600,8 @@ def agg_basic_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
     o = T(spark, sf_dir, "orders")
     return o.groupBy("o_orderstatus").agg(
         F.count(F.lit(1)).alias("n_orders"),
-        F.round(F.sum("o_totalprice"), 2).alias("sum_price"),
-        F.round(F.avg("o_totalprice"), 4).alias("avg_price"),
+        dround(dsum(F.col("o_totalprice")), 2).alias("sum_price"),
+        F.round(ddiv(dsum(F.col("o_totalprice")), F.count(F.lit(1))), 4).alias("avg_price"),
         F.round(F.min("o_totalprice"), 2).alias("min_price"),
         F.round(F.max("o_totalprice"), 2).alias("max_price"),
         F.round(F.stddev_samp("o_totalprice"), 4).alias("std_price"),
@@ -624,7 +631,7 @@ def agg_count_distinct(spark: SparkSession, sf_dir: str) -> DataFrame:
     "agg_rollup",
     oracle="""
     SELECT o_orderstatus, o_orderpriority, count(*) AS n,
-           CAST(round(sum(o_totalprice), 2) AS DOUBLE) AS sum_price
+           CAST(round(sum(CAST(o_totalprice AS DECIMAL(18,6))), 2) AS DOUBLE) AS sum_price
     FROM orders GROUP BY ROLLUP (o_orderstatus, o_orderpriority)
     """,
     tags=("agg", "rollup"),
@@ -633,7 +640,7 @@ def agg_rollup(spark: SparkSession, sf_dir: str) -> DataFrame:
     """ROLLUP hierarchy totals (status, status+priority, grand)."""
     o = T(spark, sf_dir, "orders")
     return o.rollup("o_orderstatus", "o_orderpriority").agg(
-        F.count(F.lit(1)).alias("n"), F.round(F.sum("o_totalprice"), 2).alias("sum_price")
+        F.count(F.lit(1)).alias("n"), dround(dsum(F.col("o_totalprice")), 2).alias("sum_price")
     )
 
 
@@ -1023,8 +1030,8 @@ def window_topk_per_group(spark: SparkSession, sf_dir: str) -> DataFrame:
     "window_share_of_total",
     oracle="""
     SELECT n_name,
-           CAST(round(nation_bal / sum(nation_bal) OVER (), 6) AS DOUBLE) AS share
-    FROM (SELECT n_name, sum(c_acctbal) AS nation_bal
+           CAST(round(CAST(nation_bal AS DOUBLE) / CAST(sum(nation_bal) OVER () AS DOUBLE), 6) AS DOUBLE) AS share
+    FROM (SELECT n_name, sum(CAST(c_acctbal AS DECIMAL(18,6))) AS nation_bal
           FROM customer JOIN nation ON c_nationkey = n_nationkey
           GROUP BY n_name)
     """,
@@ -1037,9 +1044,9 @@ def window_share_of_total(spark: SparkSession, sf_dir: str) -> DataFrame:
     per_nation = (
         c.join(F.broadcast(n), c.c_nationkey == n.n_nationkey)
         .groupBy("n_name")
-        .agg(F.sum("c_acctbal").alias("nation_bal"))
+        .agg(dsum(F.col("c_acctbal")).alias("nation_bal"))
     )
     w = Window.partitionBy()
     return per_nation.select(
-        "n_name", F.round(F.col("nation_bal") / F.sum("nation_bal").over(w), 6).alias("share")
+        "n_name", F.round(ddiv(F.col("nation_bal"), F.sum("nation_bal").over(w)), 6).alias("share")
     )

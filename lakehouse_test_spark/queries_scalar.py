@@ -13,6 +13,7 @@ from __future__ import annotations
 from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 
+from lakehouse_test_spark.fpsafe import ddiv, dround, dsum
 from lakehouse_test_spark.registry import query
 from lakehouse_test_spark.session import load_table
 
@@ -292,7 +293,7 @@ def array_posexplode(spark: SparkSession, sf_dir: str) -> DataFrame:
            event_type,
            count(*) AS n_events,
            count(DISTINCT user_id) AS n_users,
-           CAST(round(sum(value), 2) AS DOUBLE) AS total_value
+           CAST(round(sum(CAST(value AS DECIMAL(18,6))), 2) AS DOUBLE) AS total_value
     FROM events
     GROUP BY 1, 2
     """,
@@ -310,7 +311,7 @@ def events_daily_rollup(spark: SparkSession, sf_dir: str) -> DataFrame:
         .agg(
             F.count(F.lit(1)).alias("n_events"),
             F.countDistinct("user_id").alias("n_users"),
-            F.round(F.sum("value"), 2).alias("total_value"),
+            dround(dsum(F.col("value")), 2).alias("total_value"),
         )
     )
 
@@ -339,7 +340,7 @@ def events_hourly_activity(spark: SparkSession, sf_dir: str) -> DataFrame:
     "events_user_segment_join",
     oracle="""
     SELECT c_mktsegment, event_type, count(*) AS n,
-           CAST(round(sum(value), 2) AS DOUBLE) AS total_value
+           CAST(round(sum(CAST(value AS DECIMAL(18,6))), 2) AS DOUBLE) AS total_value
     FROM events JOIN customer ON user_id = c_custkey
     GROUP BY c_mktsegment, event_type
     """,
@@ -352,5 +353,5 @@ def events_user_segment_join(spark: SparkSession, sf_dir: str) -> DataFrame:
     return (
         e.join(F.broadcast(c), e.user_id == c.c_custkey)
         .groupBy("c_mktsegment", "event_type")
-        .agg(F.count(F.lit(1)).alias("n"), F.round(F.sum("value"), 2).alias("total_value"))
+        .agg(F.count(F.lit(1)).alias("n"), dround(dsum(F.col("value")), 2).alias("total_value"))
     )

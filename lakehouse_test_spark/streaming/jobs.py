@@ -26,6 +26,7 @@ import uuid
 from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 
+from lakehouse_test_spark.fpsafe import ddiv, dround, dsum
 from lakehouse_test_spark.registry import query
 
 
@@ -68,7 +69,7 @@ def _drain_to_memory(stream_df: DataFrame, output_mode: str) -> DataFrame:
     SELECT CAST(date_trunc('day', ts) AS DATE) AS day,
            event_type,
            count(*) AS n_events,
-           CAST(round(sum(value), 2) AS DOUBLE) AS total_value
+           CAST(round(sum(CAST(value AS DECIMAL(18,6))), 2) AS DOUBLE) AS total_value
     FROM events GROUP BY 1, 2
     """,
     tags=("streaming", "window", "events"),
@@ -83,7 +84,7 @@ def streaming_tumbling_counts(spark: SparkSession, sf_dir: str) -> DataFrame:
         .groupBy(F.window("ts", "1 day").alias("w"), "event_type")
         .agg(
             F.count(F.lit(1)).alias("n_events"),
-            F.round(F.sum("value"), 2).alias("total_value"),
+            dround(dsum(F.col("value")), 2).alias("total_value"),
         )
     )
     out = _drain_to_memory(agg, "complete")
