@@ -1,0 +1,180 @@
+"""UDF/UDAF surface (SURVEY.md §2b): Arrow-batched pandas UDFs,
+grouped-map applyInPandas, and a custom stateful streaming operator
+via applyInPandasWithState.
+
+The hot-path rule: built-ins first (everything in queries_*.py);
+Python only where per-group/array-level custom logic genuinely can't
+be expressed — and then always Arrow-vectorized, never row-at-a-time.
+"""
+
+from __future__ import annotations
+
+from collections.abc import Iterator
+
+import pandas as pd
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+from pyspark.sql.functions import pandas_udf
+from pyspark.sql.types import (
+    DoubleType,
+    IntegerType,
+    LongType,
+    StringType,
+    StructField,
+    StructType,
+)
+
+from lakehouse_test_spark.registry import query
+from lakehouse_test_spark.session import load_table
+
+
+@query(
+    "udf_pandas_scalar",
+    oracle="""
+    SELECT doc_id,
+           CAST(round(1.0 / (1.0 + exp(-(CAST(n_chars AS DOUBLE) / 500.0 - 1.0))), 6) AS DOUBLE)
+             AS length_score
+    FROM documents
+    """,
+    tags=("udf", "pandas"),
+)
+def udf_pandas_scalar(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Vectorized scalar pandas UDF (Arrow batches, numpy math): a
+    sigmoid length score per document. Oracle-checked — numpy exp and
+    SQL exp agree bit-for-bit on the same doubles.
+
+    Scale: Arrow transfer + numpy vectorization ≈ 10-100× faster than
+    row-at-a-time Python UDFs; still JVM→Python, so reserve for logic
+    built-ins can't express (this one could be — it exists to pin the
+    UDF machinery itself).
+    """
+
+    @pandas_udf(DoubleType())
+    def length_score(n_chars: pd.Series) -> pd.Series:
+        import numpy as np
+
+        x = n_chars.astype("float64") / 500.0 - 1.0
+        return pd.Series(np.round(1.0 / (1.0 + np.exp(-x)), 6))
+
+    d = load_table(spark, sf_dir, "documents")
+    return d.select("doc_id", length_score(F.col("n_chars")).alias("length_score"))
+
+
+@query(
+    "udf_grouped_zscore",
+    oracle="""
+    WITH stats AS (
+      SELECT user_id, avg(value) AS mu, stddev_samp(value) AS sigma, count(*) AS n
+      FROM events GROUP BY user_id
+    )
+    SELECT e.event_id, e.user_id,
+           CAST(round(CASE WHEN s.n > 1 AND s.sigma > 0
+                           THEN (e.value - s.mu) / s.sigma ELSE 0.0 END, 4) AS DOUBLE) AS value_z
+    FROM events e JOIN stats s ON e.user_id = s.user_id
+    """,
+    tags=("udf", "pandas", "grouped"),
+)
+def udf_grouped_zscore(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Grouped-map applyInPandas: per-user z-score of event values.
+
+    Scale: one shuffle on the group key; each group materializes as a
+    pandas frame in a worker (bounded by the largest user — salting
+    applies if a user outgrows memory). The oracle recomputes the
+    same statistic relationally.
+    """
+    schema = StructType(
+        [
+            StructField("event_id", LongType()),
+            StructField("user_id", LongType()),
+            StructField("value_z", DoubleType()),
+        ]
+    )
+
+    def zscore(pdf: pd.DataFrame) -> pd.DataFrame:
+        import numpy as np
+
+        v = pdf["value"].astype("float64")
+        sigma = v.std(ddof=1)
+        if len(v) > 1 and sigma > 0:
+            z = np.round((v - v.mean()) / sigma, 4)
+        else:
+            z = pd.Series([0.0] * len(v), index=v.index)
+        return pd.DataFrame(
+            {"event_id": pdf["event_id"], "user_id": pdf["user_id"], "value_z": z}
+        )
+
+    e = load_table(spark, sf_dir, "events").select("event_id", "user_id", "value")
+    return e.groupBy("user_id").applyInPandas(zscore, schema=schema)
+
+
+@query("udf_stateful_session_counter", oracle=None, tags=("udf", "streaming", "stateful"))
+def udf_stateful_session_counter(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Custom stateful streaming operator via applyInPandasWithState:
+    per-user running event counter with a session-style state object,
+    drained bounded (AvailableNow).
+
+    This is the escape hatch for operators Spark's built-in stateful
+    set (windows/dedup/session_window) can't express — custom state
+    schema, custom merge logic, explicit timeout control. Rows-only:
+    state internals have no SQL twin; totals are asserted against the
+    batch count in tests.
+    """
+    import uuid
+
+    from pyspark.sql.streaming.state import GroupState, GroupStateTimeout
+
+    batch_schema = spark.read.parquet(f"{sf_dir}/events.parquet").schema
+    stream = (
+        spark.readStream.schema(batch_schema)
+        .option("pathGlobFilter", "events.parquet")
+        .parquet(sf_dir)
+        .select("user_id", "event_id")
+    )
+
+    out_schema = StructType(
+        [
+            StructField("user_id", LongType()),
+            StructField("total_events", LongType()),
+            StructField("n_batches", IntegerType()),
+        ]
+    )
+    state_schema = StructType(
+        [StructField("count", LongType()), StructField("batches", IntegerType())]
+    )
+
+    def count_events(
+        key: tuple, pdfs: Iterator[pd.DataFrame], state: GroupState
+    ) -> Iterator[pd.DataFrame]:
+        (user_id,) = key
+        count, batches = state.get if state.exists else (0, 0)
+        for pdf in pdfs:
+            count += len(pdf)
+        batches += 1
+        state.update((count, batches))
+        yield pd.DataFrame(
+            {"user_id": [user_id], "total_events": [count], "n_batches": [batches]}
+        )
+
+    result = stream.groupBy("user_id").applyInPandasWithState(
+        count_events,
+        outputStructType=out_schema,
+        stateStructType=state_schema,
+        outputMode="update",
+        timeoutConf=GroupStateTimeout.NoTimeout,
+    )
+    name = f"mem_{uuid.uuid4().hex[:12]}"
+    q = (
+        result.writeStream.format("memory")
+        .queryName(name)
+        .outputMode("update")
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination()
+    # last update per user = final counts
+    final = (
+        spark.table(name)
+        .groupBy("user_id")
+        .agg(F.max("total_events").alias("total_events"))
+    )
+    return final

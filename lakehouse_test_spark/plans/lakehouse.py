@@ -96,6 +96,46 @@ class LakehouseTable:
         os.rename(tmp, target)
         return commit
 
+    def merge(self, updates: DataFrame, key_cols: list[str]) -> Commit:
+        """Upsert (Delta MERGE analog): rows in ``updates`` replace
+        current rows with the same key; new keys append. Implemented
+        as snapshot ⟕anti updates ∪ updates, committed as a full
+        rewrite ('restate' = compaction point for readers).
+
+        Scale: the anti join shuffles on the key once; a real Delta
+        MERGE prunes untouched files via stats — the contract (atomic
+        keyed upsert with snapshot isolation) is identical, and time
+        travel across the merge still works.
+        """
+        current = self.snapshot()
+        kept = current.join(updates.select(*key_cols), on=key_cols, how="left_anti")
+        merged = kept.unionByName(updates)
+        commit_dir = self.path / "data" / f"merge-{uuid.uuid4().hex[:12]}"
+        merged.write.parquet(str(commit_dir))
+        files = sorted(
+            str(p.relative_to(self.path)) for p in commit_dir.glob("part-*.parquet")
+        )
+        row_count = self.spark.read.parquet(str(commit_dir)).count()
+        version = self.latest_version() + 1
+        commit = Commit(version=version, files=files, row_count=row_count, operation="compact")
+        self._commit_path(version).write_text(json.dumps(commit.__dict__))
+        return commit
+
+    def delete_where(self, condition: str) -> Commit:
+        """Keyed/predicate delete (Delta DELETE analog): rewrite the
+        snapshot without matching rows, commit as a restate point."""
+        remaining = self.snapshot().where(f"NOT ({condition})")
+        commit_dir = self.path / "data" / f"delete-{uuid.uuid4().hex[:12]}"
+        remaining.write.parquet(str(commit_dir))
+        files = sorted(
+            str(p.relative_to(self.path)) for p in commit_dir.glob("part-*.parquet")
+        )
+        row_count = self.spark.read.parquet(str(commit_dir)).count()
+        version = self.latest_version() + 1
+        commit = Commit(version=version, files=files, row_count=row_count, operation="compact")
+        self._commit_path(version).write_text(json.dumps(commit.__dict__))
+        return commit
+
     def compact(self, target_partitions: int = 1) -> Commit:
         """OPTIMIZE analog: rewrite the current snapshot into fewer,
         larger files and commit the replacement (small-files problem

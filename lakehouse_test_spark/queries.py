@@ -9,6 +9,7 @@ from __future__ import annotations
 import lakehouse_test_spark.queries_aggwin2  # noqa: F401
 import lakehouse_test_spark.queries_relational  # noqa: F401
 import lakehouse_test_spark.queries_scalar  # noqa: F401
+import lakehouse_test_spark.queries_scalar2  # noqa: F401
 import lakehouse_test_spark.queries_tpch2  # noqa: F401
 
 from lakehouse_test_spark.registry import REGISTRY, all_oracles, all_queries
@@ -21,6 +22,7 @@ for _mod in (
     "lakehouse_test_spark.operators.text",
     "lakehouse_test_spark.operators.joins",
     "lakehouse_test_spark.operators.multimodal",
+    "lakehouse_test_spark.operators.udfs",
     "lakehouse_test_spark.sources.synthetic",
     "lakehouse_test_spark.streaming.jobs",
 ):
