@@ -123,6 +123,7 @@ def udf_stateful_session_counter(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     from pyspark.sql.streaming.state import GroupState, GroupStateTimeout
 
+    spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")  # ns fixture
     batch_schema = spark.read.parquet(f"{sf_dir}/events.parquet").schema
     stream = (
         spark.readStream.schema(batch_schema)

@@ -95,7 +95,14 @@ def load_table(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
     convert (truncating) to TimestampType. All oracle queries bucket
     time at >= 1 s granularity so the truncation is invisible to the
     correctness gate.
+
+    Defensive conf: the driver may hand us a session built without
+    our factory — ``nanosAsLong`` is required to read events at all,
+    and UTC keeps date bucketing aligned with the DuckDB oracle.
+    Both are runtime-settable SQL confs.
     """
+    spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
+    spark.conf.set("spark.sql.session.timeZone", "UTC")
     df = spark.read.parquet(f"{sf_dir}/{name}.parquet")
     if name == "events" and dict(df.dtypes).get("ts") == "bigint":
         df = df.withColumn("ts", F.timestamp_micros(F.expr("ts div 1000")))

@@ -36,6 +36,8 @@ def events_stream(spark: SparkSession, sf_dir: str) -> DataFrame:
     File streaming source (op 5 analog): partition files → tasks,
     earliest-start (op 8) is implicit for a static directory.
     """
+    spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")  # ns fixture
+    spark.conf.set("spark.sql.session.timeZone", "UTC")
     batch_schema = spark.read.parquet(f"{sf_dir}/events.parquet").schema
     # file streaming sources take a *directory*; glob-filter to events
     stream = (
@@ -203,6 +205,7 @@ def bounded_rate_limited_drain(
     paces the stream (≙ maxOffsetsPerTrigger on Kafka), AvailableNow
     bounds the run. Returns (result, n_batches>=1). Used by tests and
     the CLI consume verb."""
+    spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")  # ns fixture
     batch_schema = spark.read.parquet(f"{sf_dir}/events.parquet").schema
     s = (
         spark.readStream.schema(batch_schema)
