@@ -63,6 +63,13 @@ def main() -> None:
     for t in TABLE_NAMES:
         load_table(spark, sf_dir, t).count()
 
+    # untimed warm pass (JIT + codegen compilation), then timed pass —
+    # steady-state engine time is what a long-running cluster job sees
+    for name in HEADLINE:
+        q = REGISTRY.get(name)
+        if q is not None:
+            q.fn(spark, sf_dir).write.format("noop").mode("overwrite").save()
+
     timings: dict[str, float] = {}
     for name in HEADLINE:
         q = REGISTRY.get(name)
