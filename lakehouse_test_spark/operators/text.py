@@ -212,3 +212,63 @@ def text_fingerprint(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.md5(F.lower(F.trim(F.col("text")))).alias("exact_fingerprint"),
         F.greatest(F.size(toks) - 2, F.lit(0)).cast("int").alias("n_shingles"),
     )
+
+
+@query(
+    "pipeline_pretraining_filter",
+    oracle="""
+    WITH scored AS (
+      SELECT doc_id, lang, text,
+             string_split_regex(lower(text), '\\s+') AS toks,
+             length(text) AS nc
+      FROM documents
+    ),
+    quality AS (
+      SELECT doc_id, lang, text,
+             len(toks) AS n_words,
+             len(list_distinct(toks)) * 1.0 / len(toks) AS ttr
+      FROM scored
+      WHERE nc BETWEEN 40 AND 5000 AND len(toks) >= 10
+    ),
+    deduped AS (
+      SELECT min(doc_id) AS keeper, lang,
+             md5(lower(trim(text))) AS fp,
+             max(n_words) AS n_words,
+             max(ttr) AS ttr
+      FROM quality GROUP BY lang, md5(lower(trim(text)))
+    )
+    SELECT keeper AS doc_id, lang,
+           CAST(n_words AS INTEGER) AS n_words,
+           CAST(round(ttr, 4) AS DOUBLE) AS ttr
+    FROM deduped
+    WHERE ttr >= 0.2
+    """,
+    tags=("text", "llm", "dedup", "pipeline"),
+)
+def pipeline_pretraining_filter(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """End-to-end pretraining data curation pipeline in one plan:
+    length gate → quality gate (word count, type-token ratio) →
+    exact dedup (keep earliest per fingerprint) → diversity gate.
+
+    This is the composition the individual text/dedup operators exist
+    for; a single declarative plan means Catalyst fuses the gates
+    into the scan and the only shuffle is the dedup groupBy.
+    """
+    d = load_table(spark, sf_dir, "documents")
+    toks = ws_tokens(F.col("text"))
+    nc = F.length("text")
+    quality = (
+        d.where(nc.between(40, 5000))
+        .withColumn("n_words", F.size(toks))
+        .where(F.col("n_words") >= 10)
+        .withColumn("ttr", F.size(F.array_distinct(toks)).cast("double") / F.col("n_words"))
+    )
+    deduped = (
+        quality.groupBy("lang", F.md5(F.lower(F.trim(F.col("text")))).alias("fp"))
+        .agg(
+            F.min("doc_id").alias("doc_id"),
+            F.max("n_words").cast("int").alias("n_words"),
+            F.round(F.max("ttr"), 4).alias("ttr"),
+        )
+    )
+    return deduped.where(F.col("ttr") >= 0.2).select("doc_id", "lang", "n_words", "ttr")

@@ -34,6 +34,7 @@ from dataclasses import dataclass
 from pathlib import Path
 
 from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql.functions import col as F_col
 
 
 @dataclass
@@ -42,6 +43,33 @@ class Commit:
     files: list[str]
     row_count: int
     operation: str
+    # per-file column stats (zone maps): {file: {col: [min, max]}}
+    stats: dict | None = None
+
+
+def _file_stats(path: Path, cols: list[str]) -> dict:
+    """Min/max per column from the parquet footer (driver-side, no
+    data read — the same stats Delta/Iceberg keep in their logs)."""
+    import pyarrow.parquet as pq
+
+    md = pq.ParquetFile(str(path)).metadata
+    out: dict[str, list] = {}
+    for rg in range(md.num_row_groups):
+        g = md.row_group(rg)
+        for ci in range(g.num_columns):
+            col = g.column(ci)
+            name = col.path_in_schema
+            if name not in cols or col.statistics is None:
+                continue
+            st = col.statistics
+            if not st.has_min_max:
+                continue
+            lo, hi = st.min, st.max
+            if name in out:
+                out[name] = [min(out[name][0], lo), max(out[name][1], hi)]
+            else:
+                out[name] = [lo, hi]
+    return out
 
 
 class LakehouseTable:
@@ -73,10 +101,17 @@ class LakehouseTable:
 
     # -- writes --------------------------------------------------------------
 
-    def append(self, df: DataFrame, operation: str = "append") -> Commit:
+    def append(
+        self, df: DataFrame, operation: str = "append", stats_cols: list[str] | None = None
+    ) -> Commit:
         """Write df as parquet files under a unique commit dir, then
         atomically publish the commit (op 33's trigger analog: data
-        is invisible until the log entry lands)."""
+        is invisible until the log entry lands).
+
+        ``stats_cols`` records per-file min/max zone maps in the log
+        (footer metadata only — no data re-read), enabling
+        ``scan_pruned`` file skipping like Delta/Iceberg data
+        skipping."""
         version = self.latest_version() + 1
         commit_dir = self.path / "data" / f"{uuid.uuid4().hex[:12]}"
         df.write.mode("errorifexists").parquet(str(commit_dir))
@@ -85,8 +120,13 @@ class LakehouseTable:
             for p in commit_dir.glob("*.parquet")
             if p.name.startswith("part-")
         )
+        stats = (
+            {f: _file_stats(self.path / f, stats_cols) for f in files} if stats_cols else None
+        )
         row_count = self.spark.read.parquet(str(commit_dir)).count()
-        commit = Commit(version=version, files=files, row_count=row_count, operation=operation)
+        commit = Commit(
+            version=version, files=files, row_count=row_count, operation=operation, stats=stats
+        )
         tmp = self.log_dir / f".tmp-{uuid.uuid4().hex}"
         tmp.write_text(json.dumps(commit.__dict__))
         target = self._commit_path(version)
@@ -174,6 +214,34 @@ class LakehouseTable:
         if not files:
             raise ValueError(f"no data at version {version}")
         return self.spark.read.parquet(*files)
+
+    def scan_pruned(self, col: str, lo, hi) -> tuple[DataFrame, int, int]:
+        """Range scan with zone-map file skipping: only files whose
+        recorded [min,max] for ``col`` overlaps [lo,hi] are handed to
+        Spark (files without stats are kept — skipping must be safe).
+        Returns (df, files_scanned, files_total).
+
+        Scale: at 100 TB with time- or key-sorted ingest this is the
+        difference between scanning one commit and the whole table;
+        the residual predicate still applies row-level.
+        """
+        commits = self.history()
+        all_files: list[str] = []
+        kept: list[str] = []
+        for c in commits:
+            if c.operation == "compact":
+                continue
+            for f in c.files:
+                all_files.append(f)
+                st = (c.stats or {}).get(f, {}).get(col)
+                if st is None or not (hi < st[0] or lo > st[1]):
+                    kept.append(f)
+        if not kept:
+            return self.snapshot().limit(0), 0, len(all_files)
+        df = self.spark.read.parquet(*[str(self.path / f) for f in kept]).where(
+            (F_col(col) >= lo) & (F_col(col) <= hi)
+        )
+        return df, len(kept), len(all_files)
 
     def read_changes(self, since_version: int) -> DataFrame:
         """Incremental scan: rows committed after ``since_version`` —

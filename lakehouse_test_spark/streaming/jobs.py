@@ -225,3 +225,90 @@ def bounded_rate_limited_drain(
     q.awaitTermination()
     n_batches = len(q.recentProgress)
     return spark.table(name), n_batches
+
+
+@query(
+    "streaming_static_join",
+    oracle="""
+    SELECT c_mktsegment, count(*) AS n_purchases,
+           CAST(round(sum(CAST(value AS DECIMAL(18,6))), 2) AS DOUBLE) AS total_value
+    FROM events JOIN customer ON user_id = c_custkey
+    WHERE event_type = 'purchase'
+    GROUP BY c_mktsegment
+    """,
+    tags=("streaming", "join", "events"),
+)
+def streaming_static_join(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Stream-static join: the purchase stream enriched against the
+    static customer dimension, aggregated per segment (complete mode).
+
+    Scale: the static side is broadcast per micro-batch — the
+    canonical streaming-enrichment pattern; dimension updates are
+    picked up on re-read without restarting the query.
+    """
+    from lakehouse_test_spark.session import load_table
+
+    s = events_stream(spark, sf_dir).where(F.col("event_type") == "purchase")
+    c = load_table(spark, sf_dir, "customer")
+    agg = (
+        s.join(F.broadcast(c), s.user_id == c.c_custkey)
+        .groupBy("c_mktsegment")
+        .agg(
+            F.count(F.lit(1)).alias("n_purchases"),
+            dround(dsum(F.col("value")), 2).alias("total_value"),
+        )
+    )
+    return _drain_to_memory(agg, "complete")
+
+
+@query(
+    "streaming_stream_stream_join",
+    oracle="""
+    WITH c AS (SELECT event_id AS click_id, user_id,
+                      CAST(floor(epoch(ts)) AS BIGINT) AS ct
+               FROM events WHERE event_type = 'click'),
+         p AS (SELECT event_id AS purchase_id, user_id,
+                      CAST(floor(epoch(ts)) AS BIGINT) AS pt
+               FROM events WHERE event_type = 'purchase')
+    SELECT c.click_id, p.purchase_id, c.user_id
+    FROM c JOIN p ON c.user_id = p.user_id
+       AND p.pt >= c.ct AND p.pt <= c.ct + 3600
+    """,
+    tags=("streaming", "join", "events"),
+)
+def streaming_stream_stream_join(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Stream-stream inner join with event-time range bounds and
+    watermarks: purchases within 1 h after a click by the same user.
+
+    Scale: both sides keep watermark-bounded state (clicks expire 2 h
+    after their event time); the time-range conjunct is what lets
+    Spark garbage-collect state — an unbounded stream-stream join
+    never frees anything. Inner-join emission is deterministic given
+    all data, so the batch oracle matches exactly.
+    """
+    s = events_stream(spark, sf_dir)
+    clicks = (
+        s.where(F.col("event_type") == "click")
+        .select(
+            F.col("event_id").alias("click_id"),
+            F.col("user_id"),
+            F.col("ts").alias("click_ts"),
+        )
+        .withWatermark("click_ts", "2 hours")
+    )
+    purchases = (
+        s.where(F.col("event_type") == "purchase")
+        .select(
+            F.col("event_id").alias("purchase_id"),
+            F.col("user_id").alias("p_user_id"),
+            F.col("ts").alias("purchase_ts"),
+        )
+        .withWatermark("purchase_ts", "2 hours")
+    )
+    joined = clicks.join(
+        purchases,
+        (F.col("user_id") == F.col("p_user_id"))
+        & (F.col("purchase_ts") >= F.col("click_ts"))
+        & (F.col("purchase_ts") <= F.col("click_ts") + F.expr("INTERVAL 1 HOUR")),
+    ).select("click_id", "purchase_id", "user_id")
+    return _drain_to_memory(joined, "append")

@@ -65,3 +65,27 @@ def test_roundtrip_counter_invariant(spark, table):
     commit = table.append(df)
     assert commit.row_count == 500
     assert table.snapshot().count() == table.total_rows_committed()
+
+
+def test_zone_map_file_skipping(spark, table):
+    """Commits with disjoint key ranges + stats_cols → a range scan
+    touches only overlapping files (Delta/Iceberg data-skipping
+    analog), and results equal the unpruned filter."""
+    from pyspark.sql import functions as F
+
+    for lo in (0, 1000, 2000, 3000):
+        df = (
+            person_stream(spark, 500)
+            .withColumn("ba", F.col("ba") + lo)
+            .coalesce(1)
+        )
+        table.append(df, stats_cols=["ba"])
+    pruned, scanned, total = table.scan_pruned("ba", 1100, 1200)
+    assert total == 4 and scanned == 1, f"expected 1/4 files, got {scanned}/{total}"
+    expected = table.snapshot().where((F.col("ba") >= 1100) & (F.col("ba") <= 1200)).count()
+    assert pruned.count() == expected == 101
+    # stats-free commits must never be skipped (safety)
+    table.append(person_stream(spark, 10).withColumn("ba", F.col("ba") + 1150).coalesce(1))
+    pruned2, scanned2, total2 = table.scan_pruned("ba", 1100, 1200)
+    assert scanned2 == 2 and total2 == 5
+    assert pruned2.count() == expected + 10
