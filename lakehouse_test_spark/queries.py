@@ -10,6 +10,7 @@ import lakehouse_test_spark.queries_aggwin2  # noqa: F401
 import lakehouse_test_spark.queries_relational  # noqa: F401
 import lakehouse_test_spark.queries_scalar  # noqa: F401
 import lakehouse_test_spark.queries_misc  # noqa: F401
+import lakehouse_test_spark.queries_profile  # noqa: F401
 import lakehouse_test_spark.queries_scalar2  # noqa: F401
 import lakehouse_test_spark.queries_tpch2  # noqa: F401
 
