@@ -408,3 +408,36 @@ def subquery_in_filter(spark: SparkSession, sf_dir: str) -> DataFrame:
         .join(big, o.o_orderkey == big.l_orderkey, "left_anti")
         .select("o_orderkey", F.col("o_totalprice").alias("price"))
     )
+
+
+@query(
+    "q13_customer_distribution",
+    oracle="""
+    SELECT c_count, count(*) AS custdist
+    FROM (
+      SELECT c_custkey, count(o_orderkey) AS c_count
+      FROM customer LEFT JOIN orders
+        ON c_custkey = o_custkey AND o_orderpriority <> '5-LOW'
+      GROUP BY c_custkey
+    )
+    GROUP BY c_count
+    """,
+    tags=("join", "agg", "tpch"),
+)
+def q13_customer_distribution(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q13: distribution of per-customer order counts (left
+    join with a residual predicate → double aggregation; customers
+    with zero qualifying orders land in the c_count=0 bucket).
+
+    Scale: first agg shuffles on custkey (customer cardinality),
+    second on c_count (tiny) — the histogram over a join is two
+    cheap shuffles, never a cross-count on the driver.
+    """
+    c = T(spark, sf_dir, "customer")
+    o = T(spark, sf_dir, "orders").where(F.col("o_orderpriority") != "5-LOW")
+    per_cust = (
+        c.join(o, c.c_custkey == o.o_custkey, "left")
+        .groupBy("c_custkey")
+        .agg(F.count("o_orderkey").alias("c_count"))
+    )
+    return per_cust.groupBy("c_count").agg(F.count(F.lit(1)).alias("custdist"))
