@@ -46,6 +46,8 @@ HEADLINE = [
     "similarity_bruteforce_topk",
     "join_asof_events",
     "streaming_tumbling_counts",
+    "pipeline_pretraining_filter",
+    "q13_customer_distribution",
 ]
 
 

@@ -152,3 +152,71 @@ def filter_rlike_regex(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Regex predicate filter (rlike ≡ regexp_matches)."""
     p = T(spark, sf_dir, "part")
     return p.where(F.col("p_name").rlike("^(small|red).*t$")).select("p_partkey", "p_name")
+
+
+@query(
+    "agg_rollup_grouping_id",
+    oracle="""
+    SELECT o_orderstatus, o_orderpriority,
+           CAST(grouping(o_orderstatus) AS INTEGER) AS g_status,
+           CAST(grouping(o_orderpriority) AS INTEGER) AS g_priority,
+           count(*) AS n
+    FROM orders GROUP BY ROLLUP (o_orderstatus, o_orderpriority)
+    """,
+    tags=("agg", "rollup", "grouping"),
+)
+def agg_rollup_grouping_id(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """GROUPING() indicator columns on a rollup — distinguishes 'NULL
+    because subtotal' from 'NULL because data' (essential when group
+    keys are nullable)."""
+    o = T(spark, sf_dir, "orders")
+    return o.rollup("o_orderstatus", "o_orderpriority").agg(
+        F.grouping("o_orderstatus").cast("int").alias("g_status"),
+        F.grouping("o_orderpriority").cast("int").alias("g_priority"),
+        F.count(F.lit(1)).alias("n"),
+    ).select("o_orderstatus", "o_orderpriority", "g_status", "g_priority", "n")
+
+
+@query(
+    "scalar_regexp_backrefs",
+    oracle="""
+    SELECT p_partkey,
+           regexp_replace(p_name, '([a-z]+) ([a-z]+)', '\\2 \\1') AS name_swapped,
+           regexp_extract(p_name, '([a-z]+)$', 1) AS last_word
+    FROM part
+    """,
+    tags=("scalar", "regex"),
+)
+def scalar_regexp_backrefs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Regex capture groups: backreference substitution (Spark `$n` ≡
+    DuckDB `\\n`) and anchored group extraction."""
+    p = T(spark, sf_dir, "part")
+    return p.select(
+        "p_partkey",
+        F.regexp_replace("p_name", r"([a-z]+) ([a-z]+)", r"$2 $1").alias("name_swapped"),
+        F.regexp_extract("p_name", r"([a-z]+)$", 1).alias("last_word"),
+    )
+
+
+@query(
+    "explode_outer_null_preserving",
+    oracle="""
+    WITH t AS (
+      SELECT doc_id,
+             CASE WHEN doc_id % 5 = 0 THEN []
+                  ELSE string_split(lang, ',') END AS tags
+      FROM documents
+    )
+    SELECT doc_id, u.x AS tag
+    FROM t LEFT JOIN LATERAL (SELECT unnest(t.tags) AS x) u ON true
+    """,
+    tags=("scalar", "explode"),
+)
+def explode_outer_null_preserving(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """explode_outer: rows with empty arrays survive with NULL (plain
+    explode drops them — a silent data-loss bug in pipelines)."""
+    d = T(spark, sf_dir, "documents")
+    tags = F.when(F.col("doc_id") % 5 == 0, F.array().cast("array<string>")).otherwise(
+        F.split("lang", ",")
+    )
+    return d.select("doc_id", F.explode_outer(tags).alias("tag"))
