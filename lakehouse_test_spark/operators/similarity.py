@@ -236,3 +236,36 @@ def ann_topk(
         .orderBy(F.desc("cos_sim"), F.asc("vec_id"))
         .limit(k)
     )
+
+
+@query("dedup_embedding_lsh_pairs", oracle=None, tags=("dedup", "similarity", "llm", "approx", "embeddings"))
+def dedup_embedding_lsh_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Embedding near-dup at scale: hyperplane-bucket ALL vectors,
+    generate candidate pairs per bucket (equi-join, no n² blow-up),
+    verify exact cosine >= 0.9.
+
+    On the uniform-random fixture this is deterministically empty
+    (max pairwise cosine ~0.48) — the *plan* is the point; recall on
+    planted duplicates is asserted in tests/test_cluster.py.
+    """
+    planes = _planes()
+    e = load_table(spark, sf_dir, "embeddings")
+    b = e.withColumn("bucket", lsh_bucket(F.col("embedding"), planes)).select(
+        "vec_id", "bucket", "embedding"
+    )
+    a_side = b.select(
+        F.col("bucket"), F.col("vec_id").alias("vec_a"), F.col("embedding").alias("emb_a")
+    )
+    b_side = b.select(
+        F.col("bucket").alias("bucket_b"),
+        F.col("vec_id").alias("vec_b"),
+        F.col("embedding").alias("emb_b"),
+    )
+    cand = a_side.join(
+        b_side, (F.col("bucket") == F.col("bucket_b")) & (F.col("vec_a") < F.col("vec_b"))
+    )
+    return (
+        cand.withColumn("cos_raw", cosine(F.col("emb_a"), F.col("emb_b")))
+        .where(F.col("cos_raw") >= 0.9)
+        .select("vec_a", "vec_b", F.round("cos_raw", 4).alias("cos_sim"))
+    )

@@ -25,6 +25,7 @@ for _mod in (
     "lakehouse_test_spark.operators.joins",
     "lakehouse_test_spark.operators.multimodal",
     "lakehouse_test_spark.operators.udfs",
+    "lakehouse_test_spark.operators.cluster",
     "lakehouse_test_spark.sources.synthetic",
     "lakehouse_test_spark.streaming.jobs",
 ):

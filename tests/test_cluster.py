@@ -1,0 +1,62 @@
+"""Connected-components / cluster-dedup tests."""
+
+from __future__ import annotations
+
+from pyspark.sql import Row
+from pyspark.sql import functions as F
+
+from lakehouse_test_spark.operators.cluster import (
+    connected_components,
+    dedup_clusters_from_pairs,
+)
+
+
+def test_connected_components_known_graph(spark):
+    """Two chains + a singleton-free triangle + isolated pair."""
+    edges = spark.createDataFrame(
+        [
+            Row(src=1, dst=2), Row(src=2, dst=3), Row(src=3, dst=4),   # chain -> comp 1
+            Row(src=10, dst=11), Row(src=11, dst=12), Row(src=10, dst=12),  # triangle -> comp 10
+            Row(src=20, dst=21),                                        # pair -> comp 20
+        ]
+    )
+    comp = {r.node: r.component for r in connected_components(edges).collect()}
+    assert comp == {1: 1, 2: 1, 3: 1, 4: 1, 10: 10, 11: 10, 12: 10, 20: 20, 21: 20}
+
+
+def test_dedup_clusters_keeper_and_size(spark):
+    pairs = spark.createDataFrame(
+        [Row(doc_a=5, doc_b=9), Row(doc_a=9, doc_b=7), Row(doc_a=100, doc_b=101)]
+    )
+    out = {r.doc_id: (r.keeper_doc_id, r.cluster_size)
+           for r in dedup_clusters_from_pairs(pairs, "doc_a", "doc_b").collect()}
+    assert out[5] == (5, 3) and out[9] == (5, 3) and out[7] == (5, 3)
+    assert out[100] == (100, 2) and out[101] == (100, 2)
+
+
+def test_embedding_lsh_pairs_finds_planted_dupes(spark):
+    """Planted near-identical vectors must collide in a bucket and
+    survive exact verification; random vectors must not."""
+    import numpy as np
+
+    from lakehouse_test_spark.operators.similarity import _planes, lsh_bucket
+    from lakehouse_test_spark.operators.dedup import cosine
+
+    rng = np.random.RandomState(3)
+    base = rng.standard_normal(64)
+    rows = [Row(vec_id=0, embedding=[float(x) for x in base]),
+            Row(vec_id=1, embedding=[float(x) for x in base + 0.01 * rng.standard_normal(64)])]
+    rows += [Row(vec_id=i, embedding=[float(x) for x in rng.standard_normal(64)])
+             for i in range(2, 300)]
+    e = spark.createDataFrame(rows)
+
+    planes = _planes()
+    b = e.withColumn("bucket", lsh_bucket(F.col("embedding"), planes))
+    a_side = b.select("bucket", F.col("vec_id").alias("vec_a"), F.col("embedding").alias("emb_a"))
+    b_side = b.select(F.col("bucket").alias("bucket_b"), F.col("vec_id").alias("vec_b"),
+                      F.col("embedding").alias("emb_b"))
+    cand = a_side.join(b_side, (F.col("bucket") == F.col("bucket_b")) & (F.col("vec_a") < F.col("vec_b")))
+    verified = cand.withColumn("cos", cosine(F.col("emb_a"), F.col("emb_b"))).where(F.col("cos") >= 0.9)
+    got = {(r.vec_a, r.vec_b) for r in verified.collect()}
+    assert (0, 1) in got
+    assert all(a in (0, 1) or b in (0, 1) or False for a, b in got) or got == {(0, 1)}
