@@ -441,3 +441,52 @@ def q13_customer_distribution(spark: SparkSession, sf_dir: str) -> DataFrame:
         .agg(F.count("o_orderkey").alias("c_count"))
     )
     return per_cust.groupBy("c_count").agg(F.count(F.lit(1)).alias("custdist"))
+
+
+@query(
+    "q2_min_cost_supplier",
+    oracle="""
+    WITH costs AS (
+      SELECT l_partkey, l_suppkey,
+             CAST(round(avg(l_extendedprice / l_quantity), 4) AS DOUBLE) AS unit_cost
+      FROM lineitem GROUP BY l_partkey, l_suppkey
+    ),
+    best AS (SELECT l_partkey, min(unit_cost) AS min_cost FROM costs GROUP BY l_partkey)
+    SELECT p_partkey, p_brand, s_suppkey, s_name,
+           CAST(round(min_cost, 4) AS DOUBLE) AS unit_cost
+    FROM part
+      JOIN best  ON p_partkey = best.l_partkey
+      JOIN costs ON costs.l_partkey = p_partkey AND costs.unit_cost = best.min_cost
+      JOIN supplier ON s_suppkey = costs.l_suppkey
+    WHERE p_size < 10
+    """,
+    tags=("join", "agg", "subquery", "tpch"),
+)
+def q2_min_cost_supplier(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q2 shape: the min-cost supplier per part (correlated min
+    subquery decorrelated into agg + join-back; ties all returned).
+
+    Scale: unit costs aggregate lineitem down to (part,supplier)
+    cardinality first; the min re-join shares the partkey
+    partitioning, so AQE avoids a second full shuffle.
+    """
+    li = T(spark, sf_dir, "lineitem")
+    costs = li.groupBy("l_partkey", "l_suppkey").agg(
+        F.round(F.avg(F.col("l_extendedprice") / F.col("l_quantity")), 4).alias("unit_cost")
+    )
+    best = costs.groupBy("l_partkey").agg(F.min("unit_cost").alias("min_cost"))
+    p = T(spark, sf_dir, "part").where(F.col("p_size") < 10)
+    s = T(spark, sf_dir, "supplier")
+    return (
+        costs.join(best, ["l_partkey"])
+        .where(F.col("unit_cost") == F.col("min_cost"))
+        .join(p, F.col("l_partkey") == p.p_partkey)
+        .join(F.broadcast(s), F.col("l_suppkey") == s.s_suppkey)
+        .select(
+            "p_partkey",
+            "p_brand",
+            "s_suppkey",
+            "s_name",
+            F.round("min_cost", 4).alias("unit_cost"),
+        )
+    )
