@@ -220,3 +220,100 @@ def explode_outer_null_preserving(spark: SparkSession, sf_dir: str) -> DataFrame
         F.split("lang", ",")
     )
     return d.select("doc_id", F.explode_outer(tags).alias("tag"))
+
+
+@query(
+    "set_intersect_except_all",
+    oracle="""
+    SELECT nationkey, 'intersect_all' AS op FROM (
+      SELECT c_nationkey AS nationkey FROM customer
+      INTERSECT ALL
+      SELECT s_nationkey FROM supplier
+    )
+    UNION ALL
+    SELECT nationkey, 'except_all' FROM (
+      SELECT s_nationkey AS nationkey FROM supplier
+      EXCEPT ALL
+      SELECT c_nationkey FROM customer
+    )
+    """,
+    tags=("setop",),
+)
+def set_intersect_except_all(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Bag-semantics set ops (INTERSECT ALL / EXCEPT ALL): duplicates
+    survive with multiplicity min/difference — distinct from the
+    dedup variants in the first set-op battery."""
+    c = T(spark, sf_dir, "customer").select(F.col("c_nationkey").alias("nationkey"))
+    s = T(spark, sf_dir, "supplier").select(F.col("s_nationkey").alias("nationkey"))
+    ia = c.intersectAll(s).withColumn("op", F.lit("intersect_all"))
+    ea = s.exceptAll(c).withColumn("op", F.lit("except_all"))
+    return ia.unionByName(ea)
+
+
+@query(
+    "sort_nulls_ordering",
+    oracle="""
+    SELECT c_custkey, band FROM (
+      SELECT c_custkey,
+             CASE WHEN c_acctbal < 0 THEN NULL
+                  ELSE CAST(floor(c_acctbal / 1000) AS BIGINT) END AS band
+      FROM customer
+    )
+    ORDER BY band DESC NULLS LAST, c_custkey
+    LIMIT 100
+    """,
+    tags=("sort", "null"),
+)
+def sort_nulls_ordering(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Explicit NULLS LAST ordering on a nullable sort key (engines
+    disagree on default null placement — being explicit is the only
+    portable semantics), deterministic via key tiebreak."""
+    c = T(spark, sf_dir, "customer")
+    band = F.when(F.col("c_acctbal") < 0, None).otherwise(
+        F.floor(F.col("c_acctbal") / 1000).cast("bigint")
+    )
+    return (
+        c.select("c_custkey", band.alias("band"))
+        .orderBy(F.col("band").desc_nulls_last(), F.col("c_custkey").asc())
+        .limit(100)
+    )
+
+
+@query(
+    "window_last_ignore_nulls",
+    oracle="""
+    WITH e AS (
+      SELECT event_id, user_id, CAST(floor(epoch(ts)) AS BIGINT) AS t,
+             CASE WHEN event_type = 'purchase' THEN round(value, 4) END AS purchase_value
+      FROM events
+    )
+    SELECT event_id, user_id,
+           CAST(last_value(purchase_value IGNORE NULLS)
+                  OVER (PARTITION BY user_id ORDER BY t, event_id
+                        ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS DOUBLE)
+             AS last_purchase_value
+    FROM e
+    """,
+    tags=("window", "null", "events"),
+)
+def window_last_ignore_nulls(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """last_value IGNORE NULLS running frame — the forward-fill
+    primitive (and the kernel inside the as-of join operator)."""
+    e = T(spark, sf_dir, "events").select(
+        "event_id",
+        "user_id",
+        F.unix_timestamp("ts").alias("t"),
+        F.when(F.col("event_type") == "purchase", F.round("value", 4)).alias("purchase_value"),
+    )
+    from pyspark.sql.window import Window
+
+    w = (
+        Window.partitionBy("user_id")
+        .orderBy("t", "event_id")
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    )
+    return e.select(
+        "event_id",
+        "user_id",
+        F.last("purchase_value", ignorenulls=True).over(w).alias("last_purchase_value"),
+    )
