@@ -209,11 +209,15 @@ class LakehouseTable:
 
     def snapshot(self, version: int | None = None) -> DataFrame:
         """Read the table as of ``version`` (time travel; None=latest).
-        Committed == readable — §2a ops 31-32 dissolve here."""
+        Committed == readable — §2a ops 31-32 dissolve here.
+
+        mergeSchema: commits may evolve the schema (add columns);
+        older files surface NULLs for columns they predate — additive
+        schema evolution like Delta/Iceberg."""
         files = self._files_for(version)
         if not files:
             raise ValueError(f"no data at version {version}")
-        return self.spark.read.parquet(*files)
+        return self.spark.read.option("mergeSchema", "true").parquet(*files)
 
     def scan_pruned(self, col: str, lo, hi) -> tuple[DataFrame, int, int]:
         """Range scan with zone-map file skipping: only files whose
@@ -250,7 +254,7 @@ class LakehouseTable:
         files = self._files_for(since=since_version)
         if not files:
             return self.snapshot().limit(0)
-        return self.spark.read.parquet(*files)
+        return self.spark.read.option("mergeSchema", "true").parquet(*files)
 
     def total_rows_committed(self, version: int | None = None) -> int:
         """Counter-metric twin (§2a op 35): log-recorded row totals,

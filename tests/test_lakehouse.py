@@ -89,3 +89,20 @@ def test_zone_map_file_skipping(spark, table):
     pruned2, scanned2, total2 = table.scan_pruned("ba", 1100, 1200)
     assert scanned2 == 2 and total2 == 5
     assert pruned2.count() == expected + 10
+
+
+def test_schema_evolution_additive(spark, table):
+    """A later commit may add columns; snapshots merge schemas and
+    older rows surface NULL for the new column (additive evolution)."""
+    from pyspark.sql import functions as F
+
+    table.append(person_stream(spark, 20))
+    evolved = person_stream(spark, 10).withColumn("segment", F.lit("vip"))
+    table.append(evolved)
+    snap = table.snapshot()
+    assert "segment" in snap.columns
+    assert snap.count() == 30
+    assert snap.where(F.col("segment").isNull()).count() == 20
+    assert snap.where(F.col("segment") == "vip").count() == 10
+    # pre-evolution time travel shows the old schema's data
+    assert table.snapshot(version=0).count() == 20
