@@ -14,7 +14,6 @@ from __future__ import annotations
 from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 
-from lakehouse_test_spark.operators.dedup import JACCARD_THRESHOLD
 from lakehouse_test_spark.registry import query
 
 

@@ -15,7 +15,6 @@ from __future__ import annotations
 import numpy as np
 from pyspark.sql import Column, DataFrame, SparkSession
 from pyspark.sql import functions as F
-from pyspark.sql.window import Window
 
 from lakehouse_test_spark.operators.dedup import DUCKDB_COSINE, cosine
 from lakehouse_test_spark.registry import query

@@ -10,7 +10,7 @@ from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 from pyspark.sql.window import Window
 
-from lakehouse_test_spark.fpsafe import ddiv, dround, dsum
+from lakehouse_test_spark.fpsafe import dround, dsum
 from lakehouse_test_spark.registry import query
 from lakehouse_test_spark.session import load_table
 

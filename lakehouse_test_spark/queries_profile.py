@@ -8,7 +8,6 @@ from __future__ import annotations
 from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 
-from lakehouse_test_spark.fpsafe import dround, dsum
 from lakehouse_test_spark.registry import query
 from lakehouse_test_spark.session import load_table
 

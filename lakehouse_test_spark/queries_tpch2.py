@@ -9,7 +9,6 @@ from __future__ import annotations
 
 from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
-from pyspark.sql.window import Window
 
 from lakehouse_test_spark.fpsafe import ddiv, dround, dsum
 from lakehouse_test_spark.registry import query

@@ -13,7 +13,6 @@ type system (SURVEY.md §1.3). If spark-avro is on the classpath, use
 from __future__ import annotations
 
 import struct
-from collections.abc import Iterator
 
 import pandas as pd
 from pyspark.sql import Column, DataFrame

@@ -26,7 +26,7 @@ import uuid
 from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 
-from lakehouse_test_spark.fpsafe import ddiv, dround, dsum
+from lakehouse_test_spark.fpsafe import dround, dsum
 from lakehouse_test_spark.registry import query
 
 
