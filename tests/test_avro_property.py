@@ -1,0 +1,52 @@
+"""Property-based tests for the pure-Python Avro binary codec
+(hypothesis): encode∘decode == identity for arbitrary flat records —
+the wire-format invariant behind reference op 20 (no Spark needed).
+"""
+
+from __future__ import annotations
+
+from hypothesis import given, settings
+from hypothesis import strategies as st
+
+from lakehouse_test_spark.sources.avro_codec import decode_record, encode_record
+
+INT64_MIN, INT64_MAX = -(2**63), 2**63 - 1
+
+
+@given(
+    name=st.text(max_size=200),
+    age=st.integers(min_value=-(2**31), max_value=2**31 - 1),
+    payload=st.text(max_size=500),
+    address=st.text(max_size=200),
+    number=st.integers(min_value=INT64_MIN, max_value=INT64_MAX),
+)
+@settings(max_examples=300, deadline=None)
+def test_student_record_roundtrip(name, age, payload, address, number):
+    types = ["string", "int", "string", "string", "long"]
+    rec = (name, age, payload, address, number)
+    assert decode_record(encode_record(rec, types), types) == rec
+
+
+@given(
+    s=st.text(max_size=300),
+    i=st.integers(min_value=INT64_MIN, max_value=INT64_MAX),
+    d=st.floats(allow_nan=False),
+    b=st.booleans(),
+)
+@settings(max_examples=300, deadline=None)
+def test_mixed_types_roundtrip(s, i, d, b):
+    types = ["string", "long", "double", "boolean"]
+    rec = (s, i, d, b)
+    assert decode_record(encode_record(rec, types), types) == rec
+
+
+@given(i=st.integers(min_value=INT64_MIN, max_value=INT64_MAX))
+@settings(max_examples=500, deadline=None)
+def test_zigzag_varint_is_spec_compliant(i):
+    """Small magnitudes must encode small (zigzag property): |n| < 2^6
+    fits one byte, and encoding length grows with magnitude."""
+    types = ["long"]
+    enc = encode_record((i,), types)
+    assert decode_record(enc, types) == (i,)
+    if -64 <= i <= 63:
+        assert len(enc) == 1
