@@ -108,8 +108,10 @@ def _jaccard(a: Column, b: Column) -> Column:
       FROM (SELECT doc_id, string_split_regex(lower(text), '\\s+') AS toks FROM documents)
     )
     SELECT a.doc_id AS doc_a, b.doc_id AS doc_b,
-           CAST(round(len(list_intersect(a.sh, b.sh)) * 1.0
-                      / len(list_distinct(list_concat(a.sh, b.sh))), 4) AS DOUBLE) AS jaccard
+           CAST(CASE WHEN len(list_distinct(list_concat(a.sh, b.sh))) > 0
+                     THEN round(len(list_intersect(a.sh, b.sh)) * 1.0
+                                / len(list_distinct(list_concat(a.sh, b.sh))), 4)
+                     ELSE 0.0 END AS DOUBLE) AS jaccard
     FROM s a JOIN s b ON b.doc_id = a.doc_id + 1
     """,
     tags=("dedup", "llm"),

@@ -38,8 +38,15 @@ def word_shingles(tokens: Column, n: int = 3) -> Column:
 
     sequence+transform stay in codegen; used by the MinHash dedup
     pipeline (operators/dedup.py).
+
+    Docs with fewer than ``n`` tokens yield an empty array. The guard
+    matters under Spark 4's default ANSI mode: an unguarded
+    ``sequence(1, size-2)`` descends to ``[1, 0]`` for short docs and
+    ``element_at(tokens, 0)`` then throws INVALID_ARRAY_INDEX_IN_ELEMENT_AT.
     """
-    idx = F.sequence(F.lit(1), F.greatest(F.size(tokens) - (n - 1), F.lit(0)))
+    idx = F.when(
+        F.size(tokens) >= n, F.sequence(F.lit(1), F.size(tokens) - (n - 1))
+    ).otherwise(F.array().cast("array<int>"))
     shingle = lambda i: F.concat_ws(" ", *[F.element_at(tokens, i + j) for j in range(n)])  # noqa: E731
     return F.array_distinct(F.transform(idx, shingle))
 

@@ -61,6 +61,52 @@ def test_minhash_lsh_matches_exact(spark):
     assert len(truth) > 0, "fixture should contain planted near-dups"
 
 
+def test_shingles_short_docs_ansi_safe(spark):
+    """Docs with <3 tokens must yield empty shingle arrays, not an
+    ANSI INVALID_ARRAY_INDEX_IN_ELEMENT_AT crash (sequence(1, size-2)
+    descends for short docs). Covers the whole MinHash path: shingles,
+    signatures, and pairwise Jaccard with the 0/0 → 0.0 convention.
+    """
+    from lakehouse_test_spark.operators.dedup import _jaccard, minhash_signatures
+    from lakehouse_test_spark.operators.text import word_shingles, ws_tokens
+
+    docs = spark.createDataFrame(
+        [
+            Row(doc_id=1, text=""),
+            Row(doc_id=2, text="one"),
+            Row(doc_id=3, text="one two"),
+            Row(doc_id=4, text="one two three"),
+            Row(doc_id=5, text="one two three four"),
+        ]
+    )
+    sh = docs.select(
+        "doc_id", word_shingles(ws_tokens(F.col("text")), 3).alias("sh")
+    )
+    got = {r.doc_id: list(r.sh) for r in sh.collect()}
+    assert got[1] == [] and got[2] == [] and got[3] == []
+    assert got[4] == ["one two three"]
+    assert got[5] == ["one two three", "two three four"]
+
+    # pairwise Jaccard on adjacent docs: empty∪empty → 0.0, not NaN/crash
+    a, b = sh.alias("a"), sh.alias("b")
+    jac = {
+        (r.da, r.db): r.j
+        for r in a.join(b, F.col("b.doc_id") == F.col("a.doc_id") + 1)
+        .select(
+            F.col("a.doc_id").alias("da"),
+            F.col("b.doc_id").alias("db"),
+            _jaccard(F.col("a.sh"), F.col("b.sh")).alias("j"),
+        )
+        .collect()
+    }
+    assert jac[(1, 2)] == 0.0 and jac[(2, 3)] == 0.0
+    assert jac[(4, 5)] == pytest.approx(0.5)
+
+    # signatures: only docs with ≥1 shingle appear (explode drops empties)
+    sig = minhash_signatures(docs)
+    assert {r.doc_id for r in sig.select("doc_id").collect()} == {4, 5}
+
+
 def test_simhash_pairs_are_near(spark):
     """Every emitted pair must satisfy hamming ≤ 3 and be symmetric-free."""
     rows = dedup_simhash(spark, SMOKE_SF_DIR).collect()
