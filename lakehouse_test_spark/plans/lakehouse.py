@@ -45,6 +45,20 @@ class Commit:
     operation: str
     # per-file column stats (zone maps): {file: {col: [min, max]}}
     stats: dict | None = None
+    #: True when this commit's files REPLACE the table (merge/delete/
+    #: compact rewrite the full snapshot; readers treat it as a base)
+    restate: bool = False
+    #: False when the rewrite changes no logical rows (pure compact) —
+    #: the Delta `dataChange=false` flag that incremental readers skip
+    data_change: bool = True
+
+
+class RestateAcrossCursorError(RuntimeError):
+    """An incremental reader's cursor predates a logical restate
+    (merge/delete): the change feed cannot express the delta, so the
+    reader must restart from a fresh snapshot (Delta/Iceberg raise the
+    same way when dataChange rewrites cross an incremental-read range).
+    """
 
 
 def _file_stats(path: Path, cols: list[str]) -> dict:
@@ -90,6 +104,9 @@ class LakehouseTable:
         commits = []
         for p in sorted(self.log_dir.glob("*.json")):
             d = json.loads(p.read_text())
+            if "restate" not in d:  # logs written before the restate flag
+                d["restate"] = d["operation"] == "compact"
+                d["data_change"] = d["operation"] != "compact"
             commits.append(Commit(**d))
         return commits
 
@@ -136,11 +153,46 @@ class LakehouseTable:
         os.rename(tmp, target)
         return commit
 
-    def merge(self, updates: DataFrame, key_cols: list[str]) -> Commit:
+    def _commit_restate(
+        self,
+        df: DataFrame,
+        operation: str,
+        data_change: bool,
+        stats_cols: list[str] | None = None,
+    ) -> Commit:
+        """Write ``df`` as a full-table rewrite and publish it as a
+        restate commit (readers use it as their new base). Zone-map
+        stats are recorded like ``append`` so ``scan_pruned`` keeps
+        skipping files after merges/deletes/compactions."""
+        commit_dir = self.path / "data" / f"{operation}-{uuid.uuid4().hex[:12]}"
+        df.write.parquet(str(commit_dir))
+        files = sorted(
+            str(p.relative_to(self.path)) for p in commit_dir.glob("part-*.parquet")
+        )
+        stats = (
+            {f: _file_stats(self.path / f, stats_cols) for f in files} if stats_cols else None
+        )
+        row_count = self.spark.read.parquet(str(commit_dir)).count()
+        version = self.latest_version() + 1
+        commit = Commit(
+            version=version,
+            files=files,
+            row_count=row_count,
+            operation=operation,
+            stats=stats,
+            restate=True,
+            data_change=data_change,
+        )
+        self._commit_path(version).write_text(json.dumps(commit.__dict__))
+        return commit
+
+    def merge(
+        self, updates: DataFrame, key_cols: list[str], stats_cols: list[str] | None = None
+    ) -> Commit:
         """Upsert (Delta MERGE analog): rows in ``updates`` replace
         current rows with the same key; new keys append. Implemented
         as snapshot ⟕anti updates ∪ updates, committed as a full
-        rewrite ('restate' = compaction point for readers).
+        rewrite ('restate' = new base point for readers).
 
         Scale: the anti join shuffles on the key once; a real Delta
         MERGE prunes untouched files via stats — the contract (atomic
@@ -150,62 +202,47 @@ class LakehouseTable:
         current = self.snapshot()
         kept = current.join(updates.select(*key_cols), on=key_cols, how="left_anti")
         merged = kept.unionByName(updates)
-        commit_dir = self.path / "data" / f"merge-{uuid.uuid4().hex[:12]}"
-        merged.write.parquet(str(commit_dir))
-        files = sorted(
-            str(p.relative_to(self.path)) for p in commit_dir.glob("part-*.parquet")
-        )
-        row_count = self.spark.read.parquet(str(commit_dir)).count()
-        version = self.latest_version() + 1
-        commit = Commit(version=version, files=files, row_count=row_count, operation="compact")
-        self._commit_path(version).write_text(json.dumps(commit.__dict__))
-        return commit
+        return self._commit_restate(merged, "merge", data_change=True, stats_cols=stats_cols)
 
-    def delete_where(self, condition: str) -> Commit:
+    def delete_where(self, condition: str, stats_cols: list[str] | None = None) -> Commit:
         """Keyed/predicate delete (Delta DELETE analog): rewrite the
         snapshot without matching rows, commit as a restate point."""
         remaining = self.snapshot().where(f"NOT ({condition})")
-        commit_dir = self.path / "data" / f"delete-{uuid.uuid4().hex[:12]}"
-        remaining.write.parquet(str(commit_dir))
-        files = sorted(
-            str(p.relative_to(self.path)) for p in commit_dir.glob("part-*.parquet")
-        )
-        row_count = self.spark.read.parquet(str(commit_dir)).count()
-        version = self.latest_version() + 1
-        commit = Commit(version=version, files=files, row_count=row_count, operation="compact")
-        self._commit_path(version).write_text(json.dumps(commit.__dict__))
-        return commit
+        return self._commit_restate(remaining, "delete", data_change=True, stats_cols=stats_cols)
 
-    def compact(self, target_partitions: int = 1) -> Commit:
+    def compact(
+        self, target_partitions: int = 1, stats_cols: list[str] | None = None
+    ) -> Commit:
         """OPTIMIZE analog: rewrite the current snapshot into fewer,
         larger files and commit the replacement (small-files problem
-        is the #1 lakehouse perf killer at scale)."""
+        is the #1 lakehouse perf killer at scale). ``data_change`` is
+        False — no logical rows change, so incremental readers skip it
+        (Delta OPTIMIZE's dataChange=false)."""
         snap = self.snapshot()
-        commit_dir = self.path / "data" / f"compact-{uuid.uuid4().hex[:12]}"
-        snap.repartition(target_partitions).write.parquet(str(commit_dir))
-        files = sorted(
-            str(p.relative_to(self.path)) for p in commit_dir.glob("part-*.parquet")
+        return self._commit_restate(
+            snap.repartition(target_partitions), "compact", data_change=False, stats_cols=stats_cols
         )
-        row_count = self.spark.read.parquet(str(commit_dir)).count()
-        version = self.latest_version() + 1
-        commit = Commit(version=version, files=files, row_count=row_count, operation="compact")
-        self._commit_path(version).write_text(json.dumps(commit.__dict__))
-        return commit
 
     # -- reads ---------------------------------------------------------------
 
-    def _files_for(self, version: int | None = None, since: int = -1) -> list[str]:
-        """File list for a snapshot: all appends in (since, version],
-        honoring the latest compact as a replacement point."""
+    def _live_commits(self, version: int | None = None) -> list[Commit]:
+        """Commits whose files are live as of ``version``: the latest
+        restate (merge/delete/compact full rewrite) is the base, plus
+        every append after it. Pre-restate appends are superseded."""
         commits = self.history()
         if version is not None:
             commits = [c for c in commits if c.version <= version]
-        compacts = [c for c in commits if c.operation == "compact"]
-        if compacts and since < 0:
-            base = compacts[-1]
-            commits = [base] + [c for c in commits if c.version > base.version and c.operation != "compact"]
-        commits = [c for c in commits if c.version > since]
-        return [str(self.path / f) for c in commits for f in c.files]
+        restates = [c for c in commits if c.restate]
+        if restates:
+            base = restates[-1]
+            commits = [base] + [
+                c for c in commits if c.version > base.version and not c.restate
+            ]
+        return commits
+
+    def _files_for(self, version: int | None = None) -> list[str]:
+        """Live file list for a snapshot as of ``version``."""
+        return [str(self.path / f) for c in self._live_commits(version) for f in c.files]
 
     def snapshot(self, version: int | None = None) -> DataFrame:
         """Read the table as of ``version`` (time travel; None=latest).
@@ -229,12 +266,9 @@ class LakehouseTable:
         difference between scanning one commit and the whole table;
         the residual predicate still applies row-level.
         """
-        commits = self.history()
         all_files: list[str] = []
         kept: list[str] = []
-        for c in commits:
-            if c.operation == "compact":
-                continue
+        for c in self._live_commits():
             for f in c.files:
                 all_files.append(f)
                 st = (c.stats or {}).get(f, {}).get(col)
@@ -250,19 +284,35 @@ class LakehouseTable:
     def read_changes(self, since_version: int) -> DataFrame:
         """Incremental scan: rows committed after ``since_version`` —
         the consume-loop analog (§2a ops 5, 31): a reader that
-        remembers its last version gets exactly-once batches."""
-        files = self._files_for(since=since_version)
+        remembers its last version gets exactly-once batches.
+
+        Restate semantics (the Delta CDF / Iceberg incremental-read
+        contract): pure compactions carry ``data_change=False`` and are
+        skipped — their files re-state rows the reader already saw. A
+        *logical* restate (merge/delete) past the cursor cannot be
+        expressed as appends, so it raises
+        :class:`RestateAcrossCursorError` and the reader restarts from
+        a fresh snapshot."""
+        if since_version < 0:
+            return self.snapshot()
+        newer = [c for c in self.history() if c.version > since_version]
+        logical_restates = [c for c in newer if c.restate and c.data_change]
+        if logical_restates:
+            ops = [(c.version, c.operation) for c in logical_restates]
+            raise RestateAcrossCursorError(
+                f"cursor v{since_version} predates logical restate(s) {ops}; "
+                "restart from a fresh snapshot"
+            )
+        files = [str(self.path / f) for c in newer if not c.restate for f in c.files]
         if not files:
             return self.snapshot().limit(0)
         return self.spark.read.option("mergeSchema", "true").parquet(*files)
 
     def total_rows_committed(self, version: int | None = None) -> int:
-        """Counter-metric twin (§2a op 35): log-recorded row totals,
-        for rows_written == rows_read invariants without a scan."""
-        commits = [c for c in self.history() if c.operation != "compact"]
-        if version is not None:
-            commits = [c for c in commits if c.version <= version]
-        return sum(c.row_count for c in commits)
+        """Counter-metric twin (§2a op 35): log-recorded row totals of
+        the live snapshot (restate base + later appends), for
+        rows_written == rows_read invariants without a scan."""
+        return sum(c.row_count for c in self._live_commits(version))
 
     def drop(self) -> None:
         shutil.rmtree(self.path, ignore_errors=True)

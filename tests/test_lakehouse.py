@@ -91,6 +91,67 @@ def test_zone_map_file_skipping(spark, table):
     assert pruned2.count() == expected + 10
 
 
+def test_scan_pruned_respects_restates(spark, table):
+    """scan_pruned must read the live file set: after delete_where it
+    must not resurrect deleted rows, and after merge it must not
+    surface stale pre-merge versions; stats recorded on the restate
+    commit keep file skipping working."""
+    for lo in (0, 1000, 2000):
+        df = person_stream(spark, 200).withColumn("ba", F.col("ba") + lo).coalesce(1)
+        table.append(df, stats_cols=["ba"])
+    # delete every row in the [1000, 2000) band
+    table.delete_where("ba >= 1000 AND ba < 2000", stats_cols=["ba"])
+    pruned, scanned, total = table.scan_pruned("ba", 1000, 1999)
+    assert pruned.count() == 0, "deleted rows resurrected by scan_pruned"
+    snap_count = table.snapshot().count()
+    assert snap_count == 400
+    # merge: shift the ba of a known slice; old versions must not appear
+    updates = (
+        table.snapshot().where("ba < 100").withColumn("ba", F.col("ba") + 5000)
+    )
+    n_upd = updates.count()
+    assert n_upd > 0
+    table.merge(updates, key_cols=["key"], stats_cols=["ba"])
+    pruned2, _, _ = table.scan_pruned("ba", 5000, 6000)
+    assert pruned2.count() == n_upd
+    full = table.snapshot().where((F.col("ba") >= 0) & (F.col("ba") <= 10_000))
+    pruned3, scanned3, total3 = table.scan_pruned("ba", 0, 10_000)
+    assert pruned3.count() == full.count() == table.snapshot().count()
+    # post-restate appends layer on the rewrite and stay skippable
+    table.append(
+        person_stream(spark, 10).withColumn("ba", F.col("ba") + 20_000).coalesce(1),
+        stats_cols=["ba"],
+    )
+    pruned4, scanned4, total4 = table.scan_pruned("ba", 20_000, 30_000)
+    assert pruned4.count() == 10
+    assert scanned4 == 1, f"zone maps should skip restate files, scanned {scanned4}"
+
+
+def test_read_changes_restate_semantics(spark, table):
+    """Compaction (dataChange=false) must be invisible to incremental
+    readers — no duplicated rows; a merge/delete past the cursor must
+    raise so the reader restarts (exactly-once contract)."""
+    from lakehouse_test_spark.plans.lakehouse import RestateAcrossCursorError
+
+    table.append(person_stream(spark, 100).repartition(4))
+    v0 = table.latest_version()
+    table.append(person_stream(spark, 30))
+    table.compact(target_partitions=1)
+    table.append(person_stream(spark, 20))
+    # reader at v0 sees only the two appends, not the compact rewrite
+    assert table.read_changes(since_version=v0).count() == 50
+    # a logical restate past the cursor invalidates it
+    table.delete_where("ba % 2 = 0")
+    with pytest.raises(RestateAcrossCursorError):
+        table.read_changes(since_version=v0)
+    # a fresh cursor taken after the restate works again
+    v_new = table.latest_version()
+    table.append(person_stream(spark, 5))
+    assert table.read_changes(since_version=v_new).count() == 5
+    # total_rows_committed tracks the live snapshot across restates
+    assert table.total_rows_committed() == table.snapshot().count()
+
+
 def test_schema_evolution_additive(spark, table):
     """A later commit may add columns; snapshots merge schemas and
     older rows surface NULL for the new column (additive evolution)."""
