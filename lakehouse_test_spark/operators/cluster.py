@@ -18,38 +18,71 @@ from lakehouse_test_spark.registry import query
 
 
 def connected_components(
-    edges: DataFrame, src: str = "src", dst: str = "dst", max_iter: int = 20
+    edges: DataFrame,
+    src: str = "src",
+    dst: str = "dst",
+    max_iter: int = 25,
+    checkpoint_every: int = 5,
 ) -> DataFrame:
-    """Label propagation: every node converges to the minimum node id
-    reachable from it. Returns (node, component).
+    """Min-label propagation with pointer doubling: every node
+    converges to the minimum node id reachable from it. Returns
+    (node, component).
 
-    Each iteration: candidate labels flow across edges in both
-    directions; a node keeps the min of its own label and incoming
-    ones. Stops when no label changes (checked with a cheap count) or
-    at ``max_iter``. Deterministic — min() is order-free.
+    Each iteration does two steps:
+    1. edge step — labels flow one hop across edges (min of own and
+       neighbors' labels);
+    2. shortcut step — each node re-labels to its label's label
+       (pointer doubling), so the distance a label has travelled
+       roughly doubles per iteration → O(log diameter) convergence
+       even on path graphs (a 10k chain converges in ~15 iterations,
+       not 10k).
 
-    Scale: per iteration one shuffle keyed on node id; edge list is
-    re-used (cache it upstream for many iterations). Components from
-    near-dup graphs are shallow (dupes of dupes), so convergence is
-    fast; pathological chains cap at max_iter with a warning column.
+    Scale hygiene for deep/iterative lineage:
+    - each iteration's labels are persisted and the previous
+      iteration's are unpersisted, so the ``changed`` probe and the
+      next join never re-execute the whole accumulated chain;
+    - every ``checkpoint_every`` iterations the labels are
+      ``localCheckpoint``-ed to truncate the Catalyst plan (plan
+      blowup past ~10 stacked self-joins is its own failure mode).
+
+    Raises ``RuntimeError`` if labels are still changing after
+    ``max_iter`` iterations (with doubling, 25 covers diameters up to
+    ~2^25 — non-convergence means something is genuinely wrong rather
+    than silently splitting components).
     """
     both = edges.select(F.col(src).alias("a"), F.col(dst).alias("b"))
-    sym = both.unionByName(both.select(F.col("b").alias("a"), F.col("a").alias("b")))
+    sym = both.unionByName(
+        both.select(F.col("b").alias("a"), F.col("a").alias("b"))
+    ).persist()
     nodes = sym.select(F.col("a").alias("node")).distinct()
-    labels = nodes.withColumn("component", F.col("node"))
+    labels = nodes.withColumn("component", F.col("node")).persist()
 
-    for _ in range(max_iter):
-        # labels flowing across edges: neighbor's current component
+    converged = False
+    for i in range(max_iter):
+        # 1. edge step: min over own label and neighbors' labels
         incoming = (
             sym.join(labels, sym.a == labels.node)
             .select(F.col("b").alias("node"), F.col("component"))
         )
-        new_labels = (
+        hop = (
             labels.select("node", "component")
             .unionByName(incoming)
             .groupBy("node")
             .agg(F.min("component").alias("component"))
         )
+        # 2. shortcut step: component := label(component); labels are
+        # node ids, so every component value resolves in the mapping
+        mapping = hop.select(
+            F.col("node").alias("m_node"), F.col("component").alias("m_comp")
+        )
+        new_labels = (
+            hop.join(mapping, hop.component == mapping.m_node, "left")
+            .select("node", F.coalesce("m_comp", "component").alias("component"))
+        )
+        if (i + 1) % checkpoint_every == 0:
+            new_labels = new_labels.localCheckpoint(eager=True)
+        else:
+            new_labels = new_labels.persist()
         changed = (
             new_labels.alias("n")
             .join(labels.alias("o"), "node")
@@ -57,9 +90,16 @@ def connected_components(
             .limit(1)
             .count()
         )
+        labels.unpersist()
         labels = new_labels
         if changed == 0:
+            converged = True
             break
+    sym.unpersist()
+    if not converged:
+        raise RuntimeError(
+            f"connected_components did not converge in {max_iter} iterations"
+        )
     return labels
 
 

@@ -24,6 +24,40 @@ def test_connected_components_known_graph(spark):
     assert comp == {1: 1, 2: 1, 3: 1, 4: 1, 10: 10, 11: 10, 12: 10, 20: 20, 21: 20}
 
 
+def test_connected_components_deep_path_graph(spark):
+    """10k-node path graph: the adversarial deep-diameter case. With
+    pointer doubling this must converge in O(log n) iterations (well
+    under max_iter=25) instead of O(n), and the persisted/checkpointed
+    loop must keep per-iteration cost bounded rather than re-running
+    the whole accumulated join chain each round."""
+    import time
+
+    n = 10_000
+    edges = spark.range(n - 1).select(
+        F.col("id").alias("src"), (F.col("id") + 1).alias("dst")
+    )
+    t0 = time.monotonic()
+    comp = connected_components(edges)
+    rows = comp.collect()
+    elapsed = time.monotonic() - t0
+    assert len(rows) == n
+    assert all(r.component == 0 for r in rows), "path graph must collapse to one component"
+    # O(log n) iterations of bounded-size joins on 10k rows: generous
+    # wall-clock bound that an O(n)-iteration or O(k^2)-lineage
+    # implementation cannot meet
+    assert elapsed < 120, f"deep-path convergence took {elapsed:.0f}s"
+
+
+def test_connected_components_nonconvergence_raises(spark):
+    """max_iter too small for the diameter must raise, not silently
+    split components."""
+    import pytest
+
+    edges = spark.range(63).select(F.col("id").alias("src"), (F.col("id") + 1).alias("dst"))
+    with pytest.raises(RuntimeError, match="did not converge"):
+        connected_components(edges, max_iter=2)
+
+
 def test_dedup_clusters_keeper_and_size(spark):
     pairs = spark.createDataFrame(
         [Row(doc_a=5, doc_b=9), Row(doc_a=9, doc_b=7), Row(doc_a=100, doc_b=101)]
