@@ -139,10 +139,11 @@ def q3_shipping_priority(spark: SparkSession, sf_dir: str) -> DataFrame:
 def q5_local_supplier_volume(spark: SparkSession, sf_dir: str) -> DataFrame:
     """TPC-H Q5: 6-way star join with a region filter.
 
-    Scale: region/nation/supplier/customer are dimensions →
-    broadcast; only lineitem⋈orders is a big shuffle. Catalyst
-    reorders the join graph; the r_name filter prunes via dynamic
-    partition pruning when tables are partitioned by region.
+    Scale: only the bounded dims (nation 25 rows, region 5) carry an
+    explicit broadcast hint; supplier/customer grow with SF, so AQE
+    decides broadcast vs shuffle from their runtime size — a forced
+    hint would OOM at the 100 TB design point. Only lineitem⋈orders
+    is an unavoidable big shuffle; Catalyst reorders the join graph.
     """
     cust = T(spark, sf_dir, "customer")
     orders = T(spark, sf_dir, "orders").where(
@@ -155,9 +156,9 @@ def q5_local_supplier_volume(spark: SparkSession, sf_dir: str) -> DataFrame:
     region = T(spark, sf_dir, "region").where(F.col("r_name") == "ASIA")
     return (
         li.join(orders, li.l_orderkey == orders.o_orderkey)
-        .join(F.broadcast(cust), orders.o_custkey == cust.c_custkey)
+        .join(cust, orders.o_custkey == cust.c_custkey)
         .join(
-            F.broadcast(supp),
+            supp,
             (li.l_suppkey == supp.s_suppkey) & (cust.c_nationkey == supp.s_nationkey),
         )
         .join(F.broadcast(nation), supp.s_nationkey == nation.n_nationkey)
@@ -292,7 +293,9 @@ def q4_order_priority(spark: SparkSession, sf_dir: str) -> DataFrame:
     tags=("join", "agg"),
 )
 def q14_promo_revenue(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """TPC-H Q14: conditional aggregation over a broadcast join."""
+    """TPC-H Q14: conditional aggregation over a part join (part
+    grows with SF — no forced broadcast; AQE converts to broadcast
+    when the runtime size qualifies)."""
     li = T(spark, sf_dir, "lineitem").where(
         (F.col("l_shipdate") >= F.lit("1996-09-01 00:00:00").cast("timestamp"))
         & (F.col("l_shipdate") < F.lit("1996-10-01 00:00:00").cast("timestamp"))
@@ -300,7 +303,7 @@ def q14_promo_revenue(spark: SparkSession, sf_dir: str) -> DataFrame:
     part = T(spark, sf_dir, "part")
     disc = F.col("l_extendedprice") * (1 - F.col("l_discount"))
     return (
-        li.join(F.broadcast(part), li.l_partkey == part.p_partkey)
+        li.join(part, li.l_partkey == part.p_partkey)
         .agg(
             F.round(
                 100.0
@@ -370,7 +373,7 @@ def q19_disjunctive_predicates(spark: SparkSession, sf_dir: str) -> DataFrame:
     """TPC-H Q19 shape: OR-of-ANDs residual predicate on a join."""
     li = T(spark, sf_dir, "lineitem")
     part = T(spark, sf_dir, "part")
-    j = li.join(F.broadcast(part), li.l_partkey == part.p_partkey)
+    j = li.join(part, li.l_partkey == part.p_partkey)
     c1 = (F.col("p_brand") == "Brand#1") & F.col("p_size").between(1, 15) & F.col("l_quantity").between(1, 21)
     c2 = (F.col("p_brand") == "Brand#2") & F.col("p_size").between(1, 25) & F.col("l_quantity").between(10, 30)
     c3 = (F.col("p_brand") == "Brand#3") & F.col("p_size").between(1, 35) & F.col("l_quantity").between(20, 40)

@@ -351,7 +351,7 @@ def events_user_segment_join(spark: SparkSession, sf_dir: str) -> DataFrame:
     e = T(spark, sf_dir, "events")
     c = T(spark, sf_dir, "customer")
     return (
-        e.join(F.broadcast(c), e.user_id == c.c_custkey)
+        e.join(c, e.user_id == c.c_custkey)
         .groupBy("c_mktsegment", "event_type")
         .agg(F.count(F.lit(1)).alias("n"), dround(dsum(F.col("value")), 2).alias("total_value"))
     )

@@ -67,6 +67,23 @@ def test_q1_partial_aggregation(spark, sf_dir):
     assert "Exchange" in p
 
 
+def test_q9_aqe_broadcasts_without_hint(spark):
+    """part/supplier carry no forced broadcast hint (they grow with
+    SF — a forced hint is an OOM at 100 TB), so the broadcasts must
+    come from AQE/size estimation at runtime. Executed at sf0.1 where
+    both sides are comfortably under the threshold."""
+    import io
+    from contextlib import redirect_stdout
+
+    df = REGISTRY["q9_product_type_profit"].fn(spark, "/root/testdata/sf0.1")
+    assert df.count() > 0
+    buf = io.StringIO()
+    with redirect_stdout(buf):
+        df.explain()
+    p = buf.getvalue()
+    assert "BroadcastHashJoin" in p, f"AQE did not broadcast the small sides:\n{p}"
+
+
 def test_text_ops_no_shuffle(spark, sf_dir):
     """Per-document text analysis must stay embarrassingly parallel —
     any Exchange in the plan is a scale bug."""
