@@ -4,8 +4,9 @@ embedding-cosine near-dup.
 
 Scale design (the whole point at 100 TB):
 - exact dedup is a single hash-shuffle on a 16-byte fingerprint;
-- MinHash/SimHash signatures are computed map-side (explode + 64
-  partial min/sum aggregations — one shuffle on doc_id);
+- MinHash signatures are a pure projection (array_min over a
+  per-permutation rehash of the shingle-hash array — zero shuffle);
+  SimHash is explode + 64 partial conditional sums (one shuffle);
 - LSH banding turns the O(n²) pair problem into an equi-join on
   (band, band_hash) — only colliding candidates are verified
   exactly, so verification cost tracks the true duplicate rate;
@@ -166,22 +167,30 @@ def shingle_hashes(
     )
 
 
+def _signature_cols(num_perms: int = NUM_PERMS) -> list[Column]:
+    """MinHash signature columns over a ``shl`` shingle-hash array:
+    per permutation i, min over shingles of xxhash64(i, h) — the
+    i-salted rehash stands in for an independent permutation."""
+    return [
+        F.array_min(
+            F.transform(F.col("shl"), lambda h: F.xxhash64(F.lit(i), h))
+        ).alias(f"mh{i}")
+        for i in range(num_perms)
+    ]
+
+
 def minhash_signatures(
     docs: DataFrame, id_col: str = "doc_id", text_col: str = "text", num_perms: int = NUM_PERMS
 ) -> DataFrame:
-    """Per-doc MinHash signature: min over shingle hashes of
-    xxhash64(i, h) — i-salted rehash of the base hash stands in for
-    ``num_perms`` independent permutations.
+    """Per-doc MinHash signature, computed entirely map-side.
 
-    Scale: shingles explode map-side; the only shuffle is the
-    partial-aggregated min per (doc, 64 perms) — O(docs), not
-    O(shingles).
+    Scale: array_min(transform(...)) per permutation keeps the whole
+    signature stage inside one projection — zero shuffle (the old
+    explode+groupBy shape shuffled O(docs×perms) partials). Docs with
+    no shingles (<3 tokens) carry no signature and are dropped.
     """
-    exploded = shingle_hashes(docs, id_col, text_col).select(
-        F.col(id_col), F.explode("shl").alias("h")
-    )
-    aggs = [F.min(F.xxhash64(F.lit(i), F.col("h"))).alias(f"mh{i}") for i in range(num_perms)]
-    return exploded.groupBy(id_col).agg(*aggs)
+    shl = shingle_hashes(docs, id_col, text_col)
+    return shl.where(F.size("shl") > 0).select(F.col(id_col), *_signature_cols(num_perms))
 
 
 def lsh_candidate_pairs(sig: DataFrame, id_col: str = "doc_id") -> DataFrame:
@@ -225,9 +234,7 @@ def dedup_minhash_lsh(spark: SparkSession, sf_dir: str) -> DataFrame:
     """
     d = load_table(spark, sf_dir, "documents")
     shl = shingle_hashes(d).cache()  # shared by signature + verify paths
-    exploded = shl.select("doc_id", F.explode("shl").alias("h"))
-    aggs = [F.min(F.xxhash64(F.lit(i), F.col("h"))).alias(f"mh{i}") for i in range(NUM_PERMS)]
-    sig = exploded.groupBy("doc_id").agg(*aggs)
+    sig = shl.where(F.size("shl") > 0).select("doc_id", *_signature_cols())
     cand = lsh_candidate_pairs(sig)
     verified = (
         cand.join(shl.select(F.col("doc_id").alias("id_a"), F.col("shl").alias("sh_a")), "id_a")
