@@ -120,13 +120,20 @@ def streaming_sliding_window(spark: SparkSession, sf_dir: str) -> DataFrame:
     "streaming_session_window",
     oracle="""
     WITH e AS (
-      SELECT user_id, CAST(floor(epoch(ts)) AS BIGINT) AS t
+      SELECT user_id, epoch(ts) AS tx, CAST(floor(epoch(ts)) AS BIGINT) AS t
       FROM events
     ),
     flagged AS (
       SELECT user_id, t,
-             CASE WHEN t - lag(t) OVER (PARTITION BY user_id ORDER BY t) > 1800
-                  OR lag(t) OVER (PARTITION BY user_id ORDER BY t) IS NULL
+             -- gap compare at FULL precision (tx), not truncated
+             -- seconds: session_window merges an event exactly gap
+             -- seconds after the previous one (closed boundary,
+             -- pinned by test_session_window_gap_is_closed) and
+             -- splits strictly-greater gaps; comparing floor()ed
+             -- seconds would misclassify any fractional gap that
+             -- truncates to exactly 1800
+             CASE WHEN tx - lag(tx) OVER (PARTITION BY user_id ORDER BY t) > 1800
+                  OR lag(tx) OVER (PARTITION BY user_id ORDER BY t) IS NULL
                   THEN 1 ELSE 0 END AS new_session
       FROM e
     ),

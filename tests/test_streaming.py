@@ -37,6 +37,29 @@ def test_progress_listener(spark):
         spark.streams.removeListener(listener)
 
 
+def test_session_window_gap_is_closed(spark):
+    """session_window's gap boundary is CLOSED: an event arriving
+    exactly gap seconds after the previous one merges into the same
+    session; strictly greater splits. Pins the '> 1800' full-precision
+    predicate the DuckDB oracle uses."""
+    rows = [
+        Row(user_id=1, ts="2026-01-01 00:00:00"),
+        Row(user_id=1, ts="2026-01-01 00:30:00"),  # exactly 1800s: merges
+        Row(user_id=2, ts="2026-01-01 00:00:00"),
+        Row(user_id=2, ts="2026-01-01 00:30:01"),  # 1801s: splits
+    ]
+    df = spark.createDataFrame(rows).withColumn("ts", F.col("ts").cast("timestamp"))
+    per_user = {
+        (r.user_id): r.n
+        for r in df.groupBy(F.session_window("ts", "30 minutes").alias("w"), "user_id")
+        .agg(F.count(F.lit(1)).alias("n"))
+        .groupBy("user_id")
+        .agg(F.count(F.lit(1)).alias("n"))
+        .collect()
+    }
+    assert per_user == {1: 1, 2: 2}, per_user
+
+
 def test_watermark_drops_late_data(spark, tmp_path):
     """Late-data drop: Spark advances the operative watermark with a
     one-batch lag, so the sequence is: batch 0 establishes a high max
