@@ -18,7 +18,7 @@ mandated by the BASELINE.json north star.
 
 from __future__ import annotations
 
-from pyspark.sql import Column, DataFrame, SparkSession
+from pyspark.sql import Column, DataFrame, SparkSession, Window
 from pyspark.sql import functions as F
 
 from lakehouse_test_spark.operators.text import word_shingles, ws_tokens
@@ -193,14 +193,23 @@ def minhash_signatures(
     return shl.where(F.size("shl") > 0).select(F.col(id_col), *_signature_cols(num_perms))
 
 
-def lsh_candidate_pairs(sig: DataFrame, id_col: str = "doc_id") -> DataFrame:
+def lsh_candidate_pairs(
+    sig: DataFrame, id_col: str = "doc_id", star_threshold: int = 64
+) -> DataFrame:
     """Band the signature (32 bands × 2 rows) and self-join on
     (band, band_hash) to produce candidate pairs (a < b).
 
     Scale: the join key is (band_id, 8-byte hash) — collisions are
     rare for non-duplicates, so join output ≈ true-duplicate pairs.
-    Hot buckets (boilerplate docs) are the skew risk; AQE skew-join
-    splits them.
+    Hot buckets are the real risk: boilerplate-heavy corpora put
+    thousands of near-identical docs in ONE bucket, and an all-pairs
+    self-join there is quadratic *output* — AQE skew splitting cannot
+    help because the blowup is the result itself, not a lopsided
+    partition. Buckets above ``star_threshold`` therefore emit
+    spanning-star edges (every member → the bucket's min id) instead
+    of the clique: linear output that preserves exactly the
+    connectivity the downstream cluster step needs, while small
+    buckets keep the full all-pairs recall.
     """
     bands = F.array(
         *[
@@ -214,13 +223,25 @@ def lsh_candidate_pairs(sig: DataFrame, id_col: str = "doc_id") -> DataFrame:
     banded = sig.select(F.col(id_col), F.explode(bands).alias("x")).select(
         F.col(id_col), F.col("x.band").alias("band"), F.col("x.bh").alias("bh")
     )
-    a, b = banded.alias("a"), banded.alias("b")
-    return (
-        a.join(b, (F.col("a.band") == F.col("b.band")) & (F.col("a.bh") == F.col("b.bh")))
-        .where(F.col(f"a.{id_col}") < F.col(f"b.{id_col}"))
-        .select(F.col(f"a.{id_col}").alias("id_a"), F.col(f"b.{id_col}").alias("id_b"))
-        .distinct()
+    # bucket stats via a window over the join's own shuffle key: no
+    # join-back, and the self-join below reuses the same exchange
+    w = Window.partitionBy("band", "bh")
+    tagged = banded.withColumn("bsz", F.count(F.lit(1)).over(w)).withColumn(
+        "anchor", F.min(id_col).over(w)
     )
+    small = tagged.where(F.col("bsz") <= star_threshold)
+    a = small.select("band", "bh", F.col(id_col).alias("id_a"))
+    b = small.select("band", "bh", F.col(id_col).alias("id_b"))
+    clique = (
+        a.join(b, ["band", "bh"])
+        .where(F.col("id_a") < F.col("id_b"))
+        .select("id_a", "id_b")
+    )
+    star = (
+        tagged.where((F.col("bsz") > star_threshold) & (F.col(id_col) != F.col("anchor")))
+        .select(F.col("anchor").alias("id_a"), F.col(id_col).alias("id_b"))
+    )
+    return clique.unionByName(star).distinct()
 
 
 @query("dedup_minhash_lsh", oracle=None, tags=("dedup", "llm", "approx"))

@@ -107,6 +107,29 @@ def test_shingles_short_docs_ansi_safe(spark):
     assert {r.doc_id for r in sig.select("doc_id").collect()} == {4, 5}
 
 
+def test_lsh_hot_bucket_stays_linear(spark):
+    """1k identical docs (the boilerplate-corpus worst case) must
+    produce O(n) star candidates, not the ~500k all-pairs clique, and
+    must still connect every doc into one cluster."""
+    from lakehouse_test_spark.operators.cluster import dedup_clusters_from_pairs
+    from lakehouse_test_spark.operators.dedup import (
+        lsh_candidate_pairs,
+        minhash_signatures,
+    )
+
+    n = 1000
+    docs = spark.range(n).select(
+        F.col("id").alias("doc_id"),
+        F.lit("the same boilerplate legal disclaimer text repeated verbatim in every document").alias("text"),
+    )
+    sig = minhash_signatures(docs)
+    pairs = lsh_candidate_pairs(sig)
+    cnt = pairs.count()
+    assert cnt == n - 1, f"expected {n-1} star edges, got {cnt}"
+    clusters = dedup_clusters_from_pairs(pairs, "id_a", "id_b")
+    assert clusters.where(F.col("keeper_doc_id") == 0).count() == n
+
+
 def test_simhash_pairs_are_near(spark):
     """Every emitted pair must satisfy hamming ≤ 3 and be symmetric-free."""
     rows = dedup_simhash(spark, SMOKE_SF_DIR).collect()
