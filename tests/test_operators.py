@@ -209,6 +209,21 @@ def test_ann_topk_recall_on_clustered_data(spark):
     assert set(exact) <= set(range(20)), "exact top-10 should be planted neighbors"
     assert len(set(exact) & set(approx)) >= 8, f"LSH recall too low: {approx} vs {exact}"
 
+    # selectivity: the adaptive probe set (same path ann_topk uses)
+    # must touch ≤2% of the corpus while keeping the recall above
+    from lakehouse_test_spark.operators.similarity import (
+        _planes,
+        adaptive_probes,
+        lsh_bucket,
+    )
+
+    planes = _planes()
+    bucketed = corpus.withColumn("bucket", lsh_bucket(F.col("embedding"), planes))
+    probes = adaptive_probes(bucketed, np.array(qvec), planes, target_candidates=30)
+    n_cand = bucketed.where(F.col("bucket").isin(probes)).count()
+    frac = n_cand / len(rows)
+    assert frac <= 0.02, f"candidate fraction {frac:.1%} exceeds 2%"
+
 
 def test_ann_lsh_fixture_runs(spark):
     """On the adversarial uniform fixture the LSH query must still
@@ -216,6 +231,8 @@ def test_ann_lsh_fixture_runs(spark):
     out = similarity_lsh_topk(spark, SMOKE_SF_DIR).collect()
     sims = [r.cos_sim for r in out]
     assert sims == sorted(sims, reverse=True)
+    # adaptive probing must fill top-k even on a tiny corpus
+    assert len(out) == 10, f"expected a full top-10, got {len(out)}"
 
 
 def test_multimodal_plumbing(spark):
