@@ -120,6 +120,62 @@ def from_avro(bin_col: Column, avro_schema: dict, spark_schema: StructType) -> C
     return dec(bin_col)
 
 
+# ---------------------------------------------------------------------------
+# Confluent wire framing
+#
+# KafkaAvroSerializer (the reference's value serializer,
+# UrsaKafkaProducerOnCloud.java:39-44) does NOT put bare Avro bodies on
+# the wire: each message is a 5-byte envelope — magic byte 0x0 plus the
+# registry schema id as a big-endian int32 — followed by the Avro
+# binary body. Consumers use the id to fetch the writer schema.
+# ---------------------------------------------------------------------------
+
+CONFLUENT_MAGIC = 0x0
+
+
+def wrap_confluent(body: bytes, schema_id: int) -> bytes:
+    """Frame an Avro body in the Confluent wire envelope."""
+    if not 0 <= schema_id <= 0x7FFFFFFF:
+        raise ValueError(f"schema id out of int32 range: {schema_id}")
+    return struct.pack(">bi", CONFLUENT_MAGIC, schema_id) + body
+
+
+def unwrap_confluent(frame: bytes) -> tuple[int, bytes]:
+    """Split a Confluent-framed message into (schema_id, body).
+    Raises ValueError on a bad magic byte or truncated envelope."""
+    if len(frame) < 5:
+        raise ValueError(f"frame too short for Confluent envelope: {len(frame)} bytes")
+    magic, schema_id = struct.unpack_from(">bi", frame, 0)
+    if magic != CONFLUENT_MAGIC:
+        raise ValueError(f"bad Confluent magic byte: {magic:#x}")
+    return schema_id, frame[5:]
+
+
+def to_avro_confluent(struct_col: Column, avro_schema: dict, schema_id: int) -> Column:
+    """Encode + frame: Avro body with the 5-byte registry envelope
+    prepended JVM-side (constant header folded into the plan — the
+    Python UDF does body bytes only, exactly like bare ``to_avro``)."""
+    header = wrap_confluent(b"", schema_id)
+    return F.concat(F.lit(header), to_avro(struct_col, avro_schema))
+
+
+def confluent_schema_id(frame_col: Column) -> Column:
+    """Registry schema id from a framed message (JVM-side: hex of
+    bytes 2-5 → int). NULL when the magic byte is not 0x0."""
+    sid = F.conv(F.hex(F.substring(frame_col, 2, 4)), 16, 10).cast("int")
+    magic_ok = F.substring(frame_col, 1, 1) == F.lit(bytes([CONFLUENT_MAGIC]))
+    return F.when(magic_ok, sid)
+
+
+def from_avro_confluent(
+    frame_col: Column, avro_schema: dict, spark_schema: StructType
+) -> Column:
+    """Unframe + decode a Confluent-framed column. The envelope strip
+    is JVM-side (substring); only body decoding hits Python."""
+    body = F.substring(frame_col, 6, 2_147_483_647)
+    return from_avro(body, avro_schema, spark_schema)
+
+
 def avro_roundtrip(df: DataFrame, avro_schema: dict) -> DataFrame:
     """df → Avro bytes → df (the produce→consume wire path, op 20)."""
     names, _ = _schema_field_types(avro_schema)

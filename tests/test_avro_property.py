@@ -50,3 +50,23 @@ def test_zigzag_varint_is_spec_compliant(i):
     assert decode_record(enc, types) == (i,)
     if -64 <= i <= 63:
         assert len(enc) == 1
+
+
+@given(
+    body=st.binary(max_size=200),
+    sid=st.integers(min_value=0, max_value=0x7FFFFFFF),
+)
+@settings(max_examples=300, deadline=None)
+def test_confluent_envelope_roundtrip(body, sid):
+    """wrap → unwrap is identity for any body and any int32 schema id,
+    and the envelope is exactly 5 bytes of magic+big-endian id."""
+    from lakehouse_test_spark.sources.avro_codec import (
+        unwrap_confluent,
+        wrap_confluent,
+    )
+
+    frame = wrap_confluent(body, sid)
+    assert frame[:1] == b"\x00"
+    assert int.from_bytes(frame[1:5], "big") == sid
+    got_sid, got_body = unwrap_confluent(frame)
+    assert (got_sid, got_body) == (sid, body)
