@@ -29,6 +29,21 @@ def positive_int(value: str) -> int:
     return n
 
 
+#: parquet codecs the writer accepts ('none' maps to 'uncompressed')
+COMPRESSION_CHOICES = ("zstd", "snappy", "gzip", "lz4", "none", "uncompressed")
+
+
+def _add_producer_flags(sp: argparse.ArgumentParser) -> None:
+    """Flags shared by produce verbs (reference
+    AmazonReviewProducer.java:36-37,75-77: -z payload compression and
+    token auth on the client)."""
+    sp.add_argument("-z", "--compression", choices=COMPRESSION_CHOICES, default="zstd",
+                    help="payload compression codec (reference -z)")
+    sp.add_argument("--auth-token", default=None,
+                    help="bearer token for SASL_SSL/PLAIN broker auth "
+                         "(builds the Kafka jaas config; no-op for local tables)")
+
+
 def build_parser() -> argparse.ArgumentParser:
     p = argparse.ArgumentParser(prog="lakehouse-test-spark")
     sub = p.add_subparsers(dest="verb", required=True)
@@ -40,6 +55,7 @@ def build_parser() -> argparse.ArgumentParser:
                       help="fan-out shards (reference: topics)")
     prod.add_argument("-p", "--num-producers", type=positive_int, default=1,
                       help="write parallelism (reference: producers per topic)")
+    _add_producer_flags(prod)
 
     cons = sub.add_parser("consume", help="scan the lakehouse table")
     cons.add_argument("--table", required=True)
@@ -47,14 +63,30 @@ def build_parser() -> argparse.ArgumentParser:
                       help="incremental cursor (reference: subscription position)")
     cons.add_argument("-time", "--max-seconds", type=float, default=None,
                       help="bounded run by time (reference -time)")
+    cons.add_argument("--auth-token", default=None,
+                      help="bearer token for SASL_SSL/PLAIN broker auth")
 
     ama = sub.add_parser("produce_amazon", help="CSV reviews -> lakehouse table")
     ama.add_argument("-f", "--file", required=True, help="CSV path")
     ama.add_argument("--table", required=True)
+    _add_producer_flags(ama)
     return p
 
 
-def main(argv: list[str] | None = None) -> int:
+def _apply_producer_flags(spark, args) -> None:
+    """Wire -z/--auth-token: codec lands on the parquet writer conf;
+    a token builds the SASL jaas line the Kafka path would use."""
+    codec = "uncompressed" if args.compression == "none" else args.compression
+    spark.conf.set("spark.sql.parquet.compression.codec", codec)
+    print(f"Compression: {codec}")
+    if args.auth_token:
+        from lakehouse_test_spark.streaming.kafka import sasl_token_jaas
+
+        sasl_token_jaas(args.auth_token)  # validates/builds the jaas line
+        print("Auth: token configured (SASL_SSL/PLAIN)")
+
+
+def main(argv: list[str] | None = None, spark=None) -> int:
     from lakehouse_test_spark.metrics import observed_write
     from lakehouse_test_spark.plans.lakehouse import LakehouseTable
     from lakehouse_test_spark.session import get_spark
@@ -62,9 +94,12 @@ def main(argv: list[str] | None = None) -> int:
     from lakehouse_test_spark.sources.synthetic import person_stream
 
     args = build_parser().parse_args(argv)
-    spark = get_spark(f"cli-{args.verb}")
+    owns_session = spark is None
+    if owns_session:
+        spark = get_spark(f"cli-{args.verb}")
     try:
         if args.verb == "produce":
+            _apply_producer_flags(spark, args)
             table = LakehouseTable(spark, args.table)
             df = person_stream(
                 spark, args.num_messages, num_partitions=args.num_producers * args.num_shards
@@ -88,6 +123,7 @@ def main(argv: list[str] | None = None) -> int:
             print(f"Total received: {n}")
             print(f"Latest version: {table.latest_version()}")
         elif args.verb == "produce_amazon":
+            _apply_producer_flags(spark, args)
             table = LakehouseTable(spark, args.table)
             total_lines = count_lines(spark, args.file)  # pre-pass (op 4)
             df = read_amazon_reviews(spark, args.file)
@@ -97,7 +133,8 @@ def main(argv: list[str] | None = None) -> int:
             print(f"Failed sent: {res.null_keys}")
         return 0
     finally:
-        spark.stop()
+        if owns_session:
+            spark.stop()
 
 
 if __name__ == "__main__":

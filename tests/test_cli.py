@@ -14,6 +14,33 @@ def test_positive_int_validator():
             positive_int(bad)
 
 
+def test_producer_flags_compression_and_auth(spark, tmp_path, capsys):
+    """-z and --auth-token parity with the reference producer CLI:
+    the codec must actually reach the written parquet files and the
+    token must configure SASL auth."""
+    from lakehouse_test_spark.cli import main
+
+    table_dir = tmp_path / "tbl"
+    codec_before = spark.conf.get("spark.sql.parquet.compression.codec")
+    try:
+        rc = main(
+            [
+                "produce", "--table", str(table_dir), "-m", "50",
+                "-z", "gzip", "--auth-token", "tok123",
+            ],
+            spark=spark,
+        )
+    finally:
+        spark.conf.set("spark.sql.parquet.compression.codec", codec_before)
+    out = capsys.readouterr().out
+    assert rc == 0
+    assert "Compression: gzip" in out
+    assert "Auth: token configured (SASL_SSL/PLAIN)" in out
+    assert "tok123" not in out, "token must not be echoed"
+    data_files = list(table_dir.glob("data/*/part-*.parquet"))
+    assert data_files and all(f.name.endswith(".gz.parquet") for f in data_files)
+
+
 def test_parser_verbs():
     p = build_parser()
     a = p.parse_args(["produce", "--table", "/tmp/t", "-m", "10", "-t", "2", "-p", "3"])
