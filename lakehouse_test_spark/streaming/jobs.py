@@ -205,6 +205,86 @@ def streaming_foreachbatch_totals(spark: SparkSession, sf_dir: str) -> DataFrame
     return spark.createDataFrame(rows, "event_type string, n_events bigint")
 
 
+def stream_aggregate_to_lakehouse(
+    spark: SparkSession, sf_dir: str, table_path: str
+):
+    """Production sink path: watermarked window aggregation upserted
+    into a :class:`LakehouseTable` via foreachBatch — the canonical
+    streaming-agg → lakehouse pattern (Delta's MERGE-per-microbatch).
+
+    Update mode emits each window's refreshed aggregate as batches
+    arrive; the per-batch MERGE keyed on (day, event_type) makes the
+    final table state the complete aggregation regardless of batch
+    slicing — deterministic, unlike raw append-mode file sinks that
+    only flush watermark-finalized windows (and flush nothing on a
+    single-batch AvailableNow drain).
+
+    Scale: the aggregation state is bounded by the watermark; each
+    batch merges only the windows it touched (a real Delta MERGE
+    prunes untouched files via stats — plans/lakehouse.py documents
+    the contract equivalence). Returns the table.
+    """
+    from lakehouse_test_spark.plans.lakehouse import LakehouseTable
+
+    s = events_stream(spark, sf_dir)
+    agg = (
+        s.withWatermark("ts", "1 hour")
+        .groupBy(F.window("ts", "1 day").alias("w"), "event_type")
+        .agg(
+            F.count(F.lit(1)).alias("n_events"),
+            dround(dsum(F.col("value")), 2).alias("total_value"),
+        )
+        .select(
+            F.to_date(F.col("w.start")).alias("day"),
+            "event_type",
+            "n_events",
+            "total_value",
+        )
+    )
+    table = LakehouseTable(spark, table_path)
+
+    def upsert(batch_df: DataFrame, batch_id: int) -> None:
+        if batch_df.isEmpty():
+            return
+        if table.latest_version() < 0:
+            table.append(batch_df, operation="append")
+        else:
+            table.merge(batch_df, key_cols=["day", "event_type"])
+
+    q = (
+        agg.writeStream.foreachBatch(upsert)
+        .outputMode("update")
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination()
+    return table
+
+
+@query(
+    "streaming_sink_lakehouse",
+    oracle="""
+    SELECT CAST(date_trunc('day', ts) AS DATE) AS day,
+           event_type,
+           count(*) AS n_events,
+           CAST(round(sum(CAST(value AS DECIMAL(18,6))), 2) AS DOUBLE) AS total_value
+    FROM events GROUP BY 1, 2
+    """,
+    tags=("streaming", "sink", "lakehouse", "events"),
+)
+def streaming_sink_lakehouse(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """End-to-end stream → lakehouse table: the tumbling-count
+    aggregation upserted into a committed, time-travelable table, then
+    read back via its snapshot (committed == readable, ops 29-33).
+    Oracle-checkable because the upsert's final state equals the batch
+    aggregation regardless of micro-batch slicing."""
+    import tempfile
+
+    path = tempfile.mkdtemp(prefix="lakehouse_stream_sink_")
+    table = stream_aggregate_to_lakehouse(spark, sf_dir, path)
+    return table.snapshot().select("day", "event_type", "n_events", "total_value")
+
+
 def bounded_rate_limited_drain(
     spark: SparkSession, sf_dir: str, max_files_per_trigger: int = 1
 ) -> tuple[DataFrame, int]:

@@ -37,6 +37,22 @@ def test_progress_listener(spark):
         spark.streams.removeListener(listener)
 
 
+def test_stream_sink_lakehouse_row_conservation(spark, tmp_path):
+    """Production sink invariant (reference op 35: sent == received):
+    every source event is accounted for in the sunk table's counts,
+    the table's log-tracked totals match its snapshot, and the result
+    is committed + time-travelable."""
+    from lakehouse_test_spark.streaming.jobs import stream_aggregate_to_lakehouse
+
+    table = stream_aggregate_to_lakehouse(spark, SMOKE_SF_DIR, str(tmp_path / "sink"))
+    snap = table.snapshot()
+    total_events = spark.read.parquet(f"{SMOKE_SF_DIR}/events.parquet").count()
+    assert snap.agg(F.sum("n_events")).head()[0] == total_events
+    assert table.total_rows_committed() == snap.count()
+    assert table.latest_version() >= 0
+    table.drop()
+
+
 def test_session_window_gap_is_closed(spark):
     """session_window's gap boundary is CLOSED: an event arriving
     exactly gap seconds after the previous one merges into the same
