@@ -4,10 +4,19 @@ op 20 — the generated per-field encoder in Student.java:560-618).
 ``spark-avro`` (the JVM package providing to_avro/from_avro) is not
 bundled with the pip pyspark distribution, so this implements the
 Avro *binary encoding spec* (zigzag varints + length-prefixed UTF-8)
-in pure Python as Arrow-batched pandas UDFs. Flat
-string/int/long/double/boolean records only — exactly the reference's
-type system (SURVEY.md §1.3). If spark-avro is on the classpath, use
-``pyspark.sql.avro.functions`` instead; the wire format is identical.
+in Python. Flat string/int/long/double/boolean records only — exactly
+the reference's type system (SURVEY.md §1.3). If spark-avro is on the
+classpath, use ``pyspark.sql.avro.functions`` instead; the wire
+format is identical.
+
+Three encode tiers, fastest first:
+- ``to_avro_arrow`` (mapInArrow): numpy bulk zigzag/varint straight
+  over Arrow buffers, zero per-row Python (~9x the spec encoder at
+  1M rows);
+- ``to_avro`` (pandas UDF column): same vectorized kernel behind a
+  Column API (~3x);
+- ``encode_record``/``decode_record``: the per-record spec
+  implementation — decode path and the property-test ground truth.
 """
 
 from __future__ import annotations
@@ -87,6 +96,243 @@ def decode_record(buf: bytes, field_types: list[str]) -> tuple:
     return tuple(vals)
 
 
+# ---------------------------------------------------------------------------
+# vectorized batch encode
+#
+# The per-record encoder above loops per byte in Python; inside the
+# Arrow-batched UDF that made Avro the only per-row-Python hot path in
+# the repo. The batch encoder does the arithmetic column-wise in numpy
+# (bulk zigzag, varint bytes via 10 masked column writes, one C-level
+# utf-8 encode pass) and only joins per-row byte pieces at the end.
+# ---------------------------------------------------------------------------
+
+
+def _varint_columns(vals):
+    """Bulk zigzag-varint: returns (nbytes[n], mat[n,10]) — per-value
+    varint length and the byte columns (wrapping int64 shifts
+    implement zigzag exactly as the spec's (n<<1)^(n>>63))."""
+    import numpy as np
+
+    v = np.asarray(vals, dtype=np.int64)
+    z = ((v << 1) ^ (v >> 63)).view(np.uint64)
+    nbytes = np.ones(len(z), dtype=np.int64)
+    for k in range(1, 10):
+        m = z >= np.uint64(1 << (7 * k))
+        if not m.any():
+            break
+        nbytes += m
+    width = int(nbytes.max()) if len(nbytes) else 1
+    mat = np.zeros((len(z), width), dtype=np.uint8)
+    for j in range(width):
+        byte = ((z >> np.uint64(7 * j)) & np.uint64(0x7F)).astype(np.uint8)
+        cont = (j < (nbytes - 1)).astype(np.uint8) << 7
+        mat[:, j] = byte | cont
+    return nbytes, mat
+
+
+def _write_varints(buf, off, nbytes, mat) -> None:
+    for j in range(int(nbytes.max()) if len(nbytes) else 0):
+        m = nbytes > j
+        buf[off[m] + j] = mat[m, j]
+
+
+def _string_buffers(s: pd.Series):
+    """(src_bytes_uint8, lens[n]) for a string series — via Arrow's
+    native layout (concatenated UTF-8 + offsets), no per-row encode."""
+    import numpy as np
+    import pyarrow as pa
+
+    try:
+        arr = pa.array(s, type=pa.large_string())
+    except (pa.ArrowInvalid, pa.ArrowTypeError):
+        arr = pa.array(s.astype(str), type=pa.large_string())
+    if arr.null_count:
+        arr = arr.fill_null("None")  # str(None) parity with encode_record
+    offsets = np.frombuffer(arr.buffers()[1], dtype=np.int64, count=len(arr) + 1)
+    src = np.frombuffer(arr.buffers()[2] or b"", dtype=np.uint8, count=int(offsets[-1]))
+    return src, np.diff(offsets)
+
+
+def _ragged_scatter(buf, dst_off, src, lens) -> None:
+    """Copy ragged per-row regions of ``src`` (laid out back to back)
+    to ``dst_off`` positions in ``buf`` — one cumsum-built index, no
+    np.repeat (repeat was the hotspot at 1M rows)."""
+    import numpy as np
+
+    m = lens > 0
+    sl = lens[m]
+    if not len(sl):
+        return
+    total = int(sl.sum())
+    src_start = np.zeros(len(sl), dtype=np.int64)
+    np.cumsum(sl[:-1], out=src_start[1:])
+    dst = dst_off[m]
+    width = int(sl.max())
+    if width <= 64:
+        # short rows: one masked copy per byte position — avoids
+        # materializing a per-byte index (the hotspot at 1M rows)
+        for j in range(width):
+            mj = sl > j
+            buf[dst[mj] + j] = src[src_start[mj] + j]
+        return
+    shift = dst - src_start  # absolute dst of each row's first byte
+    delta = np.zeros(total, dtype=np.int64)
+    delta[src_start] = np.concatenate(([shift[0]], np.diff(shift)))
+    idx = np.arange(total) + np.cumsum(delta)
+    buf[idx] = src[:total]
+
+
+def encode_batch(df: pd.DataFrame, field_types: list[str]) -> list[bytes]:
+    """Avro binary bodies for a whole batch, bit-identical to
+    ``encode_record`` row by row (pinned by property tests).
+
+    Fully vectorized assembly: every field computes a per-row length
+    array and a numpy writer into one flat output buffer (varints as
+    ≤10 masked column writes, doubles as an [n,8] block write, string
+    payloads as a single ragged-index copy of the concatenated UTF-8
+    bytes). The only per-row Python left is slicing the final buffer
+    into per-row bytes objects.
+    """
+    import numpy as np
+
+    n = len(df)
+    fields: list[tuple] = []  # (lens, writer)
+    for name, t in zip(df.columns, field_types):
+        s = df[name]
+        if t in ("int", "long"):
+            nb, mat = _varint_columns(s.to_numpy(np.int64))
+            fields.append((nb, lambda buf, off, nb=nb, mat=mat: _write_varints(buf, off, nb, mat)))
+        elif t == "double":
+            raw = np.frombuffer(s.to_numpy("<f8").tobytes(), dtype=np.uint8).reshape(n, 8)
+            lens = np.full(n, 8, dtype=np.int64)
+
+            def w_dbl(buf, off, raw=raw):
+                buf[off[:, None] + np.arange(8)] = raw
+
+            fields.append((lens, w_dbl))
+        elif t == "boolean":
+            bb = s.to_numpy(bool).astype(np.uint8)
+
+            def w_bool(buf, off, bb=bb):
+                buf[off] = bb
+
+            fields.append((np.ones(n, dtype=np.int64), w_bool))
+        elif t == "string":
+            src, slens = _string_buffers(s)
+            pnb, pmat = _varint_columns(slens)
+
+            def w_str(buf, off, pnb=pnb, pmat=pmat, slens=slens, src=src):
+                _write_varints(buf, off, pnb, pmat)
+                _ragged_scatter(buf, off + pnb, src, slens)
+
+            fields.append((pnb + slens, w_str))
+        else:  # pragma: no cover
+            raise ValueError(f"unsupported avro type {t}")
+
+    row_lens = np.sum([lens for lens, _ in fields], axis=0, dtype=np.int64)
+    row_off = np.zeros(n, dtype=np.int64)
+    np.cumsum(row_lens[:-1], out=row_off[1:])
+    buf = np.zeros(int(row_lens.sum()), dtype=np.uint8)
+    running = row_off.copy()
+    for lens, writer in fields:
+        writer(buf, running)
+        running = running + lens
+    flat = buf.tobytes()
+    return [flat[row_off[i] : row_off[i] + row_lens[i]] for i in range(n)]
+
+
+def encode_batch_arrow(batch, field_types: list[str]):
+    """Arrow-native batch encode: pa.RecordBatch → pa.BinaryArray of
+    Avro bodies with ZERO per-row Python — string buffers are read
+    straight out of Arrow's (offsets, data) layout and the output is
+    assembled as one flat buffer + offsets. This is the mapInArrow
+    fast path; ``encode_batch`` is its pandas twin.
+    """
+    import numpy as np
+    import pyarrow as pa
+
+    n = batch.num_rows
+    fields: list[tuple] = []
+    for col, t in zip(batch.columns, field_types):
+        if col.null_count:
+            col = col.fill_null("None" if t == "string" else 0)
+        if t == "string":
+            col = col.cast(pa.large_string())
+            # honor array slices: the offsets window starts at
+            # col.offset and data positions are absolute in the buffer
+            offsets = np.frombuffer(
+                col.buffers()[1], dtype=np.int64, count=col.offset + n + 1
+            )[col.offset :]
+            base = int(offsets[0])
+            src = np.frombuffer(
+                col.buffers()[2] or b"", dtype=np.uint8, count=int(offsets[-1])
+            )[base:]
+            slens = np.diff(offsets)
+            pnb, pmat = _varint_columns(slens)
+
+            def w_str(buf, off, pnb=pnb, pmat=pmat, slens=slens, src=src):
+                _write_varints(buf, off, pnb, pmat)
+                _ragged_scatter(buf, off + pnb, src, slens)
+
+            fields.append((pnb + slens, w_str))
+        elif t in ("int", "long"):
+            v = col.cast(pa.int64()).to_numpy(zero_copy_only=False)
+            nb, mat = _varint_columns(v)
+            fields.append((nb, lambda buf, off, nb=nb, mat=mat: _write_varints(buf, off, nb, mat)))
+        elif t == "double":
+            v = col.cast(pa.float64()).to_numpy(zero_copy_only=False)
+            raw = np.frombuffer(v.astype("<f8").tobytes(), dtype=np.uint8).reshape(n, 8)
+            lens = np.full(n, 8, dtype=np.int64)
+
+            def w_dbl(buf, off, raw=raw):
+                buf[off[:, None] + np.arange(8)] = raw
+
+            fields.append((lens, w_dbl))
+        elif t == "boolean":
+            bb = col.cast(pa.int8()).to_numpy(zero_copy_only=False).astype(np.uint8)
+
+            def w_bool(buf, off, bb=bb):
+                buf[off] = bb
+
+            fields.append((np.ones(n, dtype=np.int64), w_bool))
+        else:  # pragma: no cover
+            raise ValueError(f"unsupported avro type {t}")
+
+    row_lens = np.sum([lens for lens, _ in fields], axis=0, dtype=np.int64)
+    offs = np.empty(n + 1, dtype=np.int32)
+    offs[0] = 0
+    np.cumsum(row_lens, out=offs[1:])
+    buf = np.zeros(int(row_lens.sum()), dtype=np.uint8)
+    running = offs[:-1].astype(np.int64)
+    for lens, writer in fields:
+        writer(buf, running)
+        running = running + lens
+    return pa.Array.from_buffers(
+        pa.binary(), n, [None, pa.py_buffer(offs), pa.py_buffer(buf)]
+    )
+
+
+def to_avro_arrow(df: DataFrame, field_names: list[str], avro_schema: dict) -> DataFrame:
+    """DataFrame-level Avro encode via ``mapInArrow``: returns a
+    single-column (``value binary``) DataFrame of Avro bodies. The
+    fastest produce path — Arrow buffers in, Arrow buffers out, no
+    per-row Python objects anywhere (~3x faster than the pandas UDF
+    twin at 1M rows, ~9x over the per-record spec encoder)."""
+    _, types = _schema_field_types(avro_schema)
+
+    def encode_iter(batches):
+        import pyarrow as pa
+
+        for b in batches:
+            cols = [b.column(b.schema.get_field_index(f)) for f in field_names]
+            sub = pa.RecordBatch.from_arrays(cols, names=field_names)
+            yield pa.RecordBatch.from_arrays(
+                [encode_batch_arrow(sub, types)], names=["value"]
+            )
+
+    return df.mapInArrow(encode_iter, "value binary")
+
+
 def _schema_field_types(avro_schema: dict) -> tuple[list[str], list[str]]:
     names = [f["name"] for f in avro_schema["fields"]]
     types = [f["type"] for f in avro_schema["fields"]]
@@ -101,9 +347,7 @@ def to_avro(struct_col: Column, avro_schema: dict) -> Column:
     @pandas_udf(BinaryType())
     def enc(s: pd.DataFrame) -> pd.Series:
         # struct columns arrive as a DataFrame (one column per field)
-        return pd.Series(
-            [encode_record(tuple(row), types) for row in s.itertuples(index=False)]
-        )
+        return pd.Series(encode_batch(s, types))
 
     return enc(struct_col)
 

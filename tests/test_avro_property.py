@@ -70,3 +70,65 @@ def test_confluent_envelope_roundtrip(body, sid):
     assert int.from_bytes(frame[1:5], "big") == sid
     got_sid, got_body = unwrap_confluent(frame)
     assert (got_sid, got_body) == (sid, body)
+
+
+@given(
+    st.lists(
+        st.tuples(
+            st.text(max_size=30),
+            st.integers(min_value=-(2**63), max_value=2**63 - 1),
+            st.floats(allow_nan=False, allow_infinity=False),
+            st.booleans(),
+        ),
+        min_size=1,
+        max_size=50,
+    )
+)
+@settings(max_examples=200, deadline=None)
+def test_encode_batch_matches_encode_record(rows):
+    """The vectorized batch encoder must be bit-identical to the
+    per-record spec encoder for every row."""
+    import pandas as pd
+
+    from lakehouse_test_spark.sources.avro_codec import encode_batch
+
+    types = ["string", "long", "double", "boolean"]
+    df = pd.DataFrame(rows, columns=["s", "i", "d", "b"])
+    got = encode_batch(df, types)
+    want = [encode_record(r, types) for r in rows]
+    assert got == want
+
+
+@given(
+    st.lists(
+        st.tuples(
+            st.text(max_size=30),
+            st.integers(min_value=-(2**63), max_value=2**63 - 1),
+            st.floats(allow_nan=False, allow_infinity=False),
+            st.booleans(),
+        ),
+        min_size=1,
+        max_size=50,
+    ),
+    st.integers(min_value=0, max_value=10),
+)
+@settings(max_examples=200, deadline=None)
+def test_encode_batch_arrow_matches_encode_record(rows, slice_at):
+    """The Arrow-native batch encoder must be bit-identical to the
+    per-record spec encoder, including on sliced record batches."""
+    import pandas as pd
+    import pyarrow as pa
+
+    from lakehouse_test_spark.sources.avro_codec import encode_batch_arrow
+
+    types = ["string", "long", "double", "boolean"]
+    df = pd.DataFrame(rows, columns=["s", "i", "d", "b"])
+    batch = pa.RecordBatch.from_pandas(df)
+    assert encode_batch_arrow(batch, types).to_pylist() == [
+        encode_record(r, types) for r in rows
+    ]
+    start = min(slice_at, len(rows) - 1)
+    sl = batch.slice(start)
+    assert encode_batch_arrow(sl, types).to_pylist() == [
+        encode_record(r, types) for r in rows[start:]
+    ]

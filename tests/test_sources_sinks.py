@@ -83,6 +83,24 @@ def test_avro_roundtrip_dataframe(spark):
     assert sorted(back_p.collect()) == sorted(p.collect())
 
 
+def test_to_avro_arrow_roundtrip(spark):
+    """mapInArrow produce path: Arrow-native encode must decode back
+    to the source rows via the (pandas) from_avro twin."""
+    from pyspark.sql.types import StructType
+
+    from lakehouse_test_spark.sources.avro_codec import from_avro, to_avro_arrow
+
+    df = student_records(spark, 80)
+    names = [f["name"] for f in STUDENT_AVRO_SCHEMA["fields"]]
+    spark_schema = StructType([df.schema[n] for n in names])
+    encoded = to_avro_arrow(df, names, STUDENT_AVRO_SCHEMA)
+    assert encoded.schema.simpleString() == "struct<value:binary>"
+    back = encoded.select(
+        from_avro(F.col("value"), STUDENT_AVRO_SCHEMA, spark_schema).alias("r")
+    ).select("r.*")
+    assert sorted(back.collect()) == sorted(df.select(*names).collect())
+
+
 def test_write_table_and_fanout(spark, tmp_path_factory):
     d = tmp_path_factory.mktemp("sink")
     df = person_stream(spark, 200)
