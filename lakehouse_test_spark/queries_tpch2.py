@@ -489,3 +489,122 @@ def q2_min_cost_supplier(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.round("min_cost", 4).alias("unit_cost"),
         )
     )
+
+
+@query(
+    "q11_important_stock",
+    oracle="""
+    WITH pv AS (
+      SELECT l_partkey,
+             sum(CAST(l_extendedprice * l_quantity AS DECIMAL(18,6))) AS value
+      FROM lineitem JOIN supplier ON l_suppkey = s_suppkey
+                    JOIN nation   ON s_nationkey = n_nationkey
+      WHERE n_name = 'NATION_2'
+      GROUP BY l_partkey
+    )
+    SELECT l_partkey AS p_partkey,
+           CAST(round(value, 2) AS DOUBLE) AS part_value
+    FROM pv
+    WHERE value > (SELECT sum(value) * 0.0005 FROM pv)
+    ORDER BY part_value DESC, p_partkey
+    """,
+    tags=("join", "agg", "subquery", "tpch"),
+)
+def q11_important_stock(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q11 shape: value concentration with a global-aggregate
+    scalar subquery (fixture has no partsupp, so lineitem stands in as
+    the part↔supplier bridge and extendedprice*quantity as the stock
+    value — same group → global-scalar → filter → sort plan).
+
+    Scale: one shuffle to part grain, then a single-row broadcast for
+    the threshold; decimal sums keep the > comparison exact across
+    engines. The filter's selectivity tightens as SF grows (fixed
+    fraction of a growing total), mirroring Q11's 1/SF constant.
+    """
+    li = T(spark, sf_dir, "lineitem")
+    s = T(spark, sf_dir, "supplier")
+    n = T(spark, sf_dir, "nation").where(F.col("n_name") == "NATION_2")
+    val = (F.col("l_extendedprice") * F.col("l_quantity")).cast("decimal(18,6)")
+    pv = (
+        li.join(s, li.l_suppkey == s.s_suppkey)
+        .join(F.broadcast(n), s.s_nationkey == n.n_nationkey)
+        .groupBy("l_partkey")
+        .agg(F.sum(val).alias("value"))
+    )
+    total = pv.agg((F.sum("value") * F.lit(0.0005)).alias("threshold"))
+    return (
+        pv.crossJoin(F.broadcast(total))
+        .where(F.col("value") > F.col("threshold"))
+        .select(
+            F.col("l_partkey").alias("p_partkey"),
+            F.round("value", 2).cast("double").alias("part_value"),
+        )
+        .orderBy(F.desc("part_value"), F.asc("p_partkey"))
+    )
+
+
+@query(
+    "q21_waiting_suppliers",
+    oracle="""
+    WITH j AS (
+      SELECT l_orderkey, l_suppkey,
+             (l_shipdate > o_orderdate + INTERVAL 90 DAY) AS late
+      FROM lineitem JOIN orders ON l_orderkey = o_orderkey
+      WHERE o_orderstatus = 'F'
+    ),
+    po AS (
+      SELECT l_orderkey,
+             count(DISTINCT l_suppkey) AS n_supp,
+             count(DISTINCT CASE WHEN late THEN l_suppkey END) AS n_late
+      FROM j GROUP BY 1
+    )
+    SELECT s_name, count(*) AS numwait
+    FROM j JOIN po USING (l_orderkey)
+           JOIN supplier ON l_suppkey = s_suppkey
+           JOIN nation   ON s_nationkey = n_nationkey
+    WHERE late AND n_supp >= 2 AND n_late = 1 AND n_name = 'NATION_1'
+    GROUP BY s_name
+    ORDER BY numwait DESC, s_name
+    LIMIT 20
+    """,
+    tags=("join", "agg", "subquery", "tpch"),
+)
+def q21_waiting_suppliers(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q21 shape: suppliers who alone held up multi-supplier
+    orders. The fixture has no commit/receipt dates, so 'late' is
+    shipdate > orderdate + 90 days; the classic EXISTS / NOT EXISTS
+    pair is decorrelated into per-order distinct counts (n_supp ≥ 2,
+    exactly one late supplier) — the rewrite Spark's optimizer would
+    otherwise have to find itself.
+
+    Scale: one shuffle to order grain for the counts, re-joined to the
+    late rows on the same key (exchange reuse); supplier/nation joins
+    follow AQE sizing; top-20 is a TakeOrdered.
+    """
+    li = T(spark, sf_dir, "lineitem")
+    o = T(spark, sf_dir, "orders").where(F.col("o_orderstatus") == "F")
+    s = T(spark, sf_dir, "supplier")
+    n = T(spark, sf_dir, "nation").where(F.col("n_name") == "NATION_1")
+    j = (
+        li.join(o, li.l_orderkey == o.o_orderkey)
+        .select(
+            "l_orderkey",
+            "l_suppkey",
+            (F.col("l_shipdate") > F.col("o_orderdate") + F.expr("INTERVAL 90 DAYS")).alias("late"),
+        )
+    )
+    po = j.groupBy("l_orderkey").agg(
+        F.countDistinct("l_suppkey").alias("n_supp"),
+        F.countDistinct(F.when(F.col("late"), F.col("l_suppkey"))).alias("n_late"),
+    )
+    return (
+        j.where(F.col("late"))
+        .join(po, "l_orderkey")
+        .where((F.col("n_supp") >= 2) & (F.col("n_late") == 1))
+        .join(s, F.col("l_suppkey") == s.s_suppkey)
+        .join(F.broadcast(n), s.s_nationkey == n.n_nationkey)
+        .groupBy("s_name")
+        .agg(F.count(F.lit(1)).alias("numwait"))
+        .orderBy(F.desc("numwait"), F.asc("s_name"))
+        .limit(20)
+    )
