@@ -76,6 +76,39 @@ class ProgressLog:
         return listener
 
 
+@dataclass
+class RecordLog:
+    """Per-record receive logging (§2a op parity with
+    ``PerformanceConsumer.java:252``, which logs every received
+    record's messageId + value).
+
+    Logging every row is fine at the reference's ≤5k msg/s but an
+    anti-pattern at 100 TB, so the Spark-idiomatic analog is bounded:
+    a ``foreachBatch`` hook that logs up to ``sample_per_batch``
+    records per micro-batch, each with its message-id analog
+    ``(batch_id, row_index)`` plus the row itself. The sample is
+    taken with ``limit`` (no full collect); the batch continues to
+    the wrapped sink untouched.
+    """
+
+    sample_per_batch: int = 10
+    records: list[dict] = field(default_factory=list)
+
+    def wrap(self, inner=None):
+        """Return a foreachBatch callable; chain ``inner`` after
+        logging if given."""
+
+        def handle(batch_df: DataFrame, batch_id: int) -> None:
+            for i, row in enumerate(batch_df.limit(self.sample_per_batch).collect()):
+                self.records.append(
+                    {"message_id": (batch_id, i), "data": row.asDict(recursive=True)}
+                )
+            if inner is not None:
+                inner(batch_df, batch_id)
+
+        return handle
+
+
 def assert_roundtrip(written: int, read: int) -> None:
     """The reference's eyeball invariant (§5) as a hard assert:
     rows_written == rows_read, zero lost, zero duplicated."""

@@ -37,6 +37,39 @@ def test_progress_listener(spark):
         spark.streams.removeListener(listener)
 
 
+def test_record_log_samples_each_batch(spark):
+    """Per-record receive logging (op parity with the reference's
+    messageId+value log line): a bounded sample per micro-batch with
+    (batch_id, row_index) message-id analogs; the wrapped inner sink
+    still runs on the full batch."""
+    from lakehouse_test_spark.metrics import RecordLog
+    from lakehouse_test_spark.streaming.jobs import events_stream
+
+    rlog = RecordLog(sample_per_batch=3)
+    seen_rows = []
+
+    def inner(batch_df, batch_id):
+        seen_rows.append(batch_df.count())
+
+    q = (
+        events_stream(spark, SMOKE_SF_DIR)
+        .writeStream.foreachBatch(rlog.wrap(inner))
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination(120)
+    assert rlog.records, "no records logged"
+    assert all(len(r["message_id"]) == 2 for r in rlog.records)
+    assert all("event_id" in r["data"] for r in rlog.records)
+    # bounded: at most sample_per_batch per distinct batch id
+    from collections import Counter
+
+    per_batch = Counter(r["message_id"][0] for r in rlog.records)
+    assert all(n <= 3 for n in per_batch.values())
+    # inner sink saw the full batches, not the sample
+    assert sum(seen_rows) == spark.read.parquet(f"{SMOKE_SF_DIR}/events.parquet").count()
+
+
 def test_stream_sink_lakehouse_row_conservation(spark, tmp_path):
     """Production sink invariant (reference op 35: sent == received):
     every source event is accounted for in the sunk table's counts,
