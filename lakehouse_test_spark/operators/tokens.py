@@ -1,0 +1,341 @@
+"""Token-level corpus operators: vocabulary statistics, tf-idf,
+benchmark-contamination detection, and deterministic mixture sampling.
+
+These are the corpus-global stages of a pretraining-data pipeline —
+unlike the per-document projections in ``operators/text.py`` they
+genuinely shuffle (on the token / term key), so the design notes on
+each op spell out the shuffle budget and why it holds at 100 TB.
+
+The reference has no token ops (it is a Pulsar/Kafka ingestion
+harness); these are part of the mandated LLM-data extension
+(BASELINE.json north star).
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from lakehouse_test_spark.registry import query
+from lakehouse_test_spark.session import load_table
+from lakehouse_test_spark.operators.text import ws_tokens
+
+
+@query(
+    "vocab_topk_terms",
+    oracle="""
+    WITH toks AS (
+      SELECT unnest(string_split_regex(lower(text), '\\s+')) AS term
+      FROM documents
+    )
+    SELECT term,
+           CAST(count(*) AS BIGINT) AS term_count
+    FROM toks
+    WHERE term <> ''
+    GROUP BY term
+    ORDER BY term_count DESC, term
+    LIMIT 50
+    """,
+    tags=("tokens", "llm", "vocab"),
+)
+def vocab_topk_terms(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Global top-50 vocabulary terms by frequency — the first step of
+    building a tokenizer vocab or a stopword list from the corpus.
+
+    Scale: explode is map-side; the groupBy(term) aggregates partially
+    before the shuffle (two-level HashAggregate), so shuffle volume is
+    bounded by |vocab| per partition, not corpus tokens. The final
+    top-50 is a TakeOrdered (no global sort). Ties broken by term so
+    the result is deterministic across engines and partitionings.
+    """
+    d = load_table(spark, sf_dir, "documents")
+    toks = d.select(F.explode(ws_tokens(F.col("text"))).alias("term")).where(
+        F.col("term") != ""
+    )
+    return (
+        toks.groupBy("term")
+        .agg(F.count(F.lit(1)).alias("term_count"))
+        .orderBy(F.col("term_count").desc(), F.col("term"))
+        .limit(50)
+    )
+
+
+@query(
+    "tfidf_top_term_per_doc",
+    oracle="""
+    WITH toks AS (
+      SELECT doc_id, unnest(string_split_regex(lower(text), '\\s+')) AS term
+      FROM documents
+    ),
+    tf AS (
+      SELECT doc_id, term, count(*) AS tf
+      FROM toks WHERE term <> '' GROUP BY doc_id, term
+    ),
+    df AS (
+      SELECT term, count(DISTINCT doc_id) AS df FROM tf GROUP BY term
+    ),
+    n AS (SELECT count(*) AS n_docs FROM documents),
+    scored AS (
+      SELECT tf.doc_id, tf.term,
+             tf.tf * ln(n.n_docs * 1.0 / df.df) AS score
+      FROM tf JOIN df USING (term) CROSS JOIN n
+    ),
+    ranked AS (
+      SELECT doc_id, term, score,
+             row_number() OVER (PARTITION BY doc_id
+                                ORDER BY score DESC, term) AS rn
+      FROM scored
+    )
+    SELECT doc_id, term AS top_term,
+           CAST(round(score, 6) AS DOUBLE) AS tfidf
+    FROM ranked WHERE rn = 1
+    """,
+    tags=("tokens", "llm", "tfidf"),
+)
+def tfidf_top_term_per_doc(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Most characteristic term per document by tf-idf — the classic
+    keyword-extraction / topic-signal stage.
+
+    Scale: three shuffles, all on bounded keys — tf groups on
+    (doc_id, term) with map-side partial agg; df groups on term
+    (|vocab|-bounded); the tf⋈df join shuffles on term. The per-doc
+    argmax is a WindowGroupLimit (rank-pushdown keeps only the top row
+    per doc before the final filter). n_docs is a scalar broadcast.
+    Deterministic tie-break on term.
+    """
+    d = load_table(spark, sf_dir, "documents")
+    toks = d.select(
+        "doc_id", F.explode(ws_tokens(F.col("text"))).alias("term")
+    ).where(F.col("term") != "")
+    tf = toks.groupBy("doc_id", "term").agg(F.count(F.lit(1)).alias("tf"))
+    df_ = tf.groupBy("term").agg(F.count(F.lit(1)).alias("df"))
+    n_docs = d.count()
+    scored = tf.join(df_, "term").select(
+        "doc_id",
+        "term",
+        (F.col("tf") * F.log(F.lit(float(n_docs)) / F.col("df"))).alias("score"),
+    )
+    from pyspark.sql import Window
+
+    w = Window.partitionBy("doc_id").orderBy(F.col("score").desc(), F.col("term"))
+    return (
+        scored.withColumn("rn", F.row_number().over(w))
+        .where(F.col("rn") == 1)
+        .select(
+            "doc_id",
+            F.col("term").alias("top_term"),
+            F.round("score", 6).alias("tfidf"),
+        )
+    )
+
+
+@query(
+    "contamination_ngram_overlap",
+    oracle="""
+    WITH toks AS (
+      SELECT doc_id, source, string_split_regex(lower(text), '\\s+') AS t
+      FROM documents
+    ),
+    sh AS (
+      SELECT doc_id, source,
+             CASE WHEN len(t) >= 3
+                  THEN list_distinct(list_transform(range(1, len(t) - 1),
+                       i -> t[i] || ' ' || t[i+1] || ' ' || t[i+2]))
+                  ELSE [] END AS shingles
+      FROM toks
+    ),
+    eval_set AS (
+      SELECT list_distinct(flatten(list(shingles))) AS eval_shingles
+      FROM sh WHERE doc_id % 97 = 0
+    ),
+    train AS (SELECT * FROM sh WHERE doc_id % 97 <> 0)
+    SELECT train.doc_id,
+           CAST(len(shingles) AS INTEGER) AS n_shingles,
+           CAST(len(list_intersect(shingles, eval_set.eval_shingles)) AS INTEGER)
+             AS n_overlap,
+           CAST(round(CASE WHEN len(shingles) = 0 THEN 0.0
+                ELSE len(list_intersect(shingles, eval_set.eval_shingles)) * 1.0
+                     / len(shingles) END, 4) AS DOUBLE) AS overlap_frac,
+           len(shingles) > 0
+             AND len(list_intersect(shingles, eval_set.eval_shingles)) * 1.0
+                 / len(shingles) >= 0.5 AS contaminated
+    FROM train CROSS JOIN eval_set
+    """,
+    tags=("tokens", "llm", "contamination"),
+)
+def contamination_ngram_overlap(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Train/eval contamination check: fraction of each training doc's
+    3-gram shingles that also appear in a held-out eval slice (here the
+    deterministic doc_id % 97 == 0 sample standing in for a benchmark
+    set). Docs with >= 50% shingle overlap are flagged — the standard
+    n-gram decontamination rule (GPT-3 appendix C / PaLM style).
+
+    Scale: the eval shingle set is collected and BROADCAST as an array
+    literal (eval benchmarks are tiny — thousands of docs — vs the
+    100 TB train side), so the train scan stays shuffle-free: one
+    codegen'd array_intersect per doc against the broadcast set. At
+    larger eval sizes switch to the same shape via a broadcast hash
+    semi-join on exploded shingles; the train side still never
+    shuffles.
+    """
+    d = load_table(spark, sf_dir, "documents")
+    toks = ws_tokens(F.col("text"))
+    idx = F.when(
+        F.size(toks) >= 3, F.sequence(F.lit(1), F.size(toks) - 2)
+    ).otherwise(F.array().cast("array<int>"))
+    shingles = F.array_distinct(
+        F.transform(
+            idx,
+            lambda i: F.concat_ws(
+                " ",
+                F.element_at(toks, i),
+                F.element_at(toks, i + 1),
+                F.element_at(toks, i + 2),
+            ),
+        )
+    )
+    sh = d.select("doc_id", shingles.alias("shingles"))
+    eval_rows = (
+        sh.where(F.col("doc_id") % 97 == 0)
+        .select(F.explode("shingles").alias("s"))
+        .distinct()
+        .collect()
+    )
+    eval_set = sorted(r["s"] for r in eval_rows)
+    train = sh.where(F.col("doc_id") % 97 != 0)
+    overlap = F.size(F.array_intersect(F.col("shingles"), F.lit(eval_set)))
+    n_sh = F.size(F.col("shingles"))
+    frac = F.when(n_sh == 0, F.lit(0.0)).otherwise(
+        overlap.cast("double") / n_sh
+    )
+    return train.select(
+        "doc_id",
+        n_sh.cast("int").alias("n_shingles"),
+        overlap.cast("int").alias("n_overlap"),
+        F.round(frac, 4).alias("overlap_frac"),
+        ((n_sh > 0) & (frac >= 0.5)).alias("contaminated"),
+    )
+
+
+@query(
+    "corpus_mixture_sample",
+    oracle="""
+    WITH rates AS (
+      SELECT * FROM (VALUES ('src0', '40000000'), ('src1', '80000000'),
+                            ('src2', 'c0000000'), ('src3', 'ffffffff'))
+             AS t(source, keep_hex)
+    ),
+    keyed AS (
+      SELECT d.doc_id, d.source, d.n_chars,
+             substr(md5(CAST(d.doc_id AS VARCHAR)), 1, 8) AS h,
+             r.keep_hex
+      FROM documents d JOIN rates r USING (source)
+    )
+    SELECT source,
+           CAST(count(*) AS BIGINT) AS n_kept,
+           CAST(sum(n_chars) AS BIGINT) AS kept_chars,
+           md5(string_agg(CAST(doc_id AS VARCHAR), ',' ORDER BY doc_id))
+             AS kept_ids_md5
+    FROM keyed
+    WHERE h < keep_hex
+    GROUP BY source
+    """,
+    tags=("tokens", "llm", "sampling"),
+)
+def corpus_mixture_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Deterministic domain-mixture sampling: each source gets a target
+    keep-rate (src0 25%, src1 50%, src2 75%, src3 100%) applied by
+    comparing the first 8 hex chars of md5(doc_id) against the rate's
+    hex threshold — the reproducible, engine-portable way to downsample
+    domains to a target mixture for pretraining. Returns per-source
+    kept-count, kept-chars, and an md5 over the kept id list so the
+    exact sample membership is oracle-checked.
+
+    Scale: the rate table is 4 rows (broadcast); the filter is a pure
+    projection (md5 + string compare in codegen, no shuffle); only the
+    final per-source rollup shuffles, on a handful of keys with
+    map-side partial agg. Sample membership depends only on doc_id, so
+    re-runs, retries, and different partitionings all keep the same
+    rows — the property that makes the sample auditable at 100 TB.
+    """
+    rates = spark.createDataFrame(
+        [
+            ("src0", "40000000"),
+            ("src1", "80000000"),
+            ("src2", "c0000000"),
+            ("src3", "ffffffff"),
+        ],
+        ["source", "keep_hex"],
+    )
+    d = load_table(spark, sf_dir, "documents")
+    keyed = d.join(F.broadcast(rates), "source").where(
+        F.substring(F.md5(F.col("doc_id").cast("string")), 1, 8) < F.col("keep_hex")
+    )
+    return keyed.groupBy("source").agg(
+        F.count(F.lit(1)).alias("n_kept"),
+        F.sum("n_chars").cast("bigint").alias("kept_chars"),
+        F.md5(
+            F.concat_ws(
+                ",",
+                F.transform(
+                    F.array_sort(F.collect_list("doc_id")),
+                    lambda x: x.cast("string"),
+                ),
+            )
+        ).alias("kept_ids_md5"),
+    )
+
+
+@query(
+    "dedup_keep_best",
+    oracle="""
+    WITH fp AS (
+      SELECT doc_id, source, n_chars,
+             md5(array_to_string(string_split_regex(lower(text), '\\s+')[:5], ' '))
+               AS fingerprint,
+             len(string_split_regex(lower(text), '\\s+')) AS n_tokens
+      FROM documents
+    )
+    SELECT fingerprint,
+           CAST(count(*) AS BIGINT) AS n_dups,
+           arg_min(doc_id, CAST(-n_tokens AS BIGINT) * 1000000 + doc_id)
+             AS kept_doc_id,
+           CAST(max(n_tokens) AS BIGINT) AS kept_tokens
+    FROM fp
+    GROUP BY fingerprint
+    HAVING count(*) > 1
+    """,
+    tags=("tokens", "llm", "dedup"),
+)
+def dedup_keep_best(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Canonical-document selection for duplicate groups: documents are
+    blocked by a prefix fingerprint (md5 of the first 5 tokens — the
+    standard cheap blocking key for boilerplate/templated dups); within
+    each group keep the longest document (ties broken by lowest doc_id)
+    — the 'keep best, drop rest' step that follows any dedup pass.
+    Returns only groups with actual duplicates.
+
+    Scale: ONE shuffle on the 16-byte fingerprint (never the text);
+    min_by over an encoded (-n_tokens, doc_id) key does the argmax
+    without a window or second pass. HAVING prunes singleton groups
+    map-side-partially like any agg filter.
+    """
+    d = load_table(spark, sf_dir, "documents")
+    toks = ws_tokens(F.col("text"))
+    n_tokens = F.size(toks)
+    fp = d.select(
+        "doc_id",
+        F.md5(F.concat_ws(" ", F.slice(toks, 1, 5))).alias("fingerprint"),
+        n_tokens.cast("long").alias("n_tokens"),
+    )
+    return (
+        fp.groupBy("fingerprint")
+        .agg(
+            F.count(F.lit(1)).alias("n_dups"),
+            F.min_by(
+                "doc_id", (-F.col("n_tokens")) * F.lit(1000000) + F.col("doc_id")
+            ).alias("kept_doc_id"),
+            F.max("n_tokens").cast("bigint").alias("kept_tokens"),
+        )
+        .where(F.col("n_dups") > 1)
+    )

@@ -22,6 +22,7 @@ for _mod in (
     "lakehouse_test_spark.operators.dedup",
     "lakehouse_test_spark.operators.similarity",
     "lakehouse_test_spark.operators.text",
+    "lakehouse_test_spark.operators.tokens",
     "lakehouse_test_spark.operators.joins",
     "lakehouse_test_spark.operators.multimodal",
     "lakehouse_test_spark.operators.udfs",
