@@ -286,6 +286,110 @@ def ann_topk(
     )
 
 
+IVF_NLIST = 64  # coarse-quantizer centroids
+IVF_NPROBE = 4  # inverted lists scanned per query
+IVF_ITERS = 3  # Lloyd refinement passes at index build
+
+
+def _nearest_centroid(emb: Column, centroids: list[list[float]]) -> Column:
+    """Argmin-by-L2 assignment of an embedding column against a
+    broadcast centroid matrix (one nested array literal; squared
+    distance + running argmin entirely in codegen — no Python, no
+    shuffle)."""
+    mat = F.lit(centroids)
+
+    def _d2(c: Column) -> Column:
+        return F.aggregate(
+            F.zip_with(emb, c, lambda x, y: (x.cast("double") - y) * (x.cast("double") - y)),
+            F.lit(0.0),
+            lambda acc, x: acc + x,
+        )
+
+    dists = F.transform(mat, lambda c: _d2(c))
+    best = F.array_min(dists)
+    return F.array_position(dists, best).cast("int") - 1
+
+
+def ivf_train(
+    embeddings: DataFrame,
+    nlist: int = IVF_NLIST,
+    iters: int = IVF_ITERS,
+    dim: int = EMBED_DIM,
+) -> list[list[float]]:
+    """Train the IVF coarse quantizer: deterministic seed sample (top
+    ``nlist`` vec_ids by md5 order — order-stable across partitionings)
+    followed by ``iters`` Lloyd passes expressed as DataFrame jobs.
+
+    Scale: each pass is ONE shuffle on the nlist-bounded cluster id;
+    the per-dimension means run as ``dim`` built-in avg aggregates
+    (partial map-side), so shuffle rows are nlist × partitions, never
+    corpus-sized. Centroids (nlist × dim ≈ 16 KB) round-trip through
+    the driver between passes — index metadata, same as FAISS keeps in
+    RAM. Empty clusters keep their previous centroid.
+    """
+    seed = (
+        embeddings.select("vec_id", "embedding")
+        .orderBy(F.md5(F.col("vec_id").cast("string")))
+        .limit(nlist)
+        .collect()
+    )
+    centroids = [[float(x) for x in r["embedding"]] for r in seed]
+    for _ in range(iters):
+        assigned = embeddings.select(
+            _nearest_centroid(F.col("embedding"), centroids).alias("list_id"),
+            "embedding",
+        )
+        means = (
+            assigned.groupBy("list_id")
+            .agg(
+                *[
+                    F.avg(F.col("embedding")[i].cast("double")).alias(f"d{i}")
+                    for i in range(dim)
+                ]
+            )
+            .collect()
+        )
+        nxt = list(centroids)
+        for r in means:
+            nxt[r["list_id"]] = [float(r[f"d{i}"]) for i in range(dim)]
+        centroids = nxt
+    return centroids
+
+
+@query("similarity_ivf_topk", oracle=None, tags=("similarity", "llm", "approx", "embeddings", "ivf"))
+def similarity_ivf_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """ANN top-10 via a real IVF-Flat index: k-means coarse quantizer
+    (64 lists, 3 Lloyd passes), nearest-``nprobe``-list probing, exact
+    cosine re-rank inside the probed lists.
+
+    Scale: training shuffles only nlist-bounded partial aggregates;
+    assignment is a map-only codegen pass; the query probes
+    nprobe/nlist of the corpus (4/64 ≈ 6% here; at 100 TB nlist grows
+    ~sqrt(n) so the scanned fraction keeps shrinking while each list
+    stays executor-sized). The probe filter is an IN-list on the
+    materialized list_id column, so partition pruning applies when the
+    index is written bucketed by list_id. Deterministic: seeded sample
+    + fixed iteration count. Recall vs the exact scan is asserted on
+    planted clusters in tests/test_operators.py.
+    """
+    e = load_table(spark, sf_dir, "embeddings").where(F.col("vec_id") != 0)
+    centroids = ivf_train(e)
+    qvec = np.array(_query_vector(spark, sf_dir, 0))
+    order = np.argsort([float(np.sum((qvec - np.array(c)) ** 2)) for c in centroids])
+    probe_lists = [int(i) for i in order[:IVF_NPROBE]]
+    indexed = e.withColumn("list_id", _nearest_centroid(F.col("embedding"), centroids))
+    return (
+        indexed.where(F.col("list_id").isin(probe_lists))
+        .select(
+            "vec_id",
+            "label",
+            F.round(cosine_to_literal(F.col("embedding"), list(qvec)), 4).alias("cos_sim"),
+        )
+        .orderBy(F.desc("cos_sim"), F.asc("vec_id"))
+        .limit(10)
+    )
+
+
 @query("dedup_embedding_lsh_pairs", oracle=None, tags=("dedup", "similarity", "llm", "approx", "embeddings"))
 def dedup_embedding_lsh_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Embedding near-dup at scale: hyperplane-bucket ALL vectors,

@@ -252,3 +252,51 @@ def test_decode_media_stub():
     assert decode_media(b"abc", "image/fake") == b"abc"
     with pytest.raises(NotImplementedError):
         decode_media(b"abc", "image/png")
+
+
+def test_ivf_topk_recall_on_clustered_data(spark):
+    """The IVF-Flat path (k-means coarse quantizer + nprobe lists)
+    must recover planted near neighbors with high recall while
+    scanning a bounded fraction of the corpus."""
+    import numpy as np
+
+    from lakehouse_test_spark.operators.similarity import (
+        IVF_NPROBE,
+        _nearest_centroid,
+        cosine_to_literal,
+        ivf_train,
+    )
+
+    rng = np.random.RandomState(11)
+    base = rng.standard_normal(64)
+    near = base + 0.15 * rng.standard_normal((20, 64))
+    noise = rng.standard_normal((2000, 64))
+    rows = [
+        Row(vec_id=i, embedding=[float(x) for x in v])
+        for i, v in enumerate(np.vstack([near, noise]))
+    ]
+    corpus = spark.createDataFrame(rows)
+    centroids = ivf_train(corpus, nlist=32, iters=2)
+    qvec = base
+    order = np.argsort([float(np.sum((qvec - np.array(c)) ** 2)) for c in centroids])
+    probes = [int(i) for i in order[:IVF_NPROBE]]
+    indexed = corpus.withColumn(
+        "list_id", _nearest_centroid(F.col("embedding"), centroids)
+    ).persist()
+    cand = indexed.where(F.col("list_id").isin(probes))
+    frac = cand.count() / len(rows)
+    approx = [
+        r.vec_id
+        for r in cand.select(
+            "vec_id",
+            F.round(
+                cosine_to_literal(F.col("embedding"), [float(x) for x in qvec]), 4
+            ).alias("cos_sim"),
+        )
+        .orderBy(F.desc("cos_sim"), F.asc("vec_id"))
+        .limit(10)
+        .collect()
+    ]
+    indexed.unpersist()
+    assert len(set(approx) & set(range(20))) >= 8, f"IVF recall too low: {approx}"
+    assert frac <= 0.3, f"IVF scanned {frac:.1%} of the corpus (nprobe/nlist = 4/32)"
