@@ -1,0 +1,175 @@
+"""Delta-protocol interop for :class:`LakehouseTable`: render the
+native commit history as a spec-compliant ``_delta_log`` (and replay
+one back) so external Delta Lake readers can open the table.
+
+The sandbox ships no delta-spark package (BASELINE.md names Delta/
+Iceberg as the reference deployment's table layer), so protocol
+compliance is what we can offer: the log this module writes follows
+the public Delta transaction-log specification
+(github.com/delta-io/delta/blob/master/PROTOCOL.md):
+
+- one ``%020d.json`` per version holding newline-delimited actions;
+- version 0 carries ``protocol`` (minReader 1 / minWriter 2) and
+  ``metaData`` (id, parquet format, Spark schemaString);
+- appends carry one ``add`` per data file with ``partitionValues``,
+  ``size``, ``modificationTime``, ``dataChange`` and a ``stats`` JSON
+  string (numRecords + minValues/maxValues from the native zone maps);
+- restates (merge/delete/compact) emit ``remove`` for every
+  previously-live file plus ``add`` for the rewrite, compactions with
+  ``dataChange: false`` exactly like OPTIMIZE;
+- every commit gets a ``commitInfo`` with the native operation name.
+
+``read_delta_log`` replays add/remove actions into the live file set
+— the same reconstruction any Delta reader performs — and the tests
+assert replay == the native snapshot at every version, so the export
+is validated end-to-end without the package.
+"""
+
+from __future__ import annotations
+
+import json
+import time
+from pathlib import Path
+
+from pyspark.sql import DataFrame, SparkSession
+
+from lakehouse_test_spark.plans.lakehouse import LakehouseTable
+
+PROTOCOL = {"minReaderVersion": 1, "minWriterVersion": 2}
+
+
+def _stats_json(table: LakehouseTable, commit, rel_path: str) -> str | None:
+    """Delta per-file stats string from the native zone maps (plus an
+    exact numRecords from the parquet footer)."""
+    import pyarrow.parquet as pq
+
+    md = pq.ParquetFile(str(table.path / rel_path)).metadata
+    stats: dict = {"numRecords": md.num_rows}
+    zone = (commit.stats or {}).get(rel_path)
+    if zone:
+        stats["minValues"] = {c: lo for c, (lo, hi) in zone.items()}
+        stats["maxValues"] = {c: hi for c, (lo, hi) in zone.items()}
+    return json.dumps(stats, default=str)
+
+
+def export_delta_log(spark: SparkSession, table: LakehouseTable) -> Path:
+    """Write ``_delta_log/`` at the table root from the native commit
+    history. Idempotent (rewrites the log dir); returns its path.
+
+    Scale: the export touches parquet *footers* only — per-file
+    metadata, no data I/O — and is O(files in history) driver work,
+    the same cost class as the native log itself. (A real deployment
+    would emit these actions inside each commit instead of
+    re-deriving them; this entry point exists to adopt tables written
+    before the exporter.)
+    """
+    log_dir = table.path / "_delta_log"
+    if log_dir.exists():
+        import shutil
+
+        shutil.rmtree(log_dir)
+    log_dir.mkdir(parents=True)
+
+    first_files = None
+    live: list[str] = []
+    for commit in table.history():
+        actions: list[dict] = []
+        now_ms = int(time.time() * 1000)
+        if commit.version == 0:
+            if commit.files:
+                first_files = commit.files
+            schema_json = (
+                spark.read.parquet(*[str(table.path / f) for f in first_files])
+                .schema.json()
+                if first_files
+                else "{}"
+            )
+            actions.append({"protocol": PROTOCOL})
+            actions.append(
+                {
+                    "metaData": {
+                        "id": f"{table.path.name}-delta-export",
+                        "format": {"provider": "parquet", "options": {}},
+                        "schemaString": schema_json,
+                        "partitionColumns": [],
+                        "configuration": {},
+                        "createdTime": now_ms,
+                    }
+                }
+            )
+        if commit.restate:
+            for f in live:
+                actions.append(
+                    {
+                        "remove": {
+                            "path": f,
+                            "deletionTimestamp": now_ms,
+                            "dataChange": commit.data_change,
+                        }
+                    }
+                )
+            live = []
+        for f in commit.files:
+            p = table.path / f
+            actions.append(
+                {
+                    "add": {
+                        "path": f,
+                        "partitionValues": {},
+                        "size": p.stat().st_size,
+                        "modificationTime": int(p.stat().st_mtime * 1000),
+                        "dataChange": commit.data_change,
+                        "stats": _stats_json(table, commit, f),
+                    }
+                }
+            )
+            live.append(f)
+        actions.append(
+            {
+                "commitInfo": {
+                    "timestamp": now_ms,
+                    "operation": commit.operation.upper(),
+                    "operationParameters": {},
+                    "engineInfo": "lakehouse_test_spark delta-export",
+                }
+            }
+        )
+        (log_dir / f"{commit.version:020d}.json").write_text(
+            "\n".join(json.dumps(a) for a in actions) + "\n"
+        )
+    return log_dir
+
+
+def replay_live_files(table_path: str, version: int | None = None) -> list[str]:
+    """Reconstruct the live file set from a ``_delta_log`` by replaying
+    add/remove actions up to ``version`` — the core of every Delta
+    reader."""
+    log_dir = Path(table_path) / "_delta_log"
+    live: dict[str, dict] = {}
+    for p in sorted(log_dir.glob("*.json")):
+        v = int(p.stem)
+        if version is not None and v > version:
+            break
+        for line in p.read_text().splitlines():
+            if not line.strip():
+                continue
+            action = json.loads(line)
+            if "add" in action:
+                live[action["add"]["path"]] = action["add"]
+            elif "remove" in action:
+                live.pop(action["remove"]["path"], None)
+    return sorted(live)
+
+
+def read_delta_log(
+    spark: SparkSession, table_path: str, version: int | None = None
+) -> DataFrame:
+    """Open an exported table the way a Delta reader would: replay the
+    log to the live file set, then scan exactly those parquet files."""
+    files = replay_live_files(table_path, version)
+    if not files:
+        raise ValueError(f"no live files at version {version}")
+    root = Path(table_path)
+    return spark.read.option("mergeSchema", "true").parquet(
+        *[str(root / f) for f in files]
+    )

@@ -167,3 +167,73 @@ def test_schema_evolution_additive(spark, table):
     assert snap.where(F.col("segment") == "vip").count() == 10
     # pre-evolution time travel shows the old schema's data
     assert table.snapshot(version=0).count() == 20
+
+
+def test_delta_export_replay_matches_native(spark, table):
+    """The exported _delta_log, replayed like a Delta reader, must
+    reconstruct the native live file set and row counts at EVERY
+    version — across appends, merge, compact, and delete."""
+    import json
+
+    from lakehouse_test_spark.plans.delta_export import (
+        export_delta_log,
+        read_delta_log,
+        replay_live_files,
+    )
+
+    table.append(person_stream(spark, 100), stats_cols=["ba"])
+    table.append(person_stream(spark, 50), stats_cols=["ba"])
+    upd = person_stream(spark, 10).withColumn("name", F.lit("updated"))
+    table.merge(upd, key_cols=["key"], stats_cols=["ba"])
+    table.append(person_stream(spark, 25), stats_cols=["ba"])
+    table.compact(stats_cols=["ba"])
+    table.delete_where("ba < 5", stats_cols=["ba"])
+
+    log_dir = export_delta_log(spark, table)
+
+    for v in range(table.latest_version() + 1):
+        native = sorted(
+            str(p.relative_to(table.path))
+            for p in map(__import__("pathlib").Path, table._files_for(v))
+        )
+        assert replay_live_files(str(table.path), v) == native, f"v{v} file set"
+        assert (
+            read_delta_log(spark, str(table.path), v).count()
+            == table.snapshot(v).count()
+        ), f"v{v} rows"
+
+    # spec shape: v0 has protocol + metaData; adds carry parseable
+    # stats with numRecords summing to the commit's row_count
+    v0_actions = [
+        json.loads(l)
+        for l in (log_dir / f"{0:020d}.json").read_text().splitlines()
+    ]
+    kinds = [next(iter(a)) for a in v0_actions]
+    assert kinds[0] == "protocol" and kinds[1] == "metaData"
+    schema = json.loads(v0_actions[1]["metaData"]["schemaString"])
+    assert schema["type"] == "struct"
+    adds = [a["add"] for a in v0_actions if "add" in a]
+    n = sum(json.loads(a["stats"])["numRecords"] for a in adds)
+    assert n == table.history()[0].row_count
+    assert all("minValues" in json.loads(a["stats"]) for a in adds)
+
+
+def test_delta_export_compact_datachange_false(spark, table):
+    """OPTIMIZE-style compaction must export dataChange=false on both
+    its removes and adds, so incremental Delta readers skip it."""
+    import json
+
+    from lakehouse_test_spark.plans.delta_export import export_delta_log
+
+    table.append(person_stream(spark, 40))
+    table.compact()
+    log_dir = export_delta_log(spark, table)
+    actions = [
+        json.loads(l)
+        for l in (log_dir / f"{1:020d}.json").read_text().splitlines()
+    ]
+    removes = [a["remove"] for a in actions if "remove" in a]
+    adds = [a["add"] for a in actions if "add" in a]
+    assert removes and adds
+    assert all(r["dataChange"] is False for r in removes)
+    assert all(a["dataChange"] is False for a in adds)
