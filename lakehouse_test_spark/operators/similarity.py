@@ -421,3 +421,78 @@ def dedup_embedding_lsh_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
         .where(F.col("cos_raw") >= 0.9)
         .select("vec_a", "vec_b", F.round("cos_raw", 4).alias("cos_sim"))
     )
+
+
+@query(
+    "embedding_quantize_int8",
+    oracle=f"""
+    WITH q AS (
+      SELECT vec_id, label,
+             list_max(list_transform(embedding, x -> abs(CAST(x AS DOUBLE)))) / 127.0
+               AS scale
+      FROM embeddings
+    ),
+    err AS (
+      SELECT e.vec_id, e.label, q.scale,
+             list_transform(e.embedding,
+               x -> abs(CAST(x AS DOUBLE)
+                        - greatest(-127.0, least(127.0,
+                            floor(CAST(x AS DOUBLE) / q.scale + 0.5))) * q.scale))
+               AS errs
+      FROM embeddings e JOIN q USING (vec_id)
+    )
+    SELECT vec_id, label,
+           CAST(round(scale, 6) AS DOUBLE) AS scale,
+           CAST(round(sqrt(list_sum(list_transform(errs, x -> x * x)) / len(errs)), 6)
+                AS DOUBLE) AS rmse,
+           CAST(round(list_max(errs), 6) AS DOUBLE) AS max_err
+    FROM err
+    """,
+    tags=("similarity", "llm", "embeddings", "quantization"),
+)
+def embedding_quantize_int8(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Symmetric per-vector int8 quantization of the embedding column
+    (scale = max|x|/127, q = clamp(round-half-up(x/scale))), reporting
+    the scale and the reconstruction error (RMSE + max abs) — the
+    compression stage that cuts an embedding store 4x before ANN
+    serving. Round-half-up is spelled floor(x+0.5) so both engines
+    agree at ties.
+
+    Scale: pure per-row array math in codegen, zero shuffle, zero
+    Python — the whole op rides the scan. The same expressions applied
+    with transform() produce the quantized array itself; this query
+    returns the per-vector audit stats so the quality of the
+    compression is oracle-checked end to end.
+    """
+    e = load_table(spark, sf_dir, "embeddings")
+    xd = lambda x: x.cast("double")  # noqa: E731
+    scale = (
+        F.array_max(F.transform(F.col("embedding"), lambda x: F.abs(xd(x)))) / 127.0
+    ).alias("scale")
+    q = e.select("vec_id", "label", "embedding", scale)
+    recon = F.transform(
+        F.col("embedding"),
+        lambda x: F.greatest(
+            F.lit(-127.0),
+            F.least(F.lit(127.0), F.floor(xd(x) / F.col("scale") + 0.5).cast("double")),
+        )
+        * F.col("scale"),
+    )
+    errs = F.zip_with(F.col("embedding"), recon, lambda x, r: F.abs(xd(x) - r))
+    with_errs = q.select("vec_id", "label", "scale", errs.alias("errs"))
+    n = F.size(F.col("errs"))
+    return with_errs.select(
+        "vec_id",
+        "label",
+        F.round("scale", 6).alias("scale"),
+        F.round(
+            F.sqrt(
+                F.aggregate(
+                    F.col("errs"), F.lit(0.0), lambda acc, x: acc + x * x
+                )
+                / n
+            ),
+            6,
+        ).alias("rmse"),
+        F.round(F.array_max(F.col("errs")), 6).alias("max_err"),
+    )

@@ -173,3 +173,59 @@ def read_delta_log(
     return spark.read.option("mergeSchema", "true").parquet(
         *[str(root / f) for f in files]
     )
+
+
+from lakehouse_test_spark.registry import query  # noqa: E402
+from lakehouse_test_spark.session import load_table  # noqa: E402
+
+
+@query(
+    "lakehouse_delta_roundtrip",
+    oracle="""
+    SELECT event_type,
+           count(*) AS n_events,
+           CAST(round(sum(CAST(value AS DECIMAL(18,6))), 2) AS DOUBLE)
+             AS total_value
+    FROM events
+    WHERE event_type <> 'purchase'
+    GROUP BY event_type
+    """,
+    tags=("lakehouse", "delta", "events"),
+)
+def lakehouse_delta_roundtrip(spark: SparkSession, sf_dir: str):
+    """Full interop loop: ingest events into a native lakehouse table
+    in two commits, DELETE one event type, compact, export the Delta
+    protocol log, then aggregate the table as read back THROUGH the
+    exported log (replay + scan) — proving an external Delta reader
+    would see exactly the committed state.
+
+    Oracle-checkable: the roundtrip must equal the straight batch
+    aggregate minus the deleted type, independent of commit slicing.
+    """
+    import tempfile
+
+    from pyspark.sql import functions as F
+
+    from lakehouse_test_spark.fpsafe import dround, dsum
+
+    e = load_table(spark, sf_dir, "events").select("event_id", "event_type", "value")
+    path = tempfile.mkdtemp(prefix="lakehouse_delta_rt_")
+    t = LakehouseTable(spark, path)
+    try:
+        half = e.where(F.col("event_id") % 2 == 0)
+        t.append(half, stats_cols=["event_id"])
+        t.append(e.where(F.col("event_id") % 2 == 1), stats_cols=["event_id"])
+        t.delete_where("event_type = 'purchase'", stats_cols=["event_id"])
+        t.compact(stats_cols=["event_id"])
+        export_delta_log(spark, t)
+        via_delta = read_delta_log(spark, str(t.path))
+        return (
+            via_delta.groupBy("event_type")
+            .agg(
+                F.count(F.lit(1)).alias("n_events"),
+                dround(dsum(F.col("value")), 2).alias("total_value"),
+            )
+            .localCheckpoint()  # materialize before the temp table drops
+        )
+    finally:
+        pass  # temp dir reclaimed by the OS; keep files alive for lazy readers

@@ -29,6 +29,7 @@ for _mod in (
     "lakehouse_test_spark.operators.cluster",
     "lakehouse_test_spark.sources.synthetic",
     "lakehouse_test_spark.streaming.jobs",
+    "lakehouse_test_spark.plans.delta_export",
 ):
     try:
         __import__(_mod)
