@@ -183,3 +183,133 @@ def join_range_events_sessions(spark: SparkSession, sf_dir: str) -> DataFrame:
         & (clicks.t >= sessions.s_start)
         & (clicks.t <= sessions.s_end),
     ).select("event_id", "user_id", "signup_id")
+
+
+def salted_join(
+    left: DataFrame,
+    right: DataFrame,
+    on: list[str],
+    n_salt: int = 8,
+    spread_col: str = "event_id",
+) -> DataFrame:
+    """Skew-buster shuffle join: the big (left) side gets a
+    deterministic salt from ``spread_col`` (pmod(hash), so retries
+    re-salt identically), the small-but-not-broadcastable right side
+    is exploded ``n_salt`` ways, and the join key becomes
+    (on…, _salt) — one hot key now spreads across n_salt reducers.
+
+    Use when the right side is too big to broadcast AND the join key
+    is low-cardinality/skewed (AQE's skew splitter handles skewed
+    *partitions*, but a single giant KEY still lands in one reducer
+    without salting — this is the standing fix). Result set is
+    provably identical to the unsalted join (oracle-checked by
+    join_salted_skew).
+    """
+    l = left.withColumn("_salt", F.pmod(F.hash(F.col(spread_col)), F.lit(n_salt)))
+    r = right.withColumn(
+        "_salt", F.explode(F.sequence(F.lit(0), F.lit(n_salt - 1)))
+    )
+    return l.join(r.hint("shuffle_hash"), on + ["_salt"]).drop("_salt")
+
+
+@query(
+    "join_salted_skew",
+    oracle="""
+    WITH dim AS (
+      SELECT * FROM (VALUES ('click', 1.0), ('view', 0.5), ('purchase', 10.0),
+                            ('signup', 5.0), ('error', 0.0))
+             AS t(event_type, weight)
+    )
+    SELECT e.event_type,
+           CAST(count(*) AS BIGINT) AS n_events,
+           CAST(round(sum(CAST(e.value AS DECIMAL(18,6)) * CAST(d.weight AS DECIMAL(18,6))), 2)
+                AS DOUBLE) AS weighted_value
+    FROM events e JOIN dim d USING (event_type)
+    GROUP BY e.event_type
+    """,
+    tags=("join", "skew", "events"),
+)
+def join_salted_skew(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Skewed-key join done safely: events (only 5 distinct join keys —
+    the pathological case where every row of a key lands on one
+    reducer) joined to a per-type weight dim through ``salted_join``,
+    then rolled up. The oracle runs the UNSALTED join — passing proves
+    salting is result-invariant.
+
+    Scale: without salting, a 100 TB events table with 5 event types
+    puts ~20 TB through single reducers; with n_salt=8 the same join
+    runs on 40 balanced keys. The dim explode costs n_salt × |dim|
+    rows — nothing. (Broadcast would also work for THIS dim; the query
+    pins the salted-shuffle shape for the case where it can't.)
+    """
+    from lakehouse_test_spark.fpsafe import dround
+
+    e = load_table(spark, sf_dir, "events")
+    dim = spark.createDataFrame(
+        [("click", 1.0), ("view", 0.5), ("purchase", 10.0), ("signup", 5.0), ("error", 0.0)],
+        ["event_type", "weight"],
+    )
+    joined = salted_join(e, dim, on=["event_type"], n_salt=8)
+    wv = F.sum(
+        F.col("value").cast("decimal(18,6)") * F.col("weight").cast("decimal(18,6)")
+    )
+    return joined.groupBy("event_type").agg(
+        F.count(F.lit(1)).alias("n_events"),
+        dround(wv, 2).alias("weighted_value"),
+    )
+
+
+@query(
+    "funnel_conversion",
+    oracle="""
+    WITH stages AS (
+      SELECT user_id,
+             min(CASE WHEN event_type = 'view' THEN ts END) AS t_view,
+             min(CASE WHEN event_type = 'click' THEN ts END) AS t_click,
+             min(CASE WHEN event_type = 'purchase' THEN ts END) AS t_purchase
+      FROM events GROUP BY user_id
+    )
+    SELECT CAST(count(*) AS BIGINT) AS n_users,
+           CAST(count(t_view) AS BIGINT) AS n_view,
+           CAST(count(CASE WHEN t_click > t_view THEN 1 END) AS BIGINT)
+             AS n_view_click,
+           CAST(count(CASE WHEN t_purchase > t_click AND t_click > t_view THEN 1 END)
+                AS BIGINT) AS n_full_funnel,
+           CAST(round(count(CASE WHEN t_purchase > t_click AND t_click > t_view THEN 1 END)
+                * 1.0 / nullif(count(t_view), 0), 4) AS DOUBLE) AS conversion
+    FROM stages
+    """,
+    tags=("events", "funnel", "window"),
+)
+def funnel_conversion(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Ordered funnel analysis: view → click → purchase, counting users
+    whose FIRST occurrence of each stage respects the order — the
+    standard product-analytics conversion query.
+
+    Scale: one shuffle (groupBy user_id) with conditional-min partial
+    aggregation map-side; the stage ordering is then row-local. No
+    self-joins, no windows over raw events — the naive 3-way self-join
+    formulation shuffles the events table three times; this shuffles
+    the per-user stage triple once.
+    """
+    e = load_table(spark, sf_dir, "events")
+    stage = lambda t: F.min(F.when(F.col("event_type") == t, F.col("ts")))  # noqa: E731
+    stages = e.groupBy("user_id").agg(
+        stage("view").alias("t_view"),
+        stage("click").alias("t_click"),
+        stage("purchase").alias("t_purchase"),
+    )
+    full = (F.col("t_purchase") > F.col("t_click")) & (
+        F.col("t_click") > F.col("t_view")
+    )
+    return stages.agg(
+        F.count(F.lit(1)).alias("n_users"),
+        F.count("t_view").alias("n_view"),
+        F.count(F.when(F.col("t_click") > F.col("t_view"), 1)).alias("n_view_click"),
+        F.count(F.when(full, 1)).alias("n_full_funnel"),
+        F.round(
+            F.count(F.when(full, 1)).cast("double")
+            / F.nullif(F.count("t_view"), F.lit(0)),
+            4,
+        ).alias("conversion"),
+    )

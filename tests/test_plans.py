@@ -90,3 +90,25 @@ def test_text_ops_no_shuffle(spark, sf_dir):
     for name in ("text_quality_scores", "text_token_count", "text_lang_id"):
         p = plan_of(spark, sf_dir, name)
         assert "Exchange" not in p, f"{name} plan shuffles: {p}"
+
+
+def test_salted_join_spreads_key(spark, sf_dir):
+    """The salted join must (a) partition on (key, _salt) — the whole
+    point — and (b) stay a shuffle join, since it exists for dims too
+    big to broadcast."""
+    p = plan_of(spark, sf_dir, "join_salted_skew")
+    assert "ShuffledHashJoin" in p, p
+    assert "_salt" in p, "salt column missing from the join"
+
+
+def test_funnel_single_shuffle(spark, sf_dir):
+    """Funnel analysis must shuffle raw events exactly once (the
+    groupBy user_id); the final global agg exchanges only the
+    per-user stage triples."""
+    p = plan_of(spark, sf_dir, "funnel_conversion")
+    import re
+
+    exchanges = re.findall(r"Exchange (\w+)", p)
+    # one hashpartitioning for user_id, one SinglePartition for the
+    # global rollup of already-tiny data
+    assert len([e for e in exchanges if e == "hashpartitioning"]) == 1, p
