@@ -112,3 +112,96 @@ def test_keep_best_prefers_longest_then_lowest_id(spark):
     assert out[0].n_dups == 3
     assert out[0].kept_doc_id == 10, "longest doc wins, lowest id breaks ties"
     assert out[0].kept_tokens == 8
+
+
+def test_pack_sequences_conserves_tokens(spark):
+    """Bin packing must conserve tokens: per-source sum over bins ==
+    per-source token total, and bin ids start at 0."""
+    from lakehouse_test_spark.operators.text import pack_sequences, ws_tokens
+    from lakehouse_test_spark.session import load_table
+
+    out = pack_sequences(spark, SMOKE_SF_DIR)
+    per_source = {
+        r.source: r.total
+        for r in out.groupBy("source").agg(F.sum("bin_tokens").alias("total")).collect()
+    }
+    truth = {
+        r.source: r.total
+        for r in load_table(spark, SMOKE_SF_DIR, "documents")
+        .groupBy("source")
+        .agg(F.sum(F.size(ws_tokens(F.col("text")))).alias("total"))
+        .collect()
+    }
+    assert per_source == truth
+    assert out.agg(F.min("bin_id")).first()[0] == 0
+
+
+def test_quantize_error_bounded_by_half_step(spark):
+    """int8 symmetric quantization: every element's reconstruction
+    error is at most scale/2 (round-to-nearest step), so max_err <=
+    scale/2 for every vector."""
+    from lakehouse_test_spark.operators.similarity import embedding_quantize_int8
+
+    bad = (
+        embedding_quantize_int8(spark, SMOKE_SF_DIR)
+        .where(F.col("max_err") > F.col("scale") / 2 + 1e-6)  # 6dp output rounding
+        .count()
+    )
+    assert bad == 0
+
+
+def test_repetition_ratio_matches_python_reference(spark):
+    """Hypothesis: Spark's repetition stats == a direct Python
+    computation for arbitrary token sequences (incl. empty and
+    1-token docs, the ANSI-mode trap)."""
+    from collections import Counter
+
+    from hypothesis import HealthCheck, given, settings
+    from hypothesis import strategies as st
+
+    from lakehouse_test_spark.operators.text import text_repetition_ratio
+
+    @settings(
+        max_examples=12,
+        deadline=None,
+        suppress_health_check=[HealthCheck.function_scoped_fixture],
+    )
+    @given(
+        st.lists(
+            st.lists(st.sampled_from(["a", "bb", "ccc", "dd", "e"]), max_size=12),
+            min_size=1,
+            max_size=6,
+        )
+    )
+    def check(docs):
+        import os
+        import tempfile
+
+        rows = [
+            (i, " ".join(toks) if toks else "", "en", "s", 1)
+            for i, toks in enumerate(docs)
+        ]
+        df = spark.createDataFrame(
+            rows, ["doc_id", "text", "lang", "source", "n_chars"]
+        )
+        with tempfile.TemporaryDirectory() as tmp:
+            df.coalesce(1).write.mode("overwrite").parquet(
+                os.path.join(tmp, "documents.parquet")
+            )
+            got = {
+                r.doc_id: (r.n_bigrams, r.dup_bigram_frac, r.top_bigram_frac)
+                for r in text_repetition_ratio(spark, tmp).collect()
+            }
+        for i, toks in enumerate(docs):
+            # ws_tokens splits lowercased text on whitespace; "" -> [""]
+            pytoks = (" ".join(toks) if toks else "").lower().split(" ")
+            bgs = [
+                f"{pytoks[j]} {pytoks[j+1]}" for j in range(len(pytoks) - 1)
+            ] if len(pytoks) >= 2 else []
+            n = len(bgs)
+            dup = 0.0 if n == 0 else 1.0 - len(set(bgs)) / n
+            top = 0.0 if n == 0 else Counter(bgs).most_common(1)[0][1] / n
+            exp = (n, round(dup, 4), round(top, 4))
+            assert got[i] == exp, f"doc {i}: {got[i]} != {exp} ({pytoks})"
+
+    check()
