@@ -223,6 +223,64 @@ class LakehouseTable:
             snap.repartition(target_partitions), "compact", data_change=False, stats_cols=stats_cols
         )
 
+    def zorder(
+        self,
+        cols: list[str],
+        target_partitions: int = 8,
+        stats_cols: list[str] | None = None,
+    ) -> Commit:
+        """OPTIMIZE ZORDER BY analog: rewrite the snapshot clustered on
+        the interleaved-bit (Morton) key of ``cols`` so that zone-map
+        pruning works on EVERY listed dimension, not just a lead sort
+        column. ``data_change=False`` — pure reclustering, incremental
+        readers skip it.
+
+        Each column is min/max-normalized to 16 bits and the bits are
+        interleaved into one integer key; ``repartitionByRange`` +
+        ``sortWithinPartitions`` on that key make every output file a
+        contiguous Z-curve segment, which is axis-aligned-compact in
+        all dimensions — the property multi-dim file skipping needs.
+
+        Scale: one global-bounds agg (min/max per col — map-side
+        partials), one range shuffle on the z-key. The z-key math is
+        32 shift/or terms in codegen. Range skew on the key is handled
+        by repartitionByRange's sampling. (Rank-based normalization
+        would resist heavy value skew better than min/max; at 100 TB
+        swap the bounds agg for approxQuantile cutpoints.)
+        """
+        from pyspark.sql import functions as F
+
+        snap = self.snapshot()
+        b = snap.agg(
+            *[F.min(c).cast("double").alias(f"lo_{c}") for c in cols],
+            *[F.max(c).cast("double").alias(f"hi_{c}") for c in cols],
+        ).first()
+        k = len(cols)
+        z = F.lit(0).cast("bigint")
+        for j, c in enumerate(cols):
+            lo, hi = b[f"lo_{c}"], b[f"hi_{c}"]
+            span = (hi - lo) or 1.0
+            nrm = F.least(
+                F.lit(65535),
+                F.greatest(
+                    F.lit(0),
+                    F.floor((F.col(c).cast("double") - F.lit(lo)) / F.lit(span) * 65535),
+                ),
+            ).cast("bigint")
+            for i in range(16):
+                z = z + F.shiftleft(
+                    F.shiftright(nrm, i).bitwiseAND(F.lit(1)), i * k + j
+                )
+        clustered = (
+            snap.withColumn("_z", z)
+            .repartitionByRange(target_partitions, "_z")
+            .sortWithinPartitions("_z")
+            .drop("_z")
+        )
+        return self._commit_restate(
+            clustered, "zorder", data_change=False, stats_cols=stats_cols or cols
+        )
+
     # -- reads ---------------------------------------------------------------
 
     def _live_commits(self, version: int | None = None) -> list[Commit]:

@@ -237,3 +237,43 @@ def test_delta_export_compact_datachange_false(spark, table):
     assert removes and adds
     assert all(r["dataChange"] is False for r in removes)
     assert all(a["dataChange"] is False for a in adds)
+
+
+def test_zorder_prunes_both_dimensions(spark, table):
+    """After ZORDER BY (x, y), a narrow range scan on EITHER column
+    must skip most files — the multi-dimensional locality a linear
+    sort cannot give — while returning exactly the unpruned rows."""
+    n = 4096
+    base = spark.range(n).select(
+        F.col("id").cast("bigint").alias("ba"),
+        # decorrelated second dimension: bit-reversed id
+        F.lit(0).alias("_drop"),
+    )
+    import pyspark.sql.functions as SF
+
+    rev = SF.lit(0).cast("bigint")
+    for i in range(12):
+        rev = rev + SF.shiftleft(SF.shiftright(SF.col("ba"), i).bitwiseAND(SF.lit(1)), 11 - i)
+    df = base.select("ba", rev.alias("age"))
+    table.append(df.repartition(4), stats_cols=["ba", "age"])
+
+    table.zorder(["ba", "age"], target_partitions=8, stats_cols=["ba", "age"])
+
+    for col in ("ba", "age"):
+        pruned, scanned, total = table.scan_pruned(col, 100, 300)
+        assert total >= 8, f"zorder should have produced >=8 files, got {total}"
+        assert scanned <= total // 2, f"{col}: scanned {scanned}/{total} files"
+        expected = (
+            table.snapshot().where((F.col(col) >= 100) & (F.col(col) <= 300)).count()
+        )
+        assert pruned.count() == expected == 201
+
+
+def test_zorder_is_datachange_false(spark, table):
+    """Reclustering changes no logical rows: incremental readers must
+    see nothing new, snapshot counts are unchanged."""
+    table.append(person_stream(spark, 300), stats_cols=["ba"])
+    v = table.latest_version()
+    table.zorder(["ba", "age"])
+    assert table.snapshot().count() == 300
+    assert table.read_changes(since_version=v).count() == 0
