@@ -131,3 +131,97 @@ def dedup_clusters(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     pairs = dedup_minhash_lsh(spark, sf_dir).cache()
     return dedup_clusters_from_pairs(pairs, "doc_a", "doc_b")
+
+
+def pagerank(
+    edges: DataFrame,
+    src: str = "src",
+    dst: str = "dst",
+    damping: float = 0.85,
+    max_iter: int = 20,
+    tol: float = 1e-4,
+    checkpoint_every: int = 5,
+) -> DataFrame:
+    """PageRank over an edge list, expressed as DataFrame joins with
+    the same iterative-lineage hygiene as ``connected_components``:
+    per-iteration persist + unpersist, ``localCheckpoint`` every
+    ``checkpoint_every`` rounds, and an L1-delta stopping rule.
+
+    Dangling nodes (no out-edges) redistribute their mass uniformly —
+    the standard correction, computed as one scalar agg per round.
+
+    Scale: each round is one shuffle (contributions grouped by dst);
+    out-degrees are computed once and cached; ranks are (node, double)
+    pairs — state is O(nodes), never O(edges). Convergence monitoring
+    costs one extra join per round on the node-sized frames.
+    """
+    e = edges.select(F.col(src).alias("a"), F.col(dst).alias("b")).persist()
+    nodes = (
+        e.select(F.col("a").alias("node"))
+        .unionByName(e.select(F.col("b").alias("node")))
+        .distinct()
+        .persist()
+    )
+    n = nodes.count()
+    deg = e.groupBy("a").agg(F.count(F.lit(1)).alias("deg")).persist()
+    ranks = nodes.withColumn("rank", F.lit(1.0 / n)).persist()
+
+    for i in range(max_iter):
+        with_deg = ranks.join(deg, ranks.node == deg.a, "left")
+        dangling = (
+            with_deg.where(F.col("deg").isNull()).agg(F.sum("rank")).first()[0] or 0.0
+        )
+        contribs = (
+            e.join(ranks, e.a == ranks.node)
+            .join(deg, "a")
+            .select(F.col("b").alias("node"), (F.col("rank") / F.col("deg")).alias("c"))
+            .groupBy("node")
+            .agg(F.sum("c").alias("inflow"))
+        )
+        base = (1.0 - damping) / n + damping * dangling / n
+        new_ranks = (
+            nodes.join(contribs, "node", "left")
+            .select(
+                "node",
+                (F.lit(base) + F.lit(damping) * F.coalesce("inflow", F.lit(0.0))).alias(
+                    "rank"
+                ),
+            )
+        )
+        if (i + 1) % checkpoint_every == 0:
+            new_ranks = new_ranks.localCheckpoint(eager=True)
+        else:
+            new_ranks = new_ranks.persist()
+        delta = (
+            new_ranks.alias("n")
+            .join(ranks.alias("o"), "node")
+            .agg(F.sum(F.abs(F.col("n.rank") - F.col("o.rank"))))
+            .first()[0]
+        )
+        ranks.unpersist()
+        ranks = new_ranks
+        if delta < tol:
+            break
+    e.unpersist()
+    deg.unpersist()
+    return ranks
+
+
+@query("graph_pagerank_similarity", oracle=None, tags=("graph", "llm", "embeddings"))
+def graph_pagerank_similarity(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """PageRank centrality over the same-label similarity graph (the
+    threshold-join pair output): which embeddings sit at the center of
+    their similarity neighborhoods — the centrality signal used to
+    pick representative documents per near-dup cluster.
+
+    Rows-only (iterative; no SQL twin). Correctness is pinned by
+    tests/test_cluster.py: uniform rank on a cycle, hub dominance on a
+    star, sum(rank) == 1.
+    """
+    from lakehouse_test_spark.operators.similarity import similarity_threshold_join
+
+    pairs = similarity_threshold_join(spark, sf_dir).select("vec_a", "vec_b")
+    ranks = pagerank(pairs, "vec_a", "vec_b", max_iter=10)
+    return ranks.select(
+        F.col("node").alias("vec_id"), F.round("rank", 6).alias("rank")
+    ).orderBy(F.desc("rank"), F.asc("vec_id")).limit(50)

@@ -167,3 +167,107 @@ def sample_stratified(spark: SparkSession, sf_dir: str) -> DataFrame:
         "event_type", fractions={"click": 0.3, "purchase": 1.0}, seed=42
     )
     return sampled.groupBy("event_type").agg(F.count(F.lit(1)).alias("n_sampled"))
+
+
+@query(
+    "cohort_retention",
+    oracle="""
+    WITH activity AS (
+      SELECT DISTINCT user_id, CAST(date_trunc('day', ts) AS DATE) AS day
+      FROM events
+    ),
+    cohorts AS (
+      SELECT user_id, min(day) AS cohort_day FROM activity GROUP BY user_id
+    )
+    SELECT c.cohort_day,
+           date_diff('day', c.cohort_day, a.day) AS day_offset,
+           CAST(count(*) AS BIGINT) AS n_active
+    FROM activity a JOIN cohorts c USING (user_id)
+    GROUP BY 1, 2
+    """,
+    tags=("events", "cohort", "agg"),
+)
+def cohort_retention(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Cohort retention triangle: users grouped by first-active day,
+    counted on each subsequent active day offset — THE product
+    analytics table every event pipeline feeds.
+
+    Scale: two shuffles on user_id (distinct user-days, then first-day
+    cohort), both with map-side partials; the cohort join is on the
+    already-aggregated per-user rows (users ≪ events), and the final
+    rollup groups a users×days-bounded frame, never raw events.
+    """
+    e = T(spark, sf_dir, "events")
+    activity = e.select(
+        "user_id", F.to_date(F.date_trunc("day", "ts")).alias("day")
+    ).distinct()
+    cohorts = activity.groupBy("user_id").agg(F.min("day").alias("cohort_day"))
+    return (
+        activity.join(cohorts, "user_id")
+        .groupBy("cohort_day", F.datediff("day", "cohort_day").alias("day_offset"))
+        .agg(F.count(F.lit(1)).alias("n_active"))
+    )
+
+
+@query(
+    "outliers_mad",
+    oracle="""
+    WITH med AS (
+      SELECT event_type, median(value) AS med FROM events GROUP BY event_type
+    ),
+    dev AS (
+      SELECT e.event_type, abs(e.value - m.med) AS adev
+      FROM events e JOIN med m USING (event_type)
+    ),
+    mad AS (
+      SELECT event_type, median(adev) AS mad FROM dev GROUP BY event_type
+    )
+    SELECT d.event_type,
+           CAST(count(*) AS BIGINT) AS n_events,
+           CAST(sum(CASE WHEN d.adev > 3 * 1.4826 * m.mad THEN 1 ELSE 0 END)
+                AS BIGINT) AS n_outliers,
+           CAST(round(3 * 1.4826 * m.mad, 4) AS DOUBLE) AS threshold
+    FROM dev d JOIN mad m USING (event_type)
+    GROUP BY d.event_type, m.mad
+    """,
+    tags=("events", "profile", "stats"),
+)
+def outliers_mad(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Robust outlier detection per event type: |x - median| >
+    3 × 1.4826 × MAD (the consistency-scaled median absolute
+    deviation) — the screen that survives heavy-tailed value
+    distributions where z-scores drown.
+
+    Scale: two exact-percentile aggregations on the 5-key event_type
+    (tiny reduce side both times) + a broadcast join of the per-type
+    med/MAD back onto events; the event scan never shuffles. For
+    percentile at extreme group cardinalities swap percentile() for
+    approx_percentile — here exact keeps the oracle tight.
+    """
+    e = T(spark, sf_dir, "events")
+    med = e.groupBy("event_type").agg(
+        F.expr("percentile(value, 0.5)").alias("med")
+    )
+    dev = e.join(F.broadcast(med), "event_type").select(
+        "event_type", F.abs(F.col("value") - F.col("med")).alias("adev")
+    )
+    mad = dev.groupBy("event_type").agg(
+        F.expr("percentile(adev, 0.5)").alias("mad")
+    )
+    thresh = F.lit(3 * 1.4826) * F.col("mad")
+    return (
+        dev.join(F.broadcast(mad), "event_type")
+        .groupBy("event_type", "mad")
+        .agg(
+            F.count(F.lit(1)).alias("n_events"),
+            F.sum(F.when(F.col("adev") > thresh, 1).otherwise(0))
+            .cast("bigint")
+            .alias("n_outliers"),
+        )
+        .select(
+            "event_type",
+            "n_events",
+            "n_outliers",
+            F.round(F.lit(3 * 1.4826) * F.col("mad"), 4).alias("threshold"),
+        )
+    )

@@ -94,3 +94,29 @@ def test_embedding_lsh_pairs_finds_planted_dupes(spark):
     got = {(r.vec_a, r.vec_b) for r in verified.collect()}
     assert (0, 1) in got
     assert all(a in (0, 1) or b in (0, 1) or False for a, b in got) or got == {(0, 1)}
+
+
+def test_pagerank_cycle_uniform(spark):
+    """On a directed cycle every node has identical rank 1/n."""
+    from lakehouse_test_spark.operators.cluster import pagerank
+
+    n = 8
+    edges = spark.createDataFrame(
+        [(i, (i + 1) % n) for i in range(n)], ["src", "dst"]
+    )
+    ranks = {r.node: r.rank for r in pagerank(edges, max_iter=30).collect()}
+    assert abs(sum(ranks.values()) - 1.0) < 1e-3
+    for v in ranks.values():
+        assert abs(v - 1.0 / n) < 1e-3
+
+
+def test_pagerank_star_hub_dominates(spark):
+    """Spokes pointing at a hub: the hub's rank must exceed every
+    spoke's, and total mass stays 1 (dangling hub redistributes)."""
+    from lakehouse_test_spark.operators.cluster import pagerank
+
+    edges = spark.createDataFrame([(i, 99) for i in range(1, 9)], ["src", "dst"])
+    ranks = {r.node: r.rank for r in pagerank(edges, max_iter=30).collect()}
+    hub = ranks.pop(99)
+    assert all(hub > v for v in ranks.values())
+    assert abs(hub + sum(ranks.values()) - 1.0) < 1e-3
