@@ -112,3 +112,12 @@ def test_funnel_single_shuffle(spark, sf_dir):
     # one hashpartitioning for user_id, one SinglePartition for the
     # global rollup of already-tiny data
     assert len([e for e in exchanges if e == "hashpartitioning"]) == 1, p
+
+
+def test_sql_exists_decorrelates_to_hash_joins(spark, sf_dir):
+    """Correlated EXISTS/NOT EXISTS must decorrelate to semi/anti hash
+    joins — never a per-row subquery or nested loop."""
+    p = plan_of(spark, sf_dir, "sql_correlated_exists")
+    assert "LeftSemi" in p, p
+    assert "LeftAnti" in p, p
+    assert "NestedLoop" not in p, p
