@@ -339,3 +339,77 @@ def dedup_keep_best(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .where(F.col("n_dups") > 1)
     )
+
+
+@query(
+    "lm_perplexity_proxy",
+    oracle="""
+    WITH toks AS (
+      SELECT doc_id, unnest(string_split_regex(lower(text), '\\s+')) AS term
+      FROM documents
+    ),
+    tf AS (SELECT doc_id, term, count(*) AS tf FROM toks WHERE term <> '' GROUP BY 1, 2),
+    freq AS (SELECT term, sum(tf) AS cnt FROM tf GROUP BY term),
+    total AS (SELECT sum(cnt) AS n FROM freq),
+    scored AS (
+      SELECT tf.doc_id,
+             sum(tf.tf) AS n_tokens,
+             sum(tf.tf * ln(freq.cnt * 1.0 / total.n)) AS logprob
+      FROM tf JOIN freq USING (term) CROSS JOIN total
+      GROUP BY tf.doc_id
+    )
+    SELECT doc_id,
+           CAST(n_tokens AS BIGINT) AS n_tokens,
+           CAST(round(-logprob / n_tokens, 4) AS DOUBLE) AS nll_per_token,
+           -logprob / n_tokens
+             < (SELECT quantile_cont(-logprob / n_tokens, 0.9) FROM scored)
+             AS keep
+    FROM scored
+    """,
+    tags=("tokens", "llm", "quality", "lm"),
+)
+def lm_perplexity_proxy(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Unigram-LM quality filter (the CCNet/KenLM shape): train unigram
+    frequencies on the corpus itself, score every document by its
+    per-token negative log-likelihood, and keep docs below the 90th
+    percentile — high-NLL docs are gibberish/OOV-heavy and get cut
+    before pretraining.
+
+    Scale: term frequencies are a |vocab|-bounded aggregate (map-side
+    partials); scoring joins per-doc tf rows against the frequency
+    table on term — at 100 TB the freq table is a few GB and
+    broadcast-joins; corpus total and the NLL cutoff are scalar aggs.
+    No iteration, no Python: a real LM filter swaps the scoring
+    expression, not the plan.
+    """
+    d = load_table(spark, sf_dir, "documents")
+    tf = (
+        d.select("doc_id", F.explode(ws_tokens(F.col("text"))).alias("term"))
+        .where(F.col("term") != "")
+        .groupBy("doc_id", "term")
+        .agg(F.count(F.lit(1)).alias("tf"))
+    )
+    freq = tf.groupBy("term").agg(F.sum("tf").alias("cnt"))
+    n_total = freq.agg(F.sum("cnt")).first()[0]
+    scored = (
+        tf.join(freq, "term")
+        .groupBy("doc_id")
+        .agg(
+            F.sum("tf").alias("n_tokens"),
+            F.sum(F.col("tf") * F.log(F.col("cnt") / F.lit(float(n_total)))).alias(
+                "logprob"
+            ),
+        )
+        .select(
+            "doc_id",
+            "n_tokens",
+            (-F.col("logprob") / F.col("n_tokens")).alias("nll_raw"),
+        )
+    )
+    cutoff = scored.agg(F.expr("percentile(nll_raw, 0.9)")).first()[0]
+    return scored.select(
+        "doc_id",
+        F.col("n_tokens").cast("bigint").alias("n_tokens"),
+        F.round("nll_raw", 4).alias("nll_per_token"),
+        (F.col("nll_raw") < F.lit(float(cutoff))).alias("keep"),
+    )

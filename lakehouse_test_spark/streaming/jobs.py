@@ -399,3 +399,70 @@ def streaming_stream_stream_join(spark: SparkSession, sf_dir: str) -> DataFrame:
         & (F.col("purchase_ts") <= F.col("click_ts") + F.expr("INTERVAL 1 HOUR")),
     ).select("click_id", "purchase_id", "user_id")
     return _drain_to_memory(joined, "append")
+
+
+def documents_stream(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Bounded file stream over the documents fixture (same shape as
+    events_stream: schema from the batch reader, AvailableNow runs)."""
+    batch_schema = spark.read.parquet(f"{sf_dir}/documents.parquet").schema
+    return (
+        spark.readStream.schema(batch_schema)
+        .option("maxFilesPerTrigger", 1)
+        .option("pathGlobFilter", "documents.parquet")
+        .parquet(sf_dir)
+    )
+
+
+@query(
+    "streaming_quality_filter",
+    oracle="""
+    WITH scored AS (
+      SELECT lang,
+             length(text) AS nc,
+             len(string_split_regex(lower(text), '\\s+')) AS n_words
+      FROM documents
+    )
+    SELECT lang,
+           CAST(count(*) AS BIGINT) AS n_docs,
+           CAST(sum(CASE WHEN nc BETWEEN 40 AND 5000 AND n_words >= 10
+                         THEN 1 ELSE 0 END) AS BIGINT) AS n_kept,
+           CAST(sum(CASE WHEN nc BETWEEN 40 AND 5000 AND n_words >= 10
+                         THEN n_words ELSE 0 END) AS BIGINT) AS kept_tokens
+    FROM scored
+    GROUP BY lang
+    """,
+    tags=("streaming", "text", "llm", "pipeline"),
+)
+def streaming_quality_filter(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Streaming ingest-time quality gating: the stateless per-doc
+    gates (length band, min word count) applied ON the stream, with a
+    per-language kept/total accounting aggregate — the shape of a
+    quality filter running inside the ingestion pipeline rather than
+    as a batch pass after landing.
+
+    Oracle-checkable: stateless row filters commute with micro-batch
+    slicing, so the final complete-mode state equals the batch
+    aggregate exactly.
+
+    Scale: gates are codegen projections on the stream (no state);
+    only the per-lang counters hold state — O(|langs|) rows. At real
+    scale the same job writes gated rows to a lakehouse sink and the
+    counters to metrics; the gate math is identical.
+    """
+    from lakehouse_test_spark.operators.text import ws_tokens
+
+    s = documents_stream(spark, sf_dir)
+    scored = s.select(
+        "lang",
+        F.length("text").alias("nc"),
+        F.size(ws_tokens(F.col("text"))).alias("n_words"),
+    )
+    keep = F.col("nc").between(40, 5000) & (F.col("n_words") >= 10)
+    agg = scored.groupBy("lang").agg(
+        F.count(F.lit(1)).alias("n_docs"),
+        F.sum(F.when(keep, 1).otherwise(0)).cast("bigint").alias("n_kept"),
+        F.sum(F.when(keep, F.col("n_words")).otherwise(0))
+        .cast("bigint")
+        .alias("kept_tokens"),
+    )
+    return _drain_to_memory(agg, "complete")
