@@ -163,6 +163,9 @@ def pagerank(
         .persist()
     )
     n = nodes.count()
+    if n == 0:  # empty graph: empty ranks, not a ZeroDivisionError
+        e.unpersist()
+        return nodes.withColumn("rank", F.lit(0.0))
     deg = e.groupBy("a").agg(F.count(F.lit(1)).alias("deg")).persist()
     ranks = nodes.withColumn("rank", F.lit(1.0 / n)).persist()
 

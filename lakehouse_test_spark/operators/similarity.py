@@ -437,7 +437,10 @@ def dedup_embedding_lsh_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
              list_transform(e.embedding,
                x -> abs(CAST(x AS DOUBLE)
                         - greatest(-127.0, least(127.0,
-                            floor(CAST(x AS DOUBLE) / q.scale + 0.5))) * q.scale))
+                            floor(CAST(x AS DOUBLE)
+                                  / (CASE WHEN q.scale = 0 THEN 1.0 ELSE q.scale END)
+                                  + 0.5)))
+                          * (CASE WHEN q.scale = 0 THEN 1.0 ELSE q.scale END)))
                AS errs
       FROM embeddings e JOIN q USING (vec_id)
     )
@@ -466,17 +469,27 @@ def embedding_quantize_int8(spark: SparkSession, sf_dir: str) -> DataFrame:
     """
     e = load_table(spark, sf_dir, "embeddings")
     xd = lambda x: x.cast("double")  # noqa: E731
-    scale = (
+    # all-zero vector -> scale 0; quantize against an effective scale
+    # of 1 (errors are identically 0) instead of dividing by zero
+    raw_scale = (
         F.array_max(F.transform(F.col("embedding"), lambda x: F.abs(xd(x)))) / 127.0
-    ).alias("scale")
-    q = e.select("vec_id", "label", "embedding", scale)
+    )
+    q = e.select(
+        "vec_id",
+        "label",
+        "embedding",
+        raw_scale.alias("scale"),
+        F.when(raw_scale == 0, F.lit(1.0)).otherwise(raw_scale).alias("eff_scale"),
+    )
     recon = F.transform(
         F.col("embedding"),
         lambda x: F.greatest(
             F.lit(-127.0),
-            F.least(F.lit(127.0), F.floor(xd(x) / F.col("scale") + 0.5).cast("double")),
+            F.least(
+                F.lit(127.0), F.floor(xd(x) / F.col("eff_scale") + 0.5).cast("double")
+            ),
         )
-        * F.col("scale"),
+        * F.col("eff_scale"),
     )
     errs = F.zip_with(F.col("embedding"), recon, lambda x, r: F.abs(xd(x) - r))
     with_errs = q.select("vec_id", "label", "scale", errs.alias("errs"))

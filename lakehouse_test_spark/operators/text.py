@@ -66,8 +66,9 @@ def word_shingles(tokens: Column, n: int = 3) -> Column:
            CAST(round(CAST(n_chars2 AS DOUBLE) / len(toks), 4) AS DOUBLE) AS avg_word_len,
            CAST(round(len(list_filter(toks, x -> list_contains(['the','a','and','of','to','in','is'], x)))
                       * 1.0 / len(toks), 4) AS DOUBLE) AS stopword_ratio,
-           CAST(round(length(regexp_replace(text, '[A-Za-z0-9\\s]', '', 'g'))
-                      * 1.0 / n_chars2, 4) AS DOUBLE) AS punct_ratio,
+           CAST(round(CASE WHEN n_chars2 = 0 THEN 0.0
+                ELSE length(regexp_replace(text, '[A-Za-z0-9\\s]', '', 'g'))
+                     * 1.0 / n_chars2 END, 4) AS DOUBLE) AS punct_ratio,
            CAST(len(list_distinct(toks)) AS INTEGER) AS n_distinct_words,
            CAST(round(len(list_distinct(toks)) * 1.0 / len(toks), 4) AS DOUBLE) AS ttr
     FROM t
@@ -96,8 +97,13 @@ def text_quality_scores(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.round(
             F.size(F.filter(toks, lambda x: F.array_contains(sw, x))).cast("double") / n_words, 4
         ).alias("stopword_ratio"),
+        # empty doc: no chars -> no punctuation (guard the ANSI /0)
         F.round(
-            F.length(F.regexp_replace("text", r"[A-Za-z0-9\s]", "")).cast("double") / n_chars, 4
+            F.when(n_chars == 0, F.lit(0.0)).otherwise(
+                F.length(F.regexp_replace("text", r"[A-Za-z0-9\s]", "")).cast("double")
+                / n_chars
+            ),
+            4,
         ).alias("punct_ratio"),
         F.size(F.array_distinct(toks)).cast("int").alias("n_distinct_words"),
         F.round(F.size(F.array_distinct(toks)).cast("double") / n_words, 4).alias("ttr"),

@@ -390,7 +390,8 @@ def lm_perplexity_proxy(spark: SparkSession, sf_dir: str) -> DataFrame:
         .agg(F.count(F.lit(1)).alias("tf"))
     )
     freq = tf.groupBy("term").agg(F.sum("tf").alias("cnt"))
-    n_total = freq.agg(F.sum("cnt")).first()[0]
+    # empty/whitespace-only corpus: no tf rows; keep the literals finite
+    n_total = freq.agg(F.sum("cnt")).first()[0] or 1
     scored = (
         tf.join(freq, "term")
         .groupBy("doc_id")
@@ -407,6 +408,8 @@ def lm_perplexity_proxy(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
     )
     cutoff = scored.agg(F.expr("percentile(nll_raw, 0.9)")).first()[0]
+    if cutoff is None:  # empty corpus -> empty result, keep literal finite
+        cutoff = 0.0
     return scored.select(
         "doc_id",
         F.col("n_tokens").cast("bigint").alias("n_tokens"),
