@@ -486,3 +486,94 @@ def pack_sequences(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.sum("n_tokens").cast("bigint").alias("bin_tokens"),
         F.round(F.sum("n_tokens") / F.lit(512.0), 4).alias("fill_ratio"),
     )
+
+
+@query(
+    "text_char_entropy",
+    oracle="""
+    WITH chars AS (
+      SELECT doc_id, length(text) AS n,
+             list_sort(string_split(text, '')) AS cs
+      FROM documents
+    ),
+    runs AS (
+      SELECT doc_id, n,
+             CASE WHEN n = 0 THEN []
+                  ELSE list_filter(list_transform(range(1, n + 1),
+                       i -> CASE WHEN i = n OR cs[i] <> cs[i+1]
+                                 THEN i ELSE NULL END), x -> x IS NOT NULL)
+             END AS run_ends
+      FROM chars
+    ),
+    freqs AS (
+      SELECT doc_id, n,
+             list_transform(range(1, len(run_ends) + 1),
+               j -> run_ends[j] - CASE WHEN j = 1 THEN 0 ELSE run_ends[j-1] END)
+               AS counts
+      FROM runs
+    )
+    SELECT doc_id,
+           CAST(n AS BIGINT) AS n_chars,
+           CAST(len(counts) AS INTEGER) AS n_distinct_chars,
+           CAST(round(CASE WHEN n = 0 THEN 0.0
+                ELSE -list_aggregate(list_transform(counts,
+                       c -> (c * 1.0 / n) * ln(c * 1.0 / n) / ln(2)), 'sum')
+                END, 4) AS DOUBLE) AS char_entropy_bits
+    FROM freqs
+    """,
+    tags=("text", "llm", "quality"),
+)
+def text_char_entropy(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Character-level Shannon entropy per document (bits/char) — low
+    entropy flags repeated-char junk and template spam; very high
+    entropy flags binary-in-text garbage. A standard cheap quality
+    gate next to the word-level signals.
+
+    Scale: zero shuffle. Per-doc char frequencies come from the
+    sorted-run trick (sort the char array, one aggregate pass builds
+    run lengths), so the row cost is O(d log d) with NO per-distinct
+    rescan — the same expression-DAG lesson as text_repetition_ratio,
+    applied at character granularity.
+    """
+    d = load_table(spark, sf_dir, "documents")
+    cs = F.array_sort(F.split(F.col("text"), ""))
+    n = F.length("text")
+    # one pass over sorted chars: close a run at each boundary
+    run_counts = F.aggregate(
+        cs,
+        F.struct(
+            F.lit("").alias("prev"),
+            F.lit(0).alias("run"),
+            F.array().cast("array<int>").alias("done"),
+        ),
+        lambda acc, x: F.struct(
+            x.alias("prev"),
+            F.when(x == acc["prev"], acc["run"] + 1).otherwise(F.lit(1)).alias("run"),
+            F.when(
+                (x != acc["prev"]) & (acc["run"] > 0),
+                F.concat(acc["done"], F.array(acc["run"])),
+            )
+            .otherwise(acc["done"])
+            .alias("done"),
+        ),
+        lambda acc: F.when(
+            acc["run"] > 0, F.concat(acc["done"], F.array(acc["run"]))
+        ).otherwise(acc["done"]),
+    )
+    with_counts = d.select("doc_id", n.alias("n"), run_counts.alias("counts"))
+    p = lambda c: c.cast("double") / F.col("n")  # noqa: E731
+    entropy = -F.aggregate(
+        F.transform(
+            F.col("counts"), lambda c: p(c) * F.log(p(c)) / F.lit(float(__import__("math").log(2)))
+        ),
+        F.lit(0.0),
+        lambda acc, x: acc + x,
+    )
+    return with_counts.select(
+        "doc_id",
+        F.col("n").cast("bigint").alias("n_chars"),
+        F.size("counts").cast("int").alias("n_distinct_chars"),
+        F.round(F.when(F.col("n") == 0, F.lit(0.0)).otherwise(entropy), 4).alias(
+            "char_entropy_bits"
+        ),
+    )

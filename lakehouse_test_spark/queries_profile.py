@@ -271,3 +271,44 @@ def outliers_mad(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.round(F.lit(3 * 1.4826) * F.col("mad"), 4).alias("threshold"),
         )
     )
+
+
+@query(
+    "events_transition_matrix",
+    oracle="""
+    WITH ordered AS (
+      SELECT user_id, event_type, ts,
+             lag(event_type) OVER (PARTITION BY user_id ORDER BY ts, event_id)
+               AS prev_type
+      FROM events
+    )
+    SELECT prev_type, event_type AS next_type,
+           CAST(count(*) AS BIGINT) AS n_transitions
+    FROM ordered
+    WHERE prev_type IS NOT NULL
+    GROUP BY prev_type, event_type
+    """,
+    tags=("events", "window", "markov"),
+)
+def events_transition_matrix(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """First-order Markov transition counts between consecutive event
+    types per user — the path-analysis matrix behind 'what do users do
+    after X' product questions.
+
+    Scale: one shuffle (window partitioned by user_id, ordered by
+    event time with event_id tiebreak for determinism); the rollup
+    groups a |types|²-bounded frame. No self-join — the lag window is
+    the linear-cost formulation.
+    """
+    from pyspark.sql import Window
+
+    e = T(spark, sf_dir, "events")
+    w = Window.partitionBy("user_id").orderBy("ts", "event_id")
+    ordered = e.select(
+        "user_id", "event_type", F.lag("event_type").over(w).alias("prev_type")
+    )
+    return (
+        ordered.where(F.col("prev_type").isNotNull())
+        .groupBy("prev_type", F.col("event_type").alias("next_type"))
+        .agg(F.count(F.lit(1)).alias("n_transitions"))
+    )
