@@ -572,7 +572,12 @@ def text_char_entropy(spark: SparkSession, sf_dir: str) -> DataFrame:
     return with_counts.select(
         "doc_id",
         F.col("n").cast("bigint").alias("n_chars"),
-        F.size("counts").cast("int").alias("n_distinct_chars"),
+        # split("", "") is [""] in Spark (one bogus run) but [] in
+        # DuckDB/Python — pin the empty doc to 0 distinct chars
+        F.when(F.col("n") == 0, F.lit(0))
+        .otherwise(F.size("counts"))
+        .cast("int")
+        .alias("n_distinct_chars"),
         F.round(F.when(F.col("n") == 0, F.lit(0.0)).otherwise(entropy), 4).alias(
             "char_entropy_bits"
         ),

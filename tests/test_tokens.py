@@ -205,3 +205,35 @@ def test_repetition_ratio_matches_python_reference(spark):
             assert got[i] == exp, f"doc {i}: {got[i]} != {exp} ({pytoks})"
 
     check()
+
+
+def test_char_entropy_matches_python_reference(spark):
+    """Spark's sorted-run entropy == a direct Python computation,
+    including empty and single-char docs."""
+    import math
+    import os
+    import tempfile
+    from collections import Counter
+
+    from lakehouse_test_spark.operators.text import text_char_entropy
+
+    docs = ["", "a", "ab", "aaaa", "abab", "the quick brown fox", "aA  zz!"]
+    rows = [(i, t, "en", "s", len(t)) for i, t in enumerate(docs)]
+    df = spark.createDataFrame(rows, ["doc_id", "text", "lang", "source", "n_chars"])
+    with tempfile.TemporaryDirectory() as tmp:
+        df.coalesce(1).write.mode("overwrite").parquet(
+            os.path.join(tmp, "documents.parquet")
+        )
+        got = {
+            r.doc_id: (r.n_chars, r.n_distinct_chars, r.char_entropy_bits)
+            for r in text_char_entropy(spark, tmp).collect()
+        }
+    for i, t in enumerate(docs):
+        n = len(t)
+        counts = Counter(t)
+        ent = (
+            0.0
+            if n == 0
+            else -sum((c / n) * math.log2(c / n) for c in counts.values())
+        )
+        assert got[i] == (n, len(counts), round(ent, 4)), f"doc {i!r}: {got[i]}"
