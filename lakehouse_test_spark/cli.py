@@ -70,6 +70,17 @@ def build_parser() -> argparse.ArgumentParser:
     ama.add_argument("-f", "--file", required=True, help="CSV path")
     ama.add_argument("--table", required=True)
     _add_producer_flags(ama)
+
+    cur = sub.add_parser(
+        "curate",
+        help="documents corpus -> quality-gated, deduped lakehouse table",
+    )
+    cur.add_argument("--sf-dir", required=True, help="fixture dir with documents.parquet")
+    cur.add_argument("--table", required=True, help="output table path")
+    cur.add_argument("--min-words", type=positive_int, default=10)
+    cur.add_argument("--min-ttr", type=float, default=0.2,
+                     help="type-token-ratio diversity gate")
+    _add_producer_flags(cur)
     return p
 
 
@@ -131,6 +142,39 @@ def main(argv: list[str] | None = None, spark=None) -> int:
             print(f"Total lines: {total_lines}")
             print(f"Total sent: {res.rows}")
             print(f"Failed sent: {res.null_keys}")
+        elif args.verb == "curate":
+            # end-to-end pretraining curation: quality gates -> exact
+            # dedup -> diversity gate -> committed lakehouse table
+            from pyspark.sql import functions as F
+
+            from lakehouse_test_spark.operators.text import ws_tokens
+            from lakehouse_test_spark.session import load_table
+
+            _apply_producer_flags(spark, args)
+            d = load_table(spark, args.sf_dir, "documents")
+            total = d.count()
+            toks = ws_tokens(F.col("text"))
+            gated = (
+                d.where(F.length("text").between(40, 5000))
+                .withColumn("n_words", F.size(toks))
+                .where(F.col("n_words") >= args.min_words)
+                .withColumn(
+                    "ttr",
+                    F.size(F.array_distinct(toks)).cast("double") / F.col("n_words"),
+                )
+                .where(F.col("ttr") >= args.min_ttr)
+            )
+            deduped = (
+                gated.groupBy(F.md5(F.lower(F.trim(F.col("text")))).alias("fp"))
+                .agg(F.min(F.struct("doc_id", "text", "lang", "source")).alias("k"))
+                .select("k.doc_id", "k.text", "k.lang", "k.source")
+            )
+            table = LakehouseTable(spark, args.table)
+            commit = table.append(deduped, operation="curate")
+            print(f"Total docs: {total}")
+            print(f"Kept docs: {commit.row_count}")
+            print(f"Dropped: {total - commit.row_count}")
+            print(f"Committed version: {commit.version}")
         return 0
     finally:
         if owns_session:

@@ -53,3 +53,38 @@ def test_parser_verbs():
         p.parse_args(["produce", "--table", "/tmp/t", "-m", "0"])
     with pytest.raises(SystemExit):
         p.parse_args(["unknown_verb"])
+
+
+def test_curate_verb_gates_and_commits(spark, tmp_path, capsys):
+    """curate must apply the quality gates, dedup exact copies, and
+    commit a readable lakehouse table with honest counters."""
+    import os
+
+    from lakehouse_test_spark.cli import main
+    from lakehouse_test_spark.plans.lakehouse import LakehouseTable
+
+    sf = tmp_path / "corpus"
+    sf.mkdir()
+    good = "alpha beta gamma delta epsilon zeta eta theta iota kappa " * 2
+    rows = [
+        (0, good, "en", "s", len(good)),
+        (1, good, "en", "s", len(good)),  # exact dup of 0 -> dropped
+        (2, "short doc", "en", "s", 9),  # fails length gate
+        (3, "a a a a a a a a a a a a a a a a a a a a a a a a a a a a a a a a a a a a a a a a", "en", "s", 79),  # fails ttr
+    ]
+    spark.createDataFrame(rows, ["doc_id", "text", "lang", "source", "n_chars"]).coalesce(
+        1
+    ).write.parquet(os.path.join(str(sf), "documents.parquet"))
+
+    out_table = tmp_path / "curated"
+    rc = main(
+        ["curate", "--sf-dir", str(sf), "--table", str(out_table)], spark=spark
+    )
+    out = capsys.readouterr().out
+    assert rc == 0
+    assert "Total docs: 4" in out
+    assert "Kept docs: 1" in out
+    assert "Dropped: 3" in out
+    t = LakehouseTable(spark, str(out_table))
+    kept = t.snapshot().collect()
+    assert len(kept) == 1 and kept[0].doc_id == 0
