@@ -383,3 +383,58 @@ def dedup_embedding_cosine(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.round(cosine(F.col("emb_a"), F.col("emb_b")), 4).alias("cos_sim"),
         )
     )
+
+
+@query(
+    "dedup_containment",
+    oracle="""
+    WITH s AS (
+      SELECT doc_id,
+             list_distinct(list_transform(
+               range(1, greatest(len(toks) - 1, 1)),
+               i -> concat(toks[i], ' ', toks[i+1], ' ', toks[i+2]))) AS sh
+      FROM (SELECT doc_id, string_split_regex(lower(text), '\\s+') AS toks FROM documents)
+    )
+    SELECT a.doc_id AS doc_a, b.doc_id AS doc_b,
+           CAST(CASE WHEN len(a.sh) > 0
+                     THEN round(len(list_intersect(a.sh, b.sh)) * 1.0 / len(a.sh), 4)
+                     ELSE 0.0 END AS DOUBLE) AS containment_ab,
+           CAST(CASE WHEN len(b.sh) > 0
+                     THEN round(len(list_intersect(a.sh, b.sh)) * 1.0 / len(b.sh), 4)
+                     ELSE 0.0 END AS DOUBLE) AS containment_ba,
+           len(a.sh) > 0
+             AND len(list_intersect(a.sh, b.sh)) * 1.0 / len(a.sh) >= 0.9
+             AS a_inside_b
+    FROM s a JOIN s b ON b.doc_id = a.doc_id + 1
+    """,
+    tags=("dedup", "llm"),
+)
+def dedup_containment(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Asymmetric shingle containment |A∩B| / |A| on the linear
+    pairing — the signal Jaccard misses: a short doc fully quoted
+    inside a long one has low Jaccard but containment ≈ 1, the common
+    boilerplate/quotation near-dup in web corpora (Broder's original
+    resemblance-vs-containment distinction).
+
+    Scale: same linear-pairing shape as dedup_ngram_jaccard (the full
+    problem rides the MinHash-LSH candidate generator: containment
+    verification is one division swap in the verify stage).
+    """
+    d = load_table(spark, sf_dir, "documents")
+    sh = d.select("doc_id", word_shingles(ws_tokens(F.col("text")), 3).alias("sh"))
+    a, b = sh.alias("a"), sh.alias("b")
+    inter = F.size(F.array_intersect(F.col("a.sh"), F.col("b.sh")))
+    contain = lambda side: F.when(  # noqa: E731
+        F.size(F.col(f"{side}.sh")) > 0,
+        inter.cast("double") / F.size(F.col(f"{side}.sh")),
+    ).otherwise(F.lit(0.0))
+    return (
+        a.join(b, F.col("b.doc_id") == F.col("a.doc_id") + 1)
+        .select(
+            F.col("a.doc_id").alias("doc_a"),
+            F.col("b.doc_id").alias("doc_b"),
+            F.round(contain("a"), 4).alias("containment_ab"),
+            F.round(contain("b"), 4).alias("containment_ba"),
+            (contain("a") >= 0.9).alias("a_inside_b"),
+        )
+    )
