@@ -44,8 +44,10 @@ def test_connected_components_deep_path_graph(spark):
     assert all(r.component == 0 for r in rows), "path graph must collapse to one component"
     # O(log n) iterations of bounded-size joins on 10k rows: generous
     # wall-clock bound that an O(n)-iteration or O(k^2)-lineage
-    # implementation cannot meet
-    assert elapsed < 120, f"deep-path convergence took {elapsed:.0f}s"
+    # implementation cannot meet even on a fully contended machine
+    # (observed: ~80s solo, ~125s under a concurrent full suite; an
+    # O(n)-iteration version needs thousands of joins, i.e. hours)
+    assert elapsed < 300, f"deep-path convergence took {elapsed:.0f}s"
 
 
 def test_connected_components_nonconvergence_raises(spark):
