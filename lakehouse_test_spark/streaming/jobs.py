@@ -466,3 +466,50 @@ def streaming_quality_filter(spark: SparkSession, sf_dir: str) -> DataFrame:
         .alias("kept_tokens"),
     )
     return _drain_to_memory(agg, "complete")
+
+
+@query(
+    "streaming_dedup_within_watermark",
+    oracle="""
+    SELECT event_type,
+           CAST(count(DISTINCT user_id) AS BIGINT) AS n_unique_users
+    FROM events
+    GROUP BY event_type
+    """,
+    tags=("streaming", "dedup", "events"),
+)
+def streaming_dedup_within_watermark(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Streaming dedup with BOUNDED state: dropDuplicatesWithinWatermark
+    keeps a (user_id, event_type) key only until the watermark passes
+    its event time, unlike plain dropDuplicates whose state grows
+    forever. The per-type unique-user rollup equals the batch DISTINCT
+    because the fixture's duplicates all fall inside the 1-hour
+    horizon.
+
+    Scale: THE production dedup shape for infinite streams — state is
+    O(keys per watermark window), not O(keys ever seen); the reference
+    consumer's at-least-once redelivery dedup maps exactly onto it.
+    """
+    s = events_stream(spark, sf_dir)
+    dedup = (
+        s.withWatermark("ts", "1 hour")
+        .dropDuplicatesWithinWatermark(["user_id", "event_type"])
+    )
+    # append-mode drain of the deduped rows, exact rollup on the sink
+    # (a windowed agg over the deduped stream would need its own
+    # watermark bookkeeping that adds nothing to this op)
+    name = f"mem_{uuid.uuid4().hex[:12]}"
+    q = (
+        dedup.select("user_id", "event_type")
+        .writeStream.format("memory")
+        .queryName(name)
+        .outputMode("append")
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination()
+    return (
+        spark.table(name)
+        .groupBy("event_type")
+        .agg(F.countDistinct("user_id").alias("n_unique_users"))
+    )
