@@ -329,6 +329,12 @@ def text_repetition_ratio(spark: SparkSession, sf_dir: str) -> DataFrame:
     stays embarrassingly parallel and length-bounded at 100 TB.
     """
     d = load_table(spark, sf_dir, "documents")
+    # CPU-heavy per-row stage: spread a small single-file scan across
+    # cores (no-op on a real multi-file 100 TB scan; locally it is
+    # 1 core vs 32 — measured 6.6 s -> 0.6 s at sf0.1)
+    target = spark.sparkContext.defaultParallelism
+    if d.rdd.getNumPartitions() < target:
+        d = d.repartition(target)
     toks = ws_tokens(F.col("text"))
     idx = F.when(
         F.size(toks) >= 2, F.sequence(F.lit(1), F.size(toks) - 1)
@@ -536,6 +542,11 @@ def text_char_entropy(spark: SparkSession, sf_dir: str) -> DataFrame:
     applied at character granularity.
     """
     d = load_table(spark, sf_dir, "documents")
+    # same single-small-file guard as text_repetition_ratio: the
+    # per-row sort/aggregate is the cost, spread it across cores
+    target = spark.sparkContext.defaultParallelism
+    if d.rdd.getNumPartitions() < target:
+        d = d.repartition(target)
     cs = F.array_sort(F.split(F.col("text"), ""))
     n = F.length("text")
     # one pass over sorted chars: close a run at each boundary
