@@ -159,15 +159,22 @@ class LakehouseTable:
         operation: str,
         data_change: bool,
         stats_cols: list[str] | None = None,
+        partition_by: list[str] | None = None,
     ) -> Commit:
         """Write ``df`` as a full-table rewrite and publish it as a
         restate commit (readers use it as their new base). Zone-map
         stats are recorded like ``append`` so ``scan_pruned`` keeps
-        skipping files after merges/deletes/compactions."""
+        skipping files after merges/deletes/compactions.
+        ``partition_by`` hive-partitions the rewrite (the partition
+        column is synthetic and disappears from the read schema since
+        snapshots read explicit file lists)."""
         commit_dir = self.path / "data" / f"{operation}-{uuid.uuid4().hex[:12]}"
-        df.write.parquet(str(commit_dir))
+        w = df.write
+        if partition_by:
+            w = w.partitionBy(*partition_by)
+        w.parquet(str(commit_dir))
         files = sorted(
-            str(p.relative_to(self.path)) for p in commit_dir.glob("part-*.parquet")
+            str(p.relative_to(self.path)) for p in commit_dir.rglob("part-*.parquet")
         )
         stats = (
             {f: _file_stats(self.path / f, stats_cols) for f in files} if stats_cols else None
@@ -236,17 +243,23 @@ class LakehouseTable:
         readers skip it.
 
         Each column is min/max-normalized to 16 bits and the bits are
-        interleaved into one integer key; ``repartitionByRange`` +
-        ``sortWithinPartitions`` on that key make every output file a
-        contiguous Z-curve segment, which is axis-aligned-compact in
-        all dimensions — the property multi-dim file skipping needs.
+        interleaved into one integer key; files are cut at EXACT
+        z-percentile boundaries (equal-count buckets) and written
+        hive-partitioned by bucket, so every output file is a
+        contiguous Z-curve segment — axis-aligned-compact in all
+        dimensions, the property multi-dim file skipping needs. The
+        cutpoints are computed from the data, not sampled, so the
+        file layout (and the pruning tests that pin it) is
+        deterministic run to run — unlike ``repartitionByRange``,
+        whose sampled boundaries shift per run.
 
-        Scale: one global-bounds agg (min/max per col — map-side
-        partials), one range shuffle on the z-key. The z-key math is
-        32 shift/or terms in codegen. Range skew on the key is handled
-        by repartitionByRange's sampling. (Rank-based normalization
-        would resist heavy value skew better than min/max; at 100 TB
-        swap the bounds agg for approxQuantile cutpoints.)
+        Scale: one global-bounds agg, one exact-percentile agg
+        (swap for approx_percentile at 100 TB — same contract, the
+        sketch is deterministic for fixed data), one hash shuffle on
+        the bucket id. The z-key math is 32 shift/or terms in codegen.
+        (Rank-based normalization would resist heavy value skew better
+        than min/max; the percentile cut already balances file SIZES
+        under skew.)
         """
         from pyspark.sql import functions as F
 
@@ -271,14 +284,26 @@ class LakehouseTable:
                 z = z + F.shiftleft(
                     F.shiftright(nrm, i).bitwiseAND(F.lit(1)), i * k + j
                 )
+        with_z = snap.withColumn("_z", z)
+        fracs = [i / target_partitions for i in range(1, target_partitions)]
+        cuts = with_z.agg(
+            F.expr(f"percentile(_z, array({','.join(str(f) for f in fracs)}))")
+        ).first()[0]
+        bucket = F.lit(0)
+        for cut in cuts:
+            bucket = bucket + F.when(F.col("_z") > F.lit(int(cut)), 1).otherwise(0)
         clustered = (
-            snap.withColumn("_z", z)
-            .repartitionByRange(target_partitions, "_z")
-            .sortWithinPartitions("_z")
+            with_z.withColumn("_zb", bucket)
+            .repartition(target_partitions, "_zb")
+            .sortWithinPartitions("_zb", "_z")
             .drop("_z")
         )
         return self._commit_restate(
-            clustered, "zorder", data_change=False, stats_cols=stats_cols or cols
+            clustered,
+            "zorder",
+            data_change=False,
+            stats_cols=stats_cols or cols,
+            partition_by=["_zb"],
         )
 
     # -- reads ---------------------------------------------------------------
