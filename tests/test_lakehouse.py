@@ -277,3 +277,51 @@ def test_zorder_is_datachange_false(spark, table):
     table.zorder(["ba", "age"])
     assert table.snapshot().count() == 300
     assert table.read_changes(since_version=v).count() == 0
+
+
+def test_incremental_rollup_maintenance(spark, tmp_path):
+    """maintain_rollup folded over any append sequence must equal a
+    full recompute, and must recover by rebuild when a restate
+    (delete) crosses the cursor."""
+    from lakehouse_test_spark.plans.lakehouse import (
+        LakehouseTable,
+        maintain_rollup,
+    )
+
+    src = LakehouseTable(spark, str(tmp_path / "src"))
+    tgt = LakehouseTable(spark, str(tmp_path / "tgt"))
+
+    def check():
+        expect = {
+            (r.gender, r.n_rows, round(r.total, 4))
+            for r in src.snapshot()
+            .groupBy("gender")
+            .agg(F.count(F.lit(1)).alias("n_rows"), F.sum("score").alias("total"))
+            .collect()
+        }
+        got = {
+            (r.gender, r.n_rows, round(r.total, 4))
+            for r in tgt.snapshot().select("gender", "n_rows", "total").collect()
+        }
+        assert got == expect
+
+    cursor = -1
+    src.append(person_stream(spark, 100))
+    cursor = maintain_rollup(spark, src, tgt, ["gender"], "score", cursor)
+    check()
+    src.append(person_stream(spark, 50))
+    src.append(person_stream(spark, 25))
+    cursor = maintain_rollup(spark, src, tgt, ["gender"], "score", cursor)
+    check()
+    # no-op maintenance: no new commits, rollup unchanged
+    cursor = maintain_rollup(spark, src, tgt, ["gender"], "score", cursor)
+    check()
+    # restate past the cursor: delete forces the rebuild path
+    src.delete_where("ba < 10")
+    cursor = maintain_rollup(spark, src, tgt, ["gender"], "score", cursor)
+    check()
+    src.append(person_stream(spark, 30))
+    cursor = maintain_rollup(spark, src, tgt, ["gender"], "score", cursor)
+    check()
+    src.drop()
+    tgt.drop()
