@@ -176,3 +176,65 @@ def multimodal_frame_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     a = assets_from_documents(spark, sf_dir)
     return a.select("asset_id", "payload").mapInPandas(sample, schema=frame_schema)
+
+
+@query(
+    "multimodal_audio_chunks",
+    oracle="""
+    WITH assets AS (
+      SELECT doc_id AS asset_id, hex(encode(text)) AS h,
+             octet_length(encode(text)) AS n_bytes
+      FROM documents
+    ),
+    chunks AS (
+      SELECT asset_id,
+             unnest(range(0, CAST(ceil(n_bytes / 256.0) AS BIGINT))) AS chunk_id,
+             h, n_bytes
+      FROM assets
+    )
+    SELECT asset_id, chunk_id,
+           CAST(least(256, n_bytes - chunk_id * 256) AS INTEGER) AS chunk_bytes,
+           md5(substr(h, CAST(chunk_id * 512 + 1 AS BIGINT), 512)) AS chunk_hex_md5
+    FROM chunks
+    """,
+    tags=("multimodal", "llm", "audio"),
+)
+def multimodal_audio_chunks(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Fixed-size chunk segmentation of a binary payload — the audio
+    preprocessing shape (fixed-duration PCM frames for feature
+    extraction) applied to the synthesized byte payloads. Every chunk
+    is content-verified: md5 over the hex encoding, because the DuckDB
+    oracle cannot slice BLOBs but both engines agree byte-for-byte on
+    hex strings.
+
+    Scale: pure codegen — sequence over chunk indices, substring
+    slicing, explode; no UDF, no shuffle. The same plan shape carries
+    a real decoder: swap the hash projection for a mapInPandas decode
+    of each chunk (operators/multimodal.decode_media), partitioning
+    and row explosion unchanged.
+    """
+    CHUNK = 256
+    a = assets_from_documents(spark, sf_dir)
+    n = F.length("payload")
+    n_chunks = F.ceil(n.cast("double") / CHUNK).cast("bigint")
+    idx = F.when(
+        n_chunks > 0, F.sequence(F.lit(0).cast("bigint"), n_chunks - 1)
+    ).otherwise(F.array().cast("array<bigint>"))
+    ex = a.select(
+        "asset_id",
+        F.hex(F.col("payload")).alias("h"),
+        n.alias("n_bytes"),
+        F.explode(idx).alias("chunk_id"),
+    )
+    return ex.select(
+        "asset_id",
+        "chunk_id",
+        F.least(F.lit(CHUNK), F.col("n_bytes") - F.col("chunk_id") * CHUNK)
+        .cast("int")
+        .alias("chunk_bytes"),
+        F.md5(
+            F.substring(
+                F.col("h"), (F.col("chunk_id") * CHUNK * 2 + 1).cast("int"), CHUNK * 2
+            )
+        ).alias("chunk_hex_md5"),
+    )
