@@ -325,3 +325,20 @@ def test_incremental_rollup_maintenance(spark, tmp_path):
     check()
     src.drop()
     tgt.drop()
+
+
+def test_orphan_data_files_invisible(spark, table):
+    """Atomicity: data files written WITHOUT a log commit (a writer
+    that died before publishing) must be invisible to snapshots,
+    incremental reads, and row totals — committed == readable."""
+    table.append(person_stream(spark, 100))
+    # simulate a crashed writer: data lands, log entry never does
+    orphan_dir = table.path / "data" / "orphan-crashed-writer"
+    person_stream(spark, 40).coalesce(1).write.parquet(str(orphan_dir))
+    assert any(orphan_dir.glob("part-*.parquet")), "fixture wrote no data"
+    assert table.snapshot().count() == 100
+    assert table.total_rows_committed() == 100
+    assert table.read_changes(since_version=-1).count() == 100
+    # the next real commit is unaffected
+    table.append(person_stream(spark, 10))
+    assert table.snapshot().count() == 110
