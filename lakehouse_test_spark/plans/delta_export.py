@@ -70,33 +70,48 @@ def export_delta_log(spark: SparkSession, table: LakehouseTable) -> Path:
         shutil.rmtree(log_dir)
     log_dir.mkdir(parents=True)
 
-    first_files = None
+    def _schema_of(files: list[str]) -> str:
+        if not files:
+            return "{}"
+        return (
+            spark.read.option("mergeSchema", "true")
+            .parquet(*[str(table.path / f) for f in files])
+            .schema.json()
+        )
+
+    def _metadata_action(schema_json: str, now_ms: int) -> dict:
+        return {
+            "metaData": {
+                "id": f"{table.path.name}-delta-export",
+                "format": {"provider": "parquet", "options": {}},
+                "schemaString": schema_json,
+                "partitionColumns": [],
+                "configuration": {},
+                "createdTime": now_ms,
+            }
+        }
+
+    current_schema: str | None = None
     live: list[str] = []
     for commit in table.history():
         actions: list[dict] = []
         now_ms = int(time.time() * 1000)
         if commit.version == 0:
-            if commit.files:
-                first_files = commit.files
-            schema_json = (
-                spark.read.parquet(*[str(table.path / f) for f in first_files])
-                .schema.json()
-                if first_files
-                else "{}"
-            )
             actions.append({"protocol": PROTOCOL})
-            actions.append(
-                {
-                    "metaData": {
-                        "id": f"{table.path.name}-delta-export",
-                        "format": {"provider": "parquet", "options": {}},
-                        "schemaString": schema_json,
-                        "partitionColumns": [],
-                        "configuration": {},
-                        "createdTime": now_ms,
-                    }
-                }
-            )
+            current_schema = _schema_of(commit.files)
+            actions.append(_metadata_action(current_schema, now_ms))
+        elif commit.files:
+            # Delta requires a fresh metaData action in the commit that
+            # changes the schema — without it a reader never learns
+            # about evolved (added) columns. The reference point is the
+            # MERGED schema of the post-commit live set, so an append
+            # that still carries the old (narrower) schema never
+            # regresses the published one.
+            next_live = commit.files if commit.restate else live + commit.files
+            merged_schema = _schema_of(next_live)
+            if merged_schema != current_schema:
+                current_schema = merged_schema
+                actions.append(_metadata_action(current_schema, now_ms))
         if commit.restate:
             for f in live:
                 actions.append(

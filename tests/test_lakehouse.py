@@ -342,3 +342,39 @@ def test_orphan_data_files_invisible(spark, table):
     # the next real commit is unaffected
     table.append(person_stream(spark, 10))
     assert table.snapshot().count() == 110
+
+
+def test_delta_export_schema_evolution(spark, table):
+    """Additive schema evolution must surface as a fresh metaData
+    action in the evolving commit, and a later old-schema append must
+    NOT regress the published schema."""
+    import json
+
+    from lakehouse_test_spark.plans.delta_export import (
+        export_delta_log,
+        read_delta_log,
+    )
+
+    table.append(person_stream(spark, 20))
+    evolved = person_stream(spark, 10).withColumn("tier", F.lit("gold"))
+    table.append(evolved)  # adds a column
+    table.append(person_stream(spark, 5))  # old schema again
+    log_dir = export_delta_log(spark, table)
+
+    def fields_at(v):
+        metas = [
+            json.loads(l)["metaData"]
+            for l in (log_dir / f"{v:020d}.json").read_text().splitlines()
+            if '"metaData"' in l
+        ]
+        if not metas:
+            return None
+        return {
+            f["name"] for f in json.loads(metas[-1]["schemaString"])["fields"]
+        }
+
+    assert "tier" not in fields_at(0)
+    assert "tier" in fields_at(1), "evolving commit must emit new metaData"
+    assert fields_at(2) is None, "old-schema append must not emit metaData"
+    df = read_delta_log(spark, str(table.path))
+    assert "tier" in df.columns and df.count() == 35
