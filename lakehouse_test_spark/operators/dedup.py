@@ -438,3 +438,66 @@ def dedup_containment(spark: SparkSession, sf_dir: str) -> DataFrame:
             (contain("a") >= 0.9).alias("a_inside_b"),
         )
     )
+
+
+def search_similar_docs(
+    spark: SparkSession,
+    sf_dir: str,
+    query_doc_id: int,
+    k: int = 10,
+) -> DataFrame:
+    """Query-by-document similarity search: the query doc's distinct
+    3-gram shingles fold into the plan as an array literal (a few KB —
+    broadcast for free), every doc scores one codegen'd Jaccard
+    against it, TakeOrdered returns the top-k. The interactive twin of
+    the batch dedup pipeline; at qps-scale the same literal-fold runs
+    against the LSH-bucketed index to skip the full scan.
+    """
+    d = load_table(spark, sf_dir, "documents")
+    qrow = (
+        d.where(F.col("doc_id") == query_doc_id)
+        .select(word_shingles(ws_tokens(F.col("text")), 3).alias("sh"))
+        .head()
+    )
+    q_sh = sorted(qrow["sh"]) if qrow else []
+    sh = word_shingles(ws_tokens(F.col("text")), 3)
+    return (
+        d.where(F.col("doc_id") != query_doc_id)
+        .select(
+            "doc_id",
+            F.round(_jaccard(sh, F.lit(q_sh)), 4).alias("jaccard"),
+        )
+        .orderBy(F.desc("jaccard"), F.asc("doc_id"))
+        .limit(k)
+    )
+
+
+@query(
+    "similarity_docs_by_jaccard",
+    oracle="""
+    WITH s AS (
+      SELECT doc_id,
+             list_distinct(list_transform(
+               range(1, greatest(len(toks) - 1, 1)),
+               i -> concat(toks[i], ' ', toks[i+1], ' ', toks[i+2]))) AS sh
+      FROM (SELECT doc_id, string_split_regex(lower(text), '\\s+') AS toks FROM documents)
+    ),
+    q AS (SELECT sh AS qsh FROM s WHERE doc_id = 0)
+    SELECT s.doc_id,
+           CAST(CASE WHEN len(list_distinct(list_concat(s.sh, q.qsh))) > 0
+                     THEN round(len(list_intersect(s.sh, q.qsh)) * 1.0
+                                / len(list_distinct(list_concat(s.sh, q.qsh))), 4)
+                     ELSE 0.0 END AS DOUBLE) AS jaccard
+    FROM s CROSS JOIN q
+    WHERE s.doc_id <> 0
+    ORDER BY jaccard DESC, s.doc_id
+    LIMIT 10
+    """,
+    tags=("similarity", "dedup", "llm"),
+)
+def similarity_docs_by_jaccard(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Top-10 documents most shingle-similar to doc 0 (query-by-
+    document) — see :func:`search_similar_docs` for the scale story.
+    Ordering on the rounded score with doc_id tiebreak keeps the
+    boundary deterministic across engines."""
+    return search_similar_docs(spark, sf_dir, query_doc_id=0, k=10)

@@ -312,3 +312,57 @@ def events_transition_matrix(spark: SparkSession, sf_dir: str) -> DataFrame:
         .groupBy("prev_type", F.col("event_type").alias("next_type"))
         .agg(F.count(F.lit(1)).alias("n_transitions"))
     )
+
+
+@query(
+    "histogram_equidepth",
+    oracle="""
+    WITH cuts AS (
+      SELECT quantile_cont(o_totalprice, [0.125, 0.25, 0.375, 0.5, 0.625, 0.75, 0.875]) AS q
+      FROM orders
+    )
+    SELECT CAST((CASE WHEN o_totalprice > q[1] THEN 1 ELSE 0 END
+           + CASE WHEN o_totalprice > q[2] THEN 1 ELSE 0 END
+           + CASE WHEN o_totalprice > q[3] THEN 1 ELSE 0 END
+           + CASE WHEN o_totalprice > q[4] THEN 1 ELSE 0 END
+           + CASE WHEN o_totalprice > q[5] THEN 1 ELSE 0 END
+           + CASE WHEN o_totalprice > q[6] THEN 1 ELSE 0 END
+           + CASE WHEN o_totalprice > q[7] THEN 1 ELSE 0 END) AS INTEGER) AS bucket,
+           CAST(count(*) AS BIGINT) AS n,
+           CAST(round(min(o_totalprice), 2) AS DOUBLE) AS bucket_min,
+           CAST(round(max(o_totalprice), 2) AS DOUBLE) AS bucket_max
+    FROM orders CROSS JOIN cuts
+    GROUP BY 1
+    """,
+    tags=("profile", "agg", "histogram"),
+)
+def histogram_equidepth(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Equi-depth (equal-count) 8-bucket histogram via exact octile
+    cutpoints — the bucket layout range partitioners, ZORDER cuts, and
+    skew detectors actually want (equi-WIDTH buckets collapse under
+    skew; equi-depth buckets are balanced by construction).
+
+    Scale: one percentile aggregate (swap percentile -> approx_
+    percentile at 100 TB: deterministic sketch, same contract) + one
+    scan with the 7 cutpoints folded in as literals + a partial-agg
+    rollup on 8 keys. Spark's percentile and DuckDB's quantile_cont
+    share the linear-interpolation definition, so the boundary is
+    oracle-exact.
+    """
+    o = T(spark, sf_dir, "orders")
+    cuts = o.agg(
+        F.expr(
+            "percentile(o_totalprice, array(0.125,0.25,0.375,0.5,0.625,0.75,0.875))"
+        )
+    ).first()[0]
+    bucket = F.lit(0)
+    for c in cuts:
+        bucket = bucket + F.when(F.col("o_totalprice") > F.lit(float(c)), 1).otherwise(0)
+    return (
+        o.groupBy(bucket.cast("int").alias("bucket"))
+        .agg(
+            F.count(F.lit(1)).alias("n"),
+            F.round(F.min("o_totalprice"), 2).alias("bucket_min"),
+            F.round(F.max("o_totalprice"), 2).alias("bucket_max"),
+        )
+    )
