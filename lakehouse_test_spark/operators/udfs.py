@@ -178,3 +178,121 @@ def udf_stateful_session_counter(spark: SparkSession, sf_dir: str) -> DataFrame:
         .agg(F.max("total_events").alias("total_events"))
     )
     return final
+
+
+def _has_protobuf() -> bool:
+    """transformWithStateInPandas drives its state-server protocol
+    over protobuf; the pip pyspark wheel does not declare it and this
+    container cannot install packages. Register the query only where
+    the dependency exists (same environment-gate posture as Kafka
+    broker connectivity and multimodal codecs)."""
+    try:
+        import google.protobuf  # noqa: F401
+
+        return True
+    except ImportError:
+        return False
+
+
+def udf_transform_with_state(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Arbitrary stateful processing via transformWithStateInPandas
+    (Spark 4's StatefulProcessor API — the successor to
+    applyInPandasWithState): per-user ValueState accumulating
+    (event count, value sum, max value) across micro-batches.
+
+    vs the old API: typed state handles (Value/List/MapState), timers,
+    TTL, and schema evolution of state — this is the operator model
+    for production stateful pipelines (RocksDB state store at scale).
+    Rows-only when registered; totals are pinned against the batch
+    aggregate in tests/test_wave4.py (skipped without protobuf).
+    """
+    import uuid
+
+    from pyspark.sql.streaming.stateful_processor import (
+        StatefulProcessor,
+        StatefulProcessorHandle,
+    )
+
+    spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")  # ns fixture
+    batch_schema = spark.read.parquet(f"{sf_dir}/events.parquet").schema
+    stream = (
+        spark.readStream.schema(batch_schema)
+        .option("pathGlobFilter", "events.parquet")
+        .parquet(sf_dir)
+        .select("user_id", "value")
+    )
+
+    out_schema = StructType(
+        [
+            StructField("user_id", LongType()),
+            StructField("total_events", LongType()),
+            StructField("total_value", DoubleType()),
+            StructField("max_value", DoubleType()),
+        ]
+    )
+
+    class UserTotals(StatefulProcessor):
+        def init(self, handle: StatefulProcessorHandle) -> None:
+            self._state = handle.getValueState(
+                "totals",
+                StructType(
+                    [
+                        StructField("n", LongType()),
+                        StructField("s", DoubleType()),
+                        StructField("m", DoubleType()),
+                    ]
+                ),
+            )
+
+        def handleInputRows(self, key, rows, timerValues) -> Iterator[pd.DataFrame]:
+            n, s, m = (
+                self._state.get() if self._state.exists() else (0, 0.0, float("-inf"))
+            )
+            for pdf in rows:
+                n += len(pdf)
+                s += float(pdf["value"].sum())
+                if len(pdf):
+                    m = max(m, float(pdf["value"].max()))
+            self._state.update((n, s, m))
+            yield pd.DataFrame(
+                {
+                    "user_id": [key[0]],
+                    "total_events": [n],
+                    "total_value": [round(s, 2)],
+                    "max_value": [m],
+                }
+            )
+
+        def close(self) -> None:
+            pass
+
+    result = stream.groupBy("user_id").transformWithStateInPandas(
+        UserTotals(),
+        outputStructType=out_schema,
+        outputMode="Update",
+        timeMode="None",
+    )
+    name = f"mem_{uuid.uuid4().hex[:12]}"
+    q = (
+        result.writeStream.format("memory")
+        .queryName(name)
+        .outputMode("update")
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination()
+    return (
+        spark.table(name)
+        .groupBy("user_id")
+        .agg(
+            F.max("total_events").alias("total_events"),
+            F.max("total_value").alias("total_value"),
+            F.max("max_value").alias("max_value"),
+        )
+    )
+
+
+if _has_protobuf():  # environment-gated registration
+    query("udf_transform_with_state", oracle=None, tags=("udf", "streaming", "stateful"))(
+        udf_transform_with_state
+    )

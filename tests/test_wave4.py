@@ -86,3 +86,29 @@ def test_interpolation_properties(spark):
                 assert float(r.v_interp) == float(series[prev].v_interp)
             else:
                 assert float(r.v_interp) == float(series[nxt].v_interp)
+
+
+def test_transform_with_state_totals(spark):
+    from lakehouse_test_spark.operators import udfs
+
+    if not udfs._has_protobuf():
+        import pytest
+
+        pytest.skip("protobuf not available: transformWithStateInPandas gated off")
+    got = {
+        r.user_id: (r.total_events, float(r.total_value))
+        for r in udfs.udf_transform_with_state(spark, SF).collect()
+    }
+    e = load_table(spark, SF, "events")
+    exp = {
+        r.user_id: (r.n, float(r.tv))
+        for r in e.groupBy("user_id")
+        .agg(
+            F.count(F.lit(1)).alias("n"),
+            F.round(F.sum("value"), 2).alias("tv"),
+        )
+        .collect()
+    }
+    assert set(got) == set(exp)
+    for u in exp:
+        assert got[u][0] == exp[u][0]
