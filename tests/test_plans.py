@@ -121,3 +121,40 @@ def test_sql_exists_decorrelates_to_hash_joins(spark, sf_dir):
     assert "LeftSemi" in p, p
     assert "LeftAnti" in p, p
     assert "NestedLoop" not in p, p
+
+
+def test_bm25_filters_postings_before_shuffle(spark, sf_dir):
+    """The query-term filter must run map-side (before the tf
+    aggregate's exchange): shuffled volume is |matching postings|,
+    not the whole corpus's token stream."""
+    p = plan_of(spark, sf_dir, "text_bm25_search", "formatted")
+    assert "IN (spark,merge,vector)" in p, "no term filter found in plan"
+    assert "TakeOrderedAndProject" in p, "top-k must be TakeOrdered"
+
+
+def test_ohlc_is_single_aggregate_no_window(spark, sf_dir):
+    """OHLC via min_by/max_by: one hash aggregate with map-side
+    partials, never a window sort."""
+    p = plan_of(spark, sf_dir, "timeseries_ohlc_hourly")
+    assert "Window" not in p
+    assert p.count("HashAggregate") >= 2  # partial + final
+
+
+def test_prefix_filter_join_no_cartesian(spark, sf_dir):
+    """Candidate generation must be an equi-join on prefix tokens —
+    never a nested-loop over doc pairs."""
+    p = plan_of(spark, sf_dir, "dedup_jaccard_prefix_filter")
+    assert "CartesianProduct" not in p
+    assert "BroadcastNestedLoop" not in p
+
+
+def test_triangle_joins_are_hash(spark, sf_dir):
+    p = plan_of(spark, sf_dir, "graph_triangle_count")
+    assert "CartesianProduct" not in p
+
+
+def test_expectations_single_scan_per_table(spark, sf_dir):
+    """N rules on orders = ONE scan of orders (rules fold into one
+    aggregate projection)."""
+    p = plan_of(spark, sf_dir, "dq_expectations")
+    assert p.count("orders.parquet") <= 1 or p.count("Scan parquet") <= 3
