@@ -36,6 +36,8 @@ from pathlib import Path
 from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql.functions import col as F_col
 
+from lakehouse_test_spark.registry import query as _query
+
 
 @dataclass
 class Commit:
@@ -59,6 +61,17 @@ class RestateAcrossCursorError(RuntimeError):
     reader must restart from a fresh snapshot (Delta/Iceberg raise the
     same way when dataChange rewrites cross an incremental-read range).
     """
+
+
+class VacuumHorizonError(RuntimeError):
+    """Time travel below the vacuum horizon: the requested version's
+    files were physically deleted by ``vacuum`` (Delta raises the same
+    when VACUUM removed files a past version needs)."""
+
+
+class ConstraintViolationError(RuntimeError):
+    """A write violated a table CHECK constraint; nothing was
+    committed (validation runs before any file lands)."""
 
 
 def _file_stats(path: Path, cols: list[str]) -> dict:
@@ -119,7 +132,11 @@ class LakehouseTable:
     # -- writes --------------------------------------------------------------
 
     def append(
-        self, df: DataFrame, operation: str = "append", stats_cols: list[str] | None = None
+        self,
+        df: DataFrame,
+        operation: str = "append",
+        stats_cols: list[str] | None = None,
+        bloom_cols: list[str] | None = None,
     ) -> Commit:
         """Write df as parquet files under a unique commit dir, then
         atomically publish the commit (op 33's trigger analog: data
@@ -129,6 +146,7 @@ class LakehouseTable:
         (footer metadata only — no data re-read), enabling
         ``scan_pruned`` file skipping like Delta/Iceberg data
         skipping."""
+        self._validate_constraints(df)
         version = self.latest_version() + 1
         commit_dir = self.path / "data" / f"{uuid.uuid4().hex[:12]}"
         df.write.mode("errorifexists").parquet(str(commit_dir))
@@ -140,6 +158,11 @@ class LakehouseTable:
         stats = (
             {f: _file_stats(self.path / f, stats_cols) for f in files} if stats_cols else None
         )
+        if bloom_cols:
+            stats = stats or {f: {} for f in files}
+            for bc in bloom_cols:
+                for f, bl in self._bloom_stats(commit_dir, files, bc).items():
+                    stats.setdefault(f, {})[f"__bloom__:{bc}"] = bl
         row_count = self.spark.read.parquet(str(commit_dir)).count()
         commit = Commit(
             version=version, files=files, row_count=row_count, operation=operation, stats=stats
@@ -168,6 +191,7 @@ class LakehouseTable:
         ``partition_by`` hive-partitions the rewrite (the partition
         column is synthetic and disappears from the read schema since
         snapshots read explicit file lists)."""
+        self._validate_constraints(df)
         commit_dir = self.path / "data" / f"{operation}-{uuid.uuid4().hex[:12]}"
         w = df.write
         if partition_by:
@@ -334,6 +358,7 @@ class LakehouseTable:
         mergeSchema: commits may evolve the schema (add columns);
         older files surface NULLs for columns they predate — additive
         schema evolution like Delta/Iceberg."""
+        self._check_horizon(version)
         files = self._files_for(version)
         if not files:
             raise ValueError(f"no data at version {version}")
@@ -387,6 +412,12 @@ class LakehouseTable:
                 "restart from a fresh snapshot"
             )
         files = [str(self.path / f) for c in newer if not c.restate for f in c.files]
+        missing = [f for f in files if not Path(f).exists()]
+        if missing:
+            raise VacuumHorizonError(
+                f"cursor v{since_version} needs {len(missing)} vacuumed file(s); "
+                "restart from a fresh snapshot"
+            )
         if not files:
             return self.snapshot().limit(0)
         return self.spark.read.option("mergeSchema", "true").parquet(*files)
@@ -396,6 +427,202 @@ class LakehouseTable:
         the live snapshot (restate base + later appends), for
         rows_written == rows_read invariants without a scan."""
         return sum(c.row_count for c in self._live_commits(version))
+
+    # -- table metadata (constraints, vacuum horizon) ------------------------
+
+    def _meta_path(self) -> Path:
+        return self.path / "_meta.json"
+
+    def _read_meta(self) -> dict:
+        if self._meta_path().exists():
+            return json.loads(self._meta_path().read_text())
+        return {"constraints": {}, "vacuum_horizon": 0}
+
+    def _write_meta(self, meta: dict) -> None:
+        tmp = self.path / f".meta-{uuid.uuid4().hex}"
+        tmp.write_text(json.dumps(meta))
+        os.rename(tmp, self._meta_path())
+
+    # -- CHECK constraints ----------------------------------------------------
+
+    def add_constraint(self, name: str, expr: str) -> None:
+        """Register a table-level CHECK constraint (Delta's
+        ``ALTER TABLE ADD CONSTRAINT`` analog). The SQL expression must
+        hold for every row of every future write; it is validated
+        against the CURRENT snapshot first so a constraint can never
+        be born already-violated."""
+        if self.latest_version() >= 0:
+            bad = self.snapshot().where(f"NOT ({expr})").limit(1).count()
+            if bad:
+                raise ConstraintViolationError(
+                    f"constraint {name!r} ({expr}) already violated by existing rows"
+                )
+        meta = self._read_meta()
+        meta.setdefault("constraints", {})[name] = expr
+        self._write_meta(meta)
+
+    def constraints(self) -> dict[str, str]:
+        return dict(self._read_meta().get("constraints", {}))
+
+    def _validate_constraints(self, df: DataFrame) -> None:
+        """One pass over the incoming batch evaluates ALL constraints
+        (conditional counts fold into a single aggregate — N rules,
+        one scan); raises before any file is written, so a rejected
+        batch leaves no trace (write-side DQ gate)."""
+        checks = self.constraints()
+        if not checks:
+            return
+        from pyspark.sql import functions as F
+
+        aggs = [
+            F.count_if(F.expr(f"NOT ({expr})")).alias(name)
+            for name, expr in checks.items()
+        ]
+        row = df.agg(*aggs).collect()[0]
+        violated = {name: row[name] for name in checks if row[name]}
+        if violated:
+            raise ConstraintViolationError(
+                f"write rejected; violations per constraint: {violated}"
+            )
+
+    # -- VACUUM ---------------------------------------------------------------
+
+    def vacuum(self, keep_versions: int = 1) -> dict:
+        """Physically delete data files reachable only from versions
+        older than the retention horizon (Delta VACUUM analog).
+
+        ``keep_versions`` snapshots stay time-travelable: horizon =
+        latest - keep_versions + 1. Files in the live set of ANY
+        retained version survive; everything else under data/ is
+        removed. Time travel below the horizon then raises
+        :class:`VacuumHorizonError` instead of failing mid-scan.
+        Log entries are kept (history stays auditable) — only data
+        files go, exactly like Delta."""
+        latest = self.latest_version()
+        if latest < 0:
+            return {"deleted": 0, "horizon": 0}
+        horizon = max(0, latest - keep_versions + 1)
+        keep: set[str] = set()
+        for v in range(horizon, latest + 1):
+            for c in self._live_commits(v):
+                keep.update(c.files)
+        deleted = 0
+        data_dir = self.path / "data"
+        for f in sorted(data_dir.rglob("*.parquet")):
+            rel = str(f.relative_to(self.path))
+            if rel not in keep:
+                f.unlink()
+                deleted += 1
+        # drop now-empty commit dirs
+        for d in sorted(data_dir.glob("*"), reverse=True):
+            if d.is_dir() and not any(d.iterdir()):
+                d.rmdir()
+        meta = self._read_meta()
+        meta["vacuum_horizon"] = horizon
+        self._write_meta(meta)
+        return {"deleted": deleted, "horizon": horizon}
+
+    def _check_horizon(self, version: int | None) -> None:
+        horizon = self._read_meta().get("vacuum_horizon", 0)
+        if version is not None and version < horizon:
+            raise VacuumHorizonError(
+                f"version {version} predates vacuum horizon {horizon}: "
+                "its data files were deleted"
+            )
+
+    # -- bloom-filter file skipping -------------------------------------------
+
+    BLOOM_M = 8192  # bits per file; ~1% FP at ~850 distinct keys
+    BLOOM_K = 4
+
+    @staticmethod
+    def _bloom_positions_sql(col: str, m: int, k: int) -> list[str]:
+        """k bit positions from disjoint 32-bit slices of
+        md5(CAST(col AS STRING)) — deterministic and identically
+        computable driver-side (``_bloom_positions_py``), so probe and
+        build can never drift. Works for integer/string keys (cast to
+        string canonicalizes)."""
+        return [
+            f"CAST(conv(substring(md5(CAST({col} AS STRING)), {8 * i + 1}, 8), 16, 10) AS BIGINT) % {m}"
+            for i in range(k)
+        ]
+
+    @staticmethod
+    def _bloom_positions_py(value, m: int, k: int) -> list[int]:
+        import hashlib
+
+        h = hashlib.md5(str(value).encode()).hexdigest()
+        return [int(h[8 * i : 8 * i + 8], 16) % m for i in range(k)]
+
+    def _bloom_stats(self, commit_dir: Path, files: list[str], col: str) -> dict:
+        """Per-file bloom bitsets for ``col``, built distributed (one
+        scan of the new files, positions collected per file — the set
+        is capped at m=8192 distinct ints per file)."""
+        import base64
+
+        from pyspark.sql import functions as F
+
+        m, k = self.BLOOM_M, self.BLOOM_K
+        pos_exprs = self._bloom_positions_sql(col, m, k)
+        df = (
+            self.spark.read.parquet(str(commit_dir))
+            .select(
+                F.input_file_name().alias("__file"),
+                F.explode(F.array(*[F.expr(e) for e in pos_exprs])).alias("__pos"),
+            )
+            .groupBy("__file")
+            .agg(F.collect_set("__pos").alias("__bits"))
+        )
+        out = {}
+        by_name = {Path(f).name: f for f in files}
+        for r in df.collect():
+            name = Path(r["__file"]).name
+            rel = by_name.get(name)
+            if rel is None:
+                continue
+            bits = bytearray(m // 8)
+            for pos in r["__bits"]:
+                bits[pos // 8] |= 1 << (pos % 8)
+            out[rel] = {
+                "m": m,
+                "k": k,
+                "b64": base64.b64encode(bytes(bits)).decode(),
+            }
+        return out
+
+    def scan_point(self, col: str, value) -> tuple[DataFrame, int, int]:
+        """Point lookup with bloom-filter file skipping: files whose
+        bloom for ``col`` proves the key absent are never scanned
+        (files without a bloom are kept — skipping must be safe).
+        Returns (df, files_scanned, files_total).
+
+        Zone maps (``scan_pruned``) skip by RANGE; blooms skip by
+        MEMBERSHIP — the high-cardinality point-lookup complement
+        (needle-in-100TB id probes)."""
+        import base64
+
+        all_files: list[str] = []
+        kept: list[str] = []
+        for c in self._live_commits():
+            for f in c.files:
+                all_files.append(f)
+                bl = (c.stats or {}).get(f, {}).get(f"__bloom__:{col}")
+                if bl is None:
+                    kept.append(f)
+                    continue
+                bits = base64.b64decode(bl["b64"])
+                hit = all(
+                    bits[p // 8] & (1 << (p % 8))
+                    for p in self._bloom_positions_py(value, bl["m"], bl["k"])
+                )
+                if hit:
+                    kept.append(f)
+        if not kept:
+            return self.snapshot().limit(0), 0, len(all_files)
+        df = self.spark.read.parquet(*[str(self.path / f) for f in kept]).where(
+            F_col(col) == value
+        )
+        return df, len(kept), len(all_files)
 
     def drop(self) -> None:
         shutil.rmtree(self.path, ignore_errors=True)
@@ -462,3 +689,45 @@ def maintain_rollup(
     )
     target.merge(merged, key_cols=key_cols)
     return new_cursor
+
+
+@_query(
+    "lakehouse_bloom_pointlookup",
+    oracle="""
+    SELECT o_orderkey, o_custkey,
+           CAST(round(o_totalprice, 2) AS DOUBLE) AS o_totalprice
+    FROM orders WHERE o_orderkey IN (77, 7777)
+    """,
+    tags=("lakehouse", "bloom", "pointlookup"),
+)
+def lakehouse_bloom_pointlookup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Needle-in-haystack id probes through bloom file skipping:
+    ingest orders into a lakehouse table in 4 disjoint commits with
+    per-file blooms on o_orderkey, then point-look-up two keys —
+    files whose bloom proves the key absent are never opened.
+
+    The membership complement to zone-map range pruning: at 100 TB a
+    point probe touches O(1) files instead of O(table). Results are
+    oracle-checked against the raw parquet; tests additionally pin
+    that files are actually skipped."""
+    import tempfile
+
+    from pyspark.sql import functions as F
+
+    from lakehouse_test_spark.session import load_table as _lt
+
+    o = _lt(spark, sf_dir, "orders").select("o_orderkey", "o_custkey", "o_totalprice")
+    t = LakehouseTable(spark, tempfile.mkdtemp(prefix="lh_bloom_"))
+    for shard in range(4):
+        t.append(
+            o.where(F.col("o_orderkey") % 4 == shard).repartition(2),
+            bloom_cols=["o_orderkey"],
+        )
+    parts = []
+    for key in (77, 7777):
+        df, _, _ = t.scan_point("o_orderkey", key)
+        parts.append(df)
+    out = parts[0].unionByName(parts[1]).select(
+        "o_orderkey", "o_custkey", F.round("o_totalprice", 2).alias("o_totalprice")
+    )
+    return out.localCheckpoint()

@@ -1,0 +1,122 @@
+"""Lakehouse maintenance surface: VACUUM retention, bloom-filter
+point-lookup skipping, and write-side CHECK constraints."""
+
+from __future__ import annotations
+
+import tempfile
+from pathlib import Path
+
+import pytest
+from pyspark.sql import functions as F
+
+from lakehouse_test_spark.plans.lakehouse import (
+    ConstraintViolationError,
+    LakehouseTable,
+    RestateAcrossCursorError,
+    VacuumHorizonError,
+)
+
+
+@pytest.fixture()
+def table(spark):
+    t = LakehouseTable(spark, tempfile.mkdtemp(prefix="lh_maint_"))
+    yield t
+    t.drop()
+
+
+def _df(spark, lo, hi):
+    return spark.range(lo, hi).select(
+        F.col("id").alias("k"), (F.col("id") * 2).alias("v")
+    )
+
+
+def test_vacuum_deletes_superseded_files_only(spark, table):
+    table.append(_df(spark, 0, 100))
+    table.append(_df(spark, 100, 200))
+    table.compact(target_partitions=1)  # v2 restate supersedes v0/v1
+    table.append(_df(spark, 200, 300))  # v3
+    n_before = len(list(Path(table.path).rglob("*.parquet")))
+    out = table.vacuum(keep_versions=2)  # horizon = v2
+    assert out["deleted"] > 0
+    n_after = len(list(Path(table.path).rglob("*.parquet")))
+    assert n_after < n_before
+    # live snapshot intact
+    assert table.snapshot().count() == 300
+    # retained version still time-travels
+    assert table.snapshot(version=2).count() == 200
+    # pre-horizon time travel fails cleanly, not mid-scan
+    with pytest.raises(VacuumHorizonError):
+        table.snapshot(version=1)
+    # history (the log) is still auditable
+    assert len(table.history()) == 4
+
+
+def test_vacuum_keeps_files_shared_with_live_versions(spark, table):
+    table.append(_df(spark, 0, 100))  # v0 — still live (no restate)
+    table.append(_df(spark, 100, 200))  # v1
+    table.vacuum(keep_versions=1)  # horizon = v1, but v1's live set includes v0 files
+    assert table.snapshot().count() == 200
+
+
+def test_read_changes_after_vacuum_raises(spark, table):
+    table.append(_df(spark, 0, 100))
+    table.append(_df(spark, 100, 200))
+    table.compact(target_partitions=1)
+    table.vacuum(keep_versions=1)
+    with pytest.raises((VacuumHorizonError, RestateAcrossCursorError)):
+        table.read_changes(0).count()
+
+
+def test_bloom_point_lookup_skips_files(spark, table):
+    # three appends with disjoint key ranges -> three file sets
+    for lo in (0, 1000, 2000):
+        table.append(
+            _df(spark, lo, lo + 500).repartition(2), bloom_cols=["k"]
+        )
+    df, scanned, total = table.scan_point("k", 1234)
+    assert total == 6
+    assert scanned < total, "bloom should skip most files"
+    rows = df.collect()
+    assert len(rows) == 1 and rows[0].k == 1234 and rows[0].v == 2468
+    # absent key: typically all files skipped (m=8192, n=250/file)
+    df2, scanned2, _ = table.scan_point("k", 99_999_999)
+    assert df2.count() == 0
+    assert scanned2 <= 1  # allow a rare FP on one file
+
+
+def test_bloom_survives_in_commit_log(spark, table):
+    table.append(_df(spark, 0, 100), bloom_cols=["k"])
+    reopened = LakehouseTable(spark, str(table.path))
+    df, scanned, total = reopened.scan_point("k", 50)
+    assert df.count() == 1
+
+
+def test_constraint_rejects_bad_write_atomically(spark, table):
+    table.add_constraint("v_nonneg", "v >= 0")
+    table.append(_df(spark, 0, 50))
+    bad = spark.range(5).select(F.col("id").alias("k"), F.lit(-1).alias("v"))
+    with pytest.raises(ConstraintViolationError):
+        table.append(bad)
+    # nothing landed: row count and version unchanged
+    assert table.snapshot().count() == 50
+    assert table.latest_version() == 0
+    # merge path is gated too
+    with pytest.raises(ConstraintViolationError):
+        table.merge(bad, key_cols=["k"])
+    assert table.latest_version() == 0
+
+
+def test_constraint_cannot_be_born_violated(spark, table):
+    table.append(_df(spark, 0, 50))
+    with pytest.raises(ConstraintViolationError):
+        table.add_constraint("impossible", "v > 1000000")
+    assert table.constraints() == {}
+
+
+def test_constraints_persist_across_reopen(spark, table):
+    table.add_constraint("k_nonneg", "k >= 0")
+    reopened = LakehouseTable(spark, str(table.path))
+    assert reopened.constraints() == {"k_nonneg": "k >= 0"}
+    bad = spark.range(3).select((F.col("id") - 10).alias("k"), F.col("id").alias("v"))
+    with pytest.raises(ConstraintViolationError):
+        reopened.append(bad)
