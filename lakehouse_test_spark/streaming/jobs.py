@@ -401,6 +401,87 @@ def streaming_stream_stream_join(spark: SparkSession, sf_dir: str) -> DataFrame:
     return _drain_to_memory(joined, "append")
 
 
+@query(
+    "streaming_stream_stream_left_outer",
+    oracle="""
+    WITH bounds AS (
+      SELECT least(
+        (SELECT CAST(floor(epoch(max(ts))) AS BIGINT) FROM events WHERE event_type = 'click'),
+        (SELECT CAST(floor(epoch(max(ts))) AS BIGINT) FROM events WHERE event_type = 'purchase')
+      ) AS maxts
+    ),
+    c AS (SELECT event_id AS click_id, user_id,
+                 CAST(floor(epoch(ts)) AS BIGINT) AS ct
+          FROM events WHERE event_type = 'click'),
+    p AS (SELECT event_id AS purchase_id, user_id,
+                 CAST(floor(epoch(ts)) AS BIGINT) AS pt
+          FROM events WHERE event_type = 'purchase')
+    SELECT c.click_id, p.purchase_id, c.user_id
+    FROM c
+    LEFT JOIN p ON c.user_id = p.user_id
+       AND p.pt >= c.ct AND p.pt <= c.ct + 3600
+    CROSS JOIN bounds
+    WHERE c.ct <= bounds.maxts - 10810
+    """,
+    tags=("streaming", "join", "events"),
+)
+def streaming_stream_stream_left_outer(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Stream-stream LEFT OUTER join: clicks with no purchase within
+    1 h emit a NULL-extended row — but only once the watermark proves
+    no match can still arrive (state expiry is the only sound
+    null-emission point in a stream).
+
+    Outer emission timing is the subtlety: a click's null row appears
+    when the global watermark (max event time − 2 h) passes the end
+    of its match window (click_ts + 1 h). Clicks too close to the
+    stream's end are still in limbo at drain time, so BOTH engines
+    restrict to clicks ≥ 3 h + margin before the SLOWER side's max(ts) (the global watermark is the min of both sides' watermarks) — making the
+    bounded drain equal the batch left join exactly (margin kills
+    boundary-equality flakes at whole-second precision).
+    """
+    s = events_stream(spark, sf_dir)
+    clicks = (
+        s.where(F.col("event_type") == "click")
+        .select(
+            F.col("event_id").alias("click_id"),
+            F.col("user_id"),
+            F.col("ts").alias("click_ts"),
+        )
+        .withWatermark("click_ts", "2 hours")
+    )
+    purchases = (
+        s.where(F.col("event_type") == "purchase")
+        .select(
+            F.col("event_id").alias("purchase_id"),
+            F.col("user_id").alias("p_user_id"),
+            F.col("ts").alias("purchase_ts"),
+        )
+        .withWatermark("purchase_ts", "2 hours")
+    )
+    joined = clicks.join(
+        purchases,
+        (F.col("user_id") == F.col("p_user_id"))
+        & (F.col("purchase_ts") >= F.col("click_ts"))
+        & (F.col("purchase_ts") <= F.col("click_ts") + F.expr("INTERVAL 1 HOUR")),
+        "left_outer",
+    ).select("click_id", "purchase_id", "user_id", "click_ts")
+    out = _drain_to_memory(joined, "append")
+    spark2 = out.sparkSession
+    batch = spark2.read.parquet(f"{sf_dir}/events.parquet")
+    side_max = (
+        batch.where(F.col("event_type").isin("click", "purchase"))
+        .groupBy("event_type")
+        .agg(F.max(F.expr("ts div 1000000000")).cast("long").alias("m"))
+        .agg(F.min("m"))
+        .collect()[0][0]
+    )
+    maxts = side_max
+    return (
+        out.where(F.col("click_ts").cast("long") <= F.lit(maxts - 10810))
+        .select("click_id", "purchase_id", "user_id")
+    )
+
+
 def documents_stream(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Bounded file stream over the documents fixture (same shape as
     events_stream: schema from the batch reader, AvailableNow runs)."""
