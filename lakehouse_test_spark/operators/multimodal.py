@@ -2,11 +2,20 @@
 columns with typed metadata, plus decode / feature-extract plumbing
 as Arrow-batched pandas UDFs over mapInPandas.
 
-The container has no image/audio libraries, so the decode kernel is
-STUBBED (deterministic fake + a clearly-marked NotImplementedError
-for real codecs) — but the Spark-side plumbing (schema, partitioning,
-UDF signature, batch shape) is real and tested, which is the part
-that matters for the engine.
+Decode has two layers here:
+
+- **Container/header decode is REAL** (``sniff_mime``, ``png_dims``,
+  ``wav_fmt``): spec-correct byte-offset parsing of PNG IHDR
+  (big-endian), WAV RIFF/fmt (little-endian) and JPEG magic, entirely
+  in JVM codegen (binary substring → hex → conv) — no Python, no
+  codec library. Verified end-to-end by the oracle-checked
+  ``multimodal_header_decode`` query and against genuine files built
+  with zlib/wave in tests.
+- **Pixel/sample decode is STUBBED** (``decode_media``): entropy
+  codecs (DEFLATE scanlines, JPEG DCT) need PIL/ffmpeg, absent in
+  this container — a clearly-marked NotImplementedError, with the
+  Arrow plumbing (schema, partitioning, UDF signature, batch shape)
+  real and tested around it.
 
 Fixture note: the driver ships no binary fixture, so the ``payload``
 column is synthesized deterministically as UTF-8 bytes of
@@ -237,4 +246,169 @@ def multimodal_audio_chunks(spark: SparkSession, sf_dir: str) -> DataFrame:
                 F.col("h"), (F.col("chunk_id") * CHUNK * 2 + 1).cast("int"), CHUNK * 2
             )
         ).alias("chunk_hex_md5"),
+    )
+
+
+# ---------------------------------------------------------------------------
+# Real container-header decode: PNG / WAV / JPEG, pure JVM codegen
+# ---------------------------------------------------------------------------
+#
+# The parsers below read genuine on-disk container formats at their
+# spec-defined byte offsets. All arithmetic is binary substring →
+# hex → conv(16,10) — whole-stage-codegen expressions, zero Python.
+# Parity anchor: the reference treats payloads as opaque bytes end to
+# end (src/main/java/io/streamnative/lakehouse/PerformanceConsumer.java);
+# header decode is part of the mandated multimodal extension surface.
+
+from pyspark.sql import Column  # noqa: E402
+
+
+def _u(hex_col: Column) -> Column:
+    """Unsigned integer from a hex string (both engines agree base-16)."""
+    return F.conv(hex_col, 16, 10).cast("bigint")
+
+
+def _swap_bytes(hex_col: Column, nbytes: int) -> Column:
+    """Reverse the byte order of a fixed-width hex string (LE <-> BE)."""
+    return F.concat(*[F.substring(hex_col, 2 * i + 1, 2) for i in reversed(range(nbytes))])
+
+
+def be_u32(payload: Column, off: int) -> Column:
+    """Big-endian uint32 at 0-based byte offset ``off`` (PNG/network order)."""
+    return _u(F.hex(F.substring(payload, off + 1, 4)))
+
+
+def le_u32(payload: Column, off: int) -> Column:
+    """Little-endian uint32 at ``off`` (RIFF/WAV order)."""
+    return _u(_swap_bytes(F.hex(F.substring(payload, off + 1, 4)), 4))
+
+
+def le_u16(payload: Column, off: int) -> Column:
+    """Little-endian uint16 at ``off``."""
+    return _u(_swap_bytes(F.hex(F.substring(payload, off + 1, 2)), 2))
+
+
+def sniff_mime(payload: Column) -> Column:
+    """Magic-byte MIME sniffing: PNG signature, JPEG SOI, RIFF/WAVE."""
+    h = F.hex(F.substring(payload, 1, 12))
+    return (
+        F.when(h.startswith("89504E470D0A1A0A"), F.lit("image/png"))
+        .when(h.startswith("FFD8FF"), F.lit("image/jpeg"))
+        .when(
+            h.startswith("52494646") & (F.substring(h, 17, 8) == F.lit("57415645")),
+            F.lit("audio/wav"),
+        )
+        .otherwise(F.lit("application/octet-stream"))
+    )
+
+
+def png_dims(payload: Column) -> tuple[Column, Column]:
+    """(width, height) from the PNG IHDR chunk.
+
+    Layout: 8-byte signature, 4-byte chunk length, 4-byte "IHDR",
+    then width/height as big-endian uint32 at offsets 16 and 20.
+    """
+    return be_u32(payload, 16), be_u32(payload, 20)
+
+
+def wav_fmt(payload: Column) -> tuple[Column, Column]:
+    """(sample_rate, channels) from a canonical WAV fmt chunk.
+
+    Layout: "RIFF" + size + "WAVE" + "fmt " + chunk size (16) +
+    audio format, then channels (LE u16 @22) and sample rate (LE u32 @24).
+    """
+    return le_u32(payload, 24), le_u16(payload, 22)
+
+
+def _be_hex(col: Column, nbytes: int) -> Column:
+    return F.lpad(F.hex(col.cast("bigint")), 2 * nbytes, "0")
+
+
+def _le_hex(col: Column, nbytes: int) -> Column:
+    return _swap_bytes(_be_hex(col, nbytes), nbytes)
+
+
+def synthesize_media(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Synthesize spec-valid media containers from ``documents``:
+    doc_id%3==0 → PNG (header + text bytes as fake IDAT), 1 → WAV
+    (canonical 44-byte header + text bytes as PCM data), 2 → JPEG
+    (SOI/APP0 magic + text bytes). Header fields derive
+    deterministically from n_chars so the decode is oracle-checkable.
+    Hex assembly + unhex keeps synthesis in codegen too.
+    """
+    d = load_table(spark, sf_dir, "documents")
+    width = (F.col("n_chars") % 640 + 1).cast("bigint")
+    height = (F.col("n_chars") % 480 + 1).cast("bigint")
+    rate = (F.lit(8000) + (F.col("n_chars") % 8) * 4000).cast("bigint")
+    ch = (F.col("n_chars") % 2 + 1).cast("bigint")
+    body = F.hex(F.encode("text", "UTF-8"))
+    n_body = F.octet_length(F.encode("text", "UTF-8")).cast("bigint")
+    png_hex = F.concat(
+        F.lit("89504E470D0A1A0A" + "0000000D" + "49484452"),
+        _be_hex(width, 4),
+        _be_hex(height, 4),
+        F.lit("0802000000" + "00000000"),  # bit depth 8, truecolor, zeroed CRC
+        body,
+    )
+    wav_hex = F.concat(
+        F.lit("52494646"),
+        _le_hex(n_body + 36, 4),
+        F.lit("57415645" + "666D7420" + "10000000" + "0100"),
+        _le_hex(ch, 2),
+        _le_hex(rate, 4),
+        _le_hex(rate * ch * 2, 4),  # byte rate
+        _le_hex(ch * 2, 2),  # block align
+        F.lit("1000"),  # 16 bits/sample
+        F.lit("64617461"),
+        _le_hex(n_body, 4),
+        body,
+    )
+    jpeg_hex = F.concat(F.lit("FFD8FFE0"), body)
+    kind = F.pmod(F.col("doc_id"), F.lit(3))
+    payload_hex = (
+        F.when(kind == 0, png_hex).when(kind == 1, wav_hex).otherwise(jpeg_hex)
+    )
+    return d.select(F.col("doc_id").alias("asset_id"), F.unhex(payload_hex).alias("payload"))
+
+
+@query(
+    "multimodal_header_decode",
+    oracle="""
+    SELECT doc_id AS asset_id,
+           CASE CAST(doc_id % 3 AS INTEGER)
+             WHEN 0 THEN 'image/png' WHEN 1 THEN 'audio/wav'
+             ELSE 'image/jpeg' END AS mime,
+           CASE WHEN doc_id % 3 = 0 THEN CAST(n_chars % 640 + 1 AS BIGINT) END AS width,
+           CASE WHEN doc_id % 3 = 0 THEN CAST(n_chars % 480 + 1 AS BIGINT) END AS height,
+           CASE WHEN doc_id % 3 = 1 THEN CAST(8000 + (n_chars % 8) * 4000 AS BIGINT) END AS sample_rate,
+           CASE WHEN doc_id % 3 = 1 THEN CAST(n_chars % 2 + 1 AS BIGINT) END AS channels
+    FROM documents
+    """,
+    tags=("multimodal", "llm"),
+)
+def multimodal_header_decode(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """REAL header decode over a mixed media corpus: sniff each
+    payload's MIME from magic bytes, then parse PNG width/height
+    (big-endian IHDR) and WAV sample-rate/channels (little-endian fmt)
+    at their spec offsets. The oracle recomputes the expected fields
+    from the source columns — a hash match proves the byte-level
+    round-trip (synthesis AND parse) is spec-consistent.
+
+    Scale: narrow projection, zero shuffle, all codegen; at 100 TB
+    this runs at scan speed and the parsed fields feed partition
+    pruning / routing without touching a codec.
+    """
+    a = synthesize_media(spark, sf_dir)
+    mime = sniff_mime(F.col("payload"))
+    w, h = png_dims(F.col("payload"))
+    sr, nch = wav_fmt(F.col("payload"))
+    is_png = mime == "image/png"
+    is_wav = mime == "audio/wav"
+    return a.select(
+        "asset_id",
+        mime.alias("mime"),
+        F.when(is_png, w).alias("width"),
+        F.when(is_png, h).alias("height"),
+        F.when(is_wav, sr).alias("sample_rate"),
+        F.when(is_wav, nch).alias("channels"),
     )

@@ -300,3 +300,74 @@ def test_ivf_topk_recall_on_clustered_data(spark):
     indexed.unpersist()
     assert len(set(approx) & set(range(20))) >= 8, f"IVF recall too low: {approx}"
     assert frac <= 0.3, f"IVF scanned {frac:.1%} of the corpus (nprobe/nlist = 4/32)"
+
+
+def test_header_decode_on_genuine_files(spark):
+    """The codegen parsers must read REAL container bytes, not just our
+    synthesized ones: build a genuine PNG (zlib CRCs, deflated IDAT)
+    and a genuine WAV (stdlib wave module), then parse via the same
+    expressions multimodal_header_decode uses."""
+    import io
+    import struct
+    import wave
+    import zlib
+
+    from lakehouse_test_spark.operators.multimodal import (
+        png_dims,
+        sniff_mime,
+        wav_fmt,
+    )
+
+    def real_png(w, h):
+        def chunk(tag, data):
+            return (
+                struct.pack(">I", len(data))
+                + tag
+                + data
+                + struct.pack(">I", zlib.crc32(tag + data) & 0xFFFFFFFF)
+            )
+
+        ihdr = struct.pack(">IIBBBBB", w, h, 8, 2, 0, 0, 0)
+        raw = b"".join(b"\x00" + b"\x7f" * (3 * w) for _ in range(h))
+        return (
+            b"\x89PNG\r\n\x1a\n"
+            + chunk(b"IHDR", ihdr)
+            + chunk(b"IDAT", zlib.compress(raw))
+            + chunk(b"IEND", b"")
+        )
+
+    def real_wav(rate, channels):
+        buf = io.BytesIO()
+        with wave.open(buf, "wb") as wf:
+            wf.setnchannels(channels)
+            wf.setsampwidth(2)
+            wf.setframerate(rate)
+            wf.writeframes(b"\x00\x01" * channels * 32)
+        return buf.getvalue()
+
+    rows = [
+        Row(asset_id=1, payload=real_png(320, 200)),
+        Row(asset_id=2, payload=real_wav(44100, 2)),
+        Row(asset_id=3, payload=real_wav(16000, 1)),
+        Row(asset_id=4, payload=b"\xff\xd8\xff\xe0notajfif"),
+        Row(asset_id=5, payload=b"plain text bytes"),
+    ]
+    df = spark.createDataFrame(rows)
+    w, h = png_dims(F.col("payload"))
+    sr, ch = wav_fmt(F.col("payload"))
+    got = {
+        r["asset_id"]: r
+        for r in df.select(
+            "asset_id",
+            sniff_mime(F.col("payload")).alias("mime"),
+            w.alias("w"),
+            h.alias("h"),
+            sr.alias("sr"),
+            ch.alias("ch"),
+        ).collect()
+    }
+    assert got[1]["mime"] == "image/png" and (got[1]["w"], got[1]["h"]) == (320, 200)
+    assert got[2]["mime"] == "audio/wav" and (got[2]["sr"], got[2]["ch"]) == (44100, 2)
+    assert got[3]["mime"] == "audio/wav" and (got[3]["sr"], got[3]["ch"]) == (16000, 1)
+    assert got[4]["mime"] == "image/jpeg"
+    assert got[5]["mime"] == "application/octet-stream"
