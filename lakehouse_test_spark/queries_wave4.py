@@ -240,7 +240,7 @@ def scalar_xml_codec_roundtrip(spark: SparkSession, sf_dir: str) -> DataFrame:
              WHEN v IS NOT NULL THEN v
              WHEN pv IS NOT NULL AND nv IS NOT NULL
                THEN pv + (nv - pv) * (hn - ph) / (nh - ph)
-             ELSE coalesce(pv, nv) END, 4) AS DOUBLE) AS v_interp,
+             ELSE coalesce(pv, nv) END + 0.000000001, 4) AS DOUBLE) AS v_interp,
            (v IS NULL) AS interpolated
     FROM ctx
     """,
@@ -306,9 +306,15 @@ def timeseries_interpolate_linear(spark: SparkSession, sf_dir: str) -> DataFrame
         )
         .otherwise(F.coalesce("pv", "nv"))
     )
+    # +1e-9 before rounding on BOTH engines: midpoint interpolation
+    # between 2-dp anchors lands exactly on 4-dp rounding boundaries,
+    # where Spark (BigDecimal half-up on the binary expansion) and
+    # DuckDB (scaled nearbyint) can disagree by one final digit. The
+    # nudge moves every representable result off the boundary; double
+    # noise (~1e-13) is far smaller than the shift.
     return ctx.select(
         "event_type",
         "hour",
-        F.round(interp, 4).alias("v_interp"),
+        F.round(interp + F.lit(1e-9), 4).alias("v_interp"),
         F.col("v").isNull().alias("interpolated"),
     )
