@@ -14,6 +14,13 @@ divide as doubles (identical inputs → identical result).
 
 Columns whose values are integral doubles (e.g. l_quantity) sum
 exactly in any order and don't need this.
+
+Caveat: apply ``dsum`` only to DOUBLE expressions. A FLOAT column
+must be cast to double first — float→decimal casts disagree between
+engines (~0.4% of values flip one quantum, because the float's
+~1e-7 relative noise straddles the 1e-6 decimal grid and the
+engines round the scaled product differently), while float→double
+is exact and double→decimal agrees to ~1e-17 relative.
 """
 
 from __future__ import annotations
