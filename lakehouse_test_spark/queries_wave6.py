@@ -430,3 +430,80 @@ def embedding_label_centroids(spark: SparkSession, sf_dir: str) -> DataFrame:
         dround(F.max("cnorm"), 6).alias("centroid_norm"),
         dround(dsum(F.col("cos")).cast("double") / F.count("*"), 6).alias("avg_cos"),
     )
+
+
+@query(
+    "sql_lateral_topk_per_key",
+    oracle="""
+    SELECT r.r_name AS region, t.n_name AS nation, t.n_nationkey AS nationkey
+    FROM region r, LATERAL (
+      SELECT n_name, n_nationkey FROM nation n
+      WHERE n.n_regionkey = r.r_regionkey
+      ORDER BY n_name LIMIT 2
+    ) t
+    """,
+    tags=("sql", "join"),
+)
+def sql_lateral_topk_per_key(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Correlated LATERAL subquery with ORDER BY + LIMIT — the
+    "top-k related rows per outer row" idiom, complementing the
+    window-based window_topk_per_group (same semantics, different
+    surface: this is the SQL-standard correlated form).
+
+    Scale: Catalyst decorrelates the lateral into a join +
+    per-key limit; the outer side here is tiny (region), and for
+    large outer relations the same shape becomes a shuffled join
+    with a WindowGroupLimit — no per-row re-execution.
+    """
+    T(spark, sf_dir, "region").createOrReplaceTempView("region")
+    T(spark, sf_dir, "nation").createOrReplaceTempView("nation")
+    return spark.sql(
+        """
+        SELECT r.r_name AS region, t.n_name AS nation, t.n_nationkey AS nationkey
+        FROM region r, LATERAL (
+          SELECT n_name, n_nationkey FROM nation n
+          WHERE n.n_regionkey = r.r_regionkey
+          ORDER BY n_name LIMIT 2
+        ) t
+        """
+    )
+
+
+@query(
+    "scalar_interval_funcs",
+    oracle="""
+    SELECT o_orderkey,
+           CAST(o_orderdate AS DATE) AS order_day,
+           CAST(CAST(o_orderdate AS DATE) + INTERVAL 3 MONTH AS DATE) AS plus_3_months,
+           CAST(CAST(o_orderdate AS DATE) + 30 AS DATE) AS plus_30_days,
+           datediff('day', DATE '1995-01-01', CAST(o_orderdate AS DATE)) AS days_since_95,
+           last_day(CAST(o_orderdate AS DATE)) AS month_end,
+           CAST(date_trunc('quarter', o_orderdate) AS DATE) AS quarter_start,
+           CAST(year(o_orderdate) AS INTEGER) AS y,
+           CAST(month(o_orderdate) AS INTEGER) AS m,
+           CAST(day(o_orderdate) AS INTEGER) AS d
+    FROM orders
+    """,
+    tags=("scalar", "date"),
+)
+def scalar_interval_funcs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Date/interval arithmetic battery: INTERVAL addition, day
+    offsets, datediff, last_day, quarter truncation, Y/M/D parts —
+    the remaining date surface not covered by scalar_date_funcs.
+
+    Scale: pure codegen projection, zero shuffle.
+    """
+    o = T(spark, sf_dir, "orders")
+    d = F.col("o_orderdate").cast("date")
+    return o.select(
+        "o_orderkey",
+        d.alias("order_day"),
+        F.add_months(d, 3).alias("plus_3_months"),
+        F.date_add(d, 30).alias("plus_30_days"),
+        F.datediff(d, F.lit("1995-01-01").cast("date")).alias("days_since_95"),
+        F.last_day(d).alias("month_end"),
+        F.date_trunc("quarter", F.col("o_orderdate")).cast("date").alias("quarter_start"),
+        F.year(d).cast("int").alias("y"),
+        F.month(d).cast("int").alias("m"),
+        F.dayofmonth(d).cast("int").alias("d"),
+    )

@@ -101,3 +101,25 @@ def test_recursive_gapfill_dense_months(spark, sf_dir):
     # gapfilled months carry explicit zeros, not nulls
     for r in out:
         assert r["n_orders"] is not None and r["month_revenue"] is not None
+
+
+def test_streaks_single_exchange(spark, sf_dir):
+    """The distinct and the window/aggregates all key on user_id:
+    only the initial repartition by user_id should shuffle (plus the
+    distinct's partial/final pair), never a join."""
+    from lakehouse_test_spark.queries_wave6 import events_activity_streaks
+
+    plan = events_activity_streaks(spark, sf_dir)._jdf.queryExecution().executedPlan().toString()
+    assert "SortMergeJoin" not in plan and "BroadcastHashJoin" not in plan
+    # hashpartitioning on user_id reused: no exchange keyed on (user_id, g)
+    assert "hashpartitioning(user_id" in plan
+    assert "hashpartitioning(g" not in plan
+
+
+def test_lateral_topk_decorrelates(spark, sf_dir):
+    """Catalyst must rewrite the correlated LATERAL into a join-based
+    plan (no per-outer-row re-execution nodes)."""
+    from lakehouse_test_spark.queries_wave6 import sql_lateral_topk_per_key
+
+    plan = sql_lateral_topk_per_key(spark, sf_dir)._jdf.queryExecution().executedPlan().toString()
+    assert "Join" in plan
