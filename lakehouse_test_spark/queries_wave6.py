@@ -507,3 +507,84 @@ def scalar_interval_funcs(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.month(d).cast("int").alias("m"),
         F.dayofmonth(d).cast("int").alias("d"),
     )
+
+
+def _semantic_edges(spark: SparkSession, sf_dir: str, threshold: float = 0.3) -> DataFrame:
+    """Same-label embedding pairs above a cosine threshold — a
+    deterministic similarity graph (identical IEEE expression trees
+    in Spark and DuckDB make the >= comparison engine-stable)."""
+    from lakehouse_test_spark.operators.dedup import cosine
+
+    e = T(spark, sf_dir, "embeddings")
+    a = e.select("label", F.col("vec_id").alias("vec_a"), F.col("embedding").alias("emb_a"))
+    b = e.select(
+        F.col("label").alias("label_b"),
+        F.col("vec_id").alias("vec_b"),
+        F.col("embedding").alias("emb_b"),
+    )
+    return (
+        a.join(b, (F.col("label") == F.col("label_b")) & (F.col("vec_a") < F.col("vec_b")))
+        .where(cosine(F.col("emb_a"), F.col("emb_b")) >= threshold)
+        .select("vec_a", "vec_b")
+    )
+
+
+def _semantic_clusters_oracle() -> str:
+    from lakehouse_test_spark.operators.dedup import DUCKDB_COSINE
+
+    cos = DUCKDB_COSINE.format(a="a.embedding", b="b.embedding")
+    return f"""
+    WITH RECURSIVE edges AS (
+      SELECT a.vec_id AS va, b.vec_id AS vb
+      FROM embeddings a JOIN embeddings b
+        ON a.label = b.label AND a.vec_id < b.vec_id
+      WHERE {cos} >= 0.3
+    ), und AS (
+      SELECT va AS a, vb AS b FROM edges UNION ALL SELECT vb AS a, va AS b FROM edges
+    ), nodes AS (
+      SELECT DISTINCT a AS n FROM und
+    ), reach(src, dst) AS (
+      SELECT n, n FROM nodes
+      UNION
+      SELECT r.src, u.b FROM reach r JOIN und u ON u.a = r.dst
+    ), comp AS (
+      SELECT src AS vec_id, min(dst) AS cluster_id FROM reach GROUP BY src
+    )
+    SELECT c.vec_id, c.cluster_id, s.cluster_size
+    FROM comp c JOIN (
+      SELECT cluster_id, count(*) AS cluster_size FROM comp GROUP BY cluster_id
+    ) s USING (cluster_id)
+    """
+
+
+@query(
+    "embedding_semantic_clusters",
+    oracle=_semantic_clusters_oracle(),
+    tags=("embedding", "llm", "graph", "dedup"),
+)
+def embedding_semantic_clusters(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Semantic-dedup clusters: connected components over the
+    cosine-threshold similarity graph, with the component's minimum
+    vec_id as the canonical cluster id.
+
+    This puts the iterative connected-components operator itself
+    under the hash-checked oracle gate (dedup_clusters stays
+    rows-only because its LSH edge set is xxhash64-dependent): the
+    DuckDB twin computes the same components by recursive transitive
+    closure — O(Σ|component|²) rows, fine for an oracle, unusable at
+    scale — while the Spark side runs the O(diameter)-round
+    min-label propagation from operators/cluster.py with its
+    persist/localCheckpoint lineage hygiene.
+
+    Scale: edge generation is label-blocked (IVF-style); components
+    shuffle (node, label) pairs per round — state O(nodes), rounds
+    O(diameter), lineage truncated every 5 rounds.
+    """
+    from lakehouse_test_spark.operators.cluster import dedup_clusters_from_pairs
+
+    pairs = _semantic_edges(spark, sf_dir)
+    return dedup_clusters_from_pairs(pairs, "vec_a", "vec_b").select(
+        F.col("doc_id").alias("vec_id"),
+        F.col("keeper_doc_id").alias("cluster_id"),
+        "cluster_size",
+    )
