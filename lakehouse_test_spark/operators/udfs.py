@@ -123,6 +123,7 @@ def udf_stateful_session_counter(spark: SparkSession, sf_dir: str) -> DataFrame:
     from pyspark.sql.streaming.state import GroupState, GroupStateTimeout
 
     spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")  # ns fixture
+    spark.conf.set("spark.sql.parquet.inferTimestampNTZ.enabled", "false")  # µs fixture
     batch_schema = spark.read.parquet(f"{sf_dir}/events.parquet").schema
     stream = (
         spark.readStream.schema(batch_schema)
@@ -214,6 +215,7 @@ def udf_transform_with_state(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
     spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")  # ns fixture
+    spark.conf.set("spark.sql.parquet.inferTimestampNTZ.enabled", "false")  # µs fixture
     batch_schema = spark.read.parquet(f"{sf_dir}/events.parquet").schema
     stream = (
         spark.readStream.schema(batch_schema)

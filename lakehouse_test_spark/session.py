@@ -102,14 +102,24 @@ def load_table(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
     Both are runtime-settable SQL confs.
     """
     spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
+    # the driver fixtures write events.ts as TIMESTAMP(MICROS,
+    # isAdjustedToUTC=false); Spark 4 infers that as TIMESTAMP_NTZ by
+    # default, which breaks epoch casts/watermarks and diverges from
+    # DuckDB's (naive-as-UTC) reading. Read it as instant-typed
+    # TimestampType instead — identical values under the UTC session.
+    spark.conf.set("spark.sql.parquet.inferTimestampNTZ.enabled", "false")
     spark.conf.set("spark.sql.session.timeZone", "UTC")
     # self-tuning parallelism on foreign sessions: AQE coalesces the
     # (often default-200) static shuffle partition count to data size
     spark.conf.set("spark.sql.adaptive.enabled", "true")
     spark.conf.set("spark.sql.adaptive.coalescePartitions.enabled", "true")
     df = spark.read.parquet(f"{sf_dir}/{name}.parquet")
-    if name == "events" and dict(df.dtypes).get("ts") == "bigint":
-        df = df.withColumn("ts", F.timestamp_micros(F.expr("ts div 1000")))
+    if name == "events":
+        ts_type = dict(df.dtypes).get("ts")
+        if ts_type == "bigint":  # TIMESTAMP(NANOS) fixture vintage
+            df = df.withColumn("ts", F.timestamp_micros(F.expr("ts div 1000")))
+        elif ts_type == "timestamp_ntz":  # defensive: inference raced the conf
+            df = df.withColumn("ts", F.col("ts").cast("timestamp"))
     return df
 
 

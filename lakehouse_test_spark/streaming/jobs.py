@@ -28,6 +28,7 @@ from pyspark.sql import functions as F
 
 from lakehouse_test_spark.fpsafe import dround, dsum
 from lakehouse_test_spark.registry import query
+from lakehouse_test_spark.session import load_table
 
 
 def events_stream(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -37,6 +38,7 @@ def events_stream(spark: SparkSession, sf_dir: str) -> DataFrame:
     earliest-start (op 8) is implicit for a static directory.
     """
     spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")  # ns fixture
+    spark.conf.set("spark.sql.parquet.inferTimestampNTZ.enabled", "false")  # µs fixture
     spark.conf.set("spark.sql.session.timeZone", "UTC")
     batch_schema = spark.read.parquet(f"{sf_dir}/events.parquet").schema
     # file streaming sources take a *directory*; glob-filter to events
@@ -45,8 +47,11 @@ def events_stream(spark: SparkSession, sf_dir: str) -> DataFrame:
         .option("pathGlobFilter", "events.parquet")
         .parquet(sf_dir)
     )
-    # ts arrives as bigint epoch-nanos (nanosAsLong); truncate to seconds
-    return stream.withColumn("ts", F.timestamp_seconds(F.expr("ts div 1000000000")))
+    # normalize either fixture vintage (epoch-ns bigint, or µs
+    # timestamp) to second-precision TimestampType event time
+    if dict(stream.dtypes).get("ts") == "bigint":
+        return stream.withColumn("ts", F.timestamp_seconds(F.expr("ts div 1000000000")))
+    return stream.withColumn("ts", F.date_trunc("second", F.col("ts").cast("timestamp")))
 
 
 def _drain_to_memory(stream_df: DataFrame, output_mode: str) -> DataFrame:
@@ -293,6 +298,7 @@ def bounded_rate_limited_drain(
     bounds the run. Returns (result, n_batches>=1). Used by tests and
     the CLI consume verb."""
     spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")  # ns fixture
+    spark.conf.set("spark.sql.parquet.inferTimestampNTZ.enabled", "false")  # µs fixture
     batch_schema = spark.read.parquet(f"{sf_dir}/events.parquet").schema
     s = (
         spark.readStream.schema(batch_schema)
@@ -467,11 +473,11 @@ def streaming_stream_stream_left_outer(spark: SparkSession, sf_dir: str) -> Data
     ).select("click_id", "purchase_id", "user_id", "click_ts")
     out = _drain_to_memory(joined, "append")
     spark2 = out.sparkSession
-    batch = spark2.read.parquet(f"{sf_dir}/events.parquet")
+    batch = load_table(spark2, sf_dir, "events")
     side_max = (
         batch.where(F.col("event_type").isin("click", "purchase"))
         .groupBy("event_type")
-        .agg(F.max(F.expr("ts div 1000000000")).cast("long").alias("m"))
+        .agg(F.max(F.unix_timestamp("ts")).cast("long").alias("m"))
         .agg(F.min("m"))
         .collect()[0][0]
     )
