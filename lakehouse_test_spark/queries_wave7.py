@@ -1,0 +1,476 @@
+"""Round-2 wave E: bitmap-exact distinct counting, EWMA smoothing,
+market-basket co-occurrence, Pareto (skyline) frontier, pipeline gate
+attrition, corpus-divergence diagnostics, sentence stats, and rolling
+z-score anomaly detection.
+
+These extend SURVEY.md §2b (aggregation/window/join groups) and the
+LLM-pipeline battery with the remaining "operations a large-scale
+training-data pipeline would need": corpus observability (per-gate
+attrition, per-source distribution drift) and exact distinct counting
+at 100 TB via fixed-width bitmaps instead of shuffling raw IDs.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession, Window
+from pyspark.sql import functions as F
+
+from lakehouse_test_spark.fpsafe import dround, dsum
+from lakehouse_test_spark.operators.text import ws_tokens
+from lakehouse_test_spark.registry import query
+from lakehouse_test_spark.session import load_table
+
+
+def T(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
+    return load_table(spark, sf_dir, name)
+
+
+@query(
+    "agg_bitmap_distinct_users",
+    oracle="""
+    SELECT event_type,
+           count(DISTINCT user_id) AS n_distinct_users,
+           count(*) AS n_events
+    FROM events
+    GROUP BY event_type
+    """,
+    tags=("agg", "bitmap", "events"),
+)
+def agg_bitmap_distinct_users(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """EXACT distinct-user counts per event type via Spark 3.5 bitmap
+    aggregates — the scale path for exact COUNT(DISTINCT id) over
+    integer keys.
+
+    Plan shape: level 1 groups by (event_type, bucket =
+    id / 32768) and ORs per-bucket bitmaps (map-side combinable, each
+    partial is a <=4 KB fixed-width bitmap regardless of row count);
+    level 2 sums bitmap_count per event_type. The shuffle carries
+    one bitmap per (type, bucket) instead of every distinct raw id —
+    at 100 TB that is the difference between a bounded metadata
+    shuffle and re-shuffling the entire key column. The count is
+    exact, unlike approx_count_distinct (agg_approx_sketches).
+
+    n_events rides along in level 1 and sums in level 2, so both
+    metrics come from ONE scan and one two-level aggregate.
+    """
+    e = T(spark, sf_dir, "events")
+    buckets = (
+        e.groupBy("event_type", F.bitmap_bucket_number(F.col("user_id")).alias("bucket"))
+        .agg(
+            F.bitmap_construct_agg(F.bitmap_bit_position(F.col("user_id"))).alias("bm"),
+            F.count(F.lit(1)).alias("n"),
+        )
+    )
+    return buckets.groupBy("event_type").agg(
+        F.sum(F.bitmap_count(F.col("bm"))).alias("n_distinct_users"),
+        F.sum("n").alias("n_events"),
+    )
+
+
+@query(
+    "timeseries_ewma_user",
+    oracle="""
+    WITH ordered AS (
+      SELECT user_id, list(value ORDER BY ts, event_id) AS vals
+      FROM events
+      GROUP BY user_id
+    )
+    SELECT user_id,
+           CAST(len(vals) AS BIGINT) AS n_events,
+           CAST(round(list_reduce(vals, (acc, x) -> acc * 0.8 + x * 0.2), 6) AS DOUBLE)
+             AS ewma_value
+    FROM ordered
+    """,
+    tags=("timeseries", "events", "agg"),
+)
+def timeseries_ewma_user(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Exponentially weighted moving average (alpha=0.2) of each
+    user's value series — the classic smoothing recursion
+    y_t = alpha*x_t + (1-alpha)*y_{t-1}, which no built-in window
+    frame expresses (every prior row contributes, geometrically
+    decayed).
+
+    Implemented as ONE hash aggregate (collect ordered series per
+    user) plus an in-plan higher-order fold: array_sort on a
+    (ts, event_id, value) struct makes the order total and engine-
+    independent, then F.aggregate folds left-to-right seeded with the
+    first element — exactly DuckDB's list_reduce semantics, so both
+    engines execute the identical IEEE op sequence and the result is
+    bit-reproducible (no rounding-boundary flake).
+
+    Scale: state per user is the series itself, bounded by per-user
+    event counts (panel data, not unbounded); for truly unbounded
+    series the same fold runs incrementally via
+    applyInPandasWithState (udf_stateful_session_counter shows that
+    harness). A single shuffle on user_id, map-side partial lists.
+    """
+    e = T(spark, sf_dir, "events")
+    pairs = F.array_sort(
+        F.collect_list(F.struct(F.col("ts"), F.col("event_id"), F.col("value")))
+    )
+    return (
+        e.groupBy("user_id")
+        .agg(pairs.alias("pairs"))
+        .select(
+            "user_id",
+            F.size("pairs").cast("bigint").alias("n_events"),
+            F.round(
+                F.aggregate(
+                    F.slice(
+                        F.transform(F.col("pairs"), lambda p: p["value"]),
+                        2,
+                        F.greatest(F.size("pairs") - 1, F.lit(0)),
+                    ),
+                    F.element_at(F.transform(F.col("pairs"), lambda p: p["value"]), 1),
+                    lambda acc, x: acc * F.lit(0.8) + x * F.lit(0.2),
+                ),
+                6,
+            ).alias("ewma_value"),
+        )
+    )
+
+
+@query(
+    "basket_copurchase_pairs",
+    oracle="""
+    WITH items AS (
+      SELECT DISTINCT l_orderkey, l_partkey FROM lineitem
+    )
+    SELECT a.l_partkey AS part_a, b.l_partkey AS part_b,
+           count(*) AS n_orders
+    FROM items a JOIN items b
+      ON a.l_orderkey = b.l_orderkey AND a.l_partkey < b.l_partkey
+    GROUP BY a.l_partkey, b.l_partkey
+    ORDER BY n_orders DESC, part_a, part_b
+    LIMIT 20
+    """,
+    tags=("join", "basket", "lineitem"),
+)
+def basket_copurchase_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Market-basket co-occurrence: the top part pairs bought together
+    in the same order — the candidate-generation step of frequent-
+    itemset mining (A-priori's k=2 pass) as one equi-self-join.
+
+    Scale: the join is an EQUI-join on l_orderkey, so it shuffles both
+    sides by order key and expands pairs only within an order —
+    output is sum over orders of C(basket,2), bounded by basket size
+    (<=13 in this corpus; real carts are similarly capped), never
+    all-pairs across orders. The final top-20 is TakeOrdered, no
+    global sort. Skewed mega-baskets would salt the same way as
+    join_salted_skew.
+    """
+    items = (
+        T(spark, sf_dir, "lineitem").select("l_orderkey", "l_partkey").distinct()
+    )
+    a = items.alias("a")
+    b = items.alias("b")
+    pairs = (
+        a.join(
+            b,
+            (F.col("a.l_orderkey") == F.col("b.l_orderkey"))
+            & (F.col("a.l_partkey") < F.col("b.l_partkey")),
+        )
+        .groupBy(
+            F.col("a.l_partkey").alias("part_a"), F.col("b.l_partkey").alias("part_b")
+        )
+        .agg(F.count(F.lit(1)).alias("n_orders"))
+    )
+    return pairs.orderBy(F.desc("n_orders"), "part_a", "part_b").limit(20)
+
+
+@query(
+    "pareto_frontier_parts",
+    oracle="""
+    SELECT p.p_type, p.p_partkey, p.p_retailprice, p.p_size
+    FROM part p
+    WHERE NOT EXISTS (
+      SELECT 1 FROM part q
+      WHERE q.p_type = p.p_type
+        AND q.p_retailprice <= p.p_retailprice
+        AND q.p_size >= p.p_size
+        AND (q.p_retailprice < p.p_retailprice OR q.p_size > p.p_size)
+    )
+    """,
+    tags=("join", "skyline", "part"),
+)
+def pareto_frontier_parts(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Pareto frontier (skyline) per part type: parts where no same-
+    type part is both cheaper-or-equal and larger-or-equal (with one
+    strict) — the multi-objective "best tradeoff" query.
+
+    Scale: dominance is checked WITHIN p_type, so the anti-join is an
+    equi-join on p_type with a theta residual — Spark shuffles by
+    type and compares only intra-group, never the full cross product.
+    For a single giant group the standard refinement is pre-filtering
+    with the per-group sort-by-price running-max-of-size pass (a
+    window) which shrinks candidates to the frontier superset; group
+    sizes here (<=400) don't need it. Output order is irrelevant
+    (hash-compared); no LIMIT, no driver loop.
+    """
+    p = T(spark, sf_dir, "part").select("p_type", "p_partkey", "p_retailprice", "p_size")
+    q = p.select(
+        F.col("p_type").alias("q_type"),
+        F.col("p_retailprice").alias("q_price"),
+        F.col("p_size").alias("q_size"),
+    )
+    dominated = (
+        (F.col("q_type") == F.col("p_type"))
+        & (F.col("q_price") <= F.col("p_retailprice"))
+        & (F.col("q_size") >= F.col("p_size"))
+        & ((F.col("q_price") < F.col("p_retailprice")) | (F.col("q_size") > F.col("p_size")))
+    )
+    return p.join(q, dominated, "left_anti")
+
+
+@query(
+    "pipeline_gate_attrition",
+    oracle="""
+    WITH scored AS (
+      SELECT source,
+             length(text) AS nc,
+             len(string_split_regex(lower(text), '\\s+')) AS nw,
+             len(list_distinct(string_split_regex(lower(text), '\\s+'))) * 1.0
+               / len(string_split_regex(lower(text), '\\s+')) AS ttr
+      FROM documents
+    )
+    SELECT source,
+           count(*) AS n_docs,
+           sum(CASE WHEN nc BETWEEN 40 AND 5000 THEN 1 ELSE 0 END) AS pass_len,
+           sum(CASE WHEN nc BETWEEN 40 AND 5000 AND nw >= 10 THEN 1 ELSE 0 END)
+             AS pass_words,
+           sum(CASE WHEN nc BETWEEN 40 AND 5000 AND nw >= 10 AND ttr >= 0.2
+                    THEN 1 ELSE 0 END) AS pass_ttr,
+           CAST(round(sum(CASE WHEN nc BETWEEN 40 AND 5000 AND nw >= 10 AND ttr >= 0.2
+                    THEN 1 ELSE 0 END) * 1.0 / count(*), 4) AS DOUBLE) AS survival_rate
+    FROM scored
+    GROUP BY source
+    """,
+    tags=("text", "llm", "pipeline", "observability"),
+)
+def pipeline_gate_attrition(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-source attrition through the pretraining filter cascade
+    (pipeline_pretraining_filter's gates): how many docs survive the
+    length gate, then the word-count gate, then the diversity gate —
+    the observability table a data-curation run reports so corpus
+    drops are explainable per stage and per source.
+
+    Scale: ONE scan, one hash aggregate on source; every gate is a
+    conditional sum fused into the same codegen stage — adding a gate
+    costs one column, not one pass. This is how 100 TB curation runs
+    stay auditable without re-reading the corpus per gate.
+    """
+    d = T(spark, sf_dir, "documents")
+    toks = ws_tokens(F.col("text"))
+    nc = F.length("text")
+    nw = F.size(toks)
+    ttr = F.size(F.array_distinct(toks)).cast("double") / nw
+    g1 = nc.between(40, 5000)
+    g2 = g1 & (nw >= 10)
+    g3 = g2 & (ttr >= 0.2)
+    cnt = lambda c: F.sum(F.when(c, 1).otherwise(0))  # noqa: E731
+    return (
+        d.select("source", g1.alias("g1"), g2.alias("g2"), g3.alias("g3"))
+        .groupBy("source")
+        .agg(
+            F.count(F.lit(1)).alias("n_docs"),
+            cnt(F.col("g1")).alias("pass_len"),
+            cnt(F.col("g2")).alias("pass_words"),
+            cnt(F.col("g3")).alias("pass_ttr"),
+            F.round(
+                F.sum(F.when(F.col("g3"), 1).otherwise(0)) / F.count(F.lit(1)), 4
+            ).alias("survival_rate"),
+        )
+    )
+
+
+@query(
+    "corpus_source_divergence",
+    oracle="""
+    WITH tok AS (
+      SELECT source, unnest(string_split_regex(lower(text), '\\s+')) AS tok
+      FROM documents
+    ),
+    per AS (
+      SELECT source, tok, count(*) AS c FROM tok GROUP BY source, tok
+    ),
+    src AS (
+      SELECT source, sum(c) AS st FROM per GROUP BY source
+    ),
+    gcnt AS (
+      SELECT tok, sum(c) AS g FROM per GROUP BY tok
+    ),
+    gt AS (
+      SELECT sum(g) AS gt FROM gcnt
+    )
+    SELECT per.source,
+           CAST(sum(per.c) AS BIGINT) AS n_tokens,
+           count(*) AS n_distinct_tokens,
+           CAST(round(sum(CAST((per.c * 1.0 / src.st)
+                     * ln((per.c * 1.0 / src.st) / (gcnt.g * 1.0 / gt.gt))
+                     AS DECIMAL(18,6))), 4) AS DOUBLE) AS kl_vs_corpus
+    FROM per
+    JOIN src ON per.source = src.source
+    JOIN gcnt ON per.tok = gcnt.tok
+    CROSS JOIN gt
+    GROUP BY per.source
+    """,
+    tags=("text", "llm", "observability"),
+)
+def corpus_source_divergence(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Distribution drift per source: KL(source unigram dist ‖ whole-
+    corpus unigram dist) — the mixture-diagnostics number a corpus
+    report shows per shard (high KL = the shard's vocabulary diverges
+    from the blend, worth inspecting before training).
+
+    KL is well-defined here because every source token is in the
+    global distribution (q > 0 wherever p > 0). Per-term products are
+    decimal-cast before the final sum (fpsafe) so accumulation order
+    can't move the rounded result across engines.
+
+    Scale: token explode → ONE (source, token) count aggregate; the
+    source totals and global token counts derive from it (Catalyst
+    reuses the exchange); the global total broadcasts as a scalar.
+    The wide shuffle carries (source, token, count) — the same volume
+    as any vocabulary build (vocab_topk_terms) — and everything after
+    is bounded by vocabulary size, not corpus size.
+    """
+    d = T(spark, sf_dir, "documents")
+    # heavy per-row tokenize stage: spread a small single-file scan
+    # across cores (no-op on a real multi-file 100 TB scan)
+    target = spark.sparkContext.defaultParallelism
+    if d.rdd.getNumPartitions() < target:
+        d = d.repartition(target)
+    tok = d.select("source", F.explode(ws_tokens(F.col("text"))).alias("tok"))
+    per = tok.groupBy("source", "tok").agg(F.count(F.lit(1)).alias("c"))
+    src = per.groupBy("source").agg(F.sum("c").alias("st"))
+    glob = per.groupBy("tok").agg(F.sum("c").alias("g"))
+    gt = glob.agg(F.sum("g").alias("gt"))
+    p = F.col("c") * F.lit(1.0) / F.col("st")
+    q = F.col("g") * F.lit(1.0) / F.col("gt")
+    term = (p * F.log(p / q)).cast("decimal(18,6)")
+    return (
+        per.join(src, "source")
+        .join(glob, "tok")
+        .crossJoin(F.broadcast(gt))
+        .groupBy("source")
+        .agg(
+            F.sum("c").cast("bigint").alias("n_tokens"),
+            F.count(F.lit(1)).alias("n_distinct_tokens"),
+            dround(F.sum(term), 4).alias("kl_vs_corpus"),
+        )
+    )
+
+
+@query(
+    "text_sentence_stats",
+    oracle="""
+    WITH s AS (
+      SELECT doc_id,
+             list_filter(list_transform(string_split_regex(text, '[.!?]+'),
+                                        x -> trim(x)),
+                         x -> length(x) > 0) AS sents
+      FROM documents
+    )
+    SELECT doc_id,
+           CAST(len(sents) AS INTEGER) AS n_sentences,
+           CAST(round(CASE WHEN len(sents) = 0 THEN 0.0
+                ELSE list_aggregate(list_transform(sents,
+                       x -> len(string_split_regex(x, '\\s+'))), 'sum')
+                     * 1.0 / len(sents) END, 4) AS DOUBLE) AS avg_sentence_words,
+           CAST(CASE WHEN len(sents) = 0 THEN 0
+                ELSE list_max(list_transform(sents, x -> length(x))) END
+                AS INTEGER) AS max_sentence_chars
+    FROM s
+    """,
+    tags=("text", "llm", "quality"),
+)
+def text_sentence_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Sentence segmentation stats per document: sentence count, mean
+    words per sentence, longest sentence — the readability signals
+    next to the word-level gates (wall-of-text and run-on detection).
+
+    Scale: per-row split/transform in codegen, zero shuffle — same
+    embarrassing parallelism as every text gate. The splitter is the
+    simple [.!?]+ rule shared verbatim by both regex engines.
+    """
+    d = T(spark, sf_dir, "documents")
+    sents = F.filter(
+        F.transform(F.split(F.col("text"), r"[.!?]+"), lambda x: F.trim(x)),
+        lambda x: F.length(x) > 0,
+    )
+    with_s = d.select("doc_id", sents.alias("sents"))
+    n = F.size(F.col("sents"))
+    total_words = F.aggregate(
+        F.transform(F.col("sents"), lambda x: F.size(F.split(x, r"\s+"))),
+        F.lit(0),
+        lambda acc, x: acc + x,
+    )
+    return with_s.select(
+        "doc_id",
+        n.cast("int").alias("n_sentences"),
+        F.round(
+            F.when(n == 0, F.lit(0.0)).otherwise(total_words.cast("double") / n), 4
+        ).alias("avg_sentence_words"),
+        F.when(n == 0, F.lit(0))
+        .otherwise(F.array_max(F.transform(F.col("sents"), lambda x: F.length(x))))
+        .cast("int")
+        .alias("max_sentence_chars"),
+    )
+
+
+@query(
+    "events_anomaly_zscore",
+    oracle="""
+    WITH w AS (
+      SELECT event_type, value,
+             avg(value) OVER win AS mu,
+             stddev_samp(value) OVER win AS sd,
+             count(*) OVER win AS n_prior
+      FROM events
+      WINDOW win AS (PARTITION BY user_id ORDER BY ts, event_id
+                     ROWS BETWEEN 20 PRECEDING AND 1 PRECEDING)
+    )
+    SELECT event_type,
+           count(*) AS n_scored,
+           sum(CASE WHEN abs((value - mu) / sd) > 3 THEN 1 ELSE 0 END) AS n_anomalies
+    FROM w
+    WHERE n_prior >= 5 AND sd > 0
+    GROUP BY event_type
+    """,
+    tags=("timeseries", "window", "events", "observability"),
+)
+def events_anomaly_zscore(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Rolling z-score anomaly detection: each event scored against
+    the mean/stddev of its user's previous <=20 events (strictly
+    preceding frame — no self-leak), flagged when |z| > 3; rolled up
+    per event type. The online-monitoring shape for metric streams.
+
+    Scale: one window shuffle on user_id (panel-bounded partitions),
+    frame is ROWS-bounded so state per row is O(20); the rollup
+    reuses nothing heavier than a hash aggregate. The n_prior >= 5
+    guard keeps cold-start rows out (and stddev of a single value is
+    NULL anyway — sd > 0 also drops constant-history windows where z
+    is undefined).
+    """
+    e = T(spark, sf_dir, "events")
+    win = (
+        Window.partitionBy("user_id")
+        .orderBy("ts", "event_id")
+        .rowsBetween(-20, -1)
+    )
+    w = e.select(
+        "event_type",
+        "value",
+        F.avg("value").over(win).alias("mu"),
+        F.stddev_samp("value").over(win).alias("sd"),
+        F.count(F.lit(1)).over(win).alias("n_prior"),
+    )
+    z = (F.col("value") - F.col("mu")) / F.col("sd")
+    return (
+        w.where((F.col("n_prior") >= 5) & (F.col("sd") > 0))
+        .groupBy("event_type")
+        .agg(
+            F.count(F.lit(1)).alias("n_scored"),
+            F.sum(F.when(F.abs(z) > 3, 1).otherwise(0)).alias("n_anomalies"),
+        )
+    )
