@@ -158,3 +158,42 @@ def test_expectations_single_scan_per_table(spark, sf_dir):
     aggregate projection)."""
     p = plan_of(spark, sf_dir, "dq_expectations")
     assert p.count("orders.parquet") <= 1 or p.count("Scan parquet") <= 3
+
+
+def test_bitmap_distinct_two_level_aggregate(spark, sf_dir):
+    """Exact distinct via bitmaps: two aggregate levels (bucket bitmaps
+    then bitmap_count sums) and NO expand/distinct of raw ids."""
+    p = plan_of(spark, sf_dir, "agg_bitmap_distinct_users")
+    assert p.count("HashAggregate") >= 2
+    assert "Expand" not in p  # not the count-distinct expand strategy
+
+
+def test_basket_pairs_equi_join_topk(spark, sf_dir):
+    """Pair expansion must ride an equi-join on order key (shuffle
+    hash/SMJ), and the top-20 must be TakeOrdered, not a global sort."""
+    p = plan_of(spark, sf_dir, "basket_copurchase_pairs")
+    assert "CartesianProduct" not in p
+    assert "BroadcastNestedLoop" not in p
+    assert "TakeOrderedAndProject" in p
+
+
+def test_skyline_anti_join_not_cartesian(spark, sf_dir):
+    """Dominance check is an equi-join on p_type with a theta residual
+    — never a nested loop over all part pairs."""
+    p = plan_of(spark, sf_dir, "pareto_frontier_parts")
+    assert "LeftAnti" in p
+    assert "CartesianProduct" not in p
+
+
+def test_gate_attrition_single_scan(spark, sf_dir):
+    """All cascade gates fold into one scan + one aggregate."""
+    p = plan_of(spark, sf_dir, "pipeline_gate_attrition")
+    assert p.count("Scan parquet") == 1
+
+
+def test_anomaly_zscore_bounded_frame(spark, sf_dir):
+    """Rolling stats use a ROWS-bounded running frame (O(1) state per
+    row), partitioned by user — no unpartitioned window."""
+    p = plan_of(spark, sf_dir, "events_anomaly_zscore")
+    assert "specifiedwindowframe(RowFrame, -20, -1)" in p
+    assert "windowspecdefinition(user_id" in p  # partitioned, not global
