@@ -254,6 +254,42 @@ class LakehouseTable:
             snap.repartition(target_partitions), "compact", data_change=False, stats_cols=stats_cols
         )
 
+    def restore(self, version: int) -> Commit:
+        """RESTORE TABLE to an earlier version (Delta ``RESTORE``
+        analog): publish a new restate commit whose file list is
+        exactly the target version's live file set.
+
+        Metadata-only — no data is rewritten, so the operation is
+        O(commit log), not O(table), at any scale. The restored state
+        is itself versioned: time travel still sees the pre-restore
+        lineage, and a restore can be restored over. Zone-map stats
+        are carried over from the source commits so ``scan_pruned``
+        keeps skipping files. ``data_change=True`` (readers' view
+        changes), so incremental cursors crossing it restart from a
+        snapshot — same contract as merge/delete.
+        """
+        self._check_horizon(version)
+        live = self._live_commits(version)
+        if not live:
+            raise ValueError(f"no data at version {version}")
+        files = [f for c in live for f in c.files]
+        stats: dict = {}
+        for c in live:
+            if c.stats:
+                stats.update({f: c.stats[f] for f in c.files if f in c.stats})
+        new_version = self.latest_version() + 1
+        commit = Commit(
+            version=new_version,
+            files=files,
+            row_count=sum(c.row_count for c in live),
+            operation="restore",
+            stats=stats or None,
+            restate=True,
+            data_change=True,
+        )
+        self._commit_path(new_version).write_text(json.dumps(commit.__dict__))
+        return commit
+
     def zorder(
         self,
         cols: list[str],

@@ -474,3 +474,144 @@ def events_anomaly_zscore(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.sum(F.when(F.abs(z) > 3, 1).otherwise(0)).alias("n_anomalies"),
         )
     )
+
+
+@query(
+    "timeseries_autocorr_lag1",
+    oracle="""
+    WITH lagged AS (
+      SELECT event_type, value,
+             lag(value) OVER (PARTITION BY user_id ORDER BY ts, event_id) AS prev
+      FROM events
+    )
+    SELECT event_type,
+           count(*) AS n_pairs,
+           CAST(round(corr(value, prev), 4) AS DOUBLE) AS autocorr_lag1
+    FROM lagged
+    WHERE prev IS NOT NULL
+    GROUP BY event_type
+    """,
+    tags=("timeseries", "window", "events"),
+)
+def timeseries_autocorr_lag1(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Lag-1 autocorrelation of each user's value series, rolled up
+    per event type — the stationarity probe run before forecasting
+    (near-zero = noise; high = momentum worth modeling).
+
+    Scale: one window shuffle on user_id for the lag, one hash
+    aggregate for corr (Pearson over running co-moments — partial-
+    aggregatable, no value collection).
+    """
+    e = T(spark, sf_dir, "events")
+    w = Window.partitionBy("user_id").orderBy("ts", "event_id")
+    lagged = e.select(
+        "event_type", "value", F.lag("value").over(w).alias("prev")
+    ).where(F.col("prev").isNotNull())
+    return lagged.groupBy("event_type").agg(
+        F.count(F.lit(1)).alias("n_pairs"),
+        F.round(F.corr("value", "prev"), 4).alias("autocorr_lag1"),
+    )
+
+
+@query(
+    "events_ab_test_zstat",
+    oracle="""
+    WITH arms AS (
+      SELECT event_type, user_id % 2 AS arm, value FROM events
+    ),
+    stats AS (
+      SELECT event_type, arm,
+             count(*) AS n,
+             avg(value) AS mu,
+             var_samp(value) AS v
+      FROM arms GROUP BY event_type, arm
+    )
+    SELECT a.event_type,
+           a.n AS n_control, b.n AS n_treat,
+           CAST(round(a.mu, 4) AS DOUBLE) AS mean_control,
+           CAST(round(b.mu, 4) AS DOUBLE) AS mean_treat,
+           CAST(round((b.mu - a.mu) / sqrt(a.v / a.n + b.v / b.n), 4) AS DOUBLE)
+             AS z_stat
+    FROM stats a JOIN stats b
+      ON a.event_type = b.event_type AND a.arm = 0 AND b.arm = 1
+    """,
+    tags=("agg", "stats", "events"),
+)
+def events_ab_test_zstat(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Two-sample z statistic per event type: users hash-split into
+    control/treatment arms (user_id parity — deterministic), compare
+    mean values via Welch's z — the experimentation-platform readout
+    computed wholly in aggregates.
+
+    Scale: ONE scan + one hash aggregate on (event_type, arm) — n,
+    mean, and variance are all partial-aggregatable co-moments; the
+    arm self-join runs over the tiny aggregate output, not events.
+    """
+    e = T(spark, sf_dir, "events")
+    stats = (
+        e.select("event_type", (F.col("user_id") % 2).alias("arm"), "value")
+        .groupBy("event_type", "arm")
+        .agg(
+            F.count(F.lit(1)).alias("n"),
+            F.avg("value").alias("mu"),
+            F.var_samp("value").alias("v"),
+        )
+    )
+    a = stats.where(F.col("arm") == 0).select(
+        "event_type",
+        F.col("n").alias("n_control"),
+        F.col("mu").alias("mu0"),
+        F.col("v").alias("v0"),
+    )
+    b = stats.where(F.col("arm") == 1).select(
+        F.col("event_type").alias("et_b"),
+        F.col("n").alias("n_treat"),
+        F.col("mu").alias("mu1"),
+        F.col("v").alias("v1"),
+    )
+    j = a.join(b, a.event_type == b.et_b)
+    z = (F.col("mu1") - F.col("mu0")) / F.sqrt(
+        F.col("v0") / F.col("n_control") + F.col("v1") / F.col("n_treat")
+    )
+    return j.select(
+        "event_type",
+        "n_control",
+        "n_treat",
+        F.round("mu0", 4).alias("mean_control"),
+        F.round("mu1", 4).alias("mean_treat"),
+        F.round(z, 4).alias("z_stat"),
+    )
+
+
+@query(
+    "sql_group_by_all",
+    oracle="""
+    SELECT event_type,
+           CAST(date_trunc('day', ts) AS DATE) AS day,
+           count(*) AS n_events,
+           CAST(round(sum(CAST(value AS DECIMAL(18,6))), 2) AS DOUBLE) AS total_value
+    FROM events
+    GROUP BY ALL
+    """,
+    tags=("sql", "agg", "events"),
+)
+def sql_group_by_all(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """GROUP BY ALL (Spark 3.4+ / DuckDB shared sugar): every
+    non-aggregate select item becomes a grouping key — the
+    exploratory-SQL spelling both engines parse identically.
+
+    Scale: desugars to a plain two-level hash aggregate; nothing new
+    at runtime, this query pins the dialect-parity surface.
+    """
+    register = T(spark, sf_dir, "events")
+    register.createOrReplaceTempView("events")
+    return spark.sql(
+        """
+        SELECT event_type,
+               CAST(date_trunc('day', ts) AS DATE) AS day,
+               count(*) AS n_events,
+               CAST(round(sum(CAST(value AS DECIMAL(18,6))), 2) AS DOUBLE) AS total_value
+        FROM events
+        GROUP BY ALL
+        """
+    )

@@ -378,3 +378,53 @@ def test_delta_export_schema_evolution(spark, table):
     assert fields_at(2) is None, "old-schema append must not emit metaData"
     df = read_delta_log(spark, str(table.path))
     assert "tier" in df.columns and df.count() == 35
+
+
+def test_restore_to_earlier_version(spark, table):
+    """RESTORE publishes a metadata-only restate pointing at the
+    target version's live files: the view reverts, history is kept,
+    and no data files are rewritten."""
+    table.append(person_stream(spark, 100))
+    v0 = table.latest_version()
+    table.append(person_stream(spark, 50))
+    table.delete_where("age >= 0")  # wipe everything (logical restate)
+    assert table.snapshot().count() == 0
+
+    before_files = {f for c in table.history() for f in c.files}
+    c = table.restore(v0)
+    after_files = {f for cc in table.history() for cc in [cc] for f in cc.files}
+    assert table.snapshot().count() == 100          # view reverted
+    assert table.total_rows_committed() == 100
+    assert c.operation == "restore" and c.restate
+    assert set(c.files) <= before_files             # no new data files written
+    assert table.snapshot(version=v0 + 1).count() == 150  # lineage intact
+    # appends layer on top of the restored base
+    table.append(person_stream(spark, 10))
+    assert table.snapshot().count() == 110
+
+
+def test_restore_resets_incremental_cursor(spark, table):
+    """A cursor from before a restore must restart (logical restate
+    crossing the cursor), same contract as merge/delete."""
+    from lakehouse_test_spark.plans.lakehouse import RestateAcrossCursorError
+
+    table.append(person_stream(spark, 40))
+    v0 = table.latest_version()
+    table.append(person_stream(spark, 10))
+    table.restore(v0)
+    with pytest.raises(RestateAcrossCursorError):
+        table.read_changes(since_version=v0)
+
+
+def test_restore_preserves_pruning_stats(spark, table):
+    """Zone-map stats carry through the restore, so scan_pruned keeps
+    skipping files afterwards."""
+    df = person_stream(spark, 200).withColumn("bucket", F.col("age") % 4)
+    for b in range(4):
+        table.append(df.where(F.col("bucket") == b).coalesce(1), stats_cols=["age"])
+    v_all = table.latest_version()
+    table.delete_where("age < 0", stats_cols=["age"])  # no-op restate
+    table.restore(v_all)
+    _, scanned, total = table.scan_pruned("age", 0, 1)
+    assert total == 4
+    assert scanned < total  # pruning still effective post-restore
