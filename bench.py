@@ -72,15 +72,20 @@ def main() -> None:
         if q is not None:
             q.fn(spark, sf_dir).write.format("noop").mode("overwrite").save()
 
+    # best-of-2 timed passes per query: single-pass numbers on a
+    # shared box carry scheduler noise comparable to the fastest
+    # queries themselves; the min is the steady-state plan cost
     timings: dict[str, float] = {}
-    for name in HEADLINE:
-        q = REGISTRY.get(name)
-        if q is None:
-            continue
-        t0 = time.time()
-        df = q.fn(spark, sf_dir)
-        df.write.format("noop").mode("overwrite").save()
-        timings[name] = round(time.time() - t0, 3)
+    for _ in range(2):
+        for name in HEADLINE:
+            q = REGISTRY.get(name)
+            if q is None:
+                continue
+            t0 = time.time()
+            df = q.fn(spark, sf_dir)
+            df.write.format("noop").mode("overwrite").save()
+            dt = round(time.time() - t0, 3)
+            timings[name] = min(timings.get(name, dt), dt)
 
     total = round(sum(timings.values()), 3)
     print(
