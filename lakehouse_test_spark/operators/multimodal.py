@@ -412,3 +412,141 @@ def multimodal_header_decode(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.when(is_wav, sr).alias("sample_rate"),
         F.when(is_wav, nch).alias("channels"),
     )
+
+
+# ---------------------------------------------------------------------------
+# Perceptual hash (pHash) image near-dup
+# ---------------------------------------------------------------------------
+
+
+def phash_fingerprints(assets: DataFrame) -> DataFrame:
+    """64-bit perceptual hashes over binary payloads via a vectorized
+    numpy DCT kernel in ``mapInPandas``.
+
+    The REAL pHash pipeline (decode → grayscale 32×32 → 2-D DCT-II →
+    top-left 8×8 AC coefficients → median-threshold bits) with the
+    *decode* step replaced by the deterministic fake this container
+    mandates (payload bytes tiled into the 32×32 grid — locality-
+    preserving, so nearby payloads give nearby pixel grids; swap in a
+    PIL/ffmpeg decode on a real cluster, the rest is unchanged).
+
+    Scale: Arrow-batched, numpy-einsum over the whole batch (one
+    (B,32,32) tensor contraction per batch — no per-row Python), zero
+    shuffle; fingerprints are 8 bytes/row downstream. This is the
+    multimodal twin of MinHash signatures: fixed-width map-side
+    sketches that make near-dup detection a bounded equi-join.
+    """
+    out_schema = StructType(
+        [
+            StructField("asset_id", LongType()),
+            StructField("phash", LongType()),
+            *[StructField(f"pband{k}", LongType()) for k in range(8)],
+        ]
+    )
+
+    def kernel(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        import numpy as np
+
+        n = 32
+        k = np.arange(n)
+        # orthonormal DCT-II basis
+        C = np.sqrt(2.0 / n) * np.cos(np.pi * (2 * k[None, :] + 1) * k[:, None] / (2 * n))
+        C[0, :] = np.sqrt(1.0 / n)
+        for pdf in batches:
+            if len(pdf) == 0:
+                continue
+            grids = np.zeros((len(pdf), n, n), dtype=np.float64)
+            for i, payload in enumerate(pdf["payload"]):
+                b = np.frombuffer(bytes(payload), dtype=np.uint8)
+                grids[i] = np.resize(b if b.size else np.zeros(1, np.uint8), (n, n))
+            dct = np.einsum("ij,bjk,lk->bil", C, grids, C, optimize=True)
+            block = dct[:, :8, :8].reshape(len(pdf), 64)
+            ac = block[:, 1:]  # drop the DC term
+            med = np.median(ac, axis=1, keepdims=True)
+            bits = np.zeros((len(pdf), 64), dtype=np.uint8)
+            bits[:, 1:] = (ac > med).astype(np.uint8)
+            packed = np.packbits(bits, axis=1)  # (B, 8) big-endian bytes
+            ph = packed.copy().view(">i8").ravel().astype(np.int64)
+            u = packed.copy().view(">u8").ravel()
+            out = {
+                "asset_id": pdf["asset_id"].to_numpy(),
+                "phash": ph,
+            }
+            for band in range(8):
+                out[f"pband{band}"] = (
+                    (u >> np.uint64(8 * band)) & np.uint64(0xFF)
+                ).astype(np.int64)
+            yield pd.DataFrame(out)
+
+    return assets.select("asset_id", "payload").mapInPandas(kernel, out_schema)
+
+
+@query("multimodal_phash_pairs", oracle=None, tags=("multimodal", "llm", "dedup", "pandas_udf"))
+def multimodal_phash_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Image near-duplicate pairs by perceptual hash: fingerprint via
+    the DCT kernel, candidate pairs from 8×8-bit Hamming bands
+    (pigeonhole: distance ≤ 7 ⇒ at least one band identical), verify
+    with the exact popcount of the XOR — the SimHash discipline
+    applied to pixels instead of tokens.
+
+    A deterministic near-dup set is planted (every 9th asset gets a
+    copy of its neighbor's payload with a few bytes perturbed) so the
+    operator has work to do at any sf. Rows-only gate (the DCT has no
+    SQL twin); tests pin determinism, the Hamming property, and
+    planted-pair recall.
+
+    Scale: fingerprints are one mapInPandas pass (no shuffle); each
+    band join shuffles 1-byte keys; verify is codegen bit_count.
+    8-bit bands collide at ~n²/256 per band — tolerable for the
+    verify stage here, but at larger corpora the recall/cost dial is
+    bands × width: 4×16-bit bands (guarantee d≤3, collisions
+    ~n²/65536) or a coarse quantizer prefix on the band key, the
+    same tradeoff as similarity_lsh_topk.
+    """
+    a = assets_from_documents(spark, sf_dir)
+    # plant near-dups: every 9th asset becomes its neighbor's payload
+    # with 4 bytes overwritten in place (length-preserving, so the
+    # tiled pixel grid stays aligned — the analog of a small patch
+    # edit on a real image)
+    base = a.select("asset_id", "payload")
+    perturbed = base.where((F.col("asset_id") % 9 == 0) & (F.col("asset_id") > 0)).select(
+        (F.col("asset_id")).alias("pid"), F.col("payload").alias("src")
+    )
+    neighbor = base.select((F.col("asset_id") + 1).alias("pid"), F.col("payload").alias("np"))
+    planted = (
+        base.join(perturbed.join(neighbor, "pid").select("pid", "np"),
+                  base.asset_id == F.col("pid"), "left")
+        .select(
+            "asset_id",
+            F.when(
+                F.col("np").isNotNull(),
+                F.overlay(F.col("np"), F.lit(b"@@@@"), 11),
+            )
+            .otherwise(F.col("payload"))
+            .alias("payload"),
+        )
+    )
+    fp = phash_fingerprints(planted)
+    left = fp.select(
+        F.col("asset_id").alias("id_a"),
+        F.col("phash").alias("ph_a"),
+        *[F.col(f"pband{k}").alias(f"a{k}") for k in range(8)],
+    )
+    right = fp.select(
+        F.col("asset_id").alias("id_b"),
+        F.col("phash").alias("ph_b"),
+        *[F.col(f"pband{k}").alias(f"b{k}") for k in range(8)],
+    )
+    cands = None
+    for k in range(8):
+        c = left.join(
+            right, (F.col(f"a{k}") == F.col(f"b{k}")) & (F.col("id_a") < F.col("id_b"))
+        ).select("id_a", "id_b", "ph_a", "ph_b")
+        cands = c if cands is None else cands.unionByName(c)
+    hamming = F.bit_count(F.col("ph_a").bitwiseXOR(F.col("ph_b")))
+    return (
+        cands.distinct()
+        .withColumn("hamming", hamming)
+        .where(F.col("hamming") <= 7)
+        .select("id_a", "id_b", "hamming")
+    )

@@ -371,3 +371,93 @@ def test_header_decode_on_genuine_files(spark):
     assert got[3]["mime"] == "audio/wav" and (got[3]["sr"], got[3]["ch"]) == (16000, 1)
     assert got[4]["mime"] == "image/jpeg"
     assert got[5]["mime"] == "application/octet-stream"
+
+
+def test_phash_deterministic_and_identity(spark):
+    """Same payload -> same pHash across runs; identical payloads ->
+    Hamming 0."""
+    from pyspark.sql import functions as F
+
+    from lakehouse_test_spark.operators.multimodal import phash_fingerprints
+
+    # payloads must differ in CONTENT, not one character — pHash is
+    # (by design) invariant to tiny edits
+    import hashlib
+
+    rows = [
+        (i, b"".join(hashlib.sha256(bytes([i, j])).digest() for j in range(32)))
+        for i in range(8)
+    ]
+    rows.append((100, rows[3][1]))  # exact copy of asset 3
+    df = spark.createDataFrame(rows, "asset_id long, payload binary")
+    fp1 = {r.asset_id: r.phash for r in phash_fingerprints(df).collect()}
+    fp2 = {r.asset_id: r.phash for r in phash_fingerprints(df).collect()}
+    assert fp1 == fp2, "pHash must be deterministic"
+    assert fp1[100] == fp1[3], "identical payloads must hash identically"
+    assert len(set(fp1.values())) >= 8, "distinct payloads should mostly differ"
+
+
+def test_phash_banding_finds_all_close_pairs(spark):
+    """Pigeonhole recall: every pair at exact Hamming <= 7 MUST appear
+    in the banded candidate output (8 bands of 8 bits)."""
+    import itertools
+
+    from pyspark.sql import functions as F
+
+    from lakehouse_test_spark.operators.multimodal import phash_fingerprints
+
+    base = bytes("the quick brown fox jumps over the lazy dog " * 30, "utf8")
+    rows = [(0, base)]
+    # single-byte in-place edits: small Hamming perturbations
+    for i in range(1, 12):
+        b = bytearray(base)
+        b[50 * i] ^= 0x41
+        rows.append((i, bytes(b)))
+    df = spark.createDataFrame(rows, "asset_id long, payload binary")
+    fp = {r.asset_id: r.phash for r in phash_fingerprints(df).collect()}
+
+    def ham(a, b):
+        return bin((a ^ b) & 0xFFFFFFFFFFFFFFFF).count("1")
+
+    expected = {
+        (a, b)
+        for a, b in itertools.combinations(sorted(fp), 2)
+        if ham(fp[a], fp[b]) <= 7
+    }
+    assert expected, "fixture should contain at least one close pair"
+
+    fpdf = phash_fingerprints(df)
+    left = fpdf.select(
+        F.col("asset_id").alias("id_a"), F.col("phash").alias("ph_a"),
+        *[F.col(f"pband{k}").alias(f"a{k}") for k in range(8)],
+    )
+    right = fpdf.select(
+        F.col("asset_id").alias("id_b"), F.col("phash").alias("ph_b"),
+        *[F.col(f"pband{k}").alias(f"b{k}") for k in range(8)],
+    )
+    cands = None
+    for k in range(8):
+        c = left.join(right, (F.col(f"a{k}") == F.col(f"b{k}")) & (F.col("id_a") < F.col("id_b"))).select(
+            "id_a", "id_b", "ph_a", "ph_b"
+        )
+        cands = c if cands is None else cands.unionByName(c)
+    found = {
+        (r.id_a, r.id_b)
+        for r in cands.distinct()
+        .withColumn("h", F.bit_count(F.col("ph_a").bitwiseXOR(F.col("ph_b"))))
+        .where(F.col("h") <= 7)
+        .collect()
+    }
+    assert expected <= found, f"banding missed close pairs: {expected - found}"
+
+
+def test_phash_pairs_query_finds_planted(spark):
+    """The registered query detects its planted near-dup pairs and
+    emits no (a, b) with a >= b."""
+    from lakehouse_test_spark.queries import REGISTRY
+
+    rows = REGISTRY["multimodal_phash_pairs"].fn(spark, "/root/testdata/sf0.001").collect()
+    assert rows, "expected at least one near-dup pair"
+    assert all(r.id_a < r.id_b for r in rows)
+    planted = [r for r in rows if r.id_b - r.id_a == 1 and r.id_b % 9 == 0]
+    assert len(planted) >= 10
