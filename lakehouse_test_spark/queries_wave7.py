@@ -615,3 +615,44 @@ def sql_group_by_all(spark: SparkSession, sf_dir: str) -> DataFrame:
         GROUP BY ALL
         """
     )
+
+
+@query(
+    "agg_filter_clause",
+    oracle="""
+    SELECT l_returnflag,
+           count(*) AS n_rows,
+           count(*) FILTER (WHERE l_discount > 0.05) AS n_discounted,
+           CAST(round(sum(CAST(l_extendedprice AS DECIMAL(18,6)))
+                        FILTER (WHERE l_quantity >= 25), 2) AS DOUBLE)
+             AS bulk_revenue,
+           CAST(round(avg(l_discount) FILTER (WHERE l_tax > 0.04), 6) AS DOUBLE)
+             AS avg_disc_taxed
+    FROM lineitem
+    GROUP BY l_returnflag
+    """,
+    tags=("agg", "sql", "lineitem"),
+)
+def agg_filter_clause(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """SQL-standard FILTER (WHERE ...) aggregate modifiers — the
+    declarative spelling of conditional aggregation that both engines
+    parse natively (the CASE-WHEN-inside-agg idiom, made explicit).
+
+    Scale: identical plan to the CASE form — one scan, one two-level
+    hash aggregate; N filtered aggregates still cost one pass.
+    """
+    T(spark, sf_dir, "lineitem").createOrReplaceTempView("lineitem")
+    return spark.sql(
+        """
+        SELECT l_returnflag,
+               count(*) AS n_rows,
+               count(*) FILTER (WHERE l_discount > 0.05) AS n_discounted,
+               CAST(round(sum(CAST(l_extendedprice AS DECIMAL(18,6)))
+                            FILTER (WHERE l_quantity >= 25), 2) AS DOUBLE)
+                 AS bulk_revenue,
+               CAST(round(avg(l_discount) FILTER (WHERE l_tax > 0.04), 6) AS DOUBLE)
+                 AS avg_disc_taxed
+        FROM lineitem
+        GROUP BY l_returnflag
+        """
+    )

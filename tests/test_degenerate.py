@@ -28,6 +28,10 @@ ROBUST_DOC_QUERIES = [
     "dedup_exact_fingerprint",
     "dedup_keep_best",
     "vocab_topk_terms",
+    # wave E additions
+    "text_sentence_stats",
+    "pipeline_gate_attrition",
+    "corpus_source_divergence",
 ]
 
 

@@ -197,3 +197,45 @@ def test_anomaly_zscore_bounded_frame(spark, sf_dir):
     p = plan_of(spark, sf_dir, "events_anomaly_zscore")
     assert "specifiedwindowframe(RowFrame, -20, -1)" in p
     assert "windowspecdefinition(user_id" in p  # partitioned, not global
+
+
+def test_runtime_bloom_filter_join_pruning(spark, sf_dir):
+    """Spark's runtime bloom-filter injection: a selective dimension
+    filter materializes a bloom filter that prunes the fact scan
+    before the shuffle join. Locally the application-side scan is far
+    below the 10 GB default threshold, so the test lowers it to 0 —
+    at the 100 TB design point the defaults trigger this on their
+    own. Pinned because it is the single biggest shuffle reducer for
+    selective star joins at scale."""
+    from pyspark.sql import functions as F
+
+    from lakehouse_test_spark.session import load_table
+
+    saved_scan = spark.conf.get(
+        "spark.sql.optimizer.runtime.bloomFilter.applicationSideScanSizeThreshold"
+    )
+    saved_bcast = spark.conf.get("spark.sql.autoBroadcastJoinThreshold")
+    try:
+        spark.conf.set(
+            "spark.sql.optimizer.runtime.bloomFilter.applicationSideScanSizeThreshold", "0"
+        )
+        spark.conf.set("spark.sql.autoBroadcastJoinThreshold", "-1")
+        li = load_table(spark, sf_dir, "lineitem")
+        o = load_table(spark, sf_dir, "orders").where(F.col("o_totalprice") > 400000)
+        j = li.join(o, li.l_orderkey == o.o_orderkey).groupBy("l_returnflag").count()
+        p = plan_of_df(j)
+        assert "might_contain" in p, "no runtime bloom filter on the fact scan"
+        assert "bloom_filter_agg" in p, "no bloom build on the dimension side"
+    finally:
+        spark.conf.set(
+            "spark.sql.optimizer.runtime.bloomFilter.applicationSideScanSizeThreshold",
+            saved_scan,
+        )
+        spark.conf.set("spark.sql.autoBroadcastJoinThreshold", saved_bcast)
+
+
+def plan_of_df(df, mode: str = "simple") -> str:
+    buf = io.StringIO()
+    with redirect_stdout(buf):
+        df.explain(mode=mode)
+    return buf.getvalue()
