@@ -1,0 +1,140 @@
+"""Value-level checks for wave E: each operator against an
+independent reference implementation (pandas/numpy/brute force) on
+controlled fixtures — the oracle gate proves engine parity, these
+prove the MATH."""
+
+from __future__ import annotations
+
+import os
+import tempfile
+
+import datetime as dt
+
+import numpy as np
+import pandas as pd
+import pytest
+from pyspark.sql import functions as F
+
+from lakehouse_test_spark.queries import REGISTRY
+
+
+def _events_fixture(spark, tmp, rows):
+    df = spark.createDataFrame(
+        rows, "event_id long, ts timestamp, user_id long, event_type string, value double, props string"
+    )
+    df.coalesce(1).write.mode("overwrite").parquet(os.path.join(tmp, "events.parquet"))
+
+
+def test_ewma_matches_pandas_ewm(spark):
+    """The in-plan fold must equal pandas ewm(alpha=0.2, adjust=False)
+    — the textbook recursion — on a seeded random series."""
+    rng = np.random.default_rng(7)
+    rows = []
+    for uid in range(5):
+        for i in range(40):
+            rows.append(
+                (
+                    uid * 1000 + i,
+                    dt.datetime(2024, 1, 1) + dt.timedelta(seconds=i * 60),
+                    uid,
+                    "e",
+                    float(rng.normal(10, 3)),
+                    "{}",
+                )
+            )
+    with tempfile.TemporaryDirectory() as tmp:
+        _events_fixture(spark, tmp, rows)
+        got = {
+            r.user_id: r.ewma_value
+            for r in REGISTRY["timeseries_ewma_user"].fn(spark, tmp).collect()
+        }
+    pdf = pd.DataFrame(rows, columns=["event_id", "ts", "user_id", "et", "value", "props"])
+    for uid, g in pdf.groupby("user_id"):
+        series = g.sort_values(["ts", "event_id"])["value"]
+        expect = series.ewm(alpha=0.2, adjust=False).mean().iloc[-1]
+        assert got[uid] == pytest.approx(round(expect, 6), abs=1e-6), f"user {uid}"
+
+
+def test_bitmap_distinct_equals_exact_on_random_ids(spark):
+    """Bitmap counting is EXACT: random ids with collisions across
+    buckets must match count(distinct) precisely."""
+    rng = np.random.default_rng(11)
+    rows = [
+        (
+            int(i),
+            dt.datetime(2024, 1, 1),
+            int(rng.integers(0, 100000)),
+            ["a", "b"][int(rng.integers(0, 2))],
+            1.0,
+            "{}",
+        )
+        for i in range(5000)
+    ]
+    with tempfile.TemporaryDirectory() as tmp:
+        _events_fixture(spark, tmp, rows)
+        got = {
+            r.event_type: r.n_distinct_users
+            for r in REGISTRY["agg_bitmap_distinct_users"].fn(spark, tmp).collect()
+        }
+    pdf = pd.DataFrame(rows, columns=["event_id", "ts", "user_id", "event_type", "value", "props"])
+    for et, g in pdf.groupby("event_type"):
+        assert got[et] == g["user_id"].nunique(), et
+
+
+def test_pareto_frontier_matches_bruteforce(spark, sf_dir):
+    """Frontier must equal the O(n²) python reference per type."""
+    got = {
+        (r.p_type, r.p_partkey)
+        for r in REGISTRY["pareto_frontier_parts"].fn(spark, sf_dir).collect()
+    }
+    import duckdb
+
+    con = duckdb.connect()
+    parts = con.sql(
+        f"SELECT p_type, p_partkey, p_retailprice, p_size FROM read_parquet('{sf_dir}/part.parquet')"
+    ).fetchall()
+    by_type: dict = {}
+    for t, k, price, size in parts:
+        by_type.setdefault(t, []).append((k, price, size))
+    expect = set()
+    for t, items in by_type.items():
+        for k, price, size in items:
+            dominated = any(
+                qp <= price and qs >= size and (qp < price or qs > size)
+                for _, qp, qs in items
+            )
+            if not dominated:
+                expect.add((t, k))
+    assert got == expect
+
+
+def test_kl_divergence_properties(spark):
+    """KL(source ‖ corpus) is >= 0, and == 0 when the corpus has a
+    single source (p == q identically)."""
+    docs = [(i, "alpha beta gamma delta", "en", "only", 22) for i in range(4)]
+    with tempfile.TemporaryDirectory() as tmp:
+        spark.createDataFrame(
+            docs, "doc_id long, text string, lang string, source string, n_chars long"
+        ).coalesce(1).write.mode("overwrite").parquet(os.path.join(tmp, "documents.parquet"))
+        rows = REGISTRY["corpus_source_divergence"].fn(spark, tmp).collect()
+    assert len(rows) == 1
+    assert rows[0].kl_vs_corpus == pytest.approx(0.0, abs=1e-9)
+
+
+def test_anomaly_zscore_flags_planted_spike(spark):
+    """A constant-ish series with one huge spike must flag exactly the
+    spike (and nothing in the warmup prefix)."""
+    rows = []
+    rng = np.random.default_rng(3)
+    for i in range(30):
+        v = 10.0 + float(rng.normal(0, 0.1))
+        if i == 25:
+            v = 1000.0
+        rows.append(
+            (i, dt.datetime(2024, 1, 1) + dt.timedelta(seconds=i * 60), 1, "e", v, "{}")
+        )
+    with tempfile.TemporaryDirectory() as tmp:
+        _events_fixture(spark, tmp, rows)
+        out = REGISTRY["events_anomaly_zscore"].fn(spark, tmp).collect()
+    assert len(out) == 1
+    assert out[0].n_anomalies == 1
