@@ -416,3 +416,131 @@ def lm_perplexity_proxy(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.round("nll_raw", 4).alias("nll_per_token"),
         (F.col("nll_raw") < F.lit(float(cutoff))).alias("keep"),
     )
+
+
+# ---------------------------------------------------------------------------
+# Distributed BPE tokenizer training
+# ---------------------------------------------------------------------------
+
+
+def _merge_pair_in_syms(syms: Column, left: Column, right: Column) -> Column:
+    """Replace every non-overlapping adjacent (left, right) occurrence
+    in a symbol array with the concatenated token — one in-plan fold
+    (left-to-right, greedy, the standard BPE application order)."""
+    return F.aggregate(
+        syms,
+        F.struct(
+            F.array().cast("array<string>").alias("out"),
+            F.lit(None).cast("string").alias("pending"),
+        ),
+        lambda acc, x: F.when(
+            acc["pending"].isNull(),
+            F.struct(acc["out"].alias("out"), x.alias("pending")),
+        )
+        .when(
+            (acc["pending"] == left) & (x == right),
+            # merge consumes both; nothing pending (non-overlapping)
+            F.struct(
+                F.concat(acc["out"], F.array(F.concat(left, right))).alias("out"),
+                F.lit(None).cast("string").alias("pending"),
+            ),
+        )
+        .otherwise(
+            F.struct(
+                F.concat(acc["out"], F.array(acc["pending"])).alias("out"),
+                x.alias("pending"),
+            )
+        ),
+        lambda acc: F.when(
+            acc["pending"].isNull(), acc["out"]
+        ).otherwise(F.concat(acc["out"], F.array(acc["pending"]))),
+    )
+
+
+def bpe_train(
+    docs: DataFrame, num_merges: int = 16, text_col: str = "text"
+) -> list[tuple[int, str, str, int]]:
+    """Train byte-pair-encoding merges on a corpus, distributed.
+
+    The classic Sennrich et al. 2016 algorithm in DataFrame form:
+
+    1. ONE shuffle builds the word-frequency vocabulary (word counts
+       absorb the corpus — every later round works on |vocab| rows,
+       not corpus rows; this is what makes BPE trainable on 100 TB:
+       the iteration state is the vocabulary, which grows with
+       unique words, not with data volume).
+    2. Per round: adjacent symbol pairs via arrays_zip(syms,
+       slice(syms, 2, ...)) weighted by word freq → ONE hash
+       aggregate → deterministic argmax (count desc, pair asc);
+       the merge is applied map-side with an in-plan fold — no
+       shuffle, no Python in the loop body.
+    3. The vocab DF is persisted each round, the previous unpersisted,
+       and localCheckpoint() every 4 rounds truncates the growing
+       lineage — the connected-components discipline
+       (operators/cluster.py) applied to an optimizer loop.
+
+    Returns the merge table [(step, left, right, pair_count)].
+    """
+    from lakehouse_test_spark.operators.text import ws_tokens
+
+    spark = docs.sparkSession
+    vocab = (
+        docs.select(F.explode(ws_tokens(F.col(text_col))).alias("w"))
+        .where(F.length("w") > 0)
+        .groupBy("w")
+        .agg(F.count(F.lit(1)).alias("freq"))
+        .select(F.split(F.col("w"), "").alias("syms"), "freq")
+    ).persist()
+    vocab.count()
+
+    merges: list[tuple[int, str, str, int]] = []
+    for step in range(num_merges):
+        pairs = (
+            vocab.select(
+                F.explode(
+                    F.arrays_zip(
+                        F.slice(F.col("syms"), 1, F.size("syms") - 1).alias("l"),
+                        F.slice(F.col("syms"), 2, F.size("syms") - 1).alias("r"),
+                    )
+                ).alias("p"),
+                "freq",
+            )
+            .groupBy(F.col("p.l").alias("l"), F.col("p.r").alias("r"))
+            .agg(F.sum("freq").alias("c"))
+        )
+        top = pairs.orderBy(F.desc("c"), "l", "r").limit(1).collect()
+        if not top or top[0]["c"] < 2:
+            break
+        left, right, count = top[0]["l"], top[0]["r"], int(top[0]["c"])
+        merges.append((step, left, right, count))
+        new_vocab = vocab.select(
+            _merge_pair_in_syms(F.col("syms"), F.lit(left), F.lit(right)).alias("syms"),
+            "freq",
+        ).persist()
+        if (step + 1) % 4 == 0:
+            new_vocab = new_vocab.localCheckpoint()
+        new_vocab.count()
+        vocab.unpersist()
+        vocab = new_vocab
+    vocab.unpersist()
+    return merges
+
+
+@query("tokenizer_bpe_merges", oracle=None, tags=("text", "llm", "tokenizer", "iterative"))
+def tokenizer_bpe_merges(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The first 16 BPE merges learned from the documents corpus —
+    tokenizer training as a first-class pipeline op. Rows-only gate
+    (iterative, no SQL twin); tests/test_wave7.py proves the merge
+    sequence equals a pure-Python reference BPE on a controlled
+    corpus, including the deterministic tiebreak.
+    """
+    from lakehouse_test_spark.session import load_table
+
+    d = load_table(spark, sf_dir, "documents")
+    target = spark.sparkContext.defaultParallelism
+    if d.rdd.getNumPartitions() < target:
+        d = d.repartition(target)
+    merges = bpe_train(d, num_merges=16)
+    return spark.createDataFrame(
+        merges, "step int, left string, right string, pair_count long"
+    )

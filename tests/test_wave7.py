@@ -138,3 +138,53 @@ def test_anomaly_zscore_flags_planted_spike(spark):
         out = REGISTRY["events_anomaly_zscore"].fn(spark, tmp).collect()
     assert len(out) == 1
     assert out[0].n_anomalies == 1
+
+
+def test_bpe_matches_python_reference(spark):
+    """The distributed trainer must reproduce the exact merge sequence
+    (including the count-desc, pair-asc tiebreak) of a pure-Python
+    Sennrich-style BPE on a controlled corpus."""
+    from collections import Counter
+
+    from lakehouse_test_spark.operators.tokens import bpe_train
+
+    texts = [
+        "low lower lowest slow slower slowest",
+        "new newer newest few fewer fewest",
+        "low low lower new new newest",
+    ]
+
+    def ref_bpe(texts, num_merges):
+        vocab = Counter()
+        for t in texts:
+            for w in t.split():
+                vocab[tuple(w)] += 1
+        merges = []
+        for step in range(num_merges):
+            pc = Counter()
+            for syms, f in vocab.items():
+                for i in range(len(syms) - 1):
+                    pc[(syms[i], syms[i + 1])] += f
+            if not pc:
+                break
+            (l, r), c = min(pc.items(), key=lambda kv: (-kv[1], kv[0]))
+            if c < 2:
+                break
+            merges.append((step, l, r, c))
+            nv = Counter()
+            for syms, f in vocab.items():
+                out, i = [], 0
+                while i < len(syms):
+                    if i + 1 < len(syms) and syms[i] == l and syms[i + 1] == r:
+                        out.append(l + r)
+                        i += 2
+                    else:
+                        out.append(syms[i])
+                        i += 1
+                nv[tuple(out)] += f
+            vocab = nv
+        return merges
+
+    docs = spark.createDataFrame([(i, t) for i, t in enumerate(texts)], "doc_id long, text string")
+    got = bpe_train(docs, num_merges=10)
+    assert got == ref_bpe(texts, 10)
