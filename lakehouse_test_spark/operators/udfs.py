@@ -298,3 +298,68 @@ if _has_protobuf():  # environment-gated registration
     query("udf_transform_with_state", oracle=None, tags=("udf", "streaming", "stateful"))(
         udf_transform_with_state
     )
+
+
+@query(
+    "udtf_sentence_explode",
+    oracle=r"""
+    WITH s AS (
+      SELECT doc_id,
+             list_filter(list_transform(string_split_regex(text, '[.!?]+'), x -> trim(x)),
+                         x -> length(x) > 0) AS sents
+      FROM documents
+    ),
+    u AS (
+      SELECT doc_id,
+             unnest(list_transform(range(1, len(sents) + 1),
+                                   i -> {'i': i - 1, 'sent': sents[i]})) AS s
+      FROM s
+    )
+    SELECT doc_id,
+           CAST(s.i AS INTEGER) AS sent_idx,
+           s.sent AS sentence,
+           CAST(len(string_split_regex(s.sent, '\s+')) AS INTEGER) AS n_words
+    FROM u
+    """,
+    tags=("udf", "udtf", "text"),
+)
+def udtf_sentence_explode(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Python UDTF (Spark 3.5+ user-defined TABLE function) splitting
+    each document into sentence rows via LATERAL — the row-expanding
+    UDF shape (one input row → N output rows) that scalar/pandas UDFs
+    cannot express.
+
+    The splitter deliberately mirrors text_sentence_stats' [.!?]+
+    rule so the DuckDB oracle can replay it exactly (strip(' ')
+    matches SQL trim semantics). Hash-checked — the only Python UDTF
+    in the repo runs under the full oracle gate, not rows-only.
+
+    Scale: UDTFs execute per-partition in a single Python worker pass
+    (Arrow-batched rows in, rows out) and compose with LATERAL like
+    any generator; output volume is sentence count. For pure
+    splitting the codegen path (text_sentence_stats) is cheaper —
+    this op exists to cover the API surface where per-row expansion
+    logic genuinely needs Python (parsers, tokenizers, decoders).
+    """
+    from pyspark.sql.functions import udtf
+
+    @udtf(returnType="sent_idx int, sentence string, n_words int")
+    class SentenceSplit:
+        def eval(self, text: str):
+            import re
+
+            parts = [p.strip(" ") for p in re.split(r"[.!?]+", text or "")]
+            idx = 0
+            for p in parts:
+                if p:
+                    yield idx, p, len(re.split(r"\s+", p))
+                    idx += 1
+
+    spark.udtf.register("sentence_split", SentenceSplit)
+    load_table(spark, sf_dir, "documents").createOrReplaceTempView("documents_udtf")
+    return spark.sql(
+        """
+        SELECT d.doc_id, s.sent_idx, s.sentence, s.n_words
+        FROM documents_udtf d, LATERAL sentence_split(d.text) s
+        """
+    )
