@@ -53,6 +53,11 @@ class Commit:
     #: False when the rewrite changes no logical rows (pure compact) —
     #: the Delta `dataChange=false` flag that incremental readers skip
     data_change: bool = True
+    #: deletion-vector parquet files (Delta DV analog): (file, pos)
+    #: pairs of rows logically deleted WITHOUT rewriting data files
+    dv_files: list[str] | None = None
+    #: rows removed by this commit's deletion vectors
+    dv_row_count: int = 0
 
 
 class RestateAcrossCursorError(RuntimeError):
@@ -241,6 +246,73 @@ class LakehouseTable:
         remaining = self.snapshot().where(f"NOT ({condition})")
         return self._commit_restate(remaining, "delete", data_change=True, stats_cols=stats_cols)
 
+    def delete_where_dv(self, condition: str) -> Commit:
+        """Row-level DELETE via deletion vectors (Delta DV analog):
+        record the (file, row position) pairs matching ``condition``
+        instead of rewriting files.
+
+        Cost is O(matched rows) written as a small DV parquet —
+        against a 100 TB table this deletes in seconds where the
+        rewrite path (`delete_where`) re-writes every touched file.
+        Readers anti-join the DV on (_metadata.file_path,
+        _metadata.row_index) — a bounded equi-join the optimizer can
+        broadcast while DVs are small. Restates (merge/delete/compact/
+        zorder) physically drop DV'd rows and clear the vectors; DV
+        positions reference absolute file paths, so the table
+        directory must not move (same caveat as Delta's absolute-path
+        pins).
+        """
+        files = self._files_for()
+        if not files:
+            raise ValueError("cannot delete from an empty table")
+        base = self.spark.read.option("mergeSchema", "true").parquet(*files)
+        matched = base.where(condition).select(
+            F_col("_metadata.file_path").alias("_dv_file"),
+            F_col("_metadata.row_index").alias("_dv_pos"),
+        )
+        existing = self._live_dv_files()
+        if existing:
+            prior = self.spark.read.parquet(*[str(self.path / f) for f in existing])
+            matched = matched.join(prior, ["_dv_file", "_dv_pos"], "left_anti")
+        commit_dir = self.path / "data" / f"deletedv-{uuid.uuid4().hex[:12]}"
+        matched.write.parquet(str(commit_dir))
+        dv_files = sorted(
+            str(q.relative_to(self.path)) for q in commit_dir.rglob("part-*.parquet")
+        )
+        dv_count = self.spark.read.parquet(str(commit_dir)).count()
+        version = self.latest_version() + 1
+        commit = Commit(
+            version=version,
+            files=[],
+            row_count=0,
+            operation="delete_dv",
+            stats=None,
+            restate=False,
+            data_change=True,
+            dv_files=dv_files,
+            dv_row_count=dv_count,
+        )
+        self._commit_path(version).write_text(json.dumps(commit.__dict__))
+        return commit
+
+    def _live_dv_files(self, version: int | None = None) -> list[str]:
+        """DV parquet files active as of ``version`` (restates clear
+        them by construction: _live_commits starts at the base)."""
+        return [f for c in self._live_commits(version) for f in (c.dv_files or [])]
+
+    def _apply_dvs(self, df: DataFrame, version: int | None = None) -> DataFrame:
+        """Filter out DV'd rows: anti-join on (file path, row index)."""
+        dvs = self._live_dv_files(version)
+        if not dvs:
+            return df
+        dv = self.spark.read.parquet(*[str(self.path / f) for f in dvs])
+        return (
+            df.withColumn("_dv_file", F_col("_metadata.file_path"))
+            .withColumn("_dv_pos", F_col("_metadata.row_index"))
+            .join(dv, ["_dv_file", "_dv_pos"], "left_anti")
+            .drop("_dv_file", "_dv_pos")
+        )
+
     def compact(
         self, target_partitions: int = 1, stats_cols: list[str] | None = None
     ) -> Commit:
@@ -277,6 +349,7 @@ class LakehouseTable:
         for c in live:
             if c.stats:
                 stats.update({f: c.stats[f] for f in c.files if f in c.stats})
+        dv_files = [f for c in live for f in (c.dv_files or [])]
         new_version = self.latest_version() + 1
         commit = Commit(
             version=new_version,
@@ -286,6 +359,8 @@ class LakehouseTable:
             stats=stats or None,
             restate=True,
             data_change=True,
+            dv_files=dv_files or None,
+            dv_row_count=sum(c.dv_row_count for c in live),
         )
         self._commit_path(new_version).write_text(json.dumps(commit.__dict__))
         return commit
@@ -398,7 +473,8 @@ class LakehouseTable:
         files = self._files_for(version)
         if not files:
             raise ValueError(f"no data at version {version}")
-        return self.spark.read.option("mergeSchema", "true").parquet(*files)
+        df = self.spark.read.option("mergeSchema", "true").parquet(*files)
+        return self._apply_dvs(df, version)
 
     def scan_pruned(self, col: str, lo, hi) -> tuple[DataFrame, int, int]:
         """Range scan with zone-map file skipping: only files whose
@@ -420,9 +496,9 @@ class LakehouseTable:
                     kept.append(f)
         if not kept:
             return self.snapshot().limit(0), 0, len(all_files)
-        df = self.spark.read.parquet(*[str(self.path / f) for f in kept]).where(
-            (F_col(col) >= lo) & (F_col(col) <= hi)
-        )
+        df = self._apply_dvs(
+            self.spark.read.parquet(*[str(self.path / f) for f in kept])
+        ).where((F_col(col) >= lo) & (F_col(col) <= hi))
         return df, len(kept), len(all_files)
 
     def read_changes(self, since_version: int) -> DataFrame:
@@ -440,7 +516,9 @@ class LakehouseTable:
         if since_version < 0:
             return self.snapshot()
         newer = [c for c in self.history() if c.version > since_version]
-        logical_restates = [c for c in newer if c.restate and c.data_change]
+        logical_restates = [
+            c for c in newer if (c.restate and c.data_change) or c.dv_files
+        ]
         if logical_restates:
             ops = [(c.version, c.operation) for c in logical_restates]
             raise RestateAcrossCursorError(
@@ -462,7 +540,8 @@ class LakehouseTable:
         """Counter-metric twin (§2a op 35): log-recorded row totals of
         the live snapshot (restate base + later appends), for
         rows_written == rows_read invariants without a scan."""
-        return sum(c.row_count for c in self._live_commits(version))
+        live = self._live_commits(version)
+        return sum(c.row_count for c in live) - sum(c.dv_row_count for c in live)
 
     # -- table metadata (constraints, vacuum horizon) ------------------------
 
@@ -542,6 +621,7 @@ class LakehouseTable:
         for v in range(horizon, latest + 1):
             for c in self._live_commits(v):
                 keep.update(c.files)
+                keep.update(c.dv_files or [])
         deleted = 0
         data_dir = self.path / "data"
         for f in sorted(data_dir.rglob("*.parquet")):
@@ -655,9 +735,9 @@ class LakehouseTable:
                     kept.append(f)
         if not kept:
             return self.snapshot().limit(0), 0, len(all_files)
-        df = self.spark.read.parquet(*[str(self.path / f) for f in kept]).where(
-            F_col(col) == value
-        )
+        df = self._apply_dvs(
+            self.spark.read.parquet(*[str(self.path / f) for f in kept])
+        ).where(F_col(col) == value)
         return df, len(kept), len(all_files)
 
     def drop(self) -> None:

@@ -428,3 +428,63 @@ def test_restore_preserves_pruning_stats(spark, table):
     _, scanned, total = table.scan_pruned("age", 0, 1)
     assert total == 4
     assert scanned < total  # pruning still effective post-restore
+
+
+def test_deletion_vectors_basic(spark, table):
+    """delete_where_dv removes rows logically without touching data
+    files; snapshot, counts, and time travel all respect the DVs."""
+    table.append(person_stream(spark, 100))
+    v0 = table.latest_version()
+    files_before = {f for c in table.history() for f in c.files}
+
+    young = table.snapshot().where("age < 30").count()
+    c = table.delete_where_dv("age < 30")
+    assert c.operation == "delete_dv" and c.dv_row_count == young
+    assert {f for cc in table.history() for f in cc.files} == files_before  # no rewrite
+    snap = table.snapshot()
+    assert snap.count() == 100 - young
+    assert snap.where("age < 30").count() == 0
+    assert table.total_rows_committed() == 100 - young
+    # time travel before the DV still sees everything
+    assert table.snapshot(version=v0).count() == 100
+
+
+def test_deletion_vectors_stack_and_appends(spark, table):
+    """DVs accumulate without double-counting; appends after a DV are
+    unaffected; a restate (compact) physically drops DV'd rows."""
+    table.append(person_stream(spark, 100))
+    n_lt30 = table.snapshot().where("age < 30").count()
+    n_lt40 = table.snapshot().where("age < 40").count()
+    table.delete_where_dv("age < 30")
+    c2 = table.delete_where_dv("age < 40")  # overlaps the first DV
+    assert c2.dv_row_count == n_lt40 - n_lt30  # no double delete
+    assert table.snapshot().count() == 100 - n_lt40
+
+    table.append(person_stream(spark, 50))  # new file, no DVs on it
+    assert table.snapshot().count() == 150 - n_lt40
+
+    table.compact()
+    assert table._live_dv_files() == []  # restate cleared the vectors
+    assert table.snapshot().count() == 150 - n_lt40
+    assert table.snapshot().where("age < 40").count() == table.snapshot().where(
+        "age >= 40 and age < 40"
+    ).count() + table.snapshot().where("age < 40").count()  # self-consistent
+
+
+def test_deletion_vectors_cursor_and_restore(spark, table):
+    """A DV past an incremental cursor forces a snapshot restart;
+    restore carries the target version's DV state."""
+    from lakehouse_test_spark.plans.lakehouse import RestateAcrossCursorError
+
+    table.append(person_stream(spark, 60))
+    v0 = table.latest_version()
+    table.delete_where_dv("age < 30")
+    v_dv = table.latest_version()
+    with pytest.raises(RestateAcrossCursorError):
+        table.read_changes(since_version=v0)
+
+    survivors = table.snapshot().count()
+    table.append(person_stream(spark, 10))
+    table.restore(v_dv)
+    assert table.snapshot().count() == survivors
+    assert table.snapshot().where("age < 30").count() == 0
