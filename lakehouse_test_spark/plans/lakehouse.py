@@ -847,3 +847,50 @@ def lakehouse_bloom_pointlookup(spark: SparkSession, sf_dir: str) -> DataFrame:
         "o_orderkey", "o_custkey", F.round("o_totalprice", 2).alias("o_totalprice")
     )
     return out.localCheckpoint()
+
+
+@_query(
+    "lakehouse_dv_delete",
+    oracle="""
+    SELECT o_orderstatus,
+           count(*) AS n_orders,
+           CAST(round(sum(CAST(o_totalprice AS DECIMAL(18,6))), 2) AS DOUBLE)
+             AS total_price
+    FROM orders
+    WHERE NOT (o_totalprice < 50000)
+    GROUP BY o_orderstatus
+    """,
+    tags=("lakehouse", "dv"),
+)
+def lakehouse_dv_delete(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Deletion-vector round trip under the oracle gate: ingest orders
+    into a lakehouse table (two commits), DV-delete the cheap orders
+    WITHOUT rewriting any file, and aggregate the survivors — the
+    oracle computes the same rollup with the predicate inverted on the
+    raw parquet, so a hash match proves row-exact DV semantics.
+
+    Scale: the delete writes O(matched) positions; the read applies
+    one anti-join on (file, row index). Against a 100 TB table this
+    is the seconds-vs-hours difference from the rewrite path."""
+    import tempfile
+
+    from pyspark.sql import functions as F
+
+    from lakehouse_test_spark.session import load_table as _lt
+
+    o = _lt(spark, sf_dir, "orders").select("o_orderkey", "o_orderstatus", "o_totalprice")
+    t = LakehouseTable(spark, tempfile.mkdtemp(prefix="lh_dv_"))
+    t.append(o.where(F.col("o_orderkey") % 2 == 0).repartition(2))
+    t.append(o.where(F.col("o_orderkey") % 2 == 1).repartition(2))
+    t.delete_where_dv("o_totalprice < 50000")
+    out = (
+        t.snapshot()
+        .groupBy("o_orderstatus")
+        .agg(
+            F.count(F.lit(1)).alias("n_orders"),
+            F.round(F.sum(F.col("o_totalprice").cast("decimal(18,6)")), 2)
+            .cast("double")
+            .alias("total_price"),
+        )
+    )
+    return out.localCheckpoint()
