@@ -488,3 +488,34 @@ def test_deletion_vectors_cursor_and_restore(spark, table):
     table.restore(v_dv)
     assert table.snapshot().count() == survivors
     assert table.snapshot().where("age < 30").count() == 0
+
+
+def test_cdf_replay_reproduces_snapshot(spark, table):
+    """Replaying the change feed (inserts minus deletes) onto the old
+    snapshot must reproduce the current snapshot exactly."""
+    table.append(person_stream(spark, 60))
+    v0 = table.latest_version()
+    table.delete_where_dv("age < 30")
+    table.append(person_stream(spark, 20).withColumn("ba", F.col("ba") + 1000))
+
+    cdf = table.read_changes_cdf(v0)
+    by_type = {r["_change_type"] for r in cdf.select("_change_type").distinct().collect()}
+    assert by_type == {"insert", "delete"}
+
+    old_keys = {r.ba for r in table.snapshot(version=v0).select("ba").collect()}
+    ins = {r.ba for r in cdf.where("_change_type = 'insert'").select("ba").collect()}
+    dels = {r.ba for r in cdf.where("_change_type = 'delete'").select("ba").collect()}
+    new_keys = {r.ba for r in table.snapshot().select("ba").collect()}
+    assert (old_keys - dels) | ins == new_keys
+    # versions are recorded per commit, deletes before the late insert
+    assert cdf.where("_change_type='delete'").select("_commit_version").distinct().count() == 1
+
+
+def test_cdf_raises_on_full_restate(spark, table):
+    from lakehouse_test_spark.plans.lakehouse import RestateAcrossCursorError
+
+    table.append(person_stream(spark, 30))
+    v0 = table.latest_version()
+    table.delete_where("age < 25")  # full rewrite
+    with pytest.raises(RestateAcrossCursorError):
+        table.read_changes_cdf(v0)
