@@ -223,21 +223,68 @@ class LakehouseTable:
         return commit
 
     def merge(
-        self, updates: DataFrame, key_cols: list[str], stats_cols: list[str] | None = None
+        self,
+        updates: DataFrame,
+        key_cols: list[str],
+        stats_cols: list[str] | None = None,
+        when_matched: str = "update",
+        insert_new: bool = True,
+        sync_delete_unmatched: bool = False,
     ) -> Commit:
-        """Upsert (Delta MERGE analog): rows in ``updates`` replace
-        current rows with the same key; new keys append. Implemented
-        as snapshot ⟕anti updates ∪ updates, committed as a full
-        rewrite ('restate' = new base point for readers).
+        """Keyed MERGE (Delta MERGE analog) with the full clause
+        matrix, committed as one atomic restate:
 
-        Scale: the anti join shuffles on the key once; a real Delta
-        MERGE prunes untouched files via stats — the contract (atomic
-        keyed upsert with snapshot isolation) is identical, and time
-        travel across the merge still works.
+        - ``when_matched='update'``: source rows replace same-key
+          target rows (WHEN MATCHED THEN UPDATE) — the default upsert.
+        - ``when_matched='delete'``: matched target rows are removed
+          (WHEN MATCHED THEN DELETE) and source rows are NOT inserted
+          for those keys unless they count as new (they don't).
+        - ``when_matched='ignore'``: matched target rows win
+          (insert-only dedup merge — WHEN NOT MATCHED THEN INSERT
+          only).
+        - ``insert_new=False``: suppress WHEN NOT MATCHED INSERT.
+        - ``sync_delete_unmatched=True``: drop target rows whose key
+          is absent from the source (WHEN NOT MATCHED BY SOURCE THEN
+          DELETE) — the "make target mirror source" sync.
+
+        Scale: one key-shuffled join pass over the snapshot plus the
+        source; a real Delta MERGE also file-prunes via stats, but
+        the contract (atomic keyed merge with snapshot isolation and
+        time travel across it) is identical.
         """
+        if when_matched not in ("update", "delete", "ignore"):
+            raise ValueError(f"when_matched: {when_matched!r}")
         current = self.snapshot()
-        kept = current.join(updates.select(*key_cols), on=key_cols, how="left_anti")
-        merged = kept.unionByName(updates)
+        keys = updates.select(*key_cols).distinct()
+        if sync_delete_unmatched:
+            base_kept = current.join(keys, on=key_cols, how="left_semi")
+        else:
+            base_kept = current
+        if when_matched in ("update", "delete"):
+            kept = base_kept.join(keys, on=key_cols, how="left_anti")
+        else:  # ignore: matched target rows stay
+            kept = base_kept
+        parts = [kept]
+        if when_matched == "update":
+            parts.append(updates)
+        elif when_matched == "ignore":
+            new_rows = updates.join(
+                current.select(*key_cols), on=key_cols, how="left_anti"
+            )
+            if insert_new:
+                parts.append(new_rows)
+        if when_matched == "delete" and insert_new:
+            parts.append(
+                updates.join(current.select(*key_cols), on=key_cols, how="left_anti")
+            )
+        if when_matched == "update" and not insert_new:
+            parts = [
+                kept,
+                updates.join(current.select(*key_cols), on=key_cols, how="left_semi"),
+            ]
+        merged = parts[0]
+        for q in parts[1:]:
+            merged = merged.unionByName(q)
         return self._commit_restate(merged, "merge", data_change=True, stats_cols=stats_cols)
 
     def delete_where(self, condition: str, stats_cols: list[str] | None = None) -> Commit:

@@ -519,3 +519,50 @@ def test_cdf_raises_on_full_restate(spark, table):
     table.delete_where("age < 25")  # full rewrite
     with pytest.raises(RestateAcrossCursorError):
         table.read_changes_cdf(v0)
+
+
+def test_merge_clause_matrix(spark, table):
+    """WHEN MATCHED DELETE / ignore (insert-only) / sync-delete
+    semantics on a known key set."""
+    base = person_stream(spark, 10)  # ba 0..9
+    table.append(base)
+    src = person_stream(spark, 6).withColumn("ba", F.col("ba") + 7)  # ba 7..12
+    src = src.withColumn("score", F.lit(999.0))
+
+    # matched-delete + insert-new: 0..6 kept, 7..9 deleted, 10..12 inserted
+    table.merge(src, ["ba"], when_matched="delete")
+    got = sorted(r.ba for r in table.snapshot().select("ba").collect())
+    assert got == [0, 1, 2, 3, 4, 5, 6, 10, 11, 12]
+
+    # insert-only (ignore): existing rows untouched, only new keys land
+    table2 = LakehouseTable(spark, str(table.path) + "_2")
+    try:
+        table2.append(base)
+        table2.merge(src, ["ba"], when_matched="ignore")
+        rows = {r.ba: r.score for r in table2.snapshot().select("ba", "score").collect()}
+        assert sorted(rows) == list(range(13))
+        assert rows[7] != 999.0 and rows[12] == 999.0  # 7 kept old, 12 inserted
+    finally:
+        table2.drop()
+
+    # sync: target mirrors source exactly
+    table3 = LakehouseTable(spark, str(table.path) + "_3")
+    try:
+        table3.append(base)
+        table3.merge(src, ["ba"], sync_delete_unmatched=True)
+        assert sorted(r.ba for r in table3.snapshot().select("ba").collect()) == list(
+            range(7, 13)
+        )
+    finally:
+        table3.drop()
+
+    # update without insert: only matched keys take new values
+    table4 = LakehouseTable(spark, str(table.path) + "_4")
+    try:
+        table4.append(base)
+        table4.merge(src, ["ba"], insert_new=False)
+        rows = {r.ba: r.score for r in table4.snapshot().select("ba", "score").collect()}
+        assert sorted(rows) == list(range(10))
+        assert rows[7] == 999.0 and rows[3] != 999.0
+    finally:
+        table4.drop()
