@@ -1033,3 +1033,46 @@ def lakehouse_dv_delete(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
     )
     return out.localCheckpoint()
+
+
+@_query(
+    "lakehouse_cdf_feed",
+    oracle="""
+    SELECT o_orderkey,
+           o_orderstatus,
+           CAST(round(o_totalprice, 2) AS DOUBLE) AS o_totalprice,
+           'insert' AS _change_type,
+           CAST(1 AS INTEGER) AS _commit_version
+    FROM orders WHERE o_orderkey % 2 = 1
+    UNION ALL
+    SELECT o_orderkey, o_orderstatus,
+           CAST(round(o_totalprice, 2) AS DOUBLE) AS o_totalprice,
+           'delete' AS _change_type,
+           CAST(2 AS INTEGER) AS _commit_version
+    FROM orders WHERE o_totalprice < 50000
+    """,
+    tags=("lakehouse", "cdf", "dv"),
+)
+def lakehouse_cdf_feed(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Change-data-feed round trip under the oracle gate: seed with
+    even orders (v0), append odd orders (v1), DV-delete the cheap ones
+    (v2), then read the feed since v0 — the oracle reconstructs the
+    exact insert/delete rows with their commit versions from the raw
+    parquet, so a hash match proves row- and version-exact CDF
+    semantics end to end (append path AND deletion-vector recovery).
+    """
+    import tempfile
+
+    from pyspark.sql import functions as F
+
+    from lakehouse_test_spark.session import load_table as _lt
+
+    o = _lt(spark, sf_dir, "orders").select(
+        "o_orderkey", "o_orderstatus", F.round("o_totalprice", 2).alias("o_totalprice")
+    )
+    t = LakehouseTable(spark, tempfile.mkdtemp(prefix="lh_cdf_"))
+    t.append(o.where(F.col("o_orderkey") % 2 == 0).repartition(2))
+    v0 = t.latest_version()
+    t.append(o.where(F.col("o_orderkey") % 2 == 1).repartition(2))
+    t.delete_where_dv("o_totalprice < 50000")
+    return t.read_changes_cdf(v0).localCheckpoint()
