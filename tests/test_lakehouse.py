@@ -566,3 +566,16 @@ def test_merge_clause_matrix(spark, table):
         assert rows[7] == 999.0 and rows[3] != 999.0
     finally:
         table4.drop()
+
+
+def test_snapshot_without_dvs_has_no_join(spark, table):
+    """The DV anti-join must not tax DV-less tables: a plain snapshot
+    plan contains no join at all."""
+    import io
+    from contextlib import redirect_stdout
+
+    table.append(person_stream(spark, 20))
+    buf = io.StringIO()
+    with redirect_stdout(buf):
+        table.snapshot().explain()
+    assert "Join" not in buf.getvalue()
