@@ -15,7 +15,7 @@ from __future__ import annotations
 from pyspark.sql import DataFrame, SparkSession, Window
 from pyspark.sql import functions as F
 
-from lakehouse_test_spark.fpsafe import dround, dsum
+from lakehouse_test_spark.fpsafe import dround
 from lakehouse_test_spark.operators.text import ws_tokens
 from lakehouse_test_spark.registry import query
 from lakehouse_test_spark.session import load_table
@@ -655,4 +655,43 @@ def agg_filter_clause(spark: SparkSession, sf_dir: str) -> DataFrame:
         FROM lineitem
         GROUP BY l_returnflag
         """
+    )
+
+
+@query(
+    "agg_linear_regression",
+    oracle="""
+    SELECT event_type,
+           count(*) AS n,
+           CAST(round(regr_slope(value, epoch(ts) - 1700000000), 8) AS DOUBLE) AS slope,
+           CAST(round(regr_intercept(value, epoch(ts) - 1700000000), 4) AS DOUBLE)
+             AS intercept,
+           CAST(round(regr_r2(value, epoch(ts) - 1700000000), 6) AS DOUBLE) AS r2
+    FROM events
+    GROUP BY event_type
+    """,
+    tags=("agg", "stats", "events"),
+)
+def agg_linear_regression(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-series least-squares trend via SQL-standard regr_*
+    aggregates (slope, intercept, R²) — drift detection for metric
+    streams without leaving the aggregate layer.
+
+    Scale: regr_* are co-moment aggregates (sums of x, y, xy, x²) —
+    partial-aggregatable map-side, one shuffle of 4 doubles per
+    group; the full OLS normal-equation path for k features is the
+    same shape with a k×k Gram matrix per group.
+    """
+    e = T(spark, sf_dir, "events")
+    # center x on a fixed epoch: regr over raw epoch-seconds (~1.7e9)
+    # is ill-conditioned — intercept = mean(y) - slope*mean(x)
+    # amplifies 1-ulp slope noise by 1e9 and engines disagree in the
+    # 4th decimal. Centering is the standard fix and changes only the
+    # intercept's reference point (documented: value at 2023-11-14).
+    x = (F.unix_timestamp("ts") - F.lit(1_700_000_000)).cast("double")
+    return e.groupBy("event_type").agg(
+        F.count(F.lit(1)).alias("n"),
+        F.round(F.regr_slope(F.col("value"), x), 8).alias("slope"),
+        F.round(F.regr_intercept(F.col("value"), x), 4).alias("intercept"),
+        F.round(F.regr_r2(F.col("value"), x), 6).alias("r2"),
     )
