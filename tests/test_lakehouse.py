@@ -579,3 +579,29 @@ def test_snapshot_without_dvs_has_no_join(spark, table):
     with redirect_stdout(buf):
         table.snapshot().explain()
     assert "Join" not in buf.getvalue()
+
+
+def test_dv_composition_equals_filter(spark, table):
+    """Property: any sequence of DV deletes equals filtering the base
+    by the conjunction of negated predicates — checked over seeded
+    random predicate sequences."""
+    import random
+
+    table.append(person_stream(spark, 200))
+    base = table.snapshot(version=0)
+    rng = random.Random(13)
+    preds = []
+    for _ in range(3):
+        lo = rng.randint(0, 80)
+        hi = lo + rng.randint(5, 30)
+        p = f"age >= {lo} and age < {hi}"
+        preds.append(p)
+        table.delete_where_dv(p)
+    expect = base
+    for p in preds:
+        expect = expect.where(f"not ({p})")
+    assert table.snapshot().count() == expect.count()
+    got = sorted(r.ba for r in table.snapshot().select("ba").collect())
+    want = sorted(r.ba for r in expect.select("ba").collect())
+    assert got == want
+    assert table.total_rows_committed() == len(want)
