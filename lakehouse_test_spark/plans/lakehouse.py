@@ -891,15 +891,16 @@ def maintain_rollup(
     agg_col: str,
     cursor: int,
 ) -> int:
-    """Incremental view maintenance: fold the source's changes since
-    ``cursor`` into a per-key (count, sum) rollup table via MERGE,
-    returning the new cursor. The rollup after any sequence of
-    maintenance calls equals a full recompute — the exactly-once
-    batch contract read_changes provides, driven end to end.
+    """Incremental view maintenance: fold the source's change feed
+    since ``cursor`` into a per-key (count, sum) rollup table via
+    MERGE, returning the new cursor. The rollup after any sequence of
+    maintenance calls equals a full recompute. Reads the CDF, so
+    deletion-vector deletes maintain correctly too (signed fold:
+    inserts +, deletes −; count/sum are self-maintainable).
 
-    On RestateAcrossCursorError (a merge/delete crossed the cursor)
-    the rollup is rebuilt from the current snapshot — the documented
-    recovery path for incremental readers.
+    On RestateAcrossCursorError (a full merge/delete rewrite crossed
+    the cursor) the rollup is rebuilt from the current snapshot — the
+    documented recovery path for incremental readers.
 
     Scale: each call shuffles only the delta (grouped per key, partial
     map-side) plus the MERGE's keyed anti-join on the rollup — the
@@ -911,7 +912,7 @@ def maintain_rollup(
 
     new_cursor = source.latest_version()
     try:
-        delta = source.read_changes(cursor)
+        delta = source.read_changes_cdf(cursor)
     except RestateAcrossCursorError:
         delta = None
     empty_target = target.latest_version() < 0
@@ -928,8 +929,18 @@ def maintain_rollup(
             target.delete_where("true")  # restate to empty, drop stale keys
         target.append(full, operation="rollup-rebuild")
         return new_cursor
-    inc = delta.groupBy(*key_cols).agg(
-        F.count(F.lit(1)).alias("n_rows"), F.sum(agg_col).alias("total")
+    # signed fold: inserts contribute +1/+x, deletes (from deletion-
+    # vector commits in the feed) contribute -1/-x — count/sum are
+    # self-maintainable aggregates, so the rollup stays exact across
+    # row-level deletes without any rebuild
+    sign = F.when(F.col("_change_type") == "delete", F.lit(-1)).otherwise(F.lit(1))
+    inc = (
+        delta.withColumn("_sign", sign)
+        .groupBy(*key_cols)
+        .agg(
+            F.sum("_sign").alias("n_rows"),
+            F.sum(F.col(agg_col) * F.col("_sign")).alias("total"),
+        )
     )
     if inc.isEmpty():
         return new_cursor

@@ -605,3 +605,31 @@ def test_dv_composition_equals_filter(spark, table):
     want = sorted(r.ba for r in expect.select("ba").collect())
     assert got == want
     assert table.total_rows_committed() == len(want)
+
+
+def test_rollup_maintains_across_dv_deletes(spark, tmp_path):
+    """The incremental rollup must stay exact when the source takes
+    deletion-vector deletes between maintenance calls."""
+    from lakehouse_test_spark.plans.lakehouse import maintain_rollup
+
+    src = LakehouseTable(spark, str(tmp_path / "src"))
+    tgt = LakehouseTable(spark, str(tmp_path / "tgt"))
+    try:
+        src.append(person_stream(spark, 100))
+        cursor = maintain_rollup(spark, src, tgt, ["gender"], "score", -1)
+        src.delete_where_dv("age < 40")
+        src.append(person_stream(spark, 30).withColumn("ba", F.col("ba") + 500))
+        cursor = maintain_rollup(spark, src, tgt, ["gender"], "score", cursor)
+
+        expect = (
+            src.snapshot()
+            .groupBy("gender")
+            .agg(F.count(F.lit(1)).alias("n_rows"), F.sum("score").alias("total"))
+            .collect()
+        )
+        got = {r.gender: (r.n_rows, round(r.total, 6)) for r in tgt.snapshot().collect()}
+        want = {r.gender: (r.n_rows, round(r.total, 6)) for r in expect}
+        assert got == want
+    finally:
+        src.drop()
+        tgt.drop()
