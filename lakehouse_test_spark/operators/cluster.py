@@ -22,7 +22,7 @@ def connected_components(
     src: str = "src",
     dst: str = "dst",
     max_iter: int = 25,
-    checkpoint_every: int = 5,
+    checkpoint_every: int = 1,
 ) -> DataFrame:
     """Min-label propagation with pointer doubling: every node
     converges to the minimum node id reachable from it. Returns
@@ -41,9 +41,15 @@ def connected_components(
     - each iteration's labels are persisted and the previous
       iteration's are unpersisted, so the ``changed`` probe and the
       next join never re-execute the whole accumulated chain;
-    - every ``checkpoint_every`` iterations the labels are
-      ``localCheckpoint``-ed to truncate the Catalyst plan (plan
-      blowup past ~10 stacked self-joins is its own failure mode).
+    - labels are eagerly ``localCheckpoint``-ed every
+      ``checkpoint_every`` iterations (default: every iteration) to
+      truncate the Catalyst plan. Plan depth, not data volume, is the
+      failure mode: by iteration 4-5 the accumulated self-join plan
+      plus AQE stage bookkeeping OOMs a default-1g driver even on a
+      100-edge graph (persist caches blocks but does NOT truncate the
+      plan). One extra O(nodes) materialization per round is the
+      GraphFrames checkpointInterval posture and costs ~nothing
+      relative to the round's shuffles.
 
     Raises ``RuntimeError`` if labels are still changing after
     ``max_iter`` iterations (with doubling, 25 covers diameters up to

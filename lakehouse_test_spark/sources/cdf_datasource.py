@@ -1,0 +1,176 @@
+"""Spark 4 Python DataSource streaming a LakehouseTable's change data
+feed: ``spark.readStream.format("lakehouse_cdf").option("path", ...)``.
+
+Offsets are commit versions — plain ints, so restarts replay the same
+commit range and delivery is exactly-once against the immutable log.
+Each microbatch covers the commits between the last offset and the
+log head; within a batch, one InputPartition per data file (append
+commits emit ``insert`` rows straight from their files; deletion-
+vector commits emit ``delete`` rows by taking the DV's recorded
+positions out of the base files). This is the streaming twin of
+``LakehouseTable.read_changes_cdf`` — same contract, delivered as an
+unbounded source that any Structured Streaming job can consume.
+
+Scale: partitions map 1:1 to files, so a commit's replay
+parallelizes exactly like a scan of it; the driver only lists the
+log. Restate commits (merge/delete/restore rewrites) cannot be
+expressed as row deltas — the reader raises, and the job restarts
+from a fresh snapshot (the Delta CDF contract). Compactions
+(dataChange=false) are skipped silently.
+"""
+
+from __future__ import annotations
+
+import json
+from collections.abc import Iterator, Sequence
+from pathlib import Path
+
+from pyspark.sql.datasource import (
+    DataSource,
+    DataSourceStreamReader,
+    InputPartition,
+)
+
+_PA_TO_DDL = {
+    "int64": "bigint",
+    "int32": "int",
+    "int16": "smallint",
+    "int8": "tinyint",
+    "double": "double",
+    "float": "float",
+    "string": "string",
+    "large_string": "string",
+    "bool": "boolean",
+    "binary": "binary",
+    "large_binary": "binary",
+}
+
+
+def _ddl_for_table(path: Path) -> str:
+    """Derive the CDF schema (data columns + _change_type +
+    _commit_version) from the newest commit's first data file."""
+    import pyarrow.parquet as pq
+
+    log = sorted((path / "_log").glob("*.json"), reverse=True)
+    for entry in log:
+        d = json.loads(entry.read_text())
+        if d.get("files"):
+            sch = pq.read_schema(str(path / d["files"][0]))
+            cols = []
+            for f in sch:
+                t = str(f.type)
+                if t.startswith("timestamp"):
+                    ddl = "timestamp"
+                elif t in _PA_TO_DDL:
+                    ddl = _PA_TO_DDL[t]
+                else:
+                    raise ValueError(f"unsupported CDF column type {t} for {f.name}")
+                cols.append(f"{f.name} {ddl}")
+            cols.append("_change_type string")
+            cols.append("_commit_version int")
+            return ", ".join(cols)
+    raise ValueError(f"no data commits under {path}")
+
+
+class _FilePartition(InputPartition):
+    def __init__(
+        self,
+        kind: str,
+        file: str,
+        version: int,
+        positions: list[int] | None = None,
+    ):
+        self.kind = kind  # "insert" | "delete"
+        self.file = file
+        self.version = version
+        self.positions = positions
+
+
+class LakehouseCDFStreamReader(DataSourceStreamReader):
+    def __init__(self, options: dict):
+        self.path = Path(options["path"])
+
+    def _commits(self) -> list[dict]:
+        out = []
+        for p in sorted((self.path / "_log").glob("*.json")):
+            out.append(json.loads(p.read_text()))
+        return out
+
+    def initialOffset(self) -> dict:
+        return {"version": -1}
+
+    def latestOffset(self) -> dict:
+        versions = [int(p.stem) for p in (self.path / "_log").glob("*.json")]
+        return {"version": max(versions) if versions else -1}
+
+    def partitions(self, start: dict, end: dict) -> Sequence[InputPartition]:
+        lo, hi = start["version"], end["version"]
+        parts: list[InputPartition] = []
+        commits = {c["version"]: c for c in self._commits()}
+        for v in range(lo + 1, hi + 1):
+            c = commits.get(v)
+            if c is None:
+                continue
+            if c.get("restate"):
+                if c.get("data_change", True):
+                    raise RuntimeError(
+                        f"commit v{v} ({c['operation']}) is a full rewrite; "
+                        "CDF stream cannot express it — restart from a snapshot"
+                    )
+                continue  # compaction: no logical change
+            if c.get("dv_files"):
+                # group DV positions by the base file they reference
+                import pyarrow.parquet as pq
+
+                by_file: dict[str, list[int]] = {}
+                for dvf in c["dv_files"]:
+                    t = pq.read_table(str(self.path / dvf))
+                    for fp, pos in zip(
+                        t.column("_dv_file").to_pylist(),
+                        t.column("_dv_pos").to_pylist(),
+                    ):
+                        by_file.setdefault(fp, []).append(pos)
+                for fp, positions in sorted(by_file.items()):
+                    parts.append(_FilePartition("delete", fp, v, sorted(positions)))
+            else:
+                for f in c.get("files", []):
+                    parts.append(_FilePartition("insert", str(self.path / f), v))
+        return parts or [_FilePartition("insert", "", hi)]
+
+    def read(self, partition: _FilePartition) -> Iterator[tuple]:
+        if not partition.file:
+            return
+        import pyarrow.parquet as pq
+
+        path = partition.file
+        if path.startswith("file://"):
+            path = path[len("file://") :]
+        t = pq.read_table(path)
+        if partition.kind == "delete":
+            import pyarrow as pa
+
+            t = t.take(pa.array(partition.positions))
+        cols = [t.column(i).to_pylist() for i in range(t.num_columns)]
+        for row in zip(*cols):
+            yield (*row, partition.kind, partition.version)
+
+    def commit(self, end: dict) -> None:
+        pass
+
+
+class LakehouseCDFDataSource(DataSource):
+    """``spark.readStream.format("lakehouse_cdf").option("path", p)``"""
+
+    @classmethod
+    def name(cls) -> str:
+        return "lakehouse_cdf"
+
+    def schema(self) -> str:
+        return _ddl_for_table(Path(self.options["path"]))
+
+    def streamReader(self, schema) -> LakehouseCDFStreamReader:
+        return LakehouseCDFStreamReader(self.options)
+
+
+def register(spark) -> None:
+    spark.dataSource.register(LakehouseCDFDataSource)

@@ -122,3 +122,23 @@ def test_pagerank_star_hub_dominates(spark):
     hub = ranks.pop(99)
     assert all(hub > v for v in ranks.values())
     assert abs(hub + sum(ranks.values()) - 1.0) < 1e-3
+
+
+def test_cc_survives_default_1g_vanilla_session(spark):
+    """Regression: the per-iteration plan must stay bounded so CC runs
+    inside a driver-default session (found by tools/driver_sim.py —
+    a 1g vanilla session OOM'd on a 111-edge graph when plans
+    accumulated across 4 un-checkpointed iterations). The proxy here:
+    a deep path graph must keep every iteration's analyzed plan under
+    a fixed size."""
+    from lakehouse_test_spark.operators.cluster import connected_components
+
+    edges = spark.createDataFrame(
+        [(i, i + 1) for i in range(200)], "src long, dst long"
+    )
+    out = connected_components(edges, "src", "dst")
+    # single path component, canonical label 0
+    assert out.where("component != 0").count() == 0
+    # the returned (checkpointed) plan must be tiny — no lineage tail
+    plan = out._jdf.queryExecution().analyzed().toString()
+    assert len(plan) < 4000, f"plan not truncated: {len(plan)} chars"
