@@ -600,3 +600,56 @@ def streaming_dedup_within_watermark(spark: SparkSession, sf_dir: str) -> DataFr
         .groupBy("event_type")
         .agg(F.countDistinct("user_id").alias("n_unique_users"))
     )
+
+
+@query(
+    "streaming_cdf_source",
+    oracle="""
+    SELECT o_orderkey,
+           o_orderstatus,
+           CAST(round(o_totalprice, 2) AS DOUBLE) AS o_totalprice,
+           'insert' AS _change_type,
+           CAST(o_orderkey % 2 AS INTEGER) AS _commit_version
+    FROM orders
+    UNION ALL
+    SELECT o_orderkey, o_orderstatus,
+           CAST(round(o_totalprice, 2) AS DOUBLE) AS o_totalprice,
+           'delete' AS _change_type,
+           CAST(2 AS INTEGER) AS _commit_version
+    FROM orders WHERE o_totalprice < 50000
+    """,
+    tags=("streaming", "lakehouse", "cdf", "datasource"),
+)
+def streaming_cdf_source(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Structured Streaming over the lakehouse change feed via the
+    Spark 4 Python DataSource (sources/cdf_datasource.py): offsets are
+    commit versions, partitions are files, deletion-vector commits
+    stream the deleted rows back out of the base files.
+
+    Built so the oracle can replay it exactly: even orders commit at
+    v0, odd orders at v1, then a DV delete of the cheap orders at v2
+    — the feed drained with AvailableNow must hash-match the
+    reconstruction from raw parquet, proving the source's offset
+    accounting, per-file partitioning, and DV row recovery end to
+    end.
+
+    Scale: the stream replays each commit as a parallel scan of its
+    files; a continuous job tails the log with one microbatch per
+    commit range — the Kafka-consume shape (§2a op 5) over table
+    storage.
+    """
+    import tempfile
+
+    from lakehouse_test_spark.plans.lakehouse import LakehouseTable
+    from lakehouse_test_spark.sources.cdf_datasource import register
+
+    register(spark)
+    o = load_table(spark, sf_dir, "orders").select(
+        "o_orderkey", "o_orderstatus", F.round("o_totalprice", 2).alias("o_totalprice")
+    )
+    t = LakehouseTable(spark, tempfile.mkdtemp(prefix="lh_cdfsrc_"))
+    t.append(o.where(F.col("o_orderkey") % 2 == 0).repartition(2))
+    t.append(o.where(F.col("o_orderkey") % 2 == 1).repartition(2))
+    t.delete_where_dv("o_totalprice < 50000")
+    stream = spark.readStream.format("lakehouse_cdf").option("path", str(t.path)).load()
+    return _drain_to_memory(stream, "append")

@@ -4,6 +4,8 @@ completeness across multi-chunk offset ranges."""
 
 from __future__ import annotations
 
+import pytest
+
 from pyspark.sql import functions as F
 
 from lakehouse_test_spark.sources.python_datasource import register
@@ -49,3 +51,77 @@ def test_batch_empty_and_single_row(spark):
     assert spark.read.format("person_gen").option("n", 0).load().count() == 0
     one = spark.read.format("person_gen").option("n", 1).load().collect()
     assert len(one) == 1 and one[0]["ba"] == 0 and one[0]["age"] == 18
+
+
+def test_cdf_stream_source_replays_commits(spark, tmp_path):
+    """The lakehouse_cdf streaming source replays appends as inserts
+    and DV commits as deletes, with commit versions as offsets."""
+    import uuid
+
+    from pyspark.sql import functions as F
+
+    from lakehouse_test_spark.plans.lakehouse import LakehouseTable
+    from lakehouse_test_spark.sources.cdf_datasource import register
+    from lakehouse_test_spark.sources.synthetic import person_stream
+
+    register(spark)
+    t = LakehouseTable(spark, str(tmp_path / "cdfsrc"))
+    t.append(person_stream(spark, 40))
+    t.append(person_stream(spark, 20).withColumn("ba", F.col("ba") + 100))
+    n_young = t.snapshot().where("age < 30").count()
+    t.delete_where_dv("age < 30")
+
+    name = f"mem_{uuid.uuid4().hex[:8]}"
+    q = (
+        spark.readStream.format("lakehouse_cdf")
+        .option("path", str(t.path))
+        .load()
+        .writeStream.format("memory")
+        .queryName(name)
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination()
+    out = spark.table(name)
+    counts = {
+        (r["_change_type"], r["_commit_version"]): r["count"]
+        for r in out.groupBy("_change_type", "_commit_version").count().collect()
+    }
+    assert counts[("insert", 0)] == 40
+    assert counts[("insert", 1)] == 20
+    assert counts[("delete", 2)] == n_young
+    # replayed snapshot == inserts minus deletes
+    ins = {r.ba for r in out.where("_change_type='insert'").select("ba").collect()}
+    dels = {r.ba for r in out.where("_change_type='delete'").select("ba").collect()}
+    live = {r.ba for r in t.snapshot().select("ba").collect()}
+    assert ins - dels == live
+
+
+def test_cdf_stream_source_raises_on_restate(spark, tmp_path):
+    """A full-rewrite commit in the offset range must fail the stream
+    (the Delta CDF contract), not silently duplicate rows."""
+    import uuid
+
+    from lakehouse_test_spark.plans.lakehouse import LakehouseTable
+    from lakehouse_test_spark.sources.cdf_datasource import register
+    from lakehouse_test_spark.sources.synthetic import person_stream
+
+    register(spark)
+    t = LakehouseTable(spark, str(tmp_path / "cdfsrc2"))
+    t.append(person_stream(spark, 30))
+    t.delete_where("age < 25")  # full rewrite
+
+    name = f"mem_{uuid.uuid4().hex[:8]}"
+    q = (
+        spark.readStream.format("lakehouse_cdf")
+        .option("path", str(t.path))
+        .load()
+        .writeStream.format("memory")
+        .queryName(name)
+        .trigger(availableNow=True)
+        .start()
+    )
+    import pyspark.errors
+
+    with pytest.raises(pyspark.errors.exceptions.captured.StreamingQueryException):
+        q.awaitTermination()
