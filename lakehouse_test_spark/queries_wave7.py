@@ -695,3 +695,63 @@ def agg_linear_regression(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.round(F.regr_intercept(F.col("value"), x), 4).alias("intercept"),
         F.round(F.regr_r2(F.col("value"), x), 6).alias("r2"),
     )
+
+
+@query(
+    "map_higher_order_funcs",
+    oracle="""
+    WITH built AS (
+      SELECT l_orderkey, l_linenumber,
+             [CASE WHEN l_quantity * 2 >= 1.0
+                   THEN 'qty=' || CAST(CAST(round(l_quantity * 2, 2) AS DECIMAL(18,2)) AS VARCHAR) END,
+              CASE WHEN l_extendedprice * 2 >= 1.0
+                   THEN 'price=' || CAST(CAST(round(l_extendedprice * 2, 2) AS DECIMAL(18,2)) AS VARCHAR) END,
+              CASE WHEN l_discount * 2 >= 1.0
+                   THEN 'disc=' || CAST(CAST(round(l_discount * 2, 2) AS DECIMAL(18,2)) AS VARCHAR) END
+             ] AS raw
+      FROM lineitem
+    )
+    SELECT l_orderkey, l_linenumber,
+           CAST(len(list_filter(raw, x -> x IS NOT NULL)) AS INTEGER) AS n_kept,
+           array_to_string(list_sort(list_filter(raw, x -> x IS NOT NULL)), ',')
+             AS kept_entries
+    FROM built
+    """,
+    tags=("scalar", "map", "lineitem"),
+)
+def map_higher_order_funcs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Higher-order MAP functions end to end: build a metric map per
+    row, double every value with ``transform_values``, drop small
+    values with ``map_filter``, and serialize with ``map_entries`` →
+    sorted `k=v` strings. The oracle reconstructs the result from
+    first principles (no map type needed), so a hash match proves
+    each HOF's semantics, not just executability. Values format
+    through DECIMAL(18,2) — both engines print fixed two decimals,
+    dodging double-to-string divergence.
+
+    Scale: all map ops are per-row codegen expressions — zero
+    shuffle, same embarrassing parallelism as any scalar battery.
+    """
+    li = T(spark, sf_dir, "lineitem")
+    m = F.create_map(
+        F.lit("qty"), F.col("l_quantity"),
+        F.lit("price"), F.col("l_extendedprice"),
+        F.lit("disc"), F.col("l_discount"),
+    )
+    doubled = F.transform_values(m, lambda k, v: v * 2)
+    kept = F.map_filter(doubled, lambda k, v: v >= 1.0)
+    entries = F.array_sort(
+        F.transform(
+            F.map_entries(kept),
+            lambda e: F.concat(
+                e["key"], F.lit("="),
+                F.round(e["value"], 2).cast("decimal(18,2)").cast("string"),
+            ),
+        )
+    )
+    return li.select(
+        "l_orderkey",
+        "l_linenumber",
+        F.size(entries).cast("int").alias("n_kept"),
+        F.array_join(entries, ",").alias("kept_entries"),
+    )
