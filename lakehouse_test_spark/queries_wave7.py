@@ -755,3 +755,66 @@ def map_higher_order_funcs(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.size(entries).cast("int").alias("n_kept"),
         F.array_join(entries, ",").alias("kept_entries"),
     )
+
+
+@query(
+    "events_chisq_independence",
+    oracle="""
+    WITH cells AS (
+      SELECT event_type, user_id % 4 AS segment, count(*) AS o
+      FROM events GROUP BY event_type, user_id % 4
+    ),
+    tot AS (
+      SELECT cells.*,
+             sum(o) OVER (PARTITION BY event_type) AS row_t,
+             sum(o) OVER (PARTITION BY segment) AS col_t,
+             sum(o) OVER () AS grand
+      FROM cells
+    )
+    SELECT count(*) AS n_cells,
+           CAST((count(DISTINCT event_type) - 1) * (count(DISTINCT segment) - 1)
+                AS BIGINT) AS dof,
+           CAST(round(sum(CAST(pow(o - row_t * col_t / grand, 2)
+                               / (row_t * col_t / grand) AS DECIMAL(18,6))), 4)
+                AS DOUBLE) AS chi2
+    FROM tot
+    """,
+    tags=("agg", "stats", "events"),
+)
+def events_chisq_independence(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Chi-square test of independence between event type and a user
+    segment (hash-split user_id % 4): observed vs expected counts over
+    the contingency table — the categorical-drift check run before
+    trusting a segmentation.
+
+    Scale: ONE scan + one hash aggregate build the contingency table
+    (|types| × |segments| cells); marginals are window sums over that
+    tiny table, and the statistic folds with a decimal-cast sum
+    (fpsafe) so accumulation order can't flip the rounding.
+    """
+    e = T(spark, sf_dir, "events")
+    cells = (
+        e.select("event_type", (F.col("user_id") % 4).alias("segment"))
+        .groupBy("event_type", "segment")
+        .agg(F.count(F.lit(1)).alias("o"))
+    )
+    w_row = Window.partitionBy("event_type")
+    w_col = Window.partitionBy("segment")
+    w_all = Window.partitionBy()
+    tot = cells.select(
+        "event_type",
+        "segment",
+        "o",
+        F.sum("o").over(w_row).alias("row_t"),
+        F.sum("o").over(w_col).alias("col_t"),
+        F.sum("o").over(w_all).alias("grand"),
+    )
+    exp = F.col("row_t") * F.col("col_t") / F.col("grand")
+    term = (F.pow(F.col("o") - exp, 2) / exp).cast("decimal(18,6)")
+    return tot.agg(
+        F.count(F.lit(1)).alias("n_cells"),
+        (
+            (F.countDistinct("event_type") - 1) * (F.countDistinct("segment") - 1)
+        ).cast("bigint").alias("dof"),
+        dround(F.sum(term), 4).alias("chi2"),
+    )
