@@ -550,3 +550,84 @@ def multimodal_phash_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
         .where(F.col("hamming") <= 7)
         .select("id_a", "id_b", "hamming")
     )
+
+
+@query(
+    "multimodal_audio_features",
+    oracle="""
+    WITH wav AS (
+      SELECT doc_id,
+             list_transform(range(1, length(text) + 1),
+                            i -> ord(substr(text, CAST(i AS INTEGER), 1))) AS bytes
+      FROM documents WHERE doc_id % 3 = 1
+    ),
+    samples AS (
+      SELECT doc_id,
+             list_transform(range(1, len(bytes) // 2 + 1),
+                            i -> CASE WHEN bytes[2*i-1] + 256 * bytes[2*i] >= 32768
+                                      THEN bytes[2*i-1] + 256 * bytes[2*i] - 65536
+                                      ELSE bytes[2*i-1] + 256 * bytes[2*i] END) AS s
+      FROM wav
+    )
+    SELECT doc_id AS asset_id,
+           CAST(len(s) AS BIGINT) AS n_samples,
+           CAST(round(sqrt(list_aggregate(list_transform(s, x -> CAST(x AS DOUBLE) * x),
+                                          'sum') / len(s)), 4) AS DOUBLE) AS rms,
+           CAST(len(list_filter(range(1, len(s)),
+                                i -> (s[i] >= 0) <> (s[i+1] >= 0))) AS BIGINT)
+             AS zero_crossings
+    FROM samples
+    WHERE len(s) > 0
+    """,
+    tags=("multimodal", "llm", "audio", "pandas_udf"),
+)
+def multimodal_audio_features(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """REAL audio DSP under the oracle gate: parse each WAV asset's
+    PCM data chunk (16-bit LE samples after the 44-byte header) and
+    compute RMS energy and the zero-crossing count — the two
+    cheapest speech/music discriminators — vectorized in numpy over
+    Arrow batches.
+
+    The oracle reconstructs the identical samples from the source
+    text bytes (the synthesis is deterministic), so a hash match
+    proves the byte-exact PCM parse AND the feature math. This is the
+    audio twin of multimodal_header_decode: container handling in
+    codegen, sample kernels in mapInPandas.
+
+    Scale: one map-side pass, features are 3 numbers per asset; the
+    same kernel shape carries any frame-level feature (MFCC, VAD) by
+    widening the numpy step.
+    """
+    import numpy as np
+
+    assets = synthesize_media(spark, sf_dir)
+    wav = assets.where(F.pmod(F.col("asset_id"), F.lit(3)) == 1)
+
+    out_schema = StructType(
+        [
+            StructField("asset_id", LongType()),
+            StructField("n_samples", LongType()),
+            StructField("rms", DoubleType()),
+            StructField("zero_crossings", LongType()),
+        ]
+    )
+
+    def kernel(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            rows = []
+            for aid, payload in zip(pdf["asset_id"], pdf["payload"]):
+                data = bytes(payload)[44:]  # past the canonical WAV header
+                n = len(data) // 2
+                if n == 0:
+                    continue
+                s = np.frombuffer(data[: 2 * n], dtype="<i2").astype(np.float64)
+                rms = float(np.sqrt(np.mean(s * s)))
+                nonneg = s >= 0
+                zc = int(np.count_nonzero(nonneg[1:] != nonneg[:-1]))
+                rows.append((int(aid), n, round(rms, 4), zc))
+            if rows:
+                yield pd.DataFrame(
+                    rows, columns=["asset_id", "n_samples", "rms", "zero_crossings"]
+                )
+
+    return wav.mapInPandas(kernel, out_schema)
