@@ -181,6 +181,24 @@ class LakehouseTable:
         os.rename(tmp, target)
         return commit
 
+    def append_with_retry(self, df: DataFrame, retries: int = 3, **kw) -> Commit:
+        """Optimistic-concurrency append: on a version race (another
+        writer published our target version first) re-resolve the
+        head and retry — the Delta/Iceberg commit-loop contract.
+        The lost attempt's data files stay orphaned and invisible
+        (never referenced by any commit; ``vacuum`` reclaims them),
+        so a retry re-writes at most one attempt's worth of data.
+        """
+        last: RuntimeError | None = None
+        for _ in range(retries + 1):
+            try:
+                return self.append(df, **kw)
+            except RuntimeError as ex:
+                if "concurrent commit" not in str(ex):
+                    raise
+                last = ex
+        raise last  # type: ignore[misc]
+
     def _commit_restate(
         self,
         df: DataFrame,

@@ -633,3 +633,23 @@ def test_rollup_maintains_across_dv_deletes(spark, tmp_path):
     finally:
         src.drop()
         tgt.drop()
+
+
+def test_append_with_retry_wins_version_race(spark, table):
+    """Simulate a concurrent writer grabbing the next version: the
+    retrying append must land on a later version; the plain append
+    raises."""
+    import json
+
+    table.append(person_stream(spark, 10))
+    # a "concurrent writer" publishes version 1 out from under us
+    race = {"version": 1, "files": [], "row_count": 0, "operation": "append",
+            "stats": None, "restate": False, "data_change": True,
+            "dv_files": None, "dv_row_count": 0}
+    table._commit_path(1).write_text(json.dumps(race))
+
+    # plain append targeting v1 would raise only if it computed the
+    # version before the race; append_with_retry always lands
+    c = table.append_with_retry(person_stream(spark, 5))
+    assert c.version == 2
+    assert table.snapshot().count() == 15
