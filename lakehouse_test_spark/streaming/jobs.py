@@ -653,3 +653,54 @@ def streaming_cdf_source(spark: SparkSession, sf_dir: str) -> DataFrame:
     t.delete_where_dv("o_totalprice < 50000")
     stream = spark.readStream.format("lakehouse_cdf").option("path", str(t.path)).load()
     return _drain_to_memory(stream, "append")
+
+
+@query(
+    "streaming_topk_per_window",
+    oracle="""
+    WITH c AS (
+      SELECT CAST(date_trunc('day', ts) AS DATE) AS day, event_type,
+             count(*) AS n_events
+      FROM events GROUP BY 1, 2
+    ),
+    r AS (
+      SELECT c.*, row_number() OVER (PARTITION BY day
+                                     ORDER BY n_events DESC, event_type) AS rk
+      FROM c
+    )
+    SELECT day, event_type, n_events, CAST(rk AS INTEGER) AS rk
+    FROM r WHERE rk <= 2
+    """,
+    tags=("streaming", "window", "topk", "events"),
+)
+def streaming_topk_per_window(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Top-2 event types per tumbling day window: the stateful
+    windowed count runs in the stream (watermark + complete-mode
+    drain); the rank-and-keep step runs batch-side on the drained
+    aggregate — the standard split, since rank-over-aggregate is not
+    an incremental operator (a late row can reorder the board, so
+    production jobs publish the leaderboard per trigger from the
+    aggregate state, exactly as here).
+
+    Scale: streaming state is |windows × types| counters (bounded by
+    the watermark); the batch rank runs over that tiny aggregate, so
+    the leaderboard costs nothing regardless of event volume.
+    """
+    from pyspark.sql import Window as W
+
+    s = events_stream(spark, sf_dir)
+    agg = (
+        s.withWatermark("ts", "1 hour")
+        .groupBy(F.window("ts", "1 day").alias("w"), "event_type")
+        .agg(F.count(F.lit(1)).alias("n_events"))
+    )
+    out = _drain_to_memory(agg, "complete")
+    ranked = out.select(
+        F.to_date(F.col("w.start")).alias("day"), "event_type", "n_events"
+    ).withColumn(
+        "rk",
+        F.row_number().over(
+            W.partitionBy("day").orderBy(F.desc("n_events"), "event_type")
+        ).cast("int"),
+    )
+    return ranked.where(F.col("rk") <= 2)
