@@ -704,3 +704,72 @@ def streaming_topk_per_window(spark: SparkSession, sf_dir: str) -> DataFrame:
         ).cast("int"),
     )
     return ranked.where(F.col("rk") <= 2)
+
+
+@query(
+    "streaming_session_dynamic_gap",
+    oracle="""
+    WITH e AS (
+      -- floor to whole seconds: the stream's event time is truncated
+      -- before session assignment, and the gaps are integral, so
+      -- integer arithmetic reproduces session_window's half-open
+      -- merge EXACTLY (no full-precision boundary ambiguity)
+      SELECT user_id, CAST(floor(epoch(ts)) AS BIGINT) AS t,
+             CASE WHEN event_type = 'click' THEN 600 ELSE 1800 END AS gap
+      FROM events
+    ),
+    flagged AS (
+      SELECT user_id, t,
+             CASE WHEN max(t + gap) OVER (PARTITION BY user_id ORDER BY t
+                                          ROWS BETWEEN UNBOUNDED PRECEDING
+                                          AND 1 PRECEDING) IS NULL
+                  OR t >= max(t + gap) OVER (PARTITION BY user_id ORDER BY t
+                                             ROWS BETWEEN UNBOUNDED PRECEDING
+                                             AND 1 PRECEDING)
+                  THEN 1 ELSE 0 END AS new_session
+      FROM e
+    ),
+    sessions AS (
+      SELECT user_id, t,
+             sum(new_session) OVER (PARTITION BY user_id ORDER BY t
+                                    ROWS UNBOUNDED PRECEDING) AS sid
+      FROM flagged
+    )
+    SELECT user_id,
+           min(t) AS session_start,
+           count(*) AS n_events
+    FROM sessions GROUP BY user_id, sid
+    """,
+    tags=("streaming", "session", "events"),
+)
+def streaming_session_dynamic_gap(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Session windows with a PER-EVENT gap (Spark's dynamic
+    session_window expression): clicks close after 10 minutes, every
+    other event keeps the session alive for 30 — the engagement-aware
+    sessionization that fixed-gap windows can't express.
+
+    The oracle is the varying-gap islands construction: a session
+    breaks where t >= running-max of previous (t + gap) — exactly
+    session_window's half-open [t, t+gap) merge semantics (the
+    running max, not lag, because a long-gap event can bridge over a
+    short-gap successor).
+
+    Scale: same stateful operator as fixed-gap sessions — state per
+    open session, watermark-evicted; the gap expression evaluates
+    per row, costing nothing extra.
+    """
+    s = events_stream(spark, sf_dir)
+    gap = F.when(F.col("event_type") == "click", F.lit("10 minutes")).otherwise(
+        F.lit("30 minutes")
+    )
+    agg = (
+        s.withWatermark("ts", "1 hour")
+        .groupBy(F.session_window("ts", gap).alias("w"), "user_id")
+        .agg(F.count(F.lit(1)).alias("n_events"))
+    )
+    out = _drain_to_memory(agg, "complete")
+    return out.select(
+        "user_id",
+        F.unix_timestamp(F.col("w.start")).alias("session_start"),
+        "n_events",
+    )
