@@ -474,10 +474,10 @@ def bpe_train(
        aggregate → deterministic argmax (count desc, pair asc);
        the merge is applied map-side with an in-plan fold — no
        shuffle, no Python in the loop body.
-    3. The vocab DF is persisted each round, the previous unpersisted,
-       and localCheckpoint() every 4 rounds truncates the growing
-       lineage — the connected-components discipline
-       (operators/cluster.py) applied to an optimizer loop.
+    3. Each round's vocab is eagerly localCheckpoint-ed (and the
+       previous unpersisted) so the plan stays one round deep — the
+       connected-components discipline (operators/cluster.py): plan
+       depth, not data volume, is what exhausts small driver heaps.
 
     Returns the merge table [(step, left, right, pair_count)].
     """
@@ -516,10 +516,8 @@ def bpe_train(
         new_vocab = vocab.select(
             _merge_pair_in_syms(F.col("syms"), F.lit(left), F.lit(right)).alias("syms"),
             "freq",
-        ).persist()
-        if (step + 1) % 4 == 0:
-            new_vocab = new_vocab.localCheckpoint()
-        new_vocab.count()
+        ).localCheckpoint(eager=True)  # per-round: plan depth, not data,
+        # is what OOMs small drivers (see operators/cluster.py)
         vocab.unpersist()
         vocab = new_vocab
     vocab.unpersist()
