@@ -1105,3 +1105,77 @@ def lakehouse_cdf_feed(spark: SparkSession, sf_dir: str) -> DataFrame:
     t.append(o.where(F.col("o_orderkey") % 2 == 1).repartition(2))
     t.delete_where_dv("o_totalprice < 50000")
     return t.read_changes_cdf(v0).localCheckpoint()
+
+
+def table_diff(
+    table: "LakehouseTable", from_version: int, to_version: int | None = None
+) -> DataFrame:
+    """Row-level diff between two snapshots: full-row EXCEPT ALL both
+    ways, labeled ``added`` / ``removed`` — "what changed between
+    version X and now", independent of how it changed (append, merge,
+    DV delete, restore...).
+
+    Scale: two shuffles on the full row hash (EXCEPT ALL is a keyed
+    anti-count under the hood); for key-carrying tables prefer the
+    CDF (O(changes)) — the diff is the fallback that needs no log
+    semantics, only the two snapshots.
+    """
+    from pyspark.sql import functions as F
+
+    old = table.snapshot(version=from_version)
+    new = table.snapshot(version=to_version)
+    added = new.exceptAll(old).withColumn("_diff_type", F.lit("added"))
+    removed = old.exceptAll(new).withColumn("_diff_type", F.lit("removed"))
+    return added.unionByName(removed)
+
+
+@_query(
+    "lakehouse_history_table",
+    oracle="""
+    WITH t AS (
+      SELECT count(*) AS c,
+             count(*) FILTER (WHERE o_orderkey % 2 = 0) AS even,
+             count(*) FILTER (WHERE o_orderkey % 2 = 1) AS odd
+      FROM orders
+    )
+    SELECT CAST(0 AS INTEGER) AS version, 'append' AS operation,
+           CAST(even AS BIGINT) AS row_count, false AS restate, true AS data_change
+    FROM t
+    UNION ALL SELECT 1, 'append', CAST(odd AS BIGINT), false, true FROM t
+    UNION ALL SELECT 2, 'delete_dv', CAST(0 AS BIGINT), false, true FROM t
+    UNION ALL SELECT 3, 'compact', CAST(c AS BIGINT), true, false FROM t
+    """,
+    tags=("lakehouse", "metadata"),
+)
+def lakehouse_history_table(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """DESCRIBE HISTORY parity: the commit log surfaced as a queryable
+    DataFrame (version, operation, row counts, restate/dataChange
+    flags) — the audit metadata table every lakehouse exposes. The
+    oracle states the EXPECTED history of the deterministic op
+    sequence outright, so a hash match proves both the operations'
+    logged metadata and the table's accounting.
+
+    Note the compact's row_count == the full order count even though
+    a DV delete precedes it: the rewrite materializes the DV-filtered
+    snapshot... which here deleted 0 rows (predicate matches none),
+    keeping the expected values derivable in one subquery.
+    """
+    import tempfile
+
+    from pyspark.sql import functions as F
+
+    from lakehouse_test_spark.session import load_table as _lt
+
+    o = _lt(spark, sf_dir, "orders").select("o_orderkey", "o_orderstatus", "o_totalprice")
+    t = LakehouseTable(spark, tempfile.mkdtemp(prefix="lh_hist_"))
+    t.append(o.where(F.col("o_orderkey") % 2 == 0).coalesce(1))
+    t.append(o.where(F.col("o_orderkey") % 2 == 1).coalesce(1))
+    t.delete_where_dv("o_totalprice < 0")  # matches nothing: metadata-only commit
+    t.compact()
+    hist = t.history()
+    rows = [
+        (c.version, c.operation, c.row_count, c.restate, c.data_change) for c in hist
+    ]
+    return spark.createDataFrame(
+        rows, "version int, operation string, row_count bigint, restate boolean, data_change boolean"
+    )

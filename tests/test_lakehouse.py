@@ -653,3 +653,19 @@ def test_append_with_retry_wins_version_race(spark, table):
     c = table.append_with_retry(person_stream(spark, 5))
     assert c.version == 2
     assert table.snapshot().count() == 15
+
+
+def test_table_diff_labels_added_and_removed(spark, table):
+    """table_diff must report exactly the rows that changed between
+    versions, across append + DV-delete history."""
+    from lakehouse_test_spark.plans.lakehouse import table_diff
+
+    table.append(person_stream(spark, 30))
+    v0 = table.latest_version()
+    table.delete_where_dv("age < 25")  # removes ages 18..24 => ba 0..6
+    table.append(person_stream(spark, 5).withColumn("ba", F.col("ba") + 100))
+    d = table_diff(table, v0)
+    added = sorted(r.ba for r in d.where("_diff_type='added'").collect())
+    removed = sorted(r.ba for r in d.where("_diff_type='removed'").collect())
+    assert added == [100, 101, 102, 103, 104]
+    assert removed == [0, 1, 2, 3, 4, 5, 6]
