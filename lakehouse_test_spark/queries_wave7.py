@@ -818,3 +818,51 @@ def events_chisq_independence(spark: SparkSession, sf_dir: str) -> DataFrame:
         ).cast("bigint").alias("dof"),
         dround(F.sum(term), 4).alias("chi2"),
     )
+
+
+@query(
+    "embedding_dim_stats",
+    oracle="""
+    WITH dims AS (
+      SELECT unnest(list_transform(range(1, len(embedding) + 1),
+                    i -> {'dim': i - 1,
+                          'v': CAST(embedding[i] AS DOUBLE)})) AS d
+      FROM embeddings
+    )
+    SELECT CAST(d.dim AS INTEGER) AS dim,
+           count(*) AS n,
+           CAST(round(sum(CAST(d.v AS DECIMAL(18,6))) / count(*), 6) AS DOUBLE)
+             AS dim_mean,
+           CAST(round(stddev_samp(d.v), 6) AS DOUBLE) AS dim_std,
+           CAST(round(min(d.v), 6) AS DOUBLE) AS dim_min,
+           CAST(round(max(d.v), 6) AS DOUBLE) AS dim_max
+    FROM dims
+    GROUP BY d.dim
+    """,
+    tags=("embedding", "llm", "agg"),
+)
+def embedding_dim_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-dimension corpus statistics over the embedding column —
+    the normalization/whitening pre-pass (mean/std per dim) and the
+    degenerate-dimension detector (std ≈ 0) run before indexing or
+    quantizing a vector corpus.
+
+    Scale: posexplode → ONE hash aggregate on dim (fixed cardinality
+    = vector width), partial-aggregated map-side, so the shuffle
+    carries dims × partitions co-moments regardless of corpus size.
+    Mean folds through decimal (fpsafe — float values cast to double
+    first, which is exact); stddev rounds at 6 dp.
+    """
+    e = T(spark, sf_dir, "embeddings")
+    d = e.select(F.posexplode("embedding").alias("dim", "v")).select(
+        "dim", F.col("v").cast("double").alias("v")
+    )
+    return d.groupBy("dim").agg(
+        F.count(F.lit(1)).alias("n"),
+        F.round(F.sum(F.col("v").cast("decimal(18,6)")) / F.count(F.lit(1)), 6)
+        .cast("double")
+        .alias("dim_mean"),
+        F.round(F.stddev_samp("v"), 6).alias("dim_std"),
+        F.round(F.min("v"), 6).alias("dim_min"),
+        F.round(F.max("v"), 6).alias("dim_max"),
+    )
