@@ -1,7 +1,10 @@
 """Round-2 wave E: bitmap-exact distinct counting, EWMA smoothing,
 market-basket co-occurrence, Pareto (skyline) frontier, pipeline gate
-attrition, corpus-divergence diagnostics, sentence stats, and rolling
-z-score anomaly detection.
+attrition, corpus-divergence diagnostics, sentence stats, rolling
+z-score anomalies, lag-1 autocorrelation, A/B z-stat, GROUP BY ALL /
+FILTER-clause dialect parity, centered regr_* trend aggregates,
+higher-order map functions, chi-square independence, and per-dimension
+embedding statistics.
 
 These extend SURVEY.md §2b (aggregation/window/join groups) and the
 LLM-pipeline battery with the remaining "operations a large-scale
