@@ -834,8 +834,8 @@ def events_chisq_independence(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
     SELECT CAST(d.dim AS INTEGER) AS dim,
            count(*) AS n,
-           CAST(round(sum(CAST(d.v AS DECIMAL(18,6))) / count(*), 6) AS DOUBLE)
-             AS dim_mean,
+           CAST(round(CAST(sum(CAST(d.v AS DECIMAL(18,6))) AS DOUBLE) / count(*), 6)
+             AS DOUBLE) AS dim_mean,
            CAST(round(stddev_samp(d.v), 6) AS DOUBLE) AS dim_std,
            CAST(round(min(d.v), 6) AS DOUBLE) AS dim_min,
            CAST(round(max(d.v), 6) AS DOUBLE) AS dim_max
@@ -854,7 +854,10 @@ def embedding_dim_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
     = vector width), partial-aggregated map-side, so the shuffle
     carries dims × partitions co-moments regardless of corpus size.
     Mean folds through decimal (fpsafe — float values cast to double
-    first, which is exact); stddev rounds at 6 dp.
+    first, which is exact), then the SUM is cast to double BEFORE the
+    division so both engines divide bit-identical inputs (decimal
+    division scale rules differ between engines and flip 1-ulp at
+    rounding boundaries); stddev rounds at 6 dp.
     """
     e = T(spark, sf_dir, "embeddings")
     d = e.select(F.posexplode("embedding").alias("dim", "v")).select(
@@ -862,9 +865,9 @@ def embedding_dim_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
     return d.groupBy("dim").agg(
         F.count(F.lit(1)).alias("n"),
-        F.round(F.sum(F.col("v").cast("decimal(18,6)")) / F.count(F.lit(1)), 6)
-        .cast("double")
-        .alias("dim_mean"),
+        F.round(
+            F.sum(F.col("v").cast("decimal(18,6)")).cast("double") / F.count(F.lit(1)), 6
+        ).alias("dim_mean"),
         F.round(F.stddev_samp("v"), 6).alias("dim_std"),
         F.round(F.min("v"), 6).alias("dim_min"),
         F.round(F.max("v"), 6).alias("dim_max"),
