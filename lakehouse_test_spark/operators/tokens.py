@@ -542,3 +542,70 @@ def tokenizer_bpe_merges(spark: SparkSession, sf_dir: str) -> DataFrame:
     return spark.createDataFrame(
         merges, "step int, left string, right string, pair_count long"
     )
+
+
+def bpe_encode_stats(
+    docs: DataFrame,
+    merges: list[tuple[int, str, str, int]],
+    text_col: str = "text",
+    id_col: str = "doc_id",
+) -> DataFrame:
+    """Apply trained BPE merges and report per-document token stats
+    (token count, chars/token compression) — the ENCODE half of the
+    tokenizer, scaled the only way that works at 100 TB: merges are
+    applied to the DISTINCT words (vocabulary-sized work, one chained
+    projection per merge, zero Python), then token counts join back
+    to the corpus on the word.
+
+    Encoding cost is |vocab| × |merges| regardless of corpus size;
+    the corpus-side work is one explode + one join + one aggregate.
+    """
+    from lakehouse_test_spark.operators.text import ws_tokens
+
+    spark = docs.sparkSession
+    words = docs.select(
+        F.col(id_col), F.explode(ws_tokens(F.col(text_col))).alias("w")
+    ).where(F.length("w") > 0)
+    vocab = words.select("w").distinct().withColumn("syms", F.split(F.col("w"), ""))
+    for _, left, right, _ in merges:
+        vocab = vocab.select(
+            "w", _merge_pair_in_syms(F.col("syms"), F.lit(left), F.lit(right)).alias("syms")
+        )
+    encoded = vocab.select("w", F.size("syms").alias("word_tokens"))
+    return (
+        words.join(encoded, "w")
+        .groupBy(id_col)
+        .agg(
+            F.sum("word_tokens").cast("bigint").alias("n_tokens"),
+            F.count(F.lit(1)).cast("bigint").alias("n_words"),
+        )
+        .join(
+            docs.select(id_col, F.length(text_col).cast("bigint").alias("n_chars")),
+            id_col,
+        )
+        .select(
+            id_col,
+            "n_chars",
+            "n_words",
+            "n_tokens",
+            F.round(F.col("n_chars") / F.col("n_tokens"), 4).alias("chars_per_token"),
+        )
+    )
+
+
+@query("tokenizer_bpe_encode", oracle=None, tags=("text", "llm", "tokenizer"))
+def tokenizer_bpe_encode(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Train 16 BPE merges on the corpus, then encode the corpus with
+    them — per-document token counts and the chars/token compression
+    ratio (the number a tokenizer is judged by). Rows-only gate;
+    tests prove the token counts equal a pure-Python encode with the
+    same merge table.
+    """
+    from lakehouse_test_spark.session import load_table
+
+    d = load_table(spark, sf_dir, "documents")
+    target = spark.sparkContext.defaultParallelism
+    if d.rdd.getNumPartitions() < target:
+        d = d.repartition(target)
+    merges = bpe_train(d, num_merges=16)
+    return bpe_encode_stats(d, merges)

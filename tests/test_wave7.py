@@ -188,3 +188,39 @@ def test_bpe_matches_python_reference(spark):
     docs = spark.createDataFrame([(i, t) for i, t in enumerate(texts)], "doc_id long, text string")
     got = bpe_train(docs, num_merges=10)
     assert got == ref_bpe(texts, 10)
+
+
+def test_bpe_encode_matches_python_reference(spark):
+    """Token counts from the distributed encode must equal a
+    pure-Python application of the same merge table."""
+    from lakehouse_test_spark.operators.tokens import bpe_encode_stats, bpe_train
+
+    texts = [
+        "low lower lowest slow slower slowest",
+        "new newer newest few fewer fewest",
+        "low low lower new new newest",
+    ]
+    docs = spark.createDataFrame(
+        [(i, t) for i, t in enumerate(texts)], "doc_id long, text string"
+    )
+    merges = bpe_train(docs, num_merges=8)
+
+    def encode_word(w):
+        syms = list(w)
+        for _, l, r, _ in merges:
+            out, i = [], 0
+            while i < len(syms):
+                if i + 1 < len(syms) and syms[i] == l and syms[i + 1] == r:
+                    out.append(l + r)
+                    i += 2
+                else:
+                    out.append(syms[i])
+                    i += 1
+            syms = out
+        return len(syms)
+
+    got = {r.doc_id: r.n_tokens for r in bpe_encode_stats(docs, merges).collect()}
+    want = {
+        i: sum(encode_word(w) for w in t.split()) for i, t in enumerate(texts)
+    }
+    assert got == want
