@@ -81,6 +81,20 @@ def build_parser() -> argparse.ArgumentParser:
     cur.add_argument("--min-ttr", type=float, default=0.2,
                      help="type-token-ratio diversity gate")
     _add_producer_flags(cur)
+
+    mnt = sub.add_parser(
+        "maintain",
+        help="lakehouse table maintenance: compact / vacuum / zorder / restore",
+    )
+    mnt.add_argument("--table", required=True)
+    mnt.add_argument("--compact", type=positive_int, metavar="N",
+                     help="rewrite the snapshot into N files (OPTIMIZE)")
+    mnt.add_argument("--zorder", metavar="COLS",
+                     help="comma-separated columns to Z-order cluster by")
+    mnt.add_argument("--vacuum", type=positive_int, metavar="KEEP",
+                     help="delete files unreachable from the last KEEP versions")
+    mnt.add_argument("--restore", type=int, metavar="VERSION",
+                     help="RESTORE the table to an earlier version (metadata-only)")
     return p
 
 
@@ -142,6 +156,30 @@ def main(argv: list[str] | None = None, spark=None) -> int:
             print(f"Total lines: {total_lines}")
             print(f"Total sent: {res.rows}")
             print(f"Failed sent: {res.null_keys}")
+        elif args.verb == "maintain":
+            table = LakehouseTable(spark, args.table)
+            did = False
+            if args.restore is not None:
+                c = table.restore(args.restore)
+                print(f"Restored to v{args.restore} as version {c.version}")
+                did = True
+            if args.compact:
+                c = table.compact(target_partitions=args.compact)
+                print(f"Compacted: {c.row_count} rows -> {len(c.files)} files "
+                      f"(version {c.version})")
+                did = True
+            if args.zorder:
+                cols = [x.strip() for x in args.zorder.split(",") if x.strip()]
+                c = table.zorder(cols)
+                print(f"Z-ordered by {cols} (version {c.version})")
+                did = True
+            if args.vacuum:
+                res = table.vacuum(keep_versions=args.vacuum)
+                print(f"Vacuumed: {res['deleted']} files, horizon v{res['horizon']}")
+                did = True
+            if not did:
+                print("Nothing to do: pass --compact/--zorder/--vacuum/--restore")
+            print(f"Latest version: {table.latest_version()}")
         elif args.verb == "curate":
             # end-to-end pretraining curation: quality gates -> exact
             # dedup -> diversity gate -> committed lakehouse table

@@ -88,3 +88,26 @@ def test_curate_verb_gates_and_commits(spark, tmp_path, capsys):
     t = LakehouseTable(spark, str(out_table))
     kept = t.snapshot().collect()
     assert len(kept) == 1 and kept[0].doc_id == 0
+
+
+def test_cli_maintain_verb(spark, tmp_path, capsys):
+    """maintain --compact/--vacuum/--restore drive the table's
+    maintenance surface end to end."""
+    from lakehouse_test_spark.cli import main
+    from lakehouse_test_spark.plans.lakehouse import LakehouseTable
+    from lakehouse_test_spark.sources.synthetic import person_stream
+
+    path = str(tmp_path / "mt")
+    t = LakehouseTable(spark, path)
+    t.append(person_stream(spark, 50).repartition(4))
+    t.append(person_stream(spark, 30).repartition(4))
+
+    rc = main(["maintain", "--table", path, "--compact", "1", "--vacuum", "1"], spark=spark)
+    assert rc == 0
+    out = capsys.readouterr().out
+    assert "Compacted: 80 rows" in out and "Vacuumed:" in out
+
+    v_before = LakehouseTable(spark, path).latest_version()
+    rc = main(["maintain", "--table", path, "--restore", str(v_before)], spark=spark)
+    assert rc == 0
+    assert LakehouseTable(spark, path).snapshot().count() == 80
