@@ -872,3 +872,58 @@ def embedding_dim_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.round(F.min("v"), 6).alias("dim_min"),
         F.round(F.max("v"), 6).alias("dim_max"),
     )
+
+
+@query(
+    "corpus_rebalance_plan",
+    oracle="""
+    WITH shares AS (
+      SELECT source,
+             count(*) AS n_docs,
+             sum(length(text)) AS n_chars,
+             sum(sum(length(text))) OVER () AS total_chars
+      FROM documents GROUP BY source
+    )
+    SELECT source, n_docs,
+           CAST(n_chars AS BIGINT) AS n_chars,
+           CAST(round(n_chars * 1.0 / total_chars, 6) AS DOUBLE) AS actual_share,
+           CAST(round(least(1.0, (1.0 / count(*) OVER ())
+                                 / (n_chars * 1.0 / total_chars)), 6) AS DOUBLE)
+             AS keep_rate,
+           CAST(round(n_chars * least(1.0, (1.0 / count(*) OVER ())
+                                           / (n_chars * 1.0 / total_chars)), 0) AS BIGINT)
+             AS planned_chars
+    FROM shares
+    """,
+    tags=("text", "llm", "pipeline", "observability"),
+)
+def corpus_rebalance_plan(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Mixture rebalancing plan: given a uniform target share per
+    source, compute each source's actual char share and the
+    downsampling keep-rate that achieves the target (capped at 1 —
+    upsampling is a separate epoch-repeat decision). The planning
+    step that precedes corpus_mixture_sample's deterministic
+    hash-sampling execution.
+
+    Scale: one aggregate over the corpus + window math over the
+    |sources|-row result — the plan costs one scan regardless of
+    corpus size, and the keep-rates feed the md5-threshold sampler
+    unchanged at any scale.
+    """
+    d = T(spark, sf_dir, "documents")
+    shares = d.groupBy("source").agg(
+        F.count(F.lit(1)).alias("n_docs"),
+        F.sum(F.length("text")).cast("bigint").alias("n_chars"),
+    )
+    w = Window.partitionBy()
+    actual = (F.col("n_chars") * 1.0 / F.sum("n_chars").over(w))
+    target = F.lit(1.0) / F.count(F.lit(1)).over(w)
+    keep = F.least(F.lit(1.0), target / actual)
+    return shares.select(
+        "source",
+        "n_docs",
+        "n_chars",
+        F.round(actual, 6).alias("actual_share"),
+        F.round(keep, 6).alias("keep_rate"),
+        F.round(F.col("n_chars") * keep, 0).cast("bigint").alias("planned_chars"),
+    )
