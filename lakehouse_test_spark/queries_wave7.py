@@ -927,3 +927,59 @@ def corpus_rebalance_plan(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.round(keep, 6).alias("keep_rate"),
         F.round(F.col("n_chars") * keep, 0).cast("bigint").alias("planned_chars"),
     )
+
+
+@query(
+    "timeseries_seasonality_index",
+    oracle="""
+    WITH monthly AS (
+      SELECT CAST(date_trunc('month', o_orderdate) AS DATE) AS month_start,
+             month(o_orderdate) AS m,
+             sum(CAST(o_totalprice AS DECIMAL(18,6))) AS rev
+      FROM orders
+      GROUP BY 1, 2
+    ),
+    by_month AS (
+      SELECT m,
+             count(*) AS n_years,
+             CAST(avg(CAST(rev AS DOUBLE)) AS DOUBLE) AS avg_rev
+      FROM monthly GROUP BY m
+    )
+    SELECT CAST(m AS INTEGER) AS m,
+           n_years,
+           CAST(round(avg_rev, 2) AS DOUBLE) AS avg_month_revenue,
+           CAST(round(avg_rev / (sum(avg_rev) OVER () / count(*) OVER ()), 4) AS DOUBLE)
+             AS seasonality_index
+    FROM by_month
+    """,
+    tags=("timeseries", "orders", "agg"),
+)
+def timeseries_seasonality_index(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Month-of-year seasonality index over order revenue: each
+    calendar month's average (across years) divided by the grand
+    monthly average — index > 1 marks high season. The
+    ratio-to-average step of classical seasonal decomposition,
+    computed entirely in aggregates.
+
+    Scale: one scan → (month_start) rollup (decimal-cast revenue,
+    fpsafe) → 12-row month-of-year aggregate; the window math runs
+    over 12 rows. Revenue folds exactly; ratios divide identical
+    doubles in both engines.
+    """
+    o = T(spark, sf_dir, "orders")
+    monthly = o.groupBy(
+        F.date_trunc("month", "o_orderdate").cast("date").alias("month_start"),
+        F.month("o_orderdate").alias("m"),
+    ).agg(F.sum(F.col("o_totalprice").cast("decimal(18,6)")).alias("rev"))
+    by_month = monthly.groupBy("m").agg(
+        F.count(F.lit(1)).alias("n_years"),
+        F.avg(F.col("rev").cast("double")).alias("avg_rev"),
+    )
+    w = Window.partitionBy()
+    grand = F.sum("avg_rev").over(w) / F.count(F.lit(1)).over(w)
+    return by_month.select(
+        F.col("m").cast("int").alias("m"),
+        "n_years",
+        F.round("avg_rev", 2).alias("avg_month_revenue"),
+        F.round(F.col("avg_rev") / grand, 4).alias("seasonality_index"),
+    )
