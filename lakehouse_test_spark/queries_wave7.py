@@ -983,3 +983,70 @@ def timeseries_seasonality_index(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.round("avg_rev", 2).alias("avg_month_revenue"),
         F.round(F.col("avg_rev") / grand, 4).alias("seasonality_index"),
     )
+
+
+@query(
+    "customer_rfm_segments",
+    oracle="""
+    WITH rfm AS (
+      SELECT o_custkey,
+             max(o_orderdate) AS last_order,
+             count(*) AS frequency,
+             sum(CAST(o_totalprice AS DECIMAL(18,6))) AS monetary
+      FROM orders GROUP BY o_custkey
+    ),
+    scored AS (
+      SELECT o_custkey, frequency,
+             CAST(round(CAST(monetary AS DOUBLE), 2) AS DOUBLE) AS monetary,
+             ntile(4) OVER (ORDER BY last_order, o_custkey) AS r_score,
+             ntile(4) OVER (ORDER BY frequency, o_custkey) AS f_score,
+             -- order by the ROUNDED value (like the engine side):
+             -- rounding is monotone, but ties after rounding must
+             -- break on custkey identically in both engines
+             ntile(4) OVER (ORDER BY round(CAST(monetary AS DOUBLE), 2), o_custkey)
+               AS m_score
+      FROM rfm
+    )
+    SELECT CAST(r_score AS INTEGER) AS r_score,
+           CAST(f_score AS INTEGER) AS f_score,
+           CAST(m_score AS INTEGER) AS m_score,
+           count(*) AS n_customers,
+           CAST(round(sum(CAST(monetary AS DECIMAL(18,6))), 2) AS DOUBLE)
+             AS segment_revenue
+    FROM scored
+    GROUP BY r_score, f_score, m_score
+    """,
+    tags=("agg", "window", "orders", "analytics"),
+)
+def customer_rfm_segments(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """RFM segmentation: per-customer recency / frequency / monetary
+    quartiles (ntile with deterministic custkey tiebreaks) rolled up
+    into the 4×4×4 segment grid with customer counts and revenue —
+    the marketing-analytics workhorse.
+
+    Scale: one aggregate to customer grain, three global ntiles over
+    the |customers|-sized result (single-partition windows are the
+    textbook ntile cost — at true scale swap for percent_rank over a
+    range-partitioned sort or approx quantile cuts; the 64-cell
+    rollup is free either way).
+    """
+    o = T(spark, sf_dir, "orders")
+    rfm = o.groupBy("o_custkey").agg(
+        F.max("o_orderdate").alias("last_order"),
+        F.count(F.lit(1)).alias("frequency"),
+        F.sum(F.col("o_totalprice").cast("decimal(18,6)")).alias("monetary"),
+    )
+    scored = rfm.select(
+        "o_custkey",
+        "frequency",
+        F.round(F.col("monetary").cast("double"), 2).alias("monetary"),
+        F.ntile(4).over(Window.orderBy("last_order", "o_custkey")).alias("r_score"),
+        F.ntile(4).over(Window.orderBy("frequency", "o_custkey")).alias("f_score"),
+        F.ntile(4).over(Window.orderBy(F.col("monetary"), "o_custkey")).alias("m_score"),
+    )
+    return scored.groupBy("r_score", "f_score", "m_score").agg(
+        F.count(F.lit(1)).alias("n_customers"),
+        F.round(F.sum(F.col("monetary").cast("decimal(18,6)")), 2)
+        .cast("double")
+        .alias("segment_revenue"),
+    )
