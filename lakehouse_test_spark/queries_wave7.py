@@ -1050,3 +1050,94 @@ def customer_rfm_segments(spark: SparkSession, sf_dir: str) -> DataFrame:
         .cast("double")
         .alias("segment_revenue"),
     )
+
+
+@query(
+    "discount_quantity_response",
+    oracle="""
+    SELECT p.p_brand,
+           count(*) AS n_lines,
+           CAST(round(regr_slope(l.l_quantity, l.l_discount), 4) AS DOUBLE)
+             AS qty_per_discount,
+           CAST(round(regr_r2(l.l_quantity, l.l_discount), 6) AS DOUBLE) AS r2
+    FROM lineitem l JOIN part p ON l.l_partkey = p.p_partkey
+    GROUP BY p.p_brand
+    """,
+    tags=("agg", "stats", "join", "lineitem"),
+)
+def discount_quantity_response(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Demand response per brand: the least-squares slope of quantity
+    against discount (does discounting move volume?) with its R² —
+    price-elasticity screening as one join + co-moment aggregates.
+
+    Scale: fact ⋈ part shuffles on partkey (or broadcasts when the
+    dim qualifies at runtime — no forced hint, AQE decides); the
+    regr_* co-moments partial-aggregate map-side so the second
+    shuffle carries 4 doubles per brand. Discounts are already
+    0-centered-ish magnitudes, so no conditioning fix is needed
+    (cf. agg_linear_regression's epoch centering).
+    """
+    li = T(spark, sf_dir, "lineitem")
+    p = T(spark, sf_dir, "part")
+    return (
+        li.join(p, li.l_partkey == p.p_partkey)
+        .groupBy("p_brand")
+        .agg(
+            F.count(F.lit(1)).alias("n_lines"),
+            F.round(F.regr_slope(F.col("l_quantity"), F.col("l_discount")), 4).alias(
+                "qty_per_discount"
+            ),
+            F.round(F.regr_r2(F.col("l_quantity"), F.col("l_discount")), 6).alias("r2"),
+        )
+    )
+
+
+@query(
+    "dedup_provenance_stats",
+    oracle="""
+    WITH groups AS (
+      SELECT md5(lower(trim(text))) AS fp, source, count(*) AS n
+      FROM documents GROUP BY 1, 2
+    ),
+    per_fp AS (
+      SELECT fp,
+             sum(n) AS total,
+             sum(n * (n - 1) / 2) AS same_source_pairs
+      FROM groups GROUP BY fp
+    )
+    SELECT count(*) FILTER (WHERE total > 1) AS dup_groups,
+           CAST(sum(total * (total - 1) / 2) AS BIGINT) AS total_pairs,
+           CAST(sum(same_source_pairs) AS BIGINT) AS same_source_pairs,
+           CAST(sum(total * (total - 1) / 2 - same_source_pairs) AS BIGINT)
+             AS cross_source_pairs
+    FROM per_fp
+    """,
+    tags=("dedup", "llm", "observability"),
+)
+def dedup_provenance_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Duplicate provenance: of all exact-duplicate pairs, how many
+    are within one source vs across sources — the diagnostic that
+    tells a curation run whether duplication is crawler overlap
+    (cross-source) or boilerplate within a source (same-source),
+    which decide very different fixes.
+
+    Scale: pair counts come from group-size ARITHMETIC (C(n,2) on
+    (fingerprint, source) counts), never from materializing pairs —
+    two hash aggregates on a 16-byte key and the answer is exact at
+    any duplication rate.
+    """
+    d = T(spark, sf_dir, "documents")
+    groups = d.groupBy(
+        F.md5(F.lower(F.trim(F.col("text")))).alias("fp"), F.col("source")
+    ).agg(F.count(F.lit(1)).alias("n"))
+    per_fp = groups.groupBy("fp").agg(
+        F.sum("n").alias("total"),
+        F.sum(F.col("n") * (F.col("n") - 1) / 2).alias("same_source_pairs"),
+    )
+    pairs = F.col("total") * (F.col("total") - 1) / 2
+    return per_fp.agg(
+        F.sum(F.when(F.col("total") > 1, 1).otherwise(0)).alias("dup_groups"),
+        F.sum(pairs).cast("bigint").alias("total_pairs"),
+        F.sum("same_source_pairs").cast("bigint").alias("same_source_pairs"),
+        F.sum(pairs - F.col("same_source_pairs")).cast("bigint").alias("cross_source_pairs"),
+    )
