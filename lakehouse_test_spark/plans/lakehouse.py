@@ -273,6 +273,30 @@ class LakehouseTable:
         if when_matched not in ("update", "delete", "ignore"):
             raise ValueError(f"when_matched: {when_matched!r}")
         current = self.snapshot()
+        if when_matched == "update":
+            # Delta MERGE raises when a target row matches multiple
+            # source rows (DeltaUnsupportedOperationException:
+            # "multiple source rows matched") — without this check the
+            # union path would silently insert duplicate keyed rows.
+            # Duplicate keys that match nothing insert all their rows,
+            # same as Delta's WHEN NOT MATCHED INSERT.
+            dup_matched = (
+                updates.groupBy(*key_cols)
+                .count()
+                .where(F_col("count") > 1)
+                .join(
+                    current.select(*key_cols).distinct(),
+                    on=key_cols,
+                    how="left_semi",
+                )
+                .limit(1)
+                .count()
+            )
+            if dup_matched:
+                raise ValueError(
+                    "merge: multiple source rows match the same target key; "
+                    "deduplicate the source (Delta MERGE raises here too)"
+                )
         keys = updates.select(*key_cols).distinct()
         if sync_delete_unmatched:
             base_kept = current.join(keys, on=key_cols, how="left_semi")
@@ -622,12 +646,32 @@ class LakehouseTable:
         from pyspark.sql import functions as F
 
         if since_version < 0:
-            return self.snapshot().withColumns(
-                {
-                    "_change_type": F.lit("insert"),
-                    "_commit_version": F.lit(max(self.latest_version(), 0)).cast("int"),
-                }
-            )
+            # Initial load: label each row with the commit that
+            # actually inserted it (Delta CDF reports the true commit
+            # version per row, not a synthetic "latest"), and filter
+            # DV-deleted rows so the load equals the live snapshot.
+            self._check_horizon(None)
+            parts0: list[DataFrame] = []
+            for c in self._live_commits():
+                if not c.files:
+                    continue
+                scan = self.spark.read.option("mergeSchema", "true").parquet(
+                    *[str(self.path / f) for f in c.files]
+                )
+                parts0.append(
+                    self._apply_dvs(scan).withColumns(
+                        {
+                            "_change_type": F.lit("insert"),
+                            "_commit_version": F.lit(c.version).cast("int"),
+                        }
+                    )
+                )
+            if not parts0:
+                raise ValueError("no data at version None")
+            out0 = parts0[0]
+            for q in parts0[1:]:
+                out0 = out0.unionByName(q, allowMissingColumns=True)
+            return out0
         newer = [c for c in self.history() if c.version > since_version]
         hard_restates = [c for c in newer if c.restate and c.data_change]
         if hard_restates:
@@ -963,7 +1007,9 @@ def maintain_rollup(
     if inc.isEmpty():
         return new_cursor
     if empty_target:  # bootstrap: first fold is a plain append
-        target.append(inc, operation="rollup-bootstrap")
+        # a key whose inserts and deletes cancel inside the window has
+        # no rows in a full recompute — don't materialize it
+        target.append(inc.where(F.col("n_rows") != 0), operation="rollup-bootstrap")
         return new_cursor
     current = target.snapshot().select(*key_cols, "n_rows", "total")
     merged = (
@@ -971,7 +1017,13 @@ def maintain_rollup(
         .groupBy(*key_cols)
         .agg(F.sum("n_rows").alias("n_rows"), F.sum("total").alias("total"))
     )
-    target.merge(merged, key_cols=key_cols)
+    # Keys whose rows were ALL deleted fold to n_rows == 0; a full
+    # recompute would have no such key, so drop them from the rollup.
+    # sync_delete_unmatched does it in the same commit: every surviving
+    # target key appears in `merged` (it includes current), so the only
+    # keys absent from `live` are exactly the zero-count ones.
+    live = merged.where(F.col("n_rows") != 0)
+    target.merge(live, key_cols=key_cols, sync_delete_unmatched=True)
     return new_cursor
 
 

@@ -1042,7 +1042,17 @@ def customer_rfm_segments(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.round(F.col("monetary").cast("double"), 2).alias("monetary"),
         F.ntile(4).over(Window.orderBy("last_order", "o_custkey")).alias("r_score"),
         F.ntile(4).over(Window.orderBy("frequency", "o_custkey")).alias("f_score"),
-        F.ntile(4).over(Window.orderBy(F.col("monetary"), "o_custkey")).alias("m_score"),
+        # Order by the ROUNDED expression explicitly: inside a single
+        # select, F.col("monetary") would resolve to rfm's raw DECIMAL
+        # sum (alias not yet visible), diverging from the oracle's
+        # round(monetary, 2) sort near quartile boundaries.
+        F.ntile(4)
+        .over(
+            Window.orderBy(
+                F.round(F.col("monetary").cast("double"), 2), "o_custkey"
+            )
+        )
+        .alias("m_score"),
     )
     return scored.groupBy("r_score", "f_score", "m_score").agg(
         F.count(F.lit(1)).alias("n_customers"),

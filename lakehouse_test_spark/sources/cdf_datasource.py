@@ -48,7 +48,14 @@ _PA_TO_DDL = {
 
 def _ddl_for_table(path: Path) -> str:
     """Derive the CDF schema (data columns + _change_type +
-    _commit_version) from the newest commit's first data file."""
+    _commit_version) from the newest commit's first data file.
+
+    Fixed-schema assumption (enforced at read time, not here): a
+    streaming source's schema is pinned at start, so commits written
+    under an OLDER schema replay with the newest one — ``read()``
+    null-fills columns a file predates and raises if a file carries
+    columns the pinned schema lacks (a dropped column cannot be
+    replayed into a narrower schema)."""
     import pyarrow.parquet as pq
 
     log = sorted((path / "_log").glob("*.json"), reverse=True)
@@ -87,8 +94,29 @@ class _FilePartition(InputPartition):
 
 
 class LakehouseCDFStreamReader(DataSourceStreamReader):
-    def __init__(self, options: dict):
+    def __init__(self, options: dict, data_columns: list[str] | None = None):
         self.path = Path(options["path"])
+        # pinned data-column names (schema minus _change_type/
+        # _commit_version) — read() replays every file into this shape
+        self.data_columns = data_columns
+
+    def _vacuum_horizon(self) -> int:
+        meta = self.path / "_meta.json"
+        if meta.exists():
+            return json.loads(meta.read_text()).get("vacuum_horizon", 0)
+        return 0
+
+    def _require_files(self, version: int, files: list[str]) -> None:
+        """Raise the VacuumHorizonError contract (descriptive, driver-
+        side) instead of letting executors hit pyarrow FileNotFound."""
+        missing = [f for f in files if not Path(f).exists()]
+        if missing:
+            raise RuntimeError(
+                f"VacuumHorizonError: commit v{version} references "
+                f"{len(missing)} vacuumed/missing data file(s) "
+                f"(table vacuum horizon is v{self._vacuum_horizon()}); "
+                "restart the stream from a fresh snapshot"
+            )
 
     def _commits(self) -> list[dict]:
         out = []
@@ -122,6 +150,7 @@ class LakehouseCDFStreamReader(DataSourceStreamReader):
                 # group DV positions by the base file they reference
                 import pyarrow.parquet as pq
 
+                self._require_files(v, [str(self.path / f) for f in c["dv_files"]])
                 by_file: dict[str, list[int]] = {}
                 for dvf in c["dv_files"]:
                     t = pq.read_table(str(self.path / dvf))
@@ -130,11 +159,22 @@ class LakehouseCDFStreamReader(DataSourceStreamReader):
                         t.column("_dv_pos").to_pylist(),
                     ):
                         by_file.setdefault(fp, []).append(pos)
+                from urllib.parse import urlparse
+
+                self._require_files(
+                    v,
+                    [
+                        urlparse(fp).path if fp.startswith("file:") else fp
+                        for fp in by_file
+                    ],
+                )
                 for fp, positions in sorted(by_file.items()):
                     parts.append(_FilePartition("delete", fp, v, sorted(positions)))
             else:
-                for f in c.get("files", []):
-                    parts.append(_FilePartition("insert", str(self.path / f), v))
+                files = [str(self.path / f) for f in c.get("files", [])]
+                self._require_files(v, files)
+                for f in files:
+                    parts.append(_FilePartition("insert", f, v))
         return parts or [_FilePartition("insert", "", hi)]
 
     def read(self, partition: _FilePartition) -> Iterator[tuple]:
@@ -150,7 +190,23 @@ class LakehouseCDFStreamReader(DataSourceStreamReader):
             import pyarrow as pa
 
             t = t.take(pa.array(partition.positions))
-        cols = [t.column(i).to_pylist() for i in range(t.num_columns)]
+        if self.data_columns is not None:
+            # replay into the pinned schema: null-fill columns this
+            # file predates; a column the pinned schema lacks cannot
+            # be replayed (fixed-schema streaming contract)
+            extra = [n for n in t.column_names if n not in self.data_columns]
+            if extra:
+                raise RuntimeError(
+                    f"file {path} carries columns {extra} absent from the "
+                    "stream's pinned schema; restart the stream to pick up "
+                    "the evolved schema"
+                )
+            cols = [
+                t.column(n).to_pylist() if n in t.column_names else [None] * t.num_rows
+                for n in self.data_columns
+            ]
+        else:
+            cols = [t.column(i).to_pylist() for i in range(t.num_columns)]
         for row in zip(*cols):
             yield (*row, partition.kind, partition.version)
 
@@ -169,7 +225,12 @@ class LakehouseCDFDataSource(DataSource):
         return _ddl_for_table(Path(self.options["path"]))
 
     def streamReader(self, schema) -> LakehouseCDFStreamReader:
-        return LakehouseCDFStreamReader(self.options)
+        data_cols = [
+            f.name
+            for f in schema.fields
+            if f.name not in ("_change_type", "_commit_version")
+        ]
+        return LakehouseCDFStreamReader(self.options, data_cols)
 
 
 def register(spark) -> None:

@@ -669,3 +669,75 @@ def test_table_diff_labels_added_and_removed(spark, table):
     removed = sorted(r.ba for r in d.where("_diff_type='removed'").collect())
     assert added == [100, 101, 102, 103, 104]
     assert removed == [0, 1, 2, 3, 4, 5, 6]
+
+
+def test_merge_raises_on_duplicate_matched_source_keys(spark, table):
+    """Delta MERGE semantics: multiple source rows matching the same
+    target key must raise, not silently insert duplicates; duplicate
+    keys that match NOTHING insert all their rows (NOT MATCHED
+    INSERT), same as Delta."""
+    table.append(person_stream(spark, 10))  # ba 0..9
+    src = person_stream(spark, 4).unionByName(person_stream(spark, 4))  # ba 0..3 ×2
+    with pytest.raises(ValueError, match="multiple source rows"):
+        table.merge(src, ["ba"])
+    assert table.latest_version() == 0  # nothing committed
+
+    # duplicate keys entirely NEW to the target insert both copies
+    new_dup = (
+        person_stream(spark, 2)
+        .withColumn("ba", F.col("ba") + 100)
+        .unionByName(person_stream(spark, 2).withColumn("ba", F.col("ba") + 100))
+    )
+    table.merge(new_dup, ["ba"])
+    assert table.snapshot().where("ba >= 100").count() == 4
+
+
+def test_rollup_drops_fully_deleted_keys(spark, tmp_path):
+    """A key whose rows are ALL deleted must disappear from the
+    rollup (full-recompute parity), not linger as (0, 0)."""
+    from lakehouse_test_spark.plans.lakehouse import maintain_rollup
+
+    src = LakehouseTable(spark, str(tmp_path / "src"))
+    tgt = LakehouseTable(spark, str(tmp_path / "tgt"))
+    try:
+        src.append(person_stream(spark, 60))
+        cursor = maintain_rollup(spark, src, tgt, ["gender"], "score", -1)
+        genders = {r.gender for r in tgt.snapshot().select("gender").collect()}
+        victim = sorted(genders)[0]
+        src.delete_where_dv(f"gender = '{victim}'")  # delete EVERY row of one key
+        maintain_rollup(spark, src, tgt, ["gender"], "score", cursor)
+
+        got = {r.gender: (r.n_rows, round(r.total, 6)) for r in tgt.snapshot().collect()}
+        want = {
+            r.gender: (r.n_rows, round(r.total, 6))
+            for r in src.snapshot()
+            .groupBy("gender")
+            .agg(F.count(F.lit(1)).alias("n_rows"), F.sum("score").alias("total"))
+            .collect()
+        }
+        assert victim not in got
+        assert got == want
+    finally:
+        src.drop()
+        tgt.drop()
+
+
+def test_cdf_initial_load_per_row_provenance(spark, table):
+    """since_version=-1 must stamp each row with the commit that
+    actually inserted it (Delta CDF contract), and exclude DV-deleted
+    rows so the load equals the live snapshot."""
+    table.append(person_stream(spark, 20))  # v0: ba 0..19
+    table.append(person_stream(spark, 10).withColumn("ba", F.col("ba") + 100))  # v1
+    table.delete_where_dv("ba >= 100 and ba < 105")  # v2
+
+    load = table.read_changes_cdf(-1)
+    assert {r["_change_type"] for r in load.select("_change_type").distinct().collect()} == {
+        "insert"
+    }
+    ver_by_ba = {r.ba: r._commit_version for r in load.select("ba", "_commit_version").collect()}
+    assert all(v == 0 for ba, v in ver_by_ba.items() if ba < 100)
+    assert all(v == 1 for ba, v in ver_by_ba.items() if ba >= 100)
+    # DV-deleted rows are absent; load == live snapshot
+    assert sorted(ver_by_ba) == sorted(
+        r.ba for r in table.snapshot().select("ba").collect()
+    )

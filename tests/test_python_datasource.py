@@ -125,3 +125,53 @@ def test_cdf_stream_source_raises_on_restate(spark, tmp_path):
 
     with pytest.raises(pyspark.errors.exceptions.captured.StreamingQueryException):
         q.awaitTermination()
+
+
+def test_cdf_stream_source_vacuumed_files_raise_descriptively(spark, tmp_path):
+    """A commit range referencing vacuumed data files must fail in
+    partitions() with the VacuumHorizonError contract, not surface as
+    a raw pyarrow FileNotFoundError inside read()."""
+    from lakehouse_test_spark.plans.lakehouse import LakehouseTable
+    from lakehouse_test_spark.sources.cdf_datasource import LakehouseCDFStreamReader
+    from lakehouse_test_spark.sources.synthetic import person_stream
+
+    t = LakehouseTable(spark, str(tmp_path / "cdfvac"))
+    t.append(person_stream(spark, 20))  # v0
+    t.append(person_stream(spark, 10))  # v1
+    t.compact()  # v2 restate (dataChange=false)
+    t.vacuum(keep_versions=1)  # v0/v1 data files are gone
+
+    reader = LakehouseCDFStreamReader({"path": str(t.path)})
+    with pytest.raises(RuntimeError, match="VacuumHorizonError"):
+        reader.partitions({"version": -1}, {"version": 1})
+
+
+def test_cdf_stream_reader_pins_schema_and_nullfills(spark, tmp_path):
+    """read() replays older-schema files into the pinned column list
+    (null-filling missing columns) and raises when a file carries a
+    column the pinned schema lacks."""
+    from pyspark.sql import functions as F
+
+    from lakehouse_test_spark.plans.lakehouse import LakehouseTable
+    from lakehouse_test_spark.sources.cdf_datasource import LakehouseCDFStreamReader
+    from lakehouse_test_spark.sources.synthetic import person_stream
+
+    t = LakehouseTable(spark, str(tmp_path / "cdfschema"))
+    t.append(person_stream(spark, 5))  # v0: base schema
+    t.append(person_stream(spark, 3).withColumn("extra", F.lit(7)))  # v1: evolved
+
+    base_cols = [f.name for f in person_stream(spark, 1).schema.fields]
+    # pinned at the EVOLVED schema: v0 files null-fill "extra"
+    reader = LakehouseCDFStreamReader({"path": str(t.path)}, base_cols + ["extra"])
+    parts = reader.partitions({"version": -1}, {"version": 0})
+    rows = [r for p in parts for r in reader.read(p)]
+    assert len(rows) == 5
+    extra_idx = len(base_cols)
+    assert all(r[extra_idx] is None for r in rows)
+
+    # pinned at the OLD schema: an evolved file cannot be replayed
+    narrow = LakehouseCDFStreamReader({"path": str(t.path)}, base_cols)
+    parts = narrow.partitions({"version": 0}, {"version": 1})
+    with pytest.raises(RuntimeError, match="pinned schema"):
+        for p in parts:
+            list(narrow.read(p))
