@@ -17,12 +17,19 @@ the public Delta transaction-log specification
 - restates (merge/delete/compact) emit ``remove`` for every
   previously-live file plus ``add`` for the rewrite, compactions with
   ``dataChange: false`` exactly like OPTIMIZE;
-- every commit gets a ``commitInfo`` with the native operation name.
+- every commit gets a ``commitInfo`` with the native operation name;
+- every ``checkpoint_interval`` commits a parquet checkpoint
+  (``%020d.checkpoint.parquet`` holding the full replayed state as
+  one action per row: protocol / metaData / live adds) plus a
+  ``_last_checkpoint`` pointer, per PROTOCOL.md §Checkpoints — so a
+  reader opens a 100k-commit table from the newest checkpoint + the
+  JSON tail instead of replaying every commit.
 
 ``read_delta_log`` replays add/remove actions into the live file set
-— the same reconstruction any Delta reader performs — and the tests
-assert replay == the native snapshot at every version, so the export
-is validated end-to-end without the package.
+— the same reconstruction any Delta reader performs, checkpoint-first
+when one exists — and the tests assert replay == the native snapshot
+at every version, so the export is validated end-to-end without the
+package.
 """
 
 from __future__ import annotations
@@ -36,6 +43,84 @@ from pyspark.sql import DataFrame, SparkSession
 from lakehouse_test_spark.plans.lakehouse import LakehouseTable
 
 PROTOCOL = {"minReaderVersion": 1, "minWriterVersion": 2}
+
+
+def _checkpoint_schema():
+    """Arrow schema of a Delta checkpoint parquet: one action per row,
+    exactly one of the struct columns non-null (PROTOCOL.md
+    §Checkpoint-Schema)."""
+    import pyarrow as pa
+
+    return pa.schema(
+        [
+            (
+                "protocol",
+                pa.struct(
+                    [
+                        ("minReaderVersion", pa.int32()),
+                        ("minWriterVersion", pa.int32()),
+                    ]
+                ),
+            ),
+            (
+                "metaData",
+                pa.struct(
+                    [
+                        ("id", pa.string()),
+                        ("format", pa.struct([("provider", pa.string())])),
+                        ("schemaString", pa.string()),
+                        ("partitionColumns", pa.list_(pa.string())),
+                        ("configuration", pa.map_(pa.string(), pa.string())),
+                        ("createdTime", pa.int64()),
+                    ]
+                ),
+            ),
+            (
+                "add",
+                pa.struct(
+                    [
+                        ("path", pa.string()),
+                        ("partitionValues", pa.map_(pa.string(), pa.string())),
+                        ("size", pa.int64()),
+                        ("modificationTime", pa.int64()),
+                        ("dataChange", pa.bool_()),
+                        ("stats", pa.string()),
+                    ]
+                ),
+            ),
+        ]
+    )
+
+
+def _write_checkpoint(
+    log_dir: Path,
+    version: int,
+    metadata_action: dict,
+    live_adds: dict[str, dict],
+) -> None:
+    """Write ``%020d.checkpoint.parquet`` (full state at ``version``)
+    and repoint ``_last_checkpoint`` at it."""
+    import pyarrow as pa
+    import pyarrow.parquet as pq
+
+    rows: list[dict] = [{"protocol": PROTOCOL}]
+    md = dict(metadata_action["metaData"])
+    md["format"] = {"provider": md.get("format", {}).get("provider", "parquet")}
+    md["configuration"] = [
+        (k, v) for k, v in (md.get("configuration") or {}).items()
+    ]
+    rows.append({"metaData": md})
+    for path in sorted(live_adds):
+        add = dict(live_adds[path])
+        add["partitionValues"] = [
+            (k, v) for k, v in (add.get("partitionValues") or {}).items()
+        ]
+        rows.append({"add": add})
+    table = pa.Table.from_pylist(rows, schema=_checkpoint_schema())
+    pq.write_table(table, str(log_dir / f"{version:020d}.checkpoint.parquet"))
+    (log_dir / "_last_checkpoint").write_text(
+        json.dumps({"version": version, "size": table.num_rows})
+    )
 
 
 def _stats_json(table: LakehouseTable, commit, rel_path: str) -> str | None:
@@ -52,9 +137,15 @@ def _stats_json(table: LakehouseTable, commit, rel_path: str) -> str | None:
     return json.dumps(stats, default=str)
 
 
-def export_delta_log(spark: SparkSession, table: LakehouseTable) -> Path:
+def export_delta_log(
+    spark: SparkSession, table: LakehouseTable, checkpoint_interval: int = 10
+) -> Path:
     """Write ``_delta_log/`` at the table root from the native commit
     history. Idempotent (rewrites the log dir); returns its path.
+    Every ``checkpoint_interval`` commits the full state is also
+    written as a parquet checkpoint + ``_last_checkpoint`` pointer
+    (0 disables), so readers replay O(interval) JSON commits, not
+    O(history).
 
     Scale: the export touches parquet *footers* only — per-file
     metadata, no data I/O — and is O(files in history) driver work,
@@ -92,14 +183,17 @@ def export_delta_log(spark: SparkSession, table: LakehouseTable) -> Path:
         }
 
     current_schema: str | None = None
+    current_meta: dict | None = None
     live: list[str] = []
+    live_adds: dict[str, dict] = {}
     for commit in table.history():
         actions: list[dict] = []
         now_ms = int(time.time() * 1000)
         if commit.version == 0:
             actions.append({"protocol": PROTOCOL})
             current_schema = _schema_of(commit.files)
-            actions.append(_metadata_action(current_schema, now_ms))
+            current_meta = _metadata_action(current_schema, now_ms)
+            actions.append(current_meta)
         elif commit.files:
             # Delta requires a fresh metaData action in the commit that
             # changes the schema — without it a reader never learns
@@ -111,7 +205,8 @@ def export_delta_log(spark: SparkSession, table: LakehouseTable) -> Path:
             merged_schema = _schema_of(next_live)
             if merged_schema != current_schema:
                 current_schema = merged_schema
-                actions.append(_metadata_action(current_schema, now_ms))
+                current_meta = _metadata_action(current_schema, now_ms)
+                actions.append(current_meta)
         if commit.restate:
             for f in live:
                 actions.append(
@@ -124,21 +219,20 @@ def export_delta_log(spark: SparkSession, table: LakehouseTable) -> Path:
                     }
                 )
             live = []
+            live_adds = {}
         for f in commit.files:
             p = table.path / f
-            actions.append(
-                {
-                    "add": {
-                        "path": f,
-                        "partitionValues": {},
-                        "size": p.stat().st_size,
-                        "modificationTime": int(p.stat().st_mtime * 1000),
-                        "dataChange": commit.data_change,
-                        "stats": _stats_json(table, commit, f),
-                    }
-                }
-            )
+            add = {
+                "path": f,
+                "partitionValues": {},
+                "size": p.stat().st_size,
+                "modificationTime": int(p.stat().st_mtime * 1000),
+                "dataChange": commit.data_change,
+                "stats": _stats_json(table, commit, f),
+            }
+            actions.append({"add": add})
             live.append(f)
+            live_adds[f] = add
         actions.append(
             {
                 "commitInfo": {
@@ -152,19 +246,64 @@ def export_delta_log(spark: SparkSession, table: LakehouseTable) -> Path:
         (log_dir / f"{commit.version:020d}.json").write_text(
             "\n".join(json.dumps(a) for a in actions) + "\n"
         )
+        if (
+            checkpoint_interval
+            and commit.version > 0
+            and commit.version % checkpoint_interval == 0
+        ):
+            assert current_meta is not None
+            _write_checkpoint(log_dir, commit.version, current_meta, live_adds)
     return log_dir
 
 
-def replay_live_files(table_path: str, version: int | None = None) -> list[str]:
-    """Reconstruct the live file set from a ``_delta_log`` by replaying
-    add/remove actions up to ``version`` — the core of every Delta
-    reader."""
+def _replay_state(
+    table_path: str, version: int | None = None
+) -> tuple[dict[str, dict], int | None, list[int]]:
+    """Replay the log to ``version``: checkpoint-first when the newest
+    eligible checkpoint exists, then the JSON tail. Returns
+    (live add-actions by path, checkpoint version used or None,
+    JSON commit versions replayed) — the extras let tests pin that a
+    long history is NOT replayed commit-by-commit.
+    """
     log_dir = Path(table_path) / "_delta_log"
     live: dict[str, dict] = {}
+    start_after = -1
+    ckpt_version: int | None = None
+    last = log_dir / "_last_checkpoint"
+    if last.exists():
+        v = json.loads(last.read_text())["version"]
+        if version is None or v <= version:
+            ckpt_version = v
+        else:
+            # time travel below _last_checkpoint: use the newest older
+            # checkpoint if any, else full JSON replay (all commits kept)
+            older = sorted(
+                int(p.name.split(".")[0])
+                for p in log_dir.glob("*.checkpoint.parquet")
+                if int(p.name.split(".")[0]) <= version
+            )
+            ckpt_version = older[-1] if older else None
+    if ckpt_version is not None:
+        import pyarrow.parquet as pq
+
+        t = pq.read_table(
+            str(log_dir / f"{ckpt_version:020d}.checkpoint.parquet"),
+            columns=["add"],
+        )
+        for add in t.column("add").to_pylist():
+            if add is not None and add.get("path"):
+                add = dict(add)
+                add["partitionValues"] = dict(add.get("partitionValues") or [])
+                live[add["path"]] = add
+        start_after = ckpt_version
+    replayed: list[int] = []
     for p in sorted(log_dir.glob("*.json")):
         v = int(p.stem)
+        if v <= start_after:
+            continue
         if version is not None and v > version:
             break
+        replayed.append(v)
         for line in p.read_text().splitlines():
             if not line.strip():
                 continue
@@ -173,6 +312,16 @@ def replay_live_files(table_path: str, version: int | None = None) -> list[str]:
                 live[action["add"]["path"]] = action["add"]
             elif "remove" in action:
                 live.pop(action["remove"]["path"], None)
+    return live, ckpt_version, replayed
+
+
+def replay_live_files(table_path: str, version: int | None = None) -> list[str]:
+    """Reconstruct the live file set from a ``_delta_log`` by replaying
+    add/remove actions up to ``version`` — the core of every Delta
+    reader. Starts from the newest eligible parquet checkpoint
+    (``_last_checkpoint``) when one exists, replaying only the JSON
+    tail after it."""
+    live, _, _ = _replay_state(table_path, version)
     return sorted(live)
 
 

@@ -741,3 +741,49 @@ def test_cdf_initial_load_per_row_provenance(spark, table):
     assert sorted(ver_by_ba) == sorted(
         r.ba for r in table.snapshot().select("ba").collect()
     )
+
+
+def test_delta_checkpoint_replay_from_checkpoint(spark, table):
+    """A 25-commit export writes parquet checkpoints + _last_checkpoint
+    (PROTOCOL.md §Checkpoints); reads replay checkpoint + JSON tail —
+    O(interval), not O(history) — and still equal the native snapshot,
+    including time travel below the newest checkpoint."""
+    from lakehouse_test_spark.plans.delta_export import (
+        _replay_state,
+        export_delta_log,
+        read_delta_log,
+    )
+
+    for i in range(12):  # v0..v11 appends
+        table.append(person_stream(spark, 3).withColumn("ba", F.col("ba") + i * 10))
+    table.delete_where("ba % 10 = 2")  # v12: full restate (removes in the log)
+    for i in range(12, 24):  # v13..v24 appends
+        table.append(person_stream(spark, 3).withColumn("ba", F.col("ba") + i * 100))
+    assert table.latest_version() == 24
+
+    log_dir = export_delta_log(spark, table)  # checkpoint_interval=10
+    assert (log_dir / "00000000000000000010.checkpoint.parquet").exists()
+    assert (log_dir / "00000000000000000020.checkpoint.parquet").exists()
+    assert (log_dir / "_last_checkpoint").exists()
+
+    # latest: newest checkpoint + 4-commit JSON tail, never the 25
+    live, ckpt, replayed = _replay_state(str(table.path))
+    assert ckpt == 20 and replayed == [21, 22, 23, 24]
+    got = read_delta_log(spark, str(table.path))
+    assert got.exceptAll(table.snapshot()).count() == 0
+    assert table.snapshot().exceptAll(got).count() == 0
+
+    # time travel below _last_checkpoint: older checkpoint + tail
+    # (crosses the v12 restate, so checkpoint adds must be removable)
+    _, ckpt15, replayed15 = _replay_state(str(table.path), 15)
+    assert ckpt15 == 10 and replayed15 == [11, 12, 13, 14, 15]
+    got15 = read_delta_log(spark, str(table.path), 15)
+    assert got15.exceptAll(table.snapshot(version=15)).count() == 0
+    assert table.snapshot(version=15).exceptAll(got15).count() == 0
+
+    # below every checkpoint: plain JSON replay from v0
+    _, ckpt5, replayed5 = _replay_state(str(table.path), 5)
+    assert ckpt5 is None and replayed5 == list(range(6))
+    assert read_delta_log(spark, str(table.path), 5).count() == table.snapshot(
+        version=5
+    ).count()
