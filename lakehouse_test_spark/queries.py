@@ -38,6 +38,7 @@ for _mod in (
     "lakehouse_test_spark.sources.synthetic",
     "lakehouse_test_spark.streaming.jobs",
     "lakehouse_test_spark.plans.delta_export",
+    "lakehouse_test_spark.plans.iceberg_export",
 ):
     try:
         __import__(_mod)
