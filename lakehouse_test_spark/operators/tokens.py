@@ -457,33 +457,220 @@ def _merge_pair_in_syms(syms: Column, left: Column, right: Column) -> Column:
     )
 
 
+_BPE_MAXN = 5  # n-gram depth collected per round; buys exact chain depth 3
+
+
+def _select_merge_batch(
+    ng0: dict[tuple[str, ...], int],
+    max_batch: int,
+    cutoffs: dict[int, int] | None = None,
+) -> list[tuple[str, str, int]]:
+    """Select a PREFIX of the exact sequential BPE merge order using only
+    the round-start n-gram counts ``ng0`` (symbol tuples of length
+    2.._BPE_MAXN → weighted adjacency count).
+
+    Sequential BPE recounts pairs after every merge; this simulates those
+    recounts driver-side with exact count-delta arithmetic where it is
+    provably exact, and conservative upper bounds where it is not — the
+    batch ends the moment an uncertain count could outrank the next exact
+    argmax, so the returned sequence is ALWAYS byte-identical to what the
+    one-merge-per-round loop would produce (pinned by the Spark parity
+    tests and an 80-seed pure-Python stress test in tests/test_wave7.py).
+
+    Mechanics (all driver-side, O(|collected tables|) per merge):
+
+    - ``pc`` holds exact current pair counts.  Merging p=(a,b) destroys
+      (x,a) by exactly cur(x,a,b) and (b,y) by exactly cur(a,b,y), and
+      creates (x, a+b) / (a+b, y) with exactly those counts, where
+      cur(seq) resolves the CURRENT adjacency count of mid-round symbols
+      from round-start n-grams: every mid-round token occupies a
+      contiguous run of round-start symbols, so cur(seq) equals the
+      round-start count of the concatenated expansion — provided the
+      expansion fits in _BPE_MAXN, every earlier merge this round either
+      lies inside the expansion (an ancestor, guaranteed applied) or
+      touches none of its symbols, and no earlier merge can consume the
+      run's boundary symbols from outside.
+    - Guards end the round where the arithmetic would break: self-pairs
+      (greedy-run semantics), token-string aliasing, and a-b alternating
+      chains ("abab" merges pairwise; per-n-gram deltas miss it).
+    - When a delta is NOT provably exact, the affected pair moves to
+      ``stale`` with an upper bound (min round-start n-gram count over
+      every window of the expansion — counts never increase).  Selection
+      stops when the best exact candidate could be outranked by a stale
+      bound or by an uncollected entry (count ≤ cutoffs[n]).
+
+    ``cutoffs[n]`` is the max possible count of an uncollected length-n
+    entry (0 = that table was collected completely), so the same routine
+    stays exact at 100 TB where only the top-M n-grams are collected.
+    Tiebreaks compare Python str tuples — identical to the engine's
+    ORDER BY l, r for the ASCII corpora the gate runs on.
+    """
+    cutoffs = cutoffs or {}
+    pc = {k: v for k, v in ng0.items() if len(k) == 2}
+    stale: dict[tuple[str, str], int] = {}
+    expansion: dict[str, tuple[str, ...]] = {}
+    prov: dict[str, frozenset] = {}
+    acc_pairs: list[tuple[str, str]] = []
+    symbols: set[str] = set()
+    for l, r in pc:
+        symbols.add(l)
+        symbols.add(r)
+
+    def exp(s: str) -> tuple[str, ...]:
+        return expansion.get(s, (s,))
+
+    def provset(s: str) -> frozenset:
+        return prov.get(s, frozenset())
+
+    def lookup(w: tuple[str, ...]) -> int | None:
+        if len(w) > _BPE_MAXN:
+            return None
+        v = ng0.get(w)
+        if v is None:
+            return None if cutoffs.get(len(w)) else 0
+        return v
+
+    def lookup_ub(w: tuple[str, ...]) -> int:
+        v = ng0.get(w)
+        return v if v is not None else cutoffs.get(len(w), 0)
+
+    def ub_any(seq: tuple[str, ...]) -> int:
+        full = sum((exp(s) for s in seq), ())
+        ub = None
+        n_hi = min(_BPE_MAXN, len(full))
+        for n in range(2, n_hi + 1):
+            for i in range(len(full) - n + 1):
+                u = lookup_ub(full[i : i + n])
+                ub = u if ub is None else min(ub, u)
+                if ub == 0:
+                    return 0
+        return ub if ub is not None else 0
+
+    def cur(seq: tuple[str, ...], upto: int) -> int | None:
+        """Exact current adjacency count of ``seq`` after acc_pairs[:upto],
+        or None when not provably resolvable from round-start n-grams."""
+        full = sum((exp(s) for s in seq), ())
+        if len(full) > _BPE_MAXN:
+            return None
+        v = lookup(full)
+        if v is None:
+            return None
+        anc = frozenset().union(*[provset(s) for s in seq])
+        for m in acc_pairs[:upto]:
+            if m in anc:
+                continue
+            if m[0] in full or m[1] in full:
+                return None  # non-ancestor merge rewrites the interior
+        for l, r in acc_pairs[:upto]:
+            if r == full[0] or l == full[-1]:
+                return None  # a boundary symbol could be eaten from outside
+        return v
+
+    accepted: list[tuple[str, str, int]] = []
+    while len(accepted) < max_batch:
+        best = None
+        for (l, r), c in pc.items():
+            if c < 2:
+                continue
+            k = (-c, l, r)
+            if best is None or k < best[0]:
+                best = (k, (l, r), c)
+        if best is None:
+            break
+        _, (a, b), c = best
+        if c <= cutoffs.get(2, 0):
+            break  # an uncollected pair could outrank — need a wider collect
+        if any(ub > c or (ub == c and sp < (a, b)) for sp, ub in stale.items()):
+            break
+        accepted.append((a, b, c))
+        tok = a + b
+        if a == b or tok in symbols:
+            break  # greedy-run / alias arithmetic is not per-n-gram — end round
+        if ub_any((a, b, a)) > 0 and ub_any((b, a, b)) > 0:
+            break  # possible abab chain — double-decrement territory
+        upto = len(acc_pairs)  # resolve cur() against the state BEFORE this merge
+        pc.pop((a, b), None)
+        stale.pop((a, b), None)
+        left_syms = {x for (x, y) in pc if y == a} | {
+            x for (x, y) in stale if y == a
+        }
+        right_syms = {z for (y, z) in pc if y == b} | {
+            z for (y, z) in stale if y == b
+        }
+        for x in left_syms:
+            d = cur((x, a, b), upto)
+            if d is not None:
+                if d:
+                    if (x, a) in pc:
+                        pc[(x, a)] -= d
+                    elif (x, a) in stale:
+                        stale[(x, a)] = max(0, stale[(x, a)] - d)
+                    pc[(x, tok)] = pc.get((x, tok), 0) + d
+            else:
+                ubt = ub_any((x, a, b))
+                if ubt:
+                    if (x, a) in pc:
+                        stale[(x, a)] = pc.pop((x, a))
+                    stale[(x, tok)] = min(ubt, c)
+        for z in right_syms:
+            d = cur((a, b, z), upto)
+            if d is not None:
+                if d:
+                    if (b, z) in pc:
+                        pc[(b, z)] -= d
+                    elif (b, z) in stale:
+                        stale[(b, z)] = max(0, stale[(b, z)] - d)
+                    pc[(tok, z)] = pc.get((tok, z), 0) + d
+            else:
+                ubt = ub_any((a, b, z))
+                if ubt:
+                    if (b, z) in pc:
+                        stale[(b, z)] = pc.pop((b, z))
+                    stale[(tok, z)] = min(ubt, c)
+        symbols.add(tok)
+        expansion[tok] = exp(a) + exp(b)
+        prov[tok] = provset(a) | provset(b) | {(a, b)}
+        acc_pairs.append((a, b))
+    return accepted
+
+
 def bpe_train(
-    docs: DataFrame, num_merges: int = 16, text_col: str = "text"
+    docs: DataFrame,
+    num_merges: int = 16,
+    text_col: str = "text",
+    max_collect: int = 65536,
+    stats: dict | None = None,
 ) -> list[tuple[int, str, str, int]]:
     """Train byte-pair-encoding merges on a corpus, distributed.
 
-    The classic Sennrich et al. 2016 algorithm in DataFrame form:
+    The classic Sennrich et al. 2016 algorithm in DataFrame form,
+    with BATCHED rounds (one Spark round-trip yields several merges):
 
     1. ONE shuffle builds the word-frequency vocabulary (word counts
        absorb the corpus — every later round works on |vocab| rows,
        not corpus rows; this is what makes BPE trainable on 100 TB:
        the iteration state is the vocabulary, which grows with
        unique words, not with data volume).
-    2. Per round: adjacent symbol pairs via arrays_zip(syms,
-       slice(syms, 2, ...)) weighted by word freq → ONE hash
-       aggregate → deterministic argmax (count desc, pair asc);
-       the merge is applied map-side with an in-plan fold — no
-       shuffle, no Python in the loop body.
-    3. Each round's vocab is eagerly localCheckpoint-ed (and the
-       previous unpersisted) so the plan stays one round deep — the
-       connected-components discipline (operators/cluster.py): plan
-       depth, not data volume, is what exhausts small driver heaps.
+    2. Per round, ONE job aggregates adjacent symbol PAIRS and
+       TRIGRAMS (tagged union, single collect of the top-M of each).
+       ``_select_merge_batch`` then extends the exact sequential merge
+       order as far as driver-side count-delta arithmetic stays
+       provably exact — typically 3-6 merges per round-trip, cutting
+       scheduler round-trips ~4× versus one-merge-per-round (a 32k-merge
+       vocabulary stops costing 32k sequential Spark jobs).
+    3. The accepted merges are applied in order as chained in-plan
+       folds — no shuffle, no Python in the loop body — and the round's
+       vocab is eagerly localCheckpoint-ed (previous unpersisted) so
+       the plan stays one round deep (the connected-components
+       discipline, operators/cluster.py).
 
-    Returns the merge table [(step, left, right, pair_count)].
+    Returns the merge table [(step, left, right, pair_count)] —
+    byte-identical to the unbatched loop (tests pin parity against a
+    pure-Python sequential reference, tiebreaks included). ``stats``
+    (optional dict) receives {"rounds": N} for round-count assertions.
     """
     from lakehouse_test_spark.operators.text import ws_tokens
 
-    spark = docs.sparkSession
     vocab = (
         docs.select(F.explode(ws_tokens(F.col(text_col))).alias("w"))
         .where(F.length("w") > 0)
@@ -494,33 +681,70 @@ def bpe_train(
     vocab.count()
 
     merges: list[tuple[int, str, str, int]] = []
-    for step in range(num_merges):
-        pairs = (
-            vocab.select(
-                F.explode(
-                    F.arrays_zip(
-                        F.slice(F.col("syms"), 1, F.size("syms") - 1).alias("l"),
-                        F.slice(F.col("syms"), 2, F.size("syms") - 1).alias("r"),
+    rounds = 0
+    while len(merges) < num_merges:
+        per_n = []
+        for n in range(2, _BPE_MAXN + 1):
+            zipped = F.arrays_zip(
+                *[
+                    F.slice(F.col("syms"), i + 1, F.size("syms") - (n - 1)).alias(
+                        f"s{i}"
                     )
-                ).alias("p"),
-                "freq",
+                    for i in range(n)
+                ]
             )
-            .groupBy(F.col("p.l").alias("l"), F.col("p.r").alias("r"))
-            .agg(F.sum("freq").alias("c"))
-        )
-        top = pairs.orderBy(F.desc("c"), "l", "r").limit(1).collect()
-        if not top or top[0]["c"] < 2:
+            per_n.append(
+                vocab.where(F.size("syms") >= n)
+                .select(F.explode(zipped).alias("g"), "freq")
+                .select(
+                    F.array(*[F.col(f"g.s{i}") for i in range(n)]).alias("gram"),
+                    "freq",
+                )
+                .groupBy("gram")
+                .agg(F.sum("freq").alias("c"))
+                .orderBy(F.desc("c"))
+                .limit(max_collect + 1)
+            )
+        grams = per_n[0]
+        for other in per_n[1:]:
+            grams = grams.unionByName(other)
+        rows = grams.collect()  # ONE action per round
+        ng0: dict[tuple[str, ...], int] = {}
+        sizes: dict[int, int] = {}
+        mins: dict[int, int] = {}
+        for r in rows:
+            k = tuple(r["gram"])
+            c = int(r["c"])
+            ng0[k] = c
+            n = len(k)
+            sizes[n] = sizes.get(n, 0) + 1
+            mins[n] = min(mins.get(n, c), c)
+        pair_max = max((v for k, v in ng0.items() if len(k) == 2), default=0)
+        if pair_max < 2:
             break
-        left, right, count = top[0]["l"], top[0]["r"], int(top[0]["c"])
-        merges.append((step, left, right, count))
-        new_vocab = vocab.select(
-            _merge_pair_in_syms(F.col("syms"), F.lit(left), F.lit(right)).alias("syms"),
-            "freq",
-        ).localCheckpoint(eager=True)  # per-round: plan depth, not data,
-        # is what OOMs small drivers (see operators/cluster.py)
+        cutoffs = {
+            n: (mins[n] if sizes.get(n, 0) > max_collect else 0) for n in sizes
+        }
+        batch = _select_merge_batch(ng0, num_merges - len(merges), cutoffs)
+        if not batch:
+            if cutoffs.get(2):
+                max_collect *= 2  # top pair hid below the collect horizon
+                continue
+            break
+        rounds += 1
+        merged_syms = F.col("syms")
+        for left, right, _ in batch:
+            merged_syms = _merge_pair_in_syms(merged_syms, F.lit(left), F.lit(right))
+        for left, right, count in batch:
+            merges.append((len(merges), left, right, count))
+        new_vocab = vocab.select(merged_syms.alias("syms"), "freq").localCheckpoint(
+            eager=True
+        )  # per-round: plan depth, not data, is what OOMs small drivers
         vocab.unpersist()
         vocab = new_vocab
     vocab.unpersist()
+    if stats is not None:
+        stats["rounds"] = rounds
     return merges
 
 

@@ -186,8 +186,112 @@ def test_bpe_matches_python_reference(spark):
         return merges
 
     docs = spark.createDataFrame([(i, t) for i, t in enumerate(texts)], "doc_id long, text string")
-    got = bpe_train(docs, num_merges=10)
+    stats = {}
+    got = bpe_train(docs, num_merges=10, stats=stats)
     assert got == ref_bpe(texts, 10)
+    # the batched rounds must actually batch: 10 merges in far fewer
+    # Spark round-trips than the one-merge-per-round loop needed
+    assert stats["rounds"] <= 4
+
+
+def test_bpe_batched_rounds_cut_4x(spark, sf_dir):
+    """The verdict-r2 criterion: round count ≥4× lower than merges at
+    the same vocab on the documents corpus."""
+    from lakehouse_test_spark.operators.tokens import bpe_train
+    from lakehouse_test_spark.session import load_table
+
+    d = load_table(spark, sf_dir, "documents")
+    stats = {}
+    merges = bpe_train(d, num_merges=16, stats=stats)
+    assert len(merges) == 16
+    assert stats["rounds"] * 4 <= len(merges)
+
+
+def _ref_bpe_vocab(vocab, num_merges):
+    """Pure-Python sequential BPE over a word-frequency dict."""
+    from collections import Counter
+
+    vocab = Counter(vocab)
+    merges = []
+    for step in range(num_merges):
+        pc = Counter()
+        for syms, f in vocab.items():
+            for i in range(len(syms) - 1):
+                pc[(syms[i], syms[i + 1])] += f
+        if not pc:
+            break
+        (l, r), c = min(pc.items(), key=lambda kv: (-kv[1], kv[0]))
+        if c < 2:
+            break
+        merges.append((step, l, r, c))
+        nv = Counter()
+        for syms, f in vocab.items():
+            out, i = [], 0
+            while i < len(syms):
+                if i + 1 < len(syms) and syms[i] == l and syms[i + 1] == r:
+                    out.append(l + r)
+                    i += 2
+                else:
+                    out.append(syms[i])
+                    i += 1
+            nv[tuple(out)] += f
+        vocab = nv
+    return merges
+
+
+def test_bpe_batch_selector_stress():
+    """Randomized adversarial corpora (tiny alphabets force the chain /
+    alias / self-pair edge cases): the batched selector driven to
+    completion must reproduce the sequential merge order EXACTLY.
+    Pure driver-side — no Spark — so this can afford 60 seeds."""
+    import random
+    from collections import Counter
+
+    from lakehouse_test_spark.operators.tokens import _select_merge_batch
+
+    def batched(vocab, num_merges):
+        from lakehouse_test_spark.operators.tokens import _BPE_MAXN
+
+        vocab = Counter(vocab)
+        merges = []
+        while len(merges) < num_merges:
+            ng = Counter()
+            for syms, f in vocab.items():
+                for n in range(2, _BPE_MAXN + 1):
+                    for i in range(len(syms) - n + 1):
+                        ng[tuple(syms[i : i + n])] += f
+            if max((v for k, v in ng.items() if len(k) == 2), default=0) < 2:
+                break
+            batch = _select_merge_batch(dict(ng), num_merges - len(merges))
+            if not batch:
+                break
+            for l, r, c in batch:
+                merges.append((len(merges), l, r, c))
+                nv = Counter()
+                for syms, f in vocab.items():
+                    out, i = [], 0
+                    while i < len(syms):
+                        if i + 1 < len(syms) and syms[i] == l and syms[i + 1] == r:
+                            out.append(l + r)
+                            i += 2
+                        else:
+                            out.append(syms[i])
+                            i += 1
+                    nv[tuple(out)] += f
+                vocab = nv
+        return merges
+
+    for seed in range(60):
+        random.seed(seed)
+        alpha = "abcdef"[: random.randint(2, 5)]
+        words = Counter()
+        for _ in range(random.randint(5, 60)):
+            w = "".join(random.choices(alpha, k=random.randint(1, 8)))
+            words[tuple(w)] += random.randint(1, 4)
+        for nm in (5, 12, 25):
+            assert batched(words, nm) == _ref_bpe_vocab(words, nm), (
+                f"seed={seed} nm={nm}"
+            )
 
 
 def test_bpe_encode_matches_python_reference(spark):
