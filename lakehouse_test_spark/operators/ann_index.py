@@ -1,0 +1,252 @@
+"""Persisted ANN index: a build/query split over the LSH and IVF
+similarity paths in ``operators/similarity.py``.
+
+At 100 TB the index must be an artifact, not a per-query computation:
+``similarity_lsh_topk`` / ``similarity_ivf_topk`` demonstrate the
+*algorithms* (and re-derive planes/centroids/histograms per call,
+acceptable for a one-shot query), while this module is the serving
+shape — ``ann_index_build`` pays the corpus passes ONCE and writes
+
+    <path>/meta.json        planes or centroids + the bucket histogram
+                            (index metadata: ≤ 2^planes / nlist entries,
+                            driver-sized at any corpus size — the same
+                            thing FAISS keeps in RAM)
+    <path>/vectors/         the corpus with its precomputed bucket id,
+                            PARTITIONED by a bucket band (directory-level
+                            partition pruning) and SORTED by bucket
+                            within files (parquet row-group pruning)
+
+and ``ann_index_query`` then answers a top-k probe with NO full-corpus
+work at all: probe selection walks the stored histogram driver-side,
+and the one Spark job is a scan whose partition filter + pushed bucket
+predicate touch only the probed bands (pinned by
+tests/test_ann_index.py on both the plan and the job count).
+
+The reference has no similarity surface (it is a Pulsar/Kafka harness,
+SURVEY.md §0); this is part of the mandated LLM-data extension.
+"""
+
+from __future__ import annotations
+
+import json
+import os
+
+import numpy as np
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from lakehouse_test_spark.registry import query
+from lakehouse_test_spark.operators.similarity import (
+    EMBED_DIM,
+    IVF_NLIST,
+    LSH_PLANES,
+    _nearest_centroid,
+    _planes,
+    cosine_to_literal,
+    ivf_train,
+    lsh_bucket,
+    ranked_buckets,
+)
+
+# LSH buckets are grouped into 256 directory partitions ("bands") so the
+# partition count stays filesystem-friendly while still pruning 255/256
+# of the data at planning time; the exact bucket predicate then prunes
+# row groups inside each band.
+_BAND_BITS = 8
+
+
+def _band_of(bucket_col, n_planes: int):
+    shift = max(0, n_planes - _BAND_BITS)
+    return F.shiftright(bucket_col.cast("int"), shift).alias("band")
+
+
+def ann_index_build(
+    embeddings: DataFrame,
+    path: str,
+    kind: str = "lsh",
+    n_planes: int = LSH_PLANES,
+    nlist: int = IVF_NLIST,
+    dim: int = EMBED_DIM,
+) -> dict:
+    """Build and persist an ANN index over ``embeddings``
+    (``vec_id``, ``embedding``, and any passenger columns).
+
+    kind="lsh": random-hyperplane buckets (seeded planes folded into the
+    plan as literals). kind="ivf": k-means coarse quantizer trained with
+    ``ivf_train`` (nlist-bounded shuffles), list id as the bucket.
+
+    Cost: the LSH build is ONE map-only pass over the corpus plus the
+    write shuffle (repartitionByRange on bucket); IVF adds the bounded
+    training passes. The histogram is aggregated from the bucket column
+    in the same session and stored in meta.json; nothing here is
+    proportional to corpus size except the single write.
+    """
+    if kind == "lsh":
+        planes = _planes(n_planes, dim)
+        bucketed = embeddings.withColumn(
+            "bucket", lsh_bucket(F.col("embedding"), planes)
+        )
+        meta: dict = {
+            "kind": "lsh",
+            "n_planes": n_planes,
+            "dim": dim,
+            "planes": [[float(x) for x in p] for p in planes],
+        }
+        shift = max(0, n_planes - _BAND_BITS)
+    elif kind == "ivf":
+        centroids = ivf_train(embeddings, nlist=nlist, dim=dim)
+        bucketed = embeddings.withColumn(
+            "bucket", _nearest_centroid(F.col("embedding"), centroids)
+        )
+        meta = {"kind": "ivf", "nlist": nlist, "dim": dim, "centroids": centroids}
+        shift = 0  # ≤ nlist directories — band == bucket
+    else:
+        raise ValueError(f"unknown index kind: {kind}")
+
+    bucketed = bucketed.withColumn(
+        "band", F.shiftright(F.col("bucket").cast("int"), shift)
+    )
+    vectors_dir = os.path.join(path, "vectors")
+    (
+        bucketed.repartitionByRange(
+            max(1, embeddings.sparkSession.sparkContext.defaultParallelism), "bucket"
+        )
+        .sortWithinPartitions("bucket")
+        .write.mode("overwrite")
+        .partitionBy("band")
+        .parquet(vectors_dir)
+    )
+    # histogram from the WRITTEN table (one bounded aggregate; also
+    # doubles as a build verification read-back)
+    hist_rows = (
+        embeddings.sparkSession.read.parquet(vectors_dir)
+        .groupBy("bucket")
+        .agg(F.count(F.lit(1)).alias("cnt"))
+        .collect()
+    )
+    meta["histogram"] = {str(r["bucket"]): int(r["cnt"]) for r in hist_rows}
+    meta["band_shift"] = shift
+    os.makedirs(path, exist_ok=True)
+    with open(os.path.join(path, "meta.json"), "w") as f:
+        json.dump(meta, f)
+    return meta
+
+
+def _load_meta(path: str) -> dict:
+    with open(os.path.join(path, "meta.json")) as f:
+        return json.load(f)
+
+
+def _select_probes(meta: dict, query_vec: list[float], target_candidates: int) -> list[int]:
+    """Probe selection against the STORED histogram — pure driver-side
+    arithmetic, no Spark job (this is what 'index metadata' buys)."""
+    hist = {int(k): v for k, v in meta["histogram"].items()}
+    qvec = np.array(query_vec, dtype=float)
+    if meta["kind"] == "lsh":
+        planes = np.array(meta["planes"])
+        order = ranked_buckets(qvec, planes)
+    else:
+        cents = [np.array(c) for c in meta["centroids"]]
+        order = [
+            int(i)
+            for i in np.argsort([float(np.sum((qvec - c) ** 2)) for c in cents])
+        ]
+    probes: list[int] = []
+    cum = 0
+    for b in order:
+        if b not in hist:
+            continue
+        probes.append(b)
+        cum += hist[b]
+        if cum >= target_candidates:
+            break
+    return probes
+
+
+def ann_index_query(
+    spark: SparkSession,
+    path: str,
+    query_vec: list[float],
+    k: int = 10,
+    target_candidates: int = 30,
+    extra_cols: list[str] | None = None,
+) -> DataFrame:
+    """Top-k by exact cosine over the probed slice of a persisted index.
+
+    No training, no histogram job, no full-corpus scan: probes come from
+    meta.json driver-side; the scan filter is (band IN ...) AND
+    (bucket IN ...), so directory partitions prune at planning time and
+    parquet row-group stats prune inside the probed bands.
+    """
+    meta = _load_meta(path)
+    probes = _select_probes(meta, query_vec, target_candidates)
+    bands = sorted({b >> meta["band_shift"] for b in probes})
+    df = spark.read.parquet(os.path.join(path, "vectors"))
+    cols = ["vec_id"] + (extra_cols or [])
+    return (
+        df.where(F.col("band").isin(bands) & F.col("bucket").isin(probes))
+        .select(
+            *cols,
+            F.round(
+                cosine_to_literal(F.col("embedding"), [float(x) for x in query_vec]), 4
+            ).alias("cos_sim"),
+        )
+        .orderBy(F.desc("cos_sim"), F.asc("vec_id"))
+        .limit(k)
+    )
+
+
+# ---------------------------------------------------------------------------
+# Gate queries: build-once, query-many over a cached on-disk index
+# ---------------------------------------------------------------------------
+
+
+def _cached_index(spark: SparkSession, sf_dir: str, kind: str) -> str:
+    """Build (or reuse) the persisted index for a fixture dir. The cache
+    key includes the fixture path so sf0.001/sf0.01/sf0.1 don't collide;
+    contents are deterministic (seeded planes / seeded k-means)."""
+    import hashlib
+
+    from lakehouse_test_spark.session import load_table
+
+    key = hashlib.md5(os.path.abspath(sf_dir).encode()).hexdigest()[:12]
+    path = os.path.join("/tmp", "lakehouse_ann_index", f"{key}-{kind}")
+    if not os.path.exists(os.path.join(path, "meta.json")):
+        e = load_table(spark, sf_dir, "embeddings").where(F.col("vec_id") != 0)
+        ann_index_build(e.select("vec_id", "label", "embedding"), path, kind=kind)
+    return path
+
+
+@query(
+    "similarity_index_lsh_topk",
+    oracle=None,
+    tags=("similarity", "llm", "approx", "embeddings", "index"),
+)
+def similarity_index_lsh_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """ANN top-10 served from the PERSISTED LSH index: probe selection
+    walks the stored histogram driver-side and the single Spark job
+    scans only the probed bands (partition-pruned) — the serving path a
+    100 TB deployment would run, vs ``similarity_lsh_topk`` which
+    rebuilds its index per call. Rows-only gate (bucketing is not
+    SQL-expressible); recall and scan-pruning are pinned in
+    tests/test_ann_index.py."""
+    from lakehouse_test_spark.operators.similarity import _query_vector
+
+    path = _cached_index(spark, sf_dir, "lsh")
+    qvec = _query_vector(spark, sf_dir, 0)
+    return ann_index_query(spark, path, qvec, k=10, extra_cols=["label"])
+
+
+@query(
+    "similarity_index_ivf_topk",
+    oracle=None,
+    tags=("similarity", "llm", "approx", "embeddings", "index", "ivf"),
+)
+def similarity_index_ivf_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """ANN top-10 served from the PERSISTED IVF index (k-means trained
+    once at build time; queries never retrain). Rows-only gate."""
+    from lakehouse_test_spark.operators.similarity import _query_vector
+
+    path = _cached_index(spark, sf_dir, "ivf")
+    qvec = _query_vector(spark, sf_dir, 0)
+    return ann_index_query(spark, path, qvec, k=10, extra_cols=["label"])

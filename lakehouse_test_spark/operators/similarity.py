@@ -261,10 +261,22 @@ def ann_topk(
     query_vec: list[float],
     k: int = 10,
     exact: bool = False,
+    index_path: str | None = None,
 ) -> DataFrame:
     """Library entry point: top-k nearest by cosine for an arbitrary
     query vector; exact scan or LSH-bucketed depending on ``exact``.
+
+    Pass ``index_path`` (a directory written by
+    ``operators.ann_index.ann_index_build``) to serve from the
+    persisted index instead — no bucketing pass, no histogram job, and
+    the scan prunes to the probed bands (the 100 TB serving path).
     """
+    if index_path is not None and not exact:
+        from lakehouse_test_spark.operators.ann_index import ann_index_query
+
+        return ann_index_query(
+            spark, index_path, query_vec, k=k, target_candidates=3 * k
+        )
     if exact:
         return (
             embeddings.select(

@@ -29,6 +29,7 @@ from lakehouse_test_spark.registry import REGISTRY, all_oracles, all_queries
 for _mod in (
     "lakehouse_test_spark.operators.dedup",
     "lakehouse_test_spark.operators.similarity",
+    "lakehouse_test_spark.operators.ann_index",
     "lakehouse_test_spark.operators.text",
     "lakehouse_test_spark.operators.tokens",
     "lakehouse_test_spark.operators.joins",

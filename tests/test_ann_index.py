@@ -1,0 +1,99 @@
+"""Persisted ANN index (operators/ann_index.py): build/query split.
+
+The 100 TB contract under test: the build pays the corpus passes once,
+and a query afterwards (a) never retrains or re-histograms, (b) scans
+only the probed partition bands, (c) keeps the recall the in-session
+LSH/IVF paths have.
+"""
+
+import numpy as np
+import pytest
+from pyspark.sql import Row
+from pyspark.sql import functions as F
+
+from lakehouse_test_spark.operators.ann_index import (
+    ann_index_build,
+    ann_index_query,
+)
+
+
+@pytest.fixture(scope="module")
+def planted(spark):
+    """20 near-copies of a query vector hidden among 2000 random ones."""
+    rng = np.random.RandomState(7)
+    base = rng.standard_normal(64)
+    near = base + 0.15 * rng.standard_normal((20, 64))
+    noise = rng.standard_normal((2000, 64))
+    rows = [
+        Row(vec_id=i, embedding=[float(x) for x in v])
+        for i, v in enumerate(np.vstack([near, noise]))
+    ]
+    return spark.createDataFrame(rows), [float(x) for x in base]
+
+
+def test_lsh_index_recall_and_pruned_scan(spark, planted, tmp_path_factory):
+    corpus, qvec = planted
+    path = str(tmp_path_factory.mktemp("annidx") / "lsh")
+    meta = ann_index_build(corpus, path, kind="lsh")
+    assert meta["kind"] == "lsh" and sum(meta["histogram"].values()) == 2020
+
+    out = ann_index_query(spark, path, qvec, k=10)
+    got = [r.vec_id for r in out.collect()]
+    assert len(set(got) & set(range(20))) >= 8, f"recall too low: {got}"
+
+    # scan-pruning pin: the one scan must carry a PARTITION filter on
+    # band (directory pruning) and a pushed bucket predicate (row-group
+    # pruning) — i.e. no full-corpus scan shape in the plan.
+    plan = out._jdf.queryExecution().executedPlan().toString()
+    assert "PartitionFilters: [" in plan and "band" in plan.split("PartitionFilters")[1][:200]
+    pushed = plan.split("PushedFilters")[1][:300]
+    assert "bucket" in pushed
+
+
+def test_lsh_index_query_runs_no_corpus_jobs(spark, planted, tmp_path_factory):
+    """A second query against the same index must be metadata + one
+    pruned scan: no k-means retrain, no histogram aggregation (those
+    would each launch extra jobs)."""
+    corpus, qvec = planted
+    path = str(tmp_path_factory.mktemp("annidx") / "lsh2")
+    ann_index_build(corpus, path, kind="lsh")
+
+    tracker = spark.sparkContext.statusTracker()
+    before = len(tracker.getJobIdsForGroup() or []) or 0
+    # job ids are global; count via jobIds snapshot
+    all_before = set(tracker.getJobIdsForGroup(None) or [])
+    rows = ann_index_query(spark, path, qvec, k=10).collect()
+    all_after = set(tracker.getJobIdsForGroup(None) or [])
+    assert rows  # non-empty result
+    new_jobs = len(all_after - all_before)
+    # one job for the pruned scan+topk (AQE may add one more); a
+    # retrain/histogram path would launch 4+
+    assert new_jobs <= 3, f"query launched {new_jobs} jobs - index not reused"
+
+
+def test_ivf_index_recall_and_no_retrain(spark, planted, tmp_path_factory):
+    corpus, qvec = planted
+    path = str(tmp_path_factory.mktemp("annidx") / "ivf")
+    meta = ann_index_build(corpus, path, kind="ivf")
+    assert meta["kind"] == "ivf" and len(meta["centroids"]) == 64
+
+    tracker = spark.sparkContext.statusTracker()
+    all_before = set(tracker.getJobIdsForGroup(None) or [])
+    out = ann_index_query(spark, path, qvec, k=10, target_candidates=60)
+    got = [r.vec_id for r in out.collect()]
+    all_after = set(tracker.getJobIdsForGroup(None) or [])
+    assert len(set(got) & set(range(20))) >= 8, f"IVF recall too low: {got}"
+    assert len(all_after - all_before) <= 3, "IVF query retrained the quantizer"
+
+
+def test_gate_queries_run(spark, sf_dir):
+    from lakehouse_test_spark.operators.ann_index import (
+        similarity_index_ivf_topk,
+        similarity_index_lsh_topk,
+    )
+
+    for fn in (similarity_index_lsh_topk, similarity_index_ivf_topk):
+        rows = fn(spark, sf_dir).collect()
+        sims = [r.cos_sim for r in rows]
+        assert sims == sorted(sims, reverse=True)
+        assert len(rows) > 0
