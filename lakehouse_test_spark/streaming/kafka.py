@@ -21,6 +21,8 @@ from __future__ import annotations
 import json
 
 from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+from pyspark.sql.types import StructType
 
 
 def sasl_token_jaas(token: str, username: str = "user") -> str:
@@ -112,15 +114,104 @@ def starting_offsets_json(assignments: dict[str, dict[int, int]]) -> str:
     )
 
 
-def read_stream(spark: SparkSession, options: dict[str, str]) -> DataFrame:
-    """``readStream.format("kafka")`` with the built options. Requires
-    a reachable broker and the spark-sql-kafka package on the
-    classpath — neither exists in this sandbox, so this is the thin
-    untestable edge; everything up to it is unit-tested."""
-    return spark.readStream.format("kafka").options(**options).load()
+def frame_records(
+    df: DataFrame,
+    avro_schema: dict,
+    schema_id: int,
+    key_col: str | None = None,
+) -> DataFrame:
+    """Project a typed DataFrame into the Kafka sink's (key, value)
+    shape with ``value`` = registry-framed Avro: the Confluent 5-byte
+    magic+schema-id envelope prepended to the Avro body — exactly what
+    KafkaAvroSerializer puts on the wire
+    (reference UrsaKafkaProducerOnCloud.java:39-44).
+
+    The envelope is a constant folded into the plan (JVM-side concat);
+    only body encoding hits the Arrow-batched codec."""
+    from lakehouse_test_spark.sources.avro_codec import (
+        _schema_field_types,
+        to_avro_confluent,
+    )
+
+    names, _ = _schema_field_types(avro_schema)
+    cols = []
+    if key_col is not None:
+        cols.append(F.col(key_col).cast("string").cast("binary").alias("key"))
+    cols.append(
+        to_avro_confluent(F.struct(*names), avro_schema, schema_id).alias("value")
+    )
+    return df.select(*cols)
 
 
-def write_stream(df: DataFrame, options: dict[str, str]):
+def unframe_records(
+    df: DataFrame,
+    avro_schema: dict,
+    spark_schema: StructType,
+    expected_schema_id: int | None = None,
+) -> DataFrame:
+    """Decode a Kafka source DataFrame (binary ``value`` column) whose
+    values carry the Confluent envelope: envelope split is JVM-side
+    (substring + hex→int schema id), body decode is the Arrow codec.
+
+    Rows whose magic byte is wrong surface with ``schema_id`` NULL; if
+    ``expected_schema_id`` is given, other ids are filtered out (the
+    single-literal-schema stand-in for a registry fetch, as documented
+    in SURVEY.md §2a op 6)."""
+    from lakehouse_test_spark.sources.avro_codec import (
+        confluent_schema_id,
+        from_avro_confluent,
+    )
+
+    out = df.withColumn("schema_id", confluent_schema_id(F.col("value")))
+    if expected_schema_id is not None:
+        out = out.where(F.col("schema_id") == expected_schema_id)
+    rec = from_avro_confluent(F.col("value"), avro_schema, spark_schema)
+    passthrough = [c for c in ("key", "topic", "partition", "offset") if c in df.columns]
+    return out.select(*passthrough, "schema_id", rec.alias("r")).select(
+        *passthrough, "schema_id", "r.*"
+    )
+
+
+def read_stream(
+    spark: SparkSession,
+    options: dict[str, str],
+    *,
+    avro_schema: dict | None = None,
+    spark_schema: StructType | None = None,
+    expected_schema_id: int | None = None,
+) -> DataFrame:
+    """``readStream.format("kafka")`` with the built options. When
+    ``avro_schema``/``spark_schema`` are given the registry-framed
+    value column is decoded inline (``unframe_records``), so the
+    returned stream carries typed columns, not wire bytes. Requires a
+    reachable broker and the spark-sql-kafka package on the classpath —
+    neither exists in this sandbox, so the ``.load()`` line is the thin
+    untestable edge; the framing/decoding path is unit-tested through
+    batch DataFrames of identical shape."""
+    df = spark.readStream.format("kafka").options(**options).load()
+    if avro_schema is not None:
+        if spark_schema is None:
+            raise ValueError("spark_schema is required to decode framed values")
+        df = unframe_records(df, avro_schema, spark_schema, expected_schema_id)
+    return df
+
+
+def write_stream(
+    df: DataFrame,
+    options: dict[str, str],
+    *,
+    avro_schema: dict | None = None,
+    schema_id: int | None = None,
+    key_col: str | None = None,
+):
     """``writeStream.format("kafka")`` with the built options; returns
-    the DataStreamWriter (caller picks trigger/outputMode)."""
+    the DataStreamWriter (caller picks trigger/outputMode). When
+    ``avro_schema``/``schema_id`` are given the stream is projected to
+    registry-framed (key, value) first (``frame_records``), so what
+    lands on the wire interops with Confluent consumers out of the
+    box."""
+    if avro_schema is not None:
+        if schema_id is None:
+            raise ValueError("schema_id is required for Confluent framing")
+        df = frame_records(df, avro_schema, schema_id, key_col=key_col)
     return df.writeStream.format("kafka").options(**options)

@@ -117,3 +117,78 @@ def test_confluent_column_roundtrip(spark):
     # a non-Confluent frame yields NULL schema id
     bad = spark.createDataFrame([Row(value=bytearray(b"\x01\x00\x00\x00\x4dXX"))])
     assert bad.select(confluent_schema_id("value").alias("s")).head().s is None
+
+
+def test_frame_unframe_records_stream_path(spark):
+    """The stream-path wiring (verdict-r2 item 6): frame_records
+    produces the (key, value) sink shape with registry-framed values,
+    and unframe_records recovers typed rows + schema id from a source-
+    shaped DataFrame — the exact columns Spark's Kafka source emits."""
+    from lakehouse_test_spark.streaming.kafka import frame_records, unframe_records
+
+    schema = {
+        "type": "record",
+        "name": "Student",
+        "fields": [
+            {"name": "name", "type": "string"},
+            {"name": "age", "type": "int"},
+            {"name": "number", "type": "long"},
+        ],
+    }
+    spark_schema = StructType(
+        [
+            StructField("name", StringType()),
+            StructField("age", IntegerType()),
+            StructField("number", LongType()),
+        ]
+    )
+    df = spark.createDataFrame(
+        [Row(name=f"name{i}", age=20 + i, number=i * 10) for i in range(5)]
+    )
+    wire = frame_records(df, schema, schema_id=42, key_col="name")
+    assert wire.columns == ["key", "value"]
+    # every value starts with the 5-byte envelope: magic 0x0 + id 42,
+    # and the key column is the raw utf-8 key bytes
+    keys = set()
+    for r in wire.collect():
+        assert bytes(r.value[:5]) == b"\x00\x00\x00\x00\x2a"
+        keys.add(bytes(r.key).decode())
+    assert keys == {f"name{i}" for i in range(5)}
+    # simulate the Kafka SOURCE shape (key/value binary + topic/offset)
+    source_shaped = wire.withColumn("topic", F.lit("t")).withColumn(
+        "offset", F.monotonically_increasing_id()
+    )
+    back = unframe_records(source_shaped, schema, spark_schema, expected_schema_id=42)
+    rows = {r.name: (r.schema_id, r.age, r.number) for r in back.collect()}
+    assert rows == {f"name{i}": (42, 20 + i, i * 10) for i in range(5)}
+    # a frame with a different schema id is filtered out when expected_id is pinned
+    other = frame_records(df.limit(1), schema, schema_id=7)
+    mixed = wire.select("value").unionByName(other)
+    kept = unframe_records(mixed, schema, spark_schema, expected_schema_id=42)
+    assert kept.count() == 5
+
+
+def test_write_stream_applies_framing(spark):
+    """write_stream(avro_schema=...) must project the stream through
+    frame_records before handing it to the Kafka sink (no broker here,
+    so assert on the writer's analyzed plan columns)."""
+    from lakehouse_test_spark.streaming.kafka import kafka_sink_options, write_stream
+
+    schema = {
+        "type": "record",
+        "name": "P",
+        "fields": [{"name": "name", "type": "string"}],
+    }
+    stream = (
+        spark.readStream.format("rate").option("rowsPerSecond", "1").load()
+        .select(F.concat(F.lit("n"), F.col("value")).alias("name"))
+    )
+    writer = write_stream(
+        stream,
+        kafka_sink_options("host:9092", "t"),
+        avro_schema=schema,
+        schema_id=5,
+        key_col="name",
+    )
+    cols = writer._df.columns
+    assert cols == ["key", "value"]
