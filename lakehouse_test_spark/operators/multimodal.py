@@ -11,11 +11,14 @@ Decode has two layers here:
   codec library. Verified end-to-end by the oracle-checked
   ``multimodal_header_decode`` query and against genuine files built
   with zlib/wave in tests.
-- **Pixel/sample decode is STUBBED** (``decode_media``): entropy
-  codecs (DEFLATE scanlines, JPEG DCT) need PIL/ffmpeg, absent in
-  this container — a clearly-marked NotImplementedError, with the
-  Arrow plumbing (schema, partitioning, UDF signature, batch shape)
-  real and tested around it.
+- **PNG pixel decode is REAL** (``png_decode_pixels``): stdlib zlib
+  inflate of the IDAT stream + numpy scanline unfiltering
+  (None/Sub/Up/Average/Paeth per RFC 2083) — no codec library.
+  pHash consumes it for ``image/png`` payloads. JPEG/video sample
+  decode still needs PIL/ffmpeg, absent in this container — a
+  clearly-marked NotImplementedError, with the Arrow plumbing
+  (schema, partitioning, UDF signature, batch shape) real and
+  tested around it.
 
 Fixture note: the driver ships no binary fixture, so the ``payload``
 column is synthesized deterministically as UTF-8 bytes of
@@ -93,15 +96,134 @@ _FEATURE_SCHEMA = StructType(
 )
 
 
+_PNG_MAGIC = b"\x89PNG\r\n\x1a\n"
+
+
+def png_decode_pixels(data: bytes):
+    """REAL pixel-level PNG decode with nothing but stdlib ``zlib``
+    and numpy: chunk walk → IDAT concat → inflate → per-scanline
+    unfilter (None/Sub/Up/Average/Paeth exactly per the PNG spec,
+    RFC 2083 §6) → (height, width, channels) uint8 array.
+
+    Supports the mainstream subset: bit depth 8, color types 0
+    (grayscale), 2 (RGB), 4 (gray+alpha), 6 (RGBA), non-interlaced.
+    Palette/16-bit/Adam7 raise ValueError (route those to a codec
+    backend on a real cluster).
+
+    Unfiltering: Sub is a cumulative sum over pixel groups (vector
+    op); Up is one vector add; Average/Paeth carry a left-pixel
+    dependency, so they walk the scanline pixel-by-pixel with the
+    channel arithmetic vectorized — cost is width iterations per
+    filtered row, only for rows that chose those filters.
+    """
+    import struct as _struct
+    import zlib
+
+    import numpy as np
+
+    if data[:8] != _PNG_MAGIC:
+        raise ValueError("not a PNG: bad signature")
+    pos = 8
+    idat = bytearray()
+    hdr = None
+    while pos + 8 <= len(data):
+        (ln,) = _struct.unpack(">I", data[pos : pos + 4])
+        typ = data[pos + 4 : pos + 8]
+        chunk = data[pos + 8 : pos + 8 + ln]
+        pos += 12 + ln  # length + type + data + crc
+        if typ == b"IHDR":
+            hdr = _struct.unpack(">IIBBBBB", chunk)
+        elif typ == b"IDAT":
+            idat += chunk
+        elif typ == b"IEND":
+            break
+    if hdr is None:
+        raise ValueError("not a PNG: missing IHDR")
+    w, h, depth, ctype, _comp, _filt, interlace = hdr
+    if depth != 8 or interlace != 0 or ctype not in (0, 2, 4, 6):
+        raise ValueError(
+            f"unsupported PNG (depth={depth}, color={ctype}, interlace={interlace})"
+        )
+    ch = {0: 1, 2: 3, 4: 2, 6: 4}[ctype]
+    try:
+        raw = zlib.decompress(bytes(idat))
+    except zlib.error as e:
+        raise ValueError(f"bad PNG IDAT stream: {e}") from e
+    stride = w * ch
+    if len(raw) != h * (stride + 1):
+        raise ValueError("PNG scanline data has wrong length")
+    out = np.zeros((h, stride), dtype=np.uint8)
+    prev = np.zeros(stride, dtype=np.int32)
+    for y in range(h):
+        row = raw[y * (stride + 1) : (y + 1) * (stride + 1)]
+        f = row[0]
+        line = np.frombuffer(row, dtype=np.uint8, offset=1).astype(np.int32)
+        if f == 0:  # None
+            rec = line
+        elif f == 1:  # Sub: recon = raw + recon[x - bpp]
+            rec = np.cumsum(line.reshape(w, ch), axis=0).reshape(stride) & 0xFF
+        elif f == 2:  # Up
+            rec = (line + prev) & 0xFF
+        elif f == 3:  # Average
+            rec = np.empty(stride, dtype=np.int32)
+            left = np.zeros(ch, dtype=np.int32)
+            l2 = line.reshape(w, ch)
+            p2 = prev.reshape(w, ch)
+            r2 = rec.reshape(w, ch)
+            for x in range(w):
+                left = (l2[x] + ((left + p2[x]) >> 1)) & 0xFF
+                r2[x] = left
+        elif f == 4:  # Paeth
+            rec = np.empty(stride, dtype=np.int32)
+            a = np.zeros(ch, dtype=np.int32)
+            c = np.zeros(ch, dtype=np.int32)
+            l2 = line.reshape(w, ch)
+            p2 = prev.reshape(w, ch)
+            r2 = rec.reshape(w, ch)
+            for x in range(w):
+                b = p2[x]
+                p = a + b - c
+                pa, pb, pc = np.abs(p - a), np.abs(p - b), np.abs(p - c)
+                pred = np.where((pa <= pb) & (pa <= pc), a, np.where(pb <= pc, b, c))
+                a = (l2[x] + pred) & 0xFF
+                r2[x] = a
+                c = b
+        else:
+            raise ValueError(f"bad PNG filter type {f}")
+        out[y] = rec.astype(np.uint8)
+        prev = rec.astype(np.int32)
+    return out.reshape(h, w, ch)
+
+
+def png_to_gray(data: bytes):
+    """Decode a PNG and reduce to a (h, w) float64 luminance plane
+    (ITU-R BT.601 weights for color; alpha ignored)."""
+    import numpy as np
+
+    px = png_decode_pixels(data).astype(np.float64)
+    ch = px.shape[2]
+    if ch == 1:
+        return px[:, :, 0]
+    if ch == 2:
+        return px[:, :, 0]
+    return 0.299 * px[:, :, 0] + 0.587 * px[:, :, 1] + 0.114 * px[:, :, 2]
+
+
 def decode_media(payload: bytes, mime: str) -> bytes:
     """Decode a media payload to raw frames/samples.
 
-    STUB: real codecs (PIL/ffmpeg/librosa) are not in this container.
-    ``fake/*`` mimes round-trip the bytes so the pipeline is testable;
-    anything else raises until a codec backend is wired in.
+    ``image/png`` is decoded FOR REAL (``png_decode_pixels``: stdlib
+    zlib inflate + numpy unfiltering — no codec library needed) and
+    returns the raw interleaved pixel bytes. ``fake/*`` mimes
+    round-trip the bytes so the pipeline is testable. JPEG/video
+    still need PIL/ffmpeg, absent in this container — those raise a
+    clearly-marked NotImplementedError until a codec backend is wired
+    in.
     """
     if mime.startswith("image/fake") or mime.startswith("fake/"):
         return payload
+    if mime == "image/png":
+        return png_decode_pixels(payload).tobytes()
     raise NotImplementedError(
         f"decode for mime={mime!r} requires a codec backend (PIL/ffmpeg); "
         "not available in this environment"
@@ -424,11 +546,12 @@ def phash_fingerprints(assets: DataFrame) -> DataFrame:
     numpy DCT kernel in ``mapInPandas``.
 
     The REAL pHash pipeline (decode → grayscale 32×32 → 2-D DCT-II →
-    top-left 8×8 AC coefficients → median-threshold bits) with the
-    *decode* step replaced by the deterministic fake this container
-    mandates (payload bytes tiled into the 32×32 grid — locality-
-    preserving, so nearby payloads give nearby pixel grids; swap in a
-    PIL/ffmpeg decode on a real cluster, the rest is unchanged).
+    top-left 8×8 AC coefficients → median-threshold bits). PNG
+    payloads are decoded for real (``png_decode_pixels``) to a
+    luminance plane; non-PNG payloads use the deterministic fallback
+    (payload bytes tiled into the 32×32 grid — locality-preserving,
+    so nearby payloads give nearby pixel grids; swap in a PIL/ffmpeg
+    decode for JPEG/video on a real cluster, the rest is unchanged).
 
     Scale: Arrow-batched, numpy-einsum over the whole batch (one
     (B,32,32) tensor contraction per batch — no per-row Python), zero
@@ -457,7 +580,21 @@ def phash_fingerprints(assets: DataFrame) -> DataFrame:
                 continue
             grids = np.zeros((len(pdf), n, n), dtype=np.float64)
             for i, payload in enumerate(pdf["payload"]):
-                b = np.frombuffer(bytes(payload), dtype=np.uint8)
+                b_raw = bytes(payload)
+                if b_raw[:8] == _PNG_MAGIC:
+                    # REAL path: decode pixels, luminance, nearest-
+                    # neighbor 32×32 downsample. Malformed containers
+                    # (e.g. a fake IDAT) fall back to byte tiling
+                    # instead of failing the whole pipeline.
+                    try:
+                        gray = png_to_gray(b_raw)
+                        ri = (np.arange(n) * gray.shape[0] // n).clip(0, gray.shape[0] - 1)
+                        ci = (np.arange(n) * gray.shape[1] // n).clip(0, gray.shape[1] - 1)
+                        grids[i] = gray[np.ix_(ri, ci)]
+                        continue
+                    except ValueError:
+                        pass
+                b = np.frombuffer(b_raw, dtype=np.uint8)
                 grids[i] = np.resize(b if b.size else np.zeros(1, np.uint8), (n, n))
             dct = np.einsum("ij,bjk,lk->bil", C, grids, C, optimize=True)
             block = dct[:, :8, :8].reshape(len(pdf), 64)

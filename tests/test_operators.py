@@ -248,10 +248,14 @@ def test_multimodal_plumbing(spark):
         assert abs(sum(r.features) - 1.0) < 1e-3  # normalized histogram
 
 
-def test_decode_media_stub():
+def test_decode_media_dispatch():
     assert decode_media(b"abc", "image/fake") == b"abc"
-    with pytest.raises(NotImplementedError):
+    # PNG is decoded for real now: malformed bytes -> ValueError
+    with pytest.raises(ValueError):
         decode_media(b"abc", "image/png")
+    # JPEG still needs a codec backend
+    with pytest.raises(NotImplementedError):
+        decode_media(b"\xff\xd8\xff\xe0", "image/jpeg")
 
 
 def test_ivf_topk_recall_on_clustered_data(spark):
@@ -461,3 +465,163 @@ def test_phash_pairs_query_finds_planted(spark):
     assert all(r.id_a < r.id_b for r in rows)
     planted = [r for r in rows if r.id_b - r.id_a == 1 and r.id_b % 9 == 0]
     assert len(planted) >= 10
+
+
+def _encode_png(arr, filters=None):
+    """Minimal real PNG encoder for tests: uint8 (h,w) or (h,w,ch)
+    array -> PNG bytes, applying the REQUESTED filter type per row
+    (exercising the decoder's unfilter paths, not just filter 0)."""
+    import struct
+    import zlib
+
+    import numpy as np
+
+    arr = np.asarray(arr, dtype=np.uint8)
+    if arr.ndim == 2:
+        arr = arr[:, :, None]
+    h, w, ch = arr.shape
+    ctype = {1: 0, 2: 4, 3: 2, 4: 6}[ch]
+    filters = filters or [0] * h
+    bpp = ch
+    raw = bytearray()
+    prev = np.zeros(w * ch, dtype=np.int32)
+    for y in range(h):
+        line = arr[y].reshape(-1).astype(np.int32)
+        f = filters[y % len(filters)]
+        raw.append(f)
+        if f == 0:
+            enc = line
+        elif f == 1:
+            left = np.concatenate([np.zeros(bpp, np.int32), line[:-bpp]])
+            enc = (line - left) & 0xFF
+        elif f == 2:
+            enc = (line - prev) & 0xFF
+        elif f == 3:
+            left = np.concatenate([np.zeros(bpp, np.int32), line[:-bpp]])
+            enc = (line - ((left + prev) >> 1)) & 0xFF
+        elif f == 4:
+            left = np.concatenate([np.zeros(bpp, np.int32), line[:-bpp]])
+            upleft = np.concatenate([np.zeros(bpp, np.int32), prev[:-bpp]])
+            p = left + prev - upleft
+            pa, pb, pc = (
+                np.abs(p - left),
+                np.abs(p - prev),
+                np.abs(p - upleft),
+            )
+            pred = np.where(
+                (pa <= pb) & (pa <= pc), left, np.where(pb <= pc, prev, upleft)
+            )
+            enc = (line - pred) & 0xFF
+        raw += enc.astype(np.uint8).tobytes()
+        prev = line
+
+    def chunk(typ, data):
+        c = struct.pack(">I", len(data)) + typ + data
+        return c + struct.pack(">I", zlib.crc32(typ + data) & 0xFFFFFFFF)
+
+    ihdr = struct.pack(">IIBBBBB", w, h, 8, ctype, 0, 0, 0)
+    return (
+        b"\x89PNG\r\n\x1a\n"
+        + chunk(b"IHDR", ihdr)
+        + chunk(b"IDAT", zlib.compress(raw))
+        + chunk(b"IEND", b"")
+    )
+
+
+def test_png_decode_roundtrip_all_filters():
+    """Encode with every filter type (incl. mixed rows) and channel
+    count; png_decode_pixels must reproduce the pixels exactly."""
+    import numpy as np
+
+    from lakehouse_test_spark.operators.multimodal import png_decode_pixels
+
+    rng = np.random.RandomState(3)
+    for ch in (1, 2, 3, 4):
+        img = rng.randint(0, 256, size=(13, 9, ch), dtype=np.uint8)
+        for filters in ([0], [1], [2], [3], [4], [0, 1, 2, 3, 4]):
+            png = _encode_png(img, filters=filters)
+            got = png_decode_pixels(png)
+            assert got.shape == (13, 9, ch)
+            assert np.array_equal(got, img), f"ch={ch} filters={filters}"
+
+
+def test_png_decode_rejects_unsupported():
+    import numpy as np
+
+    from lakehouse_test_spark.operators.multimodal import png_decode_pixels
+
+    img = np.zeros((4, 4, 3), np.uint8)
+    png = bytearray(_encode_png(img))
+    png[24] = 16  # bit depth byte inside IHDR
+    with pytest.raises(ValueError):
+        png_decode_pixels(bytes(png))
+    with pytest.raises(ValueError):
+        png_decode_pixels(b"\x89PNG\r\n\x1a\nnot-chunks")
+
+
+def test_phash_of_encoded_png_equals_phash_of_raw_pixels(spark):
+    """The verdict-r2 criterion: phash(PNG bytes) == phash computed
+    from the raw pixel grid — i.e. the kernel genuinely decodes the
+    container rather than hashing its bytes."""
+    import numpy as np
+
+    from lakehouse_test_spark.operators.multimodal import (
+        phash_fingerprints,
+        png_to_gray,
+    )
+
+    rng = np.random.RandomState(11)
+    img = rng.randint(0, 256, size=(48, 64, 3), dtype=np.uint8)
+    png = _encode_png(img, filters=[0, 1, 2, 3, 4])
+    df = spark.createDataFrame([Row(asset_id=1, payload=bytearray(png))])
+    got = phash_fingerprints(df).head().phash
+
+    # expected: identical DCT pipeline driven directly from the pixels
+    n = 32
+    gray = png_to_gray(png)
+    ri = (np.arange(n) * gray.shape[0] // n).clip(0, gray.shape[0] - 1)
+    ci = (np.arange(n) * gray.shape[1] // n).clip(0, gray.shape[1] - 1)
+    grid = gray[np.ix_(ri, ci)]
+    k = np.arange(n)
+    C = np.sqrt(2.0 / n) * np.cos(np.pi * (2 * k[None, :] + 1) * k[:, None] / (2 * n))
+    C[0, :] = np.sqrt(1.0 / n)
+    dct = C @ grid @ C.T
+    block = dct[:8, :8].reshape(64)
+    ac = block[1:]
+    med = np.median(ac)
+    bits = np.zeros(64, dtype=np.uint8)
+    bits[1:] = (ac > med).astype(np.uint8)
+    expect = int(np.packbits(bits).view(">i8")[0])
+    assert got == expect
+
+    # and luminance actually matters: grayscale-equal images with
+    # different byte streams (different filters) hash identically
+    png2 = _encode_png(img, filters=[4])
+    df2 = spark.createDataFrame([Row(asset_id=2, payload=bytearray(png2))])
+    assert phash_fingerprints(df2).head().phash == got
+
+
+def test_phash_png_near_dup_small_hamming(spark):
+    """A small pixel patch edit on a real PNG must stay within the
+    near-dup Hamming budget the banded join targets."""
+    import numpy as np
+
+    from lakehouse_test_spark.operators.multimodal import phash_fingerprints
+
+    rng = np.random.RandomState(5)
+    img = rng.randint(0, 256, size=(40, 40), dtype=np.uint8)
+    edited = img.copy()
+    edited[:3, :3] = 255  # small patch edit
+    unrelated = rng.randint(0, 256, size=(40, 40), dtype=np.uint8)
+    df = spark.createDataFrame(
+        [
+            Row(asset_id=1, payload=bytearray(_encode_png(img))),
+            Row(asset_id=2, payload=bytearray(_encode_png(edited))),
+            Row(asset_id=3, payload=bytearray(_encode_png(unrelated))),
+        ]
+    )
+    fp = {r.asset_id: r.phash for r in phash_fingerprints(df).collect()}
+    near = bin((fp[1] ^ fp[2]) & 0xFFFFFFFFFFFFFFFF).count("1")
+    far = bin((fp[1] ^ fp[3]) & 0xFFFFFFFFFFFFFFFF).count("1")
+    assert near <= 7, f"patch edit moved {near} bits"
+    assert far >= 20, f"unrelated image only {far} bits away"
