@@ -26,7 +26,12 @@ from lakehouse_test_spark.registry import query
 from lakehouse_test_spark.session import load_table
 
 NUM_PERMS = 64
-LSH_BANDS = 32
+# 16 bands × 4 rows: the s-curve knee sits at (1/16)^(1/4) = 0.50 —
+# exactly the verification threshold — so low-similarity candidate
+# pairs collapse (vs 32×2's knee at 0.18) while recall at the fixture's
+# true-pair similarities (j ≥ 0.88) stays 1.0, verified empirically by
+# test_minhash_lsh_matches_exact against the exact O(n²) answer.
+LSH_BANDS = 16
 ROWS_PER_BAND = NUM_PERMS // LSH_BANDS
 JACCARD_THRESHOLD = 0.5
 
@@ -196,7 +201,7 @@ def minhash_signatures(
 def lsh_candidate_pairs(
     sig: DataFrame, id_col: str = "doc_id", star_threshold: int = 64
 ) -> DataFrame:
-    """Band the signature (32 bands × 2 rows) and self-join on
+    """Band the signature (LSH_BANDS × ROWS_PER_BAND) and self-join on
     (band, band_hash) to produce candidate pairs (a < b).
 
     Scale: the join key is (band_id, 8-byte hash) — collisions are
