@@ -833,3 +833,165 @@ def tokenizer_bpe_encode(spark: SparkSession, sf_dir: str) -> DataFrame:
         d = d.repartition(target)
     merges = bpe_train(d, num_merges=16)
     return bpe_encode_stats(d, merges)
+
+
+# ---------------------------------------------------------------------------
+# Unigram-LM tokenizer (SentencePiece-style), trained by EM
+# ---------------------------------------------------------------------------
+
+
+def unigram_train(
+    docs: DataFrame,
+    text_col: str = "text",
+    max_piece_len: int = 4,
+    seed_size: int = 2000,
+    iters: int = 2,
+    stats: dict | None = None,
+) -> list[tuple[str, int, float]]:
+    """Train a Unigram-LM tokenizer (Kudo 2018 / SentencePiece), the
+    other mainstream subword algorithm next to BPE, distributed:
+
+    1. ONE shuffle builds the word-frequency vocabulary (corpus-sized
+       work happens exactly once; everything after is vocab-sized).
+    2. Seed inventory: every substring up to ``max_piece_len`` of every
+       word, weighted by word frequency — one aggregate, top
+       ``seed_size`` pieces collected, plus ALL single characters (so
+       every word stays segmentable). The piece table is index-like
+       state: driver-sized and broadcast, same as IVF centroids.
+    3. EM rounds: the E-step Viterbi-segments each DISTINCT word under
+       the current piece log-probs (mapInPandas over the vocab with
+       the piece table broadcast — vocab-sized, zero shuffle); the
+       M-step re-estimates piece probabilities from one groupBy over
+       emitted (piece, count) rows (at most |vocab|×pieces-per-word
+       rows, keys bounded by the inventory). Multi-char pieces that
+       win zero mass are pruned; single chars persist with a count
+       floor of 1.
+
+    Determinism: Viterbi prefers the LONGEST piece on exact ties
+    (pieces are scanned longest-first and only a strictly better score
+    displaces); piece ordering is (count desc, piece asc). No RNG
+    anywhere. tests/test_tokens_unigram.py pins exact parity against a
+    pure-Python reference implementation.
+
+    Returns [(piece, final_count, prob)] sorted by (count desc, piece).
+    """
+    import math
+
+    from lakehouse_test_spark.operators.text import ws_tokens
+
+    spark = docs.sparkSession
+    vocab = (
+        docs.select(F.explode(ws_tokens(F.col(text_col))).alias("w"))
+        .where(F.length("w") > 0)
+        .groupBy("w")
+        .agg(F.count(F.lit(1)).alias("freq"))
+    ).persist()
+    vocab.count()
+
+    subs = vocab.select(
+        F.explode(
+            F.expr(
+                f"flatten(transform(sequence(1, length(w)), "
+                f"i -> transform(sequence(1, least({max_piece_len}, length(w) - i + 1)), "
+                f"k -> substring(w, i, k))))"
+            )
+        ).alias("piece"),
+        "freq",
+    )
+    seed_rows = (
+        subs.groupBy("piece")
+        .agg(F.sum("freq").alias("c"))
+        .orderBy(F.desc("c"), F.asc("piece"))
+        .limit(seed_size)
+        .collect()
+    )
+    char_rows = (
+        subs.where(F.length("piece") == 1)
+        .groupBy("piece")
+        .agg(F.sum("freq").alias("c"))
+        .collect()
+    )
+    counts: dict[str, int] = {r["piece"]: int(r["c"]) for r in seed_rows}
+    for r in char_rows:
+        counts.setdefault(r["piece"], int(r["c"]))
+    chars = {r["piece"] for r in char_rows}
+
+    out_schema = "piece string, c long"
+    for _ in range(iters):
+        total = float(sum(counts.values()))
+        logp = {p: math.log(c / total) for p, c in counts.items()}
+        bc = spark.sparkContext.broadcast(logp)
+
+        def e_step(batches, _maxlen=max_piece_len):
+            from collections import Counter as _Counter
+
+            import pandas as pd
+
+            lp = bc.value
+            neg_inf = float("-inf")
+            for pdf in batches:
+                cnt: dict[str, int] = _Counter()
+                for w, f in zip(pdf["w"], pdf["freq"]):
+                    n = len(w)
+                    best = [neg_inf] * (n + 1)
+                    best[0] = 0.0
+                    back = [0] * (n + 1)
+                    for i in range(1, n + 1):
+                        # longest-first: strict > keeps the longest on ties
+                        for k in range(min(_maxlen, i), 0, -1):
+                            piece = w[i - k : i]
+                            v = lp.get(piece)
+                            if v is None:
+                                continue
+                            s = best[i - k] + v
+                            if s > best[i]:
+                                best[i] = s
+                                back[i] = k
+                    if best[n] == neg_inf:
+                        continue  # unsegmentable (never: chars are seeded)
+                    i = n
+                    while i > 0:
+                        k = back[i]
+                        cnt[w[i - k : i]] += int(f)
+                        i -= k
+                if cnt:
+                    yield pd.DataFrame(
+                        {"piece": list(cnt.keys()), "c": list(cnt.values())}
+                    )
+
+        agg = (
+            vocab.mapInPandas(e_step, out_schema)
+            .groupBy("piece")
+            .agg(F.sum("c").alias("c"))
+            .collect()
+        )
+        new_counts = {r["piece"]: int(r["c"]) for r in agg}
+        for ch in chars:  # coverage floor: alphabet never dies
+            new_counts.setdefault(ch, 1)
+        counts = new_counts
+        bc.unpersist()
+    vocab.unpersist()
+    if stats is not None:
+        stats["n_pieces"] = len(counts)
+    total = float(sum(counts.values()))
+    ranked = sorted(counts.items(), key=lambda kv: (-kv[1], kv[0]))
+    return [(p, c, c / total) for p, c in ranked]
+
+
+@query("tokenizer_unigram_em", oracle=None, tags=("text", "llm", "tokenizer", "iterative"))
+def tokenizer_unigram_em(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Top-30 multi-character pieces of a Unigram-LM tokenizer after 2
+    EM rounds on the documents corpus — SentencePiece-style training
+    as a pipeline op, complementing the BPE pair (`tokenizer_bpe_*`).
+    Rows-only gate (iterative EM has no SQL twin); exact parity with a
+    pure-Python reference is pinned in tests/test_tokens_unigram.py.
+    """
+    d = load_table(spark, sf_dir, "documents")
+    target = spark.sparkContext.defaultParallelism
+    if d.rdd.getNumPartitions() < target:
+        d = d.repartition(target)
+    pieces = unigram_train(d)
+    rows = [
+        (p, c, round(prob, 6)) for p, c, prob in pieces if len(p) > 1
+    ][:30]
+    return spark.createDataFrame(rows, "piece string, piece_count long, prob double")

