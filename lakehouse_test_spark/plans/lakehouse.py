@@ -454,6 +454,72 @@ class LakehouseTable:
         self._commit_path(new_version).write_text(json.dumps(commit.__dict__))
         return commit
 
+    def clone(
+        self,
+        target_path: str,
+        version: int | None = None,
+        shallow: bool = True,
+    ) -> "LakehouseTable":
+        """CLONE the table (Delta ``CREATE TABLE ... CLONE`` analog).
+
+        ``shallow=True``: the clone's initial commit references the
+        SOURCE's live data files (and deletion vectors) by absolute
+        path — zero data copied, O(metadata) at any table size. The
+        clone is immediately writable: its own commits land under its
+        own directory and never touch the source, and the source keeps
+        evolving independently (the commit, not the directory, defines
+        the table). Caveats mirror Delta's: vacuuming the SOURCE can
+        strand a shallow clone's referenced files (our ``vacuum`` only
+        deletes under its own data/, so cloning is safe against the
+        clone's own vacuum), and the source directory must not move.
+
+        ``shallow=False`` (deep): materialize ``snapshot(version)``
+        into the clone — one full rewrite, fully self-contained.
+
+        CHECK constraints carry over either way. ``version`` clones a
+        historical snapshot (time travel + clone in one step).
+        """
+        self._check_horizon(version)
+        target = LakehouseTable(self.spark, target_path)
+        if target.latest_version() >= 0:
+            raise ValueError(f"clone target {target_path} is not empty")
+        if shallow:
+            live = self._live_commits(version)
+            if not live:
+                raise ValueError(f"no data at version {version}")
+            files: list[str] = []
+            stats: dict = {}
+            for c in live:
+                for f in c.files:
+                    ab = str((self.path / f).resolve())
+                    files.append(ab)
+                    if c.stats and f in c.stats:
+                        stats[ab] = c.stats[f]
+            dv_files = [
+                str((self.path / f).resolve())
+                for f in self._live_dv_files(version)
+            ]
+            commit = Commit(
+                version=0,
+                files=files,
+                row_count=sum(c.row_count for c in live),
+                operation="clone_shallow",
+                stats=stats or None,
+                restate=False,
+                data_change=True,
+                dv_files=dv_files or None,
+                dv_row_count=sum(c.dv_row_count for c in live),
+            )
+            target._commit_path(0).write_text(json.dumps(commit.__dict__))
+        else:
+            target.append(self.snapshot(version), operation="clone_deep")
+        cons = self._read_meta().get("constraints")
+        if cons:
+            meta = target._read_meta()
+            meta["constraints"] = cons
+            target._write_meta(meta)
+        return target
+
     def zorder(
         self,
         cols: list[str],
@@ -1231,3 +1297,54 @@ def lakehouse_history_table(spark: SparkSession, sf_dir: str) -> DataFrame:
     return spark.createDataFrame(
         rows, "version int, operation string, row_count bigint, restate boolean, data_change boolean"
     )
+
+
+@_query(
+    "lakehouse_clone_shallow",
+    oracle="""
+    SELECT o_orderstatus,
+           count(*) AS n_orders,
+           CAST(round(sum(CAST(o_totalprice AS DECIMAL(18,6))), 2) AS DOUBLE)
+             AS total_price
+    FROM orders
+    WHERE NOT (o_totalprice < 20000)
+    GROUP BY o_orderstatus
+    """,
+    tags=("lakehouse", "clone"),
+)
+def lakehouse_clone_shallow(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Shallow CLONE round trip under the oracle gate: ingest orders
+    (two commits), DV-delete the cheap orders, SHALLOW-clone the
+    table (zero data copied — the clone's commit references the
+    source's files and deletion vectors by absolute path), then
+    aggregate from the CLONE's snapshot. The oracle computes the same
+    rollup from raw parquet, so a hash match proves the clone's read
+    path is row-exact including carried deletion vectors.
+
+    Scale: CLONE is O(metadata) at any table size — the operation
+    real pipelines use to fork a 100 TB table for an experiment in
+    milliseconds (Delta CREATE TABLE CLONE semantics).
+    """
+    import tempfile
+
+    from pyspark.sql import functions as F
+
+    from lakehouse_test_spark.session import load_table as _lt
+
+    o = _lt(spark, sf_dir, "orders").select("o_orderkey", "o_orderstatus", "o_totalprice")
+    t = LakehouseTable(spark, tempfile.mkdtemp(prefix="lh_clonesrc_"))
+    t.append(o.where(F.col("o_orderkey") % 2 == 0).coalesce(1))
+    t.append(o.where(F.col("o_orderkey") % 2 == 1).coalesce(1))
+    t.delete_where_dv("o_totalprice < 20000")
+    clone = t.clone(tempfile.mkdtemp(prefix="lh_clonedst_") + "/c", shallow=True)
+    out = (
+        clone.snapshot()
+        .groupBy("o_orderstatus")
+        .agg(
+            F.count(F.lit(1)).alias("n_orders"),
+            F.round(F.sum(F.col("o_totalprice").cast("decimal(18,6)")), 2)
+            .cast("double")
+            .alias("total_price"),
+        )
+    )
+    return out.localCheckpoint()

@@ -787,3 +787,49 @@ def test_delta_checkpoint_replay_from_checkpoint(spark, table):
     assert read_delta_log(spark, str(table.path), 5).count() == table.snapshot(
         version=5
     ).count()
+
+
+def test_shallow_clone_snapshot_equivalence(spark, table, tmp_path):
+    """Shallow clone: zero data files copied, snapshot identical,
+    DVs carried, constraints carried, time-travel clone works."""
+    table.append(person_stream(spark, 100))
+    table.append(person_stream(spark, 50))
+    table.delete_where_dv("ba < 5")
+    table.add_constraint("age_range", "age >= 0")
+
+    clone_path = tmp_path / "clone"
+    clone = table.clone(str(clone_path), shallow=True)
+    src_rows = sorted(tuple(r) for r in table.snapshot().collect())
+    cl_rows = sorted(tuple(r) for r in clone.snapshot().collect())
+    assert cl_rows == src_rows
+    # zero data copied: the clone directory holds only the log
+    assert not list((clone_path).rglob("*.parquet"))
+    assert clone.constraints() == {"age_range": "age >= 0"}
+
+    # clone of a historical version == time travel
+    old = table.clone(str(tmp_path / "clone_v0"), version=0, shallow=True)
+    assert old.snapshot().count() == table.snapshot(version=0).count()
+
+
+def test_shallow_clone_diverges_independently(spark, table, tmp_path):
+    table.append(person_stream(spark, 40))
+    clone = table.clone(str(tmp_path / "c2"), shallow=True)
+    clone.append(person_stream(spark, 10))
+    table.append(person_stream(spark, 25))
+    assert clone.snapshot().count() == 50
+    assert table.snapshot().count() == 65
+    # the clone's own files landed under its own directory
+    assert list((tmp_path / "c2").rglob("*.parquet"))
+    # clone's own vacuum never touches the source's files
+    clone.compact()
+    clone.vacuum(keep_versions=1)
+    assert table.snapshot().count() == 65
+
+
+def test_deep_clone_and_nonempty_target(spark, table, tmp_path):
+    table.append(person_stream(spark, 30))
+    deep = table.clone(str(tmp_path / "deep"), shallow=False)
+    assert deep.snapshot().count() == 30
+    assert list((tmp_path / "deep").rglob("*.parquet"))
+    with pytest.raises(ValueError, match="not empty"):
+        table.clone(str(tmp_path / "deep"))
