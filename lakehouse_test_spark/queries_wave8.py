@@ -288,3 +288,94 @@ def embedding_matryoshka_recall(spark: SparkSession, sf_dir: str) -> DataFrame:
         [(16, overlap, round(overlap / 20.0, 4))],
         "trunc_dim int, overlap_at_20 bigint, recall_at_20 double",
     )
+
+
+@query(
+    "lm_kneser_ney_bigram",
+    oracle="""
+    WITH lists AS (
+      SELECT doc_id,
+             list_filter(string_split_regex(lower(text), '\\s+'), x -> x <> '') AS ts
+      FROM documents
+    ),
+    bi AS (
+      SELECT doc_id, ts[i] AS w1, ts[i + 1] AS w2
+      FROM lists, unnest(range(1, len(ts))) AS r(i)
+    ),
+    big_c AS (SELECT w1, w2, count(*) AS c FROM bi GROUP BY w1, w2),
+    uni_c AS (SELECT w1, sum(c) AS cw1, count(*) AS n1_fwd FROM big_c GROUP BY w1),
+    cont AS (SELECT w2, count(*) AS n1_bwd FROM big_c GROUP BY w2),
+    tot AS (SELECT count(*) AS n_types FROM big_c),
+    scored AS (
+      SELECT bi.doc_id,
+             ln(greatest(bc.c - 0.75, 0) / uc.cw1
+                + 0.75 * uc.n1_fwd / uc.cw1 * (ct.n1_bwd * 1.0 / tot.n_types))
+               AS lp
+      FROM bi
+      JOIN big_c bc ON bc.w1 = bi.w1 AND bc.w2 = bi.w2
+      JOIN uni_c uc ON uc.w1 = bi.w1
+      JOIN cont ct ON ct.w2 = bi.w2
+      CROSS JOIN tot
+    )
+    SELECT doc_id,
+           CAST(count(*) AS BIGINT) AS n_bigrams,
+           CAST(round(exp(-avg(lp)), 4) AS DOUBLE) AS ppl
+    FROM scored
+    GROUP BY doc_id
+    """,
+    tags=("text", "llm", "ml", "lm"),
+)
+def lm_kneser_ney_bigram(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-document perplexity under an interpolated Kneser-Ney bigram
+    LM trained on the corpus itself (absolute discount D=0.75) — the
+    REAL statistical LM behind classic perplexity-based quality
+    filtering (CCNet-style), upgrading the heuristic proxy in
+    ``lm_perplexity_proxy``:
+
+        P(w2|w1) = max(c(w1,w2)-D, 0)/c(w1)
+                 + D·N1+(w1,·)/c(w1) · N1+(·,w2)/N1+(·,·)
+
+    Scale: the model is three aggregates over the bigram table
+    (|bigram types|-bounded — Zipf keeps this millions of rows at
+    100 TB, not corpus-sized); scoring joins each doc's bigrams to the
+    model on the bigram key (shuffle bounded by corpus bigrams, with
+    map-side partial aggregation on the final per-doc average). No
+    Python anywhere; the train→score loop is one job graph, and
+    persisting ``big_c``/``uni_c``/``cont`` as tables gives an online
+    scorer. Parity: ln/exp on doubles, 4dp rounding absorbs summation-
+    order drift.
+    """
+    d = T(spark, sf_dir, "documents")
+    # bigrams in-plan from the filtered token array (arrays_zip of the
+    # array with its own tail) — no positional self-join needed
+    ts = F.filter(ws_tokens(F.col("text")), lambda x: x != "")
+    bi = d.select(
+        "doc_id",
+        F.explode(
+            F.arrays_zip(
+                F.slice(ts, 1, F.size(ts) - 1).alias("w1"),
+                F.slice(ts, 2, F.size(ts) - 1).alias("w2"),
+            )
+        ).alias("g"),
+    ).select("doc_id", F.col("g.w1").alias("w1"), F.col("g.w2").alias("w2"))
+    big_c = bi.groupBy("w1", "w2").agg(F.count(F.lit(1)).alias("c"))
+    uni_c = big_c.groupBy("w1").agg(
+        F.sum("c").alias("cw1"), F.count(F.lit(1)).alias("n1_fwd")
+    )
+    cont = big_c.groupBy("w2").agg(F.count(F.lit(1)).alias("n1_bwd"))
+    n_types = big_c.count()
+    D = 0.75
+    lp = F.log(
+        F.greatest(F.col("c") - D, F.lit(0.0)) / F.col("cw1")
+        + D * F.col("n1_fwd") / F.col("cw1") * (F.col("n1_bwd") / F.lit(float(n_types)))
+    )
+    scored = (
+        bi.join(big_c, ["w1", "w2"])
+        .join(uni_c, "w1")
+        .join(cont, "w2")
+        .select("doc_id", lp.alias("lp"))
+    )
+    return scored.groupBy("doc_id").agg(
+        F.count(F.lit(1)).cast("bigint").alias("n_bigrams"),
+        F.round(F.exp(-F.avg("lp")), 4).alias("ppl"),
+    )
