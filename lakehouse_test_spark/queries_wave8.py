@@ -379,3 +379,95 @@ def lm_kneser_ney_bigram(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.count(F.lit(1)).cast("bigint").alias("n_bigrams"),
         F.round(F.exp(-F.avg("lp")), 4).alias("ppl"),
     )
+
+
+@query(
+    "sketch_count_min_terms",
+    oracle="""
+    WITH toks AS (
+      SELECT unnest(string_split_regex(lower(text), '\\s+')) AS tok
+      FROM documents
+    ),
+    toks2 AS (SELECT tok FROM toks WHERE tok <> ''),
+    hashed AS (
+      SELECT tok, s,
+             CAST(concat('0x', substr(md5(s || tok), 1, 8)) AS BIGINT) % 1024
+               AS bucket
+      FROM toks2, range(0, 4) r(s)
+    ),
+    sketch AS (
+      SELECT s, bucket, count(*) AS c FROM hashed GROUP BY s, bucket
+    ),
+    exact AS (
+      SELECT tok, count(*) AS exact_count
+      FROM toks2 GROUP BY tok
+      ORDER BY exact_count DESC, tok LIMIT 20
+    ),
+    est AS (
+      SELECT e.tok, e.exact_count, min(sk.c) AS cms_count
+      FROM exact e, range(0, 4) r(s)
+      JOIN sketch sk
+        ON sk.s = r.s
+       AND sk.bucket = CAST(concat('0x', substr(md5(r.s || e.tok), 1, 8)) AS BIGINT) % 1024
+      GROUP BY e.tok, e.exact_count
+    )
+    SELECT tok AS term,
+           CAST(exact_count AS BIGINT) AS exact_count,
+           CAST(cms_count AS BIGINT) AS cms_count
+    FROM est
+    """,
+    tags=("tokens", "llm", "sketch", "agg"),
+)
+def sketch_count_min_terms(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Count-Min sketch over the token stream (d=4 rows × w=1024
+    counters, md5-derived bucket hashes that BOTH engines reproduce
+    bit-identically), then the top-20 exact terms estimated back from
+    the sketch — the mergeable fixed-memory frequency structure used
+    for heavy-hitter monitoring on unbounded streams. The oracle
+    rebuilds the identical sketch, so the hash check proves every
+    counter, not just the estimates; CMS guarantees estimate >= exact,
+    seen directly in the output columns.
+
+    Scale: the sketch is d×w = 4096 counters regardless of corpus
+    size — one groupBy on (seed, bucket) with map-side partials, the
+    exact shape a 100 TB stream aggregates into; per-partition
+    sketches merge by cell-wise sum, which is what the partial
+    aggregate already does.
+    """
+    d = T(spark, sf_dir, "documents")
+    toks = d.select(F.explode(ws_tokens(F.col("text"))).alias("tok")).where(
+        F.length("tok") > 0
+    )
+    W, D = 1024, 4
+
+    def bucket(seed_col, tok_col):
+        return (
+            F.conv(F.substring(F.md5(F.concat(seed_col.cast("string"), tok_col)), 1, 8), 16, 10)
+            .cast("bigint")
+            % W
+        )
+
+    hashed = toks.select(
+        "tok", F.explode(F.array(*[F.lit(s) for s in range(D)])).alias("s")
+    ).select("s", "tok", bucket(F.col("s"), F.col("tok")).alias("bucket"))
+    sketch = hashed.groupBy("s", "bucket").agg(F.count(F.lit(1)).alias("c"))
+    exact = (
+        toks.groupBy("tok")
+        .agg(F.count(F.lit(1)).alias("exact_count"))
+        .orderBy(F.desc("exact_count"), F.asc("tok"))
+        .limit(20)
+    )
+    est = (
+        exact.select(
+            "tok", "exact_count", F.explode(F.array(*[F.lit(s) for s in range(D)])).alias("s")
+        )
+        .withColumn("bucket", bucket(F.col("s"), F.col("tok")))
+        .join(sketch, ["s", "bucket"])
+        .groupBy("tok", "exact_count")
+        .agg(F.min("c").alias("cms_count"))
+    )
+    return est.select(
+        F.col("tok").alias("term"),
+        F.col("exact_count").cast("bigint"),
+        F.col("cms_count").cast("bigint"),
+    )
