@@ -471,3 +471,104 @@ def sketch_count_min_terms(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.col("exact_count").cast("bigint"),
         F.col("cms_count").cast("bigint"),
     )
+
+
+@query(
+    "timeseries_cusum_changepoints",
+    oracle="""
+    WITH RECURSIVE daily AS (
+      SELECT CAST(date_trunc('day', ts) AS DATE) AS day,
+             sum(value) AS x
+      FROM events GROUP BY 1
+    ),
+    stats AS (
+      SELECT avg(x) AS mu, stddev_samp(x) AS sigma FROM daily
+    ),
+    ordered AS (
+      SELECT day, x, row_number() OVER (ORDER BY day) AS rn FROM daily
+    ),
+    walk(rn, day, x, cpos, cneg) AS (
+      SELECT o.rn, o.day, o.x,
+             greatest(0, (o.x - s.mu) / s.sigma - 0.5),
+             greatest(0, -((o.x - s.mu) / s.sigma) - 0.5)
+      FROM ordered o, stats s WHERE o.rn = 1
+      UNION ALL
+      SELECT o.rn, o.day, o.x,
+             greatest(0, w.cpos + (o.x - s.mu) / s.sigma - 0.5),
+             greatest(0, w.cneg - (o.x - s.mu) / s.sigma - 0.5)
+      FROM walk w JOIN ordered o ON o.rn = w.rn + 1, stats s
+    )
+    SELECT day,
+           CAST(round(x, 2) AS DOUBLE) AS daily_value,
+           CAST(round(cpos, 4) AS DOUBLE) AS cusum_pos,
+           CAST(round(cneg, 4) AS DOUBLE) AS cusum_neg,
+           (cpos > 4.0 OR cneg > 4.0) AS changepoint
+    FROM walk
+    """,
+    tags=("timeseries", "events", "window", "anomaly"),
+)
+def timeseries_cusum_changepoints(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """CUSUM drift detection over the daily event-value series: the
+    standardized cumulative-sum pair (positive/negative drift, slack
+    k=0.5σ) with changepoints flagged past h=4σ — the classic
+    sequential changepoint detector, which no plain window function
+    can express (each step depends on the CLAMPED previous value).
+
+    Implementation: the day series aggregates to ONE bounded array
+    (calendar days, not corpus rows — ~365/year at any data scale),
+    and the recursion runs as an in-plan ``aggregate`` fold over the
+    sorted array — zero Python, zero extra shuffle past the daily
+    rollup. The DuckDB oracle walks the identical recursion with a
+    recursive CTE; identical fold order makes doubles reproducible.
+    """
+    e = T(spark, sf_dir, "events")
+    daily = e.groupBy(F.date_trunc("day", F.col("ts")).cast("date").alias("day")).agg(
+        F.sum("value").alias("x")
+    )
+    series = daily.agg(
+        F.array_sort(F.collect_list(F.struct("day", "x"))).alias("s"),
+        F.avg("x").alias("mu"),
+        F.stddev_samp("x").alias("sigma"),
+    )
+    step = lambda acc, e: F.struct(  # noqa: E731
+        F.concat(
+            acc["rows"],
+            F.array(
+                F.struct(
+                    e["day"].alias("day"),
+                    e["x"].alias("x"),
+                    F.greatest(
+                        F.lit(0.0),
+                        acc["cpos"] + (e["x"] - F.col("mu")) / F.col("sigma") - 0.5,
+                    ).alias("cpos"),
+                    F.greatest(
+                        F.lit(0.0),
+                        acc["cneg"] - (e["x"] - F.col("mu")) / F.col("sigma") - 0.5,
+                    ).alias("cneg"),
+                )
+            ),
+        ).alias("rows"),
+        F.greatest(
+            F.lit(0.0), acc["cpos"] + (e["x"] - F.col("mu")) / F.col("sigma") - 0.5
+        ).alias("cpos"),
+        F.greatest(
+            F.lit(0.0), acc["cneg"] - (e["x"] - F.col("mu")) / F.col("sigma") - 0.5
+        ).alias("cneg"),
+    )
+    zero = F.struct(
+        F.array().cast(
+            "array<struct<day:date,x:double,cpos:double,cneg:double>>"
+        ).alias("rows"),
+        F.lit(0.0).alias("cpos"),
+        F.lit(0.0).alias("cneg"),
+    )
+    walked = series.select(
+        F.aggregate(F.col("s"), zero, step, lambda acc: acc["rows"]).alias("rows")
+    )
+    return walked.select(F.explode("rows").alias("r")).select(
+        F.col("r.day").alias("day"),
+        F.round("r.x", 2).alias("daily_value"),
+        F.round("r.cpos", 4).alias("cusum_pos"),
+        F.round("r.cneg", 4).alias("cusum_neg"),
+        ((F.col("r.cpos") > 4.0) | (F.col("r.cneg") > 4.0)).alias("changepoint"),
+    )
