@@ -521,3 +521,166 @@ def embedding_quantize_int8(spark: SparkSession, sf_dir: str) -> DataFrame:
         ).alias("rmse"),
         F.round(F.array_max(F.col("errs")), 6).alias("max_err"),
     )
+
+
+# ---------------------------------------------------------------------------
+# Product quantization (PQ) — the embedding compressor behind IVF-PQ
+# ---------------------------------------------------------------------------
+
+PQ_SUBSPACES = 8  # 64 dims → 8 subvectors of 8 dims
+PQ_K = 16  # centroids per subspace → 4-bit codes, 64 bits per vector
+
+
+def _subvec(emb: Column, s: int, sub_dim: int) -> Column:
+    return F.transform(
+        F.slice(emb, s * sub_dim + 1, sub_dim), lambda x: x.cast("double")
+    )
+
+
+def _pq_exploded(embeddings: DataFrame, n_sub: int, sub_dim: int) -> DataFrame:
+    """(vec_id, s, sv): one row per (vector, subspace) — the shape that
+    lets ALL subspaces train/assign in one job."""
+    subs = F.array(
+        *[
+            F.struct(F.lit(s).alias("s"), _subvec(F.col("embedding"), s, sub_dim).alias("sv"))
+            for s in range(n_sub)
+        ]
+    )
+    return embeddings.select("vec_id", F.explode(subs).alias("x")).select(
+        "vec_id", F.col("x.s").alias("s"), F.col("x.sv").alias("sv")
+    )
+
+
+def _pq_code(cb_lit: Column, s: Column, sv: Column) -> Column:
+    """Nearest-centroid code for a subvector against the per-subspace
+    codebook (3-level nested array literal; argmin in codegen)."""
+    cents = F.element_at(cb_lit, s + 1)
+    dists = F.transform(
+        cents,
+        lambda c: F.aggregate(
+            F.zip_with(sv, c, lambda x, y: (x - y) * (x - y)),
+            F.lit(0.0),
+            lambda acc, v: acc + v,
+        ),
+    )
+    return (F.array_position(dists, F.array_min(dists)) - 1).cast("int")
+
+
+def pq_train(
+    embeddings: DataFrame,
+    n_sub: int = PQ_SUBSPACES,
+    k: int = PQ_K,
+    iters: int = 3,
+    dim: int = EMBED_DIM,
+) -> list[list[list[float]]]:
+    """Train product-quantization codebooks (Jégou et al. 2011): an
+    independent k-means per subspace, all subspaces per Lloyd pass in
+    ONE DataFrame job.
+
+    Mechanics: explode each vector into (subspace, subvector) rows;
+    assignment is an in-plan argmin against the nested codebook
+    literal; the M-step is one groupBy (subspace, cluster) computing
+    sub_dim avg aggregates (map-side partials — shuffle rows are
+    n_sub × k × partitions, never corpus-sized). Codebooks
+    (n_sub × k × sub_dim ≈ 1 K floats) round-trip through the driver
+    between passes, exactly like the IVF coarse quantizer.
+
+    Deterministic: seeded by the first k vectors in md5(vec_id) order,
+    fixed iteration count, no RNG. Returns codebooks[s][c] =
+    sub_dim-float centroid.
+    """
+    sub_dim = dim // n_sub
+    seed_rows = (
+        embeddings.select("vec_id", "embedding")
+        .orderBy(F.md5(F.col("vec_id").cast("string")))
+        .limit(k)
+        .collect()
+    )
+    codebooks = [
+        [
+            [float(x) for x in r["embedding"][s * sub_dim : (s + 1) * sub_dim]]
+            for r in seed_rows
+        ]
+        for s in range(n_sub)
+    ]
+    exploded = _pq_exploded(embeddings, n_sub, sub_dim)
+    for _ in range(iters):
+        cb_lit = F.lit(codebooks)
+        assigned = exploded.select(
+            "s", "sv", _pq_code(cb_lit, F.col("s"), F.col("sv")).alias("code")
+        )
+        means = (
+            assigned.groupBy("s", "code")
+            .agg(*[F.avg(F.col("sv")[d]).alias(f"d{d}") for d in range(sub_dim)])
+            .collect()
+        )
+        nxt = [[list(c) for c in cb] for cb in codebooks]
+        for r in means:
+            nxt[r["s"]][r["code"]] = [float(r[f"d{d}"]) for d in range(sub_dim)]
+        codebooks = nxt
+    return codebooks
+
+
+def pq_quantize(
+    embeddings: DataFrame,
+    codebooks: list[list[list[float]]],
+    dim: int = EMBED_DIM,
+) -> DataFrame:
+    """Assign PQ codes and report per-vector reconstruction error:
+    (vec_id, codes array<int>, recon_err double). Pure projection —
+    the 100 TB encode path is a map-only pass; codes are
+    n_sub × log2(k) bits per vector (64 bits here vs 2 KB raw)."""
+    n_sub = len(codebooks)
+    sub_dim = dim // n_sub
+    cb_lit = F.lit(codebooks)
+    codes = F.array(
+        *[
+            _pq_code(cb_lit, F.lit(s), _subvec(F.col("embedding"), s, sub_dim))
+            for s in range(n_sub)
+        ]
+    )
+    recon_err = F.sqrt(
+        sum(
+            F.aggregate(
+                F.zip_with(
+                    _subvec(F.col("embedding"), s, sub_dim),
+                    F.element_at(F.element_at(cb_lit, s + 1), F.element_at(F.col("codes"), s + 1) + 1),
+                    lambda x, y: (x - y) * (x - y),
+                ),
+                F.lit(0.0),
+                lambda acc, v: acc + v,
+            )
+            for s in range(n_sub)
+        )
+    )
+    return (
+        embeddings.select("vec_id", "embedding")
+        .withColumn("codes", codes)
+        .withColumn("recon_err", F.round(recon_err, 6))
+        .drop("embedding")
+    )
+
+
+@query("embedding_pq_codebook", oracle=None, tags=("similarity", "llm", "embeddings", "quantization", "ivf"))
+def embedding_pq_codebook(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Product-quantization training + encode over the embedding
+    corpus: 8 subspaces × 16 centroids (64-bit codes, 32× smaller
+    than the raw vectors), reporting per-subspace cluster sizes and
+    mean reconstruction error — the compression stage of an IVF-PQ
+    index, complementing ``similarity_ivf_topk`` (coarse stage) and
+    ``embedding_quantize_int8`` (scalar stage). Rows-only gate
+    (iterative k-means); determinism and quantizer-optimality
+    properties are pinned in tests/test_operators.py.
+    """
+    e = load_table(spark, sf_dir, "embeddings").where(F.col("vec_id") != 0)
+    codebooks = pq_train(e)
+    q = pq_quantize(e, codebooks)
+    out = (
+        q.select("vec_id", "recon_err", F.posexplode("codes").alias("s", "code"))
+        .groupBy("s", "code")
+        .agg(
+            F.count(F.lit(1)).cast("bigint").alias("n_vectors"),
+            F.round(F.avg("recon_err"), 4).alias("avg_vec_recon_err"),
+        )
+    )
+    return out

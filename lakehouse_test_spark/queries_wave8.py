@@ -572,3 +572,52 @@ def timeseries_cusum_changepoints(spark: SparkSession, sf_dir: str) -> DataFrame
         F.round("r.cneg", 4).alias("cusum_neg"),
         ((F.col("r.cpos") > 4.0) | (F.col("r.cneg") > 4.0)).alias("changepoint"),
     )
+
+
+@query(
+    "corpus_train_val_test_split",
+    oracle="""
+    WITH assigned AS (
+      SELECT source,
+             CASE
+               WHEN CAST(concat('0x', substr(md5('split:' || doc_id), 1, 8)) AS BIGINT)
+                    % 100 < 80 THEN 'train'
+               WHEN CAST(concat('0x', substr(md5('split:' || doc_id), 1, 8)) AS BIGINT)
+                    % 100 < 90 THEN 'val'
+               ELSE 'test'
+             END AS split
+      FROM documents
+    )
+    SELECT source, split,
+           CAST(count(*) AS BIGINT) AS n_docs
+    FROM assigned
+    GROUP BY source, split
+    """,
+    tags=("tokens", "llm", "sampling"),
+)
+def corpus_train_val_test_split(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Deterministic 80/10/10 train/val/test assignment by salted
+    content hash (md5 — reproduced bit-identically by the oracle),
+    reported per source. The split is a pure projection: stable under
+    re-runs, re-partitioning, and incremental arrivals (a new doc's
+    split never depends on other docs), which is the property that
+    makes splits reproducible across a 100 TB pipeline's daily runs —
+    no shuffle, no sampling state, no seed files.
+    """
+    d = T(spark, sf_dir, "documents")
+    h = (
+        F.conv(
+            F.substring(F.md5(F.concat(F.lit("split:"), F.col("doc_id").cast("string"))), 1, 8),
+            16,
+            10,
+        ).cast("bigint")
+        % 100
+    )
+    split = (
+        F.when(h < 80, F.lit("train")).when(h < 90, F.lit("val")).otherwise(F.lit("test"))
+    )
+    return (
+        d.select("source", split.alias("split"))
+        .groupBy("source", "split")
+        .agg(F.count(F.lit(1)).cast("bigint").alias("n_docs"))
+    )

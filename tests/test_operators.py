@@ -625,3 +625,51 @@ def test_phash_png_near_dup_small_hamming(spark):
     far = bin((fp[1] ^ fp[3]) & 0xFFFFFFFFFFFFFFFF).count("1")
     assert near <= 7, f"patch edit moved {near} bits"
     assert far >= 20, f"unrelated image only {far} bits away"
+
+
+def test_pq_train_deterministic_and_optimal(spark):
+    """PQ codebooks: reproducible across runs; the assigned code is
+    the true nearest centroid (numpy cross-check); training reduces
+    reconstruction error vs the untrained seed codebooks."""
+    import numpy as np
+
+    from lakehouse_test_spark.operators.similarity import pq_quantize, pq_train
+
+    rng = np.random.RandomState(13)
+    vecs = rng.standard_normal((400, 64)).astype(np.float64)
+    df = spark.createDataFrame(
+        [Row(vec_id=i, embedding=[float(x) for x in v]) for i, v in enumerate(vecs)]
+    )
+    cb1 = pq_train(df, iters=2)
+    cb2 = pq_train(df, iters=2)
+    assert cb1 == cb2
+    assert len(cb1) == 8 and all(len(cb) == 16 for cb in cb1)
+
+    q = pq_quantize(df, cb1).collect()
+    # optimality spot-check on 20 vectors
+    cbs = [np.array(cb) for cb in cb1]
+    by_id = {r.vec_id: r for r in q}
+    for i in range(20):
+        v = vecs[i]
+        for s in range(8):
+            sv = v[s * 8 : (s + 1) * 8]
+            want = int(np.argmin(((cbs[s] - sv) ** 2).sum(axis=1)))
+            got = by_id[i].codes[s]
+            d_want = ((cbs[s][want] - sv) ** 2).sum()
+            d_got = ((cbs[s][got] - sv) ** 2).sum()
+            assert abs(d_want - d_got) < 1e-9  # equal-distance ties allowed
+
+    err_trained = sum(r.recon_err for r in q) / len(q)
+    err_seed = (
+        sum(r.recon_err for r in pq_quantize(df, pq_train(df, iters=0)).collect())
+        / len(q)
+    )
+    assert err_trained < err_seed
+
+
+def test_pq_codebook_gate_query(spark):
+    from lakehouse_test_spark.operators.similarity import embedding_pq_codebook
+
+    rows = embedding_pq_codebook(spark, SMOKE_SF_DIR).collect()
+    assert len(rows) > 0
+    assert sum(r.n_vectors for r in rows if r.s == 0) == 499  # all vecs coded
