@@ -621,3 +621,85 @@ def corpus_train_val_test_split(spark: SparkSession, sf_dir: str) -> DataFrame:
         .groupBy("source", "split")
         .agg(F.count(F.lit(1)).cast("bigint").alias("n_docs"))
     )
+
+
+def logreg_train_gd(
+    xy: DataFrame, n_features: int, iters: int = 10, lr: float = 1.0
+) -> list[float]:
+    """Distributed batch-gradient-descent logistic regression.
+
+    The whole training loop is aggregates: each iteration computes
+    grad_k = mean((sigmoid(x·w) − y) · x_k) as ONE job of K+1 sums
+    with map-side partials — model state is K+1 floats on the driver,
+    data never moves. Gradient terms are cast to DECIMAL(28,18)
+    before summing (fpsafe discipline), making the sums associative →
+    bit-identical weights at ANY partitioning/parallelism, which is
+    what lets a 100 TB training run reproduce.
+
+    ``xy`` needs columns x0..x{K-1} (x0 = bias 1.0) and label y∈{0,1}.
+    """
+    w = [0.0] * n_features
+    n = xy.count()
+    for _ in range(iters):
+        z = sum(F.col(f"x{k}") * float(w[k]) for k in range(n_features))
+        p = F.lit(1.0) / (F.lit(1.0) + F.exp(-z))
+        aggs = [
+            F.sum(((p - F.col("y")) * F.col(f"x{k}")).cast("decimal(28,18)")).alias(
+                f"g{k}"
+            )
+            for k in range(n_features)
+        ]
+        row = xy.agg(*aggs).head()
+        w = [w[k] - lr * float(row[f"g{k}"]) / n for k in range(n_features)]
+    return w
+
+
+@query("text_quality_logreg", oracle=None, tags=("text", "llm", "ml", "classifier", "iterative"))
+def text_quality_logreg(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Logistic-regression text classifier trained end-to-end IN the
+    engine (10 GD epochs, decimal-exact gradient aggregates): simple
+    shape features (log length, token count, mean token length,
+    distinct-token ratio) standardized corpus-wide, predicting
+    lang='en' — the trainable-quality-gate shape (fastText-style
+    linear classifier) that pipelines retrain per corpus snapshot.
+    Output: standardized feature weights (4dp) plus the training
+    accuracy row. Rows-only gate (iterative); exact parity with a
+    numpy reference is pinned in tests/test_wave8_ml.py.
+    """
+    d = T(spark, sf_dir, "documents")
+    toks = ws_tokens(F.col("text"))
+    raw = d.select(
+        (F.col("lang") == "en").cast("double").alias("y"),
+        F.log(F.lit(1.0) + F.col("n_chars")).alias("f1"),
+        F.size(toks).cast("double").alias("f2"),
+        (F.col("n_chars") / F.greatest(F.size(toks), F.lit(1))).alias("f3"),
+        (
+            F.size(F.array_distinct(toks)) / F.greatest(F.size(toks), F.lit(1))
+        ).alias("f4"),
+    )
+    stats = raw.agg(
+        *[F.avg(f"f{i}").alias(f"m{i}") for i in range(1, 5)],
+        *[F.stddev_samp(f"f{i}").alias(f"s{i}") for i in range(1, 5)],
+    ).head()
+    xy = raw.select(
+        "y",
+        F.lit(1.0).alias("x0"),
+        *[
+            (
+                (F.col(f"f{i}") - float(stats[f"m{i}"]))
+                / (float(stats[f"s{i}"]) or 1.0)
+            ).alias(f"x{i}")
+            for i in range(1, 5)
+        ],
+    ).localCheckpoint()  # freeze features: GD re-reads them 10x
+    w = logreg_train_gd(xy, 5)
+    z = sum(F.col(f"x{k}") * float(w[k]) for k in range(5))
+    acc = (
+        xy.select(((z > 0).cast("double") == F.col("y")).cast("double").alias("ok"))
+        .agg(F.avg("ok"))
+        .head()[0]
+    )
+    names = ["bias", "log_chars", "n_tokens", "chars_per_token", "distinct_ratio"]
+    rows = [(n, round(wk, 4)) for n, wk in zip(names, w)]
+    rows.append(("__train_accuracy__", round(float(acc), 4)))
+    return spark.createDataFrame(rows, "feature string, weight double")
