@@ -196,6 +196,84 @@ def ann_index_query(
     )
 
 
+def _bucket_expr(meta: dict):
+    """Bucket assignment column from STORED index metadata (no
+    retraining — the planes/centroids in meta.json are the index)."""
+    if meta["kind"] == "lsh":
+        planes = np.array(meta["planes"])
+        return lsh_bucket(F.col("embedding"), planes)
+    cents = meta["centroids"]
+    return _nearest_centroid(F.col("embedding"), cents)
+
+
+def ann_index_append(embeddings: DataFrame, path: str) -> dict:
+    """Incrementally add vectors to a persisted index: bucket them
+    with the stored planes/centroids, append parquet into the band
+    partitions, and merge the delta histogram into meta.json.
+
+    This is the maintenance half of the build/query split: a
+    streaming pipeline calls it per micro-batch (see
+    ``stream_embeddings_to_ann_index``), so the index stays fresh
+    without ever re-touching the existing corpus — cost is
+    O(new vectors) bucketing + a bounded histogram merge.
+    """
+    meta = _load_meta(path)
+    shift = meta["band_shift"]
+    bucketed = embeddings.withColumn("bucket", _bucket_expr(meta)).withColumn(
+        "band", F.shiftright(F.col("bucket").cast("int"), shift)
+    )
+    delta_rows = (
+        bucketed.groupBy("bucket").agg(F.count(F.lit(1)).alias("cnt")).collect()
+    )
+    (
+        bucketed.repartition(max(1, min(8, len(delta_rows) or 1)), "bucket")
+        .sortWithinPartitions("bucket")
+        .write.mode("append")
+        .partitionBy("band")
+        .parquet(os.path.join(path, "vectors"))
+    )
+    hist = meta["histogram"]
+    for r in delta_rows:
+        k = str(r["bucket"])
+        hist[k] = hist.get(k, 0) + int(r["cnt"])
+    with open(os.path.join(path, "meta.json"), "w") as f:
+        json.dump(meta, f)
+    return meta
+
+
+def stream_embeddings_to_ann_index(
+    spark: SparkSession, source_dir: str, path: str, schema=None
+):
+    """Streaming index maintenance: a bounded embedding stream
+    (file source, one file per micro-batch) appended to the persisted
+    index via ``foreachBatch`` → ``ann_index_append``. Returns after
+    the AvailableNow drain; the index then answers queries over
+    everything ingested — the production shape for 'embeddings land
+    continuously, ANN stays queryable'."""
+    if schema is None:
+        schema = spark.read.parquet(source_dir).schema
+    stream = (
+        spark.readStream.schema(schema)
+        .option("maxFilesPerTrigger", "1")
+        .parquet(source_dir)
+    )
+
+    def sink(batch_df: DataFrame, _epoch: int) -> None:
+        if batch_df.take(1):
+            ann_index_append(batch_df, path)
+
+    q = (
+        stream.writeStream.foreachBatch(sink)
+        .trigger(availableNow=True)
+        .option(
+            "checkpointLocation", os.path.join(path, "_stream_checkpoint")
+        )
+        .start()
+    )
+    q.awaitTermination()
+    return q
+
+
 # ---------------------------------------------------------------------------
 # Gate queries: build-once, query-many over a cached on-disk index
 # ---------------------------------------------------------------------------

@@ -703,3 +703,75 @@ def text_quality_logreg(spark: SparkSession, sf_dir: str) -> DataFrame:
     rows = [(n, round(wk, 4)) for n, wk in zip(names, w)]
     rows.append(("__train_accuracy__", round(float(acc), 4)))
     return spark.createDataFrame(rows, "feature string, weight double")
+
+
+@query(
+    "classifier_auc_rank",
+    oracle="""
+    WITH scored AS (
+      SELECT (lang = 'en') AS is_pos,
+             round(CAST(length(text) AS DOUBLE)
+                   / (1.0 + len(list_filter(string_split_regex(lower(text), '\\s+'),
+                                            x -> x <> ''))), 6) AS score,
+             doc_id
+      FROM documents
+    ),
+    ranked AS (
+      SELECT is_pos,
+             row_number() OVER (ORDER BY score, doc_id) AS rk
+      FROM scored
+    ),
+    agg AS (
+      SELECT sum(CASE WHEN is_pos THEN rk ELSE 0 END) AS pos_rank_sum,
+             sum(CASE WHEN is_pos THEN 1 ELSE 0 END) AS n_pos,
+             sum(CASE WHEN is_pos THEN 0 ELSE 1 END) AS n_neg
+      FROM ranked
+    )
+    SELECT CAST(n_pos AS BIGINT) AS n_pos,
+           CAST(n_neg AS BIGINT) AS n_neg,
+           CAST(round((pos_rank_sum - n_pos * (n_pos + 1) / 2.0)
+                      / (n_pos * n_neg), 6) AS DOUBLE) AS auc
+    FROM agg
+    """,
+    tags=("text", "llm", "ml", "evaluation", "window"),
+)
+def classifier_auc_rank(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """ROC-AUC of a score against a label, computed distributed by the
+    Mann-Whitney rank identity: AUC = (Σ ranks of positives −
+    n⁺(n⁺+1)/2) / (n⁺n⁻) — the evaluation every trained gate
+    (text_quality_logreg, text_naive_bayes_lang) needs, with no
+    threshold sweep and no per-threshold passes. Here the scored
+    signal is chars-per-token against lang='en'.
+
+    Parity: scores rounded to 6dp before ranking; remaining ties
+    break by doc_id in both engines, making ranks identical (the
+    rank-sum identity is tie-sensitive, so the tiebreak IS the
+    contract). Scale: one global sort for ranks (Spark range-
+    partitions it) + one aggregate; at 100 TB swap the exact rank for
+    a fixed-width score histogram — same identity, bounded state.
+    """
+    d = T(spark, sf_dir, "documents")
+    toks = F.filter(ws_tokens(F.col("text")), lambda x: x != "")
+    scored = d.select(
+        (F.col("lang") == "en").alias("is_pos"),
+        F.round(
+            F.length("text").cast("double") / (F.lit(1.0) + F.size(toks)), 6
+        ).alias("score"),
+        "doc_id",
+    )
+    w = Window.orderBy("score", "doc_id")
+    ranked = scored.withColumn("rk", F.row_number().over(w))
+    agg = ranked.agg(
+        F.sum(F.when(F.col("is_pos"), F.col("rk")).otherwise(0)).alias("pos_rank_sum"),
+        F.sum(F.when(F.col("is_pos"), 1).otherwise(0)).alias("n_pos"),
+        F.sum(F.when(F.col("is_pos"), 0).otherwise(1)).alias("n_neg"),
+    )
+    return agg.select(
+        F.col("n_pos").cast("bigint"),
+        F.col("n_neg").cast("bigint"),
+        F.round(
+            (F.col("pos_rank_sum") - F.col("n_pos") * (F.col("n_pos") + 1) / 2.0)
+            / (F.col("n_pos") * F.col("n_neg")),
+            6,
+        ).alias("auc"),
+    )

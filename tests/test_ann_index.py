@@ -97,3 +97,38 @@ def test_gate_queries_run(spark, sf_dir):
         sims = [r.cos_sim for r in rows]
         assert sims == sorted(sims, reverse=True)
         assert len(rows) > 0
+
+
+def test_append_and_streaming_maintenance(spark, planted, tmp_path_factory):
+    """Index freshness contract: build on the first half, stream the
+    second half in one-file micro-batches; the final index must hold
+    every vector (histogram accounting) and recover the planted
+    neighbors that arrived via the stream."""
+    from pyspark.sql import functions as F  # noqa: F401
+
+    from lakehouse_test_spark.operators.ann_index import (
+        _load_meta,
+        ann_index_query,
+        stream_embeddings_to_ann_index,
+    )
+
+    corpus, qvec = planted
+    first = corpus.where("vec_id >= 10")   # hold out half the planted dups
+    rest = corpus.where("vec_id < 10")     # ...which arrive by stream
+    base = tmp_path_factory.mktemp("annidx_stream")
+    path = str(base / "idx")
+    ann_index_build(first, path, kind="lsh")
+
+    src = str(base / "incoming")
+    # three single-file micro-batches
+    for i, lo_hi in enumerate([(0, 4), (4, 7), (7, 10)]):
+        rest.where(f"vec_id >= {lo_hi[0]} and vec_id < {lo_hi[1]}").coalesce(
+            1
+        ).write.mode("append").parquet(src)
+    stream_embeddings_to_ann_index(spark, src, path)
+
+    meta = _load_meta(path)
+    assert sum(meta["histogram"].values()) == 2020
+    got = [r.vec_id for r in ann_index_query(spark, path, qvec, k=10).collect()]
+    assert len(set(got) & set(range(20))) >= 8
+    assert any(v < 10 for v in got), "streamed vectors never surfaced"
