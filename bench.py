@@ -83,11 +83,11 @@ def main() -> None:
         if q is not None:
             q.fn(spark, sf_dir).write.format("noop").mode("overwrite").save()
 
-    # best-of-2 timed passes per query: single-pass numbers on a
+    # best-of-3 timed passes per query: single-pass numbers on a
     # shared box carry scheduler noise comparable to the fastest
     # queries themselves; the min is the steady-state plan cost
     timings: dict[str, float] = {}
-    for _ in range(2):
+    for _ in range(3):
         for name in HEADLINE:
             q = REGISTRY.get(name)
             if q is None:
