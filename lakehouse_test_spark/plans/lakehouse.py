@@ -454,6 +454,38 @@ class LakehouseTable:
         self._commit_path(new_version).write_text(json.dumps(commit.__dict__))
         return commit
 
+    def scd2_apply(
+        self,
+        updates: DataFrame,
+        key_cols: list[str],
+        attr_cols: list[str],
+        effective_col: str,
+    ) -> Commit:
+        """Maintain THIS table as a type-2 slowly-changing dimension:
+        fold a batch of keyed attribute observations into the stored
+        history (``scd2_history`` semantics — no-change observations
+        collapse, changes version with [valid_from, valid_to)).
+
+        The rebuild re-derives the history from stored versions (each
+        existing version re-expressed as an observation at its
+        valid_from) plus the new batch, then publishes ONE restate
+        commit — so history stays time-travelable version by version,
+        and late-arriving observations slot into their correct
+        interval instead of corrupting the chain. Cost is O(dimension
+        history), the small side of a lakehouse by construction."""
+        from pyspark.sql import functions as F
+
+        cols = key_cols + attr_cols
+        if self.latest_version() >= 0:
+            existing = self.snapshot().select(
+                *cols, F.col("valid_from").alias(effective_col)
+            )
+            obs = existing.unionByName(updates.select(*cols, effective_col))
+        else:
+            obs = updates.select(*cols, effective_col)
+        hist = scd2_history(obs, key_cols, attr_cols, effective_col)
+        return self._commit_restate(hist, operation="scd2", data_change=True)
+
     def clone(
         self,
         target_path: str,
@@ -1348,3 +1380,134 @@ def lakehouse_clone_shallow(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
     )
     return out.localCheckpoint()
+
+
+def scd2_history(
+    updates: DataFrame,
+    key_cols: list[str],
+    attr_cols: list[str],
+    effective_col: str,
+) -> DataFrame:
+    """Build a type-2 slowly-changing-dimension history from a stream
+    of keyed attribute observations: consecutive observations whose
+    attributes did not change produce NO new version (change
+    detection via per-attribute lag comparison — null-safe), and each
+    surviving version carries [valid_from, valid_to) with
+    ``is_current`` on the open row. Pure DataFrame algebra: two
+    window passes over (key, effective-time) — one shuffle on the
+    key, no Python — the standard Delta/warehouse SCD2 shape.
+    """
+    from pyspark.sql import Window
+    from pyspark.sql import functions as F
+
+    w = Window.partitionBy(*key_cols).orderBy(effective_col)
+    changed_pred = None
+    for a in attr_cols:
+        diff = ~F.col(a).eqNullSafe(F.lag(F.col(a)).over(w))
+        changed_pred = diff if changed_pred is None else (changed_pred | diff)
+    first = F.row_number().over(w) == 1
+    kept = updates.withColumn("_keep", first | changed_pred).where(F.col("_keep")).drop(
+        "_keep"
+    )
+    w2 = Window.partitionBy(*key_cols).orderBy(effective_col)
+    return (
+        kept.withColumn("valid_from", F.col(effective_col))
+        .withColumn("valid_to", F.lead("valid_from").over(w2))
+        .withColumn("is_current", F.col("valid_to").isNull())
+        .drop(effective_col)
+    )
+
+
+@_query(
+    "dim_scd2_history",
+    oracle="""
+    WITH obs AS (
+      SELECT c_custkey, c_mktsegment, c_acctbal,
+             TIMESTAMP '2020-01-01' AS eff
+      FROM customer
+      UNION ALL
+      SELECT c_custkey, c_mktsegment,
+             CASE WHEN c_custkey % 3 = 0 THEN round(c_acctbal + 100, 2)
+                  ELSE c_acctbal END,
+             TIMESTAMP '2020-06-01'
+      FROM customer
+      UNION ALL
+      SELECT c_custkey,
+             CASE WHEN c_custkey % 5 = 0 THEN 'MOVED' ELSE c_mktsegment END,
+             CASE WHEN c_custkey % 3 = 0 THEN round(c_acctbal + 100, 2)
+                  ELSE c_acctbal END,
+             TIMESTAMP '2021-01-01'
+      FROM customer
+    ),
+    lagged AS (
+      SELECT *,
+             lag(c_mktsegment) OVER w AS pm,
+             lag(c_acctbal) OVER w AS pa,
+             row_number() OVER w AS rn
+      FROM obs
+      WINDOW w AS (PARTITION BY c_custkey ORDER BY eff)
+    ),
+    kept AS (
+      SELECT c_custkey, c_mktsegment, c_acctbal, eff
+      FROM lagged
+      WHERE rn = 1
+         OR (c_mktsegment IS DISTINCT FROM pm)
+         OR (c_acctbal IS DISTINCT FROM pa)
+    )
+    SELECT c_custkey, c_mktsegment,
+           CAST(round(c_acctbal, 2) AS DOUBLE) AS c_acctbal,
+           eff AS valid_from,
+           lead(eff) OVER (PARTITION BY c_custkey ORDER BY eff) AS valid_to,
+           lead(eff) OVER (PARTITION BY c_custkey ORDER BY eff) IS NULL
+             AS is_current
+    FROM kept
+    """,
+    tags=("lakehouse", "scd2", "window"),
+)
+def dim_scd2_history(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Type-2 SCD over a deterministic three-snapshot customer feed
+    (balance bump for every third key at mid-year, segment move for
+    every fifth key at year end): no-change observations collapse,
+    real changes version with [valid_from, valid_to) intervals and a
+    current flag. The oracle rebuilds the identical history with SQL
+    windows, so the hash match proves change detection AND interval
+    assignment. Scale: one shuffle on the dimension key — dimension
+    tables are the small side of a lakehouse; history grows with
+    change rate, not fact volume.
+    """
+    from pyspark.sql import functions as F
+
+    from lakehouse_test_spark.session import load_table as _lt
+
+    c = _lt(spark, sf_dir, "customer")
+    v1 = c.select(
+        "c_custkey", "c_mktsegment", "c_acctbal", F.lit("2020-01-01").cast("timestamp").alias("eff")
+    )
+    v2 = c.select(
+        "c_custkey",
+        "c_mktsegment",
+        F.when(F.col("c_custkey") % 3 == 0, F.round(F.col("c_acctbal") + 100, 2))
+        .otherwise(F.col("c_acctbal"))
+        .alias("c_acctbal"),
+        F.lit("2020-06-01").cast("timestamp").alias("eff"),
+    )
+    v3 = c.select(
+        "c_custkey",
+        F.when(F.col("c_custkey") % 5 == 0, F.lit("MOVED"))
+        .otherwise(F.col("c_mktsegment"))
+        .alias("c_mktsegment"),
+        F.when(F.col("c_custkey") % 3 == 0, F.round(F.col("c_acctbal") + 100, 2))
+        .otherwise(F.col("c_acctbal"))
+        .alias("c_acctbal"),
+        F.lit("2021-01-01").cast("timestamp").alias("eff"),
+    )
+    obs = v1.unionByName(v2).unionByName(v3)
+    hist = scd2_history(obs, ["c_custkey"], ["c_mktsegment", "c_acctbal"], "eff")
+    return hist.select(
+        "c_custkey",
+        "c_mktsegment",
+        F.round("c_acctbal", 2).alias("c_acctbal"),
+        "valid_from",
+        "valid_to",
+        "is_current",
+    )

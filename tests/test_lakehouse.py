@@ -833,3 +833,40 @@ def test_deep_clone_and_nonempty_target(spark, table, tmp_path):
     assert list((tmp_path / "deep").rglob("*.parquet"))
     with pytest.raises(ValueError, match="not empty"):
         table.clone(str(tmp_path / "deep"))
+
+
+def test_scd2_apply_incremental_and_late_arrivals(spark, table):
+    """SCD2 maintenance: batches fold into the stored history; a
+    no-change observation produces no version; a LATE observation
+    slots into its correct interval."""
+    from pyspark.sql import Row
+
+    t = table
+    b1 = spark.createDataFrame(
+        [Row(k=1, seg="A", eff="2020-01-01"), Row(k=2, seg="X", eff="2020-01-01")]
+    ).withColumn("eff", F.col("eff").cast("timestamp"))
+    t.scd2_apply(b1, ["k"], ["seg"], "eff")
+    b2 = spark.createDataFrame(
+        [Row(k=1, seg="B", eff="2021-01-01"), Row(k=2, seg="X", eff="2021-01-01")]
+    ).withColumn("eff", F.col("eff").cast("timestamp"))
+    t.scd2_apply(b2, ["k"], ["seg"], "eff")
+
+    hist = {(r.k, r.seg): (str(r.valid_from)[:10], r.valid_to and str(r.valid_to)[:10], r.is_current)
+            for r in t.snapshot().collect()}
+    assert hist[(1, "A")] == ("2020-01-01", "2021-01-01", False)
+    assert hist[(1, "B")] == ("2021-01-01", None, True)
+    assert hist[(2, "X")] == ("2020-01-01", None, True)  # no-change collapsed
+    assert len(hist) == 3
+
+    # late arrival between the two versions of k=1
+    late = spark.createDataFrame(
+        [Row(k=1, seg="MID", eff="2020-06-01")]
+    ).withColumn("eff", F.col("eff").cast("timestamp"))
+    t.scd2_apply(late, ["k"], ["seg"], "eff")
+    hist2 = {(r.k, r.seg): (str(r.valid_from)[:10], r.valid_to and str(r.valid_to)[:10])
+             for r in t.snapshot().collect()}
+    assert hist2[(1, "A")] == ("2020-01-01", "2020-06-01")
+    assert hist2[(1, "MID")] == ("2020-06-01", "2021-01-01")
+    assert hist2[(1, "B")] == ("2021-01-01", None)
+    # prior state remains time-travelable
+    assert t.snapshot(version=1).count() == 3
