@@ -37,6 +37,7 @@ for _mod in (
     "lakehouse_test_spark.operators.multimodal",
     "lakehouse_test_spark.operators.udfs",
     "lakehouse_test_spark.operators.cluster",
+    "lakehouse_test_spark.operators.recsys",
     "lakehouse_test_spark.sources.synthetic",
     "lakehouse_test_spark.streaming.jobs",
     "lakehouse_test_spark.plans.delta_export",
