@@ -773,3 +773,42 @@ def streaming_session_dynamic_gap(spark: SparkSession, sf_dir: str) -> DataFrame
         F.unix_timestamp(F.col("w.start")).alias("session_start"),
         "n_events",
     )
+
+
+def stream_scd2_dimension(
+    spark: SparkSession, source_dir: str, table_path: str, schema=None
+):
+    """CDC → dimension maintenance: a bounded stream of keyed
+    attribute observations folds into a LakehouseTable as type-2 SCD
+    history via ``foreachBatch`` → ``scd2_apply`` — the production
+    pattern for 'upstream system emits entity snapshots, warehouse
+    keeps versioned history'. One restate commit per micro-batch;
+    history stays time-travelable batch by batch.
+
+    Contract: source rows carry (k, seg, eff) — key, tracked
+    attribute, effective timestamp; generalize by editing the column
+    lists at the call site.
+    """
+    from lakehouse_test_spark.plans.lakehouse import LakehouseTable
+
+    if schema is None:
+        schema = spark.read.parquet(source_dir).schema
+    t = LakehouseTable(spark, table_path)
+    stream = (
+        spark.readStream.schema(schema)
+        .option("maxFilesPerTrigger", "1")
+        .parquet(source_dir)
+    )
+
+    def sink(batch_df, _epoch):
+        if batch_df.take(1):
+            t.scd2_apply(batch_df, ["k"], ["seg"], "eff")
+
+    q = (
+        stream.writeStream.foreachBatch(sink)
+        .trigger(availableNow=True)
+        .option("checkpointLocation", f"{table_path}/_scd2_checkpoint")
+        .start()
+    )
+    q.awaitTermination()
+    return t

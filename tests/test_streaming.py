@@ -154,3 +154,28 @@ def test_watermark_drops_late_data(spark, tmp_path):
     # the late ts=110 row must not appear anywhere
     assert (1, 1) in result
     assert (1, 2) not in result
+
+
+def test_stream_scd2_dimension(spark, tmp_path):
+    """CDC stream -> SCD2 dimension: two micro-batches of entity
+    snapshots produce versioned history with per-batch commits."""
+    from pyspark.sql import Row
+    from pyspark.sql import functions as F
+
+    from lakehouse_test_spark.streaming.jobs import stream_scd2_dimension
+
+    src = str(tmp_path / "cdc")
+    b1 = spark.createDataFrame(
+        [Row(k=1, seg="A", eff="2020-01-01"), Row(k=2, seg="X", eff="2020-01-01")]
+    ).withColumn("eff", F.col("eff").cast("timestamp"))
+    b2 = spark.createDataFrame(
+        [Row(k=1, seg="B", eff="2021-01-01"), Row(k=2, seg="X", eff="2021-01-01")]
+    ).withColumn("eff", F.col("eff").cast("timestamp"))
+    b1.coalesce(1).write.mode("append").parquet(src)
+    b2.coalesce(1).write.mode("append").parquet(src)
+
+    t = stream_scd2_dimension(spark, src, str(tmp_path / "dim"))
+    hist = {(r.k, r.seg): r.is_current for r in t.snapshot().collect()}
+    assert hist == {(1, "A"): False, (1, "B"): True, (2, "X"): True}
+    assert t.latest_version() >= 1  # one commit per non-empty batch
+    t.drop()
