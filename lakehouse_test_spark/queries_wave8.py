@@ -775,3 +775,146 @@ def classifier_auc_rank(spark: SparkSession, sf_dir: str) -> DataFrame:
             6,
         ).alias("auc"),
     )
+
+
+def _hw_oracle() -> str:
+    """Generate the Holt-Winters recursive-CTE oracle (m=7 seasonal
+    state as scalar columns; the new-level expression inlined where
+    the recursion needs it)."""
+    a, b, g, m = 0.3, 0.1, 0.2, 7
+    s_old = "CASE (o.rn - 1) % 7 " + " ".join(
+        f"WHEN {k} THEN w.s{k}" for k in range(m)
+    ) + " END"
+    l_new = f"({a} * (o.x - {s_old}) + {1 - a} * (w.level + w.trend))"
+    seas_updates = ", ".join(
+        f"CASE WHEN (o.rn - 1) % 7 = {k} "
+        f"THEN {g} * (o.x - {l_new}) + {1 - g} * w.s{k} ELSE w.s{k} END"
+        for k in range(m)
+    )
+    s_init = ", ".join(
+        f"(SELECT x FROM ordered WHERE rn = {k + 1}) - i.L" for k in range(m)
+    )
+    return f"""
+    WITH RECURSIVE daily AS (
+      SELECT CAST(date_trunc('day', ts) AS DATE) AS day,
+             CAST(sum(value) AS DOUBLE) AS x
+      FROM events GROUP BY 1
+    ),
+    ordered AS (
+      SELECT day, x, row_number() OVER (ORDER BY day) AS rn FROM daily
+    ),
+    init AS (
+      SELECT (SELECT avg(x) FROM ordered WHERE rn BETWEEN 1 AND 7) AS L,
+             ((SELECT avg(x) FROM ordered WHERE rn BETWEEN 8 AND 14)
+              - (SELECT avg(x) FROM ordered WHERE rn BETWEEN 1 AND 7)) / 7.0 AS B
+    ),
+    walk(rn, level, trend, {", ".join(f"s{k}" for k in range(m))}, day, x, fitted) AS (
+      SELECT 7, CAST(i.L AS DOUBLE), CAST(i.B AS DOUBLE), {s_init},
+             CAST(NULL AS DATE), CAST(NULL AS DOUBLE), CAST(NULL AS DOUBLE)
+      FROM init i
+      UNION ALL
+      SELECT o.rn,
+             {l_new},
+             {b} * ({l_new} - w.level) + {1 - b} * w.trend,
+             {seas_updates},
+             o.day, o.x,
+             w.level + w.trend + {s_old}
+      FROM walk w JOIN ordered o ON o.rn = w.rn + 1
+    )
+    SELECT day,
+           CAST(round(x, 2) AS DOUBLE) AS daily_value,
+           CAST(round(fitted, 4) AS DOUBLE) AS fitted,
+           CAST(round(x - fitted, 4) AS DOUBLE) AS resid
+    FROM walk WHERE rn >= 8
+    """
+
+
+@query(
+    "timeseries_holt_winters",
+    oracle=_hw_oracle(),
+    tags=("timeseries", "events", "anomaly", "forecast"),
+)
+def timeseries_holt_winters(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Additive Holt-Winters triple exponential smoothing over the
+    daily event-value series (α=0.3, β=0.1, γ=0.2, weekly season):
+    per-day one-step-ahead fitted values and residuals — the
+    workhorse forecaster/anomaly-baseline, and another operator whose
+    level/trend/seasonal state makes every step depend on the full
+    transformed past (inexpressible with window functions).
+
+    Implementation mirrors timeseries_cusum_changepoints: the bounded
+    calendar-day series folds in-plan with a (level, trend,
+    seasonal-array) struct accumulator — the seasonal slot updates via
+    an indexed transform — zero Python, zero shuffle past the daily
+    rollup. The DuckDB oracle walks the identical recursion with the
+    seven seasonal slots as scalar recursive-CTE columns; identical
+    operation order keeps doubles bit-equal before the 4dp rounding.
+    """
+    ALPHA, BETA, GAMMA, M = 0.3, 0.1, 0.2, 7
+    e = T(spark, sf_dir, "events")
+    daily = e.groupBy(F.date_trunc("day", F.col("ts")).cast("date").alias("day")).agg(
+        F.sum("value").cast("double").alias("x")
+    )
+    series = daily.agg(F.array_sort(F.collect_list(F.struct("day", "x"))).alias("s"))
+    xs = F.transform(F.col("s"), lambda e_: e_["x"])
+    mean7 = lambda arr: (  # noqa: E731
+        F.aggregate(arr, F.lit(0.0), lambda acc, v: acc + v) / 7.0
+    )
+    prepared = series.select(
+        "s",
+        mean7(F.slice(xs, 1, 7)).alias("L0"),
+        ((mean7(F.slice(xs, 8, 7)) - mean7(F.slice(xs, 1, 7))) / 7.0).alias("B0"),
+        F.size("s").alias("n"),
+    ).select(
+        "s",
+        "L0",
+        "B0",
+        "n",
+        F.transform(F.slice(xs, 1, 7), lambda v: v - F.col("L0")).alias("seas0"),
+    )
+
+    def step(acc, i):
+        e_ = F.element_at(F.col("s"), i)
+        x = e_["x"]
+        pos0 = (i - 1) % M  # 0-based seasonal slot
+        s_old = F.element_at(acc["seas"], pos0 + 1)
+        fitted = acc["level"] + acc["trend"] + s_old
+        l_new = ALPHA * (x - s_old) + (1 - ALPHA) * (acc["level"] + acc["trend"])
+        b_new = BETA * (l_new - acc["level"]) + (1 - BETA) * acc["trend"]
+        seas_new = F.transform(
+            acc["seas"],
+            lambda v, j: F.when(
+                j == pos0, GAMMA * (x - l_new) + (1 - GAMMA) * v
+            ).otherwise(v),
+        )
+        row = F.struct(
+            e_["day"].alias("day"),
+            x.alias("x"),
+            fitted.alias("fitted"),
+        )
+        return F.struct(
+            l_new.alias("level"),
+            b_new.alias("trend"),
+            seas_new.alias("seas"),
+            F.concat(acc["out"], F.array(row)).alias("out"),
+        )
+
+    zero = F.struct(
+        F.col("L0").alias("level"),
+        F.col("B0").alias("trend"),
+        F.col("seas0").alias("seas"),
+        F.array()
+        .cast("array<struct<day:date,x:double,fitted:double>>")
+        .alias("out"),
+    )
+    walked = prepared.where(F.col("n") >= 14).select(
+        F.aggregate(
+            F.sequence(F.lit(8), F.col("n")), zero, step, lambda acc: acc["out"]
+        ).alias("rows")
+    )
+    return walked.select(F.explode("rows").alias("r")).select(
+        F.col("r.day").alias("day"),
+        F.round("r.x", 2).alias("daily_value"),
+        F.round("r.fitted", 4).alias("fitted"),
+        F.round(F.col("r.x") - F.col("r.fitted"), 4).alias("resid"),
+    )
