@@ -239,3 +239,50 @@ def plan_of_df(df, mode: str = "simple") -> str:
     with redirect_stdout(buf):
         df.explain(mode=mode)
     return buf.getvalue()
+
+
+def test_nb_classifier_broadcasts_class_table(spark, sf_dir):
+    """NB scoring: the per-class model table is tiny — it must
+    broadcast into the doc-token side, never shuffle the corpus on a
+    class-cross key."""
+    p = plan_of(spark, sf_dir, "text_naive_bayes_lang")
+    assert "BroadcastNestedLoopJoin" in p or "BroadcastHashJoin" in p
+
+
+def test_dim_correlations_single_scan_no_expand(spark, sf_dir):
+    """120 corr aggregates in ONE pass: no explode, no join, exactly
+    one embeddings scan, partial aggregation map-side."""
+    simple = plan_of(spark, sf_dir, "embedding_dim_correlations")
+    assert simple.count("FileScan") == 1
+    assert "partial_corr" in simple
+    # the only Generate allowed is the final one-row explode of the
+    # 120 result literals — it must sit ABOVE the aggregate, meaning
+    # the corpus itself was never expanded
+    gen_pos = simple.find("Generate")
+    agg_pos = simple.find("HashAggregate")
+    assert gen_pos == -1 or gen_pos < agg_pos
+
+
+def test_cms_sketch_two_level_aggregate(spark, sf_dir):
+    """The count-min sketch must partially aggregate map-side — the
+    sketch is 4096 cells, shuffle volume is cells × partitions."""
+    p = plan_of(spark, sf_dir, "sketch_count_min_terms")
+    assert p.count("HashAggregate") >= 2
+
+
+def test_cusum_and_hw_zero_extra_shuffle(spark, sf_dir):
+    """Sequential folds (CUSUM / Holt-Winters) ride the daily rollup:
+    exactly the rollup's exchange, nothing for the recursion itself."""
+    for q in ("timeseries_cusum_changepoints", "timeseries_holt_winters"):
+        p = plan_of(spark, sf_dir, q)
+        # one exchange for the daily groupBy, one for the global
+        # single-row collect_list/stats aggregate; the fold adds none
+        assert p.count("Exchange") <= 3, f"{q} plan grew a shuffle:\n{p}"
+
+
+def test_scd2_single_shuffle_on_key(spark, sf_dir):
+    """SCD2 change-detect + interval windows sort once per key —
+    consecutive window functions over the same (key, eff) ordering
+    must reuse one exchange."""
+    p = plan_of(spark, sf_dir, "dim_scd2_history")
+    assert p.count("Exchange hashpartitioning(c_custkey") <= 1
