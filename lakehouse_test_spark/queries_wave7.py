@@ -942,13 +942,19 @@ def corpus_rebalance_plan(spark: SparkSession, sf_dir: str) -> DataFrame:
     by_month AS (
       SELECT m,
              count(*) AS n_years,
-             CAST(avg(CAST(rev AS DOUBLE)) AS DOUBLE) AS avg_rev
+             -- exact decimal sum, then ONE double division: the avg
+             -- of per-year doubles is accumulation-order-sensitive
+             -- at the ulp (observed flaking a .145 half-cent
+             -- boundary); sum-then-divide is order-free
+             CAST(sum(rev) AS DOUBLE) / count(*) AS avg_rev
       FROM monthly GROUP BY m
     )
     SELECT CAST(m AS INTEGER) AS m,
            n_years,
            CAST(round(avg_rev, 2) AS DOUBLE) AS avg_month_revenue,
-           CAST(round(avg_rev / (sum(avg_rev) OVER () / count(*) OVER ()), 4) AS DOUBLE)
+           CAST(round(avg_rev /
+                (CAST(sum(CAST(avg_rev AS DECIMAL(18,6))) OVER () AS DOUBLE)
+                 / count(*) OVER ()), 4) AS DOUBLE)
              AS seasonality_index
     FROM by_month
     """,
@@ -971,12 +977,17 @@ def timeseries_seasonality_index(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.date_trunc("month", "o_orderdate").cast("date").alias("month_start"),
         F.month("o_orderdate").alias("m"),
     ).agg(F.sum(F.col("o_totalprice").cast("decimal(18,6)")).alias("rev"))
+    # sum exactly in decimal, divide ONCE as double: avg() over
+    # per-year doubles re-orders under partial aggregation and can
+    # flip a half-cent rounding boundary (observed: 4324912.145)
     by_month = monthly.groupBy("m").agg(
         F.count(F.lit(1)).alias("n_years"),
-        F.avg(F.col("rev").cast("double")).alias("avg_rev"),
+        (F.sum("rev").cast("double") / F.count(F.lit(1))).alias("avg_rev"),
     )
     w = Window.partitionBy()
-    grand = F.sum("avg_rev").over(w) / F.count(F.lit(1)).over(w)
+    grand = F.sum(F.col("avg_rev").cast("decimal(18,6)")).over(w).cast(
+        "double"
+    ) / F.count(F.lit(1)).over(w)
     return by_month.select(
         F.col("m").cast("int").alias("m"),
         "n_years",
