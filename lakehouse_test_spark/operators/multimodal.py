@@ -768,3 +768,122 @@ def multimodal_audio_features(spark: SparkSession, sf_dir: str) -> DataFrame:
                 )
 
     return wav.mapInPandas(kernel, out_schema)
+
+
+# ---------------------------------------------------------------------------
+# MP4/ISO-BMFF container: box walk with DATA-DRIVEN offsets
+# ---------------------------------------------------------------------------
+
+
+def be_u32_at(payload: Column, off: Column) -> Column:
+    """Big-endian uint32 at a COLUMN offset (0-based) — the dynamic
+    twin of ``be_u32`` for offset chains parsed from the data."""
+    return _u(F.hex(payload.substr(off + 1, F.lit(4))))
+
+
+def fourcc_at(payload: Column, off: Column) -> Column:
+    """4-character box type code at a column offset."""
+    return F.decode(payload.substr(off + 1, F.lit(4)), "UTF-8")
+
+
+def synthesize_video(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Spec-valid minimal MP4 (ISO-BMFF) per document: ``ftyp`` (20 B,
+    isom) + ``moov`` holding a version-0 ``mvhd`` (108 B: identity
+    matrix, rate 1.0, timescale/duration derived from n_chars) +
+    ``mdat`` carrying the text bytes. Hex assembly + unhex keeps
+    synthesis in codegen, like ``synthesize_media``."""
+    d = load_table(spark, sf_dir, "documents")
+    timescale = (F.lit(600) * (F.col("n_chars") % 4 + 1)).cast("bigint")
+    duration = (F.col("n_chars") * 7).cast("bigint")
+    body = F.hex(F.encode("text", "UTF-8"))
+    n_body = F.octet_length(F.encode("text", "UTF-8")).cast("bigint")
+    mvhd_hex = F.concat(
+        F.lit("0000006C" + "6D766864" + "00000000" + "00000000" + "00000000"),
+        _be_hex(timescale, 4),
+        _be_hex(duration, 4),
+        F.lit("00010000" + "0100" + "0000" + "00" * 8),
+        F.lit("00010000" + "00000000" * 3 + "00010000" + "00000000" * 3 + "40000000"),
+        F.lit("00000000" * 6 + "00000002"),
+    )
+    mp4_hex = F.concat(
+        F.lit("00000014" + "66747970" + "69736F6D" + "00000200" + "69736F6D"),
+        F.lit("00000074" + "6D6F6F76"),
+        mvhd_hex,
+        _be_hex(n_body + 8, 4),
+        F.lit("6D646174"),
+        body,
+    )
+    return d.select(F.col("doc_id").alias("asset_id"), F.unhex(mp4_hex).alias("payload"))
+
+
+@query(
+    "multimodal_mp4_boxes",
+    oracle="""
+    SELECT doc_id AS asset_id,
+           3 AS n_top_boxes,
+           'ftyp,moov,mdat' AS box_types,
+           CAST(600 * (n_chars % 4 + 1) AS BIGINT) AS timescale,
+           CAST(n_chars * 7 AS BIGINT) AS duration_ticks,
+           -- exact integer arithmetic: round() of small rationals
+           -- lands on .5 boundaries where the engines' half-up vs
+           -- half-even disagree; (ticks*1e4) // timescale cannot
+           CAST((n_chars * 7 * 10000) // (600 * (n_chars % 4 + 1)) AS BIGINT)
+             AS duration_sec_e4
+    FROM documents
+    """,
+    tags=("multimodal", "llm", "video"),
+)
+def multimodal_mp4_boxes(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """REAL ISO-BMFF box walk over MP4 payloads: read each top-level
+    box's big-endian size, jump size bytes, read the next — offsets
+    come from the DATA, not from constants — then parse
+    timescale/duration out of the ``moov``→``mvhd`` child and count
+    top-level boxes by walking until the payload ends. The oracle
+    recomputes the expected fields from the source columns, so a hash
+    match proves the synthesis AND the data-driven walk are
+    spec-consistent (same posture as ``multimodal_header_decode``).
+
+    Scale: pure codegen byte arithmetic (binary substr at column
+    offsets → hex → conv), zero shuffle, zero Python — container
+    metadata extraction at scan speed; sample decode stays behind the
+    documented codec boundary.
+    """
+    a = synthesize_video(spark, sf_dir)
+    p = F.col("payload")
+    total = F.octet_length(p).cast("bigint")
+    off0 = F.lit(0).cast("bigint")
+    s1 = be_u32_at(p, off0)
+    off1 = s1
+    s2 = be_u32_at(p, off1)
+    off2 = s1 + s2
+    s3 = be_u32_at(p, off2)
+    off3 = s1 + s2 + s3
+    n_boxes = (
+        F.when(off0 < total, 1).otherwise(0)
+        + F.when(off1 < total, 1).otherwise(0)
+        + F.when(off2 < total, 1).otherwise(0)
+        + F.when(off3 < total, 1).otherwise(0)
+    )
+    types = F.concat_ws(
+        ",",
+        fourcc_at(p, off0 + 4),
+        fourcc_at(p, off1 + 4),
+        fourcc_at(p, off2 + 4),
+    )
+    timescale = be_u32_at(p, s1 + 28)
+    duration = be_u32_at(p, s1 + 32)
+    return a.select(
+        "asset_id",
+        n_boxes.cast("int").alias("n_top_boxes"),
+        types.alias("box_types"),
+        timescale.alias("timescale"),
+        duration.alias("duration_ticks"),
+        # exact integer division (subtract the modulus, then divide
+        # evenly) — see the oracle comment on the .5-boundary
+        # rounding divergence this avoids
+        (
+            (duration * 10000 - F.pmod(duration * 10000, timescale)) / timescale
+        )
+        .cast("bigint")
+        .alias("duration_sec_e4"),
+    )
