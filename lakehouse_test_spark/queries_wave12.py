@@ -1,0 +1,323 @@
+"""Round-3 wave J: point-in-time SCD2 joins, weighted medians, PMI
+collocations, and funnel time-to-convert. All oracle hash-checked.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession, Window
+from pyspark.sql import functions as F
+
+from lakehouse_test_spark.fpsafe import dsum
+from lakehouse_test_spark.registry import query
+from lakehouse_test_spark.session import load_table
+
+
+def T(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
+    return load_table(spark, sf_dir, name)
+
+
+@query(
+    "dim_scd2_point_in_time",
+    oracle="""
+    WITH obs AS (
+      SELECT c_custkey, c_mktsegment, TIMESTAMP '2020-01-01' AS eff FROM customer
+      UNION ALL
+      SELECT c_custkey,
+             CASE WHEN c_custkey % 5 = 0 THEN 'MOVED' ELSE c_mktsegment END,
+             TIMESTAMP '2021-01-01'
+      FROM customer
+    ), lagged AS (
+      SELECT *, lag(c_mktsegment) OVER w AS pm, row_number() OVER w AS rn
+      FROM obs WINDOW w AS (PARTITION BY c_custkey ORDER BY eff)
+    ), dim AS (
+      SELECT c_custkey, c_mktsegment, eff AS valid_from,
+             lead(eff) OVER (PARTITION BY c_custkey ORDER BY eff) AS valid_to
+      FROM lagged WHERE rn = 1 OR (c_mktsegment IS DISTINCT FROM pm)
+    ), facts AS (
+      SELECT o_orderkey, o_custkey, o_totalprice,
+             TIMESTAMP '2020-01-01' + INTERVAL (o_orderkey % 730) DAY AS ts
+      FROM orders
+    )
+    SELECT d.c_mktsegment AS segment_asof,
+           CAST(count(*) AS BIGINT) AS n_orders,
+           CAST(round(sum(CAST(o_totalprice AS DECIMAL(18,6))), 2) AS DOUBLE)
+             AS revenue
+    FROM facts f JOIN dim d
+      ON d.c_custkey = f.o_custkey
+     AND f.ts >= d.valid_from AND (d.valid_to IS NULL OR f.ts < d.valid_to)
+    GROUP BY 1
+    """,
+    tags=("lakehouse", "scd2", "join", "temporal"),
+)
+def dim_scd2_point_in_time(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Point-in-time (PIT) join against a type-2 SCD dimension: every
+    fact row joins the dimension version VALID AT its event time
+    (valid_from ≤ ts < valid_to), so revenue rolls up under the
+    segment the customer belonged to THEN — the query that makes SCD2
+    history useful, completing dim_scd2_history.
+
+    Scale: equi-join on the dimension key with the validity range as
+    a post-probe residual — a hash join, never a nested loop; the
+    dimension carries few versions per key so the residual rejects
+    little. At extreme version counts, bucket the dim by key or use
+    the union-sort as-of construction (operators.joins.asof_join) on
+    valid_from.
+    """
+    c = T(spark, sf_dir, "customer")
+    obs1 = c.select(
+        "c_custkey", "c_mktsegment", F.lit("2020-01-01").cast("timestamp").alias("eff")
+    )
+    obs2 = c.select(
+        "c_custkey",
+        F.when(F.col("c_custkey") % 5 == 0, "MOVED")
+        .otherwise(F.col("c_mktsegment"))
+        .alias("c_mktsegment"),
+        F.lit("2021-01-01").cast("timestamp").alias("eff"),
+    )
+    obs = obs1.unionByName(obs2)
+    w = Window.partitionBy("c_custkey").orderBy("eff")
+    dim = (
+        obs.withColumn("pm", F.lag("c_mktsegment").over(w))
+        .withColumn("rn", F.row_number().over(w))
+        .where((F.col("rn") == 1) | ~F.col("c_mktsegment").eqNullSafe(F.col("pm")))
+        .select(
+            "c_custkey",
+            "c_mktsegment",
+            F.col("eff").alias("valid_from"),
+            F.lead("eff").over(w).alias("valid_to"),
+        )
+    )
+    facts = T(spark, sf_dir, "orders").select(
+        "o_custkey",
+        "o_totalprice",
+        F.expr(
+            "timestampadd(DAY, CAST(o_orderkey % 730 AS INT), TIMESTAMP'2020-01-01')"
+        ).alias("ts"),
+    )
+    joined = facts.join(
+        dim,
+        (dim.c_custkey == facts.o_custkey)
+        & (facts.ts >= dim.valid_from)
+        & (dim.valid_to.isNull() | (facts.ts < dim.valid_to)),
+    )
+    return joined.groupBy(F.col("c_mktsegment").alias("segment_asof")).agg(
+        F.count(F.lit(1)).cast("bigint").alias("n_orders"),
+        F.round(dsum(F.col("o_totalprice")), 2).cast("double").alias("revenue"),
+    )
+
+
+@query(
+    "agg_weighted_median",
+    oracle="""
+    WITH w AS (
+      SELECT l_returnflag, l_extendedprice AS price, CAST(l_quantity AS BIGINT) AS wt
+      FROM lineitem
+    ), c AS (
+      SELECT l_returnflag, price, wt,
+             sum(wt) OVER (PARTITION BY l_returnflag ORDER BY price
+                           ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS cw,
+             sum(wt) OVER (PARTITION BY l_returnflag) AS tw
+      FROM w
+    )
+    SELECT l_returnflag, round(min(price), 2) AS weighted_median_price,
+           CAST(max(tw) AS BIGINT) AS total_weight
+    FROM c WHERE cw * 2 >= tw GROUP BY l_returnflag
+    """,
+    tags=("agg", "stats", "window"),
+)
+def agg_weighted_median(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Weighted (lower) median: the smallest price whose cumulative
+    quantity weight reaches half the group's total — what "median
+    unit price" actually means when line items carry quantities.
+    Plain median/percentile can't express this; the cumulative-weight
+    window is the standard construction (tie-safe: within equal
+    prices the crossing row's price is the block's price regardless
+    of intra-tie order).
+
+    Scale: one shuffle on the group key, one windowed sort per group
+    (the same cost as any exact percentile); at extreme cardinality
+    switch to a weighted t-digest sketch and accept approximation.
+    """
+    li = T(spark, sf_dir, "lineitem").select(
+        "l_returnflag",
+        F.col("l_extendedprice").alias("price"),
+        F.col("l_quantity").cast("bigint").alias("wt"),
+    )
+    wc = (
+        Window.partitionBy("l_returnflag")
+        .orderBy("price")
+        .rowsBetween(Window.unboundedPreceding, 0)
+    )
+    wt = Window.partitionBy("l_returnflag")
+    c = li.select(
+        "l_returnflag",
+        "price",
+        F.sum("wt").over(wc).alias("cw"),
+        F.sum("wt").over(wt).alias("tw"),
+    )
+    return (
+        c.where(F.col("cw") * 2 >= F.col("tw"))
+        .groupBy("l_returnflag")
+        .agg(
+            F.round(F.min("price"), 2).alias("weighted_median_price"),
+            F.max("tw").cast("bigint").alias("total_weight"),
+        )
+    )
+
+
+@query(
+    "text_collocations_pmi",
+    oracle="""
+    WITH toks AS (
+      SELECT doc_id,
+             string_split(regexp_replace(lower(trim(text)), '\\s+', ' ', 'g'), ' ') AS w
+      FROM documents
+    ), uni AS (
+      SELECT unnest(w) AS t FROM toks
+    ), ucnt AS (
+      SELECT t, CAST(count(*) AS BIGINT) AS c FROM uni GROUP BY t
+    ), bi AS (
+      SELECT w[i] AS t1, w[i+1] AS t2
+      FROM toks, LATERAL (SELECT unnest(generate_series(1, len(w) - 1)) AS i) s
+    ), bcnt AS (
+      SELECT t1, t2, CAST(count(*) AS BIGINT) AS c FROM bi GROUP BY t1, t2
+    ), tot AS (
+      SELECT (SELECT CAST(sum(c) AS DOUBLE) FROM ucnt) AS nu,
+             (SELECT CAST(sum(c) AS DOUBLE) FROM bcnt) AS nb
+    )
+    SELECT t1, t2, b.c AS pair_count,
+           round(log2((b.c / nb) / ((u1.c / nu) * (u2.c / nu))), 4) AS pmi
+    FROM bcnt b JOIN ucnt u1 ON u1.t = b.t1 JOIN ucnt u2 ON u2.t = b.t2
+    CROSS JOIN tot
+    WHERE b.c >= 5
+    ORDER BY pmi DESC, t1, t2 LIMIT 50
+    """,
+    tags=("text", "llm", "nlp"),
+)
+def text_collocations_pmi(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Pointwise-mutual-information collocations: adjacent word pairs
+    whose co-occurrence beats the independence assumption —
+    PMI = log2(p(xy) / p(x)p(y)) — top-50 with a min-count-5 support
+    gate. The classic phrase/term-mining pass (Mikolov-style phrase
+    detection uses exactly this score to merge tokens before
+    training).
+
+    Scale: bigrams expand in-plan (transform over sequence — no
+    Python); both count tables are map-side-combinable aggregates;
+    unigram counts join back BROADCAST (vocab ≪ corpus); the min-
+    support filter prunes the pair table before the join; top-k is a
+    TakeOrdered. Shuffle volume is |bigram types|, not |tokens|.
+    """
+    d = T(spark, sf_dir, "documents")
+    w = F.split(F.regexp_replace(F.lower(F.trim(F.col("text"))), r"\s+", " "), " ")
+    toks = d.select(w.alias("w"))
+    uni = toks.select(F.explode("w").alias("t"))
+    ucnt = uni.groupBy("t").agg(F.count(F.lit(1)).cast("bigint").alias("c"))
+    bi = toks.select(
+        F.explode(
+            F.expr(
+                "transform(sequence(1, size(w) - 1),"
+                " i -> struct(element_at(w, i) AS t1, element_at(w, i + 1) AS t2))"
+            )
+        ).alias("b")
+    ).select("b.t1", "b.t2")
+    bcnt = (
+        bi.groupBy("t1", "t2")
+        .agg(F.count(F.lit(1)).cast("bigint").alias("c"))
+        .where(F.col("c") >= 5)
+    )
+    tot = ucnt.agg(F.sum("c").cast("double").alias("nu")).join(
+        bi.agg(F.count(F.lit(1)).cast("double").alias("nb"))
+    )
+    u1 = ucnt.select(F.col("t").alias("t1"), F.col("c").alias("c1"))
+    u2 = ucnt.select(F.col("t").alias("t2"), F.col("c").alias("c2"))
+    scored = (
+        bcnt.join(F.broadcast(u1), "t1")
+        .join(F.broadcast(u2), "t2")
+        .join(F.broadcast(tot))
+        .select(
+            "t1",
+            "t2",
+            F.col("c").alias("pair_count"),
+            F.round(
+                F.log2(
+                    (F.col("c") / F.col("nb"))
+                    / ((F.col("c1") / F.col("nu")) * (F.col("c2") / F.col("nu")))
+                ),
+                4,
+            ).alias("pmi"),
+        )
+    )
+    return scored.orderBy(F.desc("pmi"), "t1", "t2").limit(50)
+
+
+@query(
+    "events_funnel_time_to_convert",
+    oracle="""
+    WITH firsts AS (
+      SELECT user_id,
+             min(ts) FILTER (WHERE event_type = 'view') AS v,
+             min(ts) FILTER (WHERE event_type = 'click') AS c,
+             min(ts) FILTER (WHERE event_type = 'purchase') AS p
+      FROM events GROUP BY user_id
+    ), durs AS (
+      SELECT user_id,
+             CASE WHEN c >= v THEN date_diff('second', v, c) END AS v2c,
+             CASE WHEN p >= c AND c >= v THEN date_diff('second', c, p) END AS c2p
+      FROM firsts WHERE v IS NOT NULL AND c IS NOT NULL AND p IS NOT NULL
+    )
+    SELECT 'view_to_click' AS step, CAST(count(v2c) AS BIGINT) AS n_users,
+           round(median(v2c), 1) AS median_sec,
+           round(quantile_cont(v2c, 0.9), 1) AS p90_sec
+    FROM durs
+    UNION ALL
+    SELECT 'click_to_purchase', CAST(count(c2p) AS BIGINT),
+           round(median(c2p), 1), round(quantile_cont(c2p, 0.9), 1)
+    FROM durs
+    """,
+    tags=("events", "funnel", "analytics"),
+)
+def events_funnel_time_to_convert(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Time-to-convert distribution through the view→click→purchase
+    funnel: per user, the seconds between first view and first
+    subsequent click, and between that click and first subsequent
+    purchase — median and p90 per step. funnel_conversion counts WHO
+    converts; this measures HOW LONG conversion takes, the second
+    question every growth team asks.
+
+    Scale: one conditional-min aggregate per user (map-side
+    combinable, one shuffle), then exact percentiles over the tiny
+    per-user duration frame. Exact percentile sorts per group; at
+    extreme user counts swap approx_percentile.
+    """
+    e = T(spark, sf_dir, "events")
+    firsts = e.groupBy("user_id").agg(
+        F.min(F.when(F.col("event_type") == "view", F.col("ts"))).alias("v"),
+        F.min(F.when(F.col("event_type") == "click", F.col("ts"))).alias("c"),
+        F.min(F.when(F.col("event_type") == "purchase", F.col("ts"))).alias("p"),
+    )
+    durs = firsts.where(
+        F.col("v").isNotNull() & F.col("c").isNotNull() & F.col("p").isNotNull()
+    ).select(
+        F.when(
+            F.col("c") >= F.col("v"),
+            F.unix_timestamp("c") - F.unix_timestamp("v"),
+        ).alias("v2c"),
+        F.when(
+            (F.col("p") >= F.col("c")) & (F.col("c") >= F.col("v")),
+            F.unix_timestamp("p") - F.unix_timestamp("c"),
+        ).alias("c2p"),
+    )
+    v = durs.agg(
+        F.lit("view_to_click").alias("step"),
+        F.count("v2c").cast("bigint").alias("n_users"),
+        F.round(F.expr("median(v2c)"), 1).alias("median_sec"),
+        F.round(F.expr("percentile(v2c, 0.9)"), 1).alias("p90_sec"),
+    )
+    c = durs.agg(
+        F.lit("click_to_purchase").alias("step"),
+        F.count("c2p").cast("bigint").alias("n_users"),
+        F.round(F.expr("median(c2p)"), 1).alias("median_sec"),
+        F.round(F.expr("percentile(c2p, 0.9)"), 1).alias("p90_sec"),
+    )
+    return v.unionByName(c)
