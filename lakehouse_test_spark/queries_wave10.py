@@ -749,7 +749,8 @@ def dedup_substring_spans(spark: SparkSession, sf_dir: str) -> DataFrame:
       FROM events
     ), kmin AS (SELECT u FROM hashed ORDER BY u LIMIT 64)
     SELECT CAST(count(*) AS BIGINT) AS k_used,
-           round((64 - 1) / max(u), 4) AS est_distinct,
+           CASE WHEN count(*) < 64 THEN CAST(count(*) AS DOUBLE)
+                ELSE round((64 - 1) / max(u), 4) END AS est_distinct,
            CAST((SELECT count(DISTINCT user_id) FROM events) AS BIGINT) AS true_distinct
     FROM kmin
     """,
@@ -777,7 +778,12 @@ def sketch_kmv_distinct(spark: SparkSession, sf_dir: str) -> DataFrame:
     kmin = e.select(u).distinct().orderBy("u").limit(64)
     est = kmin.agg(
         F.count(F.lit(1)).cast("bigint").alias("k_used"),
-        F.round((F.lit(64) - 1) / F.max("u"), 4).alias("est_distinct"),
+        # underfull sketch (NDV < k) degenerates to the exact count
+        F.when(
+            F.count(F.lit(1)) < 64, F.count(F.lit(1)).cast("double")
+        )
+        .otherwise(F.round((F.lit(64) - 1) / F.max("u"), 4))
+        .alias("est_distinct"),
     )
     true = e.agg(F.countDistinct("user_id").cast("bigint").alias("true_distinct"))
     return est.join(F.broadcast(true))

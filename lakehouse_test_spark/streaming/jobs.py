@@ -812,3 +812,64 @@ def stream_scd2_dimension(
     )
     q.awaitTermination()
     return t
+
+
+@query(
+    "streaming_kmv_distinct",
+    oracle="""
+    WITH hashed AS (
+      SELECT DISTINCT
+             CAST(CAST('0x' || substr(md5(CAST(user_id AS VARCHAR)), 1, 8) AS BIGINT)
+                  AS DOUBLE) / 4294967296.0 AS u
+      FROM events
+    ), kmin AS (SELECT u FROM hashed ORDER BY u LIMIT 64)
+    SELECT CAST(count(*) AS BIGINT) AS k_used,
+           CASE WHEN count(*) < 64 THEN CAST(count(*) AS DOUBLE)
+                ELSE round((64 - 1) / max(u), 4) END AS est_distinct,
+           CAST((SELECT count(DISTINCT user_id) FROM events) AS BIGINT) AS true_distinct
+    FROM kmin
+    """,
+    tags=("streaming", "sketch", "foreachbatch"),
+)
+def streaming_kmv_distinct(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """KMV distinct sketch maintained OVER A STREAM: each micro-batch
+    computes its local k-minimum hash values (one tiny TakeOrdered per
+    batch — at most k=64 values leave the executors), and foreachBatch
+    merges them into the running sketch. Because k-min sets are
+    mergeable, the final estimate is EXACTLY the batch KMV of the
+    whole stream — independent of batch slicing — so the streaming
+    path is hash-checked against the same DuckDB oracle as
+    sketch_kmv_distinct. The live-dashboard distinct-count pattern:
+    O(k) state, no dropDuplicates state store growth.
+
+    Scale: sketch state is 64 doubles regardless of stream volume;
+    per-batch cost is one map-side TakeOrdered. The same merge works
+    across days/shards (store the sketch in a lakehouse table and
+    MERGE instead of the driver accumulator used for this bounded
+    drain).
+    """
+    s = events_stream(spark, sf_dir)
+    k = 64
+    kmin: list[float] = []
+
+    def handle_batch(batch_df: DataFrame, batch_id: int) -> None:
+        u = (
+            F.conv(F.substring(F.md5(F.col("user_id").cast("string")), 1, 8), 16, 10)
+            .cast("double")
+            / F.lit(4294967296.0)
+        ).alias("u")
+        batch_k = [r["u"] for r in batch_df.select(u).distinct().orderBy("u").limit(k).collect()]
+        merged = sorted(set(kmin) | set(batch_k))[:k]
+        kmin[:] = merged
+
+    q = s.writeStream.foreachBatch(handle_batch).trigger(availableNow=True).start()
+    q.awaitTermination()
+    k_used = len(kmin)
+    est = float(k_used) if k_used < k else round((k - 1) / kmin[-1], 4)
+    true_distinct = (
+        load_table(spark, sf_dir, "events").select("user_id").distinct().count()
+    )
+    return spark.createDataFrame(
+        [(k_used, est, true_distinct)],
+        "k_used bigint, est_distinct double, true_distinct bigint",
+    )
