@@ -995,3 +995,164 @@ def tokenizer_unigram_em(spark: SparkSession, sf_dir: str) -> DataFrame:
         (p, c, round(prob, 6)) for p, c, prob in pieces if len(p) > 1
     ][:30]
     return spark.createDataFrame(rows, "piece string, piece_count long, prob double")
+
+
+# ---------------------------------------------------------------------------
+# WordPiece-style greedy MaxMatch encoder (third tokenizer family)
+# ---------------------------------------------------------------------------
+
+
+def wordpiece_vocab(docs: DataFrame, top_multi: int = 200, max_len: int = 6) -> DataFrame:
+    """Frequency-selected subword vocabulary: the ``top_multi`` most
+    frequent substrings of length 2..``max_len`` across word
+    occurrences (ties broken lexicographically), plus every single
+    character (so greedy matching never emits UNK). One explode +
+    one hash aggregate + one TakeOrdered — vocabulary selection is
+    corpus-scale work but shuffles only (piece, partial-count) pairs.
+    """
+    from lakehouse_test_spark.operators.text import ws_tokens
+
+    words = (
+        docs.select(F.explode(ws_tokens(F.col("text"))).alias("w"))
+        .where(F.col("w") != "")
+        .groupBy("w")
+        .agg(F.count(F.lit(1)).alias("freq"))
+    )
+    subs = (
+        words.select("w", "freq", F.explode(F.sequence(F.lit(1), F.length("w"))).alias("i"))
+        .select("w", "freq", "i", F.explode(F.sequence(F.lit(2), F.lit(max_len))).alias("l"))
+        .where(F.col("i") + F.col("l") - 1 <= F.length("w"))
+        .select(F.expr("substring(w, i, l)").alias("piece"), "freq")
+        .groupBy("piece")
+        .agg(F.sum("freq").alias("sfreq"))
+    )
+    multi = subs.orderBy(F.desc("sfreq"), "piece").limit(top_multi).select("piece")
+    chars = (
+        words.select(F.explode(F.split(F.col("w"), "")).alias("piece"))
+        .where(F.col("piece") != "")
+        .distinct()
+    )
+    return multi.unionByName(chars).distinct()
+
+
+def wordpiece_encode(targets: DataFrame, vocab: list[str], word_col: str = "cw") -> DataFrame:
+    """Greedy longest-match-first (MaxMatch) segmentation of each
+    target word against the vocabulary — WordPiece inference (without
+    the ## continuation mark; single-char coverage makes UNK
+    impossible). The scan is inherently sequential pointer-chasing,
+    so it runs as an Arrow-batched mapInPandas kernel over the
+    DISTINCT target words — vocabulary-sized Python, never
+    corpus-sized — with the vocab broadcast as a closure set.
+    """
+    import pandas as pd
+
+    vset = frozenset(vocab)
+    maxlen = max((len(p) for p in vset), default=1)
+    schema = f"{word_col} string, pieces string, n_pieces int"
+
+    def kernel(batches):
+        for pdf in batches:
+            out = []
+            for w in pdf[word_col]:
+                pos, pieces = 0, []
+                while pos < len(w):
+                    for l in range(min(maxlen, len(w) - pos), 0, -1):
+                        cand = w[pos : pos + l]
+                        if cand in vset:
+                            pieces.append(cand)
+                            pos += l
+                            break
+                    else:  # pragma: no cover — single chars are in vocab
+                        pieces.append(w[pos])
+                        pos += 1
+                out.append((w, "|".join(pieces), len(pieces)))
+            yield pd.DataFrame(out, columns=[word_col, "pieces", "n_pieces"])
+
+    return targets.select(word_col).distinct().mapInPandas(kernel, schema)
+
+
+@query(
+    "tokenizer_wordpiece_encode",
+    oracle="""
+    WITH RECURSIVE toks AS (
+      SELECT doc_id, string_split_regex(lower(text), '\\s+') AS w FROM documents
+    ), words AS (
+      SELECT t AS w, CAST(count(*) AS BIGINT) AS freq
+      FROM (SELECT unnest(w) AS t FROM toks) WHERE t <> '' GROUP BY t
+    ), subs AS (
+      SELECT substr(w, i, l) AS piece, CAST(sum(freq) AS BIGINT) AS sfreq
+      FROM words, LATERAL (SELECT unnest(generate_series(1, len(w))) AS i) a,
+           LATERAL (SELECT unnest(generate_series(2, 6)) AS l) b
+      WHERE i + l - 1 <= len(w) GROUP BY piece
+    ), multi AS (SELECT piece FROM subs ORDER BY sfreq DESC, piece LIMIT 200),
+    chars AS (
+      SELECT DISTINCT substr(w, i, 1) AS piece
+      FROM words, LATERAL (SELECT unnest(generate_series(1, len(w))) AS i) a
+    ), vocab AS (SELECT piece FROM multi UNION SELECT piece FROM chars),
+    compounds AS (
+      SELECT w[i] || w[i+1] AS cw, CAST(count(*) AS BIGINT) AS freq
+      FROM toks, LATERAL (SELECT unnest(generate_series(1, len(w) - 1)) AS i) s
+      WHERE w[i] <> '' AND w[i+1] <> ''
+      GROUP BY cw
+    ), seg AS (
+      SELECT cw, 1 AS pos, CAST('' AS VARCHAR) AS pieces, 0 AS n_pieces FROM compounds
+      UNION ALL
+      SELECT s.cw, s.pos + len(v.piece),
+             CASE WHEN s.pieces = '' THEN v.piece
+                  ELSE s.pieces || '|' || v.piece END,
+             s.n_pieces + 1
+      FROM seg s JOIN vocab v ON substr(s.cw, s.pos, len(v.piece)) = v.piece
+      WHERE s.pos <= len(s.cw)
+        AND NOT EXISTS (SELECT 1 FROM vocab v2
+          WHERE len(v2.piece) > len(v.piece)
+            AND substr(s.cw, s.pos, len(v2.piece)) = v2.piece)
+    )
+    SELECT c.cw AS compound, c.freq, d.n_pieces, d.pieces
+    FROM compounds c
+    JOIN (SELECT cw, pieces, n_pieces FROM seg WHERE pos = len(cw) + 1) d USING (cw)
+    ORDER BY c.freq DESC, c.cw LIMIT 50
+    """,
+    tags=("text", "llm", "tokenizer"),
+)
+def tokenizer_wordpiece_encode(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """WordPiece-style greedy MaxMatch, HASH-CHECKED end to end: a
+    frequency-selected subword vocabulary (top-200 substrings + all
+    chars) segments out-of-vocabulary COMPOUNDS (adjacent word pairs
+    concatenated — the OOV case subword tokenizers exist for), and
+    the full segmentation of the top-50 compounds matches a
+    recursive-CTE MaxMatch oracle piece for piece. Completes the
+    tokenizer trio (BPE ``tokenizer_bpe_*``, Unigram-LM
+    ``tokenizer_unigram_em``) — and unlike those rows-only trainers,
+    the encode here is oracle-exact.
+
+    Scale: vocab selection shuffles (piece, count) partials once;
+    encoding touches only DISTINCT targets (vocabulary-sized) in an
+    Arrow-batched kernel and joins counts back by key — the same
+    decouple-from-corpus-size posture as bpe_encode_stats.
+    """
+    d = load_table(spark, sf_dir, "documents")
+    from lakehouse_test_spark.operators.text import ws_tokens
+
+    vocab = [r["piece"] for r in wordpiece_vocab(d).collect()]
+    toks = d.select(ws_tokens(F.col("text")).alias("w"))
+    compounds = (
+        toks.select(
+            F.explode(
+                F.expr(
+                    "transform(sequence(1, greatest(size(w) - 1, 0)),"
+                    " i -> struct(element_at(w, i) AS t1, element_at(w, i + 1) AS t2))"
+                )
+            ).alias("b")
+        )
+        .where((F.col("b.t1") != "") & (F.col("b.t2") != ""))
+        .select(F.concat("b.t1", "b.t2").alias("cw"))
+        .groupBy("cw")
+        .agg(F.count(F.lit(1)).cast("bigint").alias("freq"))
+    )
+    seg = wordpiece_encode(compounds, vocab, "cw")
+    return (
+        compounds.join(seg, "cw")
+        .select(F.col("cw").alias("compound"), "freq", "n_pieces", "pieces")
+        .orderBy(F.desc("freq"), "compound")
+        .limit(50)
+    )
