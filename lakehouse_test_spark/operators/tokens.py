@@ -170,14 +170,28 @@ def contamination_ngram_overlap(spark: SparkSession, sf_dir: str) -> DataFrame:
     set). Docs with >= 50% shingle overlap are flagged — the standard
     n-gram decontamination rule (GPT-3 appendix C / PaLM style).
 
-    Scale: the eval shingle set is collected and BROADCAST as an array
-    literal (eval benchmarks are tiny — thousands of docs — vs the
-    100 TB train side), so the train scan stays shuffle-free: one
-    codegen'd array_intersect per doc against the broadcast set. At
-    larger eval sizes switch to the same shape via a broadcast hash
-    semi-join on exploded shingles; the train side still never
-    shuffles.
+    Scale: two strategies, auto-selected on eval-set size. Small eval
+    (the common case — benchmarks are thousands of docs vs the 100 TB
+    train side): the shingle set becomes an in-plan array literal and
+    the train scan is shuffle-free codegen array_intersect. Large
+    eval (> ``_EVAL_LITERAL_MAX`` shingles, where a plan literal
+    would bloat every task binary): exploded shingles broadcast-
+    hash-join the eval table and re-aggregate per doc — one
+    partial-agg shuffle of (doc_id, counts), plan size flat. Both
+    paths are result-identical (pinned by
+    tests/test_wave12.py::test_contamination_strategies_agree).
     """
+    return _contamination_overlap(spark, sf_dir, strategy="auto")
+
+
+#: above this many eval shingles the in-plan literal strategy flips
+#: to the broadcast-join strategy (plan/task-binary size guard)
+_EVAL_LITERAL_MAX = 50_000
+
+
+def _contamination_overlap(
+    spark: SparkSession, sf_dir: str, strategy: str = "auto"
+) -> DataFrame:
     d = load_table(spark, sf_dir, "documents")
     toks = ws_tokens(F.col("text"))
     idx = F.when(
@@ -195,20 +209,35 @@ def contamination_ngram_overlap(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
     )
     sh = d.select("doc_id", shingles.alias("shingles"))
-    eval_rows = (
+    eval_df = (
         sh.where(F.col("doc_id") % 97 == 0)
         .select(F.explode("shingles").alias("s"))
         .distinct()
-        .collect()
     )
-    eval_set = sorted(r["s"] for r in eval_rows)
     train = sh.where(F.col("doc_id") % 97 != 0)
-    overlap = F.size(F.array_intersect(F.col("shingles"), F.lit(eval_set)))
-    n_sh = F.size(F.col("shingles"))
-    frac = F.when(n_sh == 0, F.lit(0.0)).otherwise(
-        overlap.cast("double") / n_sh
-    )
-    return train.select(
+
+    if strategy == "auto":
+        strategy = "join" if eval_df.count() > _EVAL_LITERAL_MAX else "literal"
+
+    if strategy == "literal":
+        eval_set = sorted(r["s"] for r in eval_df.collect())
+        overlap = F.size(F.array_intersect(F.col("shingles"), F.lit(eval_set)))
+        scored = train.select("doc_id", F.size("shingles").alias("n_sh"), overlap.alias("ov"))
+    else:
+        exploded = train.select("doc_id", F.size("shingles").alias("n_sh"), F.explode_outer("shingles").alias("s"))
+        hit = F.broadcast(eval_df.withColumn("hit", F.lit(1)))
+        scored = (
+            exploded.join(hit, "s", "left")
+            .groupBy("doc_id")
+            .agg(
+                F.max("n_sh").alias("n_sh"),
+                F.count(F.col("hit")).cast("int").alias("ov"),
+            )
+        )
+    n_sh = F.col("n_sh")
+    overlap = F.col("ov")
+    frac = F.when(n_sh == 0, F.lit(0.0)).otherwise(overlap.cast("double") / n_sh)
+    return scored.select(
         "doc_id",
         n_sh.cast("int").alias("n_shingles"),
         overlap.cast("int").alias("n_overlap"),

@@ -84,3 +84,20 @@ def test_funnel_durations_nonnegative(spark, sf_dir):
         if r["n_users"]:
             assert r["median_sec"] >= 0
             assert r["p90_sec"] >= r["median_sec"]
+
+
+def test_contamination_strategies_agree(spark, sf_dir):
+    """The literal-intersect and broadcast-join contamination paths
+    must produce identical rows (the auto switch is a plan-size
+    guard, not a semantic change)."""
+    from lakehouse_test_spark.operators.tokens import _contamination_overlap
+
+    lit = {
+        r["doc_id"]: (r["n_shingles"], r["n_overlap"], r["overlap_frac"], r["contaminated"])
+        for r in _contamination_overlap(spark, sf_dir, "literal").collect()
+    }
+    join = {
+        r["doc_id"]: (r["n_shingles"], r["n_overlap"], r["overlap_frac"], r["contaminated"])
+        for r in _contamination_overlap(spark, sf_dir, "join").collect()
+    }
+    assert lit == join

@@ -134,11 +134,17 @@ def main() -> None:
     ap = argparse.ArgumentParser()
     ap.add_argument("--out", default="/tmp/lakehouse_scale")
     ap.add_argument("--skip-synth", action="store_true")
+    ap.add_argument("--extension", action="store_true",
+                    help="time the wave H-J extension families instead of HEADLINE")
     args = ap.parse_args()
 
     sf1 = os.path.join(args.out, "sf1")
     if not args.skip_synth or not os.path.exists(sf1):
         sf1 = synthesize(args.out)
+
+    if args.extension:
+        run_extension([SRC, sf1])
+        return
 
     b01 = run_bench(SRC)
     b1 = run_bench(sf1)
@@ -162,3 +168,57 @@ def main() -> None:
 
 if __name__ == "__main__":
     main()
+
+
+# ---------------------------------------------------------------------------
+# Extension probe: the round-3 wave H-J operator families, timed
+# in-process (bench.py's HEADLINE list stays frozen for round-over-
+# round comparability; these get their own scaling table).
+# ---------------------------------------------------------------------------
+
+EXTENSION_QUERIES = [
+    "geo_grid_neighbor_pairs",
+    "geo_dbscan_labels",
+    "dedup_substring_spans",
+    "ml_decision_tree_depth2",
+    "text_collocations_pmi",
+    "survival_kaplan_meier",
+    "recsys_item_item_cosine",
+    "graph_bfs_levels",
+    "agg_weighted_median",
+    "marketing_attribution_position",
+]
+
+
+def run_extension(sf_dirs: list[str]) -> None:
+    import time
+
+    from lakehouse_test_spark.queries import REGISTRY
+    from lakehouse_test_spark.session import get_spark, pin_fixture_tables
+
+    spark = get_spark("scaling-probe-ext")
+    spark.range(1).count()
+    results: dict[str, dict[str, float]] = {}
+    for sf_dir in sf_dirs:
+        pin_fixture_tables(spark, sf_dir)
+        for name in EXTENSION_QUERIES:
+            fn = REGISTRY[name].fn
+            fn(spark, sf_dir).write.format("noop").mode("overwrite").save()  # warm
+            t0 = time.perf_counter()
+            fn(spark, sf_dir).write.format("noop").mode("overwrite").save()
+            results.setdefault(name, {})[sf_dir] = time.perf_counter() - t0
+        spark.catalog.clearCache()
+    a, b = sf_dirs
+    print("| query | sf0.1 s | sf1 s | ratio (10x data) |")
+    print("|---|---|---|---|")
+    ratios = {}
+    tot_a = tot_b = 0.0
+    for name in EXTENSION_QUERIES:
+        ta, tb = results[name][a], results[name][b]
+        tot_a += ta
+        tot_b += tb
+        ratios[name] = round(tb / max(ta, 0.1), 2)
+        print(f"| {name} | {ta:.2f} | {tb:.2f} | {ratios[name]:.2f}x |")
+    print(f"| **total** | {tot_a:.2f} | {tot_b:.2f} | {round(tot_b / tot_a, 2):.2f}x |")
+    print()
+    print(json.dumps({"metric": "sf1_scaling_ext", "total_ratio": round(tot_b / tot_a, 2), "ratios": ratios}))
