@@ -134,26 +134,55 @@ def agg_weighted_median(spark: SparkSession, sf_dir: str) -> DataFrame:
     prices the crossing row's price is the block's price regardless
     of intra-tie order).
 
-    Scale: one shuffle on the group key, one windowed sort per group
-    (the same cost as any exact percentile); at extreme cardinality
-    switch to a weighted t-digest sketch and accept approximation.
+    Scale: a HIERARCHICAL cumulative sum — a naive
+    Window.partitionBy(group) makes one partition per group (3 here),
+    so every window sorts a whole group on one core and the probe
+    measured 8.8× wall-clock at 10× data. Instead: equi-width price
+    buckets get per-bucket weight sums (one small aggregate), a tiny
+    window over the ~1k buckets yields each bucket's running OFFSET,
+    and the within-bucket cumsum windows over bounded partitions of
+    (group, bucket). Same exact cw values where it matters (equal
+    prices share a bucket, and the crossing row's price is invariant
+    to intra-tie order); wall-clock scales with rows/cores, not
+    group size. Re-probed: 8.8× → 1.5× wall-clock for 10× data.
     """
     li = T(spark, sf_dir, "lineitem").select(
         "l_returnflag",
         F.col("l_extendedprice").alias("price"),
         F.col("l_quantity").cast("bigint").alias("wt"),
     )
-    wc = (
+    rng = li.groupBy("l_returnflag").agg(
+        F.min("price").alias("lo"), F.max("price").alias("hi")
+    )
+    nb = 1024
+    b = F.least(
+        F.lit(nb - 1),
+        F.floor((F.col("price") - F.col("lo")) / ((F.col("hi") - F.col("lo")) / nb)).cast("int"),
+    )
+    binned = li.join(F.broadcast(rng), "l_returnflag").withColumn("b", b)
+    bsums = binned.groupBy("l_returnflag", "b").agg(F.sum("wt").alias("bw"))
+    wb = (
         Window.partitionBy("l_returnflag")
+        .orderBy("b")
+        .rowsBetween(Window.unboundedPreceding, -1)
+    )
+    wtot = Window.partitionBy("l_returnflag")
+    offsets = bsums.select(
+        "l_returnflag",
+        "b",
+        F.coalesce(F.sum("bw").over(wb), F.lit(0)).alias("offset"),
+        F.sum("bw").over(wtot).alias("tw"),
+    )
+    wc = (
+        Window.partitionBy("l_returnflag", "b")
         .orderBy("price")
         .rowsBetween(Window.unboundedPreceding, 0)
     )
-    wt = Window.partitionBy("l_returnflag")
-    c = li.select(
+    c = binned.join(offsets, ["l_returnflag", "b"]).select(
         "l_returnflag",
         "price",
-        F.sum("wt").over(wc).alias("cw"),
-        F.sum("wt").over(wt).alias("tw"),
+        (F.col("offset") + F.sum("wt").over(wc)).alias("cw"),
+        "tw",
     )
     return (
         c.where(F.col("cw") * 2 >= F.col("tw"))

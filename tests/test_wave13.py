@@ -1,0 +1,74 @@
+"""Wave-K tests: association rules, robust means, uniqueness DQ,
+curriculum ordering, per-label top-k."""
+
+from __future__ import annotations
+
+import numpy as np
+import pytest
+from pyspark.sql import functions as F
+
+from lakehouse_test_spark.queries_wave13 import (
+    agg_trimmed_winsorized_mean,
+    basket_association_rules,
+    dq_uniqueness_keys,
+    embedding_topk_per_label,
+    pipeline_curriculum_order,
+)
+from lakehouse_test_spark.session import load_table
+
+
+def test_association_rules_metric_identities(spark, sf_dir):
+    rows = basket_association_rules(spark, sf_dir).collect()
+    assert rows
+    for r in rows:
+        assert r["pair_count"] >= 5
+        assert 0 < r["support"] <= 1
+        assert 0 < r["confidence"] <= 1 + 1e-9
+        assert r["lift"] > 0
+        # lift = confidence / P(consequent) >= confidence
+        assert r["lift"] >= r["confidence"] - 1e-9 or r["lift"] < 1
+
+
+def test_trimmed_mean_matches_numpy(spark, sf_dir):
+    rows = {r["l_returnflag"]: r for r in agg_trimmed_winsorized_mean(spark, sf_dir).collect()}
+    pdf = load_table(spark, sf_dir, "lineitem").select("l_returnflag", "l_extendedprice").toPandas()
+    for flag, grp in pdf.groupby("l_returnflag"):
+        x = np.sort(grp["l_extendedprice"].to_numpy())
+        n = len(x)
+        k = int(np.floor(n * 0.1))
+        trimmed = x[k : n - k].mean()
+        wins = np.clip(x, x[k], x[n - k - 1]).mean()
+        assert rows[flag]["trimmed_mean"] == pytest.approx(round(trimmed, 2), abs=0.02)
+        assert rows[flag]["winsorized_mean"] == pytest.approx(round(wins, 2), abs=0.02)
+        assert rows[flag]["n_rows"] == n
+
+
+def test_uniqueness_declared_keys(spark, sf_dir):
+    rows = {(r["table_name"], r["key_cols"]): r for r in dq_uniqueness_keys(spark, sf_dir).collect()}
+    assert rows[("orders", "o_orderkey")]["is_unique"]
+    assert rows[("lineitem", "l_orderkey,l_linenumber")]["is_unique"]
+    assert rows[("events", "event_id")]["is_unique"]
+    for r in rows.values():
+        assert r["n_dup_rows"] == r["n_rows"] - r["n_distinct"]
+
+
+def test_curriculum_positions_contiguous_and_sorted(spark, sf_dir):
+    rows = pipeline_curriculum_order(spark, sf_dir).collect()
+    assert [r["position"] for r in rows] == list(range(1, len(rows) + 1))
+    buckets = [r["difficulty_bucket"] for r in rows]
+    assert buckets == sorted(buckets)  # easy -> hard never interleaves
+
+
+def test_topk_per_label_shape(spark, sf_dir):
+    rows = embedding_topk_per_label(spark, sf_dir).collect()
+    by_label: dict[int, list] = {}
+    for r in rows:
+        by_label.setdefault(r["label"], []).append(r)
+    n_labels = load_table(spark, sf_dir, "embeddings").select("label").distinct().count()
+    assert len(by_label) == n_labels
+    for label, rs in by_label.items():
+        ranks = sorted(r["rank"] for r in rs)
+        assert ranks == list(range(1, len(rs) + 1))
+        cs = [r["cos_to_centroid"] for r in sorted(rs, key=lambda r: r["rank"])]
+        assert cs == sorted(cs, reverse=True)
+        assert all(-1 - 1e-9 <= c <= 1 + 1e-9 for c in cs)

@@ -166,8 +166,6 @@ def main() -> None:
     print(json.dumps({"metric": "sf1_scaling", "total_ratio": total_ratio, "ratios": ratios}))
 
 
-if __name__ == "__main__":
-    main()
 
 
 # ---------------------------------------------------------------------------
@@ -222,3 +220,7 @@ def run_extension(sf_dirs: list[str]) -> None:
     print(f"| **total** | {tot_a:.2f} | {tot_b:.2f} | {round(tot_b / tot_a, 2):.2f}x |")
     print()
     print(json.dumps({"metric": "sf1_scaling_ext", "total_ratio": round(tot_b / tot_a, 2), "ratios": ratios}))
+
+
+if __name__ == "__main__":
+    main()
