@@ -75,3 +75,38 @@ def test_topk_per_label_shape(spark, sf_dir):
         cs = [r["cos_to_centroid"] for r in sorted(rs, key=lambda r: r["rank"])]
         assert cs == sorted(cs, reverse=True)
         assert all(-1 - 1e-9 <= c <= 1 + 1e-9 for c in cs)
+
+
+def test_join_cardinality_estimate_unbiasedness_shape(spark, sf_dir):
+    from lakehouse_test_spark.queries_wave14 import stats_join_cardinality_estimate
+
+    r = stats_join_cardinality_estimate(spark, sf_dir).collect()[0]
+    assert r["estimated_rows"] == r["sampled_rows"] * 16
+    assert r["rel_error"] >= 0
+    # key-correlated sampling at 1/16 should land within ~50% at smoke scale
+    assert r["rel_error"] < 0.5
+
+
+def test_blocking_quality_bounds(spark, sf_dir):
+    from lakehouse_test_spark.queries_wave14 import linkage_blocking_quality
+
+    r = linkage_blocking_quality(spark, sf_dir).collect()[0]
+    if r["n_true_pairs"]:
+        assert 0 <= r["pair_completeness"] <= 1
+    else:
+        # no ground-truth dup pairs at this scale -> completeness is
+        # NULL by construction (0/0), matching the oracle
+        assert r["pair_completeness"] is None
+    assert 0 <= r["reduction_ratio"] <= 1
+    assert r["n_true_in_block"] <= r["n_true_pairs"]
+
+
+def test_k_anonymity_covers_all_customers(spark, sf_dir):
+    from lakehouse_test_spark.queries_wave14 import dq_k_anonymity
+
+    rows = dq_k_anonymity(spark, sf_dir).collect()
+    total = sum(r["group_size"] for r in rows)
+    assert total == load_table(spark, sf_dir, "customer").count()
+    for r in rows:
+        assert 1 <= r["l_diversity"] <= 3
+        assert r["below_k10"] == (r["group_size"] < 10)
