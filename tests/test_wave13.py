@@ -93,12 +93,14 @@ def test_blocking_quality_bounds(spark, sf_dir):
     r = linkage_blocking_quality(spark, sf_dir).collect()[0]
     if r["n_true_pairs"]:
         assert 0 <= r["pair_completeness"] <= 1
+        assert r["n_true_in_block"] <= r["n_true_pairs"]
     else:
-        # no ground-truth dup pairs at this scale -> completeness is
-        # NULL by construction (0/0), matching the oracle
+        # no ground-truth dup pairs at this scale -> the conditional
+        # aggregates are NULL by construction (sum/ratio over an
+        # empty set), matching the oracle
         assert r["pair_completeness"] is None
+        assert r["n_true_in_block"] is None
     assert 0 <= r["reduction_ratio"] <= 1
-    assert r["n_true_in_block"] <= r["n_true_pairs"]
 
 
 def test_k_anonymity_covers_all_customers(spark, sf_dir):
