@@ -286,3 +286,59 @@ def test_scd2_single_shuffle_on_key(spark, sf_dir):
     must reuse one exchange."""
     p = plan_of(spark, sf_dir, "dim_scd2_history")
     assert p.count("Exchange hashpartitioning(c_custkey") <= 1
+
+
+def test_stump_partial_aggregation_and_takeordered(spark, sf_dir):
+    """The histogram method's per-(feature,value) counts must partial-
+    aggregate map-side, and the argmin must be a TakeOrdered(1), not
+    a global sort."""
+    plan = plan_of(spark, sf_dir, "ml_decision_stump")
+    assert "partial_count" in plan or "partial_" in plan
+    assert "TakeOrderedAndProject" in plan
+
+
+def test_pmi_broadcasts_vocab_joins(spark, sf_dir):
+    """Unigram counts join the bigram table BROADCAST (vocab ≪
+    corpus); no sort-merge exchange on the token key."""
+    plan = plan_of(spark, sf_dir, "text_collocations_pmi")
+    assert plan.count("BroadcastHashJoin") >= 2
+    assert "TakeOrderedAndProject" in plan
+
+
+def test_association_rules_broadcast_metrics_joins(spark, sf_dir):
+    plan = plan_of(spark, sf_dir, "basket_association_rules")
+    assert plan.count("BroadcastHashJoin") >= 2
+    assert "TakeOrderedAndProject" in plan
+    assert "CartesianProduct" not in plan
+
+
+def test_substring_spans_single_shuffle(spark, sf_dir):
+    """Gram expansion is in-plan; only the gram aggregate (plus its
+    final single-row rollup) shuffles — no joins, no Python."""
+    plan = plan_of(spark, sf_dir, "dedup_substring_spans")
+    assert "BatchEvalPython" not in plan and "ArrowEvalPython" not in plan
+    assert "Join" not in plan
+
+
+def test_weighted_median_no_single_partition_sort(spark, sf_dir):
+    """The hierarchical cumsum must NOT window over a whole group:
+    every window partition key includes the bucket column (the probe
+    caught the naive per-group window at 8.8× for 10× data)."""
+    plan = plan_of(spark, sf_dir, "agg_weighted_median", mode="formatted")
+    import re
+
+    # the per-row running sum must window over (returnflag, bucket,
+    # price-ordered) — bounded partitions; the group-only window may
+    # only appear on the tiny bucket-offset frame
+    assert re.search(r"windowspecdefinition\(l_returnflag#\d+, b#\d+, price#\d+", plan), plan
+
+
+def test_kmv_sketch_is_takeordered_not_global_sort(spark, sf_dir):
+    plan = plan_of(spark, sf_dir, "sketch_kmv_distinct")
+    assert "TakeOrderedAndProject" in plan
+
+
+def test_pit_join_hash_with_range_residual(spark, sf_dir):
+    plan = plan_of(spark, sf_dir, "dim_scd2_point_in_time")
+    assert "BroadcastNestedLoopJoin" not in plan
+    assert "CartesianProduct" not in plan
