@@ -1125,6 +1125,95 @@ def maintain_rollup(
     return new_cursor
 
 
+def maintain_join(
+    spark: SparkSession,
+    left: "LakehouseTable",
+    right: "LakehouseTable",
+    target: "LakehouseTable",
+    on: list[str],
+    left_cursor: int,
+    right_cursor: int,
+) -> tuple[int, int]:
+    """Incremental view maintenance for a materialized INNER JOIN —
+    the delta-join algebra, maintain_rollup's binary sibling. The
+    target stores the joined rows at (all-columns) grain with a
+    multiplicity column ``m`` (bag semantics), and each call folds
+
+        Δ(A ⋈ B) = ΔA ⋈ B_old  ∪  A_new ⋈ ΔB
+
+    (the exact bag identity for A_new⋈B_new − A_old⋈B_old) into it
+    via MERGE, dropping rows whose multiplicity reaches zero. B_old
+    comes from TIME TRAVEL at the right cursor — no shadow copies.
+    After any sequence of appends/DV-deletes on either side, the
+    target equals a full recompute of the join grouped by all columns
+    (pinned in tests/test_lakehouse_maint.py); on
+    RestateAcrossCursorError or a vacuumed time-travel horizon it
+    rebuilds from the current snapshots, the documented recovery path.
+
+    Scale: each call joins only the DELTAS against one full side —
+    cost O(|Δ| x join fan-out), not O(|A| x |B|); the MERGE is a
+    keyed anti-join on the |view|-sized target. This is how a 100 TB
+    materialized join stays fresh under streaming upserts without
+    re-running the join.
+    """
+    from pyspark.sql import functions as F
+
+    new_left, new_right = left.latest_version(), right.latest_version()
+
+    def _signed(delta):
+        return delta.withColumn(
+            "_sign",
+            F.when(F.col("_change_type") == "delete", F.lit(-1)).otherwise(F.lit(1)),
+        ).drop("_change_type", "_commit_version")
+
+    try:
+        da = _signed(left.read_changes_cdf(left_cursor))
+        db = _signed(right.read_changes_cdf(right_cursor))
+        b_old = (
+            right.snapshot(version=right_cursor)
+            if right_cursor >= 0
+            else right.snapshot().limit(0)
+        )
+    except (RestateAcrossCursorError, VacuumHorizonError):
+        da = None
+    a_new = left.snapshot()
+
+    empty_target = target.latest_version() < 0
+    if da is None:  # rebuild from snapshots
+        full = a_new.join(right.snapshot(), on)
+        cols = full.columns
+        grouped = full.groupBy(*cols).agg(F.count(F.lit(1)).alias("m"))
+        if not empty_target:
+            target.delete_where("true")
+        target.append(grouped, operation="join-ivm-rebuild")
+        return new_left, new_right
+
+    d1 = da.join(b_old, on)
+    d2 = a_new.join(db, on)
+    value_cols = [c for c in d1.columns if c != "_sign"]
+    inc = (
+        d1.select(*value_cols, "_sign")
+        .unionByName(d2.select(*value_cols, "_sign"))
+        .groupBy(*value_cols)
+        .agg(F.sum("_sign").alias("m"))
+        .where(F.col("m") != 0)
+    )
+    if inc.isEmpty():
+        return new_left, new_right
+    if empty_target:
+        target.append(inc.where(F.col("m") > 0), operation="join-ivm-bootstrap")
+        return new_left, new_right
+    current = target.snapshot().select(*value_cols, "m")
+    merged = (
+        current.unionByName(inc)
+        .groupBy(*value_cols)
+        .agg(F.sum("m").alias("m"))
+    )
+    live = merged.where(F.col("m") != 0)
+    target.merge(live, key_cols=value_cols, sync_delete_unmatched=True)
+    return new_left, new_right
+
+
 @_query(
     "lakehouse_bloom_pointlookup",
     oracle="""
@@ -1511,3 +1600,60 @@ def dim_scd2_history(spark: SparkSession, sf_dir: str) -> DataFrame:
         "valid_to",
         "is_current",
     )
+
+
+@_query(
+    "lakehouse_join_ivm",
+    oracle="""
+    WITH a AS (
+      SELECT o_custkey AS custkey, o_orderkey,
+             CAST(round(o_totalprice, 2) AS DOUBLE) AS price
+      FROM orders WHERE o_orderkey % 20 = 0
+    ), b AS (
+      SELECT c_custkey AS custkey, c_mktsegment
+      FROM customer WHERE c_custkey % 2 = 0 AND c_mktsegment <> 'BUILDING'
+    )
+    SELECT a.custkey, a.o_orderkey, a.price, b.c_mktsegment,
+           CAST(1 AS BIGINT) AS m
+    FROM a JOIN b USING (custkey)
+    """,
+    tags=("lakehouse", "ivm", "join"),
+)
+def lakehouse_join_ivm(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Materialized-join IVM under the oracle gate: two lakehouse
+    tables receive a scripted sequence of appends and a DV-delete,
+    with ``maintain_join`` folding each window's delta-join into the
+    target — and the final materialized view hash-matches the oracle's
+    one-shot SQL join of the END state. Incremental == recompute,
+    proven on real commits (including a deletion-vector window).
+    """
+    import tempfile
+
+    from pyspark.sql import functions as F
+
+    from lakehouse_test_spark.session import load_table as _lt
+
+    o = _lt(spark, sf_dir, "orders").select(
+        F.col("o_custkey").alias("custkey"),
+        "o_orderkey",
+        F.round("o_totalprice", 2).cast("double").alias("price"),
+    ).where(F.col("o_orderkey") % 20 == 0)
+    c = _lt(spark, sf_dir, "customer").select(
+        F.col("c_custkey").alias("custkey"), "c_mktsegment"
+    ).where(F.col("custkey") % 2 == 0)
+
+    a = LakehouseTable(spark, tempfile.mkdtemp(prefix="lh_ivm_qa_"))
+    b = LakehouseTable(spark, tempfile.mkdtemp(prefix="lh_ivm_qb_"))
+    t = LakehouseTable(spark, tempfile.mkdtemp(prefix="lh_ivm_qt_"))
+    ca = cb = -1
+    # window 1: majority of the left, full right
+    a.append(o.where(F.col("custkey") % 3 != 0))
+    b.append(c)
+    ca, cb = maintain_join(spark, a, b, t, ["custkey"], ca, cb)
+    # window 2: late-arriving left rows
+    a.append(o.where(F.col("custkey") % 3 == 0))
+    ca, cb = maintain_join(spark, a, b, t, ["custkey"], ca, cb)
+    # window 3: DV-delete a segment on the right
+    b.delete_where_dv("c_mktsegment = 'BUILDING'")
+    ca, cb = maintain_join(spark, a, b, t, ["custkey"], ca, cb)
+    return t.snapshot().select("custkey", "o_orderkey", "price", "c_mktsegment", "m")

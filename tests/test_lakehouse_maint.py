@@ -120,3 +120,99 @@ def test_constraints_persist_across_reopen(spark, table):
     bad = spark.range(3).select((F.col("id") - 10).alias("k"), F.col("id").alias("v"))
     with pytest.raises(ConstraintViolationError):
         reopened.append(bad)
+
+
+# ---------------------------------------------------------------------------
+# join IVM (maintain_join)
+# ---------------------------------------------------------------------------
+
+
+def _recompute_join(a, b, on):
+    full = a.snapshot().join(b.snapshot(), on)
+    return {
+        tuple(r)
+        for r in full.groupBy(*full.columns).agg(F.count(F.lit(1)).alias("m")).collect()
+    }
+
+
+def _target_rows(t):
+    return {tuple(r) for r in t.snapshot().collect()}
+
+
+def test_join_ivm_tracks_full_recompute(spark):
+    """Appends and DV-deletes on BOTH sides, maintained incrementally,
+    must equal a full recompute of the join after every call."""
+    from lakehouse_test_spark.plans.lakehouse import maintain_join
+
+    a = LakehouseTable(spark, tempfile.mkdtemp(prefix="lh_ivm_a_"))
+    b = LakehouseTable(spark, tempfile.mkdtemp(prefix="lh_ivm_b_"))
+    t = LakehouseTable(spark, tempfile.mkdtemp(prefix="lh_ivm_t_"))
+    try:
+        ca = cb = -1
+        a.append(
+            spark.range(0, 20).select(
+                (F.col("id") % 5).alias("k"), F.col("id").alias("av")
+            )
+        )
+        b.append(
+            spark.range(0, 10).select(
+                (F.col("id") % 5).alias("k"), (F.col("id") * 100).alias("bv")
+            )
+        )
+        ca, cb = maintain_join(spark, a, b, t, ["k"], ca, cb)
+        assert _target_rows(t) == _recompute_join(a, b, ["k"])
+
+        # delta on the left only
+        a.append(
+            spark.range(20, 30).select(
+                (F.col("id") % 5).alias("k"), F.col("id").alias("av")
+            )
+        )
+        ca, cb = maintain_join(spark, a, b, t, ["k"], ca, cb)
+        assert _target_rows(t) == _recompute_join(a, b, ["k"])
+
+        # delta on the right + DV-delete on the left in the same window
+        b.append(
+            spark.range(10, 14).select(
+                (F.col("id") % 5).alias("k"), (F.col("id") * 100).alias("bv")
+            )
+        )
+        a.delete_where_dv("av % 3 = 0")
+        ca, cb = maintain_join(spark, a, b, t, ["k"], ca, cb)
+        assert _target_rows(t) == _recompute_join(a, b, ["k"])
+
+        # DV-delete on the right; some join keys vanish entirely
+        b.delete_where_dv("k >= 3")
+        ca, cb = maintain_join(spark, a, b, t, ["k"], ca, cb)
+        assert _target_rows(t) == _recompute_join(a, b, ["k"])
+
+        # no-op window
+        ca, cb = maintain_join(spark, a, b, t, ["k"], ca, cb)
+        assert _target_rows(t) == _recompute_join(a, b, ["k"])
+    finally:
+        a.drop()
+        b.drop()
+        t.drop()
+
+
+def test_join_ivm_rebuilds_after_restate(spark):
+    """A full-rewrite delete (restate) across the cursor triggers the
+    rebuild path and still lands on the recompute."""
+    from lakehouse_test_spark.plans.lakehouse import maintain_join
+
+    a = LakehouseTable(spark, tempfile.mkdtemp(prefix="lh_ivm_a2_"))
+    b = LakehouseTable(spark, tempfile.mkdtemp(prefix="lh_ivm_b2_"))
+    t = LakehouseTable(spark, tempfile.mkdtemp(prefix="lh_ivm_t2_"))
+    try:
+        ca = cb = -1
+        a.append(spark.range(0, 12).select((F.col("id") % 4).alias("k"), F.col("id").alias("av")))
+        b.append(spark.range(0, 8).select((F.col("id") % 4).alias("k"), (F.col("id") * 10).alias("bv")))
+        ca, cb = maintain_join(spark, a, b, t, ["k"], ca, cb)
+        # restating rewrite (predicate delete) breaks CDF continuity
+        a.delete_where("av >= 6")
+        ca, cb = maintain_join(spark, a, b, t, ["k"], ca, cb)
+        assert _target_rows(t) == _recompute_join(a, b, ["k"])
+    finally:
+        a.drop()
+        b.drop()
+        t.drop()
