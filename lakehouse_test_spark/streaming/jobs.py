@@ -873,3 +873,94 @@ def streaming_kmv_distinct(spark: SparkSession, sf_dir: str) -> DataFrame:
         [(k_used, est, true_distinct)],
         "k_used bigint, est_distinct double, true_distinct bigint",
     )
+
+
+@query(
+    "streaming_join_ivm",
+    oracle="""
+    WITH a AS (
+      SELECT o_custkey AS custkey, o_orderkey,
+             CAST(round(o_totalprice, 2) AS DOUBLE) AS price
+      FROM orders WHERE o_orderkey % 20 = 0 AND o_totalprice >= 50000
+    ), b AS (
+      SELECT c_custkey AS custkey, c_mktsegment
+      FROM customer WHERE c_custkey % 2 = 0
+    )
+    SELECT a.custkey, a.o_orderkey, a.price, b.c_mktsegment,
+           CAST(1 AS BIGINT) AS m
+    FROM a JOIN b USING (custkey)
+    """,
+    tags=("streaming", "lakehouse", "ivm", "join"),
+)
+def streaming_join_ivm(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """STREAMING materialized-join maintenance: the left table's
+    change feed streams through the Python CDF DataSource (offsets =
+    commit versions, DV deletes stream the deleted rows), and each
+    micro-batch folds its signed delta-join against the static dim
+    into the multiplicity-grain target — plans.lakehouse.maintain_join
+    re-expressed as a foreachBatch consumer. Three commits (two
+    inserts + a deletion-vector delete) drain with AvailableNow, and
+    the final view hash-matches the oracle's one-shot SQL join of the
+    surviving rows: batch-slicing-independent, delete-correct IVM.
+
+    Scale: per batch the work is |Δ| ⋈ broadcast(dim) plus a keyed
+    MERGE on the |view|-sized target — the streaming-upsert pattern
+    that keeps a 100 TB materialized join fresh without re-running
+    the join.
+    """
+    import tempfile
+
+    from lakehouse_test_spark.plans.lakehouse import LakehouseTable
+    from lakehouse_test_spark.sources.cdf_datasource import register
+
+    register(spark)
+    o = load_table(spark, sf_dir, "orders").select(
+        F.col("o_custkey").alias("custkey"),
+        "o_orderkey",
+        F.round("o_totalprice", 2).cast("double").alias("price"),
+    ).where(F.col("o_orderkey") % 20 == 0)
+    dim = load_table(spark, sf_dir, "customer").select(
+        F.col("c_custkey").alias("custkey"), "c_mktsegment"
+    ).where(F.col("custkey") % 2 == 0)
+
+    a = LakehouseTable(spark, tempfile.mkdtemp(prefix="lh_sivm_a_"))
+    t = LakehouseTable(spark, tempfile.mkdtemp(prefix="lh_sivm_t_"))
+    a.append(o.where(F.col("custkey") % 3 != 0).repartition(2))
+    a.append(o.where(F.col("custkey") % 3 == 0).repartition(2))
+    a.delete_where_dv("price < 50000")
+
+    stream = spark.readStream.format("lakehouse_cdf").option("path", str(a.path)).load()
+
+    def fold(batch_df: DataFrame, _epoch: int) -> None:
+        signed = batch_df.withColumn(
+            "_sign",
+            F.when(F.col("_change_type") == "delete", F.lit(-1)).otherwise(F.lit(1)),
+        ).drop("_change_type", "_commit_version")
+        inc = (
+            signed.join(F.broadcast(dim), "custkey")
+            .groupBy("custkey", "o_orderkey", "price", "c_mktsegment")
+            .agg(F.sum("_sign").alias("m"))
+            .where(F.col("m") != 0)
+        )
+        if inc.isEmpty():
+            return
+        if t.latest_version() < 0:
+            t.append(inc.where(F.col("m") > 0), operation="stream-ivm-bootstrap")
+            return
+        cols = ["custkey", "o_orderkey", "price", "c_mktsegment"]
+        merged = (
+            t.snapshot().select(*cols, "m").unionByName(inc)
+            .groupBy(*cols)
+            .agg(F.sum("m").alias("m"))
+            .where(F.col("m") != 0)
+        )
+        t.merge(merged, key_cols=cols, sync_delete_unmatched=True)
+
+    q = (
+        stream.writeStream.foreachBatch(fold)
+        .option("maxFilesPerTrigger", "1")
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination()
+    return t.snapshot().select("custkey", "o_orderkey", "price", "c_mktsegment", "m")
