@@ -31,19 +31,27 @@ def T(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
     WITH monthly AS (
       SELECT CAST(date_trunc('month', o_orderdate) AS DATE) AS ms,
              month(o_orderdate) AS m,
-             CAST(sum(CAST(o_totalprice AS DECIMAL(18,6))) AS DOUBLE) AS x
+             -- exact integer micro-units: double round() diverges
+             -- across engines when a value's shortest decimal repr
+             -- ends in 5 (one engine rounds the repr, the other the
+             -- binary) — observed on a trend of ...2.725
+             CAST(sum(CAST(o_totalprice AS DECIMAL(18,6))) * 1000000 AS BIGINT)
+               AS x_micro
       FROM orders GROUP BY 1, 2
     ), win AS (
-      SELECT ms, m, x,
+      SELECT ms, m, x_micro,
              count(*) OVER w13 AS n13,
-             CAST(sum(CAST(x AS DECIMAL(18,6))) OVER w11 AS DOUBLE) AS s11,
-             CAST(lag(x, 6) OVER (ORDER BY ms) AS DOUBLE) AS xm6,
-             CAST(lead(x, 6) OVER (ORDER BY ms) AS DOUBLE) AS xp6
+             sum(x_micro) OVER w11 AS s11_micro,
+             lag(x_micro, 6) OVER (ORDER BY ms) AS xm6_micro,
+             lead(x_micro, 6) OVER (ORDER BY ms) AS xp6_micro
       FROM monthly
       WINDOW w13 AS (ORDER BY ms ROWS BETWEEN 6 PRECEDING AND 6 FOLLOWING),
              w11 AS (ORDER BY ms ROWS BETWEEN 5 PRECEDING AND 5 FOLLOWING)
     ), trended AS (
-      SELECT ms, m, x, (0.5 * xm6 + s11 + 0.5 * xp6) / 12.0 AS trend
+      SELECT ms, m, x_micro,
+             xm6_micro + 2 * s11_micro + xp6_micro AS trend_micro24,
+             CAST(x_micro AS DOUBLE) / 1e6 AS x,
+             CAST(xm6_micro + 2 * s11_micro + xp6_micro AS DOUBLE) / 24e6 AS trend
       FROM win WHERE n13 = 13
     ), seasonal AS (
       SELECT m,
@@ -55,8 +63,10 @@ def T(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
          / count(*) OVER ()) AS s
       FROM seasonal
     )
-    SELECT t.ms AS month_start, round(t.x, 2) AS revenue,
-           round(t.trend, 2) AS trend,
+    SELECT t.ms AS month_start,
+           -- half-up rounding in exact integer arithmetic (values > 0)
+           CAST((t.x_micro + 5000) // 10000 AS DOUBLE) / 100.0 AS revenue,
+           CAST((t.trend_micro24 + 120000) // 240000 AS DOUBLE) / 100.0 AS trend,
            round(n.s, 6) AS seasonal_index,
            round(t.x / (t.trend * n.s), 6) AS irregular
     FROM trended t JOIN norm n USING (m)
@@ -80,29 +90,36 @@ def timeseries_classical_decompose(spark: SparkSession, sf_dir: str) -> DataFram
     only shuffle.
     """
     o = T(spark, sf_dir, "orders")
+    # exact integer micro-units — see the oracle comment on
+    # cross-engine double round() divergence at repr-ends-in-5 values
     monthly = o.groupBy(
         F.date_trunc("month", "o_orderdate").cast("date").alias("ms"),
         F.month("o_orderdate").alias("m"),
-    ).agg(dsum(F.col("o_totalprice")).cast("double").alias("x"))
+    ).agg(
+        (dsum(F.col("o_totalprice")) * 1000000).cast("bigint").alias("x_micro")
+    )
     w13 = Window.orderBy("ms").rowsBetween(-6, 6)
     w11 = Window.orderBy("ms").rowsBetween(-5, 5)
     wo = Window.orderBy("ms")
     win = monthly.select(
         "ms",
         "m",
-        "x",
+        "x_micro",
         F.count(F.lit(1)).over(w13).alias("n13"),
-        F.sum(F.col("x").cast("decimal(18,6)")).over(w11).cast("double").alias("s11"),
-        F.lag("x", 6).over(wo).alias("xm6"),
-        F.lead("x", 6).over(wo).alias("xp6"),
+        F.sum("x_micro").over(w11).alias("s11_micro"),
+        F.lag("x_micro", 6).over(wo).alias("xm6_micro"),
+        F.lead("x_micro", 6).over(wo).alias("xp6_micro"),
+    )
+    trend_micro24 = (
+        F.col("xm6_micro") + 2 * F.col("s11_micro") + F.col("xp6_micro")
     )
     trended = win.where(F.col("n13") == 13).select(
         "ms",
         "m",
-        "x",
-        ((F.lit(0.5) * F.col("xm6") + F.col("s11") + F.lit(0.5) * F.col("xp6")) / 12.0).alias(
-            "trend"
-        ),
+        "x_micro",
+        trend_micro24.alias("trend_micro24"),
+        (F.col("x_micro").cast("double") / 1e6).alias("x"),
+        (trend_micro24.cast("double") / 24e6).alias("trend"),
     )
     seasonal = trended.groupBy("m").agg(
         (
@@ -123,8 +140,14 @@ def timeseries_classical_decompose(spark: SparkSession, sf_dir: str) -> DataFram
     )
     return trended.join(norm, "m").select(
         F.col("ms").alias("month_start"),
-        F.round("x", 2).alias("revenue"),
-        F.round("trend", 2).alias("trend"),
+        # half-up rounding in exact integer arithmetic (values > 0);
+        # Spark `div` truncates toward zero == floor for positives
+        (
+            F.expr("(x_micro + 5000) div 10000").cast("double") / 100.0
+        ).alias("revenue"),
+        (
+            F.expr("(trend_micro24 + 120000) div 240000").cast("double") / 100.0
+        ).alias("trend"),
         F.round("s", 6).alias("seasonal_index"),
         F.round(F.col("x") / (F.col("trend") * F.col("s")), 6).alias("irregular"),
     )
