@@ -14,11 +14,17 @@ Decode has two layers here:
 - **PNG pixel decode is REAL** (``png_decode_pixels``): stdlib zlib
   inflate of the IDAT stream + numpy scanline unfiltering
   (None/Sub/Up/Average/Paeth per RFC 2083) — no codec library.
-  pHash consumes it for ``image/png`` payloads. JPEG/video sample
-  decode still needs PIL/ffmpeg, absent in this container — a
-  clearly-marked NotImplementedError, with the Arrow plumbing
+- **JPEG pixel decode is REAL** (``jpeg_codec.jpeg_decode_pixels``):
+  baseline T.81 — canonical Huffman, restart markers, dequantize,
+  exact matrix IDCT, 4:2:0/4:2:2 chroma upsample, BT.601 — pure
+  numpy + stdlib, verified by encode/decode roundtrip against the
+  sibling test encoder (progressive JPEGs raise ValueError).
+  pHash consumes both for ``image/png``/``image/jpeg`` payloads.
+  Video SAMPLE decode still needs ffmpeg, absent in this container —
+  a clearly-marked NotImplementedError, with the Arrow plumbing
   (schema, partitioning, UDF signature, batch shape) real and
-  tested around it.
+  tested around it (container metadata parses for real:
+  ``multimodal_mp4_boxes``).
 
 Fixture note: the driver ships no binary fixture, so the ``payload``
 column is synthesized deterministically as UTF-8 bytes of
@@ -212,20 +218,25 @@ def png_to_gray(data: bytes):
 def decode_media(payload: bytes, mime: str) -> bytes:
     """Decode a media payload to raw frames/samples.
 
-    ``image/png`` is decoded FOR REAL (``png_decode_pixels``: stdlib
-    zlib inflate + numpy unfiltering — no codec library needed) and
-    returns the raw interleaved pixel bytes. ``fake/*`` mimes
-    round-trip the bytes so the pipeline is testable. JPEG/video
-    still need PIL/ffmpeg, absent in this container — those raise a
-    clearly-marked NotImplementedError until a codec backend is wired
-    in.
+    ``image/png`` (stdlib zlib inflate + numpy unfiltering) and
+    ``image/jpeg`` (baseline T.81: Huffman + dequant + matrix IDCT +
+    chroma upsample, operators/jpeg_codec.py) are decoded FOR REAL —
+    no codec library anywhere — returning raw interleaved pixel
+    bytes. ``fake/*`` mimes round-trip the bytes so the pipeline is
+    testable. Video SAMPLE decode still needs ffmpeg (container
+    metadata is parsed for real by ``multimodal_mp4_boxes``); that
+    path raises a clearly-marked NotImplementedError.
     """
     if mime.startswith("image/fake") or mime.startswith("fake/"):
         return payload
     if mime == "image/png":
         return png_decode_pixels(payload).tobytes()
+    if mime == "image/jpeg":
+        from lakehouse_test_spark.operators.jpeg_codec import jpeg_decode_pixels
+
+        return jpeg_decode_pixels(payload).tobytes()
     raise NotImplementedError(
-        f"decode for mime={mime!r} requires a codec backend (PIL/ffmpeg); "
+        f"decode for mime={mime!r} requires a codec backend (ffmpeg); "
         "not available in this environment"
     )
 
@@ -547,11 +558,13 @@ def phash_fingerprints(assets: DataFrame) -> DataFrame:
 
     The REAL pHash pipeline (decode → grayscale 32×32 → 2-D DCT-II →
     top-left 8×8 AC coefficients → median-threshold bits). PNG
-    payloads are decoded for real (``png_decode_pixels``) to a
-    luminance plane; non-PNG payloads use the deterministic fallback
-    (payload bytes tiled into the 32×32 grid — locality-preserving,
-    so nearby payloads give nearby pixel grids; swap in a PIL/ffmpeg
-    decode for JPEG/video on a real cluster, the rest is unchanged).
+    payloads decode for real (``png_decode_pixels``) and baseline
+    JPEGs decode for real too (``jpeg_codec.jpeg_decode_pixels`` —
+    Huffman + IDCT in pure numpy); payloads that are neither (or are
+    malformed) use the deterministic fallback (payload bytes tiled
+    into the 32×32 grid — locality-preserving, so nearby payloads
+    give nearby pixel grids; only video sample decode still needs
+    ffmpeg, the rest is unchanged).
 
     Scale: Arrow-batched, numpy-einsum over the whole batch (one
     (B,32,32) tensor contraction per batch — no per-row Python), zero
@@ -581,19 +594,39 @@ def phash_fingerprints(assets: DataFrame) -> DataFrame:
             grids = np.zeros((len(pdf), n, n), dtype=np.float64)
             for i, payload in enumerate(pdf["payload"]):
                 b_raw = bytes(payload)
+                gray = None
+                # REAL paths: decode pixels, luminance, nearest-
+                # neighbor 32×32 downsample. Malformed containers
+                # (e.g. a fake IDAT, or the synthesized
+                # magic-plus-text JPEGs) fall back to byte tiling
+                # instead of failing the whole pipeline.
                 if b_raw[:8] == _PNG_MAGIC:
-                    # REAL path: decode pixels, luminance, nearest-
-                    # neighbor 32×32 downsample. Malformed containers
-                    # (e.g. a fake IDAT) fall back to byte tiling
-                    # instead of failing the whole pipeline.
                     try:
                         gray = png_to_gray(b_raw)
-                        ri = (np.arange(n) * gray.shape[0] // n).clip(0, gray.shape[0] - 1)
-                        ci = (np.arange(n) * gray.shape[1] // n).clip(0, gray.shape[1] - 1)
-                        grids[i] = gray[np.ix_(ri, ci)]
-                        continue
                     except ValueError:
-                        pass
+                        gray = None
+                elif b_raw[:3] == b"\xff\xd8\xff":
+                    try:
+                        from lakehouse_test_spark.operators.jpeg_codec import (
+                            jpeg_decode_pixels,
+                        )
+
+                        px = jpeg_decode_pixels(b_raw).astype(np.float64)
+                        if px.ndim == 3:
+                            gray = (
+                                0.299 * px[..., 0]
+                                + 0.587 * px[..., 1]
+                                + 0.114 * px[..., 2]
+                            )
+                        else:
+                            gray = px
+                    except Exception:  # malformed/fake JPEG bytes
+                        gray = None
+                if gray is not None:
+                    ri = (np.arange(n) * gray.shape[0] // n).clip(0, gray.shape[0] - 1)
+                    ci = (np.arange(n) * gray.shape[1] // n).clip(0, gray.shape[1] - 1)
+                    grids[i] = gray[np.ix_(ri, ci)]
+                    continue
                 b = np.frombuffer(b_raw, dtype=np.uint8)
                 grids[i] = np.resize(b if b.size else np.zeros(1, np.uint8), (n, n))
             dct = np.einsum("ij,bjk,lk->bil", C, grids, C, optimize=True)
