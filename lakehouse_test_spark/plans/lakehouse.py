@@ -33,6 +33,9 @@ import uuid
 from dataclasses import dataclass
 from pathlib import Path
 
+import time as _time
+from dataclasses import field as dataclasses_field
+
 from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql.functions import col as F_col
 
@@ -45,6 +48,8 @@ class Commit:
     files: list[str]
     row_count: int
     operation: str
+    #: wall-clock commit time (epoch seconds) — powers TIMESTAMP AS OF
+    ts: float = dataclasses_field(default_factory=_time.time)
     # per-file column stats (zone maps): {file: {col: [min, max]}}
     stats: dict | None = None
     #: True when this commit's files REPLACE the table (merge/delete/
@@ -122,6 +127,7 @@ class LakehouseTable:
         commits = []
         for p in sorted(self.log_dir.glob("*.json")):
             d = json.loads(p.read_text())
+            d.setdefault("ts", None)  # logs written before timestamps
             if "restate" not in d:  # logs written before the restate flag
                 d["restate"] = d["operation"] == "compact"
                 d["data_change"] = d["operation"] != "compact"
@@ -415,7 +421,7 @@ class LakehouseTable:
             snap.repartition(target_partitions), "compact", data_change=False, stats_cols=stats_cols
         )
 
-    def restore(self, version: int) -> Commit:
+    def restore(self, version: int | None = None, timestamp: float | None = None) -> Commit:
         """RESTORE TABLE to an earlier version (Delta ``RESTORE``
         analog): publish a new restate commit whose file list is
         exactly the target version's live file set.
@@ -428,7 +434,16 @@ class LakehouseTable:
         keeps skipping files. ``data_change=True`` (readers' view
         changes), so incremental cursors crossing it restart from a
         snapshot — same contract as merge/delete.
+
+        Accepts ``version`` or an epoch-seconds ``timestamp``
+        (RESTORE ... TIMESTAMP AS OF).
         """
+        if timestamp is not None:
+            if version is not None:
+                raise ValueError("pass version OR timestamp, not both")
+            version = self.version_at_timestamp(timestamp)
+        if version is None:
+            raise ValueError("restore requires a version or timestamp")
         self._check_horizon(version)
         live = self._live_commits(version)
         if not live:
@@ -649,13 +664,33 @@ class LakehouseTable:
         """Live file list for a snapshot as of ``version``."""
         return [str(self.path / f) for c in self._live_commits(version) for f in c.files]
 
-    def snapshot(self, version: int | None = None) -> DataFrame:
-        """Read the table as of ``version`` (time travel; None=latest).
+    def version_at_timestamp(self, ts: float) -> int:
+        """Newest version committed at or before epoch-seconds ``ts``
+        (Delta ``TIMESTAMP AS OF`` resolution). Raises ValueError when
+        ``ts`` predates the first commit."""
+        cands = [
+            c.version for c in self.history() if c.ts is not None and c.ts <= ts
+        ]
+        if not cands:
+            raise ValueError(
+                f"no commit at or before timestamp {ts} (table born later)"
+            )
+        return max(cands)
+
+    def snapshot(
+        self, version: int | None = None, timestamp: float | None = None
+    ) -> DataFrame:
+        """Read the table as of ``version`` (time travel; None=latest)
+        or as of an epoch-seconds ``timestamp`` (TIMESTAMP AS OF).
         Committed == readable — §2a ops 31-32 dissolve here.
 
         mergeSchema: commits may evolve the schema (add columns);
         older files surface NULLs for columns they predate — additive
         schema evolution like Delta/Iceberg."""
+        if timestamp is not None:
+            if version is not None:
+                raise ValueError("pass version OR timestamp, not both")
+            version = self.version_at_timestamp(timestamp)
         self._check_horizon(version)
         files = self._files_for(version)
         if not files:

@@ -216,3 +216,52 @@ def test_join_ivm_rebuilds_after_restate(spark):
         a.drop()
         b.drop()
         t.drop()
+
+
+# ---------------------------------------------------------------------------
+# TIMESTAMP AS OF time travel
+# ---------------------------------------------------------------------------
+
+
+def test_timestamp_time_travel_and_restore(spark, table):
+    import time
+
+    table.append(_df(spark, 0, 100))
+    time.sleep(0.05)
+    t_mid = time.time()
+    time.sleep(0.05)
+    table.append(_df(spark, 100, 250))
+
+    # snapshot as of the instant between the commits sees only v0
+    assert table.snapshot(timestamp=t_mid).count() == 100
+    assert table.snapshot(timestamp=time.time()).count() == 250
+    assert table.version_at_timestamp(t_mid) == 0
+
+    # predating the table is an explicit error
+    with pytest.raises(ValueError):
+        table.snapshot(timestamp=t_mid - 3600)
+    with pytest.raises(ValueError):
+        table.snapshot(version=1, timestamp=t_mid)
+
+    # RESTORE ... TIMESTAMP AS OF
+    table.restore(timestamp=t_mid)
+    assert table.snapshot().count() == 100
+    # pre-restore lineage still time-travels by version
+    assert table.snapshot(version=1).count() == 250
+
+
+def test_history_tolerates_pre_timestamp_logs(spark, table):
+    """Logs written before the ts field read back as ts=None and are
+    simply not timestamp-addressable."""
+    import json
+    from pathlib import Path
+
+    table.append(_df(spark, 0, 10))
+    p = sorted(Path(table.path, "_log").glob("*.json"))[0]
+    d = json.loads(p.read_text())
+    d.pop("ts", None)
+    p.write_text(json.dumps(d))
+    h = table.history()
+    assert h[0].ts is None
+    with pytest.raises(ValueError):
+        table.version_at_timestamp(0)
