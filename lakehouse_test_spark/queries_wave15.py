@@ -130,3 +130,65 @@ def dq_freshness_sla(spark: SparkSession, sf_dir: str) -> DataFrame:
         lag.cast("bigint").alias("lag_seconds"),
         (lag > 172800).alias("sla_breach"),
     )
+
+
+def masked_view(df: DataFrame, policies: dict[str, str]) -> DataFrame:
+    """Column-masking policy engine (governance layer): project a
+    DataFrame with per-column masking policies applied —
+    ``hash`` (md5, join-preserving pseudonymization), ``redact``
+    (constant), ``last4`` (suffix-only reveal), ``bucket_1000``
+    (numeric generalization). Unlisted columns pass through. Pure
+    projection: zero shuffle, composes under any downstream query —
+    the SELECT-rewrite that row/column security layers perform.
+    """
+    cols = []
+    for c in df.columns:
+        p = policies.get(c)
+        if p is None:
+            cols.append(F.col(c))
+        elif p == "hash":
+            cols.append(F.md5(F.col(c).cast("string")).alias(c))
+        elif p == "redact":
+            cols.append(F.lit("***").alias(c))
+        elif p == "last4":
+            cols.append(
+                F.concat(F.lit("***"), F.substring(F.col(c).cast("string"), -4, 4)).alias(c)
+            )
+        elif p == "bucket_1000":
+            cols.append(
+                (F.floor(F.col(c) / 1000) * 1000).cast("double").alias(c)
+            )
+        else:
+            raise ValueError(f"unknown masking policy {p!r} for column {c}")
+    return df.select(*cols)
+
+
+@query(
+    "dq_column_masking",
+    oracle="""
+    SELECT md5(CAST(c_custkey AS VARCHAR)) AS c_custkey,
+           concat('***', substr(c_name, length(c_name) - 3, 4)) AS c_name,
+           c_mktsegment,
+           CAST(floor(c_acctbal / 1000) * 1000 AS DOUBLE) AS c_acctbal,
+           '***' AS c_nationkey
+    FROM customer
+    """,
+    tags=("dq", "privacy", "governance"),
+)
+def dq_column_masking(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Policy-driven column masking over the customer table: keys
+    pseudonymized (join-preserving md5), names suffix-revealed,
+    balances generalized to 1000-buckets, nation redacted — the
+    data-release projection that pairs with dq_k_anonymity (mask the
+    identifiers, THEN check the quasi-identifier group sizes).
+    """
+    c = T(spark, sf_dir, "customer")
+    return masked_view(
+        c,
+        {
+            "c_custkey": "hash",
+            "c_name": "last4",
+            "c_acctbal": "bucket_1000",
+            "c_nationkey": "redact",
+        },
+    )
