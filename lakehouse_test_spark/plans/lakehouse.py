@@ -157,6 +157,7 @@ class LakehouseTable:
         (footer metadata only — no data re-read), enabling
         ``scan_pruned`` file skipping like Delta/Iceberg data
         skipping."""
+        df = self._apply_generated_columns(df)
         self._validate_constraints(df)
         version = self.latest_version() + 1
         commit_dir = self.path / "data" / f"{uuid.uuid4().hex[:12]}"
@@ -909,6 +910,36 @@ class LakehouseTable:
         meta = self._read_meta()
         meta.setdefault("constraints", {})[name] = expr
         self._write_meta(meta)
+
+    def add_generated_column(self, name: str, expr: str) -> None:
+        """Register a GENERATED ALWAYS AS column (Delta generated
+        columns): every future append either computes ``name`` from
+        ``expr`` (column absent from the written frame) or must
+        supply values EQUAL to the expression (validated atomically,
+        like a CHECK constraint — Delta's writer contract)."""
+        meta = self._read_meta()
+        meta.setdefault("generated_columns", {})[name] = expr
+        self._write_meta(meta)
+
+    def generated_columns(self) -> dict[str, str]:
+        return dict(self._read_meta().get("generated_columns", {}))
+
+    def _apply_generated_columns(self, df: DataFrame) -> DataFrame:
+        from pyspark.sql import functions as F
+
+        for name, expr in self.generated_columns().items():
+            if name not in df.columns:
+                df = df.withColumn(name, F.expr(expr))
+            else:
+                bad = (
+                    df.where(~F.col(name).eqNullSafe(F.expr(expr))).limit(1).count()
+                )
+                if bad:
+                    raise ConstraintViolationError(
+                        f"generated column {name!r} does not match its "
+                        f"expression ({expr}) in the written data"
+                    )
+        return df
 
     def constraints(self) -> dict[str, str]:
         return dict(self._read_meta().get("constraints", {}))

@@ -265,3 +265,35 @@ def test_history_tolerates_pre_timestamp_logs(spark, table):
     assert h[0].ts is None
     with pytest.raises(ValueError):
         table.version_at_timestamp(0)
+
+
+# ---------------------------------------------------------------------------
+# generated columns
+# ---------------------------------------------------------------------------
+
+
+def test_generated_column_computed_when_absent(spark, table):
+    table.add_generated_column("v2", "v * 2")
+    table.append(_df(spark, 0, 10))
+    rows = {r["k"]: r for r in table.snapshot().collect()}
+    assert all(r["v2"] == r["v"] * 2 for r in rows.values())
+    assert table.generated_columns() == {"v2": "v * 2"}
+
+
+def test_generated_column_validates_when_present(spark, table):
+    table.add_generated_column("v2", "v * 2")
+    good = _df(spark, 0, 5).withColumn("v2", F.col("v") * 2)
+    table.append(good)
+    bad = _df(spark, 5, 10).withColumn("v2", F.col("v") * 3)
+    v_before = table.latest_version()
+    with pytest.raises(ConstraintViolationError):
+        table.append(bad)
+    assert table.latest_version() == v_before  # atomic: nothing committed
+    assert table.snapshot().count() == 5
+
+
+def test_generated_column_persists_across_reopen(spark, table):
+    table.add_generated_column("v2", "v * 2")
+    reopened = LakehouseTable(spark, str(table.path))
+    reopened.append(_df(spark, 0, 3))
+    assert all(r["v2"] == r["v"] * 2 for r in reopened.snapshot().collect())
