@@ -172,3 +172,31 @@ def test_phash_jpeg_near_dup_small_hamming(spark):
     # than a blur-first pHash — the separation is what matters
     assert ham(h[1], h[2]) <= 16
     assert ham(h[1], h[3]) > 20
+
+
+# ---------------------------------------------------------------------------
+# property tests
+# ---------------------------------------------------------------------------
+
+from hypothesis import given, settings  # noqa: E402
+from hypothesis import strategies as st  # noqa: E402
+
+
+@given(
+    h=st.integers(min_value=1, max_value=40),
+    w=st.integers(min_value=1, max_value=40),
+    seed=st.integers(min_value=0, max_value=2**31 - 1),
+    gray=st.booleans(),
+)
+@settings(max_examples=40, deadline=None)
+def test_roundtrip_never_errors_and_bounded(h, w, seed, gray):
+    """Any uint8 image of any shape encodes to a parseable stream that
+    decodes to the same shape with bounded quantization error."""
+    rng = np.random.default_rng(seed)
+    shape = (h, w) if gray else (h, w, 3)
+    img = rng.integers(0, 256, shape, dtype=np.uint8)
+    dec = jpeg_decode_pixels(jpeg_encode_pixels(img))
+    assert dec.shape == img.shape
+    # worst-case quantization error bound: q=8 tables, DCT energy
+    # spreads at most ~q*8 per pixel; chroma conversion adds slack
+    assert float(np.max(np.abs(dec.astype(int) - img.astype(int)))) <= 96
