@@ -1,0 +1,232 @@
+"""Round-3 wave N: event path mining, readability scoring, ABC
+(Pareto) classification, and hard-negative mining for metric
+learning. All oracle hash-checked.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession, Window
+from pyspark.sql import functions as F
+
+from lakehouse_test_spark.registry import query
+from lakehouse_test_spark.session import load_table
+
+
+def T(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
+    return load_table(spark, sf_dir, name)
+
+
+@query(
+    "events_top_paths",
+    oracle="""
+    WITH seq AS (
+      SELECT user_id, event_type,
+             lead(event_type, 1) OVER w AS t1,
+             lead(event_type, 2) OVER w AS t2
+      FROM events
+      WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id)
+    )
+    SELECT event_type || '>' || t1 || '>' || t2 AS path,
+           CAST(count(*) AS BIGINT) AS n_occurrences
+    FROM seq WHERE t1 IS NOT NULL AND t2 IS NOT NULL
+    GROUP BY 1
+    ORDER BY n_occurrences DESC, path LIMIT 20
+    """,
+    tags=("events", "paths", "analytics"),
+)
+def events_top_paths(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """3-step behavioral path mining: the most common consecutive
+    event-type triples across user streams — the n-gram
+    generalization of events_transition_matrix (1-step) that product
+    analytics "path explorer" views are built on.
+
+    Scale: one shuffle on user_id, per-user ordered window (bounded
+    by per-user event counts), then a map-combinable path rollup and
+    a TakeOrdered — path cardinality is |event_types|³ at worst.
+    """
+    e = T(spark, sf_dir, "events")
+    w = Window.partitionBy("user_id").orderBy("ts", "event_id")
+    seq = e.select(
+        "event_type",
+        F.lead("event_type", 1).over(w).alias("t1"),
+        F.lead("event_type", 2).over(w).alias("t2"),
+    ).where(F.col("t1").isNotNull() & F.col("t2").isNotNull())
+    return (
+        seq.select(
+            F.concat_ws(">", "event_type", "t1", "t2").alias("path")
+        )
+        .groupBy("path")
+        .agg(F.count(F.lit(1)).cast("bigint").alias("n_occurrences"))
+        .orderBy(F.desc("n_occurrences"), "path")
+        .limit(20)
+    )
+
+
+@query(
+    "text_readability_scores",
+    oracle="""
+    WITH stats AS (
+      SELECT doc_id,
+             len(regexp_extract_all(lower(text), '[a-z]+')) AS n_words,
+             greatest(len(regexp_extract_all(text, '[.!?]+')), 1) AS n_sentences,
+             len(regexp_extract_all(lower(text), '[aeiouy]+')) AS n_syllables
+      FROM documents
+    )
+    SELECT doc_id,
+           CAST(n_words AS BIGINT) AS n_words,
+           CAST(n_sentences AS BIGINT) AS n_sentences,
+           CAST(n_syllables AS BIGINT) AS n_syllables,
+           round(CASE WHEN n_words = 0 THEN 0.0 ELSE
+             0.39 * (CAST(n_words AS DOUBLE) / n_sentences)
+             + 11.8 * (CAST(n_syllables AS DOUBLE) / n_words) - 15.59 END, 4)
+             AS fk_grade
+    FROM stats
+    """,
+    tags=("text", "llm", "quality"),
+)
+def text_readability_scores(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Flesch-Kincaid grade level per document (vowel-group syllable
+    heuristic, sentence split on terminal punctuation) — the
+    readability axis of corpus quality filtering, complementing
+    text_quality_scores/text_gopher_filters (a pretraining mix often
+    targets a grade-level band).
+
+    Scale: three regexp_extract_all counts per row — pure codegen
+    projection, zero shuffle.
+    """
+    d = T(spark, sf_dir, "documents")
+    n_words = F.size(F.regexp_extract_all(F.lower(F.col("text")), F.lit("[a-z]+"), 0))
+    n_sent = F.greatest(
+        F.size(F.regexp_extract_all(F.col("text"), F.lit("[.!?]+"), 0)), F.lit(1)
+    )
+    n_syl = F.size(F.regexp_extract_all(F.lower(F.col("text")), F.lit("[aeiouy]+"), 0))
+    fk = F.when(n_words == 0, F.lit(0.0)).otherwise(
+        F.lit(0.39) * (n_words.cast("double") / n_sent)
+        + F.lit(11.8) * (n_syl.cast("double") / n_words)
+        - F.lit(15.59)
+    )
+    return d.select(
+        "doc_id",
+        n_words.cast("bigint").alias("n_words"),
+        n_sent.cast("bigint").alias("n_sentences"),
+        n_syl.cast("bigint").alias("n_syllables"),
+        F.round(fk, 4).alias("fk_grade"),
+    )
+
+
+@query(
+    "parts_abc_classification",
+    oracle="""
+    WITH rev AS (
+      SELECT l_partkey,
+             sum(CAST(l_extendedprice AS DECIMAL(18,6))) AS revenue
+      FROM lineitem GROUP BY l_partkey
+    ), tot AS (SELECT CAST(sum(revenue) AS DOUBLE) AS total FROM rev),
+    ranked AS (
+      SELECT l_partkey, revenue,
+             CAST(sum(revenue) OVER (ORDER BY revenue DESC, l_partkey) AS DOUBLE)
+               AS cum_rev
+      FROM rev
+    )
+    SELECT l_partkey,
+           CAST(round(revenue, 2) AS DOUBLE) AS revenue,
+           round(cum_rev / total, 6) AS cum_share,
+           CASE WHEN cum_rev / total <= 0.7 THEN 'A'
+                WHEN cum_rev / total <= 0.9 THEN 'B'
+                ELSE 'C' END AS abc_class
+    FROM ranked CROSS JOIN tot
+    """,
+    tags=("agg", "analytics", "pareto"),
+)
+def parts_abc_classification(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """ABC (Pareto) inventory classification: parts ranked by revenue,
+    cumulative-share classes A (top 70% of revenue), B (to 90%), C
+    (tail) — the 80/20 workhorse behind assortment and stocking
+    decisions (pareto_frontier_parts is the multi-objective skyline;
+    this is the single-metric cumulative cut).
+
+    Determinism: exact decimal revenue, cumulative sum over a total
+    order (revenue DESC, partkey). Scale: the window runs on the
+    PART grain (bounded), not lineitem; at extreme catalog sizes use
+    the hierarchical-cumsum pattern from agg_weighted_median.
+    """
+    li = T(spark, sf_dir, "lineitem")
+    rev = li.groupBy("l_partkey").agg(
+        F.sum(F.col("l_extendedprice").cast("decimal(18,6)")).alias("revenue")
+    )
+    tot = rev.agg(F.sum("revenue").cast("double").alias("total"))
+    w = Window.orderBy(F.desc("revenue"), "l_partkey").rowsBetween(
+        Window.unboundedPreceding, 0
+    )
+    ranked = rev.withColumn("cum_rev", F.sum("revenue").over(w).cast("double"))
+    share = F.col("cum_rev") / F.col("total")
+    return ranked.join(F.broadcast(tot)).select(
+        "l_partkey",
+        F.round("revenue", 2).cast("double").alias("revenue"),
+        F.round(share, 6).alias("cum_share"),
+        F.when(share <= 0.7, "A").when(share <= 0.9, "B").otherwise("C").alias(
+            "abc_class"
+        ),
+    )
+
+
+@query(
+    "embedding_hard_negatives",
+    oracle="""
+    WITH anchors AS (
+      SELECT vec_id AS a_id, label AS a_label, embedding AS a_emb
+      FROM embeddings WHERE vec_id % 20 = 0
+    ), scored AS (
+      SELECT a.a_id, a.a_label, e.label,
+             sqrt(list_aggregate(list_transform(range(1, len(e.embedding) + 1),
+               i -> (CAST(a.a_emb[i] AS DOUBLE) - CAST(e.embedding[i] AS DOUBLE))
+                    * (CAST(a.a_emb[i] AS DOUBLE) - CAST(e.embedding[i] AS DOUBLE))),
+               'sum')) AS dist
+      FROM anchors a JOIN embeddings e ON e.vec_id <> a.a_id
+    )
+    SELECT a_id,
+           round(min(CASE WHEN label = a_label THEN dist END), 6) AS d_positive,
+           round(min(CASE WHEN label <> a_label THEN dist END), 6) AS d_hard_negative,
+           min(CASE WHEN label <> a_label THEN dist END)
+             - min(CASE WHEN label = a_label THEN dist END) < 0.1 AS margin_violated
+    FROM scored GROUP BY a_id, a_label
+    """,
+    tags=("embedding", "llm", "ml", "mining"),
+)
+def embedding_hard_negatives(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Hard-negative mining for metric learning: per anchor, the
+    nearest SAME-label distance (positive) and nearest OTHER-label
+    distance (hard negative), flagging triplet-margin violations
+    (d⁻ − d⁺ < 0.1) — the batch that contrastive/triplet training
+    loops actually want, as a corpus query.
+
+    Scale: anchors broadcast against the corpus (anchor count is the
+    knob); per-pair distance is a sequential in-plan fold; the
+    conditional-min rollup is map-combinable. At billions of vectors
+    route candidate generation through the ANN index
+    (similarity_index_*) and rerank exactly — same final operator.
+    """
+    e = T(spark, sf_dir, "embeddings")
+    anchors = e.where(F.col("vec_id") % 20 == 0).select(
+        F.col("vec_id").alias("a_id"),
+        F.col("label").alias("a_label"),
+        F.col("embedding").cast("array<double>").alias("a_emb"),
+    )
+    pairs = e.select(
+        "vec_id", "label", F.col("embedding").cast("array<double>").alias("emb")
+    ).join(F.broadcast(anchors), F.col("vec_id") != F.col("a_id"))
+    dist = F.sqrt(
+        F.aggregate(
+            F.zip_with(F.col("a_emb"), F.col("emb"), lambda a, b: (a - b) * (a - b)),
+            F.lit(0.0),
+            lambda acc, x: acc + x,
+        )
+    )
+    scored = pairs.select("a_id", "a_label", "label", dist.alias("dist"))
+    d_pos = F.min(F.when(F.col("label") == F.col("a_label"), F.col("dist")))
+    d_neg = F.min(F.when(F.col("label") != F.col("a_label"), F.col("dist")))
+    return scored.groupBy("a_id", "a_label").agg(
+        F.round(d_pos, 6).alias("d_positive"),
+        F.round(d_neg, 6).alias("d_hard_negative"),
+        ((d_neg - d_pos) < 0.1).alias("margin_violated"),
+    ).drop("a_label")
