@@ -297,3 +297,34 @@ def test_generated_column_persists_across_reopen(spark, table):
     reopened = LakehouseTable(spark, str(table.path))
     reopened.append(_df(spark, 0, 3))
     assert all(r["v2"] == r["v"] * 2 for r in reopened.snapshot().collect())
+
+
+def test_join_ivm_rebuilds_after_vacuum_horizon(spark):
+    """Vacuuming the right table past the IVM cursor destroys the
+    B_old time-travel snapshot; maintenance must detect it and
+    rebuild from current snapshots instead of failing."""
+    from lakehouse_test_spark.plans.lakehouse import maintain_join
+
+    a = LakehouseTable(spark, tempfile.mkdtemp(prefix="lh_ivm_a3_"))
+    b = LakehouseTable(spark, tempfile.mkdtemp(prefix="lh_ivm_b3_"))
+    t = LakehouseTable(spark, tempfile.mkdtemp(prefix="lh_ivm_t3_"))
+    try:
+        ca = cb = -1
+        a.append(spark.range(0, 10).select((F.col("id") % 3).alias("k"), F.col("id").alias("av")))
+        b.append(spark.range(0, 6).select((F.col("id") % 3).alias("k"), (F.col("id") * 10).alias("bv")))
+        ca, cb = maintain_join(spark, a, b, t, ["k"], ca, cb)
+        # advance B twice with restates so vacuum can drop the old version
+        b.delete_where("bv >= 40")      # restate v1
+        b.append(spark.range(6, 8).select((F.col("id") % 3).alias("k"), (F.col("id") * 10).alias("bv")))
+        b.vacuum(keep_versions=1)       # horizon beyond cb=0
+        ca, cb = maintain_join(spark, a, b, t, ["k"], ca, cb)
+        full = a.snapshot().join(b.snapshot(), ["k"])
+        expect = {
+            tuple(r)
+            for r in full.groupBy(*full.columns).agg(F.count(F.lit(1)).alias("m")).collect()
+        }
+        assert {tuple(r) for r in t.snapshot().collect()} == expect
+    finally:
+        a.drop()
+        b.drop()
+        t.drop()
