@@ -253,9 +253,12 @@ def test_decode_media_dispatch():
     # PNG is decoded for real now: malformed bytes -> ValueError
     with pytest.raises(ValueError):
         decode_media(b"abc", "image/png")
-    # JPEG still needs a codec backend
-    with pytest.raises(NotImplementedError):
+    # JPEG decodes for real now: malformed bytes -> ValueError
+    with pytest.raises(ValueError):
         decode_media(b"\xff\xd8\xff\xe0", "image/jpeg")
+    # video sample decode stays behind the documented codec boundary
+    with pytest.raises(NotImplementedError):
+        decode_media(b"\x00\x00\x00\x14ftypisom", "video/mp4")
 
 
 def test_ivf_topk_recall_on_clustered_data(spark):
