@@ -292,7 +292,54 @@ def dedup_minhash_lsh(spark: SparkSession, sf_dir: str) -> DataFrame:
 # ---------------------------------------------------------------------------
 
 
-@query("dedup_simhash", oracle=None, tags=("dedup", "llm", "approx"))
+def _simhash_oracle() -> str:
+    """DuckDB twin of dedup_simhash, generated: 64 conditional bit
+    sums from the portable md5-derived token hash, 4x16-bit bands,
+    any-band-equal candidate pairs verified at Hamming <= 3."""
+    bit_sums = ",\n             ".join(
+        (
+            f"sum(CASE WHEN (h{1 if b < 32 else 2} >> {b % 32}) & 1 = 1 "
+            f"THEN 1 ELSE -1 END) AS s{b}"
+        )
+        for b in range(64)
+    )
+    bands = ",\n           ".join(
+        "("
+        + " + ".join(
+            f"CASE WHEN s{16 * k + j} > 0 THEN {1 << j} ELSE 0 END"
+            for j in range(16)
+        )
+        + f") AS band{k}"
+        for k in range(4)
+    )
+    ham = " + ".join(f"bit_count(xor(a.band{k}, b.band{k}))" for k in range(4))
+    anyband = " OR ".join(f"a.band{k} = b.band{k}" for k in range(4))
+    return f"""
+    WITH toks AS (
+      SELECT doc_id, unnest(string_split_regex(lower(text), '\\s+')) AS tok
+      FROM documents
+    ), hashed AS (
+      SELECT doc_id,
+             CAST(CAST('0x' || substr(md5(tok), 1, 8) AS BIGINT) AS BIGINT) AS h1,
+             CAST(CAST('0x' || substr(md5(tok), 9, 8) AS BIGINT) AS BIGINT) AS h2
+      FROM toks WHERE tok <> ''
+    ), sums AS (
+      SELECT doc_id,
+             {bit_sums}
+      FROM hashed GROUP BY doc_id
+    ), fp AS (
+      SELECT doc_id,
+           {bands}
+      FROM sums
+    )
+    SELECT a.doc_id AS doc_a, b.doc_id AS doc_b,
+           CAST({ham} AS INTEGER) AS hamming
+    FROM fp a JOIN fp b ON a.doc_id < b.doc_id AND ({anyband})
+    WHERE {ham} <= 3
+    """
+
+
+@query("dedup_simhash", oracle=_simhash_oracle(), tags=("dedup", "llm", "approx"))
 def dedup_simhash(spark: SparkSession, sf_dir: str) -> DataFrame:
     """SimHash near-dup: 64-bit fingerprint from token hashes, split
     into 4×16-bit bands; pairs matching any band are verified by
@@ -300,16 +347,31 @@ def dedup_simhash(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     Scale: fingerprinting is 64 conditional sums over exploded tokens
     (map-side partials); candidate generation is 4 equi-joins on
-    16-bit band values + full-fingerprint verify. Rows-only check;
-    tests validate the Hamming property directly.
+    16-bit band values + full-fingerprint verify. HASH-CHECKED against
+    a generated DuckDB oracle (portable md5-derived token hash) —
+    the banded-candidate + Hamming-verify pipeline is oracle-exact,
+    not just rows-counted; tests additionally validate the Hamming
+    property directly.
     """
     d = load_table(spark, sf_dir, "documents")
     if d.rdd.getNumPartitions() < spark.sparkContext.defaultParallelism:
         d = d.repartition(spark.sparkContext.defaultParallelism)
-    toks = d.select("doc_id", F.explode(ws_tokens(F.col("text"))).alias("tok"))
-    h = F.xxhash64("tok")
+    toks = d.select(
+        "doc_id", F.explode(ws_tokens(F.col("text"))).alias("tok")
+    ).where(F.col("tok") != "")
+    # engine-portable 64-bit token hash (two md5-derived 32-bit
+    # halves) so the whole operator is DuckDB-hash-checkable; swap in
+    # xxhash64 on a real cluster for pure speed - every downstream
+    # step is hash-agnostic
+    h1 = F.conv(F.substring(F.md5("tok"), 1, 8), 16, 10).cast("bigint")
+    h2 = F.conv(F.substring(F.md5("tok"), 9, 8), 16, 10).cast("bigint")
     bit_sums = [
-        F.sum(F.when(F.shiftright(h, b).bitwiseAND(F.lit(1)) == 1, 1).otherwise(-1)).alias(f"s{b}")
+        F.sum(
+            F.when(
+                F.shiftright(h1 if b < 32 else h2, b % 32).bitwiseAND(F.lit(1)) == 1,
+                1,
+            ).otherwise(-1)
+        ).alias(f"s{b}")
         for b in range(64)
     ]
     sums = toks.groupBy("doc_id").agg(*bit_sums)
