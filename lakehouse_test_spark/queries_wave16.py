@@ -230,3 +230,100 @@ def embedding_hard_negatives(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.round(d_neg, 6).alias("d_hard_negative"),
         ((d_neg - d_pos) < 0.1).alias("margin_violated"),
     ).drop("a_label")
+
+
+@query(
+    "format_avro_roundtrip",
+    oracle="""
+    SELECT c_custkey, c_name, c_mktsegment,
+           CAST(round(c_acctbal, 2) AS DOUBLE) AS c_acctbal
+    FROM customer
+    """,
+    tags=("format", "avro", "codec"),
+)
+def format_avro_roundtrip(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The reference's Avro wire path (op 20) under the oracle gate:
+    every customer row is binary-encoded with OUR vectorized Avro
+    codec (numpy bulk zigzag/varint, mapInArrow) and decoded back;
+    the hash match against the raw table proves byte-exact
+    serialization of long/string/double fields — the
+    produce→consume identity as a first-class query, completing
+    format_json_roundtrip / format_orc_roundtrip.
+
+    Scale: Arrow-batched codec, zero shuffle — wire-speed per
+    partition, same shape the Kafka sink/source uses.
+    """
+    from lakehouse_test_spark.sources.avro_codec import avro_roundtrip
+
+    schema = {
+        "type": "record",
+        "name": "Customer",
+        "fields": [
+            {"name": "c_custkey", "type": "long"},
+            {"name": "c_name", "type": "string"},
+            {"name": "c_mktsegment", "type": "string"},
+            {"name": "c_acctbal", "type": "double"},
+        ],
+    }
+    c = T(spark, sf_dir, "customer").select(
+        "c_custkey", "c_name", "c_mktsegment", F.round("c_acctbal", 2).alias("c_acctbal")
+    )
+    return avro_roundtrip(c, schema)
+
+
+@query(
+    "join_asof_nearest",
+    oracle="""
+    WITH p AS (
+      SELECT event_id, user_id, ts FROM events WHERE event_type = 'purchase'
+    ), c AS (
+      SELECT user_id, ts, event_id FROM events WHERE event_type = 'click'
+    ), scored AS (
+      SELECT p.event_id AS purchase_id, c.event_id AS click_id,
+             abs(date_diff('second', c.ts, p.ts)) AS gap_s,
+             row_number() OVER (
+               PARTITION BY p.event_id
+               ORDER BY abs(date_diff('second', c.ts, p.ts)), c.event_id
+             ) AS rn
+      FROM p JOIN c ON c.user_id = p.user_id
+      WHERE abs(date_diff('second', c.ts, p.ts)) <= 604800
+    )
+    SELECT purchase_id, click_id, CAST(gap_s AS BIGINT) AS gap_s
+    FROM scored WHERE rn = 1
+    """,
+    tags=("join", "asof", "events"),
+)
+def join_asof_nearest(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """NEAREST-direction as-of join with tolerance: each purchase
+    pairs with the temporally closest click by the same user within
+    ±7 days (ties broken on event id) — the pandas
+    merge_asof(direction='nearest') semantics, completing the
+    backward as-of operator (join_asof_events).
+
+    Scale: one shuffle on user_id; the tolerance bounds the candidate
+    window per purchase, and the per-purchase argmin is a window with
+    WindowGroupLimit pushdown. A true giant-scale variant runs the
+    union-sort construction twice (backward + forward) and takes the
+    closer — same single-shuffle cost profile.
+    """
+    e = T(spark, sf_dir, "events")
+    p = e.where(F.col("event_type") == "purchase").select(
+        F.col("event_id").alias("purchase_id"),
+        F.col("user_id").alias("p_user"),
+        F.col("ts").alias("p_ts"),
+    )
+    c = e.where(F.col("event_type") == "click").select(
+        F.col("user_id").alias("c_user"),
+        F.col("ts").alias("c_ts"),
+        F.col("event_id").alias("click_id"),
+    )
+    gap = F.abs(F.unix_timestamp("p_ts") - F.unix_timestamp("c_ts"))
+    joined = p.join(c, (F.col("c_user") == F.col("p_user")) & (gap <= 604800)).select(
+        "purchase_id", "click_id", gap.alias("gap_s")
+    )
+    w = Window.partitionBy("purchase_id").orderBy("gap_s", "click_id")
+    return (
+        joined.withColumn("rn", F.row_number().over(w))
+        .where(F.col("rn") == 1)
+        .select("purchase_id", "click_id", F.col("gap_s").cast("bigint").alias("gap_s"))
+    )
