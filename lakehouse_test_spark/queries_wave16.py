@@ -327,3 +327,96 @@ def join_asof_nearest(spark: SparkSession, sf_dir: str) -> DataFrame:
         .where(F.col("rn") == 1)
         .select("purchase_id", "click_id", F.col("gap_s").cast("bigint").alias("gap_s"))
     )
+
+
+@query(
+    "corpus_quality_report",
+    oracle="""
+    WITH base AS (
+      SELECT doc_id, text, lang, source, n_chars,
+             md5(trim(regexp_replace(lower(text), '\\s+', ' ', 'g'))) AS fp
+      FROM documents
+    ), toks AS (
+      SELECT unnest(string_split_regex(lower(text), '\\s+')) AS t FROM base
+    ), m AS (
+      SELECT 'n_docs' AS metric, CAST(count(*) AS DOUBLE) AS value FROM base
+      UNION ALL
+      SELECT 'total_chars', CAST(sum(n_chars) AS DOUBLE) FROM base
+      UNION ALL
+      SELECT 'mean_doc_chars',
+             round(CAST(sum(n_chars) AS DOUBLE) / count(*), 4) FROM base
+      UNION ALL
+      SELECT 'exact_dup_rate',
+             round(1.0 - CAST(count(DISTINCT fp) AS DOUBLE) / count(*), 6) FROM base
+      UNION ALL
+      SELECT 'pct_lang_en',
+             round(CAST(count(*) FILTER (WHERE lang = 'en') AS DOUBLE)
+                   / count(*), 6) FROM base
+      UNION ALL
+      SELECT 'n_sources', CAST(count(DISTINCT source) AS DOUBLE) FROM base
+      UNION ALL
+      SELECT 'total_tokens', CAST(count(*) AS DOUBLE) FROM toks WHERE t <> ''
+      UNION ALL
+      SELECT 'vocab_size', CAST(count(DISTINCT t) AS DOUBLE)
+      FROM toks WHERE t <> ''
+    )
+    SELECT metric, value FROM m
+    """,
+    tags=("llm", "pipeline", "report"),
+)
+def corpus_quality_report(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The corpus health dashboard in one query: document and token
+    volumes, exact-duplicate rate, language mix, source diversity,
+    vocabulary size — the numbers a pretraining-data review starts
+    from, each of which has a dedicated drill-down operator elsewhere
+    in the registry (dedup_*, text_lang_id, corpus_*).
+
+    Scale: two scans (docs, exploded tokens), each a map-combinable
+    aggregate; every metric is a tiny tall-frame row so the report
+    stays one collect regardless of corpus size.
+    """
+    d = T(spark, sf_dir, "documents")
+    fp = F.md5(F.trim(F.regexp_replace(F.lower(F.col("text")), r"\s+", " ")))
+    base = d.select("doc_id", "lang", "source", "n_chars", fp.alias("fp"))
+    toks = d.select(
+        F.explode(F.split(F.lower(F.col("text")), r"\s+")).alias("t")
+    ).where(F.col("t") != "")
+
+    def row(metric: str, col) -> DataFrame:
+        return base.agg(F.lit(metric).alias("metric"), col.alias("value"))
+
+    doc_rows = [
+        row("n_docs", F.count(F.lit(1)).cast("double")),
+        row("total_chars", F.sum("n_chars").cast("double")),
+        row(
+            "mean_doc_chars",
+            F.round(F.sum("n_chars").cast("double") / F.count(F.lit(1)), 4),
+        ),
+        row(
+            "exact_dup_rate",
+            F.round(
+                F.lit(1.0) - F.countDistinct("fp").cast("double") / F.count(F.lit(1)), 6
+            ),
+        ),
+        row(
+            "pct_lang_en",
+            F.round(
+                F.count(F.when(F.col("lang") == "en", 1)).cast("double")
+                / F.count(F.lit(1)),
+                6,
+            ),
+        ),
+        row("n_sources", F.countDistinct("source").cast("double")),
+    ]
+    tok_rows = [
+        toks.agg(
+            F.lit("total_tokens").alias("metric"), F.count(F.lit(1)).cast("double").alias("value")
+        ),
+        toks.agg(
+            F.lit("vocab_size").alias("metric"), F.countDistinct("t").cast("double").alias("value")
+        ),
+    ]
+    out = doc_rows[0]
+    for r in doc_rows[1:] + tok_rows:
+        out = out.unionByName(r)
+    return out
