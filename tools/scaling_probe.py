@@ -185,6 +185,9 @@ EXTENSION_QUERIES = [
     "graph_bfs_levels",
     "agg_weighted_median",
     "marketing_attribution_position",
+    "graph_link_prediction_jaccard",
+    "embedding_hard_negatives",
+    "dedup_simhash",
 ]
 
 
