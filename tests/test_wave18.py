@@ -57,3 +57,64 @@ def test_mmr_matches_numpy_reference(spark, sf_dir):
     # diversity property: selected set is not just the top-10 by relevance
     top10_rel = list(ids[:10])
     assert expect_ids != top10_rel or len(set(expect_ids)) == 10
+
+
+def test_dtw_matches_recursive_reference(spark, sf_dir):
+    """The banded-DP DTW must equal an independent memoized recursive
+    implementation on the same z-normalized series."""
+    import sys
+    from functools import lru_cache
+
+    from lakehouse_test_spark.queries_wave19 import timeseries_dtw_segments
+
+    got = {(r["seg_a"], r["seg_b"]): r for r in timeseries_dtw_segments(spark, sf_dir).collect()}
+    assert got
+
+    from lakehouse_test_spark.session import load_table
+
+    o = load_table(spark, sf_dir, "orders")
+    c = load_table(spark, sf_dir, "customer")
+    monthly = (
+        o.join(c, o.o_custkey == c.c_custkey)
+        .groupBy(
+            F.col("c_mktsegment").alias("seg"),
+            F.date_trunc("month", "o_orderdate").cast("date").alias("ms"),
+        )
+        .agg(F.sum(F.col("o_totalprice").cast("decimal(18,6)")).cast("double").alias("x"))
+        .orderBy("seg", "ms")
+        .collect()
+    )
+    series: dict[str, list[float]] = {}
+    for r in monthly:
+        series.setdefault(r["seg"], []).append(r["x"])
+
+    def znorm(v):
+        a = np.asarray(v)
+        return (a - a.mean()) / (a.std() or 1.0)
+
+    sys.setrecursionlimit(100000)
+    for (s1, s2), row in got.items():
+        a, b = znorm(series[s1]), znorm(series[s2])
+
+        @lru_cache(maxsize=None)
+        def d(i, j):
+            if i == 0 and j == 0:
+                return 0.0
+            if i == 0 or j == 0 or abs(i - j) > 6:
+                return float("inf")
+            return abs(a[i - 1] - b[j - 1]) + min(d(i - 1, j), d(i, j - 1), d(i - 1, j - 1))
+
+        expect = d(len(a), len(b))
+        d.cache_clear()
+        assert row["dtw_distance"] == pytest.approx(round(expect, 4), abs=1e-4)
+
+
+def test_user_entropy_bounds(spark, sf_dir):
+    from lakehouse_test_spark.queries_wave19 import events_user_entropy
+
+    rows = events_user_entropy(spark, sf_dir).collect()
+    assert rows
+    import math
+
+    for r in rows:
+        assert -1e-9 <= r["entropy_bits"] <= math.log2(max(r["n_types"], 1)) + 1e-6
