@@ -1723,3 +1723,77 @@ def lakehouse_join_ivm(spark: SparkSession, sf_dir: str) -> DataFrame:
     b.delete_where_dv("c_mktsegment = 'BUILDING'")
     ca, cb = maintain_join(spark, a, b, t, ["custkey"], ca, cb)
     return t.snapshot().select("custkey", "o_orderkey", "price", "c_mktsegment", "m")
+
+
+def optimize_advisor(table: "LakehouseTable") -> dict:
+    """Table-health advisor: file-layout statistics plus a concrete
+    maintenance recommendation — the heuristic every lakehouse
+    platform runs before auto-OPTIMIZE. Reads ONLY the commit log
+    (file counts, per-commit row counts, deletion-vector coverage) —
+    O(log), no data scanned, at any table size.
+
+    Recommendations:
+    - ``compact``: many small files (avg rows/file below threshold or
+      file count per live commit high) — bin-pack via ``compact()``.
+    - ``rewrite_dvs``: deletion vectors shadow a large fraction of
+      rows — fold them into a rewrite (``delete_where`` semantics)
+      so scans stop paying the anti-join.
+    - ``vacuum``: many superseded commits hold dead files.
+    - ``healthy``: none of the above.
+    """
+    commits = table.history()
+    live = table._live_commits(None)
+    n_files = sum(len(c.files) for c in live)
+    live_rows = sum(c.row_count for c in live)
+    dv_rows = sum(c.dv_row_count for c in commits)
+    dead_commits = len(commits) - len(live)
+    avg_rows_per_file = live_rows / n_files if n_files else 0.0
+    dv_fraction = dv_rows / live_rows if live_rows else 0.0
+    if n_files > 0 and (avg_rows_per_file < 5000 and n_files >= 8):
+        rec = "compact"
+    elif dv_fraction > 0.2:
+        rec = "rewrite_dvs"
+    elif dead_commits >= 5:
+        rec = "vacuum"
+    else:
+        rec = "healthy"
+    return {
+        "n_live_files": n_files,
+        "live_rows": live_rows,
+        "avg_rows_per_file": round(avg_rows_per_file, 2),
+        "dv_shadowed_fraction": round(dv_fraction, 6),
+        "dead_commits": dead_commits,
+        "recommendation": rec,
+    }
+
+
+@_query("lakehouse_optimize_advisor", oracle=None, tags=("lakehouse", "maintenance"))
+def lakehouse_optimize_advisor(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The advisor under the gate: a deliberately fragmented ingest
+    (many tiny appended files) must be diagnosed ``compact``; after
+    running the recommended compaction the same table must read
+    ``healthy`` — the observe→act→verify loop of automated table
+    maintenance, returned as two advisor rows (rows-only: the advisor
+    reads commit-log internals no SQL oracle can see)."""
+    import tempfile
+
+    from pyspark.sql import functions as F
+
+    from lakehouse_test_spark.session import load_table as _lt
+
+    o = _lt(spark, sf_dir, "orders").select("o_orderkey", "o_totalprice")
+    t = LakehouseTable(spark, tempfile.mkdtemp(prefix="lh_advisor_"))
+    for i in range(4):
+        t.append(o.where(F.col("o_orderkey") % 4 == i).repartition(4))
+    before = optimize_advisor(t)
+    if before["recommendation"] == "compact":
+        t.compact(target_partitions=2)
+    after = optimize_advisor(t)
+    rows = [
+        ("before", before["n_live_files"], before["avg_rows_per_file"], before["recommendation"]),
+        ("after", after["n_live_files"], after["avg_rows_per_file"], after["recommendation"]),
+    ]
+    return spark.createDataFrame(
+        rows,
+        "phase string, n_live_files int, avg_rows_per_file double, recommendation string",
+    )

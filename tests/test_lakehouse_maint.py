@@ -328,3 +328,22 @@ def test_join_ivm_rebuilds_after_vacuum_horizon(spark):
         a.drop()
         b.drop()
         t.drop()
+
+
+def test_optimize_advisor_recommendations(spark, table):
+    from lakehouse_test_spark.plans.lakehouse import optimize_advisor
+
+    # fragmented: many tiny files
+    for i in range(4):
+        table.append(_df(spark, i * 100, (i + 1) * 100).repartition(4))
+    rec = optimize_advisor(table)
+    assert rec["n_live_files"] >= 8
+    assert rec["recommendation"] == "compact"
+    table.compact(target_partitions=1)
+    rec2 = optimize_advisor(table)
+    assert rec2["recommendation"] in ("healthy", "vacuum")
+    # heavy DV shadowing flips the recommendation
+    table.delete_where_dv("v < 300")  # 75% of rows
+    rec3 = optimize_advisor(table)
+    assert rec3["dv_shadowed_fraction"] > 0.2
+    assert rec3["recommendation"] == "rewrite_dvs"
