@@ -124,3 +124,120 @@ def timeseries_dtw_segments(spark: SparkSession, sf_dir: str) -> DataFrame:
     return spark.createDataFrame(
         out, "seg_a string, seg_b string, dtw_distance double, n_a int, n_b int"
     )
+
+
+@query(
+    "orders_concurrency_curve",
+    oracle="""
+    WITH spans AS (
+      SELECT o.o_orderkey,
+             CAST(o.o_orderdate AS DATE) AS open_day,
+             CAST(max(l.l_shipdate) AS DATE) AS close_day
+      FROM orders o JOIN lineitem l ON l.l_orderkey = o.o_orderkey
+      GROUP BY 1, 2
+    ), deltas AS (
+      SELECT open_day AS day, 1 AS d FROM spans
+      UNION ALL
+      SELECT close_day + INTERVAL 1 DAY, -1 FROM spans
+    ), curve AS (
+      SELECT day, CAST(sum(sum(d)) OVER (ORDER BY day) AS BIGINT) AS in_flight
+      FROM deltas GROUP BY day
+    )
+    SELECT CAST(date_trunc('month', day) AS DATE) AS month_start,
+           CAST(max(in_flight) AS BIGINT) AS peak_in_flight,
+           CAST(min(in_flight) AS BIGINT) AS min_in_flight
+    FROM curve GROUP BY 1
+    """,
+    tags=("timeseries", "intervals", "analytics"),
+)
+def orders_concurrency_curve(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Interval concurrency: how many orders are simultaneously
+    in-flight (order date → last ship date) over time, rolled up to
+    monthly peak/min — the +1/−1 delta-sweep construction that turns
+    interval overlap counting into ONE running sum (the classic
+    "maximum concurrent sessions" SQL pattern; Little's-law
+    dashboards run exactly this).
+
+    Scale: one join+aggregate to order grain, then the sweep runs on
+    the DAY grain (two rows per order pre-aggregated to days — the
+    running sum is over bounded rows). No interval self-join — the
+    naive overlap-count is quadratic; the delta sweep is linear.
+    """
+    o = T(spark, sf_dir, "orders").select("o_orderkey", F.col("o_orderdate").cast("date").alias("open_day"))
+    li = T(spark, sf_dir, "lineitem").groupBy("l_orderkey").agg(
+        F.max(F.col("l_shipdate").cast("date")).alias("close_day")
+    )
+    spans = o.join(li, o.o_orderkey == li.l_orderkey)
+    deltas = spans.select(F.col("open_day").alias("day"), F.lit(1).alias("d")).unionByName(
+        spans.select(F.date_add("close_day", 1).alias("day"), F.lit(-1).alias("d"))
+    )
+    daily = deltas.groupBy("day").agg(F.sum("d").alias("dd"))
+    from pyspark.sql import Window
+
+    w = Window.orderBy("day").rowsBetween(Window.unboundedPreceding, 0)
+    curve = daily.select("day", F.sum("dd").over(w).cast("bigint").alias("in_flight"))
+    return curve.groupBy(
+        F.date_trunc("month", "day").cast("date").alias("month_start")
+    ).agg(
+        F.max("in_flight").cast("bigint").alias("peak_in_flight"),
+        F.min("in_flight").cast("bigint").alias("min_in_flight"),
+    )
+
+
+@query(
+    "market_concentration_hhi",
+    oracle="""
+    WITH rev AS (
+      SELECT s.s_nationkey, l.l_suppkey,
+             sum(CAST(l.l_extendedprice AS DECIMAL(18,6))) AS r
+      FROM lineitem l JOIN supplier s ON s.s_suppkey = l.l_suppkey
+      GROUP BY 1, 2
+    ), tot AS (
+      SELECT s_nationkey, CAST(sum(r) AS DOUBLE) AS t,
+             CAST(count(*) AS BIGINT) AS n_suppliers
+      FROM rev GROUP BY 1
+    )
+    SELECT r.s_nationkey AS nationkey, max(t1.n_suppliers) AS n_suppliers,
+           round(sum(CAST(pow(CAST(r.r AS DOUBLE) / t1.t, 2) * 10000
+                     AS DECIMAL(18,8))), 2) AS hhi,
+           max(t1.n_suppliers) > 0
+             AND sum(CAST(pow(CAST(r.r AS DOUBLE) / t1.t, 2) * 10000
+                     AS DECIMAL(18,8))) > 2500 AS concentrated
+    FROM rev r JOIN tot t1 USING (s_nationkey)
+    GROUP BY r.s_nationkey
+    """,
+    tags=("agg", "analytics", "economics"),
+)
+def market_concentration_hhi(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Herfindahl-Hirschman market concentration per nation: the sum
+    of squared supplier revenue shares on the 0-10,000 scale, with
+    the DOJ "highly concentrated" 2,500 flag — the antitrust/market-
+    structure statistic as a two-level aggregate (supplier rollup →
+    share fold). Decimal-cast squared-share terms keep the per-nation
+    sum accumulation-order-exact.
+
+    Scale: supplier-grain rollup is the only fact shuffle; the HHI
+    fold runs on |suppliers| rows with broadcast nation totals.
+    """
+    li = T(spark, sf_dir, "lineitem")
+    s = T(spark, sf_dir, "supplier")
+    rev = (
+        li.join(F.broadcast(s), li.l_suppkey == s.s_suppkey)
+        .groupBy("s_nationkey", "l_suppkey")
+        .agg(F.sum(F.col("l_extendedprice").cast("decimal(18,6)")).alias("r"))
+    )
+    tot = rev.groupBy("s_nationkey").agg(
+        F.sum("r").cast("double").alias("t"),
+        F.count(F.lit(1)).cast("bigint").alias("n_suppliers"),
+    )
+    share_sq = F.pow(F.col("r").cast("double") / F.col("t"), F.lit(2.0)) * 10000
+    hhi = F.sum(share_sq.cast("decimal(18,8)"))
+    return (
+        rev.join(F.broadcast(tot), "s_nationkey")
+        .groupBy(F.col("s_nationkey").alias("nationkey"))
+        .agg(
+            F.max("n_suppliers").alias("n_suppliers"),
+            F.round(hhi, 2).alias("hhi"),
+            ((F.max("n_suppliers") > 0) & (hhi > 2500)).alias("concentrated"),
+        )
+    )
