@@ -342,3 +342,39 @@ def test_pit_join_hash_with_range_residual(spark, sf_dir):
     plan = plan_of(spark, sf_dir, "dim_scd2_point_in_time")
     assert "BroadcastNestedLoopJoin" not in plan
     assert "CartesianProduct" not in plan
+
+
+def test_partitioned_scan_prunes_statically(spark, sf_dir):
+    """The one-week literal predicate must land in PartitionFilters
+    (directory-level skip), not just a row-level parquet filter."""
+    plan = plan_of(spark, sf_dir, "format_partitioned_pruning", mode="formatted")
+    assert "PartitionFilters" in plan, plan
+    pf = [ln for ln in plan.splitlines() if "PartitionFilters" in ln][0]
+    assert "event_date" in pf, pf
+    # both bounds of the BETWEEN survive into the partition filter
+    assert "2024-01-08" in pf and "2024-01-14" in pf, pf
+
+
+def test_dpp_scan_has_dynamic_pruning_subquery(spark, sf_dir):
+    """The dim-filtered join must prune fact partitions at runtime:
+    the scan carries a dynamicpruningexpression subquery, and Spark
+    additionally infers the static weekofyear twin."""
+    plan = plan_of(spark, sf_dir, "join_dynamic_partition_pruning", mode="formatted")
+    assert "dynamicpruning" in plan.lower(), plan
+    pf = [ln for ln in plan.splitlines() if "PartitionFilters" in ln][0]
+    assert "weekofyear" in pf, pf
+
+
+def test_schema_evolution_merges_both_vintages(spark, sf_dir):
+    """mergeSchema must surface the evolved column over BOTH batches:
+    pre-evolution rows read as NULL (count(o_channel) < count(*))."""
+    from lakehouse_test_spark.queries import REGISTRY
+
+    rows = {
+        r["o_orderstatus"]: r.asDict()
+        for r in REGISTRY["format_schema_evolution_merge"].fn(spark, sf_dir).collect()
+    }
+    assert rows, "no groups returned"
+    total = sum(r["n_orders"] for r in rows.values())
+    with_channel = sum(r["n_with_channel"] for r in rows.values())
+    assert 0 < with_channel < total
