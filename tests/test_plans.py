@@ -378,3 +378,10 @@ def test_schema_evolution_merges_both_vintages(spark, sf_dir):
     total = sum(r["n_orders"] for r in rows.values())
     with_channel = sum(r["n_with_channel"] for r in rows.values())
     assert 0 < with_channel < total
+
+
+def test_reservoir_sample_partial_group_limit(spark, sf_dir):
+    """The hash-ranked per-group reservoir must push the k-filter below
+    the exchange (WindowGroupLimit): each mapper forwards at most k
+    rows per group, so shuffle volume is O(groups*k*partitions)."""
+    assert "WindowGroupLimit" in plan_of(spark, sf_dir, "sample_reservoir_per_group")
