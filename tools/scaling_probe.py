@@ -136,14 +136,16 @@ def main() -> None:
     ap.add_argument("--skip-synth", action="store_true")
     ap.add_argument("--extension", action="store_true",
                     help="time the wave H-J extension families instead of HEADLINE")
+    ap.add_argument("--names", default=None,
+                    help="comma-separated registry names to probe instead of a fixed list")
     args = ap.parse_args()
 
     sf1 = os.path.join(args.out, "sf1")
     if not args.skip_synth or not os.path.exists(sf1):
         sf1 = synthesize(args.out)
 
-    if args.extension:
-        run_extension([SRC, sf1])
+    if args.extension or args.names:
+        run_extension([SRC, sf1], args.names.split(",") if args.names else None)
         return
 
     b01 = run_bench(SRC)
@@ -197,7 +199,7 @@ EXTENSION_QUERIES = [
 # the wall-clock ratio table.
 
 
-def run_extension(sf_dirs: list[str]) -> None:
+def run_extension(sf_dirs: list[str], names: list[str] | None = None) -> None:
     import time
 
     from lakehouse_test_spark.queries import REGISTRY
@@ -208,7 +210,7 @@ def run_extension(sf_dirs: list[str]) -> None:
     results: dict[str, dict[str, float]] = {}
     for sf_dir in sf_dirs:
         pin_fixture_tables(spark, sf_dir)
-        for name in EXTENSION_QUERIES:
+        for name in (names or EXTENSION_QUERIES):
             fn = REGISTRY[name].fn
             fn(spark, sf_dir).write.format("noop").mode("overwrite").save()  # warm
             t0 = time.perf_counter()
@@ -220,7 +222,7 @@ def run_extension(sf_dirs: list[str]) -> None:
     print("|---|---|---|---|")
     ratios = {}
     tot_a = tot_b = 0.0
-    for name in EXTENSION_QUERIES:
+    for name in (names or EXTENSION_QUERIES):
         ta, tb = results[name][a], results[name][b]
         tot_a += ta
         tot_b += tb
