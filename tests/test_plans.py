@@ -385,3 +385,56 @@ def test_reservoir_sample_partial_group_limit(spark, sf_dir):
     the exchange (WindowGroupLimit): each mapper forwards at most k
     rows per group, so shuffle volume is O(groups*k*partitions)."""
     assert "WindowGroupLimit" in plan_of(spark, sf_dir, "sample_reservoir_per_group")
+
+
+def test_ols_single_aggregate_no_key_shuffle(spark, sf_dir):
+    """Closed-form OLS is one partial+final aggregate: the only
+    exchange is the SinglePartition gather of 10 partial co-moments —
+    a key shuffle or join here would mean the normal-equations pass
+    stopped being map-reduce-shaped."""
+    import re
+
+    p = plan_of(spark, sf_dir, "ml_multiple_regression")
+    assert "Join" not in p, p
+    exchanges = re.findall(r"Exchange (\w+)", p)
+    assert [e for e in exchanges if e == "hashpartitioning"] == [], p
+
+
+def test_url_canonicalize_single_shuffle(spark, sf_dir):
+    """URL canonicalization is a pure codegen projection; the only
+    shuffle is the final groupBy on the canonical key."""
+    import re
+
+    p = plan_of(spark, sf_dir, "dedup_url_canonicalize")
+    assert "Join" not in p and "Window" not in p, p
+    exchanges = re.findall(r"Exchange (\w+)", p)
+    assert len([e for e in exchanges if e == "hashpartitioning"]) == 1, p
+
+
+def test_timezone_battery_zero_shuffle(spark, sf_dir):
+    """Timezone conversion is projection-only — any Exchange is a
+    scale bug."""
+    assert "Exchange" not in plan_of(spark, sf_dir, "scalar_timezone_battery")
+
+
+def test_values_dim_folds_to_broadcast(spark, sf_dir):
+    """The inline VALUES dim must fold to a LocalRelation and
+    broadcast — the fact side is never shuffled for the join, only
+    for the 3-group final aggregate."""
+    import re
+
+    p = plan_of(spark, sf_dir, "sql_values_inline_table")
+    assert "BroadcastHashJoin" in p, p
+    exchanges = re.findall(r"Exchange (\w+)", p)
+    assert len([e for e in exchanges if e == "hashpartitioning"]) == 1, p
+
+
+def test_product_geomean_partial_aggregation(spark, sf_dir):
+    """Log-domain products keep the standard two-level hash aggregate:
+    decimal partials combine map-side, one key shuffle total."""
+    import re
+
+    p = plan_of(spark, sf_dir, "agg_product_geomean")
+    exchanges = re.findall(r"Exchange (\w+)", p)
+    assert len([e for e in exchanges if e == "hashpartitioning"]) == 1, p
+    assert p.count("HashAggregate") >= 2, p
