@@ -920,3 +920,133 @@ def multimodal_mp4_boxes(spark: SparkSession, sf_dir: str) -> DataFrame:
         .cast("bigint")
         .alias("duration_sec_e4"),
     )
+
+
+# ---------------------------------------------------------------------------
+# TIFF/EXIF: little-endian IFD walk with DATA-DRIVEN offsets
+# ---------------------------------------------------------------------------
+
+
+def le_u16_at(payload: Column, off: Column) -> Column:
+    """Little-endian uint16 at a COLUMN offset (0-based) — the dynamic
+    twin of ``le_u16`` for offsets parsed from the data."""
+    return _u(_swap_bytes(F.hex(payload.substr(off + 1, F.lit(2))), 2))
+
+
+def le_u32_at(payload: Column, off: Column) -> Column:
+    """Little-endian uint32 at a COLUMN offset (0-based)."""
+    return _u(_swap_bytes(F.hex(payload.substr(off + 1, F.lit(4))), 4))
+
+
+def synthesize_tiff(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Spec-valid little-endian TIFF per document: ``II``/42 header,
+    IFD0 with four 12-byte entries (ImageWidth 0x0100, ImageLength
+    0x0101, Orientation 0x0112 as SHORTs; ExifIFDPointer 0x8769 as
+    LONG) and a chained EXIF sub-IFD (ISOSpeedRatings 0x8827,
+    PixelXDimension 0xA002). All field values derive deterministically
+    from n_chars so the walk is oracle-checkable; hex assembly +
+    unhex keeps synthesis in codegen (the synthesize_media posture).
+    """
+    d = load_table(spark, sf_dir, "documents")
+    width = (F.col("n_chars") % 32 + 1) * 16
+    height = (F.col("n_chars") % 24 + 1) * 9
+    orientation = F.col("n_chars") % 8 + 1
+    iso = (F.col("n_chars") % 16 + 1) * 100
+    # layout: header 8B | IFD0: count(2) + 4*12 entries + next(4) = 54B
+    # → EXIF IFD at 8 + 54 = 62: count(2) + 2*12 + next(4) = 30B
+    exif_off = 62
+
+    def entry(tag: int, typ: int, value: Column) -> Column:
+        return F.concat(
+            F.lit(f"{tag & 0xFF:02X}{(tag >> 8) & 0xFF:02X}"
+                  f"{typ & 0xFF:02X}{(typ >> 8) & 0xFF:02X}"
+                  "01000000"),
+            _le_hex(value.cast("bigint"), 4),
+        )
+
+    ifd0 = F.concat(
+        F.lit("0400"),  # 4 entries, LE u16
+        entry(0x0100, 3, width),
+        entry(0x0101, 3, height),
+        entry(0x0112, 3, orientation),
+        entry(0x8769, 4, F.lit(exif_off)),
+        F.lit("00000000"),  # next IFD offset: none
+    )
+    exif_ifd = F.concat(
+        F.lit("0200"),
+        entry(0x8827, 3, iso),
+        entry(0xA002, 4, width),
+        F.lit("00000000"),
+    )
+    tiff_hex = F.concat(F.lit("49492A00" + "08000000"), ifd0, exif_ifd)
+    return d.select(F.col("doc_id").alias("asset_id"), F.unhex(tiff_hex).alias("payload"))
+
+
+@query(
+    "multimodal_tiff_exif",
+    oracle="""
+    SELECT doc_id AS asset_id,
+           'II' AS byte_order,
+           42 AS magic,
+           4 AS n_ifd0_entries,
+           CAST((n_chars % 32 + 1) * 16 AS BIGINT) AS width,
+           CAST((n_chars % 24 + 1) * 9 AS BIGINT) AS height,
+           CAST(n_chars % 8 + 1 AS BIGINT) AS orientation,
+           CAST((n_chars % 16 + 1) * 100 AS BIGINT) AS iso_speed,
+           CAST((n_chars % 32 + 1) * 16 AS BIGINT) AS pixel_x_dim,
+           TRUE AS well_formed
+    FROM documents
+    """,
+    tags=("multimodal", "llm", "image"),
+)
+def multimodal_tiff_exif(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """REAL TIFF/EXIF IFD walk over little-endian TIFF payloads: read
+    the byte-order mark and magic, follow the header's IFD offset
+    (from the DATA), read the entry count, scan the entries by TAG
+    (order-independent CASE extraction, not positional slicing),
+    follow the ExifIFDPointer to the sub-IFD, and pull
+    ISOSpeedRatings / PixelXDimension out of it. The oracle recomputes
+    every field from the source columns, so a hash match proves the
+    synthesis and the offset-chasing walk are spec-consistent — the
+    same posture as ``multimodal_mp4_boxes``.
+
+    Scale: pure codegen byte arithmetic (binary substr → hex → conv),
+    zero shuffle, zero Python — EXIF extraction at scan speed across
+    a 100 TB image corpus; pixel decode stays behind the documented
+    codec boundary (decode_media).
+    """
+    a = synthesize_tiff(spark, sf_dir)
+    p = F.col("payload")
+    byte_order = F.decode(p.substr(1, 2), "UTF-8")
+    magic = le_u16(p, 2)
+    ifd0 = le_u32(p, 4)
+    n0 = le_u16_at(p, ifd0)
+
+    def tagv(base: Column, n_entries: int, tag: int) -> Column:
+        """Value of ``tag`` among the first n_entries of the IFD at
+        ``base`` — tag ids read from the data, matched by CASE."""
+        v = F.lit(None).cast("bigint")
+        for i in range(n_entries):
+            e = base + 2 + 12 * i
+            v = F.when(le_u16_at(p, e) == tag, le_u32_at(p, e + 8)).otherwise(v)
+        return v
+
+    width = tagv(ifd0, 4, 0x0100)
+    height = tagv(ifd0, 4, 0x0101)
+    orientation = tagv(ifd0, 4, 0x0112)
+    exif_ptr = tagv(ifd0, 4, 0x8769)
+    iso = tagv(exif_ptr, 2, 0x8827)
+    pixel_x = tagv(exif_ptr, 2, 0xA002)
+    next_ifd0 = le_u32_at(p, ifd0 + 2 + 12 * n0)
+    return a.select(
+        "asset_id",
+        byte_order.alias("byte_order"),
+        magic.cast("int").alias("magic"),
+        n0.cast("int").alias("n_ifd0_entries"),
+        width.alias("width"),
+        height.alias("height"),
+        orientation.alias("orientation"),
+        iso.alias("iso_speed"),
+        pixel_x.alias("pixel_x_dim"),
+        ((magic == 42) & (next_ifd0 == 0) & (byte_order == "II")).alias("well_formed"),
+    )
