@@ -438,3 +438,10 @@ def test_product_geomean_partial_aggregation(spark, sf_dir):
     exchanges = re.findall(r"Exchange (\w+)", p)
     assert len([e for e in exchanges if e == "hashpartitioning"]) == 1, p
     assert p.count("HashAggregate") >= 2, p
+
+
+def test_sql_hint_forces_broadcast(spark, sf_dir):
+    """The /*+ BROADCAST(n) */ hint in the SQL text must surface as a
+    BroadcastHashJoin — the hint path is a different parser surface
+    than the DataFrame broadcast() function."""
+    assert "BroadcastHashJoin" in plan_of(spark, sf_dir, "sql_join_hint_broadcast")
