@@ -176,3 +176,47 @@ def sql_join_hint_broadcast(spark: SparkSession, sf_dir: str) -> DataFrame:
         GROUP BY n_name
         """
     )
+
+
+@query(
+    "scalar_collation_counts",
+    oracle="""
+    WITH mixed AS (
+      SELECT CASE WHEN doc_id % 3 = 0 THEN upper(source)
+                  WHEN doc_id % 3 = 1 THEN source
+                  ELSE concat(upper(substr(source, 1, 1)), substr(source, 2))
+             END AS s
+      FROM documents
+    )
+    SELECT count(DISTINCT s) AS n_distinct_cs,
+           count(DISTINCT lower(s)) AS n_distinct_ci,
+           count(*) FILTER (WHERE lower(s) = 'web') AS n_web_ci
+    FROM mixed
+    """,
+    tags=("scalar", "collation"),
+)
+def scalar_collation_counts(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Spark 4 string collations: COUNT DISTINCT and equality under
+    UTF8_LCASE collation over a deliberately case-mangled column
+    (upper / as-is / title-case by doc_id). The collated distinct
+    count and predicate match DuckDB's lower() semantics — grouping
+    ON the collated key itself is avoided because the representative
+    casing an engine surfaces is implementation-defined.
+
+    Scale: collation comparisons run in codegen (specialized
+    UTF8_LCASE comparators, no per-row lowercase materialization) —
+    distinct/join/sort on collated keys shuffles the raw bytes, not
+    lowercased copies.
+    """
+    d = T(spark, sf_dir, "documents")
+    s = (
+        F.when(F.col("doc_id") % 3 == 0, F.upper("source"))
+        .when(F.col("doc_id") % 3 == 1, F.col("source"))
+        .otherwise(F.initcap("source"))
+    )
+    sc = F.collate(s, "UTF8_LCASE")
+    return d.select(s.alias("s"), sc.alias("sc")).agg(
+        F.countDistinct("s").alias("n_distinct_cs"),
+        F.countDistinct("sc").alias("n_distinct_ci"),
+        F.count_if(F.col("sc") == F.lit("web")).alias("n_web_ci"),
+    )
