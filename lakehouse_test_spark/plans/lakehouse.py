@@ -38,6 +38,7 @@ from dataclasses import field as dataclasses_field
 
 from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql.functions import col as F_col
+from pyspark.sql.functions import lit as F_lit
 
 from lakehouse_test_spark.registry import query as _query
 
@@ -964,6 +965,90 @@ class LakehouseTable:
             raise ConstraintViolationError(
                 f"write rejected; violations per constraint: {violated}"
             )
+
+    # -- partition-spec evolution (Iceberg-style) ------------------------------
+
+    def set_partition_spec(self, cols: list[str]) -> None:
+        """Iceberg-style partition-spec EVOLUTION: record a new
+        identity-partition spec that applies to FUTURE writes only.
+        Files written under older specs stay valid and readable —
+        they simply carry no stats for the new partition columns, so
+        partition pruning skips nothing in them (scan-safe, exactly
+        Iceberg's contract when a spec is evolved). Spec history is
+        versioned metadata (spec_id, from_version)."""
+        meta = self._read_meta()
+        specs = meta.setdefault("partition_specs", [])
+        specs.append(
+            {
+                "spec_id": len(specs),
+                "cols": list(cols),
+                "from_version": self.latest_version() + 1,
+            }
+        )
+        self._write_meta(meta)
+
+    def partition_spec(self) -> list[str]:
+        """Columns of the CURRENT partition spec ([] if unpartitioned)."""
+        specs = self._read_meta().get("partition_specs", [])
+        return list(specs[-1]["cols"]) if specs else []
+
+    def append_partitioned(
+        self, df: DataFrame, operation: str = "append-partitioned"
+    ) -> "Commit":
+        """Append ``df`` split so every data file holds exactly ONE
+        tuple of the current partition spec's values, with per-file
+        min==max zone maps on the spec columns — which makes
+        ``scan_pruned`` equality lookups on a partition column skip
+        every other partition's files, i.e. identity partition
+        pruning. Like Iceberg (and unlike Hive layout), partition
+        columns remain IN the data files, so every reader path
+        (snapshot, time travel, CDF) works unchanged.
+
+        Scale: one write per partition value of the incoming batch —
+        correct for identity specs, whose domains are bounded by
+        design (a spec over an unbounded column is a modeling error;
+        Iceberg's own docs say the same). A single-shuffle
+        ``partitionBy`` writer with partition-value recovery is the
+        bulk-load alternative; the commit/metadata shape is identical.
+        """
+        spec = self.partition_spec()
+        if not spec:
+            raise ValueError("append_partitioned: no partition spec set")
+        df = self._apply_generated_columns(df)
+        self._validate_constraints(df)
+        version = self.latest_version() + 1
+        commit_dir = self.path / "data" / f"{uuid.uuid4().hex[:12]}"
+        values = sorted(
+            tuple(r[c] for c in spec)
+            for r in df.select(*spec).distinct().collect()
+        )
+        for tup in values:
+            part = df
+            for c, v in zip(spec, tup):
+                part = part.where(F_col(c).eqNullSafe(F_lit(v)))
+            part.write.mode("append").parquet(str(commit_dir))
+        files = sorted(
+            str(p.relative_to(self.path))
+            for p in commit_dir.glob("*.parquet")
+            if p.name.startswith("part-")
+        )
+        stats = {f: _file_stats(self.path / f, spec) for f in files}
+        row_count = self.spark.read.parquet(str(commit_dir)).count()
+        commit = Commit(
+            version=version,
+            files=files,
+            row_count=row_count,
+            operation=operation,
+            stats=stats,
+        )
+        tmp = self.log_dir / f".tmp-{uuid.uuid4().hex}"
+        tmp.write_text(json.dumps(commit.__dict__))
+        target = self._commit_path(version)
+        if target.exists():
+            tmp.unlink()
+            raise RuntimeError(f"concurrent commit at version {version}")
+        os.rename(tmp, target)
+        return commit
 
     # -- VACUUM ---------------------------------------------------------------
 

@@ -220,3 +220,53 @@ def scalar_collation_counts(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.countDistinct("sc").alias("n_distinct_ci"),
         F.count_if(F.col("sc") == F.lit("web")).alias("n_web_ci"),
     )
+
+
+@query(
+    "lakehouse_partition_evolution",
+    oracle="""
+    SELECT CAST(year(o_orderdate) AS INTEGER) AS order_year,
+           count(*) AS n_orders,
+           CAST(round(sum(CAST(o_totalprice AS DECIMAL(18,6))), 2) AS DOUBLE)
+             AS total_price
+    FROM orders
+    WHERE o_orderstatus = 'F'
+    GROUP BY 1
+    """,
+    tags=("lakehouse", "partition"),
+)
+def lakehouse_partition_evolution(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Iceberg-style partition-spec evolution under the hash gate:
+    the first half of orders lands UNPARTITIONED (the pre-evolution
+    era), then the spec evolves to identity-partition on
+    o_orderstatus and the second half lands with one file per status
+    and min==max zone maps. The status='F' lookup then prunes every
+    non-F file of the new-spec commit while - correctly - keeping all
+    old-spec files (they carry no status stats, so skipping them
+    would be unsafe; this is exactly Iceberg's evolved-spec scan
+    contract). The residual row-level predicate makes the result
+    value-exact, which the oracle verifies over raw orders.
+
+    Scale: spec evolution never rewrites history - old files stay
+    valid, new files get the new pruning dimension - so changing the
+    partitioning of a 100 TB table is a metadata operation;
+    tests/test_lakehouse_maint.py pins the asymmetric file-skipping.
+    """
+    from lakehouse_test_spark.plans.lakehouse import LakehouseTable
+
+    o = T(spark, sf_dir, "orders").select(
+        "o_orderkey", "o_orderstatus", "o_totalprice", "o_orderdate"
+    )
+    mid = o.agg(F.expr("percentile_approx(o_orderkey, 0.5)")).collect()[0][0]
+    t = LakehouseTable(spark, tempfile.mkdtemp(prefix="lh_specevo_"))
+    t.append(o.where(F.col("o_orderkey") <= mid))
+    t.set_partition_spec(["o_orderstatus"])
+    t.append_partitioned(o.where(F.col("o_orderkey") > mid))
+    pruned, _scanned, _total = t.scan_pruned("o_orderstatus", "F", "F")
+    return (
+        pruned.groupBy(F.year("o_orderdate").cast("int").alias("order_year"))
+        .agg(
+            F.count("*").alias("n_orders"),
+            dround(dsum(F.col("o_totalprice")), 2).alias("total_price"),
+        )
+    )

@@ -347,3 +347,45 @@ def test_optimize_advisor_recommendations(spark, table):
     rec3 = optimize_advisor(table)
     assert rec3["dv_shadowed_fraction"] > 0.2
     assert rec3["recommendation"] == "rewrite_dvs"
+
+
+def test_partition_evolution_prunes_new_spec_only(spark, table):
+    """After the spec evolves, an equality lookup on the partition
+    column must skip every other partition's NEW-spec files while
+    keeping ALL old-spec files (no stats for the new column — skipping
+    them would be unsafe; Iceberg's evolved-spec contract)."""
+    old = spark.range(0, 300).select(
+        F.col("id").alias("k"), (F.col("id") % 3).cast("int").alias("bucket")
+    )
+    table.append(old)  # pre-evolution era, no bucket stats
+    old_files = len(table.history()[-1].files)
+    table.set_partition_spec(["bucket"])
+    new = spark.range(300, 600).select(
+        F.col("id").alias("k"), (F.col("id") % 3).cast("int").alias("bucket")
+    )
+    c = table.append_partitioned(new)
+    # one-partition-value-per-file: every new file has min == max
+    for f in c.files:
+        lo, hi = c.stats[f]["bucket"]
+        assert lo == hi
+    df, scanned, total = table.scan_pruned("bucket", 1, 1)
+    new_files = len(c.files)
+    bucket1_files = sum(1 for f in c.files if c.stats[f]["bucket"][0] == 1)
+    assert total == old_files + new_files
+    assert scanned == old_files + bucket1_files, "non-bucket-1 new files must skip"
+    assert bucket1_files < new_files
+    # value-exactness: residual predicate keeps the scan row-correct
+    assert df.count() == 200  # 100 old + 100 new rows with bucket == 1
+
+
+def test_partition_spec_history_versioned(spark, table):
+    table.append(spark.range(5).select(F.col("id").alias("k"), F.lit(0).alias("b")))
+    table.set_partition_spec(["b"])
+    table.set_partition_spec(["b", "k"])
+    meta_specs = table._read_meta()["partition_specs"]
+    assert [s["spec_id"] for s in meta_specs] == [0, 1]
+    assert table.partition_spec() == ["b", "k"]
+    with pytest.raises(ValueError):
+        LakehouseTable(spark, tempfile.mkdtemp(prefix="lh_nospec_")).append_partitioned(
+            spark.range(1).select(F.col("id").alias("k"))
+        )
