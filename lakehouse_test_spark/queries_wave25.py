@@ -1,0 +1,237 @@
+"""Round-3 wave W: classical inference completers (ANOVA, rank tests,
+randomization tests) and time-decayed feature engineering.
+
+- ``stats_anova_oneway`` — one-way ANOVA F statistic across the five
+  order-priority groups from a single decimal-exact moment pass.
+- ``stats_permutation_test`` — a randomization test computed entirely
+  in-engine: 64 deterministic pseudo-random relabelings (integer
+  multiplicative hash of (event_id, b), so both engines draw the SAME
+  "randomness"), null distribution of mean differences, exact
+  achieved significance level. Resampling inference without collect()
+  is how a 100 TB pipeline bootstraps uncertainty.
+- ``stats_mann_whitney`` — the rank-sum U test with tie-corrected
+  normal approximation, computed on the grouped value domain (average
+  ranks from cumulative counts — no per-row global window).
+- ``events_decay_score`` — exponentially time-decayed engagement
+  scores (the recsys/feature-store primitive), decimal-cast so the
+  transcendental per-row terms aggregate order-insensitively.
+
+Reference parity: none (the reference has no statistics surface);
+extends SURVEY.md §2b aggregations and the events/time-series family.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from lakehouse_test_spark.fpsafe import dround, dsum
+from lakehouse_test_spark.registry import query
+from lakehouse_test_spark.session import load_table
+
+
+def T(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
+    return load_table(spark, sf_dir, name)
+
+
+_ANOVA_SQL = """
+WITH g AS (
+  SELECT o_orderpriority,
+         CAST(count(*) AS DOUBLE) AS n_g,
+         CAST(sum(CAST(o_totalprice AS DECIMAL(32,8))) AS DOUBLE) AS s_g,
+         CAST(sum(CAST(o_totalprice * o_totalprice AS DECIMAL(32,8))) AS DOUBLE) AS q_g
+  FROM {orders}
+  GROUP BY o_orderpriority
+), tot AS (
+  SELECT CAST(count(*) AS DOUBLE) AS k,
+         sum(n_g) AS n,
+         sum(s_g) AS s,
+         sum(s_g * s_g / n_g) AS sb,
+         sum(q_g - s_g * s_g / n_g) AS ssw
+  FROM g
+)
+SELECT CAST(k AS INTEGER) AS n_groups,
+       CAST(n AS BIGINT) AS n_rows,
+       CAST(round((sb - s * s / n) / (k - 1.0), 4) AS DOUBLE) AS ms_between,
+       CAST(round(ssw / (n - k), 4) AS DOUBLE) AS ms_within,
+       CAST(round(((sb - s * s / n) / (k - 1.0)) / (ssw / (n - k)), 6) AS DOUBLE)
+         AS f_stat
+FROM tot
+"""
+
+
+@query(
+    "stats_anova_oneway",
+    oracle=_ANOVA_SQL.format(orders="orders"),
+    tags=("stats", "agg"),
+)
+def stats_anova_oneway(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """One-way ANOVA (order value across the five priority classes):
+    per-group decimal-exact moments roll up to between/within mean
+    squares and the F statistic, all in arithmetic shared verbatim
+    with the oracle. The third member of the inference family next to
+    Welch's t (2 groups) and the KS test (distribution-free).
+
+    Scale: two chained hash aggregates (group moments → grand
+    moments), no window, no join — O(1) state per group.
+    """
+    T(spark, sf_dir, "orders").createOrReplaceTempView("v_w25_orders")
+    return spark.sql(_ANOVA_SQL.format(orders="v_w25_orders"))
+
+
+_PERM_SQL = """
+WITH ev AS (
+  SELECT event_id, value, event_type FROM {events}
+  WHERE event_type IN ('click', 'view')
+), obs AS (
+  SELECT CAST(sum(CAST(value AS DECIMAL(32,8))) FILTER (WHERE event_type = 'click')
+              AS DOUBLE)
+           / count(*) FILTER (WHERE event_type = 'click')
+         - CAST(sum(CAST(value AS DECIMAL(32,8))) FILTER (WHERE event_type = 'view')
+                AS DOUBLE)
+           / count(*) FILTER (WHERE event_type = 'view') AS d_obs
+  FROM ev
+), perms AS (
+  SELECT b,
+         CAST(sum(CAST(value AS DECIMAL(32,8))) FILTER (WHERE flip = 0) AS DOUBLE)
+           / count(*) FILTER (WHERE flip = 0)
+         - CAST(sum(CAST(value AS DECIMAL(32,8))) FILTER (WHERE flip = 1) AS DOUBLE)
+           / count(*) FILTER (WHERE flip = 1) AS d_b
+  FROM (
+    SELECT value, b,
+           ((event_id * 2654435761 + b * 40503) % 2147483647) % 2 AS flip
+    FROM ev CROSS JOIN {b_range}
+  ) x
+  GROUP BY b
+)
+SELECT count(*) AS n_perms,
+       CAST(round((SELECT d_obs FROM obs), 4) AS DOUBLE) AS observed_diff,
+       CAST(sum(CASE WHEN abs(d_b) >= abs((SELECT d_obs FROM obs))
+                     THEN 1 ELSE 0 END) AS BIGINT) AS n_extreme,
+       CAST(round((1.0 + sum(CASE WHEN abs(d_b) >= abs((SELECT d_obs FROM obs))
+                                  THEN 1 ELSE 0 END)) / (count(*) + 1.0), 4)
+            AS DOUBLE) AS p_value
+FROM perms
+"""
+
+
+@query(
+    "stats_permutation_test",
+    oracle=_PERM_SQL.format(
+        events="events", b_range="(SELECT CAST(range AS BIGINT) AS b FROM range(0, 64))"
+    ),
+    tags=("stats", "resampling"),
+)
+def stats_permutation_test(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Randomization test for the click-vs-view mean value difference,
+    computed entirely in-engine: 64 deterministic relabelings via an
+    integer multiplicative hash of (event_id, draw) — both engines
+    generate the SAME null draws, so even the permutation "noise" is
+    hash-checked — then the achieved significance level
+    (1 + #extreme)/(B + 1). Random relabeling (binomial split) rather
+    than an exact permutation of labels: the standard large-sample
+    randomization-test variant, and the only one expressible without
+    a global shuffle of labels.
+
+    Scale: one fact scan fanned out ×B inside the aggregate
+    (explode of a 64-element sequence — no extra shuffle), partial
+    aggregation per (b, flip); B controls cost linearly and
+    independently of data size. collect()-free resampling inference.
+    """
+    T(spark, sf_dir, "events").createOrReplaceTempView("v_w25_events")
+    return spark.sql(
+        _PERM_SQL.format(
+            events="v_w25_events",
+            b_range="(SELECT explode(sequence(0, 63)) AS b)",
+        )
+    )
+
+
+_MWU_SQL = """
+WITH pts AS (
+  SELECT o_totalprice AS v,
+         count(*) FILTER (WHERE o_orderstatus = 'F') AS c_f,
+         count(*) FILTER (WHERE o_orderstatus = 'O') AS c_o
+  FROM {orders} WHERE o_orderstatus IN ('F', 'O')
+  GROUP BY o_totalprice
+), rk AS (
+  SELECT c_f, c_o, c_f + c_o AS t,
+         CAST(coalesce(sum(c_f + c_o) OVER (ORDER BY v ROWS BETWEEN UNBOUNDED
+                       PRECEDING AND 1 PRECEDING), 0) AS DOUBLE)
+           + (c_f + c_o + 1.0) / 2.0 AS avg_rank
+  FROM pts
+), agg AS (
+  SELECT CAST(sum(c_f) AS DOUBLE) AS n_f,
+         CAST(sum(c_o) AS DOUBLE) AS n_o,
+         CAST(sum(CAST(c_f * avg_rank AS DECIMAL(32,8))) AS DOUBLE) AS r_f,
+         CAST(sum(CAST(t AS DOUBLE) * t * t - t) AS DOUBLE) AS tie_sum
+  FROM rk
+)
+SELECT CAST(n_f AS BIGINT) AS n_f,
+       CAST(n_o AS BIGINT) AS n_o,
+       CAST(round(r_f - n_f * (n_f + 1.0) / 2.0, 1) AS DOUBLE) AS u_stat,
+       CAST(round((r_f - n_f * (n_f + 1.0) / 2.0 - n_f * n_o / 2.0)
+                  / sqrt(n_f * n_o / 12.0
+                         * ((n_f + n_o + 1.0)
+                            - tie_sum / ((n_f + n_o) * (n_f + n_o - 1.0)))), 4)
+            AS DOUBLE) AS z_stat
+FROM agg
+"""
+
+
+@query(
+    "stats_mann_whitney",
+    oracle=_MWU_SQL.format(orders="orders"),
+    tags=("stats", "window"),
+)
+def stats_mann_whitney(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Mann–Whitney U (rank-sum) test between finished and open order
+    values, with midrank tie handling and the tie-corrected normal
+    approximation. Average ranks come from cumulative counts over the
+    GROUPED value domain — (cum-before + (t+1)/2) — so rank sums are
+    exact halves (no per-row global ranking), and the rank-sum
+    aggregate is decimal-cast.
+
+    Scale: identical shape to stats_ks_test — |distinct values|
+    domain, one cumulative window, one aggregate; same two-level
+    cumsum escape hatch if the domain itself explodes.
+    """
+    T(spark, sf_dir, "orders").createOrReplaceTempView("v_w25_orders_mwu")
+    return spark.sql(_MWU_SQL.format(orders="v_w25_orders_mwu"))
+
+
+@query(
+    "events_decay_score",
+    oracle="""
+    SELECT user_id,
+           count(*) AS n_events,
+           CAST(round(sum(CAST(value * exp(-0.1 * ((1709251200000000 - epoch_us(ts))
+                                                   / 86400000000.0))
+                               AS DECIMAL(18,6))), 3) AS DOUBLE) AS decay_score
+    FROM events
+    GROUP BY user_id
+    """,
+    tags=("events", "feature"),
+)
+def events_decay_score(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Exponentially time-decayed engagement score per user
+    (half-life ≈ 6.9 days, anchored at 2024-03-01 UTC): the standard
+    freshness-weighted feature-store aggregate. Age is computed in
+    exact integer microseconds (unix_micros ≡ epoch_us — the µs
+    fixture precision survives), each decayed term is decimal-cast
+    before summation, so the score is order-insensitive despite the
+    per-row transcendental.
+
+    Scale: one partial+final hash aggregate, zero shuffle beyond the
+    groupBy — and because exp(-λ·age) factorizes, incremental
+    maintenance is score(t₂) = score(t₁)·e^{-λΔt} + new terms: this
+    exact aggregate is IVM-able on the CDF feed.
+    """
+    e = T(spark, sf_dir, "events")
+    anchor_us = 1709251200000000  # 2024-03-01T00:00:00Z in microseconds
+    age_days = (F.lit(anchor_us) - F.unix_micros("ts")) / 86400000000.0
+    term = F.col("value") * F.exp(-0.1 * age_days)
+    return e.groupBy("user_id").agg(
+        F.count("*").alias("n_events"),
+        dround(dsum(term), 3).alias("decay_score"),
+    )
