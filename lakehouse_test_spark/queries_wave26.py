@@ -1,0 +1,113 @@
+"""Round-3 wave X: positional full-text search and the Arrow interop
+path under the hash gate.
+
+- ``text_phrase_search`` — exact PHRASE matching via a positional
+  posting join (token, position) ⋈ (token, position+1): the inverted-
+  index-with-positions shape that bag-of-words ranking (text_bm25_search)
+  cannot express. The oracle counts the same phrase with an anchored
+  regex — two independent algorithms, one hash.
+- ``format_arrow_roundtrip`` — the Arrow batch path (mapInArrow)
+  as an identity stage inside a gated aggregate: proves columns
+  survive the JVM→Arrow→Python→Arrow→JVM crossing bit-exactly.
+
+Reference parity: none; extends SURVEY.md §2b text analysis and the
+UDF/interop matrix.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from lakehouse_test_spark.fpsafe import dround, dsum
+from lakehouse_test_spark.registry import query
+from lakehouse_test_spark.session import load_table
+
+
+def T(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
+    return load_table(spark, sf_dir, name)
+
+
+@query(
+    "text_phrase_search",
+    oracle=r"""
+    SELECT doc_id,
+           CAST(len(regexp_extract_all(text, '\bmerge slow\b')) AS BIGINT)
+             AS n_matches
+    FROM documents
+    WHERE len(regexp_extract_all(text, '\bmerge slow\b')) > 0
+    """,
+    tags=("text", "search"),
+)
+def text_phrase_search(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Exact phrase search ("merge slow") via POSITIONAL postings:
+    tokenize to (doc_id, pos, token), then join first-word postings
+    to second-word postings at pos+1 — the inverted-index-with-
+    positions algorithm real search engines run, which pure
+    bag-of-words scoring can't express. The oracle counts the same
+    phrase with an anchored regex over the raw text: two independent
+    algorithms must agree on every per-document match count for the
+    hash to pass (single-space tokenization makes the semantics
+    coincide on this corpus).
+
+    Scale: postings are filtered to the two phrase terms BEFORE the
+    join (selectivity ~ term frequency, like the BM25 pruning), and
+    the join key is (doc_id, pos) — co-partitioned, no skew. A
+    p-term phrase chains p−1 such joins.
+    """
+    d = T(spark, sf_dir, "documents")
+    toks = d.select(
+        "doc_id", F.posexplode(F.split("text", " ")).alias("pos", "token")
+    )
+    first = toks.where(F.col("token") == "merge").select("doc_id", "pos")
+    second = toks.where(F.col("token") == "slow").select(
+        "doc_id", (F.col("pos") - 1).alias("pos")
+    )
+    return (
+        first.join(second, ["doc_id", "pos"])
+        .groupBy("doc_id")
+        .agg(F.count("*").alias("n_matches"))
+    )
+
+
+@query(
+    "format_arrow_roundtrip",
+    oracle="""
+    SELECT l_returnflag,
+           count(*) AS n_rows,
+           CAST(round(sum(CAST(l_extendedprice AS DECIMAL(18,6))), 2) AS DOUBLE)
+             AS total_price,
+           CAST(sum(CAST(l_quantity AS BIGINT)) AS BIGINT) AS total_qty
+    FROM lineitem
+    GROUP BY l_returnflag
+    """,
+    tags=("format", "arrow", "udf"),
+)
+def format_arrow_roundtrip(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Arrow interop under the hash gate: the scan flows through a
+    ``mapInArrow`` identity stage — every batch crosses
+    JVM → Arrow IPC → Python → Arrow IPC → JVM — and is then
+    aggregated decimal-exactly. A hash match proves doubles, ints,
+    and strings survive the Arrow columnar crossing bit-for-bit
+    (the same wire the pandas UDF battery rides, isolated here as a
+    pure format check, the ``format_avro_roundtrip`` twin).
+
+    Scale: Arrow transfer is zero-copy columnar with batch
+    granularity — the identity stage adds serialization bandwidth
+    but no shuffle, and the aggregate's partial+final shape is
+    unchanged.
+    """
+    li = T(spark, sf_dir, "lineitem").select(
+        "l_returnflag", "l_extendedprice", "l_quantity"
+    )
+
+    def ident(batches):
+        for b in batches:
+            yield b
+
+    through = li.mapInArrow(ident, li.schema)
+    return through.groupBy("l_returnflag").agg(
+        F.count("*").alias("n_rows"),
+        dround(dsum(F.col("l_extendedprice")), 2).alias("total_price"),
+        F.sum(F.col("l_quantity").cast("bigint")).alias("total_qty"),
+    )
