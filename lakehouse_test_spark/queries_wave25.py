@@ -100,7 +100,7 @@ WITH ev AS (
   FROM (
     SELECT value, b,
            ((event_id * 2654435761 + b * 40503) % 2147483647) % 2 AS flip
-    FROM ev CROSS JOIN {b_range}
+    FROM {fanout}
   ) x
   GROUP BY b
 )
@@ -118,7 +118,8 @@ FROM perms
 @query(
     "stats_permutation_test",
     oracle=_PERM_SQL.format(
-        events="events", b_range="(SELECT CAST(range AS BIGINT) AS b FROM range(0, 64))"
+        events="events",
+        fanout="ev CROSS JOIN (SELECT CAST(range AS BIGINT) AS b FROM range(0, 64)) r",
     ),
     tags=("stats", "resampling"),
 )
@@ -142,7 +143,7 @@ def stats_permutation_test(spark: SparkSession, sf_dir: str) -> DataFrame:
     return spark.sql(
         _PERM_SQL.format(
             events="v_w25_events",
-            b_range="(SELECT explode(sequence(0, 63)) AS b)",
+            fanout="ev LATERAL VIEW explode(sequence(0, 63)) t AS b",
         )
     )
 

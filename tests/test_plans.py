@@ -445,3 +445,34 @@ def test_sql_hint_forces_broadcast(spark, sf_dir):
     BroadcastHashJoin — the hint path is a different parser surface
     than the DataFrame broadcast() function."""
     assert "BroadcastHashJoin" in plan_of(spark, sf_dir, "sql_join_hint_broadcast")
+
+
+def test_permutation_test_no_extra_shuffle(spark, sf_dir):
+    """The 64-draw randomization test must fan out via explode inside
+    the scan stage — per-(b,flip) partial aggregation, no join against
+    a materialized draw table and no per-draw scan."""
+    import re
+
+    p = plan_of(spark, sf_dir, "stats_permutation_test")
+    assert "CartesianProduct" not in p and "NestedLoop" not in p, p
+    assert "Generate explode" in p, p  # fan-out is a projection, not a join
+    # perms scan + the observed-diff scalar subqueries; the null
+    # distribution itself never rescans per draw (64 draws, one scan)
+    assert len(re.findall(r"Scan parquet", p)) <= 4, p
+
+
+def test_anova_two_chained_aggregates(spark, sf_dir):
+    """ANOVA is group moments -> grand moments: two HashAggregate
+    pairs, no window, no join."""
+    p = plan_of(spark, sf_dir, "stats_anova_oneway")
+    assert "Window" not in p and "Join" not in p, p
+    assert p.count("HashAggregate") >= 4, p
+
+
+def test_kmeans_broadcasts_centroids(spark, sf_dir):
+    """Each Lloyd iteration joins the exploded vectors to a k x d
+    centroid table - tiny, must broadcast; a shuffle join or NLJ here
+    would be the scale bug."""
+    p = plan_of(spark, sf_dir, "ml_kmeans_embeddings")
+    assert "CartesianProduct" not in p and "BroadcastNestedLoop" not in p, p
+    assert "BroadcastHashJoin" in p, p
