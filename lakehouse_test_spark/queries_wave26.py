@@ -9,12 +9,17 @@ path under the hash gate.
 - ``format_arrow_roundtrip`` — the Arrow batch path (mapInArrow)
   as an identity stage inside a gated aggregate: proves columns
   survive the JVM→Arrow→Python→Arrow→JVM crossing bit-exactly.
+- ``lakehouse_snapshot_diff`` — the snapshot-to-snapshot audit diff
+  (EXCEPT ALL both ways across a MERGE) verified against a relational
+  reconstruction of exactly-the-changed rows.
 
 Reference parity: none; extends SURVEY.md §2b text analysis and the
 UDF/interop matrix.
 """
 
 from __future__ import annotations
+
+import tempfile
 
 from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
@@ -110,4 +115,55 @@ def format_arrow_roundtrip(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.count("*").alias("n_rows"),
         dround(dsum(F.col("l_extendedprice")), 2).alias("total_price"),
         F.sum(F.col("l_quantity").cast("bigint")).alias("total_qty"),
+    )
+
+
+@query(
+    "lakehouse_snapshot_diff",
+    oracle="""
+    WITH changed AS (
+      SELECT o_orderkey, o_totalprice FROM orders WHERE o_orderkey % 7 = 0
+    )
+    SELECT _diff_type,
+           count(*) AS n_rows,
+           CAST(round(sum(CAST(price AS DECIMAL(18,6))), 2) AS DOUBLE)
+             AS total_price
+    FROM (
+      SELECT 'added' AS _diff_type, o_totalprice * 2 AS price FROM changed
+      UNION ALL
+      SELECT 'removed' AS _diff_type, o_totalprice AS price FROM changed
+    ) d
+    GROUP BY _diff_type
+    """,
+    tags=("lakehouse", "audit"),
+)
+def lakehouse_snapshot_diff(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Snapshot-to-snapshot audit diff under the hash gate: commit
+    orders, MERGE a price-doubling update for every 7th key, then
+    table_diff(v1 → v2) — full-row EXCEPT ALL both ways — must report
+    EXACTLY the doubled rows as added and their originals as removed.
+    The oracle reconstructs both sides relationally, so a diff that
+    hallucinates, drops, or double-counts a change fails on values.
+
+    Scale: the diff is two full-row-keyed shuffles — the log-free
+    fallback; the CDF (lakehouse_cdf_feed) is the O(changes) path
+    when log semantics are available. Auditing "what changed between
+    these versions" is the lakehouse operator compliance teams run.
+    """
+    from lakehouse_test_spark.plans.lakehouse import LakehouseTable, table_diff
+
+    o = T(spark, sf_dir, "orders").select("o_orderkey", "o_totalprice")
+    t = LakehouseTable(spark, tempfile.mkdtemp(prefix="lh_snapdiff_"))
+    base = t.append(o)
+    upd = o.where(F.col("o_orderkey") % 7 == 0).withColumn(
+        "o_totalprice", F.col("o_totalprice") * 2
+    )
+    t.merge(upd, key_cols=["o_orderkey"])
+    return (
+        table_diff(t, from_version=base.version)
+        .groupBy("_diff_type")
+        .agg(
+            F.count("*").alias("n_rows"),
+            dround(dsum(F.col("o_totalprice")), 2).alias("total_price"),
+        )
     )
