@@ -698,7 +698,7 @@ class LakehouseTable:
         if not files:
             raise ValueError(f"no data at version {version}")
         df = self.spark.read.option("mergeSchema", "true").parquet(*files)
-        return self._apply_dvs(df, version)
+        return self._apply_renames(self._apply_dvs(df, version))
 
     def scan_pruned(self, col: str, lo, hi) -> tuple[DataFrame, int, int]:
         """Range scan with zone-map file skipping: only files whose
@@ -965,6 +965,33 @@ class LakehouseTable:
             raise ConstraintViolationError(
                 f"write rejected; violations per constraint: {violated}"
             )
+
+    # -- column-mapping rename (Delta column-mapping analog) -------------------
+
+    def rename_column(self, old: str, new: str) -> None:
+        """Delta-column-mapping-style RENAME: metadata-only — no data
+        file is rewritten. Files written before the rename keep the
+        old physical name; readers coalesce physical→logical at scan
+        time (``_apply_renames``), and files written afterwards carry
+        the new name natively. Renames chain (a→b→c) in metadata
+        order. Mapping is table-level current-state metadata: like
+        Delta, time-traveled reads also surface the LOGICAL names."""
+        meta = self._read_meta()
+        meta.setdefault("column_renames", []).append([old, new])
+        self._write_meta(meta)
+
+    def _apply_renames(self, df: DataFrame) -> DataFrame:
+        from pyspark.sql import functions as F
+
+        for old, new in self._read_meta().get("column_renames", []):
+            if old in df.columns and new in df.columns:
+                # mixed vintages under mergeSchema: each row has the
+                # value under exactly one physical name, NULL under
+                # the other — coalesce restores the logical column
+                df = df.withColumn(new, F.coalesce(F.col(new), F.col(old))).drop(old)
+            elif old in df.columns:
+                df = df.withColumnRenamed(old, new)
+        return df
 
     # -- partition-spec evolution (Iceberg-style) ------------------------------
 

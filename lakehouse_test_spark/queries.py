@@ -38,6 +38,7 @@ import lakehouse_test_spark.queries_wave23  # noqa: F401
 import lakehouse_test_spark.queries_wave24  # noqa: F401
 import lakehouse_test_spark.queries_wave25  # noqa: F401
 import lakehouse_test_spark.queries_wave26  # noqa: F401
+import lakehouse_test_spark.queries_wave27  # noqa: F401
 import lakehouse_test_spark.sources.python_datasource  # noqa: F401
 import lakehouse_test_spark.queries_dq  # noqa: F401
 

@@ -1,0 +1,206 @@
+"""Round-3 wave Y: column-mapping rename, time-weighted averages, and
+sliding-window distincts.
+
+- ``lakehouse_column_rename`` — Delta-column-mapping-style RENAME as a
+  metadata-only operation: pre-rename files keep the old physical
+  name, post-rename files carry the new one, and the reader coalesces
+  physical→logical at scan time. The snapshot aggregates BY the
+  renamed column under the hash gate, so a mapping bug (dropped
+  values, wrong coalesce order, leaked physical column) fails on
+  values.
+- ``timeseries_twap_user`` — time-weighted average (the TWAP/financial
+  sampling-bias-free mean) per user: each observation weighted by its
+  holding duration, computed from exact integer microseconds.
+- ``events_rolling_distinct_users_7d`` — distinct users over a
+  7-day sliding window, the aggregation DISTINCT-over-window can't
+  express directly: dedupe to (user, day) grain, fan each active day
+  into the 7 report days it supports, dedupe again, count.
+
+Reference parity: none; extends SURVEY.md §2b lakehouse ops and the
+events/time-series family.
+"""
+
+from __future__ import annotations
+
+import tempfile
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from lakehouse_test_spark.fpsafe import dround, dsum
+from lakehouse_test_spark.registry import query
+from lakehouse_test_spark.session import load_table
+
+
+def T(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
+    return load_table(spark, sf_dir, name)
+
+
+@query(
+    "lakehouse_column_rename",
+    oracle="""
+    SELECT o_orderstatus,
+           count(*) AS n_orders,
+           count(price_usd) AS n_priced,
+           CAST(round(sum(CAST(price_usd AS DECIMAL(18,6))), 2) AS DOUBLE)
+             AS total_usd
+    FROM (SELECT o_orderstatus, o_totalprice AS price_usd FROM orders) t
+    GROUP BY o_orderstatus
+    """,
+    tags=("lakehouse", "schema"),
+)
+def lakehouse_column_rename(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Metadata-only column RENAME across mixed file vintages: half of
+    orders lands under the old name (o_totalprice), the table renames
+    the column to price_usd WITHOUT rewriting any file, and the other
+    half lands under the new name. The snapshot must surface ONE
+    logical price_usd column whose per-status counts and decimal sums
+    equal a straight relational rename of raw orders — count(price_usd)
+    catches the classic mapping bug where one vintage's values turn
+    into NULLs.
+
+    Scale: rename is O(metadata) at any table size (the point of
+    Delta column mapping); the read-side coalesce is a codegen
+    projection over the mergeSchema scan, no shuffle added
+    (plans/lakehouse.py:_apply_renames).
+    """
+    from lakehouse_test_spark.plans.lakehouse import LakehouseTable
+
+    o = T(spark, sf_dir, "orders").select("o_orderkey", "o_orderstatus", "o_totalprice")
+    t = LakehouseTable(spark, tempfile.mkdtemp(prefix="lh_rename_"))
+    t.append(o.where(F.col("o_orderkey") % 2 == 0))
+    t.rename_column("o_totalprice", "price_usd")
+    t.append(
+        o.where(F.col("o_orderkey") % 2 == 1).withColumnRenamed(
+            "o_totalprice", "price_usd"
+        )
+    )
+    return (
+        t.snapshot()
+        .groupBy("o_orderstatus")
+        .agg(
+            F.count("*").alias("n_orders"),
+            F.count("price_usd").alias("n_priced"),
+            dround(dsum(F.col("price_usd")), 2).alias("total_usd"),
+        )
+    )
+
+
+@query(
+    "timeseries_twap_user",
+    oracle="""
+    WITH seq AS (
+      SELECT user_id, value, epoch_us(ts) AS tus,
+             lead(epoch_us(ts)) OVER (PARTITION BY user_id
+                                      ORDER BY epoch_us(ts), event_id) AS next_tus
+      FROM events
+    ), weighted AS (
+      SELECT user_id,
+             CAST(sum(CAST(value * ((next_tus - tus) / 86400000000.0)
+                           AS DECIMAL(28,12))) AS DOUBLE) AS vw,
+             CAST(sum(CAST((next_tus - tus) / 86400000000.0
+                           AS DECIMAL(28,12))) AS DOUBLE) AS w,
+             count(*) AS n_obs
+      FROM seq WHERE next_tus IS NOT NULL
+      GROUP BY user_id
+    )
+    SELECT user_id, n_obs + 1 AS n_events,
+           CAST(round(vw / w, 4) AS DOUBLE) AS twap
+    FROM weighted
+    """,
+    tags=("timeseries", "window"),
+)
+def timeseries_twap_user(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Time-weighted average value per user (TWAP): each observation
+    is weighted by how long it "held" — the duration to the next
+    event — so burst sampling can't bias the mean (the difference
+    from plain avg() that makes TWAP the standard for irregular
+    series). Durations come from exact integer microseconds
+    (epoch_us ≡ unix_micros), weighted terms are decimal-cast, and
+    the last observation carries zero weight by construction.
+
+    Scale: one user-partitioned lead() window + one hash aggregate —
+    the same bounded shape as the EWMA/gap queries; no global sort.
+    """
+    e = T(spark, sf_dir, "events")
+    from pyspark.sql import Window
+
+    tus = F.unix_micros("ts")
+    w = Window.partitionBy("user_id").orderBy(tus, "event_id")
+    seq = e.select(
+        "user_id",
+        "value",
+        tus.alias("tus"),
+        F.lead(tus).over(w).alias("next_tus"),
+    ).where(F.col("next_tus").isNotNull())
+    dt_days = (F.col("next_tus") - F.col("tus")) / 86400000000.0
+    dec = "decimal(28,12)"
+    return (
+        seq.groupBy("user_id")
+        .agg(
+            F.sum((F.col("value") * dt_days).cast(dec)).alias("vw"),
+            F.sum(dt_days.cast(dec)).alias("w"),
+            (F.count("*") + 1).alias("n_events"),
+        )
+        .select(
+            "user_id",
+            "n_events",
+            F.round(F.col("vw").cast("double") / F.col("w").cast("double"), 4)
+            .cast("double")
+            .alias("twap"),
+        )
+    )
+
+
+@query(
+    "events_rolling_distinct_users_7d",
+    oracle="""
+    WITH active AS (
+      SELECT DISTINCT user_id, CAST(ts AS DATE) AS d FROM events
+    ), bounds AS (
+      SELECT min(d) AS d_lo, max(d) AS d_hi FROM active
+    ), fan AS (
+      SELECT DISTINCT a.user_id, a.d + CAST(i.i AS INTEGER) AS report_day
+      FROM active a CROSS JOIN (SELECT CAST(range AS BIGINT) AS i
+                                FROM range(0, 7)) i
+    )
+    SELECT report_day,
+           count(*) AS distinct_users_7d
+    FROM fan, bounds
+    WHERE report_day BETWEEN d_lo AND d_hi
+    GROUP BY report_day
+    """,
+    tags=("events", "window", "distinct"),
+)
+def events_rolling_distinct_users_7d(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Distinct users over a trailing 7-day window per day — the
+    rolling-DAU/WAU metric COUNT(DISTINCT) OVER a window frame cannot
+    express. Shape: dedupe to (user, active-day) grain (tiny), fan
+    each active day into the ≤7 report days it supports, dedupe
+    (user, report_day), count — all set arithmetic, exactly
+    hash-checkable, no approximate sketches needed.
+
+    Scale: the fan-out is 7× the (user, day) GRAIN, not 7× the raw
+    events — the dedupe-first ordering is what keeps this linear; at
+    100 TB the same plan runs with the grain table as the only
+    shuffle, and the HLL-sketch variant (agg_hll_union) is the
+    constant-memory fallback when even the grain explodes.
+    """
+    e = T(spark, sf_dir, "events")
+    active = e.select("user_id", F.to_date("ts").alias("d")).distinct()
+    b = active.agg(F.min("d").alias("d_lo"), F.max("d").alias("d_hi"))
+    fan = (
+        active.select(
+            "user_id",
+            F.explode(F.sequence(F.lit(0), F.lit(6))).alias("i"),
+            "d",
+        )
+        .select("user_id", F.date_add("d", F.col("i")).alias("report_day"))
+        .distinct()
+    )
+    return (
+        fan.crossJoin(F.broadcast(b))
+        .where(F.col("report_day").between(F.col("d_lo"), F.col("d_hi")))
+        .groupBy("report_day")
+        .agg(F.count("*").alias("distinct_users_7d"))
+    )

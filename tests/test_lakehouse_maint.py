@@ -389,3 +389,25 @@ def test_partition_spec_history_versioned(spark, table):
         LakehouseTable(spark, tempfile.mkdtemp(prefix="lh_nospec_")).append_partitioned(
             spark.range(1).select(F.col("id").alias("k"))
         )
+
+
+def test_column_rename_metadata_only(spark, table):
+    """Rename must not rewrite files; both vintages surface one
+    logical column; chained renames apply in order; time travel also
+    shows logical names (current-metadata semantics, like Delta)."""
+    from pathlib import Path
+
+    table.append(spark.range(0, 50).select(F.col("id").alias("k"), (F.col("id") * 2).alias("v")))
+    files_before = sorted(str(p) for p in Path(table.path).rglob("*.parquet"))
+    table.rename_column("v", "v_usd")
+    assert sorted(str(p) for p in Path(table.path).rglob("*.parquet")) == files_before
+    table.append(spark.range(50, 100).select(F.col("id").alias("k"), (F.col("id") * 2).alias("v_usd")))
+    snap = table.snapshot()
+    assert set(snap.columns) == {"k", "v_usd"}
+    assert snap.where(F.col("v_usd").isNull()).count() == 0
+    assert snap.agg(F.sum("v_usd")).collect()[0][0] == sum(2 * i for i in range(100))
+    # chained rename
+    table.rename_column("v_usd", "v_eur")
+    assert set(table.snapshot().columns) == {"k", "v_eur"}
+    # time travel surfaces logical names too
+    assert set(table.snapshot(version=0).columns) == {"k", "v_eur"}
