@@ -476,3 +476,26 @@ def test_kmeans_broadcasts_centroids(spark, sf_dir):
     p = plan_of(spark, sf_dir, "ml_kmeans_embeddings")
     assert "CartesianProduct" not in p and "BroadcastNestedLoop" not in p, p
     assert "BroadcastHashJoin" in p, p
+
+
+def test_rolling_distinct_dedupes_before_fanout(spark, sf_dir):
+    """The 7-day rolling distinct must fan out the (user, day) GRAIN,
+    not raw events: the explode sits above the first dedupe aggregate,
+    and no join beyond the broadcast bounds check appears."""
+    p = plan_of(spark, sf_dir, "events_rolling_distinct_users_7d")
+    assert "Generate explode" in p, p
+    assert "SortMergeJoin" not in p and "ShuffledHashJoin" not in p, p
+    gen = p.index("Generate explode")
+    agg_before = p[gen:].count("HashAggregate")
+    assert agg_before >= 2, p  # fan-out feeds from the deduped grain
+
+
+def test_twap_bounded_window_single_shuffle(spark, sf_dir):
+    """TWAP is one user-partitioned lead() window + one aggregate —
+    the window and the groupBy share the user_id partitioning, so the
+    plan needs exactly one hash shuffle."""
+    import re
+
+    p = plan_of(spark, sf_dir, "timeseries_twap_user")
+    exchanges = re.findall(r"Exchange (\w+)", p)
+    assert len([e for e in exchanges if e == "hashpartitioning"]) == 1, p
