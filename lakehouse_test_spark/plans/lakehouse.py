@@ -679,16 +679,46 @@ class LakehouseTable:
             )
         return max(cands)
 
+    def tag(self, name: str, version: int | None = None) -> int:
+        """Iceberg-style named TAG: an immutable ref to a version
+        (None = current head). Tags are metadata; retagging an
+        existing name raises (immutability is the point — use a new
+        name). Returns the tagged version."""
+        v = self.latest_version() if version is None else version
+        if v < 0 or v > self.latest_version():
+            raise ValueError(f"tag {name!r}: no version {v}")
+        meta = self._read_meta()
+        tags = meta.setdefault("tags", {})
+        if name in tags:
+            raise ValueError(f"tag {name!r} already exists at v{tags[name]}")
+        tags[name] = v
+        self._write_meta(meta)
+        return v
+
+    def tags(self) -> dict[str, int]:
+        return dict(self._read_meta().get("tags", {}))
+
     def snapshot(
-        self, version: int | None = None, timestamp: float | None = None
+        self,
+        version: int | None = None,
+        timestamp: float | None = None,
+        tag: str | None = None,
     ) -> DataFrame:
-        """Read the table as of ``version`` (time travel; None=latest)
-        or as of an epoch-seconds ``timestamp`` (TIMESTAMP AS OF).
+        """Read the table as of ``version`` (time travel; None=latest),
+        as of an epoch-seconds ``timestamp`` (TIMESTAMP AS OF), or as
+        of a named ``tag`` (VERSION AS OF 'ref').
         Committed == readable — §2a ops 31-32 dissolve here.
 
         mergeSchema: commits may evolve the schema (add columns);
         older files surface NULLs for columns they predate — additive
         schema evolution like Delta/Iceberg."""
+        if tag is not None:
+            if version is not None or timestamp is not None:
+                raise ValueError("pass version, timestamp, OR tag")
+            known = self.tags()
+            if tag not in known:
+                raise ValueError(f"unknown tag {tag!r}; have {sorted(known)}")
+            version = known[tag]
         if timestamp is not None:
             if version is not None:
                 raise ValueError("pass version OR timestamp, not both")

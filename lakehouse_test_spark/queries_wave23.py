@@ -290,13 +290,22 @@ def lakehouse_compaction_planner(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     o = T(spark, sf_dir, "orders").select("o_orderkey", "o_orderstatus")
     t = LakehouseTable(spark, tempfile.mkdtemp(prefix="lh_compactplan_"))
-    for st in sorted(r[0] for r in o.select("o_orderstatus").distinct().collect()):
-        for q in range(4):
-            part = o.where(
-                (F.col("o_orderstatus") == st) & (F.col("o_orderkey") % 4 == q)
-            ).repartition(1)
-            if part.limit(1).count():
-                t.append(part, operation="append")
+    # one aggregate discovers the nonempty slices (vs a precheck job
+    # per slice): 12 appends follow, in the oracle's (status, quarter)
+    # order so commit versions line up with its row_number
+    slices = sorted(
+        (r["o_orderstatus"], r["q"])
+        for r in o.groupBy(
+            "o_orderstatus", (F.col("o_orderkey") % 4).alias("q")
+        )
+        .count()
+        .collect()
+    )
+    for st, q in slices:
+        part = o.where(
+            (F.col("o_orderstatus") == st) & (F.col("o_orderkey") % 4 == q)
+        ).repartition(1)
+        t.append(part, operation="append")
     manifest = spark.createDataFrame(
         [(c.version, c.row_count) for c in t.history() if c.operation == "append"],
         "version INT, n_rows BIGINT",

@@ -204,3 +204,44 @@ def events_rolling_distinct_users_7d(spark: SparkSession, sf_dir: str) -> DataFr
         .groupBy("report_day")
         .agg(F.count("*").alias("distinct_users_7d"))
     )
+
+
+@query(
+    "lakehouse_tag_time_travel",
+    oracle="""
+    SELECT o_orderstatus,
+           count(*) AS n_orders,
+           CAST(round(sum(CAST(o_totalprice AS DECIMAL(18,6))), 2) AS DOUBLE)
+             AS total_price
+    FROM orders
+    WHERE o_orderkey % 2 = 0
+    GROUP BY o_orderstatus
+    """,
+    tags=("lakehouse", "timetravel"),
+)
+def lakehouse_tag_time_travel(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Named-ref time travel (Iceberg tags / Delta VERSION AS OF a
+    ref): commit the even orders, TAG that version 'baseline', commit
+    the odd orders, then read ``snapshot(tag='baseline')`` — the
+    aggregate must equal the even half exactly, proving the tag pins
+    the pre-append version regardless of later commits.
+
+    Scale: a tag is one metadata entry; resolving it is an O(1)
+    lookup before the normal versioned read — the audit/reproduce
+    primitive ML pipelines use to freeze "the snapshot we trained on".
+    """
+    from lakehouse_test_spark.plans.lakehouse import LakehouseTable
+
+    o = T(spark, sf_dir, "orders").select("o_orderkey", "o_orderstatus", "o_totalprice")
+    t = LakehouseTable(spark, tempfile.mkdtemp(prefix="lh_tags_"))
+    t.append(o.where(F.col("o_orderkey") % 2 == 0))
+    t.tag("baseline")
+    t.append(o.where(F.col("o_orderkey") % 2 == 1))
+    return (
+        t.snapshot(tag="baseline")
+        .groupBy("o_orderstatus")
+        .agg(
+            F.count("*").alias("n_orders"),
+            dround(dsum(F.col("o_totalprice")), 2).alias("total_price"),
+        )
+    )

@@ -411,3 +411,17 @@ def test_column_rename_metadata_only(spark, table):
     assert set(table.snapshot().columns) == {"k", "v_eur"}
     # time travel surfaces logical names too
     assert set(table.snapshot(version=0).columns) == {"k", "v_eur"}
+
+
+def test_tags_immutable_and_resolve(spark, table):
+    table.append(spark.range(10).select(F.col("id").alias("k")))
+    v = table.tag("v1.0")
+    table.append(spark.range(10, 30).select(F.col("id").alias("k")))
+    assert table.snapshot(tag="v1.0").count() == 10
+    assert table.tags() == {"v1.0": v}
+    with pytest.raises(ValueError):
+        table.tag("v1.0")  # immutable
+    with pytest.raises(ValueError):
+        table.snapshot(tag="nope")
+    with pytest.raises(ValueError):
+        table.tag("future", version=99)
