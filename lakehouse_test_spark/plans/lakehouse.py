@@ -698,6 +698,118 @@ class LakehouseTable:
     def tags(self) -> dict[str, int]:
         return dict(self._read_meta().get("tags", {}))
 
+    # -- branches (append-only write isolation, Iceberg/Nessie-style) ---------
+
+    def _branch_dir(self, name: str) -> Path:
+        return self.log_dir / f"branch-{name}"
+
+    def branches(self) -> dict[str, dict]:
+        return dict(self._read_meta().get("branches", {}))
+
+    def create_branch(self, name: str) -> int:
+        """Fork a named APPEND-ONLY branch at the current head:
+        staged writes land on the branch (own commit chain, versions
+        fork+1…) and are invisible to main readers until
+        ``merge_branch`` fast-forwards them in. The write-audit-
+        publish workflow (Nessie/Iceberg branches, Delta's staging
+        tables) as metadata: forking copies nothing."""
+        head = self.latest_version()
+        if head < 0:
+            raise ValueError("create_branch: empty table")
+        meta = self._read_meta()
+        brs = meta.setdefault("branches", {})
+        if name in brs:
+            raise ValueError(f"branch {name!r} already exists")
+        brs[name] = {"fork_version": head}
+        self._write_meta(meta)
+        self._branch_dir(name).mkdir(parents=True, exist_ok=True)
+        return head
+
+    def _branch_commits(self, name: str) -> list[Commit]:
+        out = []
+        for p in sorted(self._branch_dir(name).glob("*.json")):
+            d = json.loads(p.read_text())
+            d.setdefault("ts", None)
+            out.append(Commit(**d))
+        return out
+
+    def branch_head(self, name: str) -> int:
+        brs = self.branches()
+        if name not in brs:
+            raise ValueError(f"unknown branch {name!r}")
+        commits = self._branch_commits(name)
+        return commits[-1].version if commits else brs[name]["fork_version"]
+
+    def branch_append(self, name: str, df: DataFrame, operation: str = "append") -> Commit:
+        """Append to a branch: same constraint/generated-column
+        contract and atomic tmp-rename publish as main appends, but
+        the commit lands in the branch's own chain. Branches are
+        append-only (restates would need per-branch DV/merge
+        semantics; stage those on main)."""
+        if name not in self.branches():
+            raise ValueError(f"unknown branch {name!r}")
+        df = self._apply_generated_columns(df)
+        self._validate_constraints(df)
+        version = self.branch_head(name) + 1
+        commit_dir = self.path / "data" / f"{uuid.uuid4().hex[:12]}"
+        df.write.mode("errorifexists").parquet(str(commit_dir))
+        files = sorted(
+            str(p.relative_to(self.path))
+            for p in commit_dir.glob("*.parquet")
+            if p.name.startswith("part-")
+        )
+        row_count = self.spark.read.parquet(str(commit_dir)).count()
+        commit = Commit(
+            version=version, files=files, row_count=row_count, operation=operation
+        )
+        tmp = self.log_dir / f".tmp-{uuid.uuid4().hex}"
+        tmp.write_text(json.dumps(commit.__dict__))
+        target = self._branch_dir(name) / f"{version:020d}.json"
+        if target.exists():
+            tmp.unlink()
+            raise RuntimeError(f"concurrent branch commit at version {version}")
+        os.rename(tmp, target)
+        return commit
+
+    def snapshot_branch(self, name: str) -> DataFrame:
+        """Read a branch: main's live files as of the fork point plus
+        every branch commit — main writes after the fork are NOT
+        visible (snapshot isolation per ref)."""
+        brs = self.branches()
+        if name not in brs:
+            raise ValueError(f"unknown branch {name!r}")
+        fork = brs[name]["fork_version"]
+        files = self._files_for(fork) + [
+            str(self.path / f) for c in self._branch_commits(name) for f in c.files
+        ]
+        df = self.spark.read.option("mergeSchema", "true").parquet(*files)
+        return self._apply_renames(self._apply_dvs(df, fork))
+
+    def merge_branch(self, name: str) -> int:
+        """FAST-FORWARD merge: publish the branch's commits onto main.
+        Requires main's head to still equal the fork point — if main
+        advanced, the merge raises (divergence needs a rebase, which
+        append-only branches don't model). Branch commit files move
+        into the main log keeping their version numbers (they were
+        allocated fork+1… by construction), then the ref is dropped."""
+        brs = self.branches()
+        if name not in brs:
+            raise ValueError(f"unknown branch {name!r}")
+        fork = brs[name]["fork_version"]
+        head = self.latest_version()
+        if head != fork:
+            raise ValueError(
+                f"merge_branch {name!r}: main advanced to v{head} past the "
+                f"fork at v{fork}; rebase is not supported on append-only branches"
+            )
+        for p in sorted(self._branch_dir(name).glob("*.json")):
+            os.rename(p, self._commit_path(int(p.stem)))
+        shutil.rmtree(self._branch_dir(name), ignore_errors=True)
+        meta = self._read_meta()
+        meta["branches"].pop(name, None)
+        self._write_meta(meta)
+        return self.latest_version()
+
     def snapshot(
         self,
         version: int | None = None,

@@ -245,3 +245,60 @@ def lakehouse_tag_time_travel(spark: SparkSession, sf_dir: str) -> DataFrame:
             dround(dsum(F.col("o_totalprice")), 2).alias("total_price"),
         )
     )
+
+
+@query(
+    "lakehouse_branch_workflow",
+    oracle="""
+    WITH merged AS (
+      SELECT o_orderstatus, o_totalprice FROM orders WHERE o_orderkey % 2 = 0
+      UNION ALL
+      SELECT 'S' AS o_orderstatus, o_totalprice * 0.9 AS o_totalprice
+      FROM orders WHERE o_orderkey % 2 = 1
+    )
+    SELECT o_orderstatus,
+           count(*) AS n_orders,
+           CAST(round(sum(CAST(o_totalprice AS DECIMAL(18,6))), 2) AS DOUBLE)
+             AS total_price
+    FROM merged GROUP BY o_orderstatus
+    """,
+    tags=("lakehouse", "branch"),
+)
+def lakehouse_branch_workflow(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Write-audit-publish on an append-only BRANCH: main holds the
+    even orders; a 'staging' branch forks at that head and receives
+    the odd orders transformed (status 'S', 10% discount); main must
+    NOT see them (asserted) until merge_branch fast-forwards the
+    branch's commits in. The post-merge aggregate is hash-checked
+    against the relational union, so isolation AND publish must both
+    be row-exact.
+
+    Scale: a branch is a metadata ref plus its own commit chain —
+    forking copies nothing, the audit read is a normal snapshot, and
+    the fast-forward merge moves O(commits) log entries, never data
+    (the Iceberg/Nessie WAP pattern).
+    """
+    from lakehouse_test_spark.plans.lakehouse import LakehouseTable
+
+    o = T(spark, sf_dir, "orders").select("o_orderkey", "o_orderstatus", "o_totalprice")
+    t = LakehouseTable(spark, tempfile.mkdtemp(prefix="lh_branch_"))
+    t.append(o.where(F.col("o_orderkey") % 2 == 0))
+    main_rows = t.snapshot().count()
+    t.create_branch("staging")
+    staged = (
+        o.where(F.col("o_orderkey") % 2 == 1)
+        .withColumn("o_orderstatus", F.lit("S"))
+        .withColumn("o_totalprice", F.col("o_totalprice") * 0.9)
+    )
+    t.branch_append("staging", staged)
+    assert t.snapshot().count() == main_rows, "branch write leaked into main"
+    t.merge_branch("staging")
+    return (
+        t.snapshot()
+        .select("o_orderstatus", "o_totalprice")
+        .groupBy("o_orderstatus")
+        .agg(
+            F.count("*").alias("n_orders"),
+            dround(dsum(F.col("o_totalprice")), 2).alias("total_price"),
+        )
+    )

@@ -425,3 +425,31 @@ def test_tags_immutable_and_resolve(spark, table):
         table.snapshot(tag="nope")
     with pytest.raises(ValueError):
         table.tag("future", version=99)
+
+
+def test_branch_isolation_and_fast_forward(spark, table):
+    table.append(spark.range(10).select(F.col("id").alias("k")))
+    table.create_branch("dev")
+    table.branch_append("dev", spark.range(10, 25).select(F.col("id").alias("k")))
+    assert table.snapshot().count() == 10          # isolation
+    assert table.snapshot_branch("dev").count() == 25
+    assert table.branch_head("dev") == table.latest_version() + 1
+    head = table.merge_branch("dev")
+    assert table.snapshot().count() == 25          # published
+    assert head == table.latest_version()
+    assert table.branches() == {}
+    # time travel across the merge boundary still works
+    assert table.snapshot(version=0).count() == 10
+
+
+def test_branch_merge_refuses_divergence(spark, table):
+    table.append(spark.range(5).select(F.col("id").alias("k")))
+    table.create_branch("dev")
+    table.branch_append("dev", spark.range(5, 8).select(F.col("id").alias("k")))
+    table.append(spark.range(8, 12).select(F.col("id").alias("k")))  # main advances
+    with pytest.raises(ValueError, match="advanced"):
+        table.merge_branch("dev")
+    # branch still readable and isolated after the refused merge
+    assert table.snapshot_branch("dev").count() == 8
+    with pytest.raises(ValueError):
+        table.create_branch("dev")
