@@ -167,3 +167,55 @@ def lakehouse_snapshot_diff(spark: SparkSession, sf_dir: str) -> DataFrame:
             dround(dsum(F.col("o_totalprice")), 2).alias("total_price"),
         )
     )
+
+
+@query(
+    "sql_unpivot_except_star",
+    oracle="""
+    WITH m AS (
+      SELECT o_orderstatus,
+             CAST(round(sum(CAST(o_totalprice AS DECIMAL(18,6))), 2) AS DOUBLE)
+               AS total_price,
+             CAST(count(*) AS DOUBLE) AS n_orders,
+             CAST(count(DISTINCT o_custkey) AS DOUBLE) AS n_customers
+      FROM orders GROUP BY o_orderstatus
+    ), unp AS (
+      SELECT o_orderstatus, 'total_price' AS metric, total_price AS val FROM m
+      UNION ALL
+      SELECT o_orderstatus, 'n_orders', n_orders FROM m
+      UNION ALL
+      SELECT o_orderstatus, 'n_customers', n_customers FROM m
+    )
+    SELECT o_orderstatus, metric, val FROM unp
+    """,
+    tags=("sql", "unpivot"),
+)
+def sql_unpivot_except_star(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Modern SQL-clause surface: ``SELECT * EXCEPT (...)`` projects
+    away a column inside the star, and the ``UNPIVOT`` clause melts
+    the metric columns to (metric, val) rows — both as SQL TEXT (the
+    DataFrame melt/drop equivalents are covered elsewhere). The
+    oracle reconstructs the unpivot as a UNION ALL, the clause's
+    defined semantics.
+
+    Scale: UNPIVOT is an Expand node — rows × metrics map-side, no
+    shuffle beyond the feeding aggregate.
+    """
+    T(spark, sf_dir, "orders").createOrReplaceTempView("v_w26_orders")
+    return spark.sql(
+        """
+        WITH m AS (
+          SELECT o_orderstatus,
+                 CAST(round(sum(CAST(o_totalprice AS DECIMAL(18,6))), 2) AS DOUBLE)
+                   AS total_price,
+                 CAST(count(*) AS DOUBLE) AS n_orders,
+                 CAST(count(DISTINCT o_custkey) AS DOUBLE) AS n_customers,
+                 min(o_orderkey) AS drop_me
+          FROM orders_src GROUP BY o_orderstatus
+        ), pruned AS (
+          SELECT * EXCEPT (drop_me) FROM m
+        )
+        SELECT * FROM pruned
+        UNPIVOT (val FOR metric IN (total_price, n_orders, n_customers))
+        """.replace("orders_src", "v_w26_orders")
+    )
