@@ -219,3 +219,48 @@ def sql_unpivot_except_star(spark: SparkSession, sf_dir: str) -> DataFrame:
         UNPIVOT (val FOR metric IN (total_price, n_orders, n_customers))
         """.replace("orders_src", "v_w26_orders")
     )
+
+
+@query(
+    "multimodal_binaryfile_ingest",
+    oracle="""
+    SELECT doc_id,
+           CAST(doc_id + 16 AS BIGINT) AS n_bytes,
+           CAST(doc_id % 251 AS INTEGER) AS first_byte,
+           CAST((doc_id % 251) * (doc_id + 16) AS BIGINT) AS byte_sum
+    FROM documents
+    WHERE doc_id < 64
+    """,
+    tags=("multimodal", "source", "binary"),
+)
+def multimodal_binaryfile_ingest(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The ``binaryFile`` SOURCE — how a real multimodal pipeline
+    ingests raw image/audio blobs: 64 deterministic files (content:
+    byte doc_id%251 repeated doc_id+16 times) land on disk, the
+    binaryFile reader lifts them to (path, length, content) rows, and
+    pure codegen recovers doc_id from the file NAME, the first byte
+    from the CONTENT, and the byte sum from both. The oracle
+    recomputes everything from the generation formula, so the source,
+    the binary column, and the byte arithmetic are all value-checked.
+
+    Scale: binaryFile is a normal file-based source — files→splits→
+    tasks, driver lists paths only; per-file bytes stay in executor
+    memory one row at a time (pathGlobFilter/recursiveFileLookup
+    prune listings). This is the ingest edge of the decode_media /
+    pHash pipeline (operators/multimodal.py).
+    """
+    import os as _os
+
+    base = tempfile.mkdtemp(prefix="binfiles_")
+    for i in range(64):
+        with open(_os.path.join(base, f"{i:04d}.bin"), "wb") as fh:
+            fh.write(bytes([i % 251]) * (i + 16))
+    raw = spark.read.format("binaryFile").load(base)
+    doc_id = F.regexp_extract(F.col("path"), r"(\d{4})\.bin$", 1).cast("bigint")
+    first_byte = F.conv(F.hex(F.substring("content", 1, 1)), 16, 10).cast("int")
+    return raw.select(
+        doc_id.alias("doc_id"),
+        F.col("length").alias("n_bytes"),
+        first_byte.alias("first_byte"),
+        (first_byte.cast("bigint") * F.col("length")).alias("byte_sum"),
+    )
