@@ -785,6 +785,29 @@ class LakehouseTable:
         df = self.spark.read.option("mergeSchema", "true").parquet(*files)
         return self._apply_renames(self._apply_dvs(df, fork))
 
+    def drop_branch(self, name: str) -> int:
+        """Abandon a branch: delete its ref, commit chain, and the
+        data files only its commits reference (they are unreachable
+        from main by construction — branch appends write fresh dirs).
+        Returns the number of data files deleted."""
+        if name not in self.branches():
+            raise ValueError(f"unknown branch {name!r}")
+        deleted = 0
+        for c in self._branch_commits(name):
+            for f in c.files:
+                p = self.path / f
+                if p.exists():
+                    p.unlink()
+                    deleted += 1
+                parent = p.parent
+                if parent.exists() and not any(parent.iterdir()):
+                    parent.rmdir()
+        shutil.rmtree(self._branch_dir(name), ignore_errors=True)
+        meta = self._read_meta()
+        meta["branches"].pop(name, None)
+        self._write_meta(meta)
+        return deleted
+
     def merge_branch(self, name: str) -> int:
         """FAST-FORWARD merge: publish the branch's commits onto main.
         Requires main's head to still equal the fork point — if main

@@ -453,3 +453,34 @@ def test_branch_merge_refuses_divergence(spark, table):
     assert table.snapshot_branch("dev").count() == 8
     with pytest.raises(ValueError):
         table.create_branch("dev")
+
+
+def test_drop_branch_reclaims_only_branch_files(spark, table):
+    from pathlib import Path
+
+    table.append(spark.range(10).select(F.col("id").alias("k")))
+    n_main = len(list(Path(table.path).rglob("*.parquet")))
+    table.create_branch("scratch")
+    table.branch_append("scratch", spark.range(10, 40).select(F.col("id").alias("k")))
+    assert len(list(Path(table.path).rglob("*.parquet"))) > n_main
+    deleted = table.drop_branch("scratch")
+    assert deleted > 0
+    assert len(list(Path(table.path).rglob("*.parquet"))) == n_main
+    assert table.branches() == {}
+    assert table.snapshot().count() == 10  # main untouched
+
+
+def test_commit_protocol_ignores_stray_tmp_files(spark, table):
+    """Crash safety: a writer that died between tmp-write and rename
+    leaves a .tmp- file in the log dir — readers must ignore it, and
+    the next commit must succeed normally."""
+    from pathlib import Path
+
+    table.append(spark.range(10).select(F.col("id").alias("k")))
+    stray = Path(table.log_dir) / ".tmp-deadbeef"
+    stray.write_text('{"garbage": tru')  # torn partial write
+    assert table.latest_version() == 0
+    assert table.snapshot().count() == 10
+    assert len(table.history()) == 1
+    table.append(spark.range(10, 15).select(F.col("id").alias("k")))
+    assert table.snapshot().count() == 15
