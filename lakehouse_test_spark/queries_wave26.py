@@ -264,3 +264,50 @@ def multimodal_binaryfile_ingest(spark: SparkSession, sf_dir: str) -> DataFrame:
         first_byte.alias("first_byte"),
         (first_byte.cast("bigint") * F.col("length")).alias("byte_sum"),
     )
+
+
+@query(
+    "dedup_sparkml_minhash",
+    oracle=None,  # approximate LSH internals are engine-specific: rows-only
+    tags=("dedup", "ml", "interop"),
+)
+def dedup_sparkml_minhash(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The pyspark.ml path for fuzzy dedup that SURVEY.md §2b names
+    explicitly (``pyspark.ml.feature.MinHashLSH``): HashingTF
+    binarized token vectors → MinHashLSH(seed-pinned) →
+    approxSimilarityJoin at Jaccard distance ≤ 0.2, upper-triangle
+    deduped. Registered to prove the ml-package surface works
+    end-to-end; the PRODUCTION dedup path in this engine is
+    operators/dedup.py's hand-rolled banded MinHash (decimal-
+    deterministic signatures, hot-bucket star guard, plan-pinned
+    single shuffle), which the recall/precision tests grade against
+    exact O(n²) Jaccard.
+
+    Scale note: approxSimilarityJoin explodes each row per hash table
+    and self-joins on (table, hash) — workable, but without the
+    banding/star-guard controls the hand-rolled operator exposes;
+    rows-only check (the LSH draw is engine-internal randomness).
+    """
+    from pyspark.ml.feature import HashingTF, MinHashLSH
+
+    d = T(spark, sf_dir, "documents").select(
+        "doc_id", F.split("text", " ").alias("tokens")
+    )
+    tf = HashingTF(
+        inputCol="tokens", outputCol="features", numFeatures=1 << 16, binary=True
+    )
+    feat = tf.transform(d)
+    lsh = MinHashLSH(
+        inputCol="features", outputCol="hashes", numHashTables=8, seed=7
+    )
+    model = lsh.fit(feat)
+    pairs = model.approxSimilarityJoin(feat, feat, 0.2, distCol="jaccard_dist")
+    return (
+        pairs.where(F.col("datasetA.doc_id") < F.col("datasetB.doc_id"))
+        .select(
+            F.col("datasetA.doc_id").alias("doc_a"),
+            F.col("datasetB.doc_id").alias("doc_b"),
+            F.round("jaccard_dist", 4).alias("jaccard_dist"),
+        )
+        .orderBy("doc_a", "doc_b")
+    )

@@ -737,3 +737,31 @@ def test_ivfpq_gate_query(spark):
     rows = similarity_ivfpq_topk(spark, SMOKE_SF_DIR).collect()
     sims = [r.cos_sim for r in rows]
     assert len(rows) == 10 and sims == sorted(sims, reverse=True)
+
+
+def test_sparkml_minhash_matches_exact_jaccard(spark):
+    """The pyspark.ml MinHashLSH path must recover the exact set of
+    token-set near-dup pairs (approxSimilarityJoin verifies exact
+    distance on candidates, so precision is 1.0 by construction —
+    this pins RECALL at 1.0 on the gate corpus too)."""
+    import duckdb
+
+    from lakehouse_test_spark.queries import REGISTRY
+
+    sf = "/root/testdata/sf0.001"
+    got = {
+        (r["doc_a"], r["doc_b"])
+        for r in REGISTRY["dedup_sparkml_minhash"].fn(spark, sf).collect()
+    }
+    rows = duckdb.sql(
+        f"select doc_id, text from read_parquet('{sf}/documents.parquet')"
+    ).fetchall()
+    sets = {i: set(t.split()) for i, t in rows}
+    ids = sorted(sets)
+    want = set()
+    for x in range(len(ids)):
+        for y in range(x + 1, len(ids)):
+            a, b = sets[ids[x]], sets[ids[y]]
+            if len(a & b) / len(a | b) >= 0.8:
+                want.add((ids[x], ids[y]))
+    assert got == want
