@@ -311,3 +311,43 @@ def dedup_sparkml_minhash(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("doc_a", "doc_b")
     )
+
+
+@query(
+    "sql_parameterized_query",
+    oracle="""
+    SELECT o_orderpriority,
+           count(*) AS n_orders,
+           CAST(round(sum(CAST(o_totalprice AS DECIMAL(18,6))), 2) AS DOUBLE)
+             AS total_price
+    FROM orders
+    WHERE o_totalprice >= 1000.0 AND o_orderstatus = 'O'
+    GROUP BY o_orderpriority
+    """,
+    tags=("sql", "api"),
+)
+def sql_parameterized_query(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Parameterized SQL (Spark 3.4+ named parameter markers): the
+    query text carries ``:min_price`` / ``:status`` and values bind
+    through ``spark.sql(..., args=...)`` — the injection-safe API
+    programs should use instead of f-string SQL. The oracle runs the
+    same query with the constants inlined, so binding must be
+    value-exact (including the double comparison).
+
+    Scale: parameters bind as literals BEFORE analysis, so pushdown
+    and partition pruning see constants — plan quality is identical
+    to inlined SQL (no prepared-statement opacity).
+    """
+    T(spark, sf_dir, "orders").createOrReplaceTempView("v_w26_orders_p")
+    return spark.sql(
+        """
+        SELECT o_orderpriority,
+               count(*) AS n_orders,
+               CAST(round(sum(CAST(o_totalprice AS DECIMAL(18,6))), 2) AS DOUBLE)
+                 AS total_price
+        FROM v_w26_orders_p
+        WHERE o_totalprice >= :min_price AND o_orderstatus = :status
+        GROUP BY o_orderpriority
+        """,
+        args={"min_price": 1000.0, "status": "O"},
+    )
