@@ -26,6 +26,7 @@ Iceberg — same contract, battle-tested log.)
 from __future__ import annotations
 
 import json
+import re as _re
 import os
 import shutil
 import time
@@ -1180,9 +1181,74 @@ class LakehouseTable:
         self._write_meta(meta)
 
     def partition_spec(self) -> list[str]:
-        """Columns of the CURRENT partition spec ([] if unpartitioned)."""
+        """Items of the CURRENT partition spec ([] if unpartitioned).
+        Each item is a bare column (identity) or an Iceberg-style
+        transform: ``month(col)``, ``bucket(N, col)``,
+        ``truncate(N, col)``."""
         specs = self._read_meta().get("partition_specs", [])
         return list(specs[-1]["cols"]) if specs else []
+
+    _TRANSFORM_RE = _re.compile(
+        r"^\s*(month|bucket|truncate)\s*\(\s*(?:(\d+)\s*,\s*)?([A-Za-z_][\w.]*)\s*\)\s*$"
+    )
+
+    def _transform_column(self, item: str, df: DataFrame):
+        """Derive the partition-value column for a spec item (Iceberg
+        partition transforms — hidden partitioning: the derived value
+        is log metadata, never stored in data files)."""
+        from pyspark.sql import functions as F
+
+        m = self._TRANSFORM_RE.match(item)
+        if not m:
+            if item not in df.columns:
+                raise ValueError(f"partition spec column {item!r} not in frame")
+            return F.col(item)  # identity
+        kind, n, col = m.group(1), m.group(2), m.group(3)
+        if kind == "month":
+            return F.date_format(F.col(col), "yyyy-MM")
+        if kind == "bucket":
+            if not n:
+                raise ValueError(f"bucket transform needs N: {item!r}")
+            return F.pmod(F.xxhash64(F.col(col)), int(n)).cast("int")
+        if not n:
+            raise ValueError(f"truncate transform needs N: {item!r}")
+        return (F.floor(F.col(col) / int(n)) * int(n)).cast("bigint")
+
+    def bucket_of(self, item: str, value) -> int:
+        """Driver-side bucket number for a point lookup against a
+        ``bucket(N, col)`` spec item (same xxhash64 the writer used)."""
+        m = self._TRANSFORM_RE.match(item)
+        if not m or m.group(1) != "bucket":
+            raise ValueError(f"not a bucket transform: {item!r}")
+        # evaluate via a 1-row frame so the hash matches the writer's
+        df = self.spark.range(1).selectExpr(f"CAST({value!r} AS BIGINT) AS {m.group(3)}")
+        return df.select(self._transform_column(item, df).alias("b")).collect()[0]["b"]
+
+    def scan_pruned_hidden(self, item: str, lo, hi) -> tuple[DataFrame, int, int]:
+        """Zone-map file skipping on a HIDDEN partition value (a
+        transform spec item, e.g. ``month(o_orderdate)``): files whose
+        recorded transform value overlaps [lo, hi] are scanned; files
+        without stats for the item (older specs) are kept — skipping
+        must be safe. NO residual predicate is applied (the derived
+        column does not exist in the data) — callers filter the raw
+        column themselves; correctness never depends on the pruning.
+        Returns (df, files_scanned, files_total)."""
+        all_files: list[str] = []
+        kept: list[str] = []
+        for c in self._live_commits():
+            for f in c.files:
+                all_files.append(f)
+                st = (c.stats or {}).get(f, {}).get(item)
+                if st is None or not (hi < st[0] or lo > st[1]):
+                    kept.append(f)
+        if not kept:
+            return self.snapshot().limit(0), 0, len(all_files)
+        df = self._apply_dvs(
+            self.spark.read.option("mergeSchema", "true").parquet(
+                *[str(self.path / f) for f in kept]
+            )
+        )
+        return self._apply_renames(df), len(kept), len(all_files)
 
     def append_partitioned(
         self, df: DataFrame, operation: str = "append-partitioned"
@@ -1210,21 +1276,37 @@ class LakehouseTable:
         self._validate_constraints(df)
         version = self.latest_version() + 1
         commit_dir = self.path / "data" / f"{uuid.uuid4().hex[:12]}"
+        derived = [(item, self._transform_column(item, df)) for item in spec]
+        aug = df
+        for i, (_item, col) in enumerate(derived):
+            aug = aug.withColumn(f"__p{i}", col)
+        pcols = [f"__p{i}" for i in range(len(derived))]
         values = sorted(
-            tuple(r[c] for c in spec)
-            for r in df.select(*spec).distinct().collect()
+            (tuple(r[c] for c in pcols) for r in aug.select(*pcols).distinct().collect()),
+            key=lambda t: tuple((v is None, v) for v in t),
         )
+        files: list[str] = []
+        stats: dict[str, dict] = {}
+        seen: set = set()
         for tup in values:
-            part = df
-            for c, v in zip(spec, tup):
+            part = aug
+            for c, v in zip(pcols, tup):
                 part = part.where(F_col(c).eqNullSafe(F_lit(v)))
-            part.write.mode("append").parquet(str(commit_dir))
-        files = sorted(
-            str(p.relative_to(self.path))
-            for p in commit_dir.glob("*.parquet")
-            if p.name.startswith("part-")
-        )
-        stats = {f: _file_stats(self.path / f, spec) for f in files}
+            # hidden partitioning: derived transform values live in the
+            # LOG's stats, never in the data files (the Iceberg model)
+            part.drop(*pcols).write.mode("append").parquet(str(commit_dir))
+            now = {
+                str(p.relative_to(self.path))
+                for p in commit_dir.glob("*.parquet")
+                if p.name.startswith("part-")
+            }
+            for f in sorted(now - seen):
+                files.append(f)
+                stats[f] = {
+                    item: [v, v] for (item, _), v in zip(derived, tup)
+                }
+            seen = now
+        files.sort()
         row_count = self.spark.read.parquet(str(commit_dir)).count()
         commit = Commit(
             version=version,

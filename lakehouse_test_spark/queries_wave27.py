@@ -302,3 +302,56 @@ def lakehouse_branch_workflow(spark: SparkSession, sf_dir: str) -> DataFrame:
             dround(dsum(F.col("o_totalprice")), 2).alias("total_price"),
         )
     )
+
+
+@query(
+    "lakehouse_hidden_partitioning",
+    oracle="""
+    SELECT CAST(strftime(o_orderdate, '%Y-%m') AS VARCHAR) AS order_month,
+           count(*) AS n_orders,
+           CAST(round(sum(CAST(o_totalprice AS DECIMAL(18,6))), 2) AS DOUBLE)
+             AS total_price
+    FROM orders
+    WHERE year(o_orderdate) = 1995 AND month(o_orderdate) BETWEEN 3 AND 5
+    GROUP BY 1
+    """,
+    tags=("lakehouse", "partition", "transform"),
+)
+def lakehouse_hidden_partitioning(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Iceberg HIDDEN partitioning: the spec is the TRANSFORM
+    ``month(o_orderdate)`` — users never see or maintain a derived
+    month column; the writer computes it, stores it ONLY in the
+    commit log's per-file stats (one file per month, min==max), and
+    drops it before the bytes land. A March-May 1995 scan then prunes
+    by the transform value and filters the RAW date column —
+    correctness never depends on the pruning (the Iceberg contract),
+    which the oracle's straight filter over raw orders verifies.
+
+    Scale: this is how a 100 TB time-series table answers month-range
+    scans by opening O(months) files while writers remain free to
+    evolve the transform (tests cover bucket/truncate too); the
+    per-partition write loop is bounded by the partition domain —
+    bounded by design for any sane transform.
+    """
+    from lakehouse_test_spark.plans.lakehouse import LakehouseTable
+
+    o = (
+        T(spark, sf_dir, "orders")
+        .where(F.year("o_orderdate") == 1995)
+        .select("o_orderkey", "o_totalprice", "o_orderdate")
+    )
+    t = LakehouseTable(spark, tempfile.mkdtemp(prefix="lh_hidden_"))
+    t.set_partition_spec(["month(o_orderdate)"])
+    t.append_partitioned(o)
+    pruned, scanned, total = t.scan_pruned_hidden(
+        "month(o_orderdate)", "1995-03", "1995-05"
+    )
+    assert scanned < total, "month pruning must skip files"
+    return (
+        pruned.where(F.month("o_orderdate").between(3, 5))
+        .groupBy(F.date_format("o_orderdate", "yyyy-MM").alias("order_month"))
+        .agg(
+            F.count("*").alias("n_orders"),
+            dround(dsum(F.col("o_totalprice")), 2).alias("total_price"),
+        )
+    )

@@ -484,3 +484,47 @@ def test_commit_protocol_ignores_stray_tmp_files(spark, table):
     assert len(table.history()) == 1
     table.append(spark.range(10, 15).select(F.col("id").alias("k")))
     assert table.snapshot().count() == 15
+
+
+def test_hidden_partition_month_prunes_and_hides(spark, table):
+    import pyarrow.parquet as pq
+    from pathlib import Path
+
+    df = spark.sql(
+        "SELECT id AS k, date_add(DATE'2024-01-01', CAST(id % 120 AS INT)) AS d "
+        "FROM range(0, 600)"
+    )
+    table.set_partition_spec(["month(d)"])
+    c = table.append_partitioned(df)
+    months = sorted({v[0] for v in (s["month(d)"] for s in c.stats.values())})
+    assert months == ["2024-01", "2024-02", "2024-03", "2024-04"]
+    # hidden: the derived value is in the LOG only, not in the files
+    any_file = next(iter(c.stats))
+    cols = pq.ParquetFile(str(Path(table.path) / any_file)).schema_arrow.names
+    assert "__p0" not in cols and "month(d)" not in cols
+    _df, scanned, total = table.scan_pruned_hidden("month(d)", "2024-02", "2024-02")
+    feb = sum(1 for s in c.stats.values() if s["month(d)"][0] == "2024-02")
+    assert scanned == feb and scanned < total
+    assert _df.where("d >= DATE'2024-02-01' AND d < DATE'2024-03-01'").count() == \
+        df.where("d >= DATE'2024-02-01' AND d < DATE'2024-03-01'").count()
+
+
+def test_hidden_partition_bucket_point_lookup(spark, table):
+    df = spark.range(0, 400).selectExpr("id AS k", "id * 3 AS v")
+    table.set_partition_spec(["bucket(4, k)"])
+    c = table.append_partitioned(df)
+    assert len(c.files) >= 4
+    b = table.bucket_of("bucket(4, k)", 123)
+    _df, scanned, total = table.scan_pruned_hidden("bucket(4, k)", b, b)
+    assert scanned < total
+    assert _df.where("k = 123").count() == 1
+
+
+def test_hidden_partition_truncate_ranges(spark, table):
+    df = spark.range(0, 1000).selectExpr("id AS k")
+    table.set_partition_spec(["truncate(250, k)"])
+    c = table.append_partitioned(df)
+    starts = sorted({s["truncate(250, k)"][0] for s in c.stats.values()})
+    assert starts == [0, 250, 500, 750]
+    _df, scanned, total = table.scan_pruned_hidden("truncate(250, k)", 500, 500)
+    assert scanned < total and _df.where("k BETWEEN 500 AND 749").count() == 250
