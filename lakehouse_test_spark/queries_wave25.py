@@ -236,3 +236,59 @@ def events_decay_score(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.count("*").alias("n_events"),
         dround(dsum(term), 3).alias("decay_score"),
     )
+
+
+_LEVENE_SQL = """
+WITH med AS (
+  SELECT o_orderpriority, {median_fn} AS med
+  FROM {orders} GROUP BY o_orderpriority
+), z AS (
+  SELECT o.o_orderpriority, abs(o.o_totalprice - m.med) AS z
+  FROM {orders} o JOIN med m ON o.o_orderpriority = m.o_orderpriority
+), g AS (
+  SELECT o_orderpriority,
+         CAST(count(*) AS DOUBLE) AS n_g,
+         CAST(sum(CAST(z AS DECIMAL(32,8))) AS DOUBLE) AS s_g,
+         CAST(sum(CAST(z * z AS DECIMAL(32,8))) AS DOUBLE) AS q_g
+  FROM z GROUP BY o_orderpriority
+), tot AS (
+  SELECT CAST(count(*) AS DOUBLE) AS k, sum(n_g) AS n, sum(s_g) AS s,
+         sum(s_g * s_g / n_g) AS sb, sum(q_g - s_g * s_g / n_g) AS ssw
+  FROM g
+)
+SELECT CAST(k AS INTEGER) AS n_groups,
+       CAST(n AS BIGINT) AS n_rows,
+       CAST(round(((sb - s * s / n) / (k - 1.0)) / (ssw / (n - k)), 6) AS DOUBLE)
+         AS levene_w
+FROM tot
+"""
+
+
+@query(
+    "stats_levene_brown_forsythe",
+    oracle=_LEVENE_SQL.format(
+        orders="orders", median_fn="quantile_cont(o_totalprice, 0.5)"
+    ),
+    tags=("stats", "agg"),
+)
+def stats_levene_brown_forsythe(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Brown–Forsythe (median-centered Levene) test for equality of
+    variances across the five priority groups: W is the one-way-ANOVA
+    F statistic applied to |x − median_g|. Median parity rides the
+    established Spark percentile ≡ DuckDB quantile_cont contract
+    (agg_percentiles); the centered deviations are decimal-cast, so
+    the whole statistic is order-insensitive. Completes the classical
+    family: t (means), ANOVA (k means), W (k variances), U/KS
+    (distributions), permutation (nonparametric).
+
+    Scale: two aggregate passes (group medians, then moments of the
+    deviations) joined through a broadcast of k rows — no window, no
+    global sort; exact medians per group are the only heavy step and
+    reuse the percentile machinery.
+    """
+    T(spark, sf_dir, "orders").createOrReplaceTempView("v_w25_orders_lev")
+    return spark.sql(
+        _LEVENE_SQL.format(
+            orders="v_w25_orders_lev", median_fn="percentile(o_totalprice, 0.5)"
+        )
+    )

@@ -351,3 +351,41 @@ def sql_parameterized_query(spark: SparkSession, sf_dir: str) -> DataFrame:
         """,
         args={"min_price": 1000.0, "status": "O"},
     )
+
+
+@query(
+    "scalar_aes_roundtrip",
+    oracle="""
+    SELECT doc_id,
+           substr(text, 1, 64) AS plain,
+           CAST(length(substr(text, 1, 64)) AS INTEGER) AS n_chars_out,
+           TRUE AS roundtrip_ok
+    FROM documents
+    """,
+    tags=("scalar", "crypto"),
+)
+def scalar_aes_roundtrip(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Column-level encryption surface: aes_encrypt → aes_decrypt with
+    a 256-bit key must return the exact plaintext. Ciphertexts are
+    intentionally NOT emitted (GCM draws a random IV per call, so
+    they aren't deterministic — the point of the mode); the gate
+    checks the decrypted value, length, and an equality flag against
+    the raw column, which is precisely the contract at-rest
+    encryption must satisfy.
+
+    Scale: AES runs JVM-side per value inside codegen — no shuffle;
+    key distribution (here a literal) is the real production concern,
+    not throughput.
+    """
+    d = T(spark, sf_dir, "documents")
+    key = F.lit("0123456789abcdef0123456789abcdef")  # 32 bytes = AES-256
+    plain = F.substring("text", 1, 64)
+    dec = F.aes_decrypt(
+        F.aes_encrypt(plain.cast("binary"), key), key
+    ).cast("string")
+    return d.select(
+        "doc_id",
+        dec.alias("plain"),
+        F.length(dec).cast("int").alias("n_chars_out"),
+        (dec == plain).alias("roundtrip_ok"),
+    )
