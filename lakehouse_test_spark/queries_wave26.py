@@ -21,7 +21,7 @@ from __future__ import annotations
 
 import tempfile
 
-from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import DataFrame, SparkSession, Window
 from pyspark.sql import functions as F
 
 from lakehouse_test_spark.fpsafe import dround, dsum
@@ -388,4 +388,107 @@ def scalar_aes_roundtrip(spark: SparkSession, sf_dir: str) -> DataFrame:
         dec.alias("plain"),
         F.length(dec).cast("int").alias("n_chars_out"),
         (dec == plain).alias("roundtrip_ok"),
+    )
+
+
+@query(
+    "scalar_hash_battery",
+    oracle="""
+    SELECT doc_id,
+           md5(text) AS md5_hex,
+           sha256(text) AS sha256_hex,
+           substr(md5(text || lang), 1, 8) AS salted_prefix
+    FROM documents
+    """,
+    tags=("scalar", "hash"),
+)
+def scalar_hash_battery(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Cryptographic hash surface: md5 and sha2-256 hex digests (the
+    fingerprints every dedup/partition/PII pipeline leans on) must be
+    byte-identical across engines — these are the same primitives
+    dedup_exact_fingerprint and sample_weighted_hash build on, gated
+    here directly, plus a salted-prefix pattern (the deterministic
+    sampling key idiom).
+
+    Scale: JVM-side codegen digests, zero shuffle; xxhash64 (the
+    fast non-cryptographic sibling used by the MinHash/bucket
+    operators) is Spark-internal and excluded from the cross-engine
+    contract on purpose.
+    """
+    d = T(spark, sf_dir, "documents")
+    return d.select(
+        "doc_id",
+        F.md5("text").alias("md5_hex"),
+        F.sha2("text", 256).alias("sha256_hex"),
+        F.substring(F.md5(F.concat("text", "lang")), 1, 8).alias("salted_prefix"),
+    )
+
+
+@query(
+    "dq_psi_drift",
+    oracle="""
+    WITH bucketed AS (
+      SELECT CAST(least(floor(o_totalprice / 50000.0), 5) AS INTEGER) AS bucket,
+             o_orderkey % 2 = 0 AS in_a
+      FROM orders
+    ), dist AS (
+      SELECT bucket,
+             count(*) FILTER (WHERE in_a) AS c_a,
+             count(*) FILTER (WHERE NOT in_a) AS c_b,
+             sum(count(*) FILTER (WHERE in_a)) OVER () AS n_a,
+             sum(count(*) FILTER (WHERE NOT in_a)) OVER () AS n_b
+      FROM bucketed GROUP BY bucket
+    ), terms AS (
+      SELECT bucket,
+             (c_a + 0.5) / (n_a + 3.0) AS p_a,
+             (c_b + 0.5) / (n_b + 3.0) AS p_b
+      FROM dist
+    )
+    SELECT count(*) AS n_buckets,
+           CAST(round(sum(CAST((p_b - p_a) * ln(p_b / p_a) AS DECIMAL(28,12))), 6)
+                AS DOUBLE) AS psi
+    FROM terms
+    """,
+    tags=("dq", "drift"),
+)
+def dq_psi_drift(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Population Stability Index between two cohorts (even vs odd
+    order keys) over fixed-width price buckets — the MLOps drift
+    metric run between every training snapshot and production window.
+    Buckets are deterministic truncations (no interpolated quantile
+    cuts to disagree on), proportions are Laplace-smoothed (+0.5 per
+    bucket) so empty buckets can't produce ±inf, and the
+    (pB−pA)·ln(pB/pA) terms are decimal-cast before the sum.
+
+    Scale: one scan, one small aggregate keyed by ≤6 buckets, one
+    6-row window — O(buckets) state; at 100 TB the same query runs
+    with the cohort predicate swapped for snapshot partitions.
+    """
+    o = T(spark, sf_dir, "orders")
+    bucket = F.least(F.floor(F.col("o_totalprice") / 50000.0), F.lit(5)).cast("int")
+    dist = (
+        o.select(bucket.alias("bucket"), (F.col("o_orderkey") % 2 == 0).alias("in_a"))
+        .groupBy("bucket")
+        .agg(
+            F.count_if("in_a").alias("c_a"),
+            F.count_if(~F.col("in_a")).alias("c_b"),
+        )
+    )
+    wall = Window.partitionBy()
+    terms = dist.select(
+        "bucket",
+        ((F.col("c_a") + 0.5) / (F.sum("c_a").over(wall) + 3.0)).alias("p_a"),
+        ((F.col("c_b") + 0.5) / (F.sum("c_b").over(wall) + 3.0)).alias("p_b"),
+    )
+    return terms.agg(
+        F.count("*").alias("n_buckets"),
+        F.round(
+            F.sum(
+                ((F.col("p_b") - F.col("p_a")) * F.log(F.col("p_b") / F.col("p_a")))
+                .cast("decimal(28,12)")
+            ),
+            6,
+        )
+        .cast("double")
+        .alias("psi"),
     )
