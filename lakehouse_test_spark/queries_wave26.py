@@ -492,3 +492,75 @@ def dq_psi_drift(spark: SparkSession, sf_dir: str) -> DataFrame:
         .cast("double")
         .alias("psi"),
     )
+
+
+@query(
+    "dq_luhn_checksum",
+    oracle="""
+    WITH nums AS (
+      SELECT c_custkey,
+             lpad(CAST(c_custkey * 7919 % 100000000 AS VARCHAR), 8, '0')
+               || lpad(CAST(c_custkey % 10000 AS VARCHAR), 4, '0') AS digits
+      FROM customer
+    ), expanded AS (
+      SELECT c_custkey, digits,
+             CAST(substr(reverse(digits), i.i + 1, 1) AS INTEGER) AS d,
+             i.i % 2 = 1 AS doubled
+      FROM nums CROSS JOIN (SELECT CAST(range AS INTEGER) AS i FROM range(0, 12)) i
+    ), summed AS (
+      SELECT c_custkey, digits,
+             sum(CASE WHEN doubled THEN
+                   CASE WHEN d * 2 > 9 THEN d * 2 - 9 ELSE d * 2 END
+                 ELSE d END) AS luhn_sum
+      FROM expanded GROUP BY c_custkey, digits
+    )
+    SELECT c_custkey, digits,
+           CAST(luhn_sum AS BIGINT) AS luhn_sum,
+           luhn_sum % 10 = 0 AS luhn_valid
+    FROM summed
+    """,
+    tags=("dq", "checksum"),
+)
+def dq_luhn_checksum(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Luhn (mod-10) checksum validation — the DQ gate for card/IMEI/
+    account identifiers: 12-digit synthetic account numbers derive
+    deterministically from custkey, then the classic
+    double-every-second-digit-from-the-right sum decides validity.
+    Pure integer arithmetic over an exploded digit table — both
+    engines agree digit for digit.
+
+    Scale: 12× row fan-out inside the scan stage (explode), one
+    grouped sum keyed by customer — linear, and in production the
+    digit loop folds into a single codegen expression (the exploded
+    form here keeps the oracle trivially parallel).
+    """
+    c = T(spark, sf_dir, "customer")
+    digits = F.concat(
+        F.lpad((F.col("c_custkey") * 7919 % 100000000).cast("string"), 8, "0"),
+        F.lpad((F.col("c_custkey") % 10000).cast("string"), 4, "0"),
+    )
+    nums = c.select("c_custkey", digits.alias("digits"))
+    exp = nums.select(
+        "c_custkey",
+        "digits",
+        F.explode(F.sequence(F.lit(0), F.lit(11))).alias("i"),
+    ).select(
+        "c_custkey",
+        "digits",
+        F.substring(F.reverse("digits"), F.col("i") + 1, 1).cast("int").alias("d"),
+        (F.col("i") % 2 == 1).alias("doubled"),
+    )
+    summed = exp.groupBy("c_custkey", "digits").agg(
+        F.sum(
+            F.when(
+                F.col("doubled"),
+                F.when(F.col("d") * 2 > 9, F.col("d") * 2 - 9).otherwise(F.col("d") * 2),
+            ).otherwise(F.col("d"))
+        ).alias("luhn_sum")
+    )
+    return summed.select(
+        "c_custkey",
+        "digits",
+        F.col("luhn_sum").cast("bigint").alias("luhn_sum"),
+        (F.col("luhn_sum") % 10 == 0).alias("luhn_valid"),
+    )
