@@ -12,6 +12,14 @@ path under the hash gate.
 - ``lakehouse_snapshot_diff`` — the snapshot-to-snapshot audit diff
   (EXCEPT ALL both ways across a MERGE) verified against a relational
   reconstruction of exactly-the-changed rows.
+- Wave Z add-ons collected here as the round closed:
+  ``sql_unpivot_except_star`` (UNPIVOT + SELECT * EXCEPT as SQL text),
+  ``multimodal_binaryfile_ingest`` (the binaryFile source),
+  ``dedup_sparkml_minhash`` (the survey's named pyspark.ml LSH path,
+  recall pinned at 1.0), ``sql_parameterized_query`` (named parameter
+  markers), ``scalar_aes_roundtrip`` (encrypt/decrypt contract),
+  ``scalar_hash_battery`` (md5/sha2-256), ``dq_psi_drift``
+  (population stability index), ``dq_luhn_checksum`` (mod-10 ids).
 
 Reference parity: none; extends SURVEY.md §2b text analysis and the
 UDF/interop matrix.
