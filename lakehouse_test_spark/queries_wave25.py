@@ -292,3 +292,61 @@ def stats_levene_brown_forsythe(spark: SparkSession, sf_dir: str) -> DataFrame:
             orders="v_w25_orders_lev", median_fn="percentile(o_totalprice, 0.5)"
         )
     )
+
+
+_SPEARMAN_SQL = """
+WITH src AS (
+  SELECT l_quantity AS x, l_extendedprice AS y FROM {lineitem}
+), rx AS (
+  SELECT x,
+         CAST(coalesce(sum(c) OVER (ORDER BY x ROWS BETWEEN UNBOUNDED PRECEDING
+                                    AND 1 PRECEDING), 0) AS DOUBLE)
+           + (c + 1.0) / 2.0 AS r
+  FROM (SELECT x, count(*) AS c FROM src GROUP BY x) t
+), ry AS (
+  SELECT y,
+         CAST(coalesce(sum(c) OVER (ORDER BY y ROWS BETWEEN UNBOUNDED PRECEDING
+                                    AND 1 PRECEDING), 0) AS DOUBLE)
+           + (c + 1.0) / 2.0 AS r
+  FROM (SELECT y, count(*) AS c FROM src GROUP BY y) t
+), ranked AS (
+  SELECT rx.r AS a, ry.r AS b
+  FROM src JOIN rx ON src.x = rx.x JOIN ry ON src.y = ry.y
+), m AS (
+  SELECT CAST(count(*) AS DOUBLE) AS n,
+         CAST(sum(CAST(a AS DECIMAL(32,8))) AS DOUBLE) AS sa,
+         CAST(sum(CAST(b AS DECIMAL(32,8))) AS DOUBLE) AS sb,
+         CAST(sum(CAST(a * b AS DECIMAL(32,8))) AS DOUBLE) AS sab,
+         CAST(sum(CAST(a * a AS DECIMAL(32,8))) AS DOUBLE) AS saa,
+         CAST(sum(CAST(b * b AS DECIMAL(32,8))) AS DOUBLE) AS sbb
+  FROM ranked
+)
+SELECT CAST(n AS BIGINT) AS n_rows,
+       CAST(round((n * sab - sa * sb)
+                  / sqrt((n * saa - sa * sa) * (n * sbb - sb * sb)), 6) AS DOUBLE)
+         AS spearman_rho
+FROM m
+"""
+
+
+@query(
+    "stats_spearman_rho",
+    oracle=_SPEARMAN_SQL.format(lineitem="lineitem"),
+    tags=("stats", "window"),
+)
+def stats_spearman_rho(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Spearman rank correlation between quantity and extended price
+    (the nonparametric sibling of agg_corr_covar's Pearson): midranks
+    per DISTINCT value from cumulative counts (the grouped-domain
+    pattern shared with the Mann-Whitney/KS tests — ranks are exact
+    halves, never interpolated), joined back to rows, then Pearson on
+    the ranks from one decimal-exact moment pass.
+
+    Scale: rank tables are |distinct values| (tiny for quantity — 50
+    rows — and ~rows for price); the joins are equi-joins on the
+    value, AQE-broadcast when small, and the moment pass is a single
+    aggregate. Same two-level-cumsum escape hatch as the other
+    grouped-domain statistics.
+    """
+    T(spark, sf_dir, "lineitem").createOrReplaceTempView("v_w25_lineitem_sp")
+    return spark.sql(_SPEARMAN_SQL.format(lineitem="v_w25_lineitem_sp"))
