@@ -154,6 +154,12 @@ def export_delta_log(
     re-deriving them; this entry point exists to adopt tables written
     before the exporter.)
     """
+    if any(c.removed_files for c in table.history()):
+        raise NotImplementedError(
+            "export: partial-rewrite commits (removed_files) are not "
+            "mapped to this format yet — RemoveFile/delete-manifest "
+            "emission is the next increment"
+        )
     log_dir = table.path / "_delta_log"
     if log_dir.exists():
         import shutil

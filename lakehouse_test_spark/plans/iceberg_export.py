@@ -305,6 +305,12 @@ def export_iceberg_metadata(spark: SparkSession, table: LakehouseTable) -> Path:
     (content=1). One snapshot per commit, so Iceberg time travel by
     snapshot matches native time travel by version.
     """
+    if any(c.removed_files for c in table.history()):
+        raise NotImplementedError(
+            "export: partial-rewrite commits (removed_files) are not "
+            "mapped to this format yet — RemoveFile/delete-manifest "
+            "emission is the next increment"
+        )
     meta_dir = table.path / "metadata"
     if meta_dir.exists():
         import shutil

@@ -65,6 +65,10 @@ class Commit:
     dv_files: list[str] | None = None
     #: rows removed by this commit's deletion vectors
     dv_row_count: int = 0
+    #: files this commit REPLACES (Delta RemoveFile analog) — partial
+    #: rewrites (bin compaction) remove a few files and add their
+    #: combined replacement without restating the whole snapshot
+    removed_files: list[str] | None = None
 
 
 class RestateAcrossCursorError(RuntimeError):
@@ -424,6 +428,64 @@ class LakehouseTable:
             snap.repartition(target_partitions), "compact", data_change=False, stats_cols=stats_cols
         )
 
+    def compact_files(
+        self, files_subset: list[str], operation: str = "compact-bin"
+    ) -> Commit:
+        """PARTIAL compaction (the shape real OPTIMIZE uses at scale):
+        rewrite only ``files_subset`` — e.g. one bin from
+        ``lakehouse_compaction_planner`` — into a single replacement
+        file, committing it with Delta RemoveFile semantics
+        (``removed_files``) instead of restating the snapshot. A 100 TB
+        table OPTIMIZEs its small-file bins without touching the other
+        99.9%; full ``compact()`` rewrites everything and is only
+        right for small tables.
+
+        ``data_change=False``: incremental/CDF readers skip it (no
+        logical rows change); time travel below this version still
+        sees the original files; vacuum reclaims them once the
+        horizon passes. Files covered by deletion vectors refuse to
+        compact here (position-keyed DVs don't survive a rewrite —
+        delete_where's restate path handles those).
+        """
+        live = {f for _c, f in self._live_files()}
+        missing = [f for f in files_subset if f not in live]
+        if missing:
+            raise ValueError(f"compact_files: not live: {missing}")
+        dv_touched = any(c.dv_files for c in self._live_commits())
+        if dv_touched:
+            raise ValueError(
+                "compact_files: table has deletion vectors; position-keyed "
+                "DVs do not survive file rewrites — use delete_where/compact"
+            )
+        version = self.latest_version() + 1
+        combined = self.spark.read.option("mergeSchema", "true").parquet(
+            *[str(self.path / f) for f in files_subset]
+        )
+        commit_dir = self.path / "data" / f"{uuid.uuid4().hex[:12]}"
+        combined.repartition(1).write.mode("errorifexists").parquet(str(commit_dir))
+        files = sorted(
+            str(p.relative_to(self.path))
+            for p in commit_dir.glob("*.parquet")
+            if p.name.startswith("part-")
+        )
+        row_count = self.spark.read.parquet(str(commit_dir)).count()
+        commit = Commit(
+            version=version,
+            files=files,
+            row_count=row_count,
+            operation=operation,
+            data_change=False,
+            removed_files=sorted(files_subset),
+        )
+        tmp = self.log_dir / f".tmp-{uuid.uuid4().hex}"
+        tmp.write_text(json.dumps(commit.__dict__))
+        target = self._commit_path(version)
+        if target.exists():
+            tmp.unlink()
+            raise RuntimeError(f"concurrent commit at version {version}")
+        os.rename(tmp, target)
+        return commit
+
     def restore(self, version: int | None = None, timestamp: float | None = None) -> Commit:
         """RESTORE TABLE to an earlier version (Delta ``RESTORE``
         analog): publish a new restate commit whose file list is
@@ -663,9 +725,19 @@ class LakehouseTable:
             ]
         return commits
 
+    def _live_files(self, version: int | None = None) -> list[tuple["Commit", str]]:
+        """(commit, file) pairs live as of ``version``: the restate-
+        aware commit chain minus files any in-window commit REMOVED
+        (partial rewrites — Delta RemoveFile semantics)."""
+        commits = self._live_commits(version)
+        removed: set[str] = set()
+        for c in commits:
+            removed.update(c.removed_files or [])
+        return [(c, f) for c in commits for f in c.files if f not in removed]
+
     def _files_for(self, version: int | None = None) -> list[str]:
         """Live file list for a snapshot as of ``version``."""
-        return [str(self.path / f) for c in self._live_commits(version) for f in c.files]
+        return [str(self.path / f) for _c, f in self._live_files(version)]
 
     def version_at_timestamp(self, ts: float) -> int:
         """Newest version committed at or before epoch-seconds ``ts``
@@ -878,12 +950,11 @@ class LakehouseTable:
         """
         all_files: list[str] = []
         kept: list[str] = []
-        for c in self._live_commits():
-            for f in c.files:
-                all_files.append(f)
-                st = (c.stats or {}).get(f, {}).get(col)
-                if st is None or not (hi < st[0] or lo > st[1]):
-                    kept.append(f)
+        for c, f in self._live_files():
+            all_files.append(f)
+            st = (c.stats or {}).get(f, {}).get(col)
+            if st is None or not (hi < st[0] or lo > st[1]):
+                kept.append(f)
         if not kept:
             return self.snapshot().limit(0), 0, len(all_files)
         df = self._apply_dvs(
@@ -915,7 +986,12 @@ class LakehouseTable:
                 f"cursor v{since_version} predates logical restate(s) {ops}; "
                 "restart from a fresh snapshot"
             )
-        files = [str(self.path / f) for c in newer if not c.restate for f in c.files]
+        files = [
+            str(self.path / f)
+            for c in newer
+            if not c.restate and c.data_change
+            for f in c.files
+        ]
         missing = [f for f in files if not Path(f).exists()]
         if missing:
             raise VacuumHorizonError(
@@ -952,12 +1028,20 @@ class LakehouseTable:
             # version per row, not a synthetic "latest"), and filter
             # DV-deleted rows so the load equals the live snapshot.
             self._check_horizon(None)
+            removed0: set[str] = set()
+            for c in self._live_commits():
+                removed0.update(c.removed_files or [])
             parts0: list[DataFrame] = []
             for c in self._live_commits():
-                if not c.files:
+                # partial rewrites: skip replaced files; rows living in
+                # a compacted file surface under the compacting commit
+                # (physical provenance — the logical insert version is
+                # not recoverable post-compaction, as in Delta)
+                live_files = [f for f in c.files if f not in removed0]
+                if not live_files:
                     continue
                 scan = self.spark.read.option("mergeSchema", "true").parquet(
-                    *[str(self.path / f) for f in c.files]
+                    *[str(self.path / f) for f in live_files]
                 )
                 parts0.append(
                     self._apply_dvs(scan).withColumns(
@@ -983,8 +1067,8 @@ class LakehouseTable:
             )
         parts: list[DataFrame] = []
         for c in newer:
-            if c.restate:
-                continue  # compaction: no logical change
+            if c.restate or not c.data_change:
+                continue  # compaction (full or partial): no logical change
             if c.dv_files:
                 dv = self.spark.read.parquet(*[str(self.path / f) for f in c.dv_files])
                 base_files = self._files_for(c.version - 1)
@@ -1235,12 +1319,11 @@ class LakehouseTable:
         Returns (df, files_scanned, files_total)."""
         all_files: list[str] = []
         kept: list[str] = []
-        for c in self._live_commits():
-            for f in c.files:
-                all_files.append(f)
-                st = (c.stats or {}).get(f, {}).get(item)
-                if st is None or not (hi < st[0] or lo > st[1]):
-                    kept.append(f)
+        for c, f in self._live_files():
+            all_files.append(f)
+            st = (c.stats or {}).get(f, {}).get(item)
+            if st is None or not (hi < st[0] or lo > st[1]):
+                kept.append(f)
         if not kept:
             return self.snapshot().limit(0), 0, len(all_files)
         df = self._apply_dvs(
@@ -1343,8 +1426,9 @@ class LakehouseTable:
         horizon = max(0, latest - keep_versions + 1)
         keep: set[str] = set()
         for v in range(horizon, latest + 1):
+            for _c, f in self._live_files(v):
+                keep.add(f)
             for c in self._live_commits(v):
-                keep.update(c.files)
                 keep.update(c.dv_files or [])
         deleted = 0
         data_dir = self.path / "data"

@@ -355,3 +355,51 @@ def lakehouse_hidden_partitioning(spark: SparkSession, sf_dir: str) -> DataFrame
             dround(dsum(F.col("o_totalprice")), 2).alias("total_price"),
         )
     )
+
+
+@query(
+    "lakehouse_partial_compaction",
+    oracle="""
+    SELECT o_orderstatus,
+           count(*) AS n_orders,
+           CAST(round(sum(CAST(o_totalprice AS DECIMAL(18,6))), 2) AS DOUBLE)
+             AS total_price
+    FROM orders
+    GROUP BY o_orderstatus
+    """,
+    tags=("lakehouse", "maintenance", "compaction"),
+)
+def lakehouse_partial_compaction(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """OPTIMIZE the way it actually runs at scale: commit orders in 8
+    small slices, pick the SMALLEST files from the commit log (the
+    planner's bin), and rewrite only those via ``compact_files`` —
+    Delta RemoveFile semantics: replaced files leave the live set,
+    the rest of the table is untouched, time travel below the rewrite
+    still works, and incremental readers skip it (data_change=False).
+    The post-compaction snapshot aggregate must equal raw orders, so
+    a dropped/duplicated row in the rewrite flips the hash.
+
+    Scale: full ``compact()`` restates 100% of a table; this path
+    rewrites O(bin) — the difference between an OPTIMIZE that costs
+    minutes and one that costs the whole cluster-day at 100 TB.
+    """
+    from lakehouse_test_spark.plans.lakehouse import LakehouseTable
+
+    o = T(spark, sf_dir, "orders").select("o_orderkey", "o_orderstatus", "o_totalprice")
+    t = LakehouseTable(spark, tempfile.mkdtemp(prefix="lh_partial_"))
+    for q in range(8):
+        t.append(o.where(F.col("o_orderkey") % 8 == q).repartition(1))
+    sized = sorted(
+        ((c.row_count, f) for c in t.history() for f in c.files)
+    )[:4]
+    n_before = len(t._files_for())
+    t.compact_files([f for _n, f in sized])
+    assert len(t._files_for()) == n_before - 3, "4 files must become 1"
+    return (
+        t.snapshot()
+        .groupBy("o_orderstatus")
+        .agg(
+            F.count("*").alias("n_orders"),
+            dround(dsum(F.col("o_totalprice")), 2).alias("total_price"),
+        )
+    )

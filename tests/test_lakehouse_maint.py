@@ -528,3 +528,45 @@ def test_hidden_partition_truncate_ranges(spark, table):
     assert starts == [0, 250, 500, 750]
     _df, scanned, total = table.scan_pruned_hidden("truncate(250, k)", 500, 500)
     assert scanned < total and _df.where("k BETWEEN 500 AND 749").count() == 250
+
+
+def test_partial_compaction_remove_file_semantics(spark, table):
+    from pathlib import Path
+
+    for lo in range(0, 80, 20):
+        table.append(
+            spark.range(lo, lo + 20).select(F.col("id").alias("k")),
+        )
+    before = table.snapshot().orderBy("k").collect()
+    live_before = {f for _c, f in table._live_files()}
+    # compact the first two commits' files into one replacement
+    subset = sorted(f for c in table.history()[:2] for f in c.files)
+    c = table.compact_files(subset)
+    assert c.removed_files == subset and not c.data_change and not c.restate
+    # logical rows unchanged, replaced files no longer live
+    assert table.snapshot().orderBy("k").collect() == before
+    live_after = {f for _c, f in table._live_files()}
+    assert not (live_after & set(subset))
+    assert len(live_after) == len(live_before) - len(subset) + len(c.files)
+    # time travel below the compaction still reads the original files
+    assert table.snapshot(version=1).count() == 40
+    # incremental readers skip the rewrite entirely
+    assert table.read_changes(since_version=3).count() == 0
+    assert table.read_changes_cdf(since_version=3).count() == 0
+    # CDF initial load equals the snapshot (no duplicated rows)
+    assert table.read_changes_cdf(since_version=-1).count() == 80
+    # vacuum past the horizon reclaims the replaced files
+    table.vacuum(keep_versions=1)
+    for f in subset:
+        assert not (Path(table.path) / f).exists()
+    assert table.snapshot().orderBy("k").collect() == before
+
+
+def test_partial_compaction_guards(spark, table):
+    table.append(spark.range(10).select(F.col("id").alias("k")))
+    with pytest.raises(ValueError, match="not live"):
+        table.compact_files(["data/nope/part-x.parquet"])
+    table.delete_where_dv("k = 3")
+    live = [f for _c, f in table._live_files()]
+    with pytest.raises(ValueError, match="deletion vectors"):
+        table.compact_files(live[:1])
