@@ -154,12 +154,6 @@ def export_delta_log(
     re-deriving them; this entry point exists to adopt tables written
     before the exporter.)
     """
-    if any(c.removed_files for c in table.history()):
-        raise NotImplementedError(
-            "export: partial-rewrite commits (removed_files) are not "
-            "mapped to this format yet — RemoveFile/delete-manifest "
-            "emission is the next increment"
-        )
     log_dir = table.path / "_delta_log"
     if log_dir.exists():
         import shutil
@@ -207,7 +201,12 @@ def export_delta_log(
             # MERGED schema of the post-commit live set, so an append
             # that still carries the old (narrower) schema never
             # regresses the published one.
-            next_live = commit.files if commit.restate else live + commit.files
+            next_live = (
+                commit.files
+                if commit.restate
+                else [f for f in live if f not in set(commit.removed_files or [])]
+                + commit.files
+            )
             merged_schema = _schema_of(next_live)
             if merged_schema != current_schema:
                 current_schema = merged_schema
@@ -226,6 +225,23 @@ def export_delta_log(
                 )
             live = []
             live_adds = {}
+        elif commit.removed_files:
+            # partial rewrite (compact_files): RemoveFile for exactly
+            # the replaced files — PROTOCOL.md's OPTIMIZE shape
+            for f in commit.removed_files:
+                actions.append(
+                    {
+                        "remove": {
+                            "path": f,
+                            "deletionTimestamp": now_ms,
+                            "dataChange": commit.data_change,
+                        }
+                    }
+                )
+            gone = set(commit.removed_files)
+            live = [f for f in live if f not in gone]
+            for f in gone:
+                live_adds.pop(f, None)
         for f in commit.files:
             p = table.path / f
             add = {

@@ -305,12 +305,6 @@ def export_iceberg_metadata(spark: SparkSession, table: LakehouseTable) -> Path:
     (content=1). One snapshot per commit, so Iceberg time travel by
     snapshot matches native time travel by version.
     """
-    if any(c.removed_files for c in table.history()):
-        raise NotImplementedError(
-            "export: partial-rewrite commits (removed_files) are not "
-            "mapped to this format yet — RemoveFile/delete-manifest "
-            "emission is the next increment"
-        )
     meta_dir = table.path / "metadata"
     if meta_dir.exists():
         import shutil
@@ -383,6 +377,7 @@ def export_iceberg_metadata(spark: SparkSession, table: LakehouseTable) -> Path:
 
     history = table.history()
     last_seq = 0
+    live_entries: dict[str, dict] = {}
     for commit in history:
         snap_id = _snapshot_id(commit.version)
         seq = commit.version + 1
@@ -390,7 +385,29 @@ def export_iceberg_metadata(spark: SparkSession, table: LakehouseTable) -> Path:
         if commit.restate:
             live_data_manifests = []
             live_delete_manifests = []
+            live_entries = {}
             operation = "replace" if not commit.data_change else "overwrite"
+        elif commit.removed_files:
+            # partial rewrite (compact_files): Iceberg's RewriteManifests
+            # shape — one fresh manifest re-lists the SURVIVING prior
+            # entries, replaced files simply stop being referenced
+            operation = "replace"
+            for f in commit.removed_files:
+                live_entries.pop(f, None)
+            surviving = [live_entries[f] for f in sorted(live_entries)]
+            live_data_manifests = (
+                [
+                    _write_manifest(
+                        f"{uuid.uuid4().hex}-m0.avro",
+                        surviving,
+                        CONTENT_DATA,
+                        seq,
+                        snap_id,
+                    )
+                ]
+                if surviving
+                else []
+            )
         elif commit.dv_files:
             operation = "delete"
         else:
@@ -399,8 +416,10 @@ def export_iceberg_metadata(spark: SparkSession, table: LakehouseTable) -> Path:
             entries = [
                 _entry(f, commit, snap_id, seq, CONTENT_DATA) for f in commit.files
             ]
+            for f, e in zip(commit.files, entries):
+                live_entries[f] = e
             m = _write_manifest(
-                f"{uuid.uuid4().hex}-m0.avro", entries, CONTENT_DATA, seq, snap_id
+                f"{uuid.uuid4().hex}-m1.avro", entries, CONTENT_DATA, seq, snap_id
             )
             live_data_manifests = live_data_manifests + [m]
         if commit.dv_files:

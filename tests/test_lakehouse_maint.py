@@ -570,3 +570,40 @@ def test_partial_compaction_guards(spark, table):
     live = [f for _c, f in table._live_files()]
     with pytest.raises(ValueError, match="deletion vectors"):
         table.compact_files(live[:1])
+
+
+def test_exports_emit_partial_rewrite(spark, table):
+    """Both format exports must represent a compact_files commit:
+    Delta as RemoveFile actions (replay == native live set at every
+    version), Iceberg as a rewritten manifest (replayed rows == native
+    snapshot before and after the rewrite)."""
+    from pathlib import Path
+
+    from lakehouse_test_spark.plans.delta_export import (
+        export_delta_log,
+        replay_live_files,
+    )
+    from lakehouse_test_spark.plans.iceberg_export import (
+        _snapshot_id,
+        export_iceberg_metadata,
+        read_iceberg,
+    )
+
+    for lo in range(0, 60, 20):
+        table.append(spark.range(lo, lo + 20).select(F.col("id").alias("k")))
+    subset = sorted(f for c in table.history()[:2] for f in c.files)
+    table.compact_files(subset)  # v3 partial rewrite
+
+    export_delta_log(spark, table)
+    for v in range(table.latest_version() + 1):
+        native = sorted(
+            str(p.relative_to(table.path)) for p in map(Path, table._files_for(v))
+        )
+        assert replay_live_files(str(table.path), v) == native, f"delta v{v}"
+
+    export_iceberg_metadata(spark, table)
+    for v in range(table.latest_version() + 1):
+        got = read_iceberg(spark, str(table.path), _snapshot_id(v))
+        want = table.snapshot(version=v)
+        assert got.exceptAll(want).count() == 0, f"iceberg v{v}: extra"
+        assert want.exceptAll(got).count() == 0, f"iceberg v{v}: missing"
