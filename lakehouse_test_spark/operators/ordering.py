@@ -1,0 +1,99 @@
+"""Scalable global ordering primitives.
+
+A bare ``row_number() OVER (ORDER BY ...)`` (no PARTITION BY) plans an
+``Exchange SinglePartition`` — Spark funnels the ENTIRE dataset through
+one task, the canonical 100 TB scale-killer. The hierarchical
+assignment here produces bit-identical positions with no
+single-partition stage:
+
+1. range-shuffle the rows on the sort keys (``repartitionByRange``
+   keeps key ranges disjoint and assigns ascending ranges to ascending
+   partition ids), sort within each partition;
+2. tag each row with ``monotonically_increasing_id()`` — consecutive
+   per partition in produced (= sorted) order;
+3. a TINY per-partition aggregate (one row per shuffle partition)
+   yields each partition's row count and min id; cumulative counts in
+   partition-id order are the bucket offsets;
+4. global position = bucket offset + (id - partition min id) + 1,
+   attached by a broadcast join.
+
+Cost: one range shuffle of the data + one partial-aggregated count
+shuffle of P rows. Nothing single-partition, nothing driver-sized
+(the collected offsets table is bounded by ``spark.sql.shuffle
+.partitions``).
+"""
+
+from __future__ import annotations
+
+from typing import Sequence
+
+from pyspark.sql import Column, DataFrame
+from pyspark.sql import functions as F
+
+_MID = "__gr_mid"
+_PID = "__gr_pid"
+_OFF = "__gr_off"
+_BASE = "__gr_base"
+
+
+def global_row_number(
+    df: DataFrame,
+    keys: Sequence[str | Column],
+    out_col: str,
+    num_partitions: int | None = None,
+) -> DataFrame:
+    """Exact ``row_number() OVER (ORDER BY *keys)`` without a
+    single-partition window.
+
+    ``keys`` MUST be a total order (include a unique tiebreaker such
+    as the row's primary key): ties across a range boundary would
+    otherwise make partition placement — and hence positions —
+    nondeterministic. The output column is LONG (cast as needed).
+    """
+    part = (
+        df.repartitionByRange(num_partitions, *keys)
+        if num_partitions
+        else df.repartitionByRange(*keys)
+    ).sortWithinPartitions(*keys)
+    tagged = part.withColumn(_MID, F.monotonically_increasing_id()).withColumn(
+        _PID, F.spark_partition_id()
+    )
+    # one row per shuffle partition — bounded by construction
+    per = (
+        tagged.groupBy(_PID)
+        .agg(F.min(_MID).alias(_BASE), F.count(F.lit(1)).alias("__n"))
+        .collect()
+    )
+    per.sort(key=lambda r: r[_PID])
+    offsets, acc = [], 0
+    for r in per:
+        offsets.append((r[_PID], r[_BASE], acc))
+        acc += r["__n"]
+    spark = df.sparkSession
+    off_df = spark.createDataFrame(
+        offsets, f"{_PID} INT, {_BASE} BIGINT, {_OFF} BIGINT"
+    )
+    return (
+        tagged.join(F.broadcast(off_df), _PID)
+        .withColumn(out_col, F.col(_OFF) + (F.col(_MID) - F.col(_BASE)) + F.lit(1))
+        .drop(_PID, _MID, _BASE, _OFF)
+    )
+
+
+def ntile_from_rank(rank: Column, total: Column, n: int) -> Column:
+    """Closed-form ``ntile(n)`` bucket for a known exact global
+    ``rank`` (1-based) out of ``total`` rows — lets a hierarchical
+    rank replace the global-window ntile. Matches SQL ntile exactly:
+    the first ``total % n`` buckets get ``ceil(total/n)`` rows, the
+    rest ``floor(total/n)``."""
+    q = F.floor(total / n)
+    rem = total % n
+    big = q + 1
+    head = rem * big  # rows living in the oversized buckets
+    return F.when(
+        rank <= head, F.floor((rank - 1) / big) + 1
+    ).otherwise(
+        # q = 0 implies every row is in the head branch; greatest()
+        # only guards the never-taken division against ANSI div-0
+        rem + F.floor((rank - head - 1) / F.greatest(q, F.lit(1))) + 1
+    )

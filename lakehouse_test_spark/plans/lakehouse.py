@@ -953,12 +953,28 @@ class LakehouseTable:
         for c, f in self._live_files():
             all_files.append(f)
             st = (c.stats or {}).get(f, {}).get(col)
-            if st is None or not (hi < st[0] or lo > st[1]):
+            # a None bound means no usable stats (e.g. a NULL partition
+            # value) — keep the file, skipping must be safe
+            if (
+                st is None
+                or st[0] is None
+                or st[1] is None
+                or not (hi < st[0] or lo > st[1])
+            ):
                 kept.append(f)
         if not kept:
             return self.snapshot().limit(0), 0, len(all_files)
-        df = self._apply_dvs(
-            self.spark.read.parquet(*[str(self.path / f) for f in kept])
+        # mergeSchema + renames: pre-rename files carry the old
+        # physical column name; the logical-name residual predicate
+        # must see the coalesced logical column (same as snapshot /
+        # scan_pruned_hidden), else renamed-table scans error or drop
+        # pre-rename rows.
+        df = self._apply_renames(
+            self._apply_dvs(
+                self.spark.read.option("mergeSchema", "true").parquet(
+                    *[str(self.path / f) for f in kept]
+                )
+            )
         ).where((F_col(col) >= lo) & (F_col(col) <= hi))
         return df, len(kept), len(all_files)
 
@@ -1304,8 +1320,24 @@ class LakehouseTable:
         m = self._TRANSFORM_RE.match(item)
         if not m or m.group(1) != "bucket":
             raise ValueError(f"not a bucket transform: {item!r}")
-        # evaluate via a 1-row frame so the hash matches the writer's
-        df = self.spark.range(1).selectExpr(f"CAST({value!r} AS BIGINT) AS {m.group(3)}")
+        # Evaluate via a 1-row frame so the hash matches the writer's.
+        # The probe is CAST to the table column's actual type —
+        # xxhash64 hashes INT and BIGINT (and STRING vs anything)
+        # differently, so a hardcoded BIGINT cast probes the wrong
+        # bucket for string/date/int columns, and a bare lit() probes
+        # the wrong bucket for long columns. Schema resolution is
+        # footer metadata only, no data read.
+        from pyspark.sql import functions as F
+
+        col = m.group(3)
+        probe = F.lit(value)
+        try:
+            dtype = dict(self.snapshot().dtypes).get(col)
+        except ValueError:  # empty table: fall back to the literal's type
+            dtype = None
+        if dtype is not None:
+            probe = probe.cast(dtype)
+        df = self.spark.range(1).select(probe.alias(col))
         return df.select(self._transform_column(item, df).alias("b")).collect()[0]["b"]
 
     def scan_pruned_hidden(self, item: str, lo, hi) -> tuple[DataFrame, int, int]:
@@ -1322,7 +1354,14 @@ class LakehouseTable:
         for c, f in self._live_files():
             all_files.append(f)
             st = (c.stats or {}).get(f, {}).get(item)
-            if st is None or not (hi < st[0] or lo > st[1]):
+            # a None bound means no usable stats (e.g. a NULL partition
+            # value) — keep the file, skipping must be safe
+            if (
+                st is None
+                or st[0] is None
+                or st[1] is None
+                or not (hi < st[0] or lo > st[1])
+            ):
                 kept.append(f)
         if not kept:
             return self.snapshot().limit(0), 0, len(all_files)
@@ -1419,13 +1458,25 @@ class LakehouseTable:
         removed. Time travel below the horizon then raises
         :class:`VacuumHorizonError` instead of failing mid-scan.
         Log entries are kept (history stays auditable) — only data
-        files go, exactly like Delta."""
+        files go, exactly like Delta.
+
+        Pinned refs survive the horizon: TAGGED versions keep their
+        live file set (Iceberg retains tag-referenced snapshots during
+        expiration), and every OPEN BRANCH keeps both its own commit
+        files and the fork-version live set it reads under (branch
+        data lives in data/<uuid>/ but is referenced only from the
+        branch's own log — without this it would be deleted as
+        unreachable, corrupting the branch and any later merge)."""
         latest = self.latest_version()
         if latest < 0:
             return {"deleted": 0, "horizon": 0}
         horizon = max(0, latest - keep_versions + 1)
         keep: set[str] = set()
-        for v in range(horizon, latest + 1):
+        pinned = set(self.tags().values())
+        for name, info in self.branches().items():
+            pinned.add(info["fork_version"])
+            keep.update(f for c in self._branch_commits(name) for f in c.files)
+        for v in sorted(set(range(horizon, latest + 1)) | pinned):
             for _c, f in self._live_files(v):
                 keep.add(f)
             for c in self._live_commits(v):
@@ -1449,6 +1500,13 @@ class LakehouseTable:
     def _check_horizon(self, version: int | None) -> None:
         horizon = self._read_meta().get("vacuum_horizon", 0)
         if version is not None and version < horizon:
+            # tag-pinned and branch-fork versions keep their files
+            # through vacuum (see vacuum docstring) — still readable
+            pinned = set(self.tags().values()) | {
+                b["fork_version"] for b in self.branches().values()
+            }
+            if version in pinned:
+                return
             raise VacuumHorizonError(
                 f"version {version} predates vacuum horizon {horizon}: "
                 "its data files were deleted"

@@ -276,24 +276,40 @@ def pipeline_curriculum_order(spark: SparkSession, sf_dir: str) -> DataFrame:
     epoch ordering — same corpus, same curriculum, any cluster — the
     operational requirement behind "data ordering matters" papers.
 
-    Scale: the global position is a window over (bucket, hash) —
-    at 100 TB assign positions hierarchically (bucket offsets from a
-    tiny count aggregate + within-partition row numbers) instead of
-    one global sort; the hash shuffle key is already
-    partition-friendly.
+    Scale: positions are assigned HIERARCHICALLY (range shuffle +
+    within-partition row numbers + bucket offsets from a tiny
+    per-partition count aggregate — ``operators/ordering.py``), and
+    the ntile quartile comes from the same exact rank in closed form.
+    No single-partition window anywhere in the plan (pinned in
+    tests/test_plans.py); positions are bit-identical to the global
+    ``row_number``/``ntile`` formulation the oracle runs.
     """
-    d = T(spark, sf_dir, "documents")
-    scored = d.select(
+    from lakehouse_test_spark.operators.ordering import (
+        global_row_number,
+        ntile_from_rank,
+    )
+
+    d = T(spark, sf_dir, "documents").select(
         "doc_id",
         F.col("n_chars").cast("bigint").alias("n_chars"),
-        F.ntile(4).over(Window.orderBy("n_chars", "doc_id")).alias("difficulty_bucket"),
         F.substring(F.md5(F.col("doc_id").cast("string")), 1, 8).alias("shuffle_key"),
     )
+    ranked = global_row_number(d, ["n_chars", "doc_id"], "__rank")
+    total = F.broadcast(d.agg(F.count(F.lit(1)).alias("__total")))
+    scored = ranked.crossJoin(total).select(
+        "doc_id",
+        "n_chars",
+        "shuffle_key",
+        ntile_from_rank(F.col("__rank"), F.col("__total"), 4)
+        .cast("int")
+        .alias("difficulty_bucket"),
+    )
+    positioned = global_row_number(
+        scored, ["difficulty_bucket", "shuffle_key", "doc_id"], "position"
+    )
     return (
-        scored.select(
-            F.row_number()
-            .over(Window.orderBy("difficulty_bucket", "shuffle_key", "doc_id"))
-            .alias("position"),
+        positioned.select(
+            F.col("position").cast("int").alias("position"),
             "difficulty_bucket",
             "doc_id",
             "n_chars",

@@ -607,3 +607,89 @@ def test_exports_emit_partial_rewrite(spark, table):
         want = table.snapshot(version=v)
         assert got.exceptAll(want).count() == 0, f"iceberg v{v}: extra"
         assert want.exceptAll(got).count() == 0, f"iceberg v{v}: missing"
+
+
+# -- round-4 ADVICE regressions -----------------------------------------------
+
+
+def test_vacuum_keeps_open_branch_files(spark, table):
+    """Vacuum while a branch is open must keep (a) the branch's own
+    data files (reachable only from the branch log) and (b) the
+    fork-version live set the branch reads under."""
+    table.append(_df(spark, 0, 100))  # v0
+    fork = table.create_branch("wap")
+    table.branch_append("wap", _df(spark, 1000, 1050))
+    table.compact(target_partitions=1)  # v1 restate supersedes v0 on main
+    table.append(_df(spark, 100, 200))  # v2
+    table.vacuum(keep_versions=1)
+    # branch still fully readable: fork live set + branch commits
+    assert table.snapshot_branch("wap").count() == 150
+    # fork version itself still time-travels (pinned by the open branch)
+    assert table.snapshot(version=fork).count() == 100
+    table.drop_branch("wap")
+
+
+def test_vacuum_retains_tagged_snapshots(spark, table):
+    """Iceberg retains tag-referenced snapshots during expiration:
+    a tag pinned below the horizon keeps its data files and stays
+    readable; untagged pre-horizon versions still raise."""
+    table.append(_df(spark, 0, 100))  # v0
+    table.append(_df(spark, 100, 150))  # v1
+    table.tag("audit-2026q1", 0)
+    table.compact(target_partitions=1)  # v2
+    table.append(_df(spark, 150, 200))  # v3
+    table.vacuum(keep_versions=1)
+    assert table.snapshot(tag="audit-2026q1").count() == 100
+    assert table.snapshot(version=0).count() == 100  # pinned by the tag
+    with pytest.raises(VacuumHorizonError):
+        table.snapshot(version=1)  # untagged, below horizon
+
+
+def test_scan_pruned_sees_renamed_column(spark, table):
+    """scan_pruned must coalesce physical->logical names like
+    snapshot/scan_pruned_hidden: after rename_column, a pruned scan
+    filtering on the LOGICAL name spans both file vintages."""
+    table.append(_df(spark, 0, 100), stats_cols=["k"])
+    table.rename_column("k", "key")
+    post = spark.range(100, 200).select(
+        F.col("id").alias("key"), (F.col("id") * 2).alias("v")
+    )
+    table.append(post, stats_cols=["key"])
+    df, scanned, total = table.scan_pruned("key", 50, 149)
+    assert df.count() == 100
+    assert sorted(r.key for r in df.where("key < 52").collect()) == [50, 51]
+
+
+def test_scan_pruned_handles_null_partition_stats(spark, table):
+    """A NULL partition value records [None, None] stats; pruned scans
+    must treat that as no-stats (keep the file), not TypeError."""
+    table.set_partition_spec(["p"])
+    df = spark.createDataFrame(
+        [(1, "a"), (2, None), (3, "b")], "id INT, p STRING"
+    )
+    table.append_partitioned(df)
+    out, scanned, total = table.scan_pruned("p", "a", "a")
+    assert [r.id for r in out.collect()] == [1]
+    # the NULL-partition file must have been kept (scan-safe), so
+    # scanned counts it even though the residual filter drops its row
+    assert scanned >= 2
+
+
+def test_bucket_of_string_matches_writer(spark, table):
+    """bucket(N, col) point lookups on STRING columns must hash the
+    writer's type: a BIGINT-cast probe hashes NULL and probes the
+    wrong bucket."""
+    table.set_partition_spec(["bucket(8, name)"])
+    names = [(i, f"user-{i}") for i in range(40)]
+    table.append_partitioned(spark.createDataFrame(names, "id INT, name STRING"))
+    # probe must equal the bucket Spark's writer derived for the value
+    want = (
+        spark.range(1)
+        .select(F.pmod(F.xxhash64(F.lit("user-7")), F.lit(8)).cast("int").alias("b"))
+        .collect()[0]["b"]
+    )
+    b = table.bucket_of("bucket(8, name)", "user-7")
+    assert b == want
+    out, scanned, total = table.scan_pruned_hidden("bucket(8, name)", b, b)
+    assert scanned < total, "bucket pruning should skip other buckets"
+    assert "user-7" in {r.name for r in out.collect()}

@@ -499,3 +499,20 @@ def test_twap_bounded_window_single_shuffle(spark, sf_dir):
     p = plan_of(spark, sf_dir, "timeseries_twap_user")
     exchanges = re.findall(r"Exchange (\w+)", p)
     assert len([e for e in exchanges if e == "hashpartitioning"]) == 1, p
+
+
+def test_curriculum_order_has_no_global_window(spark, sf_dir):
+    """pipeline_curriculum_order assigns positions hierarchically:
+    two range shuffles + per-partition row numbers + broadcast bucket
+    offsets. A Window node (the old corpus-wide ORDER BY) or a
+    data-bearing SinglePartition exchange is the 100 TB regression.
+    The one allowed SinglePartition is the 1-row-per-partition
+    count(1) reduction."""
+    p = plan_of(spark, sf_dir, "pipeline_curriculum_order")
+    assert "Window" not in p, p
+    assert p.count("rangepartitioning") == 2, p
+    # every SinglePartition exchange feeds only the grand-total count
+    lines = p.splitlines()
+    for i, l in enumerate(lines):
+        if "Exchange SinglePartition" in l:
+            assert "partial_count" in lines[i + 1], p
