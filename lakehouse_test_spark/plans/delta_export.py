@@ -43,6 +43,30 @@ from pyspark.sql import DataFrame, SparkSession
 from lakehouse_test_spark.plans.lakehouse import LakehouseTable
 
 PROTOCOL = {"minReaderVersion": 1, "minWriterVersion": 2}
+#: column mapping requires reader 2 / writer 5 (PROTOCOL.md §Column Mapping)
+PROTOCOL_COLUMN_MAPPING = {"minReaderVersion": 2, "minWriterVersion": 5}
+
+
+def _with_column_mapping(schema_json: str, phys_map: dict[str, str]) -> tuple[str, int]:
+    """Physical parquet schema JSON → logical Delta ``schemaString``
+    with column-mapping metadata: every field carries
+    ``delta.columnMapping.id`` and ``delta.columnMapping.physicalName``
+    (PROTOCOL.md §Column Mapping, mode=name). The native table keeps
+    physical names stable across renames (``_apply_reverse_renames``),
+    so one physicalName per field describes every file vintage.
+    Returns (schemaString, maxColumnId)."""
+    logical_of_phys = {p: l for l, p in phys_map.items()}
+    sch = json.loads(schema_json)
+    max_id = 0
+    for i, f in enumerate(sch.get("fields", []), start=1):
+        physical = f["name"]
+        f["name"] = logical_of_phys.get(physical, physical)
+        md = dict(f.get("metadata") or {})
+        md["delta.columnMapping.id"] = i
+        md["delta.columnMapping.physicalName"] = physical
+        f["metadata"] = md
+        max_id = i
+    return json.dumps(sch), max_id
 
 
 def _checkpoint_schema():
@@ -97,13 +121,14 @@ def _write_checkpoint(
     version: int,
     metadata_action: dict,
     live_adds: dict[str, dict],
+    protocol: dict | None = None,
 ) -> None:
     """Write ``%020d.checkpoint.parquet`` (full state at ``version``)
     and repoint ``_last_checkpoint`` at it."""
     import pyarrow as pa
     import pyarrow.parquet as pq
 
-    rows: list[dict] = [{"protocol": PROTOCOL}]
+    rows: list[dict] = [{"protocol": protocol or PROTOCOL}]
     md = dict(metadata_action["metaData"])
     md["format"] = {"provider": md.get("format", {}).get("provider", "parquet")}
     md["configuration"] = [
@@ -161,6 +186,9 @@ def export_delta_log(
         shutil.rmtree(log_dir)
     log_dir.mkdir(parents=True)
 
+    phys_map = table._physical_of_logical()  # logical → stable physical
+    protocol = PROTOCOL_COLUMN_MAPPING if phys_map else PROTOCOL
+
     def _schema_of(files: list[str]) -> str:
         if not files:
             return "{}"
@@ -171,13 +199,20 @@ def export_delta_log(
         )
 
     def _metadata_action(schema_json: str, now_ms: int) -> dict:
+        configuration: dict[str, str] = {}
+        if phys_map:
+            schema_json, max_id = _with_column_mapping(schema_json, phys_map)
+            configuration = {
+                "delta.columnMapping.mode": "name",
+                "delta.columnMapping.maxColumnId": str(max_id),
+            }
         return {
             "metaData": {
                 "id": f"{table.path.name}-delta-export",
                 "format": {"provider": "parquet", "options": {}},
                 "schemaString": schema_json,
                 "partitionColumns": [],
-                "configuration": {},
+                "configuration": configuration,
                 "createdTime": now_ms,
             }
         }
@@ -190,7 +225,7 @@ def export_delta_log(
         actions: list[dict] = []
         now_ms = int(time.time() * 1000)
         if commit.version == 0:
-            actions.append({"protocol": PROTOCOL})
+            actions.append({"protocol": protocol})
             current_schema = _schema_of(commit.files)
             current_meta = _metadata_action(current_schema, now_ms)
             actions.append(current_meta)
@@ -274,21 +309,24 @@ def export_delta_log(
             and commit.version % checkpoint_interval == 0
         ):
             assert current_meta is not None
-            _write_checkpoint(log_dir, commit.version, current_meta, live_adds)
+            _write_checkpoint(log_dir, commit.version, current_meta, live_adds, protocol)
     return log_dir
 
 
 def _replay_state(
     table_path: str, version: int | None = None
-) -> tuple[dict[str, dict], int | None, list[int]]:
+) -> tuple[dict[str, dict], int | None, list[int], dict | None]:
     """Replay the log to ``version``: checkpoint-first when the newest
     eligible checkpoint exists, then the JSON tail. Returns
     (live add-actions by path, checkpoint version used or None,
-    JSON commit versions replayed) — the extras let tests pin that a
-    long history is NOT replayed commit-by-commit.
+    JSON commit versions replayed, newest metaData action) — the
+    extras let tests pin that a long history is NOT replayed
+    commit-by-commit, and metaData carries the columnMapping a reader
+    must apply.
     """
     log_dir = Path(table_path) / "_delta_log"
     live: dict[str, dict] = {}
+    meta: dict | None = None
     start_after = -1
     ckpt_version: int | None = None
     last = log_dir / "_last_checkpoint"
@@ -310,13 +348,18 @@ def _replay_state(
 
         t = pq.read_table(
             str(log_dir / f"{ckpt_version:020d}.checkpoint.parquet"),
-            columns=["add"],
+            columns=["add", "metaData"],
         )
         for add in t.column("add").to_pylist():
             if add is not None and add.get("path"):
                 add = dict(add)
                 add["partitionValues"] = dict(add.get("partitionValues") or [])
                 live[add["path"]] = add
+        for md in t.column("metaData").to_pylist():
+            if md is not None and md.get("id"):
+                md = dict(md)
+                md["configuration"] = dict(md.get("configuration") or [])
+                meta = md
         start_after = ckpt_version
     replayed: list[int] = []
     for p in sorted(log_dir.glob("*.json")):
@@ -334,7 +377,9 @@ def _replay_state(
                 live[action["add"]["path"]] = action["add"]
             elif "remove" in action:
                 live.pop(action["remove"]["path"], None)
-    return live, ckpt_version, replayed
+            elif "metaData" in action:
+                meta = action["metaData"]
+    return live, ckpt_version, replayed, meta
 
 
 def replay_live_files(table_path: str, version: int | None = None) -> list[str]:
@@ -343,7 +388,7 @@ def replay_live_files(table_path: str, version: int | None = None) -> list[str]:
     reader. Starts from the newest eligible parquet checkpoint
     (``_last_checkpoint``) when one exists, replaying only the JSON
     tail after it."""
-    live, _, _ = _replay_state(table_path, version)
+    live, _, _, _ = _replay_state(table_path, version)
     return sorted(live)
 
 
@@ -351,14 +396,38 @@ def read_delta_log(
     spark: SparkSession, table_path: str, version: int | None = None
 ) -> DataFrame:
     """Open an exported table the way a Delta reader would: replay the
-    log to the live file set, then scan exactly those parquet files."""
-    files = replay_live_files(table_path, version)
+    log to the live file set, scan exactly those parquet files, and —
+    when the metaData declares ``delta.columnMapping.mode = name`` —
+    surface each field under its LOGICAL name while reading the
+    ``physicalName`` the files actually store (PROTOCOL.md §Column
+    Mapping)."""
+    from pyspark.sql import functions as F
+
+    live, _, _, meta = _replay_state(table_path, version)
+    files = sorted(live)
     if not files:
         raise ValueError(f"no live files at version {version}")
     root = Path(table_path)
-    return spark.read.option("mergeSchema", "true").parquet(
+    df = spark.read.option("mergeSchema", "true").parquet(
         *[str(root / f) for f in files]
     )
+    if meta and (meta.get("configuration") or {}).get("delta.columnMapping.mode") == "name":
+        for f in json.loads(meta["schemaString"]).get("fields", []):
+            logical = f["name"]
+            physical = (f.get("metadata") or {}).get(
+                "delta.columnMapping.physicalName", logical
+            )
+            if physical == logical:
+                continue
+            if physical in df.columns and logical in df.columns:
+                # legacy mixed-vintage layout (files written before
+                # physical names were stabilized): coalesce, as native
+                df = df.withColumn(
+                    logical, F.coalesce(F.col(logical), F.col(physical))
+                ).drop(physical)
+            elif physical in df.columns:
+                df = df.withColumnRenamed(physical, logical)
+    return df
 
 
 from lakehouse_test_spark.registry import query  # noqa: E402
@@ -415,3 +484,59 @@ def lakehouse_delta_roundtrip(spark: SparkSession, sf_dir: str):
         )
     finally:
         pass  # temp dir reclaimed by the OS; keep files alive for lazy readers
+
+
+@query(
+    "lakehouse_delta_column_mapping",
+    oracle="""
+    SELECT o_orderstatus,
+           count(*) AS n_orders,
+           count(price_usd) AS n_priced,
+           CAST(round(sum(CAST(price_usd AS DECIMAL(18,6))), 2) AS DOUBLE)
+             AS total_usd
+    FROM (SELECT o_orderstatus, o_totalprice AS price_usd FROM orders) t
+    GROUP BY o_orderstatus
+    """,
+    tags=("lakehouse", "delta", "schema"),
+)
+def lakehouse_delta_column_mapping(spark: SparkSession, sf_dir: str):
+    """Column-mapping interop loop: append half of orders, RENAME
+    o_totalprice → price_usd (metadata-only; physical name stays
+    stable), append the other half, export the Delta log — which now
+    carries ``delta.columnMapping.mode = name`` + per-field
+    physicalName/id and the reader 2 / writer 5 protocol — and
+    aggregate the table as read back THROUGH the exported log. The
+    replay must surface the LOGICAL schema with both vintages' values
+    (count(price_usd) catches the all-NULL mapping bug).
+
+    Oracle-checkable: equals a straight relational rename of orders.
+    """
+    import tempfile
+
+    from pyspark.sql import functions as F
+
+    from lakehouse_test_spark.fpsafe import dround, dsum
+
+    o = load_table(spark, sf_dir, "orders").select(
+        "o_orderkey", "o_orderstatus", "o_totalprice"
+    )
+    path = tempfile.mkdtemp(prefix="lakehouse_delta_cm_")
+    t = LakehouseTable(spark, path)
+    t.append(o.where(F.col("o_orderkey") % 2 == 0))
+    t.rename_column("o_totalprice", "price_usd")
+    t.append(
+        o.where(F.col("o_orderkey") % 2 == 1).withColumnRenamed(
+            "o_totalprice", "price_usd"
+        )
+    )
+    export_delta_log(spark, t)
+    via_delta = read_delta_log(spark, str(t.path))
+    return (
+        via_delta.groupBy("o_orderstatus")
+        .agg(
+            F.count(F.lit(1)).alias("n_orders"),
+            F.count("price_usd").alias("n_priced"),
+            dround(dsum(F.col("price_usd")), 2).alias("total_usd"),
+        )
+        .localCheckpoint()  # materialize before the temp table drops
+    )

@@ -9,8 +9,11 @@ Delta exporter this follows the public spec directly
 
 - ``metadata/v1.metadata.json`` + ``version-hint.text`` (the
   HadoopCatalog layout): format-version 2, table-uuid, schemas with
-  Iceberg field-ids, unpartitioned partition-spec, one snapshot per
-  native commit with sequence numbers and operation summaries;
+  Iceberg field-ids, the FULL partition-spec history (native hidden
+  partitioning — identity/month/bucket/truncate — maps 1:1 onto
+  Iceberg's transform vocabulary; spec evolution bumps spec-id), one
+  snapshot per native commit with sequence numbers and operation
+  summaries;
 - one **manifest list** per snapshot (``snap-*.avro``) listing its
   manifests with added/existing counts and sequence numbers;
 - **manifest files** (``*-m*.avro``) holding manifest entries whose
@@ -77,6 +80,14 @@ def _avro_encode(datum, schema, out: bytearray) -> None:
             for f in schema["fields"]:
                 _avro_encode(None if datum is None else datum.get(f["name"]), f["type"], out)
             return
+        if t == "array":
+            items = list(datum or [])
+            if items:
+                out += _zigzag_encode(len(items))
+                for it in items:
+                    _avro_encode(it, schema["items"], out)
+            out += _zigzag_encode(0)
+            return
         raise ValueError(f"unsupported avro complex type {t}")
     if schema in ("int", "long"):
         out += _zigzag_encode(int(datum))
@@ -106,6 +117,19 @@ def _avro_decode(buf: bytes, pos: int, schema):
             for f in schema["fields"]:
                 rec[f["name"]], pos = _avro_decode(buf, pos, f["type"])
             return rec, pos
+        if t == "array":
+            items = []
+            while True:
+                n, pos = _zigzag_decode(buf, pos)
+                if n == 0:
+                    break
+                if n < 0:  # spec: negative count is followed by a byte size
+                    n = -n
+                    _, pos = _zigzag_decode(buf, pos)
+                for _ in range(n):
+                    it, pos = _avro_decode(buf, pos, schema["items"])
+                    items.append(it)
+            return items, pos
         raise ValueError(f"unsupported avro complex type {t}")
     if schema in ("int", "long"):
         return _zigzag_decode(buf, pos)
@@ -200,6 +224,21 @@ def _f(name, typ, fid, optional=False):
     return {"name": name, "type": t, "field-id": fid}
 
 
+# field_summary (spec: one per partition field of the manifest's
+# spec, in spec order) — lets a planner skip WHOLE MANIFESTS from the
+# manifest list alone, the metadata tier that matters at 100k-file
+# scale. Bounds are Iceberg single-value binary serialization.
+FIELD_SUMMARY_SCHEMA = {
+    "type": "record",
+    "name": "field_summary",
+    "fields": [
+        _f("contains_null", "boolean", 509),
+        _f("contains_nan", "boolean", 518, optional=True),
+        _f("lower_bound", "bytes", 510, optional=True),
+        _f("upper_bound", "bytes", 511, optional=True),
+    ],
+}
+
 MANIFEST_FILE_SCHEMA = {
     "type": "record",
     "name": "manifest_file",
@@ -217,37 +256,54 @@ MANIFEST_FILE_SCHEMA = {
         _f("added_rows_count", "long", 512),
         _f("existing_rows_count", "long", 513),
         _f("deleted_rows_count", "long", 514),
-    ],
-}
-
-DATA_FILE_SCHEMA = {
-    "type": "record",
-    "name": "r2",
-    "fields": [
-        _f("content", "int", 134),
-        _f("file_path", "string", 100),
-        _f("file_format", "string", 101),
         {
-            "name": "partition",
-            "type": {"type": "record", "name": "r102", "fields": []},
-            "field-id": 102,
+            "name": "partitions",
+            "type": ["null", {"type": "array", "items": FIELD_SUMMARY_SCHEMA}],
+            "field-id": 507,
         },
-        _f("record_count", "long", 103),
-        _f("file_size_in_bytes", "long", 104),
     ],
 }
 
-MANIFEST_ENTRY_SCHEMA = {
-    "type": "record",
-    "name": "manifest_entry",
-    "fields": [
-        _f("status", "int", 0),
-        _f("snapshot_id", "long", 1, optional=True),
-        _f("sequence_number", "long", 3, optional=True),
-        _f("file_sequence_number", "long", 4, optional=True),
-        {"name": "data_file", "type": DATA_FILE_SCHEMA, "field-id": 2},
-    ],
-}
+_EMPTY_PARTITION = {"type": "record", "name": "r102", "fields": []}
+
+
+def data_file_schema(partition_schema: dict | None = None) -> dict:
+    """Iceberg ``data_file`` record; the ``partition`` struct's fields
+    mirror the manifest's partition spec (spec field-ids 1000+)."""
+    return {
+        "type": "record",
+        "name": "r2",
+        "fields": [
+            _f("content", "int", 134),
+            _f("file_path", "string", 100),
+            _f("file_format", "string", 101),
+            {
+                "name": "partition",
+                "type": partition_schema or _EMPTY_PARTITION,
+                "field-id": 102,
+            },
+            _f("record_count", "long", 103),
+            _f("file_size_in_bytes", "long", 104),
+        ],
+    }
+
+
+def manifest_entry_schema(partition_schema: dict | None = None) -> dict:
+    return {
+        "type": "record",
+        "name": "manifest_entry",
+        "fields": [
+            _f("status", "int", 0),
+            _f("snapshot_id", "long", 1, optional=True),
+            _f("sequence_number", "long", 3, optional=True),
+            _f("file_sequence_number", "long", 4, optional=True),
+            {"name": "data_file", "type": data_file_schema(partition_schema), "field-id": 2},
+        ],
+    }
+
+
+DATA_FILE_SCHEMA = data_file_schema()
+MANIFEST_ENTRY_SCHEMA = manifest_entry_schema()
 
 # manifest-entry status / manifest content codes (spec)
 ST_EXISTING, ST_ADDED, ST_DELETED = 0, 1, 2
@@ -290,6 +346,153 @@ def _snapshot_id(version: int) -> int:
 
 
 # ---------------------------------------------------------------------------
+# partition specs: native hidden partitioning → Iceberg spec vocabulary
+#
+# The native transforms (identity / month(col) / bucket(N, col) /
+# truncate(N, col), plans/lakehouse.py:1291) ARE Iceberg's transform
+# vocabulary, so specs map 1:1. Values are re-encoded to Iceberg's
+# canonical representations (month → months-since-epoch int, date →
+# days-since-epoch int). CAVEAT, documented divergence: the native
+# bucket transform hashes with Spark's xxhash64 while canonical
+# Iceberg buckets use murmur3_x86_32 — the exported bucket VALUES are
+# internally consistent (writer and exported manifests agree, pruning
+# through this module's planner is exact) but a third-party engine
+# computing its own murmur3 probe would probe a different bucket;
+# such engines should treat bucket fields as opaque.
+# ---------------------------------------------------------------------------
+
+_AVRO_OF_ICE = {
+    "int": "int",
+    "long": "long",
+    "string": "string",
+    "double": "double",
+    "float": "float",
+    "boolean": "boolean",
+    "date": "int",  # days since epoch
+    "timestamptz": "long",  # micros since epoch
+    "timestamp": "long",
+}
+
+
+def translate_spec_fields(items: list[str], ice_schema: dict, first_fid: int) -> list[dict]:
+    """Native spec items → Iceberg partition-spec fields (with the
+    spec's 1000+ field-ids). Raises on a source column missing from
+    the schema or an unrepresentable type."""
+    from lakehouse_test_spark.plans.lakehouse import LakehouseTable
+
+    by_name = {f["name"]: f for f in ice_schema["fields"]}
+    out = []
+    fid = first_fid
+    for item in items:
+        m = LakehouseTable._TRANSFORM_RE.match(item)
+        if not m:
+            src = by_name[item]
+            out.append(
+                {"name": item, "transform": "identity", "source-id": src["id"], "field-id": fid}
+            )
+        else:
+            kind, n, col = m.group(1), m.group(2), m.group(3)
+            src = by_name[col]
+            if kind == "month":
+                out.append(
+                    {"name": f"{col}_month", "transform": "month", "source-id": src["id"], "field-id": fid}
+                )
+            elif kind == "bucket":
+                out.append(
+                    {"name": f"{col}_bucket", "transform": f"bucket[{n}]", "source-id": src["id"], "field-id": fid}
+                )
+            else:
+                out.append(
+                    {"name": f"{col}_trunc", "transform": f"truncate[{n}]", "source-id": src["id"], "field-id": fid}
+                )
+        fid += 1
+    return out
+
+
+def result_type(spec_field: dict, ice_schema: dict) -> str:
+    """Iceberg result type of a partition field's transform."""
+    t = spec_field["transform"]
+    if t == "month" or t.startswith("bucket["):
+        return "int"
+    src = next(f for f in ice_schema["fields"] if f["id"] == spec_field["source-id"])
+    return src["type"]
+
+
+def partition_avro_schema(spec_fields: list[dict], ice_schema: dict) -> dict:
+    fields = []
+    for sf in spec_fields:
+        rt = result_type(sf, ice_schema)
+        if rt not in _AVRO_OF_ICE:
+            raise ValueError(f"partition field {sf['name']}: unsupported type {rt}")
+        fields.append(
+            {"name": sf["name"], "type": ["null", _AVRO_OF_ICE[rt]], "field-id": sf["field-id"]}
+        )
+    return {"type": "record", "name": "r102", "fields": fields}
+
+
+def to_iceberg_value(v, rt: str):
+    """Native stat value → Iceberg canonical partition value."""
+    import datetime as _dt
+
+    if v is None:
+        return None
+    if rt == "int" and isinstance(v, str):  # native month transform: "yyyy-MM"
+        y, mo = v.split("-")
+        return (int(y) - 1970) * 12 + int(mo) - 1
+    if rt == "date":
+        if isinstance(v, _dt.date):
+            return (v - _dt.date(1970, 1, 1)).days
+        return int(v)
+    if rt in ("timestamptz", "timestamp"):
+        if isinstance(v, _dt.datetime):
+            epoch = _dt.datetime(1970, 1, 1, tzinfo=v.tzinfo)
+            return int((v - epoch).total_seconds() * 1_000_000)
+        return int(v)
+    if rt in ("int", "long"):
+        return int(v)
+    if rt in ("double", "float"):
+        return float(v)
+    if rt == "string":
+        return str(v)
+    if rt == "boolean":
+        return bool(v)
+    raise ValueError(f"unsupported partition value type {rt}: {v!r}")
+
+
+def _bound_bytes(v, rt: str) -> bytes:
+    """Iceberg single-value binary serialization (spec appendix D)."""
+    if rt in ("int", "date"):
+        return struct.pack("<i", int(v))
+    if rt in ("long", "timestamptz", "timestamp"):
+        return struct.pack("<q", int(v))
+    if rt == "double":
+        return struct.pack("<d", float(v))
+    if rt == "float":
+        return struct.pack("<f", float(v))
+    if rt == "string":
+        return str(v).encode("utf-8")
+    if rt == "boolean":
+        return b"\x01" if v else b"\x00"
+    raise ValueError(f"no bound serialization for {rt}")
+
+
+def _bound_value(b: bytes, rt: str):
+    if rt in ("int", "date"):
+        return struct.unpack("<i", b)[0]
+    if rt in ("long", "timestamptz", "timestamp"):
+        return struct.unpack("<q", b)[0]
+    if rt == "double":
+        return struct.unpack("<d", b)[0]
+    if rt == "float":
+        return struct.unpack("<f", b)[0]
+    if rt == "string":
+        return b.decode("utf-8")
+    if rt == "boolean":
+        return b == b"\x01"
+    raise ValueError(f"no bound deserialization for {rt}")
+
+
+# ---------------------------------------------------------------------------
 # export
 # ---------------------------------------------------------------------------
 
@@ -314,6 +517,39 @@ def export_iceberg_metadata(spark: SparkSession, table: LakehouseTable) -> Path:
 
     now_ms = int(time.time() * 1000)
     tbl_uuid = str(uuid.uuid5(uuid.NAMESPACE_URL, str(table.path)))
+    ice_schema = _iceberg_schema(table.snapshot().schema)
+
+    # ---- partition specs: native spec history → Iceberg spec list.
+    # Export spec-id 0 is always the unpartitioned spec (files written
+    # before any native spec, restate rewrites, and files lacking a
+    # partition tuple land there — scan-safe: a planner never prunes
+    # them). Native spec k exports as spec-id k+1; partition field-ids
+    # are assigned 1000+ sequentially across specs (fresh ids per
+    # spec, always spec-legal).
+    native_specs = table._read_meta().get("partition_specs", [])
+    export_specs: list[dict] = [{"spec-id": 0, "fields": []}]
+    spec_fields: dict[int, list[dict]] = {0: []}
+    spec_avro: dict[int, dict | None] = {0: None}
+    spec_items: dict[int, list[str]] = {0: []}
+    spec_from: list[tuple[int, int]] = []  # (from_version, export spec-id)
+    next_fid = 1000
+    for ns in native_specs:
+        fields = translate_spec_fields(list(ns["cols"]), ice_schema, next_fid)
+        next_fid += len(fields)
+        sid = int(ns["spec_id"]) + 1
+        export_specs.append({"spec-id": sid, "fields": fields})
+        spec_fields[sid] = fields
+        spec_avro[sid] = partition_avro_schema(fields, ice_schema)
+        spec_items[sid] = list(ns["cols"])
+        spec_from.append((int(ns["from_version"]), sid))
+
+    def _active_spec(version: int) -> int:
+        sid = 0
+        for fv, s in spec_from:
+            if fv <= version:
+                sid = s
+        return sid
+
     snapshots: list[dict] = []
     snapshot_log: list[dict] = []
     # carried forward across commits: (manifest record) per live manifest
@@ -321,29 +557,49 @@ def export_iceberg_metadata(spark: SparkSession, table: LakehouseTable) -> Path:
     live_delete_manifests: list[dict] = []
     parent_id: int | None = None
 
-    def _abs(rel: str) -> str:
-        return str((table.path / rel).resolve())
-
     def _write_manifest(
-        name: str, entries: list[dict], content: int, seq: int, snap_id: int
+        name: str,
+        entries: list[dict],
+        content: int,
+        seq: int,
+        snap_id: int,
+        spec_id: int = 0,
     ) -> dict:
         p = meta_dir / name
         write_ocf(
             p,
-            MANIFEST_ENTRY_SCHEMA,
+            manifest_entry_schema(spec_avro[spec_id]),
             entries,
             meta={
                 "format-version": "2",
                 "content": "data" if content == CONTENT_DATA else "deletes",
-                "partition-spec-id": "0",
+                "partition-spec-id": str(spec_id),
             },
         )
         added = [e for e in entries if e["status"] == ST_ADDED]
         existing = [e for e in entries if e["status"] == ST_EXISTING]
+        # field_summary per spec field (spec order): the manifest-list
+        # tier of pruning — a planner skips whole manifests whose
+        # bounds miss the predicate without opening them.
+        summaries = None
+        if spec_fields[spec_id]:
+            summaries = []
+            for sf in spec_fields[spec_id]:
+                rt = result_type(sf, ice_schema)
+                vals = [e["data_file"]["partition"].get(sf["name"]) for e in entries]
+                nonnull = [v for v in vals if v is not None]
+                summaries.append(
+                    {
+                        "contains_null": any(v is None for v in vals),
+                        "contains_nan": False,
+                        "lower_bound": _bound_bytes(min(nonnull), rt) if nonnull else None,
+                        "upper_bound": _bound_bytes(max(nonnull), rt) if nonnull else None,
+                    }
+                )
         return {
             "manifest_path": str(p),
             "manifest_length": p.stat().st_size,
-            "partition_spec_id": 0,
+            "partition_spec_id": spec_id,
             "content": content,
             "sequence_number": seq,
             "min_sequence_number": seq,
@@ -354,9 +610,31 @@ def export_iceberg_metadata(spark: SparkSession, table: LakehouseTable) -> Path:
             "added_rows_count": sum(e["data_file"]["record_count"] for e in added),
             "existing_rows_count": sum(e["data_file"]["record_count"] for e in existing),
             "deleted_rows_count": 0,
+            "partitions": summaries,
         }
 
-    def _entry(rel: str, commit, snap_id: int, seq: int, content: int) -> dict:
+    def _partition_tuple(commit, rel: str, sid: int) -> tuple[int, dict]:
+        """(export spec-id, Iceberg partition tuple) for a data file.
+        A file carries a spec-``sid`` tuple only when the commit's
+        per-file stats pin EVERY spec item to a single value
+        (min==max, exactly what ``append_partitioned`` records);
+        otherwise it lands in the unpartitioned spec 0 — never pruned,
+        matching ``scan_pruned_hidden``'s keep-when-unknown contract."""
+        items = spec_items.get(sid, [])
+        if not items:
+            return 0, {}
+        st = (commit.stats or {}).get(rel, {})
+        tup: dict = {}
+        for item, sf in zip(items, spec_fields[sid]):
+            b = st.get(item)
+            if b is None or b[0] != b[1]:
+                return 0, {}
+            tup[sf["name"]] = to_iceberg_value(b[0], result_type(sf, ice_schema))
+        return sid, tup
+
+    def _entry(
+        rel: str, commit, snap_id: int, seq: int, content: int, partition: dict
+    ) -> dict:
         import pyarrow.parquet as pq
 
         p = table.path / rel
@@ -369,7 +647,7 @@ def export_iceberg_metadata(spark: SparkSession, table: LakehouseTable) -> Path:
                 "content": content,
                 "file_path": str(p.resolve()),
                 "file_format": "PARQUET",
-                "partition": {},
+                "partition": partition,
                 "record_count": pq.ParquetFile(str(p)).metadata.num_rows,
                 "file_size_in_bytes": p.stat().st_size,
             },
@@ -377,7 +655,23 @@ def export_iceberg_metadata(spark: SparkSession, table: LakehouseTable) -> Path:
 
     history = table.history()
     last_seq = 0
-    live_entries: dict[str, dict] = {}
+    live_entries: dict[str, tuple[int, dict]] = {}  # file → (spec-id, entry)
+
+    def _manifests_by_spec(
+        tagged: list[tuple[int, dict]], seq: int, snap_id: int
+    ) -> list[dict]:
+        """One manifest per partition spec (Iceberg manifests are
+        single-spec); entries keep their original tuples."""
+        by_spec: dict[int, list[dict]] = {}
+        for sid, e in tagged:
+            by_spec.setdefault(sid, []).append(e)
+        return [
+            _write_manifest(
+                f"{uuid.uuid4().hex}-m{sid}.avro", es, CONTENT_DATA, seq, snap_id, sid
+            )
+            for sid, es in sorted(by_spec.items())
+        ]
+
     for commit in history:
         snap_id = _snapshot_id(commit.version)
         seq = commit.version + 1
@@ -389,39 +683,29 @@ def export_iceberg_metadata(spark: SparkSession, table: LakehouseTable) -> Path:
             operation = "replace" if not commit.data_change else "overwrite"
         elif commit.removed_files:
             # partial rewrite (compact_files): Iceberg's RewriteManifests
-            # shape — one fresh manifest re-lists the SURVIVING prior
+            # shape — fresh manifests re-list the SURVIVING prior
             # entries, replaced files simply stop being referenced
             operation = "replace"
             for f in commit.removed_files:
                 live_entries.pop(f, None)
-            surviving = [live_entries[f] for f in sorted(live_entries)]
-            live_data_manifests = (
-                [
-                    _write_manifest(
-                        f"{uuid.uuid4().hex}-m0.avro",
-                        surviving,
-                        CONTENT_DATA,
-                        seq,
-                        snap_id,
-                    )
-                ]
-                if surviving
-                else []
+            live_data_manifests = _manifests_by_spec(
+                [live_entries[f] for f in sorted(live_entries)], seq, snap_id
             )
         elif commit.dv_files:
             operation = "delete"
         else:
             operation = "append"
         if commit.files:
-            entries = [
-                _entry(f, commit, snap_id, seq, CONTENT_DATA) for f in commit.files
-            ]
-            for f, e in zip(commit.files, entries):
-                live_entries[f] = e
-            m = _write_manifest(
-                f"{uuid.uuid4().hex}-m1.avro", entries, CONTENT_DATA, seq, snap_id
+            active = _active_spec(commit.version)
+            tagged: list[tuple[int, dict]] = []
+            for f in commit.files:
+                sid, tup = _partition_tuple(commit, f, active)
+                e = _entry(f, commit, snap_id, seq, CONTENT_DATA, tup)
+                tagged.append((sid, e))
+                live_entries[f] = (sid, e)
+            live_data_manifests = live_data_manifests + _manifests_by_spec(
+                tagged, seq, snap_id
             )
-            live_data_manifests = live_data_manifests + [m]
         if commit.dv_files:
             # Iceberg v2 position deletes: parquet of (file_path, pos)
             # sorted by file then position, referenced by a content=1
@@ -501,10 +785,10 @@ def export_iceberg_metadata(spark: SparkSession, table: LakehouseTable) -> Path:
         "last-updated-ms": now_ms,
         "last-column-id": len(table.snapshot().schema.fields),
         "current-schema-id": 0,
-        "schemas": [_iceberg_schema(table.snapshot().schema)],
-        "default-spec-id": 0,
-        "partition-specs": [{"spec-id": 0, "fields": []}],
-        "last-partition-id": 999,
+        "schemas": [ice_schema],
+        "default-spec-id": export_specs[-1]["spec-id"],
+        "partition-specs": export_specs,
+        "last-partition-id": next_fid - 1 if next_fid > 1000 else 999,
         "default-sort-order-id": 0,
         "sort-orders": [{"order-id": 0, "fields": []}],
         "current-snapshot-id": parent_id,
@@ -553,18 +837,11 @@ def iceberg_plan_files(
     return data_files, delete_files
 
 
-def read_iceberg(
-    spark: SparkSession, table_path: str, snapshot_id: int | None = None
+def _apply_position_deletes(
+    spark: SparkSession, df: DataFrame, delete_files: list[str]
 ) -> DataFrame:
-    """Open an exported table the way an Iceberg reader would: plan
-    files from the chosen snapshot's manifests, scan the data files,
-    and anti-join position deletes on (file_path, pos)."""
     from pyspark.sql import functions as F
 
-    data_files, delete_files = iceberg_plan_files(table_path, snapshot_id)
-    if not data_files:
-        raise ValueError(f"no data files at snapshot {snapshot_id}")
-    df = spark.read.option("mergeSchema", "true").parquet(*data_files)
     if not delete_files:
         return df
     dels = spark.read.parquet(*delete_files)
@@ -582,6 +859,126 @@ def read_iceberg(
         )
         .drop("_ipath", "_ipos")
     )
+
+
+def read_iceberg(
+    spark: SparkSession, table_path: str, snapshot_id: int | None = None
+) -> DataFrame:
+    """Open an exported table the way an Iceberg reader would: plan
+    files from the chosen snapshot's manifests, scan the data files,
+    and anti-join position deletes on (file_path, pos)."""
+    data_files, delete_files = iceberg_plan_files(table_path, snapshot_id)
+    if not data_files:
+        raise ValueError(f"no data files at snapshot {snapshot_id}")
+    df = spark.read.option("mergeSchema", "true").parquet(*data_files)
+    return _apply_position_deletes(spark, df, delete_files)
+
+
+def _item_field_name(item: str) -> str:
+    """Exported partition-field name of a native spec item (mirrors
+    :func:`translate_spec_fields`)."""
+    m = LakehouseTable._TRANSFORM_RE.match(item)
+    if not m:
+        return item.strip()
+    kind, _n, col = m.group(1), m.group(2), m.group(3)
+    return f"{col}_" + {"month": "month", "bucket": "bucket", "truncate": "trunc"}[kind]
+
+
+def iceberg_plan_files_pruned(
+    table_path: str, item: str, lo, hi, snapshot_id: int | None = None
+) -> dict:
+    """Plan a partition-PRUNED scan purely from the exported Iceberg
+    metadata — the two metadata tiers an external planner uses:
+
+    1. manifest list: a manifest whose ``field_summary`` bounds for
+       the predicate's partition field miss ``[lo, hi]`` (and holds no
+       null partition values) is skipped WITHOUT being opened;
+    2. manifest entries: a data file whose partition-tuple value for
+       the field falls outside ``[lo, hi]`` is never listed.
+
+    Files under specs lacking the field (older/newer spec vintages,
+    spec-0 restates) are always kept — pruning must be scan-safe,
+    exactly :meth:`LakehouseTable.scan_pruned_hidden`'s contract.
+    ``lo``/``hi`` use the NATIVE stat representation (e.g. ``yyyy-MM``
+    strings for ``month(col)``) and are canonicalized here. This is
+    what makes the export useful at 100 TB: planning cost is
+    O(surviving manifests), not O(files), and the data tier is never
+    touched. Returns ``{data_files, delete_files, files_total,
+    manifests_read, manifests_total}``."""
+    md = _load_metadata(table_path)
+    schema = md["schemas"][0]
+    fname = _item_field_name(item)
+    # per-spec: (field index within the spec, transform result type)
+    target: dict[int, tuple[int, str]] = {}
+    for spec in md["partition-specs"]:
+        for i, f in enumerate(spec["fields"]):
+            if f["name"] == fname:
+                target[spec["spec-id"]] = (i, result_type(f, schema))
+    sid = snapshot_id if snapshot_id is not None else md["current-snapshot-id"]
+    snap = next(s for s in md["snapshots"] if s["snapshot-id"] == sid)
+    _, _, manifests = read_ocf(Path(snap["manifest-list"]))
+    out = {
+        "data_files": [],
+        "delete_files": [],
+        "files_total": 0,
+        "manifests_read": 0,
+        "manifests_total": 0,
+    }
+    for m in manifests:
+        if m["content"] == CONTENT_DELETES:
+            _, _, entries = read_ocf(Path(m["manifest_path"]))
+            out["delete_files"] += [
+                e["data_file"]["file_path"] for e in entries if e["status"] != ST_DELETED
+            ]
+            continue
+        out["manifests_total"] += 1
+        out["files_total"] += m["added_files_count"] + m["existing_files_count"]
+        hit = target.get(m["partition_spec_id"])
+        if hit is not None and m.get("partitions"):
+            idx, rt = hit
+            s = m["partitions"][idx]
+            lo_i, hi_i = to_iceberg_value(lo, rt), to_iceberg_value(hi, rt)
+            if not s["contains_null"] and s["lower_bound"] is not None:
+                mlo = _bound_value(s["lower_bound"], rt)
+                mhi = _bound_value(s["upper_bound"], rt)
+                if hi_i < mlo or lo_i > mhi:
+                    continue  # whole manifest skipped, never opened
+        out["manifests_read"] += 1
+        _, _, entries = read_ocf(Path(m["manifest_path"]))
+        for e in entries:
+            if e["status"] == ST_DELETED:
+                continue
+            df = e["data_file"]
+            if hit is None:
+                out["data_files"].append(df["file_path"])
+                continue
+            idx, rt = hit
+            v = df["partition"].get(fname)
+            lo_i, hi_i = to_iceberg_value(lo, rt), to_iceberg_value(hi, rt)
+            if v is None or (lo_i <= v <= hi_i):
+                out["data_files"].append(df["file_path"])
+    return out
+
+
+def read_iceberg_pruned(
+    spark: SparkSession,
+    table_path: str,
+    item: str,
+    lo,
+    hi,
+    snapshot_id: int | None = None,
+) -> tuple[DataFrame, dict]:
+    """Scan an exported table with partition pruning planned from the
+    Iceberg metadata alone. NO residual predicate is applied (hidden
+    transform values do not exist in the data files) — callers filter
+    the raw column themselves, so correctness never depends on the
+    pruning. Returns (df, plan stats)."""
+    plan = iceberg_plan_files_pruned(table_path, item, lo, hi, snapshot_id)
+    if not plan["data_files"]:
+        empty = read_iceberg(spark, table_path, snapshot_id).limit(0)
+        return empty, plan
+    df = spark.read.option("mergeSchema", "true").parquet(*plan["data_files"])
+    return _apply_position_deletes(spark, df, plan["delete_files"]), plan
 
 
 # ---------------------------------------------------------------------------
@@ -634,6 +1031,64 @@ def lakehouse_iceberg_roundtrip(spark: SparkSession, sf_dir: str):
     via_iceberg = read_iceberg(spark, str(t.path))
     return (
         via_iceberg.groupBy("event_type")
+        .agg(
+            F.count(F.lit(1)).alias("n_events"),
+            dround(dsum(F.col("value")), 2).alias("total_value"),
+        )
+        .localCheckpoint()  # materialize before the temp table drops
+    )
+
+
+@query(
+    "lakehouse_iceberg_partitioned_export",
+    oracle="""
+    SELECT CAST(user_id % 8 AS BIGINT) AS user_cohort,
+           count(*) AS n_events,
+           CAST(round(sum(CAST(value AS DECIMAL(18,6))), 2) AS DOUBLE)
+             AS total_value
+    FROM events
+    WHERE event_type = 'purchase'
+    GROUP BY CAST(user_id % 8 AS BIGINT)
+    """,
+    tags=("lakehouse", "iceberg", "partitioning", "events"),
+)
+def lakehouse_iceberg_partitioned_export(spark: SparkSession, sf_dir: str):
+    """Iceberg export of a HIDDEN-PARTITIONED table, queried through a
+    metadata-planned PRUNED scan: write under spec ``[event_type]``,
+    evolve to ``[event_type, bucket(2, user_id)]`` (spec-id bump),
+    write more, export, then plan ``event_type = 'purchase'`` from
+    the exported manifest lists + partition tuples alone — files of
+    other event types are never listed, across BOTH spec vintages.
+    The residual filter keeps correctness independent of pruning
+    (scan-safe contract). Reference analog: partitioned-topic scan
+    scheduling, PerformanceConsumer.java:127-130.
+
+    Oracle-checkable: the pruned roundtrip must equal the straight
+    batch aggregate over the purchase slice.
+    """
+    import tempfile
+
+    from pyspark.sql import functions as F
+
+    from lakehouse_test_spark.fpsafe import dround, dsum
+
+    e = load_table(spark, sf_dir, "events").select(
+        "event_id", "user_id", "event_type", "value"
+    )
+    path = tempfile.mkdtemp(prefix="lakehouse_iceberg_part_")
+    t = LakehouseTable(spark, path)
+    t.set_partition_spec(["event_type"])
+    t.append_partitioned(e.where(F.col("event_id") % 2 == 0))
+    t.set_partition_spec(["event_type", "bucket(2, user_id)"])
+    t.append_partitioned(e.where(F.col("event_id") % 2 == 1))
+    export_iceberg_metadata(spark, t)
+    pruned, plan = read_iceberg_pruned(
+        spark, str(t.path), "event_type", "purchase", "purchase"
+    )
+    assert plan["data_files"] and len(plan["data_files"]) < plan["files_total"], plan
+    return (
+        pruned.where(F.col("event_type") == "purchase")  # residual: exactness
+        .groupBy((F.col("user_id") % 8).cast("bigint").alias("user_cohort"))
         .agg(
             F.count(F.lit(1)).alias("n_events"),
             dround(dsum(F.col("value")), 2).alias("total_value"),

@@ -167,19 +167,28 @@ class LakehouseTable:
         self._validate_constraints(df)
         version = self.latest_version() + 1
         commit_dir = self.path / "data" / f"{uuid.uuid4().hex[:12]}"
-        df.write.mode("errorifexists").parquet(str(commit_dir))
+        phys = self._physical_of_logical()
+        self._apply_reverse_renames(df).write.mode("errorifexists").parquet(
+            str(commit_dir)
+        )
         files = sorted(
             str(p.relative_to(self.path))
             for p in commit_dir.glob("*.parquet")
             if p.name.startswith("part-")
         )
-        stats = (
-            {f: _file_stats(self.path / f, stats_cols) for f in files} if stats_cols else None
-        )
+        stats = None
+        if stats_cols:
+            # footers hold physical names; stats keys stay LOGICAL
+            # (what scan_pruned callers filter on)
+            pcols = [phys.get(c, c) for c in stats_cols]
+            stats = {}
+            for f in files:
+                raw = _file_stats(self.path / f, pcols)
+                stats[f] = {c: raw[p] for c, p in zip(stats_cols, pcols) if p in raw}
         if bloom_cols:
             stats = stats or {f: {} for f in files}
             for bc in bloom_cols:
-                for f, bl in self._bloom_stats(commit_dir, files, bc).items():
+                for f, bl in self._bloom_stats(commit_dir, files, phys.get(bc, bc)).items():
                     stats.setdefault(f, {})[f"__bloom__:{bc}"] = bl
         row_count = self.spark.read.parquet(str(commit_dir)).count()
         commit = Commit(
@@ -229,16 +238,21 @@ class LakehouseTable:
         snapshots read explicit file lists)."""
         self._validate_constraints(df)
         commit_dir = self.path / "data" / f"{operation}-{uuid.uuid4().hex[:12]}"
-        w = df.write
+        phys = self._physical_of_logical()
+        w = self._apply_reverse_renames(df).write
         if partition_by:
-            w = w.partitionBy(*partition_by)
+            w = w.partitionBy(*[phys.get(c, c) for c in partition_by])
         w.parquet(str(commit_dir))
         files = sorted(
             str(p.relative_to(self.path)) for p in commit_dir.rglob("part-*.parquet")
         )
-        stats = (
-            {f: _file_stats(self.path / f, stats_cols) for f in files} if stats_cols else None
-        )
+        stats = None
+        if stats_cols:
+            pcols = [phys.get(c, c) for c in stats_cols]
+            stats = {}
+            for f in files:
+                raw = _file_stats(self.path / f, pcols)
+                stats[f] = {c: raw[p] for c, p in zip(stats_cols, pcols) if p in raw}
         row_count = self.spark.read.parquet(str(commit_dir)).count()
         version = self.latest_version() + 1
         commit = Commit(
@@ -825,7 +839,9 @@ class LakehouseTable:
         self._validate_constraints(df)
         version = self.branch_head(name) + 1
         commit_dir = self.path / "data" / f"{uuid.uuid4().hex[:12]}"
-        df.write.mode("errorifexists").parquet(str(commit_dir))
+        self._apply_reverse_renames(df).write.mode("errorifexists").parquet(
+            str(commit_dir)
+        )
         files = sorted(
             str(p.relative_to(self.path))
             for p in commit_dir.glob("*.parquet")
@@ -950,9 +966,11 @@ class LakehouseTable:
         """
         all_files: list[str] = []
         kept: list[str] = []
+        keys = self._stat_keys(col)  # logical name + rename-chain vintages
         for c, f in self._live_files():
             all_files.append(f)
-            st = (c.stats or {}).get(f, {}).get(col)
+            fstats = (c.stats or {}).get(f, {})
+            st = next((fstats[k] for k in keys if k in fstats), None)
             # a None bound means no usable stats (e.g. a NULL partition
             # value) — keep the file, skipping must be safe
             if (
@@ -1236,12 +1254,17 @@ class LakehouseTable:
 
     def rename_column(self, old: str, new: str) -> None:
         """Delta-column-mapping-style RENAME: metadata-only — no data
-        file is rewritten. Files written before the rename keep the
-        old physical name; readers coalesce physical→logical at scan
-        time (``_apply_renames``), and files written afterwards carry
-        the new name natively. Renames chain (a→b→c) in metadata
-        order. Mapping is table-level current-state metadata: like
-        Delta, time-traveled reads also surface the LOGICAL names."""
+        file is rewritten, and the PHYSICAL name is stable: writers
+        map logical→physical (``_apply_reverse_renames``) so every
+        vintage shares one file layout — exactly Delta's
+        ``columnMapping.mode = name`` contract, which is what makes
+        the table exportable (:mod:`plans.delta_export` emits the
+        mapping). Readers map physical→logical at scan time
+        (``_apply_renames``; the coalesce branch still covers tables
+        written before physical names were stabilized). Renames chain
+        (a→b→c) in metadata order. Mapping is table-level
+        current-state metadata: like Delta, time-traveled reads also
+        surface the LOGICAL names."""
         meta = self._read_meta()
         meta.setdefault("column_renames", []).append([old, new])
         self._write_meta(meta)
@@ -1251,13 +1274,44 @@ class LakehouseTable:
 
         for old, new in self._read_meta().get("column_renames", []):
             if old in df.columns and new in df.columns:
-                # mixed vintages under mergeSchema: each row has the
+                # mixed vintages under mergeSchema (tables written
+                # before stable physical names): each row has the
                 # value under exactly one physical name, NULL under
                 # the other — coalesce restores the logical column
                 df = df.withColumn(new, F.coalesce(F.col(new), F.col(old))).drop(old)
             elif old in df.columns:
                 df = df.withColumnRenamed(old, new)
         return df
+
+    def _physical_of_logical(self) -> dict[str, str]:
+        """Logical column name → its stable PHYSICAL name (the name
+        the column was created under: rename chains walked backward).
+        Delta column-mapping semantics — a rename never changes what
+        is written in data files, so every vintage shares one
+        physical layout and the table is exportable with
+        ``delta.columnMapping.mode = name``."""
+        phys: dict[str, str] = {}
+        for old, new in self._read_meta().get("column_renames", []):
+            phys[new] = phys.pop(old, old)
+        return phys
+
+    def _apply_reverse_renames(self, df: DataFrame) -> DataFrame:
+        """Map logical→physical names before a data-file write (the
+        writer-side half of column mapping)."""
+        for logical, physical in self._physical_of_logical().items():
+            if logical in df.columns and physical not in df.columns:
+                df = df.withColumnRenamed(logical, physical)
+        return df
+
+    def _stat_keys(self, col: str) -> set[str]:
+        """All names a logical column's per-file stats may live under:
+        itself plus every prior name in its rename chain (stats
+        recorded before a rename keep their vintage's key)."""
+        keys = {col}
+        for old, new in reversed(self._read_meta().get("column_renames", [])):
+            if new in keys:
+                keys.add(old)
+        return keys
 
     # -- partition-spec evolution (Iceberg-style) ------------------------------
 
@@ -1416,7 +1470,9 @@ class LakehouseTable:
                 part = part.where(F_col(c).eqNullSafe(F_lit(v)))
             # hidden partitioning: derived transform values live in the
             # LOG's stats, never in the data files (the Iceberg model)
-            part.drop(*pcols).write.mode("append").parquet(str(commit_dir))
+            self._apply_reverse_renames(part.drop(*pcols)).write.mode("append").parquet(
+                str(commit_dir)
+            )
             now = {
                 str(p.relative_to(self.path))
                 for p in commit_dir.glob("*.parquet")

@@ -14,7 +14,9 @@ from lakehouse_test_spark.plans.iceberg_export import (
     MANIFEST_ENTRY_SCHEMA,
     export_iceberg_metadata,
     iceberg_plan_files,
+    iceberg_plan_files_pruned,
     read_iceberg,
+    read_iceberg_pruned,
     read_ocf,
     write_ocf,
     _snapshot_id,
@@ -149,3 +151,115 @@ def test_iceberg_position_delete_files_shape(spark, table):
     assert total == n_young
     # the delete-file paths point at live data files
     assert referenced <= set(data_files)
+
+
+def _month_frame(spark, month: int, ids):
+    rows = [(int(i), f"2024-{month:02d}-{(int(i) % 27) + 1:02d}", float(i) * 1.5) for i in ids]
+    return (
+        spark.createDataFrame(rows, "id long, d string, v double")
+        .withColumn("d", F.to_date("d"))
+    )
+
+
+def test_iceberg_partition_spec_export_and_pruned_planning(spark, table):
+    """The export must carry the REAL partition-spec history (hidden
+    transforms → Iceberg transform strings, spec evolution → spec-id
+    bump) and per-file partition tuples, such that a planner working
+    from the exported metadata ALONE prunes both metadata tiers:
+    whole manifests via field summaries, files via partition tuples —
+    while files of other spec vintages stay scan-safe (kept)."""
+    # v0: pre-spec append (spec-0 vintage, must never be pruned)
+    table.append(_month_frame(spark, 1, range(0, 4)).unionAll(_month_frame(spark, 2, range(4, 8))))
+    table.set_partition_spec(["month(d)"])
+    table.append_partitioned(_month_frame(spark, 1, range(10, 20)))  # v1 Jan
+    table.append_partitioned(_month_frame(spark, 2, range(20, 30)))  # v2 Feb
+    table.append_partitioned(_month_frame(spark, 3, range(30, 40)))  # v3 Mar
+    table.set_partition_spec(["month(d)", "bucket(2, id)"])  # evolution
+    table.append_partitioned(_month_frame(spark, 2, range(40, 50)))  # v4 Feb, spec 2
+
+    meta_dir = export_iceberg_metadata(spark, table)
+    md = json.loads((meta_dir / "v1.metadata.json").read_text())
+
+    # spec history: unpartitioned 0, [month] 1, [month, bucket] 2
+    specs = md["partition-specs"]
+    assert [s["spec-id"] for s in specs] == [0, 1, 2]
+    assert md["default-spec-id"] == 2
+    assert [f["transform"] for f in specs[1]["fields"]] == ["month"]
+    assert [f["transform"] for f in specs[2]["fields"]] == ["month", "bucket[2]"]
+    assert all(f["field-id"] >= 1000 for s in specs for f in s["fields"])
+    assert md["last-partition-id"] == 1002
+    # transforms reference schema field ids
+    d_id = next(f["id"] for f in md["schemas"][0]["fields"] if f["name"] == "d")
+    assert specs[1]["fields"][0]["source-id"] == d_id
+
+    # full replay still equals the native snapshot
+    got, want = read_iceberg(spark, str(table.path)), table.snapshot()
+    assert got.exceptAll(want).count() == 0 and want.exceptAll(got).count() == 0
+
+    # pruned plan for Feb: Jan/Mar manifests are skipped at the
+    # manifest-LIST tier (never opened); Jan/Mar files never listed
+    plan = iceberg_plan_files_pruned(str(table.path), "month(d)", "2024-02", "2024-02")
+    assert plan["manifests_total"] == 5  # v0 + 3 monthly + evolved Feb
+    assert plan["manifests_read"] == 3  # spec-0 (no summary) + both Febs
+    assert plan["files_total"] == len(iceberg_plan_files(str(table.path))[0])
+    assert 0 < len(plan["data_files"]) < plan["files_total"]
+
+    # files outside the predicate's partitions are never listed:
+    # every pruned-out file holds only non-Feb rows
+    kept = set(plan["data_files"])
+    dropped = set(iceberg_plan_files(str(table.path))[0]) - kept
+    assert dropped
+    feb = spark.read.parquet(*sorted(kept)).where(F.date_format("d", "yyyy-MM") == "2024-02")
+    assert spark.read.parquet(*sorted(dropped)).where(
+        F.date_format("d", "yyyy-MM") == "2024-02"
+    ).count() == 0
+    # ... and the kept set covers ALL Feb rows (scan-safe + complete)
+    df, plan2 = read_iceberg_pruned(spark, str(table.path), "month(d)", "2024-02", "2024-02")
+    assert plan2 == plan
+    got_feb = df.where(F.date_format("d", "yyyy-MM") == "2024-02")
+    want_feb = table.snapshot().where(F.date_format("d", "yyyy-MM") == "2024-02")
+    assert got_feb.exceptAll(want_feb).count() == 0
+    assert want_feb.exceptAll(got_feb).count() == 0
+    assert feb.count() == want_feb.count()
+
+
+def test_iceberg_partitioned_restate_and_manifest_spec_grouping(spark, table):
+    """Restates drop to spec-0 manifests (rewrites carry no partition
+    tuples — scan-safe), and every exported manifest is single-spec
+    with a partition struct matching its spec's Avro schema."""
+    table.set_partition_spec(["month(d)"])
+    table.append_partitioned(_month_frame(spark, 1, range(0, 6)))
+    table.append_partitioned(_month_frame(spark, 2, range(6, 12)))
+    table.delete_where("id = 3")  # restate: full rewrite, unpartitioned
+    meta_dir = export_iceberg_metadata(spark, table)
+    md = json.loads((meta_dir / "v1.metadata.json").read_text())
+    cur = next(s for s in md["snapshots"] if s["snapshot-id"] == md["current-snapshot-id"])
+    _, _, manifests = read_ocf(Path(cur["manifest-list"]))
+    assert [m["partition_spec_id"] for m in manifests] == [0]
+    # pruning after the restate keeps everything (spec-0: no tuples)
+    plan = iceberg_plan_files_pruned(str(table.path), "month(d)", "2024-01", "2024-01")
+    assert len(plan["data_files"]) == plan["files_total"]
+    got, want = read_iceberg(spark, str(table.path)), table.snapshot()
+    assert got.exceptAll(want).count() == 0 and want.exceptAll(got).count() == 0
+
+
+def test_iceberg_null_partition_values_scan_safe(spark, table):
+    """A NULL partition value exports as a null tuple slot +
+    contains_null in the field summary; pruned plans must keep the
+    file (skipping is only ever safe on known bounds)."""
+    df = spark.createDataFrame(
+        [(1, "a", 1.0), (2, "b", 2.0), (3, None, 3.0)], "id long, cat string, v double"
+    )
+    table.set_partition_spec(["cat"])
+    table.append_partitioned(df)
+    meta_dir = export_iceberg_metadata(spark, table)
+    md = json.loads((meta_dir / "v1.metadata.json").read_text())
+    cur = next(s for s in md["snapshots"] if s["snapshot-id"] == md["current-snapshot-id"])
+    _, _, manifests = read_ocf(Path(cur["manifest-list"]))
+    assert manifests[0]["partitions"][0]["contains_null"] is True
+    plan = iceberg_plan_files_pruned(str(table.path), "cat", "a", "a")
+    got, _ = read_iceberg_pruned(spark, str(table.path), "cat", "a", "a")
+    rows = {(r["id"], r["cat"]) for r in got.collect()}
+    assert (1, "a") in rows and (3, None) in rows  # null-partition file kept
+    assert (2, "b") not in rows  # other partition pruned
+    assert len(plan["data_files"]) < plan["files_total"]

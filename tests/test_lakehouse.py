@@ -767,7 +767,7 @@ def test_delta_checkpoint_replay_from_checkpoint(spark, table):
     assert (log_dir / "_last_checkpoint").exists()
 
     # latest: newest checkpoint + 4-commit JSON tail, never the 25
-    live, ckpt, replayed = _replay_state(str(table.path))
+    live, ckpt, replayed, _meta = _replay_state(str(table.path))
     assert ckpt == 20 and replayed == [21, 22, 23, 24]
     got = read_delta_log(spark, str(table.path))
     assert got.exceptAll(table.snapshot()).count() == 0
@@ -775,14 +775,14 @@ def test_delta_checkpoint_replay_from_checkpoint(spark, table):
 
     # time travel below _last_checkpoint: older checkpoint + tail
     # (crosses the v12 restate, so checkpoint adds must be removable)
-    _, ckpt15, replayed15 = _replay_state(str(table.path), 15)
+    _, ckpt15, replayed15, _ = _replay_state(str(table.path), 15)
     assert ckpt15 == 10 and replayed15 == [11, 12, 13, 14, 15]
     got15 = read_delta_log(spark, str(table.path), 15)
     assert got15.exceptAll(table.snapshot(version=15)).count() == 0
     assert table.snapshot(version=15).exceptAll(got15).count() == 0
 
     # below every checkpoint: plain JSON replay from v0
-    _, ckpt5, replayed5 = _replay_state(str(table.path), 5)
+    _, ckpt5, replayed5, _ = _replay_state(str(table.path), 5)
     assert ckpt5 is None and replayed5 == list(range(6))
     assert read_delta_log(spark, str(table.path), 5).count() == table.snapshot(
         version=5
@@ -870,3 +870,67 @@ def test_scd2_apply_incremental_and_late_arrivals(spark, table):
     assert hist2[(1, "B")] == ("2021-01-01", None)
     # prior state remains time-travelable
     assert t.snapshot(version=1).count() == 3
+
+
+def test_delta_export_column_mapping_rename(spark, table):
+    """A renamed table exports with delta.columnMapping.mode=name:
+    protocol bumps to reader 2 / writer 5, every schemaString field
+    carries a columnMapping id + physicalName, data files keep the
+    STABLE physical name across vintages, and the replay reader
+    surfaces the logical schema with no value loss."""
+    import json
+
+    from lakehouse_test_spark.plans.delta_export import (
+        export_delta_log,
+        read_delta_log,
+    )
+
+    table.append(
+        spark.range(0, 40).select(F.col("id").alias("k"), (F.col("id") * 2).alias("v"))
+    )
+    table.rename_column("v", "v_usd")
+    table.append(
+        spark.range(40, 80).select(
+            F.col("id").alias("k"), (F.col("id") * 2).alias("v_usd")
+        )
+    )
+    table.rename_column("v_usd", "v_eur")  # chained: physical stays "v"
+    table.append(
+        spark.range(80, 100).select(
+            F.col("id").alias("k"), (F.col("id") * 2).alias("v_eur")
+        )
+    )
+    log_dir = export_delta_log(spark, table)
+
+    actions = [
+        json.loads(l) for l in (log_dir / f"{0:020d}.json").read_text().splitlines()
+    ]
+    proto = next(a["protocol"] for a in actions if "protocol" in a)
+    assert proto == {"minReaderVersion": 2, "minWriterVersion": 5}
+    meta = next(a["metaData"] for a in actions if "metaData" in a)
+    assert meta["configuration"]["delta.columnMapping.mode"] == "name"
+    fields = {f["name"]: f for f in json.loads(meta["schemaString"])["fields"]}
+    assert set(fields) == {"k", "v_eur"}  # logical names in the schema
+    assert fields["v_eur"]["metadata"]["delta.columnMapping.physicalName"] == "v"
+    assert fields["k"]["metadata"]["delta.columnMapping.physicalName"] == "k"
+    ids = {f["metadata"]["delta.columnMapping.id"] for f in fields.values()}
+    assert ids == {1, 2}
+    assert int(meta["configuration"]["delta.columnMapping.maxColumnId"]) == 2
+
+    # physical layout is stable: every vintage's files carry "v"
+    import pyarrow.parquet as pq
+
+    for c in table.history():
+        for f in c.files:
+            names = set(pq.ParquetFile(str(table.path / f)).schema_arrow.names)
+            assert names == {"k", "v"}, (c.version, names)
+
+    # replay surfaces the LOGICAL schema with all values intact
+    got = read_delta_log(spark, str(table.path))
+    assert set(got.columns) == {"k", "v_eur"}
+    assert got.count() == 100
+    assert got.where(F.col("v_eur").isNull()).count() == 0
+    assert got.agg(F.sum("v_eur")).collect()[0][0] == sum(2 * i for i in range(100))
+    # native snapshot equality (order-insensitive)
+    want = table.snapshot()
+    assert got.exceptAll(want).count() == 0 and want.exceptAll(got).count() == 0
