@@ -71,6 +71,14 @@ class Commit:
     removed_files: list[str] | None = None
 
 
+class ConcurrentModificationError(RuntimeError):
+    """A concurrent commit conflicts with this transaction — the Delta
+    conflict-matrix outcome when rebasing is unsafe: a restate
+    (merge/delete/compact/restore) or DV delete computed against a
+    base that moved must be recomputed from a fresh snapshot, never
+    silently replayed (it would drop the concurrent commit's rows)."""
+
+
 class RestateAcrossCursorError(RuntimeError):
     """An incremental reader's cursor predates a logical restate
     (merge/delete): the change feed cannot express the delta, so the
@@ -123,11 +131,43 @@ class LakehouseTable:
         self.path = Path(path)
         self.log_dir = self.path / "_log"
         self.log_dir.mkdir(parents=True, exist_ok=True)
+        #: test seam: invoked right before a commit's publish attempt —
+        #: lets concurrency tests inject a racing writer deterministically
+        self._pre_publish_hook = None
 
     # -- log -----------------------------------------------------------------
 
     def _commit_path(self, version: int) -> Path:
         return self.log_dir / f"{version:020d}.json"
+
+    def _publish(self, commit: "Commit") -> "Commit":
+        """Atomically publish ``commit`` at its version (tmp + rename).
+        If the version is already taken, classify the race: the caller
+        computed a full-state rewrite against a base that moved, so
+        rebasing is unsafe — raise :class:`ConcurrentModificationError`
+        naming the intervening commits (the Delta conflict matrix's
+        "recompute and retry" outcome). Append rebasing lives in
+        :meth:`append_with_retry`; partial-compaction rebasing in
+        :meth:`compact_files` (disjoint-files rule)."""
+        if self._pre_publish_hook is not None:
+            self._pre_publish_hook()
+        tmp = self.log_dir / f".tmp-{uuid.uuid4().hex}"
+        tmp.write_text(json.dumps(commit.__dict__))
+        target = self._commit_path(commit.version)
+        if target.exists():
+            tmp.unlink()
+            inter = [
+                (c.version, c.operation)
+                for c in self.history()
+                if c.version >= commit.version
+            ]
+            raise ConcurrentModificationError(
+                f"{commit.operation} computed against version "
+                f"{commit.version - 1} but concurrent commit(s) {inter} "
+                "landed; re-read the snapshot and retry"
+            )
+        os.rename(tmp, target)
+        return commit
 
     def history(self) -> list[Commit]:
         commits = []
@@ -228,6 +268,7 @@ class LakehouseTable:
         data_change: bool,
         stats_cols: list[str] | None = None,
         partition_by: list[str] | None = None,
+        read_version: int | None = None,
     ) -> Commit:
         """Write ``df`` as a full-table rewrite and publish it as a
         restate commit (readers use it as their new base). Zone-map
@@ -235,7 +276,14 @@ class LakehouseTable:
         skipping files after merges/deletes/compactions.
         ``partition_by`` hive-partitions the rewrite (the partition
         column is synthetic and disappears from the read schema since
-        snapshots read explicit file lists)."""
+        snapshots read explicit file lists).
+
+        ``read_version`` is the version the rewrite was COMPUTED from
+        (captured by the caller before reading the snapshot); if any
+        commit lands on top of it before publish, the publish raises
+        :class:`ConcurrentModificationError` instead of silently
+        dropping the concurrent rows — a full-state rewrite can never
+        rebase (Delta's delete/merge-vs-anything conflict rule)."""
         self._validate_constraints(df)
         commit_dir = self.path / "data" / f"{operation}-{uuid.uuid4().hex[:12]}"
         phys = self._physical_of_logical()
@@ -254,18 +302,20 @@ class LakehouseTable:
                 raw = _file_stats(self.path / f, pcols)
                 stats[f] = {c: raw[p] for c, p in zip(stats_cols, pcols) if p in raw}
         row_count = self.spark.read.parquet(str(commit_dir)).count()
-        version = self.latest_version() + 1
-        commit = Commit(
-            version=version,
-            files=files,
-            row_count=row_count,
-            operation=operation,
-            stats=stats,
-            restate=True,
-            data_change=data_change,
+        version = (
+            read_version if read_version is not None else self.latest_version()
+        ) + 1
+        return self._publish(
+            Commit(
+                version=version,
+                files=files,
+                row_count=row_count,
+                operation=operation,
+                stats=stats,
+                restate=True,
+                data_change=data_change,
+            )
         )
-        self._commit_path(version).write_text(json.dumps(commit.__dict__))
-        return commit
 
     def merge(
         self,
@@ -299,6 +349,7 @@ class LakehouseTable:
         """
         if when_matched not in ("update", "delete", "ignore"):
             raise ValueError(f"when_matched: {when_matched!r}")
+        read_version = self.latest_version()
         current = self.snapshot()
         if when_matched == "update":
             # Delta MERGE raises when a target row matches multiple
@@ -354,13 +405,20 @@ class LakehouseTable:
         merged = parts[0]
         for q in parts[1:]:
             merged = merged.unionByName(q)
-        return self._commit_restate(merged, "merge", data_change=True, stats_cols=stats_cols)
+        return self._commit_restate(
+            merged, "merge", data_change=True, stats_cols=stats_cols,
+            read_version=read_version,
+        )
 
     def delete_where(self, condition: str, stats_cols: list[str] | None = None) -> Commit:
         """Keyed/predicate delete (Delta DELETE analog): rewrite the
         snapshot without matching rows, commit as a restate point."""
+        read_version = self.latest_version()
         remaining = self.snapshot().where(f"NOT ({condition})")
-        return self._commit_restate(remaining, "delete", data_change=True, stats_cols=stats_cols)
+        return self._commit_restate(
+            remaining, "delete", data_change=True, stats_cols=stats_cols,
+            read_version=read_version,
+        )
 
     def delete_where_dv(self, condition: str) -> Commit:
         """Row-level DELETE via deletion vectors (Delta DV analog):
@@ -378,6 +436,7 @@ class LakehouseTable:
         directory must not move (same caveat as Delta's absolute-path
         pins).
         """
+        read_version = self.latest_version()
         files = self._files_for()
         if not files:
             raise ValueError("cannot delete from an empty table")
@@ -396,20 +455,21 @@ class LakehouseTable:
             str(q.relative_to(self.path)) for q in commit_dir.rglob("part-*.parquet")
         )
         dv_count = self.spark.read.parquet(str(commit_dir)).count()
-        version = self.latest_version() + 1
-        commit = Commit(
-            version=version,
-            files=[],
-            row_count=0,
-            operation="delete_dv",
-            stats=None,
-            restate=False,
-            data_change=True,
-            dv_files=dv_files,
-            dv_row_count=dv_count,
+        # DV positions were computed against read_version's file set; a
+        # concurrent restate/compaction invalidates them -> _publish raises
+        return self._publish(
+            Commit(
+                version=read_version + 1,
+                files=[],
+                row_count=0,
+                operation="delete_dv",
+                stats=None,
+                restate=False,
+                data_change=True,
+                dv_files=dv_files,
+                dv_row_count=dv_count,
+            )
         )
-        self._commit_path(version).write_text(json.dumps(commit.__dict__))
-        return commit
 
     def _live_dv_files(self, version: int | None = None) -> list[str]:
         """DV parquet files active as of ``version`` (restates clear
@@ -437,9 +497,11 @@ class LakehouseTable:
         is the #1 lakehouse perf killer at scale). ``data_change`` is
         False — no logical rows change, so incremental readers skip it
         (Delta OPTIMIZE's dataChange=false)."""
+        read_version = self.latest_version()
         snap = self.snapshot()
         return self._commit_restate(
-            snap.repartition(target_partitions), "compact", data_change=False, stats_cols=stats_cols
+            snap.repartition(target_partitions), "compact", data_change=False,
+            stats_cols=stats_cols, read_version=read_version,
         )
 
     def compact_files(
@@ -491,14 +553,39 @@ class LakehouseTable:
             data_change=False,
             removed_files=sorted(files_subset),
         )
-        tmp = self.log_dir / f".tmp-{uuid.uuid4().hex}"
-        tmp.write_text(json.dumps(commit.__dict__))
-        target = self._commit_path(version)
-        if target.exists():
-            tmp.unlink()
-            raise RuntimeError(f"concurrent commit at version {version}")
-        os.rename(tmp, target)
-        return commit
+        # Conflict-aware publish (the Delta conflict matrix's rebase
+        # case): a partial compaction only touches ``files_subset``,
+        # so it REBASES over concurrent appends and disjoint partial
+        # rewrites — their file sets cannot invalidate this bin. A
+        # concurrent restate, DV delete, or overlapping rewrite CAN
+        # (the bin may no longer be live / positions may shift), so
+        # those raise for a replan.
+        if self._pre_publish_hook is not None:
+            self._pre_publish_hook()
+        bin_files = set(files_subset)
+        while True:
+            head = self.latest_version()
+            if head >= commit.version:
+                inter = [c for c in self.history() if c.version >= commit.version]
+                conflicts = [
+                    (c.version, c.operation)
+                    for c in inter
+                    if c.restate or c.dv_files or (set(c.removed_files or []) & bin_files)
+                ]
+                if conflicts:
+                    raise ConcurrentModificationError(
+                        f"compact_files of {sorted(bin_files)} raced with "
+                        f"{conflicts}; the bin may no longer be live — replan"
+                    )
+                commit.version = head + 1  # rebase: disjoint-files rule
+            tmp = self.log_dir / f".tmp-{uuid.uuid4().hex}"
+            tmp.write_text(json.dumps(commit.__dict__))
+            target = self._commit_path(commit.version)
+            if target.exists():
+                tmp.unlink()
+                continue  # lost another race — reclassify against the new head
+            os.rename(tmp, target)
+            return commit
 
     def restore(self, version: int | None = None, timestamp: float | None = None) -> Commit:
         """RESTORE TABLE to an earlier version (Delta ``RESTORE``
@@ -533,20 +620,19 @@ class LakehouseTable:
             if c.stats:
                 stats.update({f: c.stats[f] for f in c.files if f in c.stats})
         dv_files = [f for c in live for f in (c.dv_files or [])]
-        new_version = self.latest_version() + 1
-        commit = Commit(
-            version=new_version,
-            files=files,
-            row_count=sum(c.row_count for c in live),
-            operation="restore",
-            stats=stats or None,
-            restate=True,
-            data_change=True,
-            dv_files=dv_files or None,
-            dv_row_count=sum(c.dv_row_count for c in live),
+        return self._publish(
+            Commit(
+                version=self.latest_version() + 1,
+                files=files,
+                row_count=sum(c.row_count for c in live),
+                operation="restore",
+                stats=stats or None,
+                restate=True,
+                data_change=True,
+                dv_files=dv_files or None,
+                dv_row_count=sum(c.dv_row_count for c in live),
+            )
         )
-        self._commit_path(new_version).write_text(json.dumps(commit.__dict__))
-        return commit
 
     def scd2_apply(
         self,
@@ -570,6 +656,7 @@ class LakehouseTable:
         from pyspark.sql import functions as F
 
         cols = key_cols + attr_cols
+        read_version = self.latest_version()
         if self.latest_version() >= 0:
             existing = self.snapshot().select(
                 *cols, F.col("valid_from").alias(effective_col)
@@ -578,7 +665,9 @@ class LakehouseTable:
         else:
             obs = updates.select(*cols, effective_col)
         hist = scd2_history(obs, key_cols, attr_cols, effective_col)
-        return self._commit_restate(hist, operation="scd2", data_change=True)
+        return self._commit_restate(
+            hist, operation="scd2", data_change=True, read_version=read_version
+        )
 
     def clone(
         self,
@@ -679,6 +768,7 @@ class LakehouseTable:
         """
         from pyspark.sql import functions as F
 
+        read_version = self.latest_version()
         snap = self.snapshot()
         b = snap.agg(
             *[F.min(c).cast("double").alias(f"lo_{c}") for c in cols],
@@ -720,6 +810,7 @@ class LakehouseTable:
             data_change=False,
             stats_cols=stats_cols or cols,
             partition_by=["_zb"],
+            read_version=read_version,
         )
 
     # -- reads ---------------------------------------------------------------

@@ -934,3 +934,109 @@ def test_delta_export_column_mapping_rename(spark, table):
     # native snapshot equality (order-insensitive)
     want = table.snapshot()
     assert got.exceptAll(want).count() == 0 and want.exceptAll(got).count() == 0
+
+
+def _kv(spark, lo, hi):
+    return spark.range(lo, hi).select(F.col("id").alias("k"), (F.col("id") * 10).alias("v"))
+
+
+def test_restate_raises_on_concurrent_append(spark, table):
+    """The Delta conflict matrix's non-rebaseable case: a full-state
+    rewrite (delete/merge) computed against a base that moved must
+    raise — silently publishing would drop the concurrent append."""
+    from lakehouse_test_spark.plans.lakehouse import ConcurrentModificationError
+
+    table.append(_kv(spark, 0, 50))
+    other = LakehouseTable(spark, str(table.path))
+
+    def race():
+        table._pre_publish_hook = None  # one-shot
+        other.append(_kv(spark, 50, 80))
+
+    table._pre_publish_hook = race
+    with pytest.raises(ConcurrentModificationError, match="concurrent commit"):
+        table.delete_where("k < 10")
+    # nothing was lost or half-applied: both appends visible, no delete
+    assert table.snapshot().count() == 80
+    # recompute-and-retry now succeeds and sees the concurrent rows
+    table.delete_where("k < 10")
+    assert table.snapshot().count() == 70
+
+
+def test_dv_delete_raises_on_concurrent_restate(spark, table):
+    """DV positions are keyed to the file set they were computed from;
+    a concurrent restate invalidates them, so publish must raise."""
+    from lakehouse_test_spark.plans.lakehouse import ConcurrentModificationError
+
+    table.append(_kv(spark, 0, 50))
+    other = LakehouseTable(spark, str(table.path))
+
+    def race():
+        table._pre_publish_hook = None
+        other.delete_where("k >= 40")  # restate rewrites the files
+
+    table._pre_publish_hook = race
+    with pytest.raises(ConcurrentModificationError):
+        table.delete_where_dv("k < 5")
+    assert table.snapshot().count() == 40  # only the restate applied
+    table.delete_where_dv("k < 5")  # retry against the new base
+    assert table.snapshot().count() == 35
+
+
+def test_compact_files_rebases_over_concurrent_append(spark, table):
+    """The rebase case: partial compaction touches only its bin, so a
+    concurrent append (disjoint by construction) must NOT abort it —
+    the commit re-targets the new head and both changes survive."""
+    c0 = table.append(_kv(spark, 0, 30))
+    table.append(_kv(spark, 30, 60))
+    other = LakehouseTable(spark, str(table.path))
+
+    def race():
+        table._pre_publish_hook = None
+        other.append(_kv(spark, 60, 90))  # lands at v2 mid-compaction
+
+    table._pre_publish_hook = race
+    c = table.compact_files(c0.files)
+    assert c.version == 3  # rebased past the concurrent append
+    assert table.snapshot().count() == 90  # nothing lost
+    live = {f for _c, f in table._live_files()}
+    assert not (set(c0.files) & live)  # bin replaced
+    assert set(c.files) <= live
+
+
+def test_compact_files_rebases_over_disjoint_bin(spark, table):
+    """Two partial compactions of DISJOINT bins commute (Delta's
+    disjoint-files rule): the second rebases instead of aborting."""
+    c0 = table.append(_kv(spark, 0, 30))
+    c1 = table.append(_kv(spark, 30, 60))
+    other = LakehouseTable(spark, str(table.path))
+
+    def race():
+        table._pre_publish_hook = None
+        other.compact_files(c1.files)
+
+    table._pre_publish_hook = race
+    c = table.compact_files(c0.files)
+    assert c.version == 3
+    assert table.snapshot().count() == 60
+    live = {f for _c, f in table._live_files()}
+    assert not ((set(c0.files) | set(c1.files)) & live)
+
+
+def test_compact_files_raises_on_concurrent_restate(spark, table):
+    """A concurrent restate may drop the bin entirely — the compaction
+    must abort for a replan, never publish stale files."""
+    from lakehouse_test_spark.plans.lakehouse import ConcurrentModificationError
+
+    c0 = table.append(_kv(spark, 0, 30))
+    table.append(_kv(spark, 30, 60))
+    other = LakehouseTable(spark, str(table.path))
+
+    def race():
+        table._pre_publish_hook = None
+        other.delete_where("k >= 50")
+
+    table._pre_publish_hook = race
+    with pytest.raises(ConcurrentModificationError, match="replan"):
+        table.compact_files(c0.files)
+    assert table.snapshot().count() == 50  # restate won; table consistent
