@@ -99,6 +99,27 @@ def main() -> None:
             timings[name] = min(timings.get(name, dt), dt)
 
     total = round(sum(timings.values()), 3)
+
+    # quantify the pinning discount instead of asserting it: one
+    # timed pass against the COLD path (unsplittable single-row-group
+    # fixture scans, no persisted tables) — the layout handicap, not
+    # an engine property, but published so every round's number can
+    # be compared both ways.
+    unpinned_total = None
+    if pinned:
+        from lakehouse_test_spark.session import unpin_fixture_tables
+
+        unpin_fixture_tables()
+        cold: dict[str, float] = {}
+        for name in HEADLINE:
+            q = REGISTRY.get(name)
+            if q is None:
+                continue
+            t0 = time.time()
+            q.fn(spark, sf_dir).write.format("noop").mode("overwrite").save()
+            cold[name] = round(time.time() - t0, 3)
+        unpinned_total = round(sum(cold.values()), 3)
+
     print(
         json.dumps(
             {
@@ -108,6 +129,7 @@ def main() -> None:
                 "queries": timings,
                 "sf": sf,
                 "pinned_tables": pinned,
+                "unpinned_total_sec": unpinned_total,
             }
         )
     )
