@@ -132,3 +132,54 @@ def test_append_and_streaming_maintenance(spark, planted, tmp_path_factory):
     got = [r.vec_id for r in ann_index_query(spark, path, qvec, k=10).collect()]
     assert len(set(got) & set(range(20))) >= 8
     assert any(v < 10 for v in got), "streamed vectors never surfaced"
+
+
+def test_append_touches_only_affected_bands(spark, planted, tmp_path_factory):
+    """Incremental-append contract: cost is O(new vectors) — bucketing
+    + a bounded histogram merge + an append write into ONLY the band
+    partitions the batch hashes to. No job re-reads the existing
+    corpus, and untouched band directories gain no files."""
+    import glob
+    import os
+    import re
+
+    from lakehouse_test_spark.operators.ann_index import (
+        _bucket_expr,
+        _load_meta,
+        ann_index_append,
+        ann_index_query,
+    )
+
+    corpus, qvec = planted
+    path = str(tmp_path_factory.mktemp("annidx_append") / "lsh")
+    ann_index_build(corpus.where("vec_id >= 10"), path, kind="lsh")
+    meta0 = _load_meta(path)
+    n0 = sum(meta0["histogram"].values())
+
+    batch = corpus.where("vec_id < 10")
+    expected_bands = {
+        int(r.b) >> meta0["band_shift"]
+        for r in batch.select(_bucket_expr(meta0).alias("b")).collect()
+    }
+    files_before = set(glob.glob(os.path.join(path, "vectors", "band=*", "*.parquet")))
+
+    tracker = spark.sparkContext.statusTracker()
+    all_before = set(tracker.getJobIdsForGroup(None) or [])
+    meta1 = ann_index_append(batch, path)
+    all_after = set(tracker.getJobIdsForGroup(None) or [])
+    # bucket+histogram collect and the append write — bounded by the
+    # BATCH, never the corpus (a corpus re-read/re-histogram adds 2+)
+    assert len(all_after - all_before) <= 4, "append ran corpus-sized work"
+
+    new_files = (
+        set(glob.glob(os.path.join(path, "vectors", "band=*", "*.parquet")))
+        - files_before
+    )
+    assert new_files, "append wrote nothing"
+    new_bands = {int(re.search(r"band=(\d+)", f).group(1)) for f in new_files}
+    assert new_bands == expected_bands, (new_bands, expected_bands)
+
+    # accounting + recall: every vector present, planted dups found
+    assert sum(meta1["histogram"].values()) == n0 + 10
+    got = [r.vec_id for r in ann_index_query(spark, path, qvec, k=10).collect()]
+    assert len(set(got) & set(range(20))) >= 8, f"recall dropped: {got}"
