@@ -663,12 +663,126 @@ def _select_merge_batch(
     return accepted
 
 
+def bpe_train_driver(
+    seq_freqs: list[tuple[list[str], int]], num_merges: int
+) -> list[tuple[int, str, str, int]]:
+    """Exact sequential BPE over a (symbol-sequence, freq) table,
+    driver-side, with the incremental pair-index + lazy max-heap the
+    real trainers (HuggingFace tokenizers, SentencePiece) use: each
+    merge updates only the adjacencies it touches, so total work is
+    O(total symbols + merge occurrences), not O(merges × corpus).
+
+    This is stage 2 of the production BPE architecture: stage 1 (the
+    ONLY corpus-scale step) aggregates the corpus to the frequency
+    table distributed; the training state is vocabulary-sized by
+    construction and fits one machine at any corpus size. Merge order
+    (including the (-count, pair) lexicographic tiebreak) is identical
+    to the naive sequential reference — pinned by tests against the
+    same oracle as the distributed batched loop.
+    """
+    import heapq
+
+    # flatten into one linked list; SEP breaks adjacency between rows
+    sym: list[str | None] = []
+    w: list[int] = []
+    for syms, f in seq_freqs:
+        for s in syms:
+            sym.append(s)
+            w.append(int(f))
+        sym.append(None)  # separator
+        w.append(0)
+    n = len(sym)
+    nxt = list(range(1, n + 1))
+    prv = list(range(-1, n - 1))
+    alive = [s is not None for s in sym]
+
+    from collections import defaultdict
+
+    pair_count: dict[tuple[str, str], int] = defaultdict(int)
+    pair_pos: dict[tuple[str, str], set[int]] = defaultdict(set)
+    heap: list[tuple[int, str, str]] = []
+
+    def _add(p: int) -> None:
+        q = nxt[p]
+        if q >= n or not alive[p] or not alive[q]:
+            return
+        key = (sym[p], sym[q])
+        pair_count[key] += w[p]
+        pair_pos[key].add(p)
+        heapq.heappush(heap, (-pair_count[key], key[0], key[1]))
+
+    def _remove(p: int) -> None:
+        q = nxt[p]
+        if q >= n or sym[p] is None or sym[q] is None:
+            return
+        key = (sym[p], sym[q])
+        pair_count[key] -= w[p]
+        pair_pos[key].discard(p)
+        if pair_count[key] <= 0:
+            pair_count.pop(key, None)
+            pair_pos.pop(key, None)
+        else:
+            # lazy heap: every count CHANGE needs a fresh entry, or the
+            # pair's current count is unreachable after a decrement
+            heapq.heappush(heap, (-pair_count[key], key[0], key[1]))
+
+    for i in range(n):
+        if alive[i] and nxt[i] < n and alive[nxt[i]]:
+            key = (sym[i], sym[nxt[i]])
+            pair_count[key] += w[i]
+            pair_pos[key].add(i)
+    for key, c in pair_count.items():
+        heapq.heappush(heap, (-c, key[0], key[1]))
+
+    merges: list[tuple[int, str, str, int]] = []
+    while len(merges) < num_merges and heap:
+        negc, l, r = heapq.heappop(heap)
+        cur = pair_count.get((l, r))
+        if cur is None or -negc != cur:
+            continue  # stale heap entry (lazy invalidation)
+        if cur < 2:
+            break
+        new_sym = l + r
+        count_before = cur
+        # leftmost-first greedy over this pair's positions; a position
+        # consumed earlier in the same merge is detected by re-checking
+        # the symbols (reference semantics: scan original symbols,
+        # never re-match the merged symbol within the pass)
+        for p in sorted(pair_pos.get((l, r), ())):
+            q = nxt[p]
+            if not (alive[p] and q < n and alive[q]):
+                continue
+            if sym[p] != l or sym[q] != r:
+                continue
+            p0 = prv[p]
+            n2 = nxt[q]
+            # retire the three adjacencies this merge touches
+            if p0 >= 0 and alive[p0]:
+                _remove(p0)
+            _remove(p)
+            _remove(q)
+            # splice out q, rewrite p
+            sym[p] = new_sym
+            alive[q] = False
+            nxt[p] = n2
+            if n2 < n:
+                prv[n2] = p
+            # new adjacencies
+            if p0 >= 0 and alive[p0]:
+                _add(p0)
+            _add(p)
+        merges.append((len(merges), l, r, count_before))
+    return merges
+
+
 def bpe_train(
     docs: DataFrame,
     num_merges: int = 16,
     text_col: str = "text",
     max_collect: int = 65536,
     stats: dict | None = None,
+    pretokenize: bool = True,
+    driver_threshold: int = 0,
 ) -> list[tuple[int, str, str, int]]:
     """Train byte-pair-encoding merges on a corpus, distributed.
 
@@ -697,47 +811,90 @@ def bpe_train(
     byte-identical to the unbatched loop (tests pin parity against a
     pure-Python sequential reference, tiebreaks included). ``stats``
     (optional dict) receives {"rounds": N} for round-count assertions.
+
+    ``driver_threshold`` > 0 enables the PRODUCTION fast path: when
+    the frequency table has at most that many rows, training finishes
+    driver-side via :func:`bpe_train_driver` (stage-1 aggregation is
+    the only corpus-scale work — exactly the HuggingFace/SentencePiece
+    architecture). Merge output is identical either way; the
+    distributed rounds remain for vocabularies too large for one
+    machine. ``stats["driver"]`` records which path ran.
     """
     from lakehouse_test_spark.operators.text import ws_tokens
 
+    if pretokenize:
+        seqs = docs.select(F.explode(ws_tokens(F.col(text_col))).alias("w"))
+    else:
+        # SentencePiece-style training: the WHOLE text is one symbol
+        # sequence (spaces are ordinary symbols), so merges cross word
+        # boundaries and the learnable vocabulary is bounded by the
+        # corpus's character diversity, not its whitespace-word count.
+        # Sequence rows = distinct texts (real SentencePiece samples
+        # sentences for the same reason: the training state must be
+        # corpus-bounded).
+        seqs = docs.select(F.col(text_col).alias("w"))
     vocab = (
-        docs.select(F.explode(ws_tokens(F.col(text_col))).alias("w"))
-        .where(F.length("w") > 0)
+        seqs.where(F.length("w") > 0)
         .groupBy("w")
         .agg(F.count(F.lit(1)).alias("freq"))
         .select(F.split(F.col("w"), "").alias("syms"), "freq")
     ).persist()
-    vocab.count()
+    n_vocab = vocab.count()
+
+    if driver_threshold and n_vocab <= driver_threshold:
+        seq_freqs = [(list(r["syms"]), int(r["freq"])) for r in vocab.collect()]
+        vocab.unpersist()
+        if stats is not None:
+            stats["rounds"] = 1  # the stage-1 aggregation
+            stats["driver"] = True
+        return bpe_train_driver(seq_freqs, num_merges)
+    if stats is not None:
+        stats["driver"] = False
+
+    from pyspark.sql import Window
 
     merges: list[tuple[int, str, str, int]] = []
     rounds = 0
     while len(merges) < num_merges:
-        per_n = []
-        for n in range(2, _BPE_MAXN + 1):
-            zipped = F.arrays_zip(
-                *[
-                    F.slice(F.col("syms"), i + 1, F.size("syms") - (n - 1)).alias(
-                        f"s{i}"
+        # ONE pass per round: every n-gram length (2.._BPE_MAXN) is
+        # generated in a single explode and aggregated in a single
+        # shuffle — at corpus scale each extra per-n pass would be
+        # another full read+shuffle, so this is 4 passes folded into 1.
+        # The per-n top-(max_collect+1) is then a bounded second
+        # shuffle over the (already aggregated) distinct grams.
+        def _gram_slicer(n: int):
+            # single-param lambda: a 2-param one would receive the
+            # ARRAY INDEX as its second argument (transform's API)
+            return lambda i: F.slice(F.col("syms"), i, n)
+
+        gram_arrays = F.array(
+            *[
+                F.when(
+                    F.size("syms") >= n,
+                    F.transform(
+                        F.sequence(F.lit(1), F.size("syms") - (n - 1)),
+                        _gram_slicer(n),
+                    ),
+                ).otherwise(F.array().cast("array<array<string>>"))
+                for n in range(2, _BPE_MAXN + 1)
+            ]
+        )
+        top = (
+            vocab.select(F.explode(F.flatten(gram_arrays)).alias("gram"), "freq")
+            .groupBy("gram")
+            .agg(F.sum("freq").alias("c"))
+            .withColumn(
+                "rk",
+                F.row_number().over(
+                    Window.partitionBy(F.size("gram")).orderBy(
+                        F.desc("c"), F.asc(F.col("gram").cast("string"))
                     )
-                    for i in range(n)
-                ]
+                ),
             )
-            per_n.append(
-                vocab.where(F.size("syms") >= n)
-                .select(F.explode(zipped).alias("g"), "freq")
-                .select(
-                    F.array(*[F.col(f"g.s{i}") for i in range(n)]).alias("gram"),
-                    "freq",
-                )
-                .groupBy("gram")
-                .agg(F.sum("freq").alias("c"))
-                .orderBy(F.desc("c"))
-                .limit(max_collect + 1)
-            )
-        grams = per_n[0]
-        for other in per_n[1:]:
-            grams = grams.unionByName(other)
-        rows = grams.collect()  # ONE action per round
+            .where(F.col("rk") <= max_collect + 1)
+            .drop("rk")
+        )
+        rows = top.collect()  # ONE action per round
         ng0: dict[tuple[str, ...], int] = {}
         sizes: dict[int, int] = {}
         mins: dict[int, int] = {}

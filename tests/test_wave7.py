@@ -328,3 +328,59 @@ def test_bpe_encode_matches_python_reference(spark):
         i: sum(encode_word(w) for w in t.split()) for i, t in enumerate(texts)
     }
     assert got == want
+
+
+def test_bpe_driver_trainer_matches_reference_stress():
+    """The incremental pair-index + lazy-heap driver trainer
+    (bpe_train_driver) must reproduce the naive sequential reference
+    EXACTLY — counts, order, and the (-count, pair) tiebreak — across
+    adversarial corpora (tiny alphabets force self-pairs, chains, and
+    count-decrement paths where a stale heap would pick wrong)."""
+    import random
+
+    from lakehouse_test_spark.operators.tokens import bpe_train_driver
+
+    for seed in range(60):
+        rng = random.Random(seed)
+        alpha = "ab" if seed % 3 == 0 else "abc"
+        rows = [
+            (
+                [rng.choice(alpha) for _ in range(rng.randint(1, 12))],
+                rng.randint(1, 5),
+            )
+            for _ in range(rng.randint(2, 20))
+        ]
+        ref = _ref_bpe_vocab(_rows_to_counter(rows), 30)
+        got = bpe_train_driver(rows, 30)
+        assert got == ref, f"seed {seed}: {got[:5]} != {ref[:5]}"
+
+
+def _rows_to_counter(rows):
+    from collections import Counter
+
+    c = Counter()
+    for syms, f in rows:
+        c[tuple(syms)] += f
+    return c
+
+
+def test_bpe_driver_path_equals_distributed(spark):
+    """bpe_train(driver_threshold=big) must return the identical merge
+    table the distributed batched loop returns (same corpus)."""
+    from lakehouse_test_spark.operators.tokens import bpe_train
+
+    texts = [
+        ("the quick brown fox jumps over the lazy dog",),
+        ("the quick brown cat naps under the warm sun",),
+        ("lazy dogs and quick cats share the brown barn",),
+    ] * 4
+    df = spark.createDataFrame(texts, "text string")
+    stats_d, stats_s = {}, {}
+    via_driver = bpe_train(df, num_merges=24, driver_threshold=10**6, stats=stats_d)
+    via_spark = bpe_train(df, num_merges=24, stats=stats_s)
+    assert stats_d["driver"] is True and stats_s["driver"] is False
+    assert via_driver == via_spark
+    # and the no-pretokenize variant agrees with itself across paths
+    d2 = bpe_train(df, num_merges=24, pretokenize=False, driver_threshold=10**6)
+    s2 = bpe_train(df, num_merges=24, pretokenize=False)
+    assert d2 == s2
