@@ -39,6 +39,7 @@ import lakehouse_test_spark.queries_wave24  # noqa: F401
 import lakehouse_test_spark.queries_wave25  # noqa: F401
 import lakehouse_test_spark.queries_wave26  # noqa: F401
 import lakehouse_test_spark.queries_wave27  # noqa: F401
+import lakehouse_test_spark.queries_wave28  # noqa: F401
 import lakehouse_test_spark.sources.python_datasource  # noqa: F401
 import lakehouse_test_spark.queries_dq  # noqa: F401
 

@@ -138,7 +138,19 @@ def main() -> None:
                     help="time the wave H-J extension families instead of HEADLINE")
     ap.add_argument("--names", default=None,
                     help="comma-separated registry names to probe instead of a fixed list")
+    ap.add_argument("--sf10", action="store_true",
+                    help="probe the r3 worst scalers at sf0.1/sf1/sf10 (100x)")
     args = ap.parse_args()
+
+    if args.sf10:
+        sf1 = os.path.join(args.out, "sf1")
+        sf10 = os.path.join(args.out, "sf10")
+        if not os.path.exists(sf1):
+            sf1 = synthesize(args.out)
+        if not os.path.exists(sf10):
+            sf10 = synthesize_sf10(args.out)
+        run_sf10([SRC, sf1, sf10], args.names.split(",") if args.names else None)
+        return
 
     sf1 = os.path.join(args.out, "sf1")
     if not args.skip_synth or not os.path.exists(sf1):
@@ -197,6 +209,111 @@ EXTENSION_QUERIES = [
 # ~100x work. Real scale-up grows the catalog with the orders
 # (degree ~const); density-stress belongs to a skew benchmark, not
 # the wall-clock ratio table.
+
+
+# ---------------------------------------------------------------------------
+# sf10 probe (100× sf0.1): the VERDICT-r3 worst scalers, chased one
+# decade further. Only the TPC-H tables those queries touch are
+# synthesized (lineitem ~60M rows); the same key-shifted replication
+# preserves the join graph.
+# ---------------------------------------------------------------------------
+
+SF10_QUERIES = [
+    "q3_shipping_priority",
+    "q5_local_supplier_volume",
+    "q6_forecast_revenue",
+    "q18_large_orders",
+]
+SF10_TABLES = ["customer", "supplier", "orders", "lineitem"]
+
+
+def synthesize_sf10(out_dir: str, replicas: int = 100) -> str:
+    import glob
+    import shutil
+
+    from pyspark.sql import functions as F
+
+    from lakehouse_test_spark.session import get_spark
+
+    spark = get_spark("scaling-probe-sf10")
+    sf10 = os.path.join(out_dir, "sf10")
+    os.makedirs(sf10, exist_ok=True)
+
+    shift_unit: dict[str, int] = {}
+    for t, (pk, _) in KEYS.items():
+        if pk is not None:
+            df = spark.read.parquet(f"{SRC}/{t}.parquet")
+            shift_unit[t] = int(df.agg(F.max(pk)).head()[0]) + 1
+
+    def write_flat(df, t: str) -> None:
+        tmp = os.path.join(out_dir, f"_tmp10_{t}")
+        df.coalesce(1).write.mode("overwrite").parquet(tmp)
+        part = glob.glob(os.path.join(tmp, "part-*.parquet"))[0]
+        dst = os.path.join(sf10, f"{t}.parquet")
+        if os.path.isdir(dst):
+            shutil.rmtree(dst)
+        shutil.move(part, dst)
+        shutil.rmtree(tmp)
+
+    for t in COPY_ONLY:
+        write_flat(spark.read.parquet(f"{SRC}/{t}.parquet"), t)
+
+    for t in SF10_TABLES:
+        pk, fks = KEYS[t]
+        base = spark.read.parquet(f"{SRC}/{t}.parquet")
+        parts = []
+        for i in range(replicas):
+            df = base
+            if pk is not None and i:
+                df = df.withColumn(pk, F.col(pk) + i * shift_unit[t])
+            for fk, parent in fks.items():
+                if i:
+                    df = df.withColumn(fk, F.col(fk) + i * shift_unit[parent])
+            parts.append(df)
+        union = parts[0]
+        for p in parts[1:]:
+            union = union.unionByName(p)
+        write_flat(union, t)
+    spark.stop()
+    return sf10
+
+
+def run_sf10(sf_dirs: list[str], names: list[str] | None = None) -> None:
+    """Time ``names`` at each dir in-process (pinned core-aligned, same
+    treatment at every scale) and print the ratio table."""
+    import time
+
+    from lakehouse_test_spark.queries import REGISTRY
+    from lakehouse_test_spark.session import get_spark, pin_fixture_tables, unpin_fixture_tables
+
+    names = names or SF10_QUERIES
+    spark = get_spark("scaling-probe-sf10")
+    spark.range(1).count()
+    results: dict[str, dict[str, float]] = {}
+    for sf_dir in sf_dirs:
+        pin_fixture_tables(spark, sf_dir, tables=SF10_TABLES + COPY_ONLY)
+        for name in names:
+            fn = REGISTRY[name].fn
+            fn(spark, sf_dir).write.format("noop").mode("overwrite").save()  # warm
+            best = float("inf")
+            for _ in range(2):
+                t0 = time.perf_counter()
+                fn(spark, sf_dir).write.format("noop").mode("overwrite").save()
+                best = min(best, time.perf_counter() - t0)
+            results.setdefault(name, {})[sf_dir] = best
+        unpin_fixture_tables()
+        spark.catalog.clearCache()
+    hdr = " | ".join(os.path.basename(d) for d in sf_dirs)
+    print(f"| query | {hdr} (s) | ratio/decade |")
+    print("|---|---|---|")
+    out = {}
+    for name in names:
+        ts = [results[name][d] for d in sf_dirs]
+        decades = [round(b / max(a, 0.1), 2) for a, b in zip(ts, ts[1:])]
+        out[name] = {"sec": [round(t, 2) for t in ts], "decade_ratios": decades}
+        print(f"| {name} | {' / '.join(f'{t:.2f}' for t in ts)} | {decades} |")
+    print()
+    print(json.dumps({"metric": "sf10_scaling", "results": out}))
 
 
 def run_extension(sf_dirs: list[str], names: list[str] | None = None) -> None:
