@@ -9,8 +9,16 @@ the public Delta transaction-log specification
 (github.com/delta-io/delta/blob/master/PROTOCOL.md):
 
 - one ``%020d.json`` per version holding newline-delimited actions;
-- version 0 carries ``protocol`` (minReader 1 / minWriter 2) and
-  ``metaData`` (id, parquet format, Spark schemaString);
+- version 0 carries ``protocol`` (minReader 1 / minWriter 2 for plain
+  tables; 2/5 with columnMapping; 3/7 + table-feature lists when the
+  table has deletion vectors) and ``metaData`` (id, parquet format,
+  Spark schemaString — logical names + physicalName/field-id metadata
+  under columnMapping);
+- native DV commits export per PROTOCOL.md §Deletion Vectors: each
+  affected file is removed and re-added with its CUMULATIVE deleted
+  row indexes as an inline (storageType "i", Z85) 64-bit
+  RoaringBitmapArray descriptor — no data file rewritten, and the
+  replay applies the bitmaps as a merge-on-read anti-join;
 - appends carry one ``add`` per data file with ``partitionValues``,
   ``size``, ``modificationTime``, ``dataChange`` and a ``stats`` JSON
   string (numRecords + minValues/maxValues from the native zone maps);
@@ -45,6 +53,172 @@ from lakehouse_test_spark.plans.lakehouse import LakehouseTable
 PROTOCOL = {"minReaderVersion": 1, "minWriterVersion": 2}
 #: column mapping requires reader 2 / writer 5 (PROTOCOL.md §Column Mapping)
 PROTOCOL_COLUMN_MAPPING = {"minReaderVersion": 2, "minWriterVersion": 5}
+
+
+# ---------------------------------------------------------------------------
+# Deletion vectors (PROTOCOL.md §Deletion Vectors): per-file deleted row
+# indexes as a 64-bit RoaringBitmapArray, carried INLINE in the add
+# action's deletionVector descriptor (storageType "i", Z85-encoded).
+# The bitmap serialization below is the public RoaringFormatSpec
+# "portable" layout (array + bitmap containers, no-run cookie), written
+# from scratch and roundtrip-tested; no third-party reader exists in
+# the sandbox, so replay tests are the validation, like the rest of
+# the exporters.
+# ---------------------------------------------------------------------------
+
+_Z85_ALPHABET = (
+    "0123456789abcdefghijklmnopqrstuvwxyz"
+    "ABCDEFGHIJKLMNOPQRSTUVWXYZ.-:+=^!/*?&<>()[]{}@%$#"
+)
+_Z85_INDEX = {c: i for i, c in enumerate(_Z85_ALPHABET)}
+_ROARING_ARRAY_MAGIC = 1681511377  # Delta's RoaringBitmapArray magic
+_SERIAL_COOKIE_NO_RUN = 12346  # RoaringFormatSpec: no run containers
+
+
+def _z85_encode(data: bytes) -> str:
+    """ZeroMQ Z85 (the spec requires len % 4 == 0; Delta pads the
+    serialized DV to a 4-byte boundary and records the true length in
+    sizeInBytes)."""
+    if len(data) % 4:
+        data = data + b"\x00" * (4 - len(data) % 4)
+    out = []
+    for i in range(0, len(data), 4):
+        v = int.from_bytes(data[i : i + 4], "big")
+        chunk = []
+        for _ in range(5):
+            v, rem = divmod(v, 85)
+            chunk.append(_Z85_ALPHABET[rem])
+        out.extend(reversed(chunk))
+    return "".join(out)
+
+
+def _z85_decode(text: str) -> bytes:
+    out = bytearray()
+    for i in range(0, len(text), 5):
+        v = 0
+        for c in text[i : i + 5]:
+            v = v * 85 + _Z85_INDEX[c]
+        out += v.to_bytes(4, "big")
+    return bytes(out)
+
+
+def _roaring32_serialize(values: list[int]) -> bytes:
+    """One 32-bit roaring bitmap, RoaringFormatSpec portable layout:
+    no-run cookie + container headers + offsets + container data
+    (array containers ≤4096 entries, else 8 KiB bitmap containers)."""
+    import struct as _s
+
+    by_key: dict[int, list[int]] = {}
+    for v in sorted(set(values)):
+        by_key.setdefault(v >> 16, []).append(v & 0xFFFF)
+    keys = sorted(by_key)
+    out = bytearray()
+    out += _s.pack("<ii", _SERIAL_COOKIE_NO_RUN, len(keys))
+    for k in keys:
+        out += _s.pack("<HH", k, len(by_key[k]) - 1)
+    # container byte offsets (from stream start)
+    data_start = 8 + 4 * len(keys) + 4 * len(keys)
+    offsets, pos = [], data_start
+    for k in keys:
+        offsets.append(pos)
+        pos += 2 * len(by_key[k]) if len(by_key[k]) <= 4096 else 8192
+    for o in offsets:
+        out += _s.pack("<i", o)
+    for k in keys:
+        lows = by_key[k]
+        if len(lows) <= 4096:
+            out += _s.pack(f"<{len(lows)}H", *lows)
+        else:
+            bits = bytearray(8192)
+            for lo in lows:
+                bits[lo >> 3] |= 1 << (lo & 7)
+            out += bits
+    return bytes(out)
+
+
+def _roaring32_deserialize(buf: bytes, pos: int = 0) -> tuple[list[int], int]:
+    import struct as _s
+
+    cookie, n = _s.unpack_from("<ii", buf, pos)
+    if cookie != _SERIAL_COOKIE_NO_RUN:
+        raise ValueError(f"unsupported roaring cookie {cookie}")
+    base = pos
+    hdr = pos + 8
+    keys, cards = [], []
+    for i in range(n):
+        k, c1 = _s.unpack_from("<HH", buf, hdr + 4 * i)
+        keys.append(k)
+        cards.append(c1 + 1)
+    offs = [
+        _s.unpack_from("<i", buf, hdr + 4 * n + 4 * i)[0] for i in range(n)
+    ]
+    values: list[int] = []
+    end = hdr + 4 * n + 4 * n  # absolute: just past the offsets block
+    for k, card, off in zip(keys, cards, offs):
+        p = base + off
+        if card <= 4096:
+            lows = _s.unpack_from(f"<{card}H", buf, p)
+            end = max(end, p + 2 * card)
+            values.extend((k << 16) | lo for lo in lows)
+        else:
+            bits = buf[p : p + 8192]
+            end = max(end, p + 8192)
+            for byte_i, b in enumerate(bits):
+                while b:
+                    low_bit = b & (-b)
+                    values.append((k << 16) | (byte_i << 3) | (low_bit.bit_length() - 1))
+                    b ^= low_bit
+    return values, end
+
+
+def serialize_dv(positions: list[int]) -> bytes:
+    """64-bit RoaringBitmapArray: magic, number of 32-bit buckets,
+    then each bucket's portable roaring bitmap (bucket i covers
+    [i·2³², (i+1)·2³²))."""
+    import struct as _s
+
+    buckets: dict[int, list[int]] = {}
+    for p in positions:
+        buckets.setdefault(p >> 32, []).append(p & 0xFFFFFFFF)
+    # buckets are positional (value = index·2³² + low32): serialize
+    # consecutively from 0, empty bitmaps filling any gaps
+    n = (max(buckets) + 1) if buckets else 0
+    out = bytearray(_s.pack("<iq", _ROARING_ARRAY_MAGIC, n))
+    for hi in range(n):
+        out += _roaring32_serialize(buckets.get(hi, []))
+    return bytes(out)
+
+
+def deserialize_dv(buf: bytes) -> list[int]:
+    import struct as _s
+
+    magic, n = _s.unpack_from("<iq", buf, 0)
+    if magic != _ROARING_ARRAY_MAGIC:
+        raise ValueError(f"bad RoaringBitmapArray magic {magic}")
+    pos = 12
+    values: list[int] = []
+    for hi in range(n):
+        vals, pos = _roaring32_deserialize(buf, pos)
+        values.extend((hi << 32) | v for v in vals)
+    return values
+
+
+def dv_descriptor(positions: list[int]) -> dict:
+    """Inline deletionVector descriptor for an add action."""
+    data = serialize_dv(sorted(positions))
+    return {
+        "storageType": "i",
+        "pathOrInlineDv": _z85_encode(data),
+        "sizeInBytes": len(data),
+        "cardinality": len(set(positions)),
+    }
+
+
+def dv_positions(descriptor: dict) -> list[int]:
+    if descriptor["storageType"] != "i":
+        raise ValueError(f"unsupported DV storage {descriptor['storageType']}")
+    data = _z85_decode(descriptor["pathOrInlineDv"])[: descriptor["sizeInBytes"]]
+    return deserialize_dv(data)
 
 
 def _with_column_mapping(schema_json: str, phys_map: dict[str, str]) -> tuple[str, int]:
@@ -109,6 +283,18 @@ def _checkpoint_schema():
                         ("modificationTime", pa.int64()),
                         ("dataChange", pa.bool_()),
                         ("stats", pa.string()),
+                        (
+                            "deletionVector",
+                            pa.struct(
+                                [
+                                    ("storageType", pa.string()),
+                                    ("pathOrInlineDv", pa.string()),
+                                    ("offset", pa.int32()),
+                                    ("sizeInBytes", pa.int32()),
+                                    ("cardinality", pa.int64()),
+                                ]
+                            ),
+                        ),
                     ]
                 ),
             ),
@@ -146,6 +332,25 @@ def _write_checkpoint(
     (log_dir / "_last_checkpoint").write_text(
         json.dumps({"version": version, "size": table.num_rows})
     )
+
+
+def _dv_by_file(table: LakehouseTable, commit) -> dict[str, set[int]]:
+    """A DV commit's deleted positions grouped by table-relative data
+    file path (the native DV parquet stores absolute paths)."""
+    from urllib.parse import urlparse
+
+    import pyarrow.parquet as pq
+
+    root = table.path.resolve()
+    out: dict[str, set[int]] = {}
+    for dvf in commit.dv_files or []:
+        t = pq.read_table(str(table.path / dvf))
+        for p, pos in zip(
+            t.column("_dv_file").to_pylist(), t.column("_dv_pos").to_pylist()
+        ):
+            ap = Path(urlparse(p).path if str(p).startswith("file:") else p).resolve()
+            out.setdefault(str(ap.relative_to(root)), set()).add(int(pos))
+    return out
 
 
 def _stats_json(table: LakehouseTable, commit, rel_path: str) -> str | None:
@@ -187,7 +392,21 @@ def export_delta_log(
     log_dir.mkdir(parents=True)
 
     phys_map = table._physical_of_logical()  # logical → stable physical
-    protocol = PROTOCOL_COLUMN_MAPPING if phys_map else PROTOCOL
+    history = table.history()
+    has_dv = any(c.dv_files for c in history)
+    if has_dv:
+        # deletion vectors are a TABLE FEATURE: reader 3 / writer 7
+        # with explicit feature lists (PROTOCOL.md §Table Features);
+        # columnMapping must be listed too once features are explicit
+        feats = ["deletionVectors"] + (["columnMapping"] if phys_map else [])
+        protocol = {
+            "minReaderVersion": 3,
+            "minWriterVersion": 7,
+            "readerFeatures": feats,
+            "writerFeatures": feats,
+        }
+    else:
+        protocol = PROTOCOL_COLUMN_MAPPING if phys_map else PROTOCOL
 
     def _schema_of(files: list[str]) -> str:
         if not files:
@@ -221,7 +440,8 @@ def export_delta_log(
     current_meta: dict | None = None
     live: list[str] = []
     live_adds: dict[str, dict] = {}
-    for commit in table.history():
+    live_dv: dict[str, set[int]] = {}  # file → deleted row indexes
+    for commit in history:
         actions: list[dict] = []
         now_ms = int(time.time() * 1000)
         if commit.version == 0:
@@ -260,6 +480,7 @@ def export_delta_log(
                 )
             live = []
             live_adds = {}
+            live_dv = {}
         elif commit.removed_files:
             # partial rewrite (compact_files): RemoveFile for exactly
             # the replaced files — PROTOCOL.md's OPTIMIZE shape
@@ -277,6 +498,7 @@ def export_delta_log(
             live = [f for f in live if f not in gone]
             for f in gone:
                 live_adds.pop(f, None)
+                live_dv.pop(f, None)
         for f in commit.files:
             p = table.path / f
             add = {
@@ -290,6 +512,31 @@ def export_delta_log(
             actions.append({"add": add})
             live.append(f)
             live_adds[f] = add
+        if commit.dv_files:
+            # native DV commit → per affected file: remove + re-add
+            # with the file's CUMULATIVE deletion vector inline
+            # (PROTOCOL.md: a DV update re-adds the file with its new
+            # vector; replay keeps the latest add per path)
+            for rel, new_pos in sorted(_dv_by_file(table, commit).items()):
+                old = live_adds.get(rel)
+                if old is None:
+                    continue  # DV on a non-live file: nothing to export
+                cum = live_dv.setdefault(rel, set())
+                cum |= new_pos
+                actions.append(
+                    {
+                        "remove": {
+                            "path": rel,
+                            "deletionTimestamp": now_ms,
+                            "dataChange": True,
+                        }
+                    }
+                )
+                new_add = dict(old)
+                new_add["deletionVector"] = dv_descriptor(sorted(cum))
+                new_add["dataChange"] = True
+                actions.append({"add": new_add})
+                live_adds[rel] = new_add
         actions.append(
             {
                 "commitInfo": {
@@ -411,6 +658,25 @@ def read_delta_log(
     df = spark.read.option("mergeSchema", "true").parquet(
         *[str(root / f) for f in files]
     )
+    # deletion vectors: decode each live add's inline bitmap and
+    # anti-join on (file, row index) — the v2 reader's merge-on-read
+    dv_rows = [
+        (str((root / add["path"]).resolve()), int(pos))
+        for add in live.values()
+        if add.get("deletionVector")
+        for pos in dv_positions(add["deletionVector"])
+    ]
+    if dv_rows:
+        dels = spark.createDataFrame(dv_rows, "_ipath string, _ipos long")
+        df = (
+            df.withColumn(
+                "_ipath",
+                F.regexp_replace(F.col("_metadata.file_path"), "^file:(//)?", ""),
+            )
+            .withColumn("_ipos", F.col("_metadata.row_index"))
+            .join(dels, ["_ipath", "_ipos"], "left_anti")
+            .drop("_ipath", "_ipos")
+        )
     if meta and (meta.get("configuration") or {}).get("delta.columnMapping.mode") == "name":
         for f in json.loads(meta["schemaString"]).get("fields", []):
             logical = f["name"]
@@ -484,6 +750,53 @@ def lakehouse_delta_roundtrip(spark: SparkSession, sf_dir: str):
         )
     finally:
         pass  # temp dir reclaimed by the OS; keep files alive for lazy readers
+
+
+@query(
+    "lakehouse_delta_dv_export",
+    oracle="""
+    SELECT event_type,
+           count(*) AS n_events,
+           CAST(round(sum(CAST(value AS DECIMAL(18,6))), 2) AS DOUBLE)
+             AS total_value
+    FROM events
+    WHERE event_id % 5 <> 0 AND event_type <> 'error'
+    GROUP BY event_type
+    """,
+    tags=("lakehouse", "delta", "deletion-vectors", "events"),
+)
+def lakehouse_delta_dv_export(spark: SparkSession, sf_dir: str):
+    """Deletion vectors THROUGH the Delta export: two overlapping DV
+    deletes (no file rewritten) export as inline RoaringBitmapArray
+    descriptors (reader 3 / writer 7 table features), and the replay —
+    scan + bitmap anti-join, a v2 reader's merge-on-read — must equal
+    the batch aggregate minus both deleted slices. Previously DV'd
+    rows silently reappeared through the export.
+
+    Oracle-checkable: equals the straight filtered aggregate.
+    """
+    import tempfile
+
+    from pyspark.sql import functions as F
+
+    from lakehouse_test_spark.fpsafe import dround, dsum
+
+    e = load_table(spark, sf_dir, "events").select("event_id", "event_type", "value")
+    path = tempfile.mkdtemp(prefix="lakehouse_delta_dv_")
+    t = LakehouseTable(spark, path)
+    t.append(e)
+    t.delete_where_dv("event_id % 5 = 0")
+    t.delete_where_dv("event_type = 'error'")  # overlaps the same files
+    export_delta_log(spark, t)
+    via_delta = read_delta_log(spark, str(t.path))
+    return (
+        via_delta.groupBy("event_type")
+        .agg(
+            F.count(F.lit(1)).alias("n_events"),
+            dround(dsum(F.col("value")), 2).alias("total_value"),
+        )
+        .localCheckpoint()  # materialize before the temp table drops
+    )
 
 
 @query(
