@@ -353,17 +353,30 @@ def _dv_by_file(table: LakehouseTable, commit) -> dict[str, set[int]]:
     return out
 
 
-def _stats_json(table: LakehouseTable, commit, rel_path: str) -> str | None:
+def _stats_json(
+    table: LakehouseTable, commit, rel_path: str, phys: dict | None = None
+) -> str | None:
     """Delta per-file stats string from the native zone maps (plus an
-    exact numRecords from the parquet footer)."""
+    exact numRecords from the parquet footer). Under columnMapping,
+    stats are keyed by PHYSICAL column names (what the files store)."""
     import pyarrow.parquet as pq
 
     md = pq.ParquetFile(str(table.path / rel_path)).metadata
     stats: dict = {"numRecords": md.num_rows}
     zone = (commit.stats or {}).get(rel_path)
     if zone:
-        stats["minValues"] = {c: lo for c, (lo, hi) in zone.items()}
-        stats["maxValues"] = {c: hi for c, (lo, hi) in zone.items()}
+        # keep only real-column zone maps: hidden-partitioning stats are
+        # keyed by TRANSFORM items ("bucket(2, k)") and bloom sidecars by
+        # "__bloom__:" — neither is a Delta stats column
+        cols = {
+            c: b
+            for c, b in zone.items()
+            if "(" not in c and not c.startswith("__")
+        }
+        if cols:
+            p_ = phys or {}
+            stats["minValues"] = {p_.get(c, c): lo for c, (lo, hi) in cols.items()}
+            stats["maxValues"] = {p_.get(c, c): hi for c, (lo, hi) in cols.items()}
     return json.dumps(stats, default=str)
 
 
@@ -392,21 +405,38 @@ def export_delta_log(
     log_dir.mkdir(parents=True)
 
     phys_map = table._physical_of_logical()  # logical → stable physical
+    constraints = dict(table._read_meta().get("constraints", {}))
+    generated = table.generated_columns()
     history = table.history()
     has_dv = any(c.dv_files for c in history)
     if has_dv:
         # deletion vectors are a TABLE FEATURE: reader 3 / writer 7
         # with explicit feature lists (PROTOCOL.md §Table Features);
-        # columnMapping must be listed too once features are explicit
-        feats = ["deletionVectors"] + (["columnMapping"] if phys_map else [])
+        # legacy features must be listed too once features are explicit
+        wfeats = ["deletionVectors"]
+        rfeats = ["deletionVectors"]
+        if phys_map:
+            wfeats.append("columnMapping")
+            rfeats.append("columnMapping")
+        if constraints:
+            wfeats.append("checkConstraints")
+        if generated:
+            wfeats.append("generatedColumns")
         protocol = {
             "minReaderVersion": 3,
             "minWriterVersion": 7,
-            "readerFeatures": feats,
-            "writerFeatures": feats,
+            "readerFeatures": rfeats,
+            "writerFeatures": wfeats,
         }
+    elif phys_map:
+        protocol = PROTOCOL_COLUMN_MAPPING  # writer 5 covers 3/4 features
+    elif generated:
+        protocol = {"minReaderVersion": 1, "minWriterVersion": 4}
+    elif constraints:
+        # CHECK constraints are the legacy writer-3 feature
+        protocol = {"minReaderVersion": 1, "minWriterVersion": 3}
     else:
-        protocol = PROTOCOL_COLUMN_MAPPING if phys_map else PROTOCOL
+        protocol = PROTOCOL
 
     def _schema_of(files: list[str]) -> str:
         if not files:
@@ -425,6 +455,20 @@ def export_delta_log(
                 "delta.columnMapping.mode": "name",
                 "delta.columnMapping.maxColumnId": str(max_id),
             }
+        # CHECK constraints ride in the table configuration
+        # (PROTOCOL.md §CHECK Constraints)
+        for cname, expr in constraints.items():
+            configuration[f"delta.constraints.{cname}"] = expr
+        # generated columns are schema-field metadata
+        # (PROTOCOL.md §Generated Columns)
+        if generated:
+            sch = json.loads(schema_json)
+            for f in sch.get("fields", []):
+                if f["name"] in generated:
+                    md_ = dict(f.get("metadata") or {})
+                    md_["delta.generationExpression"] = generated[f["name"]]
+                    f["metadata"] = md_
+            schema_json = json.dumps(sch)
         return {
             "metaData": {
                 "id": f"{table.path.name}-delta-export",
@@ -507,7 +551,7 @@ def export_delta_log(
                 "size": p.stat().st_size,
                 "modificationTime": int(p.stat().st_mtime * 1000),
                 "dataChange": commit.data_change,
-                "stats": _stats_json(table, commit, f),
+                "stats": _stats_json(table, commit, f, phys_map),
             }
             actions.append({"add": add})
             live.append(f)

@@ -777,6 +777,28 @@ def export_iceberg_metadata(spark: SparkSession, table: LakehouseTable) -> Path:
             {"timestamp-ms": snap["timestamp-ms"], "snapshot-id": snap_id}
         )
 
+    # name mapping (spec §Name Mapping Serialization): data files carry
+    # STABLE PHYSICAL column names and no embedded field-ids, so a
+    # reader resolves fields through this mapping — the spec's designed
+    # mechanism for exactly that file population. Renamed columns list
+    # both names (logical first).
+    phys_map = table._physical_of_logical()
+    name_mapping = [
+        {
+            "field-id": f["id"],
+            "names": (
+                [f["name"], phys_map[f["name"]]]
+                if f["name"] in phys_map
+                else [f["name"]]
+            ),
+        }
+        for f in ice_schema["fields"]
+    ]
+    # native tags are Iceberg tag refs (immutable named snapshots)
+    refs: dict = {"main": {"snapshot-id": parent_id, "type": "branch"}}
+    for tag_name, tag_version in table.tags().items():
+        refs[tag_name] = {"snapshot-id": _snapshot_id(tag_version), "type": "tag"}
+
     metadata = {
         "format-version": 2,
         "table-uuid": tbl_uuid,
@@ -791,8 +813,9 @@ def export_iceberg_metadata(spark: SparkSession, table: LakehouseTable) -> Path:
         "last-partition-id": next_fid - 1 if next_fid > 1000 else 999,
         "default-sort-order-id": 0,
         "sort-orders": [{"order-id": 0, "fields": []}],
+        "properties": {"schema.name-mapping.default": json.dumps(name_mapping)},
         "current-snapshot-id": parent_id,
-        "refs": {"main": {"snapshot-id": parent_id, "type": "branch"}},
+        "refs": refs,
         "snapshots": snapshots,
         "snapshot-log": snapshot_log,
         "metadata-log": [],
@@ -861,17 +884,53 @@ def _apply_position_deletes(
     )
 
 
+def _apply_name_mapping(df: DataFrame, md: dict) -> DataFrame:
+    """Resolve physical file columns to the schema's logical names via
+    ``schema.name-mapping.default`` (what an Iceberg reader does for
+    files without embedded field-ids)."""
+    from pyspark.sql import functions as F
+
+    nm = json.loads(
+        (md.get("properties") or {}).get("schema.name-mapping.default", "[]")
+    )
+    for entry in nm:
+        names = entry.get("names") or []
+        if len(names) < 2:
+            continue
+        logical, physical = names[0], names[1]
+        if physical == logical:
+            continue
+        if physical in df.columns and logical in df.columns:
+            # mixed vintages (pre-stable-physical-name tables)
+            df = df.withColumn(
+                logical, F.coalesce(F.col(logical), F.col(physical))
+            ).drop(physical)
+        elif physical in df.columns:
+            df = df.withColumnRenamed(physical, logical)
+    return df
+
+
 def read_iceberg(
-    spark: SparkSession, table_path: str, snapshot_id: int | None = None
+    spark: SparkSession,
+    table_path: str,
+    snapshot_id: int | None = None,
+    ref: str | None = None,
 ) -> DataFrame:
     """Open an exported table the way an Iceberg reader would: plan
     files from the chosen snapshot's manifests, scan the data files,
-    and anti-join position deletes on (file_path, pos)."""
+    anti-join position deletes on (file_path, pos), and resolve
+    physical column names through the table's name mapping. ``ref``
+    reads a named ref (tag/branch) from the metadata."""
+    md = _load_metadata(table_path)
+    if ref is not None:
+        if snapshot_id is not None:
+            raise ValueError("pass snapshot_id OR ref, not both")
+        snapshot_id = md["refs"][ref]["snapshot-id"]
     data_files, delete_files = iceberg_plan_files(table_path, snapshot_id)
     if not data_files:
         raise ValueError(f"no data files at snapshot {snapshot_id}")
     df = spark.read.option("mergeSchema", "true").parquet(*data_files)
-    return _apply_position_deletes(spark, df, delete_files)
+    return _apply_name_mapping(_apply_position_deletes(spark, df, delete_files), md)
 
 
 def _item_field_name(item: str) -> str:
@@ -977,8 +1036,10 @@ def read_iceberg_pruned(
     if not plan["data_files"]:
         empty = read_iceberg(spark, table_path, snapshot_id).limit(0)
         return empty, plan
+    md = _load_metadata(table_path)
     df = spark.read.option("mergeSchema", "true").parquet(*plan["data_files"])
-    return _apply_position_deletes(spark, df, plan["delete_files"]), plan
+    df = _apply_name_mapping(_apply_position_deletes(spark, df, plan["delete_files"]), md)
+    return df, plan
 
 
 # ---------------------------------------------------------------------------

@@ -263,3 +263,41 @@ def test_iceberg_null_partition_values_scan_safe(spark, table):
     assert (1, "a") in rows and (3, None) in rows  # null-partition file kept
     assert (2, "b") not in rows  # other partition pruned
     assert len(plan["data_files"]) < plan["files_total"]
+
+
+def test_iceberg_name_mapping_rename_and_tag_refs(spark, table):
+    """Renamed tables export with schema.name-mapping.default (the
+    spec's mechanism for files without embedded field-ids): logical
+    names in the schema, physical names listed in the mapping, the
+    replay surfacing the LOGICAL schema with both vintages' values.
+    Native tags export as Iceberg tag refs."""
+    table.append(
+        spark.range(0, 30).select(F.col("id").alias("k"), (F.col("id") * 2).alias("v"))
+    )
+    table.tag("v1.0")
+    table.rename_column("v", "v_usd")
+    table.append(
+        spark.range(30, 60).select(
+            F.col("id").alias("k"), (F.col("id") * 2).alias("v_usd")
+        )
+    )
+    meta_dir = export_iceberg_metadata(spark, table)
+    md = json.loads((meta_dir / "v1.metadata.json").read_text())
+
+    assert {f["name"] for f in md["schemas"][0]["fields"]} == {"k", "v_usd"}
+    nm = {
+        e["field-id"]: e["names"]
+        for e in json.loads(md["properties"]["schema.name-mapping.default"])
+    }
+    v_id = next(f["id"] for f in md["schemas"][0]["fields"] if f["name"] == "v_usd")
+    assert nm[v_id] == ["v_usd", "v"]  # logical first, physical second
+
+    got = read_iceberg(spark, str(table.path))
+    assert set(got.columns) == {"k", "v_usd"}
+    assert got.where(F.col("v_usd").isNull()).count() == 0
+    assert got.agg(F.sum("v_usd")).collect()[0][0] == sum(2 * i for i in range(60))
+
+    # tag ref: reads the tagged snapshot, logical names included
+    assert md["refs"]["v1.0"]["type"] == "tag"
+    tagged = read_iceberg(spark, str(table.path), ref="v1.0")
+    assert tagged.count() == 30 and "v_usd" in tagged.columns

@@ -1117,3 +1117,28 @@ def test_delta_export_deletion_vectors(spark, table):
     assert ckpt is not None
     dv_adds = [a for a in live.values() if a.get("deletionVector")]
     assert dv_adds and all(a["deletionVector"]["cardinality"] > 0 for a in dv_adds)
+
+
+def test_delta_export_constraints_and_generated_columns(spark, table):
+    """CHECK constraints export as delta.constraints.* configuration
+    (legacy writer-3 feature) and generated columns as
+    delta.generationExpression field metadata (writer 4) — protocol
+    escalates accordingly."""
+    import json
+
+    from lakehouse_test_spark.plans.delta_export import export_delta_log
+
+    table.add_constraint("positive_v", "v >= 0")
+    table.add_generated_column("v2", "v * 2")
+    table.append(spark.range(20).select(F.col("id").alias("k"), F.col("id").alias("v")))
+    log_dir = export_delta_log(spark, table)
+
+    actions = [
+        json.loads(l) for l in (log_dir / f"{0:020d}.json").read_text().splitlines()
+    ]
+    proto = next(a["protocol"] for a in actions if "protocol" in a)
+    assert proto["minWriterVersion"] >= 4  # generated columns dominate
+    meta = next(a["metaData"] for a in actions if "metaData" in a)
+    assert meta["configuration"]["delta.constraints.positive_v"] == "v >= 0"
+    fields = {f["name"]: f for f in json.loads(meta["schemaString"])["fields"]}
+    assert fields["v2"]["metadata"]["delta.generationExpression"] == "v * 2"
