@@ -344,6 +344,8 @@ def _dv_by_file(table: LakehouseTable, commit) -> dict[str, set[int]]:
     root = table.path.resolve()
     out: dict[str, set[int]] = {}
     for dvf in commit.dv_files or []:
+        if not (table.path / dvf).exists():
+            continue  # vacuumed DV: superseded by the restate above it
         t = pq.read_table(str(table.path / dvf))
         for p, pos in zip(
             t.column("_dv_file").to_pylist(), t.column("_dv_pos").to_pylist()
@@ -361,6 +363,8 @@ def _stats_json(
     stats are keyed by PHYSICAL column names (what the files store)."""
     import pyarrow.parquet as pq
 
+    if not (table.path / rel_path).exists():
+        return None  # vacuumed below the horizon: no footer to read
     md = pq.ParquetFile(str(table.path / rel_path)).metadata
     stats: dict = {"numRecords": md.num_rows}
     zone = (commit.stats or {}).get(rel_path)
@@ -439,11 +443,15 @@ def export_delta_log(
         protocol = PROTOCOL
 
     def _schema_of(files: list[str]) -> str:
-        if not files:
-            return "{}"
+        # vacuumed files (below the retention horizon) have no footers;
+        # derive the schema from the survivors, falling back to the
+        # current snapshot's schema when an entire vintage is gone
+        present = [str(table.path / f) for f in files if (table.path / f).exists()]
+        if not present:
+            return table.snapshot().schema.json() if files else "{}"
         return (
             spark.read.option("mergeSchema", "true")
-            .parquet(*[str(table.path / f) for f in files])
+            .parquet(*present)
             .schema.json()
         )
 
@@ -545,11 +553,16 @@ def export_delta_log(
                 live_dv.pop(f, None)
         for f in commit.files:
             p = table.path / f
+            # a vacuumed file still gets its add action (log
+            # completeness: a later restate removes it in replay, and
+            # time travel below the horizon fails at scan time exactly
+            # like the native VacuumHorizonError contract)
+            exists = p.exists()
             add = {
                 "path": f,
                 "partitionValues": {},
-                "size": p.stat().st_size,
-                "modificationTime": int(p.stat().st_mtime * 1000),
+                "size": p.stat().st_size if exists else 0,
+                "modificationTime": int(p.stat().st_mtime * 1000) if exists else 0,
                 "dataChange": commit.data_change,
                 "stats": _stats_json(table, commit, f, phys_map),
             }

@@ -638,6 +638,11 @@ def export_iceberg_metadata(spark: SparkSession, table: LakehouseTable) -> Path:
         import pyarrow.parquet as pq
 
         p = table.path / rel
+        # vacuumed files (below the retention horizon) keep their
+        # manifest entries with zeroed physical stats: the snapshots
+        # referencing them are only reachable by time travel below the
+        # horizon, which fails at scan time — the native contract
+        exists = p.exists()
         return {
             "status": ST_ADDED,
             "snapshot_id": snap_id,
@@ -648,8 +653,10 @@ def export_iceberg_metadata(spark: SparkSession, table: LakehouseTable) -> Path:
                 "file_path": str(p.resolve()),
                 "file_format": "PARQUET",
                 "partition": partition,
-                "record_count": pq.ParquetFile(str(p)).metadata.num_rows,
-                "file_size_in_bytes": p.stat().st_size,
+                "record_count": (
+                    pq.ParquetFile(str(p)).metadata.num_rows if exists else 0
+                ),
+                "file_size_in_bytes": p.stat().st_size if exists else 0,
             },
         }
 
@@ -717,6 +724,8 @@ def export_iceberg_metadata(spark: SparkSession, table: LakehouseTable) -> Path:
 
             del_entries = []
             for i, dvf in enumerate(commit.dv_files):
+                if not (table.path / dvf).exists():
+                    continue  # vacuumed DV below the horizon
                 t = pq.read_table(str(table.path / dvf))
                 if t.num_rows == 0:
                     continue

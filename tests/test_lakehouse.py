@@ -1142,3 +1142,41 @@ def test_delta_export_constraints_and_generated_columns(spark, table):
     assert meta["configuration"]["delta.constraints.positive_v"] == "v >= 0"
     fields = {f["name"]: f for f in json.loads(meta["schemaString"])["fields"]}
     assert fields["v2"]["metadata"]["delta.generationExpression"] == "v * 2"
+
+
+def test_exports_survive_vacuum(spark, table):
+    """Exports of a VACUUMed table (the normal production state) must
+    succeed: vacuumed vintages keep their log entries with zeroed
+    physical stats, the current snapshot replays exactly, and time
+    travel below the horizon fails at scan time — the native
+    VacuumHorizonError contract, mirrored. Previously both exporters
+    crashed stat-ing the deleted files."""
+    from lakehouse_test_spark.plans.delta_export import (
+        export_delta_log,
+        read_delta_log,
+    )
+    from lakehouse_test_spark.plans.iceberg_export import (
+        export_iceberg_metadata,
+        read_iceberg,
+        _snapshot_id,
+    )
+
+    table.append(spark.range(50).select(F.col("id").alias("k")))
+    table.delete_where_dv("k >= 45")  # DV whose parquet vacuum will keep/drop
+    table.delete_where("k < 10")  # restate: prior files become unreachable
+    table.vacuum(keep_versions=1)
+
+    export_delta_log(spark, table)
+    got = read_delta_log(spark, str(table.path))
+    want = table.snapshot()
+    assert got.exceptAll(want).count() == 0 and want.exceptAll(got).count() == 0
+
+    export_iceberg_metadata(spark, table)
+    got_i = read_iceberg(spark, str(table.path))
+    assert got_i.exceptAll(want).count() == 0 and want.exceptAll(got_i).count() == 0
+
+    # below the horizon: the files are gone, reads fail at scan (native contract)
+    with pytest.raises(Exception):
+        read_delta_log(spark, str(table.path), 0).collect()
+    with pytest.raises(Exception):
+        read_iceberg(spark, str(table.path), _snapshot_id(0)).collect()
