@@ -1125,7 +1125,11 @@ class LakehouseTable:
             )
         if not files:
             return self.snapshot().limit(0)
-        return self.spark.read.option("mergeSchema", "true").parquet(*files)
+        # logical names, like snapshot/scan_pruned: incremental readers
+        # must see the same schema the batch readers see
+        return self._apply_renames(
+            self.spark.read.option("mergeSchema", "true").parquet(*files)
+        )
 
     def read_changes_cdf(self, since_version: int) -> DataFrame:
         """Change data feed (Delta CDF analog): every row-level change
@@ -1181,7 +1185,7 @@ class LakehouseTable:
             out0 = parts0[0]
             for q in parts0[1:]:
                 out0 = out0.unionByName(q, allowMissingColumns=True)
-            return out0
+            return self._apply_renames(out0)
         newer = [c for c in self.history() if c.version > since_version]
         hard_restates = [c for c in newer if c.restate and c.data_change]
         if hard_restates:
@@ -1245,7 +1249,7 @@ class LakehouseTable:
         out = parts[0]
         for q in parts[1:]:
             out = out.unionByName(q, allowMissingColumns=True)
-        return out
+        return self._apply_renames(out)
 
     def total_rows_committed(self, version: int | None = None) -> int:
         """Counter-metric twin (§2a op 35): log-recorded row totals of

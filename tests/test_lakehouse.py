@@ -1180,3 +1180,23 @@ def test_exports_survive_vacuum(spark, table):
         read_delta_log(spark, str(table.path), 0).collect()
     with pytest.raises(Exception):
         read_iceberg(spark, str(table.path), _snapshot_id(0)).collect()
+
+
+def test_incremental_readers_see_logical_names_after_rename(spark, table):
+    """read_changes and read_changes_cdf must surface the LOGICAL
+    schema after rename_column, like snapshot/scan_pruned — an
+    incremental consumer and a batch reader of the same table cannot
+    disagree on column names (previously they saw the physical name)."""
+    table.append(spark.range(10).select(F.col("id").alias("v")))
+    table.rename_column("v", "v_usd")
+    table.append(spark.range(10, 20).select(F.col("id").alias("v_usd")))
+
+    rc = table.read_changes(0)
+    assert rc.columns == ["v_usd"]
+    assert rc.agg(F.sum("v_usd")).collect()[0][0] == sum(range(10, 20))
+
+    cdf0 = table.read_changes_cdf(-1)
+    assert set(cdf0.columns) == {"v_usd", "_change_type", "_commit_version"}
+    assert cdf0.agg(F.sum("v_usd")).collect()[0][0] == sum(range(20))
+    cdf1 = table.read_changes_cdf(0)
+    assert set(cdf1.columns) == {"v_usd", "_change_type", "_commit_version"}
