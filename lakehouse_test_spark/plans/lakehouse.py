@@ -691,8 +691,13 @@ class LakehouseTable:
         ``shallow=False`` (deep): materialize ``snapshot(version)``
         into the clone — one full rewrite, fully self-contained.
 
-        CHECK constraints carry over either way. ``version`` clones a
-        historical snapshot (time travel + clone in one step).
+        Table metadata carries over either way — CHECK constraints,
+        generated columns, column-mapping renames (shallow clones
+        reference physical-named source files, so the mapping MUST
+        follow them or the clone surfaces physical names), and the
+        partition-spec history (re-based so the current spec applies
+        to the clone's future writes). ``version`` clones a historical
+        snapshot (time travel + clone in one step).
         """
         self._check_horizon(version)
         target = LakehouseTable(self.spark, target_path)
@@ -727,11 +732,25 @@ class LakehouseTable:
             )
             target._commit_path(0).write_text(json.dumps(commit.__dict__))
         else:
+            # deep clone materializes the snapshot, which already
+            # surfaces LOGICAL names — its files need no mapping
             target.append(self.snapshot(version), operation="clone_deep")
-        cons = self._read_meta().get("constraints")
-        if cons:
-            meta = target._read_meta()
-            meta["constraints"] = cons
+        src_meta = self._read_meta()
+        meta = target._read_meta()
+        for key in ("constraints", "generated_columns"):
+            if src_meta.get(key):
+                meta[key] = src_meta[key]
+        if shallow and src_meta.get("column_renames"):
+            # the referenced source files carry physical names
+            meta["column_renames"] = src_meta["column_renames"]
+        if src_meta.get("partition_specs"):
+            # spec history re-based: the clone's log starts at v0, so
+            # every spec applies from its beginning; the CURRENT spec
+            # (last entry) governs future writes, like Delta CLONE
+            meta["partition_specs"] = [
+                {**sp, "from_version": 0} for sp in src_meta["partition_specs"]
+            ]
+        if meta:
             target._write_meta(meta)
         return target
 

@@ -693,3 +693,43 @@ def test_bucket_of_string_matches_writer(spark, table):
     out, scanned, total = table.scan_pruned_hidden("bucket(8, name)", b, b)
     assert scanned < total, "bucket pruning should skip other buckets"
     assert "user-7" in {r.name for r in out.collect()}
+
+
+def test_clone_carries_table_metadata(spark, tmp_path):
+    """CLONE must carry the table metadata, not just the files:
+    column-mapping renames (shallow clones reference PHYSICAL-named
+    source files — without the mapping the clone surfaces physical
+    names), partition-spec history (re-based to the clone's log), and
+    generated columns; constraints were already covered."""
+    import tempfile
+
+    src = LakehouseTable(spark, str(tmp_path / "clsrc"))
+    src.append(spark.range(10).select(F.col("id").alias("v")))
+    src.rename_column("v", "v_usd")
+    src.add_constraint("pos", "v_usd >= 0")
+    src.add_generated_column("v2", "v_usd * 2")
+    src.append(
+        spark.range(10, 20).select(
+            F.col("id").alias("v_usd"), (F.col("id") * 2).alias("v2")
+        )
+    )
+    src.set_partition_spec(["bucket(2, v_usd)"])
+
+    for shallow in (True, False):
+        dst = src.clone(str(tmp_path / f"cl_{shallow}"), shallow=shallow)
+        snap = dst.snapshot()
+        assert set(snap.columns) == {"v_usd", "v2"}, (shallow, snap.columns)
+        assert snap.where(F.col("v_usd").isNull()).count() == 0
+        assert dst.partition_spec() == ["bucket(2, v_usd)"]
+        assert dst.generated_columns() == {"v2": "v_usd * 2"}
+        # the clone is immediately writable under its metadata:
+        # generated column computed, spec honored, logical names kept
+        dst.append_partitioned(spark.range(20, 24).select(F.col("id").alias("v_usd")))
+        assert dst.snapshot().count() == 24
+        assert dst.snapshot().where("v2 <> v_usd * 2").count() == 0
+        # partition pruning works on the clone's new files
+        out, scanned, total = dst.scan_pruned_hidden(
+            "bucket(2, v_usd)", dst.bucket_of("bucket(2, v_usd)", 21),
+            dst.bucket_of("bucket(2, v_usd)", 21),
+        )
+        assert 21 in {r.v_usd for r in out.collect()}
