@@ -74,7 +74,7 @@ def _drain_to_memory(stream_df: DataFrame, output_mode: str) -> DataFrame:
 
 
 def _drain_to_lakehouse(
-    stream_df: DataFrame, key_cols: list[str], state_partitions: int = 8
+    stream_df: DataFrame, key_cols: list[str], state_partitions: int = 4
 ) -> DataFrame:
     """PRODUCTION-sink drain: foreachBatch upserts each micro-batch
     into a committed :class:`LakehouseTable` (append, then MERGE keyed
@@ -91,7 +91,7 @@ def _drain_to_lakehouse(
     checkpoint commit per partition per batch, so a day×type rollup
     (hundreds of groups) under the session's 32 shuffle partitions
     spends 3× longer committing empty state files than aggregating
-    (measured: 3.4s → 1.6s at sf0.1). Real deployments tune exactly
+    (measured: 3.4s at 32 → 1.4s at 4, sf0.1). Real deployments tune exactly
     this knob; state volume, not parallelism, drives it."""
     import tempfile
 
