@@ -343,6 +343,15 @@ def _dv_by_file(table: LakehouseTable, commit) -> dict[str, set[int]]:
 
     root = table.path.resolve()
     out: dict[str, set[int]] = {}
+    rel_of: dict[str, str] = {}  # raw path → table-relative (few distinct)
+
+    def _rel(p: str) -> str:
+        r = rel_of.get(p)
+        if r is None:
+            ap = Path(urlparse(p).path if p.startswith("file:") else p).resolve()
+            r = rel_of[p] = str(ap.relative_to(root))
+        return r
+
     for dvf in commit.dv_files or []:
         if not (table.path / dvf).exists():
             continue  # vacuumed DV: superseded by the restate above it
@@ -350,8 +359,7 @@ def _dv_by_file(table: LakehouseTable, commit) -> dict[str, set[int]]:
         for p, pos in zip(
             t.column("_dv_file").to_pylist(), t.column("_dv_pos").to_pylist()
         ):
-            ap = Path(urlparse(p).path if str(p).startswith("file:") else p).resolve()
-            out.setdefault(str(ap.relative_to(root)), set()).add(int(pos))
+            out.setdefault(_rel(str(p)), set()).add(int(pos))
     return out
 
 
@@ -716,15 +724,28 @@ def read_delta_log(
         *[str(root / f) for f in files]
     )
     # deletion vectors: decode each live add's inline bitmap and
-    # anti-join on (file, row index) — the v2 reader's merge-on-read
-    dv_rows = [
-        (str((root / add["path"]).resolve()), int(pos))
-        for add in live.values()
-        if add.get("deletionVector")
-        for pos in dv_positions(add["deletionVector"])
-    ]
-    if dv_rows:
-        dels = spark.createDataFrame(dv_rows, "_ipath string, _ipos long")
+    # anti-join on (file, row index) — the v2 reader's merge-on-read.
+    # Arrow-batched transfer: a python-tuple createDataFrame costs
+    # ~10s per 500k positions; pandas+Arrow is ~100x cheaper.
+    paths, pos_arrays = [], []
+    for add in live.values():
+        if add.get("deletionVector"):
+            paths.append(str((root / add["path"]).resolve()))
+            pos_arrays.append(dv_positions(add["deletionVector"]))
+    if paths:
+        import numpy as np
+        import pandas as pd
+
+        dels = spark.createDataFrame(
+            pd.DataFrame(
+                {
+                    "_ipath": np.repeat(paths, [len(a) for a in pos_arrays]),
+                    "_ipos": np.concatenate(pos_arrays).astype("int64")
+                    if any(pos_arrays)
+                    else np.array([], dtype="int64"),
+                }
+            )
+        )
         df = (
             df.withColumn(
                 "_ipath",

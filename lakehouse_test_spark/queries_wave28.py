@@ -175,12 +175,21 @@ def tokenizer_bpe_driver_merges(spark: SparkSession, sf_dir: str) -> DataFrame:
     trains an 8k vocabulary in seconds where per-merge Spark rounds
     take hours (SCALE.md). Rows-only gate; parity with the
     distributed batched loop and the sequential reference is pinned
-    in tests/test_wave7.py."""
+    in tests/test_wave7.py.
+
+    Scale: doc-level sequences make the frequency table grow with the
+    corpus, so the trainer consumes a FIXED-COUNT deterministic
+    hash-ranked sample (SentencePiece's --input_sentence_size: sample
+    size, not corpus size, bounds training) — flat cost at any sf.
+    """
     from lakehouse_test_spark.operators.tokens import bpe_train
 
     d = T(spark, sf_dir, "documents")
+    sample = (
+        d.orderBy(F.xxhash64("doc_id"), "doc_id").limit(2000)
+    )
     merges = bpe_train(
-        d, num_merges=64, pretokenize=False, driver_threshold=1_000_000
+        sample, num_merges=64, pretokenize=False, driver_threshold=1_000_000
     )
     return spark.createDataFrame(
         merges, "step int, left string, right string, pair_count long"
