@@ -729,10 +729,21 @@ def export_iceberg_metadata(spark: SparkSession, table: LakehouseTable) -> Path:
                 t = pq.read_table(str(table.path / dvf))
                 if t.num_rows == 0:
                     continue
-                paths = [
-                    str(Path(urlparse(p).path if p.startswith("file:") else p).resolve())
-                    for p in t.column("_dv_file").to_pylist()
-                ]
+                # normalize per DISTINCT path, not per row: resolve()
+                # costs ~100µs and DVs hold O(deleted rows) rows
+                norm: dict[str, str] = {}
+
+                def _np(p: str) -> str:
+                    r = norm.get(p)
+                    if r is None:
+                        r = norm[p] = str(
+                            Path(
+                                urlparse(p).path if p.startswith("file:") else p
+                            ).resolve()
+                        )
+                    return r
+
+                paths = [_np(str(p)) for p in t.column("_dv_file").to_pylist()]
                 import pyarrow as pa
 
                 dt = pa.table(
