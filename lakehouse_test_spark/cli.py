@@ -95,6 +95,17 @@ def build_parser() -> argparse.ArgumentParser:
                      help="delete files unreachable from the last KEEP versions")
     mnt.add_argument("--restore", type=int, metavar="VERSION",
                      help="RESTORE the table to an earlier version (metadata-only)")
+
+    exp = sub.add_parser(
+        "export",
+        help="write open-format interop metadata (Delta _delta_log / "
+             "Iceberg v2) for a lakehouse table",
+    )
+    exp.add_argument("--table", required=True)
+    exp.add_argument("--format", choices=("delta", "iceberg", "both"),
+                     default="both")
+    exp.add_argument("--checkpoint-interval", type=positive_int, default=10,
+                     help="Delta parquet-checkpoint cadence (commits)")
     return p
 
 
@@ -180,6 +191,36 @@ def main(argv: list[str] | None = None, spark=None) -> int:
             if not did:
                 print("Nothing to do: pass --compact/--zorder/--vacuum/--restore")
             print(f"Latest version: {table.latest_version()}")
+        elif args.verb == "export":
+            import json as _json
+
+            table = LakehouseTable(spark, args.table)
+            head = table.latest_version()
+            if args.format in ("delta", "both"):
+                from lakehouse_test_spark.plans.delta_export import export_delta_log
+
+                log_dir = export_delta_log(
+                    spark, table, checkpoint_interval=args.checkpoint_interval
+                )
+                proto = next(
+                    _json.loads(l)["protocol"]
+                    for l in (log_dir / f"{0:020d}.json").read_text().splitlines()
+                    if '"protocol"' in l
+                )
+                print(f"Delta: {head + 1} commits -> {log_dir} "
+                      f"(reader {proto['minReaderVersion']} / "
+                      f"writer {proto['minWriterVersion']})")
+            if args.format in ("iceberg", "both"):
+                from lakehouse_test_spark.plans.iceberg_export import (
+                    export_iceberg_metadata,
+                )
+
+                meta_dir = export_iceberg_metadata(spark, table)
+                md = _json.loads((meta_dir / "v1.metadata.json").read_text())
+                print(f"Iceberg: {len(md['snapshots'])} snapshots -> {meta_dir} "
+                      f"(specs {len(md['partition-specs'])}, "
+                      f"refs {len(md['refs'])})")
+            print(f"Latest version: {head}")
         elif args.verb == "curate":
             # end-to-end pretraining curation: quality gates -> exact
             # dedup -> diversity gate -> committed lakehouse table

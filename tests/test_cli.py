@@ -111,3 +111,26 @@ def test_cli_maintain_verb(spark, tmp_path, capsys):
     rc = main(["maintain", "--table", path, "--restore", str(v_before)], spark=spark)
     assert rc == 0
     assert LakehouseTable(spark, path).snapshot().count() == 80
+
+
+def test_cli_export_verb(spark, tmp_path, capsys):
+    """export verb writes both interop formats and reports protocol /
+    spec / ref counts; the exported logs replay to the table state."""
+    from lakehouse_test_spark.cli import main
+    from lakehouse_test_spark.plans.delta_export import read_delta_log
+    from lakehouse_test_spark.plans.iceberg_export import read_iceberg
+    from lakehouse_test_spark.plans.lakehouse import LakehouseTable
+    from pyspark.sql import functions as F
+
+    path = str(tmp_path / "exp_tbl")
+    t = LakehouseTable(spark, path)
+    t.append(spark.range(40).select(F.col("id").alias("k")))
+    t.delete_where_dv("k >= 35")
+
+    rc = main(["export", "--table", path, "--format", "both"], spark=spark)
+    assert rc == 0
+    out = capsys.readouterr().out
+    assert "Delta:" in out and "reader 3 / writer 7" in out  # DV features
+    assert "Iceberg:" in out and "snapshots" in out
+    assert read_delta_log(spark, path).count() == 35
+    assert read_iceberg(spark, path).count() == 35
