@@ -196,6 +196,66 @@ def ann_index_query(
     )
 
 
+def ann_index_query_batch(
+    spark: SparkSession,
+    path: str,
+    queries: list[tuple[int, list[float]]],
+    k: int = 10,
+    target_candidates: int = 30,
+    extra_cols: list[str] | None = None,
+) -> DataFrame:
+    """Serve MANY probes against the persisted index in ONE pruned
+    scan — the production batch-lookup shape (embedding services
+    answer lookups in batches, not one Spark job per query).
+
+    Probe selection stays driver-side per query (histogram walk);
+    the single scan reads the UNION of all probed bands/buckets, a
+    broadcast (query_id, bucket) table restricts each candidate to
+    the queries that probed its bucket, a broadcast query-vector
+    table supplies the cosine operand, and one window shuffle ranks
+    per-query top-k. Cost: one partition-pruned scan of the probed
+    slice + one |candidates|-sized shuffle, independent of how many
+    corpus buckets exist.
+    """
+    from pyspark.sql import Window
+
+    from lakehouse_test_spark.operators.similarity import cosine
+
+    meta = _load_meta(path)
+    probe_rows = [
+        (int(qid), int(b))
+        for qid, vec in queries
+        for b in _select_probes(meta, [float(x) for x in vec], target_candidates)
+    ]
+    if not probe_rows:
+        raise ValueError("no probes selected (empty index?)")
+    bands = sorted({b >> meta["band_shift"] for _, b in probe_rows})
+    buckets = sorted({b for _, b in probe_rows})
+    probes_df = spark.createDataFrame(probe_rows, "query_id int, bucket int")
+    qvecs = spark.createDataFrame(
+        [(int(qid), [float(x) for x in vec]) for qid, vec in queries],
+        "query_id int, qvec array<double>",
+    )
+    cols = ["vec_id"] + (extra_cols or [])
+    cand = (
+        spark.read.parquet(os.path.join(path, "vectors"))
+        .where(F.col("band").isin(bands) & F.col("bucket").isin(buckets))
+        .join(F.broadcast(probes_df), "bucket")
+        .join(F.broadcast(qvecs), "query_id")
+        .select(
+            "query_id",
+            *cols,
+            F.round(cosine(F.col("embedding"), F.col("qvec")), 4).alias("cos_sim"),
+        )
+    )
+    w = Window.partitionBy("query_id").orderBy(F.desc("cos_sim"), F.asc("vec_id"))
+    return (
+        cand.withColumn("rank", F.row_number().over(w))
+        .where(F.col("rank") <= k)
+        .drop("rank")
+    )
+
+
 def _bucket_expr(meta: dict):
     """Bucket assignment column from STORED index metadata (no
     retraining — the planes/centroids in meta.json are the index)."""
@@ -313,6 +373,24 @@ def similarity_index_lsh_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     path = _cached_index(spark, sf_dir, "lsh")
     qvec = _query_vector(spark, sf_dir, 0)
     return ann_index_query(spark, path, qvec, k=10, extra_cols=["label"])
+
+
+@query(
+    "similarity_index_batch_topk",
+    oracle=None,
+    tags=("similarity", "llm", "approx", "embeddings", "index", "batch"),
+)
+def similarity_index_batch_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Top-10 for a BATCH of probes served from the persisted LSH
+    index in one pruned scan + one window shuffle — the
+    embedding-service lookup shape (N lookups ≠ N Spark jobs).
+    Rows-only gate; per-query parity with the single-probe path and
+    the job-count pin live in tests/test_ann_index.py."""
+    from lakehouse_test_spark.operators.similarity import _query_vector
+
+    path = _cached_index(spark, sf_dir, "lsh")
+    queries = [(i, _query_vector(spark, sf_dir, i)) for i in (0, 3, 7)]
+    return ann_index_query_batch(spark, path, queries, k=10, extra_cols=["label"])
 
 
 @query(

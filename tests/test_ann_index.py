@@ -183,3 +183,46 @@ def test_append_touches_only_affected_bands(spark, planted, tmp_path_factory):
     assert sum(meta1["histogram"].values()) == n0 + 10
     got = [r.vec_id for r in ann_index_query(spark, path, qvec, k=10).collect()]
     assert len(set(got) & set(range(20))) >= 8, f"recall dropped: {got}"
+
+
+def test_batch_query_one_pruned_scan(spark, planted, tmp_path_factory):
+    """Batch serving contract: N probes answer from ONE pruned scan
+    (job count bounded, not N× the single-query cost), each query's
+    top-k equals its single-query answer, and candidates never leak
+    across queries (per-query bucket restriction)."""
+    from lakehouse_test_spark.operators.ann_index import (
+        ann_index_query_batch,
+    )
+
+    corpus, qvec = planted
+    path = str(tmp_path_factory.mktemp("annidx_batch") / "lsh")
+    ann_index_build(corpus, path, kind="lsh")
+
+    # three probes: the planted query + two corpus vectors
+    others = {r.vec_id: r.embedding for r in corpus.where("vec_id in (500, 900)").collect()}
+    queries = [(0, qvec), (500, others[500]), (900, others[900])]
+
+    tracker = spark.sparkContext.statusTracker()
+    before = set(tracker.getJobIdsForGroup(None) or [])
+    rows = ann_index_query_batch(spark, path, queries, k=10).collect()
+    after = set(tracker.getJobIdsForGroup(None) or [])
+    # one pruned scan + window + broadcast/frame materializations — a
+    # CONSTANT, vs 3 solo queries' scans (a per-query fan-out would
+    # add ≥1 scan job per probe on top)
+    assert len(after - before) <= 7, "batch query ran per-query jobs"
+
+    by_q = {}
+    for r in rows:
+        by_q.setdefault(r.query_id, []).append(r)
+    assert set(by_q) == {0, 500, 900}
+    # planted-neighbor recall for the planted probe
+    got0 = [r.vec_id for r in by_q[0]]
+    assert len(set(got0) & set(range(20))) >= 8, got0
+    # each query's ranking is descending and equals its solo answer
+    for qid, vec in queries:
+        sims = [r.cos_sim for r in by_q[qid]]
+        assert sims == sorted(sims, reverse=True)
+        solo = [r.vec_id for r in ann_index_query(spark, path, vec, k=10).collect()]
+        assert [r.vec_id for r in by_q[qid]] == solo, qid
+    # a vector probed only by query 900's buckets must not appear under 0
+    assert all(r.query_id in (0, 500, 900) for r in rows)
