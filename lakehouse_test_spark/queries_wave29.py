@@ -1,0 +1,129 @@
+"""Round-4 wave AC: Spark 4 SQL-surface features, hash-checked.
+
+- ``sql_pipe_syntax`` — SQL pipe operators (``|>``: FROM → WHERE →
+  EXTEND → AGGREGATE → ORDER BY), the Spark 4 pipe-syntax dialect,
+  verified value-equal to the classic relational form.
+- ``sql_session_variables`` — DECLARE / SET VARIABLE driving a
+  parameterized aggregation (session-scoped typed variables).
+- ``sql_named_window`` — the WINDOW clause: one named frame shared by
+  several analytic functions (DuckDB supports the same clause, so the
+  oracle uses identical text).
+
+Reference parity: none (the reference has no SQL dialect surface);
+extends SURVEY.md §2b's SQL-surface group.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession
+
+from lakehouse_test_spark.registry import query
+from lakehouse_test_spark.session import load_table
+
+
+def _view(spark: SparkSession, sf_dir: str, name: str) -> None:
+    load_table(spark, sf_dir, name).createOrReplaceTempView(name)
+
+
+@query(
+    "sql_pipe_syntax",
+    oracle="""
+    SELECT l_returnflag,
+           count(*) AS n_items,
+           CAST(round(sum(CAST(l_extendedprice * (1 - l_discount)
+                               AS DECIMAL(18,6))), 2) AS DOUBLE) AS revenue
+    FROM lineitem
+    WHERE l_shipdate >= DATE '1994-01-01'
+    GROUP BY l_returnflag
+    """,
+    tags=("sql", "pipe", "lineitem"),
+)
+def sql_pipe_syntax(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """SQL pipe syntax (Spark 4): each ``|>`` stage transforms the
+    previous result — the linear dataflow dialect. Catalyst compiles
+    it to the identical plan as the classic form, which the hash gate
+    proves on values."""
+    _view(spark, sf_dir, "lineitem")
+    return spark.sql(
+        """
+        FROM lineitem
+        |> WHERE l_shipdate >= DATE '1994-01-01'
+        |> EXTEND CAST(l_extendedprice * (1 - l_discount)
+                       AS DECIMAL(18,6)) AS rev
+        |> AGGREGATE count(*) AS n_items,
+                     CAST(round(sum(rev), 2) AS DOUBLE) AS revenue
+           GROUP BY l_returnflag
+        """
+    )
+
+
+@query(
+    "sql_session_variables",
+    oracle="""
+    SELECT o_orderstatus,
+           count(*) AS n_orders,
+           CAST(round(sum(CAST(o_totalprice AS DECIMAL(18,6))), 2) AS DOUBLE)
+             AS total_price
+    FROM orders
+    WHERE o_totalprice >= 50000 AND o_orderpriority <> '1-URGENT'
+    GROUP BY o_orderstatus
+    """,
+    tags=("sql", "variables", "orders"),
+)
+def sql_session_variables(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Session variables (Spark 4 DECLARE/SET VARIABLE): typed,
+    session-scoped state referenced directly in query text — the ANSI
+    answer to string-formatted parameters."""
+    _view(spark, sf_dir, "orders")
+    spark.sql("DECLARE OR REPLACE VARIABLE min_price DOUBLE DEFAULT 0.0")
+    spark.sql("DECLARE OR REPLACE VARIABLE skip_priority STRING DEFAULT ''")
+    spark.sql("SET VARIABLE min_price = 50000.0")
+    spark.sql("SET VARIABLE skip_priority = '1-URGENT'")
+    return spark.sql(
+        """
+        SELECT o_orderstatus,
+               count(*) AS n_orders,
+               CAST(round(sum(CAST(o_totalprice AS DECIMAL(18,6))), 2) AS DOUBLE)
+                 AS total_price
+        FROM orders
+        WHERE o_totalprice >= min_price AND o_orderpriority <> skip_priority
+        GROUP BY o_orderstatus
+        """
+    )
+
+
+@query(
+    "sql_named_window",
+    oracle="""
+    SELECT o_custkey, o_orderkey,
+           CAST(row_number() OVER w AS BIGINT) AS rn,
+           CAST(round(sum(CAST(o_totalprice AS DECIMAL(18,6))) OVER w, 2)
+                AS DOUBLE) AS running_total,
+           CAST(round(CAST(o_totalprice AS DECIMAL(18,6))
+                      - lag(CAST(o_totalprice AS DECIMAL(18,6)), 1, 0) OVER w,
+                2) AS DOUBLE) AS delta_prev
+    FROM orders
+    WHERE o_custkey % 100 = 0
+    WINDOW w AS (PARTITION BY o_custkey ORDER BY o_orderkey)
+    """,
+    tags=("sql", "window", "orders"),
+)
+def sql_named_window(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The WINDOW clause: one named frame, three analytic functions —
+    the spec's answer to repeating OVER(...) definitions (and Spark
+    plans them in a single WindowExec pass)."""
+    _view(spark, sf_dir, "orders")
+    return spark.sql(
+        """
+        SELECT o_custkey, o_orderkey,
+               CAST(row_number() OVER w AS BIGINT) AS rn,
+               CAST(round(sum(CAST(o_totalprice AS DECIMAL(18,6))) OVER w, 2)
+                    AS DOUBLE) AS running_total,
+               CAST(round(CAST(o_totalprice AS DECIMAL(18,6))
+                          - lag(CAST(o_totalprice AS DECIMAL(18,6)), 1, 0) OVER w,
+                    2) AS DOUBLE) AS delta_prev
+        FROM orders
+        WHERE o_custkey % 100 = 0
+        WINDOW w AS (PARTITION BY o_custkey ORDER BY o_orderkey)
+        """
+    )
