@@ -16,6 +16,7 @@ extends SURVEY.md §2b's SQL-surface group.
 from __future__ import annotations
 
 from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
 
 from lakehouse_test_spark.registry import query
 from lakehouse_test_spark.session import load_table
@@ -126,4 +127,44 @@ def sql_named_window(spark: SparkSession, sf_dir: str) -> DataFrame:
         WHERE o_custkey % 100 = 0
         WINDOW w AS (PARTITION BY o_custkey ORDER BY o_orderkey)
         """
+    )
+
+
+@query(
+    "similarity_sparkml_brp_lsh",
+    oracle=None,  # LSH bucket draws are engine-internal: rows-only
+    tags=("similarity", "ml", "interop", "embeddings"),
+)
+def similarity_sparkml_brp_lsh(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The pyspark.ml Euclidean-LSH path SURVEY.md §2b names
+    (``BucketedRandomProjectionLSH``): embeddings → dense vectors →
+    seed-pinned BRP-LSH → approxNearestNeighbors for a query vector,
+    top-10 by Euclidean distance. Registered to prove the ml-package
+    similarity surface end-to-end; the PRODUCTION ANN paths are the
+    hand-rolled multiprobe LSH / IVF / persisted index in
+    operators/similarity.py + ann_index.py (bucketed, plan-pinned,
+    recall-graded against exact brute force). Recall vs brute-force
+    Euclidean is pinned in tests/test_wave29.py.
+    """
+    from pyspark.ml.feature import BucketedRandomProjectionLSH
+    from pyspark.ml.functions import array_to_vector
+
+    from lakehouse_test_spark.operators.similarity import _query_vector
+
+    e = (
+        load_table(spark, sf_dir, "embeddings")
+        .where(F.col("vec_id") != 0)
+        .select("vec_id", "label", array_to_vector("embedding").alias("features"))
+    )
+    lsh = BucketedRandomProjectionLSH(
+        inputCol="features", outputCol="hashes", bucketLength=2.0,
+        numHashTables=4, seed=7,
+    )
+    model = lsh.fit(e)
+    from pyspark.ml.linalg import Vectors
+
+    q = Vectors.dense(_query_vector(spark, sf_dir, 0))
+    return (
+        model.approxNearestNeighbors(e, q, 10, distCol="euclid_dist")
+        .select("vec_id", "label", F.round("euclid_dist", 4).alias("euclid_dist"))
     )
