@@ -168,3 +168,43 @@ def similarity_sparkml_brp_lsh(spark: SparkSession, sf_dir: str) -> DataFrame:
         model.approxNearestNeighbors(e, q, 10, distCol="euclid_dist")
         .select("vec_id", "label", F.round("euclid_dist", 4).alias("euclid_dist"))
     )
+
+
+@query(
+    "sql_udtf_table_args",
+    oracle="""
+    SELECT doc_id,
+           CAST(len(string_split(text, ' ')) AS BIGINT) AS n_words,
+           CAST(len(list_distinct(string_split(text, ' '))) AS BIGINT)
+             AS n_unique,
+           CAST(list_max(list_transform(string_split(text, ' '),
+                                        w -> len(w))) AS BIGINT) AS longest
+    FROM documents
+    WHERE doc_id % 97 = 0
+    """,
+    tags=("sql", "udtf", "documents"),
+)
+def sql_udtf_table_args(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Polymorphic UDTF over a TABLE argument (Spark 4): the function
+    receives whole input rows via ``TABLE(view)`` instead of scalar
+    columns — SQL-native table-in/table-out, executed as an
+    Arrow-batched Python UDTF. Hash-gated against a DuckDB
+    re-implementation of the same per-document token statistics."""
+    from pyspark.sql.functions import udtf
+
+    @udtf(returnType="doc_id: bigint, n_words: bigint, n_unique: bigint, longest: bigint")
+    class DocTokenStats:
+        def eval(self, row):
+            words = (row["text"] or "").split(" ")
+            yield (
+                row["doc_id"],
+                len(words),
+                len(set(words)),
+                max((len(w) for w in words), default=0),
+            )
+
+    spark.udtf.register("doc_token_stats", DocTokenStats)
+    load_table(spark, sf_dir, "documents").where(
+        F.col("doc_id") % 97 == 0
+    ).createOrReplaceTempView("udtf_docs_slice")
+    return spark.sql("SELECT s.* FROM doc_token_stats(TABLE(udtf_docs_slice)) s")

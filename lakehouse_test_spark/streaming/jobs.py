@@ -553,6 +553,92 @@ def streaming_stream_stream_left_outer(spark: SparkSession, sf_dir: str) -> Data
     )
 
 
+@query(
+    "streaming_stream_stream_full_outer",
+    oracle="""
+    WITH bounds AS (
+      SELECT least(
+        (SELECT CAST(floor(epoch(max(ts))) AS BIGINT) FROM events WHERE event_type = 'click'),
+        (SELECT CAST(floor(epoch(max(ts))) AS BIGINT) FROM events WHERE event_type = 'purchase')
+      ) - 10810 AS bound
+    ),
+    c AS (SELECT event_id AS click_id, user_id AS c_user,
+                 CAST(floor(epoch(ts)) AS BIGINT) AS ct
+          FROM events WHERE event_type = 'click'),
+    p AS (SELECT event_id AS purchase_id, user_id AS p_user,
+                 CAST(floor(epoch(ts)) AS BIGINT) AS pt
+          FROM events WHERE event_type = 'purchase')
+    SELECT c.click_id, p.purchase_id,
+           coalesce(c.c_user, p.p_user) AS user_id
+    FROM c
+    FULL JOIN p ON c.c_user = p.p_user
+       AND p.pt >= c.ct AND p.pt <= c.ct + 3600
+    CROSS JOIN bounds
+    WHERE (c.ct IS NULL OR c.ct <= bounds.bound)
+      AND (p.pt IS NULL OR p.pt <= bounds.bound)
+    """,
+    tags=("streaming", "join", "events"),
+)
+def streaming_stream_stream_full_outer(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Stream-stream FULL OUTER join — the join matrix's last cell:
+    clicks with no purchase AND purchases with no click each emit a
+    NULL-extended row once the watermark proves no match can arrive.
+    Same determinism device as the left-outer gate, applied to BOTH
+    sides: rows within 3 h + margin of the slower side's max event
+    time are still in state-expiry limbo at drain and are excluded in
+    both engines, making the bounded drain equal the batch FULL JOIN
+    exactly."""
+    s = events_stream(spark, sf_dir)
+    clicks = (
+        s.where(F.col("event_type") == "click")
+        .select(
+            F.col("event_id").alias("click_id"),
+            F.col("user_id").alias("c_user"),
+            F.col("ts").alias("click_ts"),
+        )
+        .withWatermark("click_ts", "2 hours")
+    )
+    purchases = (
+        s.where(F.col("event_type") == "purchase")
+        .select(
+            F.col("event_id").alias("purchase_id"),
+            F.col("user_id").alias("p_user"),
+            F.col("ts").alias("purchase_ts"),
+        )
+        .withWatermark("purchase_ts", "2 hours")
+    )
+    joined = clicks.join(
+        purchases,
+        (F.col("c_user") == F.col("p_user"))
+        & (F.col("purchase_ts") >= F.col("click_ts"))
+        & (F.col("purchase_ts") <= F.col("click_ts") + F.expr("INTERVAL 1 HOUR")),
+        "full_outer",
+    ).select("click_id", "purchase_id", "c_user", "p_user", "click_ts", "purchase_ts")
+    out = _drain_to_memory(joined, "append")
+    batch = load_table(out.sparkSession, sf_dir, "events")
+    bound = (
+        batch.where(F.col("event_type").isin("click", "purchase"))
+        .groupBy("event_type")
+        .agg(F.max(F.unix_timestamp("ts")).cast("long").alias("m"))
+        .agg(F.min("m"))
+        .collect()[0][0]
+    ) - 10810
+    return (
+        out.where(
+            (F.col("click_ts").isNull() | (F.col("click_ts").cast("long") <= bound))
+            & (
+                F.col("purchase_ts").isNull()
+                | (F.col("purchase_ts").cast("long") <= bound)
+            )
+        )
+        .select(
+            "click_id",
+            "purchase_id",
+            F.coalesce(F.col("c_user"), F.col("p_user")).alias("user_id"),
+        )
+    )
+
+
 def documents_stream(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Bounded file stream over the documents fixture (same shape as
     events_stream: schema from the batch reader, AvailableNow runs)."""
