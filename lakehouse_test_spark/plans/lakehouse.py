@@ -440,7 +440,12 @@ class LakehouseTable:
         files = self._files_for()
         if not files:
             raise ValueError("cannot delete from an empty table")
-        base = self.spark.read.option("mergeSchema", "true").parquet(*files)
+        # logical names for the predicate (renamed tables), raw
+        # _metadata for the positions — _apply_renames only touches
+        # data columns, so file_path/row_index stay addressable
+        base = self._apply_renames(
+            self.spark.read.option("mergeSchema", "true").parquet(*files)
+        )
         matched = base.where(condition).select(
             F_col("_metadata.file_path").alias("_dv_file"),
             F_col("_metadata.row_index").alias("_dv_pos"),
@@ -1380,6 +1385,26 @@ class LakehouseTable:
         current-state metadata: like Delta, time-traveled reads also
         surface the LOGICAL names."""
         meta = self._read_meta()
+        # Delta's rule: a column referenced by a CHECK constraint or a
+        # generated-column expression cannot be renamed (the stored
+        # expression text would silently dangle and brick every future
+        # write's validation)
+        referents = []
+        for cname, expr in (meta.get("constraints") or {}).items():
+            if _re.search(rf"\b{_re.escape(old)}\b", expr):
+                referents.append(f"constraint {cname!r} ({expr})")
+        for gname, expr in (meta.get("generated_columns") or {}).items():
+            if gname == old or _re.search(rf"\b{_re.escape(old)}\b", expr):
+                referents.append(f"generated column {gname!r} ({expr})")
+        specs = meta.get("partition_specs") or []
+        for item in (specs[-1]["cols"] if specs else []):
+            if _re.search(rf"\b{_re.escape(old)}\b", item):
+                referents.append(f"current partition spec item {item!r}")
+        if referents:
+            raise ValueError(
+                f"cannot rename {old!r}: referenced by {'; '.join(referents)} "
+                "(drop/redefine them first — Delta blocks this rename too)"
+            )
         meta.setdefault("column_renames", []).append([old, new])
         self._write_meta(meta)
 

@@ -1,0 +1,152 @@
+"""Kitchen-sink lifecycle: every table feature exercised IN SEQUENCE
+on one table, state checked against an independently-maintained model
+after each step, then read through every reader surface (snapshot,
+CDF initial load, clone, Delta replay, Iceberg replay). This is the
+cross-feature regression net: each feature passes its own tests, but
+the bugs this round kept finding lived in the INTERACTIONS
+(rename x export, DV x export, vacuum x export, clone x metadata)."""
+
+from __future__ import annotations
+
+import pytest
+from pyspark.sql import functions as F
+
+from lakehouse_test_spark.plans.lakehouse import (
+    ConstraintViolationError,
+    LakehouseTable,
+)
+
+
+def _rows(spark, ks, val_of, name="v"):
+    return spark.createDataFrame(
+        [(int(k), int(val_of(k))) for k in ks], f"k long, {name} long"
+    )
+
+
+def test_full_lifecycle(spark, tmp_path):
+    t = LakehouseTable(spark, str(tmp_path / "life"))
+    model: dict[int, int] = {}  # k -> val (v2 is always derived)
+
+    # constraints + generated columns first (they govern every write)
+    t.add_constraint("v_nonneg", "v >= 0")
+    t.add_generated_column("v2", "v * 2")
+
+    def check(step: str) -> None:
+        kcol = "key" if "key" in t.snapshot().columns else "k"
+        got = {r[kcol]: (r.v, r.v2) for r in t.snapshot().collect()}
+        want = {k: (v, 2 * v) for k, v in model.items()}
+        assert got == want, f"{step}: {sorted(set(got.items()) ^ set(want.items()))[:6]}"
+
+    # v0 plain append (generated column computed)
+    t.append(_rows(spark, range(0, 20), lambda k: k))
+    model.update({k: k for k in range(0, 20)})
+    check("append")
+
+    # constraint rejects atomically
+    with pytest.raises(ConstraintViolationError):
+        t.append(_rows(spark, [99], lambda k: -1))
+    check("constraint reject")
+
+    # rename of a referenced column is blocked (Delta's rule)
+    with pytest.raises(ValueError, match="referenced by"):
+        t.rename_column("v", "val")
+    # renaming the un-referenced key column is fine (metadata-only)
+    t.rename_column("k", "key")
+    assert set(t.snapshot().columns) == {"key", "v", "v2"}
+
+    # hidden partitioning on the RENAMED column + partitioned append
+    t.set_partition_spec(["bucket(2, key)"])
+    t.append_partitioned(
+        spark.createDataFrame([(k, k) for k in range(20, 40)], "key long, v long")
+    )
+    model.update({k: k for k in range(20, 40)})
+    check("append_partitioned")
+    # ...and now the spec pins key against a second rename
+    with pytest.raises(ValueError, match="partition spec"):
+        t.rename_column("key", "kk")
+
+    # DV delete (v3): no file rewritten
+    t.delete_where_dv("key % 10 = 9")
+    for k in [9, 19, 29, 39]:
+        model.pop(k)
+    check("dv delete")
+
+    t.tag("pre-merge")
+    pre_merge_model = dict(model)
+
+    # keyed MERGE (restate, clears DVs physically)
+    updates = spark.createDataFrame(
+        [(k, 100 + k, 2 * (100 + k)) for k in range(0, 5)], "key long, v long, v2 long"
+    )
+    t.merge(updates, key_cols=["key"])
+    model.update({k: 100 + k for k in range(0, 5)})
+    check("merge")
+
+    # branch -> append -> fast-forward publish (WAP)
+    t.create_branch("exp")
+    t.branch_append(
+        "exp",
+        spark.createDataFrame(
+            [(k, k, 2 * k) for k in range(100, 105)], "key long, v long, v2 long"
+        ),
+    )
+    t.merge_branch("exp")
+    model.update({k: k for k in range(100, 105)})
+    check("branch fast-forward")
+
+    # partial compaction of the merge commit's files (disjoint bin)
+    merge_commit = next(c for c in t.history() if c.operation == "merge")
+    t.compact_files(merge_commit.files)
+    check("partial compact")
+
+    # tag still reads the pre-merge state
+    tagged = {r.key: r.v for r in t.snapshot(tag="pre-merge").collect()}
+    assert tagged == pre_merge_model, "tag drifted"
+
+    # restore to the tagged version, then roll forward again via merge
+    t.restore(t.tags()["pre-merge"])
+    got = {r.key: r.v for r in t.snapshot().collect()}
+    assert got == pre_merge_model, "restore mismatch"
+    t.merge(updates, key_cols=["key"])
+    t.merge(
+        spark.createDataFrame(
+            [(k, k, 2 * k) for k in range(100, 105)], "key long, v long, v2 long"
+        ),
+        key_cols=["key"],
+    )
+    check("restore + roll forward")
+
+    # vacuum (keeps tags pinned), then every reader surface must agree
+    t.vacuum(keep_versions=2)
+    check("vacuum")
+    assert {r.key: r.v for r in t.snapshot(tag="pre-merge").collect()} == pre_merge_model
+
+    # CDF initial load equals the live snapshot
+    cdf = t.read_changes_cdf(-1)
+    got_cdf = {r.key: (r.v, r.v2) for r in cdf.collect()}
+    assert got_cdf == {k: (v, 2 * v) for k, v in model.items()}
+
+    # clone (shallow) sees the same logical state and stays writable
+    c = t.clone(str(tmp_path / "life_clone"), shallow=True)
+    got_clone = {r.key: r.v for r in c.snapshot().collect()}
+    assert got_clone == model
+    c.append(spark.createDataFrame([(200, 1, 2)], "key long, v long, v2 long"))
+    assert c.snapshot().count() == len(model) + 1
+    assert t.snapshot().count() == len(model)  # source untouched
+
+    # both format exports replay the exact live state
+    from lakehouse_test_spark.plans.delta_export import (
+        export_delta_log,
+        read_delta_log,
+    )
+    from lakehouse_test_spark.plans.iceberg_export import (
+        export_iceberg_metadata,
+        read_iceberg,
+    )
+
+    export_delta_log(spark, t)
+    got_d = {r.key: (r.v, r.v2) for r in read_delta_log(spark, str(t.path)).collect()}
+    assert got_d == {k: (v, 2 * v) for k, v in model.items()}, "delta replay"
+    export_iceberg_metadata(spark, t)
+    got_i = {r.key: (r.v, r.v2) for r in read_iceberg(spark, str(t.path)).collect()}
+    assert got_i == {k: (v, 2 * v) for k, v in model.items()}, "iceberg replay"
