@@ -1013,24 +1013,38 @@ class LakehouseTable:
         return deleted
 
     def merge_branch(self, name: str) -> int:
-        """FAST-FORWARD merge: publish the branch's commits onto main.
-        Requires main's head to still equal the fork point — if main
-        advanced, the merge raises (divergence needs a rebase, which
-        append-only branches don't model). Branch commit files move
-        into the main log keeping their version numbers (they were
-        allocated fork+1… by construction), then the ref is dropped."""
+        """Publish the branch's commits onto main. If main still sits
+        at the fork point this is a pure FAST-FORWARD (commit files
+        move in keeping their version numbers). If main ADVANCED, the
+        branch REBASES: append-only branch commits commute with any
+        main history (an append adds rows regardless of what else
+        landed — the same disjoint-files rule appends and partial
+        compactions use), so they renumber onto the new head. Either
+        way the ref is dropped afterwards."""
         brs = self.branches()
         if name not in brs:
             raise ValueError(f"unknown branch {name!r}")
         fork = brs[name]["fork_version"]
         head = self.latest_version()
-        if head != fork:
-            raise ValueError(
-                f"merge_branch {name!r}: main advanced to v{head} past the "
-                f"fork at v{fork}; rebase is not supported on append-only branches"
-            )
-        for p in sorted(self._branch_dir(name).glob("*.json")):
-            os.rename(p, self._commit_path(int(p.stem)))
+        commits = sorted(self._branch_dir(name).glob("*.json"))
+        if head == fork:
+            for p in commits:
+                os.rename(p, self._commit_path(int(p.stem)))
+        else:
+            # rebase: replay each branch commit at head+1… — contents
+            # unchanged (pure appends), only the version renumbers
+            for p in commits:
+                d = json.loads(p.read_text())
+                head += 1
+                d["version"] = head
+                target = self._commit_path(head)
+                if target.exists():
+                    raise ConcurrentModificationError(
+                        f"merge_branch {name!r}: version {head} appeared "
+                        "mid-rebase; retry"
+                    )
+                target.write_text(json.dumps(d))
+                p.unlink()
         shutil.rmtree(self._branch_dir(name), ignore_errors=True)
         meta = self._read_meta()
         meta["branches"].pop(name, None)

@@ -442,17 +442,22 @@ def test_branch_isolation_and_fast_forward(spark, table):
     assert table.snapshot(version=0).count() == 10
 
 
-def test_branch_merge_refuses_divergence(spark, table):
+def test_branch_merge_rebases_divergence(spark, table):
+    """Main advancing past the fork no longer refuses the merge:
+    append-only branch commits commute, so they rebase onto the new
+    head (previously this raised; see also
+    test_merge_branch_rebases_over_advanced_main)."""
     table.append(spark.range(5).select(F.col("id").alias("k")))
     table.create_branch("dev")
     table.branch_append("dev", spark.range(5, 8).select(F.col("id").alias("k")))
     table.append(spark.range(8, 12).select(F.col("id").alias("k")))  # main advances
-    with pytest.raises(ValueError, match="advanced"):
-        table.merge_branch("dev")
-    # branch still readable and isolated after the refused merge
+    # branch readable and isolated pre-merge
     assert table.snapshot_branch("dev").count() == 8
     with pytest.raises(ValueError):
         table.create_branch("dev")
+    v = table.merge_branch("dev")
+    assert v == 2  # rebased past main's v1
+    assert sorted(r.k for r in table.snapshot().collect()) == list(range(12))
 
 
 def test_drop_branch_reclaims_only_branch_files(spark, table):
@@ -733,3 +738,23 @@ def test_clone_carries_table_metadata(spark, tmp_path):
             dst.bucket_of("bucket(2, v_usd)", 21),
         )
         assert 21 in {r.v_usd for r in out.collect()}
+
+
+def test_merge_branch_rebases_over_advanced_main(spark, tmp_path):
+    """Append-only branch commits commute with main history, so a
+    branch merge REBASES when main advanced past the fork (renumbered
+    onto the new head) instead of refusing; the final snapshot holds
+    both lines' rows and time travel stays consistent."""
+    t = LakehouseTable(spark, str(tmp_path / "br_rebase"))
+    t.append(spark.range(10).select(F.col("id").alias("k")))  # v0 fork
+    t.create_branch("exp")
+    t.branch_append("exp", spark.range(100, 105).select(F.col("id").alias("k")))
+    t.append(spark.range(10, 20).select(F.col("id").alias("k")))  # main v1
+    t.delete_where("k = 15")  # even a restate on main commutes  # v2
+    v = t.merge_branch("exp")
+    assert v == 3  # branch commit renumbered onto the new head
+    got = sorted(r.k for r in t.snapshot().collect())
+    assert got == sorted(set(range(20)) - {15} | set(range(100, 105)))
+    # pre-merge main versions unchanged by the rebase
+    assert t.snapshot(version=2).count() == 19
+    assert t.branches() == {}
