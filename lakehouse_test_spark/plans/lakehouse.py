@@ -837,6 +837,80 @@ class LakehouseTable:
             read_version=read_version,
         )
 
+    def hilbert_cluster(
+        self,
+        cols: list[str],
+        target_partitions: int = 8,
+        stats_cols: list[str] | None = None,
+    ) -> Commit:
+        """OPTIMIZE ... CLUSTER BY analog on the HILBERT curve — the
+        layout Delta liquid clustering and Iceberg's hilbert-sort
+        rewrite use.  Same contract as :meth:`zorder` (equal-count
+        file cuts on the curve key, zone-map stats, ``data_change=
+        False``) but the key has no Morton seam-jumps: consecutive
+        curve positions are always ADJACENT grid cells, so a file
+        holding a contiguous key range covers a tighter axis-aligned
+        box and min/max pruning skips more files near power-of-two
+        boundaries.
+
+        The min/max normalization to the 16-bit grid stays in JVM
+        codegen; only the bit permutation (Skilling transform) runs
+        as an Arrow-batched numpy kernel — once, in the rewrite job,
+        never on the query path.  Scale shape is identical to zorder:
+        one bounds agg, one exact-percentile agg (≙ approx_percentile
+        at 100 TB), one hash shuffle on the bucket id.
+        """
+        from pyspark.sql import functions as F
+
+        from lakehouse_test_spark.operators.spacecurve import hilbert_key_udf
+
+        read_version = self.latest_version()
+        snap = self.snapshot()
+        b = snap.agg(
+            *[F.min(c).cast("double").alias(f"lo_{c}") for c in cols],
+            *[F.max(c).cast("double").alias(f"hi_{c}") for c in cols],
+        ).first()
+        coord_cols = []
+        for c in cols:
+            lo, hi = b[f"lo_{c}"], b[f"hi_{c}"]
+            span = (hi - lo) or 1.0
+            coord_cols.append(
+                F.least(
+                    F.lit(65535),
+                    F.greatest(
+                        F.lit(0),
+                        F.floor(
+                            (F.col(c).cast("double") - F.lit(lo))
+                            / F.lit(span)
+                            * 65535
+                        ),
+                    ),
+                ).cast("bigint")
+            )
+        key = hilbert_key_udf(len(cols), bits=16)
+        with_h = snap.withColumn("_h", key(*coord_cols))
+        fracs = [i / target_partitions for i in range(1, target_partitions)]
+        cuts = with_h.agg(
+            F.expr(f"percentile(_h, array({','.join(str(f) for f in fracs)}))")
+        ).first()[0]
+        bucket = F.lit(0)
+        for cut in cuts:
+            bucket = bucket + F.when(F.col("_h") > F.lit(int(cut)), 1).otherwise(0)
+        clustered = (
+            with_h.withColumn("_hb", bucket)
+            .repartition(target_partitions, "_hb")
+            .sortWithinPartitions("_hb", "_h")
+            .drop("_h")
+        )
+        return self._commit_restate(
+            clustered,
+            "hilbert_cluster",
+            data_change=False,
+            stats_cols=stats_cols or cols,
+            partition_by=["_hb"],
+            read_version=read_version,
+        )
+
     # -- reads ---------------------------------------------------------------
 
     def _live_commits(self, version: int | None = None) -> list[Commit]:
@@ -1123,6 +1197,46 @@ class LakehouseTable:
                 )
             )
         ).where((F_col(col) >= lo) & (F_col(col) <= hi))
+        return df, len(kept), len(all_files)
+
+    def scan_pruned_box(
+        self, preds: dict[str, tuple]
+    ) -> tuple[DataFrame, int, int]:
+        """Multi-dimensional zone-map scan: keep a file only if its
+        [min,max] overlaps EVERY column's [lo,hi] in ``preds``.  This
+        is the read path multi-dim clustering (:meth:`zorder`,
+        :meth:`hilbert_cluster`) exists to serve — a lead-column sort
+        can only skip on one axis; a space-filling-curve layout makes
+        every listed axis's zone maps tight simultaneously.  Files
+        with missing stats on any axis are kept (skipping is safe).
+        Returns (df, files_scanned, files_total)."""
+        all_files: list[str] = []
+        kept: list[str] = []
+        keys = {c: self._stat_keys(c) for c in preds}
+        for c, f in self._live_files():
+            all_files.append(f)
+            fstats = (c.stats or {}).get(f, {})
+            keep = True
+            for col, (lo, hi) in preds.items():
+                st = next((fstats[k] for k in keys[col] if k in fstats), None)
+                if st is None or st[0] is None or st[1] is None:
+                    continue  # no stats on this axis: cannot skip
+                if hi < st[0] or lo > st[1]:
+                    keep = False
+                    break
+            if keep:
+                kept.append(f)
+        if not kept:
+            return self.snapshot().limit(0), 0, len(all_files)
+        df = self._apply_renames(
+            self._apply_dvs(
+                self.spark.read.option("mergeSchema", "true").parquet(
+                    *[str(self.path / f) for f in kept]
+                )
+            )
+        )
+        for col, (lo, hi) in preds.items():
+            df = df.where((F_col(col) >= lo) & (F_col(col) <= hi))
         return df, len(kept), len(all_files)
 
     def read_changes(self, since_version: int) -> DataFrame:

@@ -1,0 +1,223 @@
+"""Round-4 wave AD: Hilbert clustering, mergeable heavy-hitter
+sketches, and geospatial bucketing.
+
+- ``lakehouse_hilbert_cluster`` — OPTIMIZE ... CLUSTER BY on the
+  Hilbert curve (the liquid-clustering layout) + the multi-dimension
+  zone-map box scan it exists to serve, under the HASH gate; the
+  query also asserts files were actually skipped.
+- ``text_heavy_hitter_tokens`` — distributed Misra-Gries candidate
+  pass + exact rescore: top-k corpus tokens with one bounded shuffle
+  instead of a group per distinct token; exact (hash gate) because
+  Zipf heads clear the sketch threshold by orders of magnitude.
+- ``spatial_geohash_encode`` — base-32 geohash in pure JVM codegen,
+  hash-gated against a generated bit-identical DuckDB expression.
+- ``spatial_radius_join`` — all point pairs within a radius via
+  grid-cell bucketing + 3×3 neighbor expansion (the spatial LSH):
+  candidates meet in exactly one cell pair, then the exact metric
+  filters — never O(n²).
+
+Reference parity: clustering extends §2a op 33 (offload/compaction);
+the sketch extends op 35's counters to frequency estimation; spatial
+bucketing mirrors op 7's partition expansion in the spatial domain.
+"""
+
+from __future__ import annotations
+
+import tempfile
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from lakehouse_test_spark.fpsafe import dround, dsum
+from lakehouse_test_spark.operators.sketches import heavy_hitters
+from lakehouse_test_spark.operators.spatial import (
+    geohash_col,
+    geohash_sql,
+    radius_join_pairs,
+)
+from lakehouse_test_spark.registry import query
+from lakehouse_test_spark.session import load_table
+
+
+def T(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
+    return load_table(spark, sf_dir, name)
+
+
+# deterministic synthetic coordinates for the spatial queries: pure
+# integer arithmetic + one exact double division, so Spark and DuckDB
+# derive bit-identical values from c_custkey; the quadratic mix
+# breaks the lattice structure a linear congruence would impose
+# (linear multipliers left ZERO pairs within any small radius — the
+# two axes' residues never aligned)
+_LAT = "(((((c_custkey * c_custkey) % 18000) * 7919) % 18000) / 100.0 - 90.0)"
+_LON = "(((((c_custkey * c_custkey) % 36000) * 104729) % 36000) / 100.0 - 180.0)"
+
+
+def _coords(cust: DataFrame) -> DataFrame:
+    k = F.col("c_custkey")
+    return cust.select(
+        "c_custkey",
+        (((k * k % 18000) * 7919 % 18000) / 100.0 - 90.0).alias("lat"),
+        (((k * k % 36000) * 104729 % 36000) / 100.0 - 180.0).alias("lon"),
+    )
+
+
+@query(
+    "lakehouse_hilbert_cluster",
+    oracle="""
+    SELECT count(*) AS n_orders,
+           CAST(round(sum(CAST(o_totalprice AS DECIMAL(18,6))), 2) AS DOUBLE)
+             AS total_price,
+           min(o_orderkey) AS min_key,
+           max(o_orderkey) AS max_key
+    FROM orders
+    WHERE o_custkey BETWEEN 100 AND 400
+      AND o_totalprice BETWEEN 10000 AND 50000
+    """,
+    tags=("lakehouse", "clustering", "hilbert", "pruning"),
+)
+def lakehouse_hilbert_cluster(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Hilbert-curve reclustering + the 2-D box scan it serves.
+
+    Orders land in custkey order (totalprice zone maps are useless),
+    then ``hilbert_cluster(["o_custkey", "o_totalprice"])`` rewrites
+    the table along the curve and ``scan_pruned_box`` answers a
+    2-predicate box query from the zone maps.  The query RAISES if
+    the clustered layout fails to skip at least one file — the gate
+    checks values AND that the layout property held."""
+    from lakehouse_test_spark.plans.lakehouse import LakehouseTable
+
+    o = T(spark, sf_dir, "orders").select(
+        "o_orderkey", "o_custkey", "o_totalprice"
+    )
+    table = LakehouseTable(spark, tempfile.mkdtemp(prefix="lh_hilbert_"))
+    table.append(
+        o.repartition(8, "o_custkey"),
+        stats_cols=["o_custkey", "o_totalprice"],
+    )
+    table.hilbert_cluster(["o_custkey", "o_totalprice"], target_partitions=8)
+    df, scanned, total = table.scan_pruned_box(
+        {"o_custkey": (100, 400), "o_totalprice": (10000.0, 50000.0)}
+    )
+    if not scanned < total:
+        raise AssertionError(
+            f"hilbert layout skipped nothing: {scanned}/{total} files"
+        )
+    return (
+        df.agg(
+            F.count(F.lit(1)).alias("n_orders"),
+            dround(dsum(F.col("o_totalprice")), 2).alias("total_price"),
+            F.min("o_orderkey").alias("min_key"),
+            F.max("o_orderkey").alias("max_key"),
+        )
+    ).localCheckpoint()
+
+
+@query(
+    "text_heavy_hitter_tokens",
+    oracle="""
+    SELECT token, n FROM (
+      SELECT token, count(*) AS n
+      FROM (
+        SELECT unnest(list_filter(
+                 string_split_regex(lower(text), '[^a-z0-9]+'),
+                 x -> x <> '')) AS token
+        FROM documents
+      )
+      GROUP BY token
+    )
+    ORDER BY n DESC, token ASC
+    LIMIT 20
+    """,
+    tags=("text", "sketch", "heavy-hitters", "documents"),
+)
+def text_heavy_hitter_tokens(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Top-20 corpus tokens via the distributed Misra-Gries sketch +
+    exact rescore (operators/sketches.py).  The oracle is the exact
+    full aggregation; they match because every Zipf-head token's
+    frequency is orders of magnitude above the sketch's n/(s+1)
+    recall threshold (margin pinned in tests/test_wave30.py)."""
+    toks = (
+        T(spark, sf_dir, "documents")
+        .select(
+            F.explode(F.split(F.lower(F.col("text")), "[^a-z0-9]+")).alias(
+                "token"
+            )
+        )
+        .where(F.col("token") != "")
+    )
+    return (
+        heavy_hitters(toks, "token", k=20, summary_size=4096)
+        .select(F.col("item").alias("token"), "n")
+        .localCheckpoint()
+    )
+
+
+def _geohash_oracle() -> str:
+    parts = geohash_sql(_LAT, _LON, precision=6)
+    return f"""
+    WITH q AS (
+      SELECT c_custkey,
+             CAST({_LAT} AS DOUBLE) AS lat,
+             CAST({_LON} AS DOUBLE) AS lon,
+             {parts['nlon']} AS nlon,
+             {parts['nlat']} AS nlat
+      FROM customer
+    ),
+    hh AS (SELECT c_custkey, lat, lon, ({parts['h']}) AS h FROM q)
+    SELECT c_custkey, lat, lon, ({parts['chars']}) AS geohash
+    FROM hh
+    """
+
+
+@query(
+    "spatial_geohash_encode",
+    oracle=_geohash_oracle(),
+    tags=("spatial", "geohash", "customer"),
+)
+def spatial_geohash_encode(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Precision-6 geohash of deterministic per-customer coordinates,
+    computed entirely in JVM codegen (shift/and/or + array lookup, no
+    UDF).  The oracle SQL is GENERATED from the same bit layout
+    (operators/spatial.py:geohash_sql), so encoder and oracle cannot
+    drift apart."""
+    pts = _coords(T(spark, sf_dir, "customer"))
+    return pts.select(
+        "c_custkey",
+        "lat",
+        "lon",
+        geohash_col(F.col("lat"), F.col("lon"), precision=6).alias("geohash"),
+    )
+
+
+@query(
+    "spatial_radius_join",
+    oracle=f"""
+    WITH pts AS (
+      SELECT c_custkey,
+             CAST({_LAT} AS DOUBLE) AS lat,
+             CAST({_LON} AS DOUBLE) AS lon
+      FROM customer
+    )
+    SELECT a.c_custkey AS id_a, b.c_custkey AS id_b,
+           round(sqrt((a.lat - b.lat) * (a.lat - b.lat)
+                 + ((a.lon - b.lon) * 0.5) * ((a.lon - b.lon) * 0.5)), 3)
+             AS dist
+    FROM pts a, pts b
+    WHERE a.c_custkey < b.c_custkey
+      AND sqrt((a.lat - b.lat) * (a.lat - b.lat)
+               + ((a.lon - b.lon) * 0.5) * ((a.lon - b.lon) * 0.5)) <= 1.5
+    """,
+    tags=("spatial", "join", "radius", "customer"),
+)
+def spatial_radius_join(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """All customer pairs within 1.5 degree-units (equirectangular
+    metric, fixed longitude scale 0.5 — only +,-,×,√, so Spark and
+    the oracle agree bit-for-bit).  The plan is grid-cell bucketing +
+    3×3 neighbor expansion + one hash join — linear in matching
+    pairs; the oracle is the O(n²) cross join, feasible only at
+    oracle scale."""
+    pts = _coords(T(spark, sf_dir, "customer"))
+    return radius_join_pairs(
+        pts, "c_custkey", "lat", "lon", radius=1.5, lon_scale=0.5
+    )
