@@ -146,10 +146,8 @@ def text_heavy_hitter_tokens(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .where(F.col("token") != "")
     )
-    return (
-        heavy_hitters(toks, "token", k=20, summary_size=4096)
-        .select(F.col("item").alias("token"), "n")
-        .localCheckpoint()
+    return heavy_hitters(toks, "token", k=20, summary_size=4096).select(
+        F.col("item").alias("token"), "n"
     )
 
 

@@ -516,3 +516,29 @@ def test_curriculum_order_has_no_global_window(spark, sf_dir):
     for i, l in enumerate(lines):
         if "Exchange SinglePartition" in l:
             assert "partial_count" in lines[i + 1], p
+
+
+def test_radius_join_is_hash_join_no_cartesian(spark, sf_dir):
+    """spatial_radius_join buckets into grid cells and hash-joins on
+    the cell id — a CartesianProduct or BroadcastNestedLoopJoin means
+    the candidate generation degenerated to all-pairs."""
+    p = plan_of(spark, sf_dir, "spatial_radius_join")
+    assert "CartesianProduct" not in p, p
+    assert "BroadcastNestedLoop" not in p, p
+    assert "hashpartitioning" in p or "BroadcastHashJoin" in p, p
+
+
+def test_heavy_hitters_rescore_is_broadcast_semi(spark, sf_dir):
+    """text_heavy_hitter_tokens' exact rescore must broadcast the
+    tiny candidate set (LeftSemi BroadcastHashJoin): shuffling the
+    full token stream against candidates is the 100 TB regression."""
+    p = plan_of(spark, sf_dir, "text_heavy_hitter_tokens")
+    assert "BroadcastHashJoin" in p and "LeftSemi" in p, p
+
+
+def test_geohash_encode_is_pure_projection(spark, sf_dir):
+    """The geohash encoder is codegen-only: no exchange, no UDF eval
+    node — one scan, one projection."""
+    p = plan_of(spark, sf_dir, "spatial_geohash_encode")
+    assert "Exchange" not in p, p
+    assert "BatchEvalPython" not in p and "ArrowEvalPython" not in p, p
