@@ -641,37 +641,63 @@ def _replay_state(
     meta: dict | None = None
     start_after = -1
     ckpt_version: int | None = None
+    ckpt_parts: int | None = None
     last = log_dir / "_last_checkpoint"
     if last.exists():
-        v = json.loads(last.read_text())["version"]
+        pointer = json.loads(last.read_text())
+        v = pointer["version"]
         if version is None or v <= version:
             ckpt_version = v
+            ckpt_parts = pointer.get("parts")
         else:
             # time travel below _last_checkpoint: use the newest older
             # checkpoint if any, else full JSON replay (all commits kept)
             older = sorted(
                 int(p.name.split(".")[0])
-                for p in log_dir.glob("*.checkpoint.parquet")
+                for p in log_dir.glob("*.checkpoint*.parquet")
                 if int(p.name.split(".")[0]) <= version
             )
             ckpt_version = older[-1] if older else None
+            if ckpt_version is not None:
+                n_parts = len(
+                    list(
+                        log_dir.glob(
+                            f"{ckpt_version:020d}.checkpoint.*.parquet"
+                        )
+                    )
+                )
+                ckpt_parts = n_parts or None
     if ckpt_version is not None:
         import pyarrow.parquet as pq
 
-        t = pq.read_table(
-            str(log_dir / f"{ckpt_version:020d}.checkpoint.parquet"),
-            columns=["add", "metaData"],
-        )
-        for add in t.column("add").to_pylist():
-            if add is not None and add.get("path"):
-                add = dict(add)
-                add["partitionValues"] = dict(add.get("partitionValues") or [])
-                live[add["path"]] = add
-        for md in t.column("metaData").to_pylist():
-            if md is not None and md.get("id"):
-                md = dict(md)
-                md["configuration"] = dict(md.get("configuration") or [])
-                meta = md
+        if ckpt_parts:
+            # multi-part checkpoint (large foreign tables write the
+            # state as N shards): every part must be read; any shard
+            # may carry any action type
+            part_files = [
+                log_dir
+                / (
+                    f"{ckpt_version:020d}.checkpoint."
+                    f"{i + 1:010d}.{ckpt_parts:010d}.parquet"
+                )
+                for i in range(ckpt_parts)
+            ]
+        else:
+            part_files = [log_dir / f"{ckpt_version:020d}.checkpoint.parquet"]
+        for pf in part_files:
+            t = pq.read_table(str(pf), columns=["add", "metaData"])
+            for add in t.column("add").to_pylist():
+                if add is not None and add.get("path"):
+                    add = dict(add)
+                    add["partitionValues"] = dict(
+                        add.get("partitionValues") or []
+                    )
+                    live[add["path"]] = add
+            for md in t.column("metaData").to_pylist():
+                if md is not None and md.get("id"):
+                    md = dict(md)
+                    md["configuration"] = dict(md.get("configuration") or [])
+                    meta = md
         start_after = ckpt_version
     replayed: list[int] = []
     for p in sorted(log_dir.glob("*.json")):
@@ -704,22 +730,148 @@ def replay_live_files(table_path: str, version: int | None = None) -> list[str]:
     return sorted(live)
 
 
+#: Delta partition-value strings → Spark cast targets (PROTOCOL.md
+#: §Partition Value Serialization; the types the fixture surface uses)
+_PARTITION_CAST_TYPES = {
+    "integer": "int",
+    "long": "bigint",
+    "short": "smallint",
+    "byte": "tinyint",
+    "double": "double",
+    "float": "float",
+    "boolean": "boolean",
+    "date": "date",
+    "timestamp": "timestamp",
+    "string": "string",
+}
+
+
 def read_delta_log(
     spark: SparkSession, table_path: str, version: int | None = None
 ) -> DataFrame:
-    """Open an exported table the way a Delta reader would: replay the
-    log to the live file set, scan exactly those parquet files, and —
-    when the metaData declares ``delta.columnMapping.mode = name`` —
-    surface each field under its LOGICAL name while reading the
-    ``physicalName`` the files actually store (PROTOCOL.md §Column
-    Mapping)."""
+    """Open a Delta table the way a third-party reader must: replay
+    the log (checkpoint-first, multi-part aware) to the live file
+    set, scan exactly those parquet files, merge deletion vectors,
+    apply column mapping, and RECONSTRUCT PARTITION COLUMNS — Delta
+    data files do NOT store partition columns; their values exist
+    only in each add's ``partitionValues`` (PROTOCOL.md §Data Files),
+    so a reader that just scans the parquet silently loses them."""
+    live, _, _, meta = _replay_state(table_path, version)
+    if not live:
+        raise ValueError(f"no live files at version {version}")
+    return _frame_for(spark, Path(table_path), live, meta)
+
+
+def read_delta_log_pruned(
+    spark: SparkSession,
+    table_path: str,
+    preds: dict[str, tuple],
+    version: int | None = None,
+) -> tuple[DataFrame, int, int]:
+    """Plan a pruned scan of a (possibly foreign) Delta table from
+    its log ALONE: each predicate ``col: (lo, hi)`` is tested against
+    the add actions' ``partitionValues`` (partition pruning) and
+    ``stats`` JSON min/max (file skipping) — files outside every
+    range are never handed to Spark.  Missing stats keep the file
+    (skipping must be safe).  Returns (df, files_kept, files_total) —
+    the residual predicate is still applied row-level.
+
+    This is the planner's half of the Delta contract at 100 TB: the
+    log carries enough metadata that a reader prunes without touching
+    a single data-file footer."""
     from pyspark.sql import functions as F
 
     live, _, _, meta = _replay_state(table_path, version)
-    files = sorted(live)
-    if not files:
+    if not live:
         raise ValueError(f"no live files at version {version}")
-    root = Path(table_path)
+    part_types = _partition_types(meta)
+
+    def _bounds(add: dict, col: str):
+        pv = add.get("partitionValues") or {}
+        if col in pv:
+            v = _cast_partition_value(pv[col], part_types.get(col, "string"))
+            if v is None:
+                return None  # NULL partition: range preds cannot skip it
+            return (v, v)
+        try:
+            st = json.loads(add.get("stats") or "{}")
+        except (TypeError, ValueError):
+            return None
+        lo = (st.get("minValues") or {}).get(col)
+        hi = (st.get("maxValues") or {}).get(col)
+        if lo is None or hi is None:
+            return None
+        return (lo, hi)
+
+    kept: dict[str, dict] = {}
+    for path, add in live.items():
+        keep = True
+        for col, (lo, hi) in preds.items():
+            b = _bounds(add, col)
+            if b is None:
+                continue
+            blo, bhi = _coerce_bounds(b, lo)
+            if bhi < lo or blo > hi:
+                keep = False
+                break
+        if keep:
+            kept[path] = add
+    if not kept:
+        empty = _frame_for(spark, Path(table_path), live, meta).limit(0)
+        return empty, 0, len(live)
+    df = _frame_for(spark, Path(table_path), kept, meta)
+    for col, (lo, hi) in preds.items():
+        df = df.where((F.col(col) >= lo) & (F.col(col) <= hi))
+    return df, len(kept), len(live)
+
+
+def _partition_types(meta: dict | None) -> dict[str, str]:
+    if not meta:
+        return {}
+    try:
+        fields = json.loads(meta.get("schemaString") or "{}").get("fields", [])
+    except (TypeError, ValueError):
+        return {}
+    types = {
+        f["name"]: f["type"] for f in fields if isinstance(f.get("type"), str)
+    }
+    return {c: types.get(c, "string") for c in meta.get("partitionColumns") or []}
+
+
+def _cast_partition_value(raw: str | None, delta_type: str):
+    if raw is None:
+        return None
+    if delta_type in ("integer", "long", "short", "byte"):
+        return int(raw)
+    if delta_type in ("double", "float"):
+        return float(raw)
+    if delta_type == "boolean":
+        return raw == "true"
+    return raw  # string/date/timestamp compare lexically below
+
+
+def _coerce_bounds(bounds: tuple, probe) -> tuple:
+    """Stats JSON loses numeric types (json.dumps(default=str) and
+    foreign writers both emit strings); coerce file bounds to the
+    probe's type before comparing."""
+    lo, hi = bounds
+    if isinstance(probe, (int, float)) and isinstance(lo, str):
+        try:
+            return float(lo), float(hi)
+        except ValueError:
+            return bounds
+    return bounds
+
+
+def _frame_for(
+    spark: SparkSession, root: Path, live: dict[str, dict], meta: dict | None
+) -> DataFrame:
+    """Materialize a DataFrame for a replayed live-file map: parquet
+    scan + DV anti-join + column mapping + partition-column
+    reconstruction."""
+    from pyspark.sql import functions as F
+
+    files = sorted(live)
     df = spark.read.option("mergeSchema", "true").parquet(
         *[str(root / f) for f in files]
     )
@@ -771,6 +923,38 @@ def read_delta_log(
                 ).drop(physical)
             elif physical in df.columns:
                 df = df.withColumnRenamed(physical, logical)
+    # partition-column reconstruction: values live ONLY in the add
+    # actions, not in the data files — attach them by joining each
+    # row's file path against a broadcast (path → values) map built
+    # from the log (metadata-sized: one row per live file)
+    part_types = _partition_types(meta)
+    missing = [c for c in part_types if c not in df.columns]
+    if missing:
+        import pandas as pd
+
+        rows = {
+            "_ppath": [str((root / p).resolve()) for p in files],
+        }
+        for c in missing:
+            # keep the protocol's string serialization here; the Spark
+            # cast below restores the declared type (incl. date/bool)
+            rows[c] = [
+                (live[p].get("partitionValues") or {}).get(c) for p in files
+            ]
+        pmap = spark.createDataFrame(
+            pd.DataFrame(rows).astype("string")
+        )
+        for c in missing:
+            spark_t = _PARTITION_CAST_TYPES.get(part_types[c], "string")
+            pmap = pmap.withColumn(c, F.col(c).cast(spark_t))
+        df = (
+            df.withColumn(
+                "_ppath",
+                F.regexp_replace(F.col("_metadata.file_path"), "^file:(//)?", ""),
+            )
+            .join(F.broadcast(pmap), "_ppath")
+            .drop("_ppath")
+        )
     return df
 
 
@@ -930,4 +1114,174 @@ def lakehouse_delta_column_mapping(spark: SparkSession, sf_dir: str):
             dround(dsum(F.col("price_usd")), 2).alias("total_usd"),
         )
         .localCheckpoint()  # materialize before the temp table drops
+    )
+
+
+@query(
+    "lakehouse_delta_import_foreign",
+    oracle="""
+    SELECT o_orderstatus,
+           count(*) AS n_orders,
+           CAST(round(sum(CAST(o_totalprice AS DECIMAL(18,6))), 2) AS DOUBLE)
+             AS total_price
+    FROM orders
+    WHERE o_orderpriority = '1-URGENT' AND o_totalprice < 100000
+    GROUP BY o_orderstatus
+    """,
+    tags=("lakehouse", "delta", "interop", "import", "orders"),
+)
+def lakehouse_delta_import_foreign(spark: SparkSession, sf_dir: str):
+    """Import a FOREIGN-style Delta table — one whose layout our own
+    exporter never produces — and answer a pruned query from its log
+    alone.  The fixture is built the way third-party writers build
+    tables:
+
+    - hive-partitioned by ``o_orderpriority`` with the partition
+      column ABSENT from the data files (its values exist only in
+      each add's ``partitionValues`` — the protocol's rule, and the
+      thing naive parquet-scanning readers silently lose);
+    - per-file numeric ``stats`` JSON (minValues/maxValues on
+      ``o_totalprice``) written by the foreign writer, not derived
+      from our zone maps;
+    - a remove + re-add rewrite in v1 (file-level restatement);
+    - a MULTI-PART checkpoint (2 shards + ``_last_checkpoint`` with
+      ``parts``) — the large-table layout — followed by a post-
+      checkpoint JSON commit that the replay must still apply.
+
+    ``read_delta_log_pruned`` must plan the scan from the log alone:
+    partition pruning on ``o_orderpriority`` plus stats skipping on
+    ``o_totalprice`` (the query raises if nothing was skipped), then
+    reconstruct the partition column for the residual predicate and
+    the aggregation.  Hash-gated against the straight SQL answer.
+    """
+    import tempfile
+
+    import pyarrow as pa
+    import pyarrow.parquet as pq
+    from pyspark.sql import functions as F
+
+    from lakehouse_test_spark.fpsafe import dround, dsum
+
+    o = load_table(spark, sf_dir, "orders").select(
+        "o_orderkey", "o_orderstatus", "o_orderpriority", "o_totalprice"
+    )
+    root = Path(tempfile.mkdtemp(prefix="delta_foreign_"))
+    log_dir = root / "_delta_log"
+    log_dir.mkdir(parents=True)
+
+    schema_string = json.dumps(
+        {
+            "type": "struct",
+            "fields": [
+                {"name": "o_orderkey", "type": "long", "nullable": True, "metadata": {}},
+                {"name": "o_orderstatus", "type": "string", "nullable": True, "metadata": {}},
+                {"name": "o_totalprice", "type": "double", "nullable": True, "metadata": {}},
+                {"name": "o_orderpriority", "type": "string", "nullable": True, "metadata": {}},
+            ],
+        }
+    )
+    meta_action = {
+        "metaData": {
+            "id": "foreign-fixture",
+            "format": {"provider": "parquet"},
+            "schemaString": schema_string,
+            "partitionColumns": ["o_orderpriority"],
+            "configuration": {},
+            "createdTime": 0,
+        }
+    }
+
+    # foreign writer: one dir per partition, files split on totalprice,
+    # partition column NOT in the files, stats from the written rows
+    pdf = o.toPandas()
+    adds: list[dict] = []
+    for prio, grp in pdf.groupby("o_orderpriority"):
+        pdir = root / f"o_orderpriority={prio.replace(' ', '%20')}"
+        pdir.mkdir(exist_ok=True)
+        for tag, part in (
+            ("lo", grp[grp["o_totalprice"] < 100000]),
+            ("hi", grp[grp["o_totalprice"] >= 100000]),
+        ):
+            if part.empty:
+                continue
+            rel = f"o_orderpriority={prio.replace(' ', '%20')}/part-{tag}.parquet"
+            data = part.drop(columns=["o_orderpriority"])
+            pq.write_table(pa.Table.from_pandas(data, preserve_index=False), str(root / rel))
+            adds.append(
+                {
+                    "path": rel,
+                    "partitionValues": {"o_orderpriority": str(prio)},
+                    "size": (root / rel).stat().st_size,
+                    "modificationTime": 0,
+                    "dataChange": True,
+                    "stats": json.dumps(
+                        {
+                            "numRecords": int(len(part)),
+                            "minValues": {"o_totalprice": float(part["o_totalprice"].min())},
+                            "maxValues": {"o_totalprice": float(part["o_totalprice"].max())},
+                        }
+                    ),
+                }
+            )
+
+    def _commit(version: int, actions: list[dict]) -> None:
+        (log_dir / f"{version:020d}.json").write_text(
+            "\n".join(json.dumps(a) for a in actions)
+        )
+
+    # v0: protocol + metaData + all but the last TWO adds
+    _commit(0, [{"protocol": dict(PROTOCOL)}, meta_action] + [{"add": a} for a in adds[:-2]])
+    # v1: remove + re-add of one live file (a rewrite), + next add
+    rewrite = adds[0]
+    _commit(
+        1,
+        [
+            {"remove": {"path": rewrite["path"], "dataChange": True}},
+            {"add": rewrite},
+            {"add": adds[-2]},
+        ],
+    )
+    # multi-part checkpoint at v1: state split across 2 shards
+    live_now = adds[:-1]
+    md = dict(meta_action["metaData"])
+    md["format"] = {"provider": "parquet"}
+    md["configuration"] = []
+    half = len(live_now) // 2
+    shards = [live_now[:half], live_now[half:]]
+    for i, shard in enumerate(shards):
+        rows: list[dict] = []
+        if i == 0:
+            rows.append({"protocol": dict(PROTOCOL)})
+            rows.append({"metaData": md})
+        for a in shard:
+            aa = dict(a)
+            aa["partitionValues"] = list(aa["partitionValues"].items())
+            rows.append({"add": aa})
+        pq.write_table(
+            pa.Table.from_pylist(rows, schema=_checkpoint_schema()),
+            str(log_dir / f"{1:020d}.checkpoint.{i + 1:010d}.{len(shards):010d}.parquet"),
+        )
+    (log_dir / "_last_checkpoint").write_text(
+        json.dumps({"version": 1, "size": len(live_now) + 2, "parts": len(shards)})
+    )
+    # v2: a post-checkpoint append the replay must still pick up
+    _commit(2, [{"add": adds[-1]}])
+
+    df, kept, total = read_delta_log_pruned(
+        spark,
+        str(root),
+        {
+            "o_orderpriority": ("1-URGENT", "1-URGENT"),
+            "o_totalprice": (0.0, 99999.99999),
+        },
+    )
+    if not kept < total:
+        raise AssertionError(f"log-only pruning skipped nothing: {kept}/{total}")
+    return (
+        df.groupBy("o_orderstatus")
+        .agg(
+            F.count(F.lit(1)).alias("n_orders"),
+            dround(dsum(F.col("o_totalprice")), 2).alias("total_price"),
+        )
+        .localCheckpoint()
     )
