@@ -98,6 +98,17 @@ class ConstraintViolationError(RuntimeError):
     committed (validation runs before any file lands)."""
 
 
+
+def _footer_row_count(root: Path, files: list[str]) -> int:
+    """Exact commit row count from parquet footers (driver-side
+    metadata read) — replaces a per-commit Spark count job; at one
+    commit per streaming micro-batch that job was the sink's single
+    biggest fixed cost."""
+    import pyarrow.parquet as pq
+
+    return sum(pq.ParquetFile(str(root / f)).metadata.num_rows for f in files)
+
+
 def _file_stats(path: Path, cols: list[str]) -> dict:
     """Min/max per column from the parquet footer (driver-side, no
     data read — the same stats Delta/Iceberg keep in their logs)."""
@@ -230,7 +241,7 @@ class LakehouseTable:
             for bc in bloom_cols:
                 for f, bl in self._bloom_stats(commit_dir, files, phys.get(bc, bc)).items():
                     stats.setdefault(f, {})[f"__bloom__:{bc}"] = bl
-        row_count = self.spark.read.parquet(str(commit_dir)).count()
+        row_count = _footer_row_count(self.path, files)
         commit = Commit(
             version=version, files=files, row_count=row_count, operation=operation, stats=stats
         )
@@ -301,7 +312,7 @@ class LakehouseTable:
             for f in files:
                 raw = _file_stats(self.path / f, pcols)
                 stats[f] = {c: raw[p] for c, p in zip(stats_cols, pcols) if p in raw}
-        row_count = self.spark.read.parquet(str(commit_dir)).count()
+        row_count = _footer_row_count(self.path, files)
         version = (
             read_version if read_version is not None else self.latest_version()
         ) + 1
@@ -459,7 +470,7 @@ class LakehouseTable:
         dv_files = sorted(
             str(q.relative_to(self.path)) for q in commit_dir.rglob("part-*.parquet")
         )
-        dv_count = self.spark.read.parquet(str(commit_dir)).count()
+        dv_count = _footer_row_count(self.path, dv_files)
         # DV positions were computed against read_version's file set; a
         # concurrent restate/compaction invalidates them -> _publish raises
         return self._publish(
@@ -549,7 +560,7 @@ class LakehouseTable:
             for p in commit_dir.glob("*.parquet")
             if p.name.startswith("part-")
         )
-        row_count = self.spark.read.parquet(str(commit_dir)).count()
+        row_count = _footer_row_count(self.path, files)
         commit = Commit(
             version=version,
             files=files,
@@ -1036,7 +1047,7 @@ class LakehouseTable:
             for p in commit_dir.glob("*.parquet")
             if p.name.startswith("part-")
         )
-        row_count = self.spark.read.parquet(str(commit_dir)).count()
+        row_count = _footer_row_count(self.path, files)
         commit = Commit(
             version=version, files=files, row_count=row_count, operation=operation
         )
@@ -1752,7 +1763,7 @@ class LakehouseTable:
                 }
             seen = now
         files.sort()
-        row_count = self.spark.read.parquet(str(commit_dir)).count()
+        row_count = _footer_row_count(self.path, files)
         commit = Commit(
             version=version,
             files=files,

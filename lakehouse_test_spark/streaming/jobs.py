@@ -101,16 +101,27 @@ def _drain_to_lakehouse(
     table = LakehouseTable(spark, tempfile.mkdtemp(prefix="lh_stream_gate_"))
 
     def upsert(batch_df: DataFrame, batch_id: int) -> None:
-        if batch_df.isEmpty():
-            return
-        # one file per batch: the upserted aggregate is small by
-        # construction (state bounded by the watermark/window grain),
-        # and per-batch file spray is the small-files anti-pattern
-        batch_df = batch_df.coalesce(1)
-        if table.latest_version() < 0:
-            table.append(batch_df, operation="stream-append")
-        else:
-            table.merge(batch_df, key_cols=key_cols)
+        # the emptiness guard matters (AvailableNow emits a final
+        # watermark-commit batch that is usually EMPTY — merging it
+        # would be a full-table no-op rewrite), but a bare isEmpty()
+        # executes the whole micro-batch plan once and the write then
+        # executes it AGAIN.  persist + count materializes the batch
+        # exactly once; the guard and the write both read the cache.
+        batch_df.persist()
+        try:
+            if batch_df.count() == 0:
+                return
+            # one file per batch: the upserted aggregate is small by
+            # construction (state bounded by the watermark/window
+            # grain), and per-batch file spray is the small-files
+            # anti-pattern
+            small = batch_df.coalesce(1)
+            if table.latest_version() < 0:
+                table.append(small, operation="stream-append")
+            else:
+                table.merge(small, key_cols=key_cols)
+        finally:
+            batch_df.unpersist()
 
     prior = spark.conf.get("spark.sql.shuffle.partitions")
     spark.conf.set("spark.sql.shuffle.partitions", str(state_partitions))
