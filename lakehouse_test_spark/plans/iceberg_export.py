@@ -930,27 +930,170 @@ def _apply_name_mapping(df: DataFrame, md: dict) -> DataFrame:
     return df
 
 
+def iceberg_plan_entries(
+    table_path: str, snapshot_id: int | None = None
+) -> tuple[list[dict], list[str]]:
+    """Like :func:`iceberg_plan_files` but returns the live manifest
+    ENTRIES' data_file records (path + partition tuple + counts) —
+    what partition-column reconstruction and log-only stats need."""
+    md = _load_metadata(table_path)
+    sid = snapshot_id if snapshot_id is not None else md["current-snapshot-id"]
+    snap = next(s for s in md["snapshots"] if s["snapshot-id"] == sid)
+    _, _, manifests = read_ocf(Path(snap["manifest-list"]))
+    entries: list[dict] = []
+    delete_files: list[str] = []
+    for m in manifests:
+        _, _, es = read_ocf(Path(m["manifest_path"]))
+        for e in es:
+            if e["status"] == ST_DELETED:
+                continue
+            df = e["data_file"]
+            if df["content"] == CONTENT_DELETES:
+                delete_files.append(df["file_path"])
+            else:
+                entries.append(df)
+    return entries, delete_files
+
+
+def _current_ids(md: dict) -> dict[int, str]:
+    """field-id → name of the CURRENT schema (the resolution target)."""
+    sid = md.get("current-schema-id", 0)
+    schema = next(
+        (s for s in md.get("schemas", []) if s.get("schema-id") == sid),
+        md.get("schema"),
+    )
+    return {f["id"]: f["name"] for f in (schema or {}).get("fields", [])}
+
+
+def _scan_resolved(
+    spark: SparkSession, data_files: list[str], md: dict
+) -> DataFrame:
+    """Scan data files resolving columns BY FIELD ID — Iceberg's core
+    evolution rule: a file written before a rename stores the old
+    name, but its parquet footer carries ``PARQUET:field_id``, and
+    the id, not the name, binds the column to the current schema.
+
+    Files are grouped by their footer id→name signature (one footer
+    read per file, driver-side); each divergent vintage is scanned as
+    its own branch, renamed id-wise to current names, and the
+    branches union by name.  Vintage count = schema-evolution count —
+    a handful — so this adds no meaningful plan width at 100 TB.
+    Files without field ids fall back to the name-mapping path.
+    The returned frame carries ``_ipath``/``_ipos`` (captured per
+    branch — ``_metadata`` does not survive a union) for the
+    position-delete anti-join."""
+    import pyarrow.parquet as pq
+    from pyspark.sql import functions as F
+
+    current = _current_ids(md)
+    groups: dict[tuple, list[str]] = {}
+    for p in data_files:
+        sch = pq.ParquetFile(p).schema_arrow
+        sig = tuple(
+            sorted(
+                (int(f.metadata[b"PARQUET:field_id"]), f.name)
+                for f in sch
+                if f.metadata and b"PARQUET:field_id" in f.metadata
+            )
+        )
+        groups.setdefault(sig, []).append(p)
+
+    branches = []
+    for sig, files in groups.items():
+        b = (
+            spark.read.option("mergeSchema", "true")
+            .parquet(*files)
+            .withColumn(
+                "_ipath",
+                F.regexp_replace(F.col("_metadata.file_path"), "^file:(//)?", ""),
+            )
+            .withColumn("_ipos", F.col("_metadata.row_index"))
+        )
+        for fid, name in sig:
+            target = current.get(fid)
+            if target and target != name and name in b.columns:
+                b = b.withColumnRenamed(name, target)
+        if not sig:
+            # no embedded ids: resolve via name mapping instead
+            b = _apply_name_mapping(b, md)
+        branches.append(b)
+    out = branches[0]
+    for b in branches[1:]:
+        out = out.unionByName(b, allowMissingColumns=True)
+    return out
+
+
+def _reconstruct_identity_partitions(
+    spark: SparkSession, df: DataFrame, md: dict, entries: list[dict]
+) -> DataFrame:
+    """Attach identity-partitioned columns that are ABSENT from the
+    data files (Hive-migrated and some foreign writers store them
+    only in the manifests' partition tuples) — broadcast path→value
+    map, like the Delta reader's partitionValues reconstruction."""
+    from pyspark.sql import functions as F
+
+    ids = _current_ids(md)
+    spec_id = md.get("default-spec-id", 0)
+    spec = next(
+        (s for s in md.get("partition-specs", []) if s.get("spec-id") == spec_id),
+        None,
+    )
+    if not spec:
+        return df
+    missing = [
+        (f["name"], ids.get(f["source-id"]))
+        for f in spec.get("fields", [])
+        if f.get("transform") == "identity"
+        and ids.get(f["source-id"])
+        and ids[f["source-id"]] not in df.columns
+    ]
+    if not missing:
+        return df
+    import pandas as pd
+
+    rows: dict[str, list] = {"_ipath": [e["file_path"] for e in entries]}
+    for part_name, col_name in missing:
+        rows[col_name] = [
+            (e.get("partition") or {}).get(part_name) for e in entries
+        ]
+    pmap = spark.createDataFrame(pd.DataFrame(rows))
+    return df.join(F.broadcast(pmap), "_ipath")
+
+
 def read_iceberg(
     spark: SparkSession,
     table_path: str,
     snapshot_id: int | None = None,
     ref: str | None = None,
 ) -> DataFrame:
-    """Open an exported table the way an Iceberg reader would: plan
-    files from the chosen snapshot's manifests, scan the data files,
-    anti-join position deletes on (file_path, pos), and resolve
-    physical column names through the table's name mapping. ``ref``
-    reads a named ref (tag/branch) from the metadata."""
+    """Open a (possibly foreign) table the way an Iceberg reader
+    must: plan files from the chosen snapshot's manifests, scan the
+    data files RESOLVING COLUMNS BY FIELD ID (falling back to the
+    name mapping for id-less files), reconstruct identity-partition
+    columns stored only in manifest partition tuples, and anti-join
+    position deletes on (file_path, pos). ``ref`` reads a named ref
+    (tag/branch) from the metadata."""
     md = _load_metadata(table_path)
     if ref is not None:
         if snapshot_id is not None:
             raise ValueError("pass snapshot_id OR ref, not both")
         snapshot_id = md["refs"][ref]["snapshot-id"]
-    data_files, delete_files = iceberg_plan_files(table_path, snapshot_id)
-    if not data_files:
+    entries, delete_files = iceberg_plan_entries(table_path, snapshot_id)
+    if not entries:
         raise ValueError(f"no data files at snapshot {snapshot_id}")
-    df = spark.read.option("mergeSchema", "true").parquet(*data_files)
-    return _apply_name_mapping(_apply_position_deletes(spark, df, delete_files), md)
+    data_files = [e["file_path"] for e in entries]
+    df = _scan_resolved(spark, data_files, md)
+    df = _reconstruct_identity_partitions(spark, df, md, entries)
+    if delete_files:
+        dels = spark.read.parquet(*delete_files)
+        df = df.join(
+            dels.withColumnRenamed("file_path", "_ipath").withColumnRenamed(
+                "pos", "_ipos"
+            ),
+            ["_ipath", "_ipos"],
+            "left_anti",
+        )
+    return df.drop("_ipath", "_ipos")
 
 
 def _item_field_name(item: str) -> str:
@@ -1175,4 +1318,227 @@ def lakehouse_iceberg_partitioned_export(spark: SparkSession, sf_dir: str):
             dround(dsum(F.col("value")), 2).alias("total_value"),
         )
         .localCheckpoint()  # materialize before the temp table drops
+    )
+
+
+@query(
+    "lakehouse_iceberg_import_foreign",
+    oracle="""
+    SELECT o_orderstatus,
+           count(*) AS n_orders,
+           CAST(round(sum(CAST(o_totalprice AS DECIMAL(18,6))), 2) AS DOUBLE)
+             AS total_price
+    FROM orders
+    WHERE o_orderpriority = '1-URGENT'
+      AND NOT (o_orderkey % 2 = 1 AND o_orderkey % 97 = 0)
+    GROUP BY o_orderstatus
+    """,
+    tags=("lakehouse", "iceberg", "interop", "import", "orders"),
+)
+def lakehouse_iceberg_import_foreign(spark: SparkSession, sf_dir: str):
+    """Import a FOREIGN-style Iceberg v2 table — a layout our own
+    exporter never writes — exercising the three resolution rules a
+    real Iceberg reader must implement:
+
+    - FIELD-ID RESOLUTION: the even-orderkey vintage was written
+      BEFORE a rename, storing the status column as ``status`` but
+      carrying ``PARQUET:field_id = 2``; the current schema names
+      field 2 ``o_orderstatus``, and the id — not the name — binds
+      the column (Iceberg spec §Column Projection);
+    - IDENTITY-PARTITION RECONSTRUCTION: ``o_orderpriority`` is
+      absent from every data file (the Hive-migration layout); its
+      values exist only in the manifests' partition tuples;
+    - MANIFEST-ENTRY STATUS + POSITION DELETES: one manifest entry
+      is status=DELETED and references a sentinel file whose rows
+      would corrupt the aggregate if scanned, and a content=1
+      position-delete file removes every odd-vintage row with
+      ``o_orderkey % 97 == 0``.
+
+    Hash-gated against the straight SQL answer over orders.
+    """
+    import tempfile
+
+    import pyarrow as pa
+    import pyarrow.parquet as pq
+    from pyspark.sql import functions as F
+
+    from lakehouse_test_spark.fpsafe import dround, dsum
+    from lakehouse_test_spark.session import load_table
+
+    pdf = (
+        load_table(spark, sf_dir, "orders")
+        .select("o_orderkey", "o_orderstatus", "o_orderpriority", "o_totalprice")
+        .toPandas()
+    )
+    root = Path(tempfile.mkdtemp(prefix="iceberg_foreign_"))
+    (root / "metadata").mkdir(parents=True)
+    (root / "data").mkdir()
+    sid = 7001
+
+    def _arrow_schema(status_name: str) -> pa.schema:
+        return pa.schema(
+            [
+                pa.field("o_orderkey", pa.int64(),
+                         metadata={b"PARQUET:field_id": b"1"}),
+                pa.field(status_name, pa.string(),
+                         metadata={b"PARQUET:field_id": b"2"}),
+                pa.field("o_totalprice", pa.float64(),
+                         metadata={b"PARQUET:field_id": b"3"}),
+            ]
+        )
+
+    part_avro = {
+        "type": "record",
+        "name": "r102",
+        "fields": [
+            {"name": "o_orderpriority", "type": ["null", "string"],
+             "field-id": 1000}
+        ],
+    }
+
+    def _entry(status: int, path: str, prio, n: int) -> dict:
+        return {
+            "status": status,
+            "snapshot_id": sid,
+            "sequence_number": 1,
+            "file_sequence_number": 1,
+            "data_file": {
+                "content": CONTENT_DATA,
+                "file_path": path,
+                "file_format": "PARQUET",
+                "partition": {"o_orderpriority": prio},
+                "record_count": n,
+                "file_size_in_bytes": Path(path).stat().st_size,
+            },
+        }
+
+    # vintage A (pre-rename names + ids, even orderkeys), vintage B
+    # (current names + ids, odd orderkeys); one file per priority,
+    # partition column NOT in any file
+    entries_a, entries_b, delete_rows = [], [], []
+    for vintage, old_names, parity in (("a", True, 0), ("b", False, 1)):
+        sub = pdf[pdf["o_orderkey"] % 2 == parity]
+        for prio, grp in sub.groupby("o_orderpriority"):
+            rel = str(root / "data" / f"{vintage}-{prio[:1]}.parquet")
+            cols = grp[["o_orderkey", "o_orderstatus", "o_totalprice"]].rename(
+                columns={"o_orderstatus": "status"} if old_names else {}
+            )
+            tbl = pa.Table.from_pandas(cols, preserve_index=False)
+            name = "status" if old_names else "o_orderstatus"
+            tbl = tbl.cast(_arrow_schema(name))
+            pq.write_table(tbl, rel)
+            e = _entry(ST_ADDED, rel, str(prio), len(grp))
+            (entries_a if old_names else entries_b).append(e)
+            if not old_names:
+                # position deletes target the odd vintage: file+pos of
+                # every row with orderkey % 97 == 0
+                keys = grp["o_orderkey"].reset_index(drop=True)
+                for pos in keys.index[keys % 97 == 0].tolist():
+                    delete_rows.append((rel, pos))
+
+    # sentinel file referenced ONLY by a status=DELETED entry — a
+    # reader that scans it corrupts every aggregate
+    bad = str(root / "data" / "deleted-sentinel.parquet")
+    pq.write_table(
+        pa.Table.from_pandas(
+            pdf.head(50)[["o_orderkey", "o_orderstatus", "o_totalprice"]],
+            preserve_index=False,
+        ).cast(_arrow_schema("o_orderstatus")),
+        bad,
+    )
+    entries_b.append(_entry(ST_DELETED, bad, "1-URGENT", 50))
+
+    # content=1 position-delete file (file_path, pos), sorted per spec
+    del_path = str(root / "data" / "pos-deletes.parquet")
+    delete_rows.sort()
+    pq.write_table(
+        pa.table(
+            {
+                "file_path": [p for p, _ in delete_rows],
+                "pos": pa.array([p for _, p in delete_rows], pa.int64()),
+            }
+        ),
+        del_path,
+    )
+    del_entry = {
+        "status": ST_ADDED,
+        "snapshot_id": sid,
+        "sequence_number": 2,
+        "file_sequence_number": 2,
+        "data_file": {
+            "content": CONTENT_DELETES,
+            "file_path": del_path,
+            "file_format": "PARQUET",
+            "partition": {"o_orderpriority": None},
+            "record_count": len(delete_rows),
+            "file_size_in_bytes": Path(del_path).stat().st_size,
+        },
+    }
+
+    mschema = manifest_entry_schema(part_avro)
+    m_a = root / "metadata" / "manifest-a.avro"
+    m_b = root / "metadata" / "manifest-b.avro"
+    write_ocf(m_a, mschema, entries_a, {"schema": "{}", "content": "data"})
+    write_ocf(m_b, mschema, entries_b + [del_entry], {"schema": "{}", "content": "data"})
+    mlist = root / "metadata" / f"snap-{sid}.avro"
+    write_ocf(
+        mlist,
+        MANIFEST_FILE_SCHEMA,
+        [
+            {
+                "manifest_path": str(m), "manifest_length": m.stat().st_size,
+                "partition_spec_id": 0, "content": CONTENT_DATA,
+                "sequence_number": 1, "min_sequence_number": 1,
+                "added_snapshot_id": sid,
+                "added_files_count": n_add, "existing_files_count": 0,
+                "deleted_files_count": n_del,
+                "added_rows_count": 0, "existing_rows_count": 0,
+                "deleted_rows_count": 0, "partitions": None,
+            }
+            for m, n_add, n_del in ((m_a, len(entries_a), 0), (m_b, len(entries_b), 1))
+        ],
+    )
+    meta = {
+        "format-version": 2,
+        "table-uuid": "foreign-fixture",
+        "location": str(root),
+        "current-snapshot-id": sid,
+        "snapshots": [{"snapshot-id": sid, "manifest-list": str(mlist)}],
+        "schemas": [
+            {
+                "type": "struct", "schema-id": 0,
+                "fields": [
+                    {"id": 1, "name": "o_orderkey", "required": False, "type": "long"},
+                    {"id": 2, "name": "o_orderstatus", "required": False, "type": "string"},
+                    {"id": 3, "name": "o_totalprice", "required": False, "type": "double"},
+                    {"id": 4, "name": "o_orderpriority", "required": False, "type": "string"},
+                ],
+            }
+        ],
+        "current-schema-id": 0,
+        "partition-specs": [
+            {
+                "spec-id": 0,
+                "fields": [
+                    {"name": "o_orderpriority", "transform": "identity",
+                     "source-id": 4, "field-id": 1000}
+                ],
+            }
+        ],
+        "default-spec-id": 0,
+        "properties": {},
+        "refs": {},
+    }
+    (root / "metadata" / "v1.metadata.json").write_text(json.dumps(meta))
+    (root / "metadata" / "version-hint.text").write_text("1")
+
+    df = read_iceberg(spark, str(root))
+    return (
+        df.where(F.col("o_orderpriority") == "1-URGENT")
+        .groupBy("o_orderstatus")
+        .agg(
+            F.count(F.lit(1)).alias("n_orders"),
+            dround(dsum(F.col("o_totalprice")), 2).alias("total_price"),
+        )
+        .localCheckpoint()
     )
