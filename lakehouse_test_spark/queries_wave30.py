@@ -219,3 +219,89 @@ def spatial_radius_join(spark: SparkSession, sf_dir: str) -> DataFrame:
     return radius_join_pairs(
         pts, "c_custkey", "lat", "lon", radius=1.5, lon_scale=0.5
     )
+
+
+@query(
+    "pipeline_cdc_apply",
+    oracle="""
+    SELECT o_orderstatus,
+           count(*) AS n_orders,
+           CAST(round(sum(CAST(o_totalprice + CASE WHEN o_orderkey % 3 = 0
+                                                   THEN 100.0 ELSE 0.0 END
+                              AS DECIMAL(18,6))), 2) AS DOUBLE) AS total_price
+    FROM orders
+    WHERE o_orderkey % 5 <> 0
+    GROUP BY o_orderstatus
+    """,
+    tags=("lakehouse", "cdc", "merge", "orders"),
+)
+def pipeline_cdc_apply(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Apply a CDC changelog (op, seq) to a committed table — the
+    Debezium/DMS consumption pattern:
+
+    1. a deterministic changelog is derived from orders: INSERT for
+       every key (seq 1), UPDATE (+100 price, seq 2) for keys
+       divisible by 3, DELETE (seq 3) for keys divisible by 5;
+    2. LATEST-WINS COMPACTION collapses the log to one row per key —
+       a single ``max_by(struct, seq)``-style shuffle (window over
+       key ordered by seq desc), never a per-event replay;
+    3. the survivors split into upserts and deletes and apply to the
+       lakehouse table as two atomic MERGE restates (WHEN MATCHED
+       UPDATE / WHEN MATCHED DELETE) — the same compact-then-merge
+       shape a 100 TB CDC consumer uses to amortize a day of
+       changelog into one keyed join pass.
+
+    The final snapshot must equal computing the net effect directly
+    in SQL (the oracle) — any lost update, resurrected delete, or
+    misordered seq changes the aggregate.
+    """
+    from pyspark.sql import Window
+
+    from lakehouse_test_spark.plans.lakehouse import LakehouseTable
+
+    o = T(spark, sf_dir, "orders").select(
+        "o_orderkey", "o_orderstatus", "o_totalprice"
+    )
+    inserts = o.withColumn("op", F.lit("I")).withColumn("seq", F.lit(1))
+    updates = (
+        o.where(F.col("o_orderkey") % 3 == 0)
+        .withColumn("o_totalprice", F.col("o_totalprice") + 100.0)
+        .withColumn("op", F.lit("U"))
+        .withColumn("seq", F.lit(2))
+    )
+    deletes = (
+        o.where(F.col("o_orderkey") % 5 == 0)
+        .withColumn("op", F.lit("D"))
+        .withColumn("seq", F.lit(3))
+    )
+    log = inserts.unionByName(updates).unionByName(deletes)
+
+    # latest-wins compaction: one shuffle on the key
+    w = Window.partitionBy("o_orderkey").orderBy(F.desc("seq"))
+    latest = (
+        log.withColumn("_rn", F.row_number().over(w))
+        .where(F.col("_rn") == 1)
+        .drop("_rn", "seq")
+    )
+
+    table = LakehouseTable(spark, tempfile.mkdtemp(prefix="lh_cdc_"))
+    table.append(o)  # the pre-existing table the changelog lands on
+    table.merge(
+        latest.where(F.col("op") != "D").drop("op"),
+        key_cols=["o_orderkey"],
+    )
+    table.merge(
+        latest.where(F.col("op") == "D").drop("op"),
+        key_cols=["o_orderkey"],
+        when_matched="delete",
+        insert_new=False,
+    )
+    return (
+        table.snapshot()
+        .groupBy("o_orderstatus")
+        .agg(
+            F.count(F.lit(1)).alias("n_orders"),
+            dround(dsum(F.col("o_totalprice")), 2).alias("total_price"),
+        )
+        .localCheckpoint()
+    )
