@@ -1126,3 +1126,122 @@ def streaming_join_ivm(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
     q.awaitTermination()
     return t.snapshot().select("custkey", "o_orderkey", "price", "c_mktsegment", "m")
+
+
+@query(
+    "streaming_cdc_apply",
+    oracle="""
+    SELECT o_orderstatus,
+           count(*) AS n_orders,
+           CAST(round(sum(CAST(o_totalprice + CASE WHEN o_orderkey % 3 = 0
+                                                   THEN 100.0 ELSE 0.0 END
+                              AS DECIMAL(18,6))), 2) AS DOUBLE) AS total_price
+    FROM orders
+    WHERE o_orderkey % 5 <> 0
+    GROUP BY o_orderstatus
+    """,
+    tags=("streaming", "cdc", "merge", "lakehouse", "orders"),
+)
+def streaming_cdc_apply(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """STREAMING CDC consumption into the lakehouse — the Debezium →
+    Kafka → MERGE pipeline, end to end, under the hash gate:
+
+    a changelog (INSERT seq 1 for every order, UPDATE +100 seq 2 for
+    keys %3==0, DELETE seq 3 for keys %5==0) arrives as a file stream
+    in three micro-batches, in per-key seq order (the ordering a
+    keyed Kafka topic guarantees per partition).  Each batch is
+    compacted latest-wins WITHIN the batch (one key-shuffle), then
+    applied atomically: upserts as a WHEN MATCHED UPDATE merge,
+    deletes as a WHEN MATCHED DELETE merge — so a day of changelog
+    costs O(batches) keyed join passes, never a per-event replay.
+    The final committed snapshot must equal the SQL net effect.
+
+    The batch twin (same oracle) is ``pipeline_cdc_apply``; this
+    proves the path through Structured Streaming + foreachBatch +
+    the atomic commit protocol.
+    """
+    import os
+    import tempfile
+    from pathlib import Path
+
+    from pyspark.sql import Window
+
+    from lakehouse_test_spark.plans.lakehouse import LakehouseTable
+
+    o = load_table(spark, sf_dir, "orders").select(
+        "o_orderkey", "o_orderstatus", "o_totalprice"
+    )
+    log_dir = tempfile.mkdtemp(prefix="cdc_log_")
+    slices = [
+        o.withColumn("op", F.lit("I")).withColumn("seq", F.lit(1)),
+        o.where(F.col("o_orderkey") % 3 == 0)
+        .withColumn("o_totalprice", F.col("o_totalprice") + 100.0)
+        .withColumn("op", F.lit("U"))
+        .withColumn("seq", F.lit(2)),
+        o.where(F.col("o_orderkey") % 5 == 0)
+        .withColumn("op", F.lit("D"))
+        .withColumn("seq", F.lit(3)),
+    ]
+    for i, s in enumerate(slices):
+        s.coalesce(1).write.parquet(f"{log_dir}/b{i}")
+        # file-source discovery order is (mtime, path): pin mtimes so
+        # the three slices arrive as three ordered micro-batches
+        for p in Path(f"{log_dir}/b{i}").rglob("*.parquet"):
+            os.utime(p, (1_700_000_000 + i, 1_700_000_000 + i))
+
+    schema = slices[0].schema
+    stream = (
+        spark.readStream.schema(schema)
+        .option("maxFilesPerTrigger", "1")
+        .option("latestFirst", "false")
+        .parquet(log_dir + "/*")
+    )
+    table = LakehouseTable(spark, tempfile.mkdtemp(prefix="lh_cdc_stream_"))
+    w = Window.partitionBy("o_orderkey").orderBy(F.desc("seq"))
+
+    def apply_batch(batch_df: DataFrame, batch_id: int) -> None:
+        latest = (
+            batch_df.withColumn("_rn", F.row_number().over(w))
+            .where(F.col("_rn") == 1)
+            .drop("_rn", "seq")
+        )
+        latest.persist()
+        try:
+            ups = latest.where(F.col("op") != "D").drop("op")
+            dels = latest.where(F.col("op") == "D").drop("op")
+            if latest.count() == 0:
+                return
+            if table.latest_version() < 0:
+                table.append(ups, operation="stream-cdc-bootstrap")
+            elif ups.count() > 0:
+                table.merge(ups, key_cols=["o_orderkey"])
+            if table.latest_version() >= 0 and dels.count() > 0:
+                table.merge(
+                    dels,
+                    key_cols=["o_orderkey"],
+                    when_matched="delete",
+                    insert_new=False,
+                )
+        finally:
+            latest.unpersist()
+
+    prior = spark.conf.get("spark.sql.shuffle.partitions")
+    spark.conf.set("spark.sql.shuffle.partitions", "8")
+    try:
+        q = (
+            stream.writeStream.foreachBatch(apply_batch)
+            .trigger(availableNow=True)
+            .start()
+        )
+        q.awaitTermination()
+    finally:
+        spark.conf.set("spark.sql.shuffle.partitions", prior)
+    return (
+        table.snapshot()
+        .groupBy("o_orderstatus")
+        .agg(
+            F.count(F.lit(1)).alias("n_orders"),
+            dround(dsum(F.col("o_totalprice")), 2).alias("total_price"),
+        )
+        .localCheckpoint()
+    )
