@@ -175,3 +175,40 @@ def radius_join_pairs(
         .where(F.col("dist") <= F.lit(radius))
         .select("id_a", "id_b", F.round("dist", 3).alias("dist"))
     )
+
+
+def point_in_convex_polygon_col(
+    x: Column, y: Column, polygon: list[tuple[float, float]]
+) -> Column:
+    """True when (x, y) lies inside (or on) the CONVEX polygon given
+    as CCW vertices — the half-plane test: the cross product
+    ``(v2-v1) × (p-v1)`` is ≥ 0 for every edge.  Pure +,-,× (no trig,
+    no sqrt), so Spark and any SQL oracle agree bit-for-bit; the
+    whole test is one codegen conjunction per point, zero shuffle."""
+    cond = F.lit(True)
+    n = len(polygon)
+    for i in range(n):
+        x1, y1 = polygon[i]
+        x2, y2 = polygon[(i + 1) % n]
+        cross = (F.lit(x2 - x1) * (y - F.lit(y1))) - (
+            F.lit(y2 - y1) * (x - F.lit(x1))
+        )
+        cond = cond & (cross >= 0)
+    return cond
+
+
+def point_in_convex_polygon_sql(
+    x_expr: str, y_expr: str, polygon: list[tuple[float, float]]
+) -> str:
+    """The DuckDB twin of :func:`point_in_convex_polygon_col`,
+    generated from the same vertex list so the two cannot drift."""
+    n = len(polygon)
+    terms = []
+    for i in range(n):
+        x1, y1 = polygon[i]
+        x2, y2 = polygon[(i + 1) % n]
+        terms.append(
+            f"(({x2 - x1!r}) * (({y_expr}) - ({y1!r}))"
+            f" - ({y2 - y1!r}) * (({x_expr}) - ({x1!r})) >= 0)"
+        )
+    return "(" + " AND ".join(terms) + ")"

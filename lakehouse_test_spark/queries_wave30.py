@@ -305,3 +305,42 @@ def pipeline_cdc_apply(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .localCheckpoint()
     )
+
+
+#: CCW convex pentagon in (x=lon, y=lat) — integer vertices, exactly
+#: representable, shared by the Spark expression and the oracle
+_POLY = [(-50.0, -20.0), (40.0, -40.0), (60.0, 20.0), (10.0, 55.0), (-45.0, 35.0)]
+
+
+def _pip_oracle() -> str:
+    from lakehouse_test_spark.operators.spatial import (
+        point_in_convex_polygon_sql,
+    )
+
+    test = point_in_convex_polygon_sql(
+        f"CAST({_LON} AS DOUBLE)", f"CAST({_LAT} AS DOUBLE)", _POLY
+    )
+    return f"SELECT c_custkey, {test} AS inside FROM customer"
+
+
+@query(
+    "spatial_point_in_polygon",
+    oracle=_pip_oracle(),
+    tags=("spatial", "polygon", "customer"),
+)
+def spatial_point_in_polygon(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Point-in-convex-polygon over the customer coordinate cloud:
+    the half-plane cross-product test (pure +,-,× — bit-identical in
+    both engines), evaluated as one codegen conjunction per point,
+    zero shuffle.  The oracle SQL is generated from the SAME vertex
+    list (operators/spatial.py), so geometry and oracle cannot
+    drift."""
+    from lakehouse_test_spark.operators.spatial import point_in_convex_polygon_col
+
+    pts = _coords(T(spark, sf_dir, "customer"))
+    return pts.select(
+        "c_custkey",
+        point_in_convex_polygon_col(
+            F.col("lon"), F.col("lat"), _POLY
+        ).alias("inside"),
+    )
