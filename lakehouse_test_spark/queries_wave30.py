@@ -344,3 +344,88 @@ def spatial_point_in_polygon(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.col("lon"), F.col("lat"), _POLY
         ).alias("inside"),
     )
+
+
+@query(
+    "agg_kmv_distinct_sketch",
+    oracle="""
+    WITH h AS (
+      SELECT DISTINCT l_returnflag,
+             CAST(('0x' || substr(md5(CAST(l_partkey AS VARCHAR)), 1, 15))
+                  AS BIGINT) AS hv
+      FROM lineitem
+    ),
+    ranked AS (
+      SELECT l_returnflag, hv,
+             row_number() OVER (PARTITION BY l_returnflag ORDER BY hv) AS rn
+      FROM h
+    ),
+    kept AS (
+      SELECT l_returnflag, count(*) AS n_h, max(hv) AS kth
+      FROM ranked WHERE rn <= 256 GROUP BY l_returnflag
+    ),
+    exact AS (
+      SELECT l_returnflag, count(DISTINCT l_partkey) AS exact_distinct
+      FROM lineitem GROUP BY l_returnflag
+    )
+    SELECT k.l_returnflag,
+           CAST(CASE WHEN k.n_h < 256 THEN k.n_h
+                ELSE floor(255.0 * 1152921504606846976.0 / k.kth)
+                END AS BIGINT) AS kmv_estimate,
+           e.exact_distinct
+    FROM kept k JOIN exact e USING (l_returnflag)
+    """,
+    tags=("agg", "sketch", "approx", "lineitem"),
+)
+def agg_kmv_distinct_sketch(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """K-minimum-values distinct sketch whose ESTIMATE sits under the
+    HASH gate — the trick the HLL gate (`agg_approx_sketches`,
+    no_oracle by design) cannot pull off: KMV over an
+    engine-agnostic hash (md5 hex → 60-bit int, identical in Spark
+    and DuckDB) is a deterministic function of the data, so the
+    APPROXIMATION ITSELF is value-checked, not just its error band.
+
+    Plan shape at 100 TB: one hash-distinct shuffle on (group, h)
+    (map-side partial dedup), one k-bounded window per group (k=256
+    rows survive per group), then arithmetic — the sketch never holds
+    more than k values per group, which is the whole point of KMV:
+    estimate = (k-1) / kth-smallest-normalized-hash."""
+    from pyspark.sql import Window
+
+    K = 256
+    li = T(spark, sf_dir, "lineitem")
+    h = (
+        li.select(
+            "l_returnflag",
+            F.conv(
+                F.substring(F.md5(F.col("l_partkey").cast("string")), 1, 15),
+                16,
+                10,
+            )
+            .cast("bigint")
+            .alias("hv"),
+        )
+        .distinct()
+    )
+    w = Window.partitionBy("l_returnflag").orderBy("hv")
+    kept = (
+        h.withColumn("rn", F.row_number().over(w))
+        .where(F.col("rn") <= K)
+        .groupBy("l_returnflag")
+        .agg(F.count(F.lit(1)).alias("n_h"), F.max("hv").alias("kth"))
+    )
+    est = kept.select(
+        "l_returnflag",
+        F.when(F.col("n_h") < K, F.col("n_h"))
+        .otherwise(
+            F.floor(
+                F.lit(float(K - 1)) * F.lit(1152921504606846976.0) / F.col("kth")
+            )
+        )
+        .cast("bigint")
+        .alias("kmv_estimate"),
+    )
+    exact = li.groupBy("l_returnflag").agg(
+        F.countDistinct("l_partkey").alias("exact_distinct")
+    )
+    return est.join(exact, "l_returnflag")
