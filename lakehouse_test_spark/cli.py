@@ -91,6 +91,9 @@ def build_parser() -> argparse.ArgumentParser:
                      help="rewrite the snapshot into N files (OPTIMIZE)")
     mnt.add_argument("--zorder", metavar="COLS",
                      help="comma-separated columns to Z-order cluster by")
+    mnt.add_argument("--cluster", metavar="COLS",
+                     help="comma-separated columns to Hilbert-cluster by "
+                          "(OPTIMIZE ... CLUSTER BY analog)")
     mnt.add_argument("--vacuum", type=positive_int, metavar="KEEP",
                      help="delete files unreachable from the last KEEP versions")
     mnt.add_argument("--restore", type=int, metavar="VERSION",
@@ -184,12 +187,17 @@ def main(argv: list[str] | None = None, spark=None) -> int:
                 c = table.zorder(cols)
                 print(f"Z-ordered by {cols} (version {c.version})")
                 did = True
+            if args.cluster:
+                cols = [x.strip() for x in args.cluster.split(",") if x.strip()]
+                c = table.hilbert_cluster(cols)
+                print(f"Hilbert-clustered by {cols} (version {c.version})")
+                did = True
             if args.vacuum:
                 res = table.vacuum(keep_versions=args.vacuum)
                 print(f"Vacuumed: {res['deleted']} files, horizon v{res['horizon']}")
                 did = True
             if not did:
-                print("Nothing to do: pass --compact/--zorder/--vacuum/--restore")
+                print("Nothing to do: pass --compact/--zorder/--cluster/--vacuum/--restore")
             print(f"Latest version: {table.latest_version()}")
         elif args.verb == "export":
             import json as _json

@@ -232,3 +232,32 @@ def test_radius_join_equals_bruteforce_with_boundary_pairs(spark):
             if d <= 1.0:
                 want.add((min(a[0], b[0]), max(a[0], b[0])))
     assert got == want and len(want) >= 4
+
+
+def test_hilbert_cluster_interplay_rename_and_dv(spark):
+    """Interplay: a rename (metadata-only column mapping) and a DV
+    delete land BEFORE the Hilbert rewrite — the rewrite must cluster
+    on the LOGICAL name, physically drop the DV'd rows (restates
+    materialize deletes), and leave pruned box scans working on the
+    renamed column afterwards."""
+    from pyspark.sql import functions as F
+
+    from lakehouse_test_spark.plans.lakehouse import LakehouseTable
+
+    df = spark.range(2048).select(
+        F.col("id"),
+        (F.col("id") % 64).alias("x"),
+        (F.col("id") / 64).cast("bigint").alias("y_old"),
+    )
+    t = LakehouseTable(spark, tempfile.mkdtemp(prefix="lh_hcmix_"))
+    t.append(df.repartition(4, "id"), stats_cols=["x", "y_old"])
+    t.rename_column("y_old", "y")
+    t.delete_where_dv("x >= 32")  # DV delete: no files rewritten yet
+    c = t.hilbert_cluster(["x", "y"], target_partitions=4)
+    assert c.dv_files is None or not c.dv_files  # deletes materialized
+    snap = t.snapshot()
+    assert snap.count() == 1024
+    assert snap.where(F.col("x") >= 32).count() == 0
+    got, scanned, total = t.scan_pruned_box({"x": (0, 7), "y": (0, 7)})
+    assert scanned < total
+    assert got.count() == 8 * 8
