@@ -157,7 +157,6 @@ def shingle_hashes(
     instead of re-scanning strings 64×. Jaccard over 64-bit hashes
     equals string Jaccard w.h.p. (collision ~n²/2⁶⁴).
     """
-    sh = word_shingles(ws_tokens(F.col(text_col)), 3)
     # CPU-heavy per-row stage: make sure it runs on every core even
     # when the source is a single small file (at 100 TB the scan
     # already yields thousands of partitions and this is a no-op-ish
@@ -166,10 +165,30 @@ def shingle_hashes(
     target = spark.sparkContext.defaultParallelism
     if docs.rdd.getNumPartitions() < target:
         docs = docs.repartition(target)
-    return docs.select(
+    # hash each TOKEN once, then mix 3 token-hashes per shingle
+    # (xxhash64 over 24 fixed bytes) — vs hashing each ~20-byte
+    # concatenated shingle string, every token's bytes are hashed
+    # once instead of three times and no concat strings are
+    # allocated. Hash-identity of a shingle ≙ identity of its token
+    # hash triple w.h.p., same collision bound as before.
+    toks = docs.select(
         F.col(id_col),
-        F.array_distinct(F.transform(sh, lambda s: F.xxhash64(s))).alias("shl"),
+        F.transform(ws_tokens(F.col(text_col)), lambda t: F.xxhash64(t)).alias("__th"),
     )
+    n = F.size("__th")
+    sh = F.transform(
+        # ANSI guard: docs under 3 tokens must yield [], not a
+        # descending sequence feeding element_at(_, 0)
+        F.when(n >= 3, F.sequence(F.lit(1), n - 2)).otherwise(
+            F.array().cast("array<int>")
+        ),
+        lambda i: F.xxhash64(
+            F.element_at(F.col("__th"), i),
+            F.element_at(F.col("__th"), i + F.lit(1)),
+            F.element_at(F.col("__th"), i + F.lit(2)),
+        ),
+    )
+    return toks.select(F.col(id_col), F.array_distinct(sh).alias("shl"))
 
 
 def _signature_cols(num_perms: int = NUM_PERMS) -> list[Column]:

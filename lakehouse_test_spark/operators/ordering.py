@@ -80,6 +80,44 @@ def global_row_number(
     )
 
 
+def block_row_number(df: DataFrame, out_col: str) -> tuple[DataFrame, int]:
+    """Unique 1-based row numbers in the frame's EXISTING partition
+    layout — NO shuffle, no sort, no single-partition stage. Numbers
+    are dense and unique but their assignment order follows partition
+    placement (use :func:`global_row_number` when the order must
+    match a sort). This is the identity-column/id-backfill primitive:
+    cost is one tiny per-partition count aggregate (P rows) plus a
+    broadcast join, nothing data-sized.
+
+    Returns ``(df_with_out_col, total_row_count)`` — callers that
+    need the count (identity high-water bookkeeping) get it for free
+    from the offsets pass instead of a second full scan.
+    """
+    tagged = df.withColumn(_MID, F.monotonically_increasing_id()).withColumn(
+        _PID, F.spark_partition_id()
+    )
+    per = (
+        tagged.groupBy(_PID)
+        .agg(F.min(_MID).alias(_BASE), F.count(F.lit(1)).alias("__n"))
+        .collect()
+    )
+    per.sort(key=lambda r: r[_PID])
+    offsets, acc = [], 0
+    for r in per:
+        offsets.append((r[_PID], r[_BASE], acc))
+        acc += r["__n"]
+    spark = df.sparkSession
+    off_df = spark.createDataFrame(
+        offsets or [(0, 0, 0)], f"{_PID} INT, {_BASE} BIGINT, {_OFF} BIGINT"
+    )
+    out = (
+        tagged.join(F.broadcast(off_df), _PID)
+        .withColumn(out_col, F.col(_OFF) + (F.col(_MID) - F.col(_BASE)) + F.lit(1))
+        .drop(_PID, _MID, _BASE, _OFF)
+    )
+    return out, acc
+
+
 def ntile_from_rank(rank: Column, total: Column, n: int) -> Column:
     """Closed-form ``ntile(n)`` bucket for a known exact global
     ``rank`` (1-based) out of ``total`` rows — lets a hierarchical

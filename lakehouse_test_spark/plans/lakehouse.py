@@ -215,6 +215,7 @@ class LakehouseTable:
         ``scan_pruned`` file skipping like Delta/Iceberg data
         skipping."""
         df = self._apply_generated_columns(df)
+        df = self._apply_identity(df)
         self._validate_constraints(df)
         version = self.latest_version() + 1
         commit_dir = self.path / "data" / f"{uuid.uuid4().hex[:12]}"
@@ -336,6 +337,7 @@ class LakehouseTable:
         when_matched: str = "update",
         insert_new: bool = True,
         sync_delete_unmatched: bool = False,
+        schema_evolution: bool = False,
     ) -> Commit:
         """Keyed MERGE (Delta MERGE analog) with the full clause
         matrix, committed as one atomic restate:
@@ -352,6 +354,14 @@ class LakehouseTable:
         - ``sync_delete_unmatched=True``: drop target rows whose key
           is absent from the source (WHEN NOT MATCHED BY SOURCE THEN
           DELETE) — the "make target mirror source" sync.
+        - ``schema_evolution=True``: Delta's MERGE autoMerge
+          semantics. Source columns absent from the target are ADDED
+          to the table schema (existing rows read NULL); target
+          columns absent from the source KEEP their current values on
+          matched rows (``UPDATE SET *`` only touches columns the
+          source carries) and are NULL on inserted rows. Without the
+          flag a column mismatch raises, like Delta without
+          ``schema.autoMerge.enabled``.
 
         Scale: one key-shuffled join pass over the snapshot plus the
         source; a real Delta MERGE also file-prunes via stats, but
@@ -362,6 +372,21 @@ class LakehouseTable:
             raise ValueError(f"when_matched: {when_matched!r}")
         read_version = self.latest_version()
         current = self.snapshot()
+        if schema_evolution:
+            missing = set(key_cols) - set(updates.columns)
+            if missing:
+                raise ValueError(f"merge: source lacks key columns {sorted(missing)}")
+            tgt_only = [c for c in current.columns if c not in updates.columns]
+            if tgt_only and when_matched == "update":
+                # UPDATE SET * evolution: matched rows keep their
+                # target-only column values — pulled over by a keyed
+                # join (unmatched source rows get NULL, which is the
+                # INSERT semantics). One extra key-shuffled join of
+                # the SOURCE (small) against a projection of the
+                # snapshot, not a second full-snapshot pass.
+                updates = updates.join(
+                    current.select(*key_cols, *tgt_only), on=key_cols, how="left"
+                )
         if when_matched == "update":
             # Delta MERGE raises when a target row matches multiple
             # source rows (DeltaUnsupportedOperationException:
@@ -415,7 +440,7 @@ class LakehouseTable:
             ]
         merged = parts[0]
         for q in parts[1:]:
-            merged = merged.unionByName(q)
+            merged = merged.unionByName(q, allowMissingColumns=schema_evolution)
         return self._commit_restate(
             merged, "merge", data_change=True, stats_cols=stats_cols,
             read_version=read_version,
@@ -1036,6 +1061,10 @@ class LakehouseTable:
         if name not in self.branches():
             raise ValueError(f"unknown branch {name!r}")
         df = self._apply_generated_columns(df)
+        # identity draws from the SHARED high-water mark: branch and
+        # main appends allocate disjoint id ranges, so a later
+        # merge_branch can never collide ids
+        df = self._apply_identity(df)
         self._validate_constraints(df)
         version = self.branch_head(name) + 1
         commit_dir = self.path / "data" / f"{uuid.uuid4().hex[:12]}"
@@ -1484,6 +1513,61 @@ class LakehouseTable:
                     )
         return df
 
+    # -- identity columns ------------------------------------------------------
+
+    def set_identity(self, col: str, start: int = 1, step: int = 1) -> None:
+        """Declare ``col`` GENERATED ALWAYS AS IDENTITY (Delta
+        identity-column analog): appends that do NOT carry the column
+        get unique ids ``start + step * k`` allocated from a
+        table-level high-water mark persisted in the table metadata;
+        appends that DO carry it are rejected (ALWAYS, not BY
+        DEFAULT — the Delta writer contract).
+
+        Like Delta, uniqueness and monotonic progression across
+        commits are guaranteed, *density and ordering within a
+        commit are not promised* (ids follow partition placement —
+        :func:`operators.ordering.block_row_number`, which costs one
+        P-row count aggregate and a broadcast join, never a shuffle
+        of the data). Identity allocation serializes appends on the
+        high-water mark exactly as Delta serializes on the
+        ``highWaterMark`` txn action."""
+        if step == 0:
+            raise ValueError("identity step must be non-zero")
+        meta = self._read_meta()
+        ident = meta.setdefault("identity", {})
+        if col in ident:
+            raise ValueError(f"identity column {col!r} already declared")
+        ident[col] = {"start": int(start), "step": int(step), "allocated": 0}
+        self._write_meta(meta)
+
+    def identity_columns(self) -> dict[str, dict]:
+        return dict(self._read_meta().get("identity", {}))
+
+    def _apply_identity(self, df: DataFrame) -> DataFrame:
+        from pyspark.sql import functions as F
+
+        from lakehouse_test_spark.operators.ordering import block_row_number
+
+        ident = self.identity_columns()
+        if not ident:
+            return df
+        meta = self._read_meta()
+        for name, spec in ident.items():
+            if name in df.columns:
+                raise ConstraintViolationError(
+                    f"identity column {name!r} is GENERATED ALWAYS — "
+                    "writers must not supply it"
+                )
+            df, n = block_row_number(df, "__id_k")
+            base = spec["start"] + spec["step"] * spec["allocated"]
+            df = df.withColumn(
+                name, (F.lit(base) + F.lit(spec["step"]) * (F.col("__id_k") - 1))
+                .cast("bigint")
+            ).drop("__id_k")
+            meta["identity"][name]["allocated"] = spec["allocated"] + n
+        self._write_meta(meta)
+        return df
+
     def constraints(self) -> dict[str, str]:
         return dict(self._read_meta().get("constraints", {}))
 
@@ -1727,6 +1811,7 @@ class LakehouseTable:
         if not spec:
             raise ValueError("append_partitioned: no partition spec set")
         df = self._apply_generated_columns(df)
+        df = self._apply_identity(df)
         self._validate_constraints(df)
         version = self.latest_version() + 1
         commit_dir = self.path / "data" / f"{uuid.uuid4().hex[:12]}"

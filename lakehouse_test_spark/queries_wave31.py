@@ -1,0 +1,319 @@
+"""Round-4 wave AE: lakehouse write-path depth + UDF/bucketing gaps.
+
+- ``lakehouse_merge_schema_evolution`` — MERGE with Delta
+  ``schema.autoMerge`` semantics: source-only columns evolve the
+  table schema, target-only columns survive ``UPDATE SET *``, all
+  under the hash gate via a relational oracle reconstruction.
+- ``lakehouse_identity_column`` — GENERATED ALWAYS AS IDENTITY:
+  ids allocated from a persisted high-water mark across commits by a
+  shuffle-free block row-number (operators/ordering.py), exact ids
+  hash-gated against a row_number() oracle.
+- ``udf_cogroup_join_stats`` — ``cogroup(...).applyInPandas``: the
+  two-sided grouped-map UDF (Arrow-batched, per-key pandas frames),
+  hash-gated against the equivalent relational join+aggregate.
+- ``join_bucketed_smj_no_shuffle`` — Spark bucketed tables
+  (``bucketBy`` + ``sortBy``): the co-located sort-merge join whose
+  physical plan contains NO exchange on either input (pinned in
+  tests/test_plans.py) — at 100 TB, bucketing both fact tables on
+  the join key turns every future join into a shuffle-free merge.
+
+Reference parity: extends §2a op 33 (table write path) and the §2b
+UDF matrix; bucketed joins re-express the reference's fixed
+topic-partition co-location (PerformanceConsumer.java:111) in the
+table domain.
+"""
+
+from __future__ import annotations
+
+import tempfile
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from lakehouse_test_spark.fpsafe import dround, dsum
+from lakehouse_test_spark.registry import query
+from lakehouse_test_spark.session import load_table
+
+
+def T(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
+    return load_table(spark, sf_dir, name)
+
+
+# --------------------------------------------------------------------------
+# MERGE schema evolution (Delta autoMerge) under the hash gate
+# --------------------------------------------------------------------------
+
+
+@query(
+    "lakehouse_merge_schema_evolution",
+    oracle="""
+    WITH target AS (
+      SELECT o_orderkey, o_orderstatus, o_totalprice
+      FROM orders WHERE o_orderkey % 3 <> 0
+    ), src AS (
+      SELECT o_orderkey,
+             o_totalprice * 1.5 AS o_totalprice,
+             CAST(substr(o_orderpriority, 1, 1) AS INT) AS priority_rank
+      FROM orders WHERE o_orderkey % 2 = 0
+    ), merged AS (
+      SELECT s.o_orderkey, t.o_orderstatus, s.o_totalprice, s.priority_rank
+      FROM src s LEFT JOIN target t ON s.o_orderkey = t.o_orderkey
+      UNION ALL
+      SELECT t.o_orderkey, t.o_orderstatus, t.o_totalprice,
+             CAST(NULL AS INT) AS priority_rank
+      FROM target t
+      WHERE NOT EXISTS (SELECT 1 FROM src s WHERE s.o_orderkey = t.o_orderkey)
+    )
+    SELECT coalesce(o_orderstatus, '<null>') AS status,
+           count(*) AS n_orders,
+           CAST(round(sum(CAST(o_totalprice AS DECIMAL(18,6))), 2) AS DOUBLE)
+             AS total_price,
+           count(priority_rank) AS n_ranked,
+           CAST(coalesce(sum(priority_rank), 0) AS BIGINT) AS sum_rank
+    FROM merged GROUP BY 1
+    """,
+    tags=("lakehouse", "merge", "schema-evolution"),
+)
+def lakehouse_merge_schema_evolution(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """MERGE with schema evolution (Delta ``schema.autoMerge``):
+    the source carries a NEW column (``priority_rank``) and LACKS a
+    target column (``o_orderstatus``). After the merge the table
+    schema has both; matched rows keep their target status while
+    taking the source price+rank (``UPDATE SET *`` touches only
+    source columns), inserted rows read NULL status, untouched
+    target rows read NULL rank. The oracle reconstructs exactly that
+    relationally, so any wrong NULLing/overwrite flips the hash.
+
+    Scale: evolution adds ONE key-shuffled join of the (small)
+    source against a two-column projection of the snapshot — the
+    full-snapshot pass count is unchanged (plans/lakehouse.py:merge).
+    """
+    from lakehouse_test_spark.plans.lakehouse import LakehouseTable
+
+    o = T(spark, sf_dir, "orders")
+    t = LakehouseTable(spark, tempfile.mkdtemp(prefix="lh_evolve_"))
+    t.append(
+        o.select("o_orderkey", "o_orderstatus", "o_totalprice").where(
+            F.col("o_orderkey") % 3 != 0
+        )
+    )
+    src = o.where(F.col("o_orderkey") % 2 == 0).select(
+        "o_orderkey",
+        (F.col("o_totalprice") * 1.5).alias("o_totalprice"),
+        F.substring("o_orderpriority", 1, 1).cast("int").alias("priority_rank"),
+    )
+    t.merge(src, key_cols=["o_orderkey"], schema_evolution=True)
+    return (
+        t.snapshot()
+        .groupBy(F.coalesce("o_orderstatus", F.lit("<null>")).alias("status"))
+        .agg(
+            F.count(F.lit(1)).alias("n_orders"),
+            dround(dsum(F.col("o_totalprice")), 2).alias("total_price"),
+            F.count("priority_rank").alias("n_ranked"),
+            F.coalesce(F.sum("priority_rank"), F.lit(0))
+            .cast("bigint")
+            .alias("sum_rank"),
+        )
+    )
+
+
+# --------------------------------------------------------------------------
+# GENERATED ALWAYS AS IDENTITY under the hash gate
+# --------------------------------------------------------------------------
+
+
+@query(
+    "lakehouse_identity_column",
+    oracle="""
+    WITH b1 AS (
+      SELECT c_custkey, c_acctbal,
+             row_number() OVER (ORDER BY c_custkey) AS k
+      FROM customer WHERE c_custkey % 3 = 0
+    ), b2 AS (
+      SELECT c_custkey, c_acctbal,
+             (SELECT count(*) FROM customer WHERE c_custkey % 3 = 0)
+               + row_number() OVER (ORDER BY c_custkey) AS k
+      FROM customer WHERE c_custkey % 3 = 1
+    )
+    SELECT CAST(100 + 5 * (k - 1) AS BIGINT) AS row_id, c_custkey, c_acctbal
+    FROM b1
+    UNION ALL
+    SELECT CAST(100 + 5 * (k - 1) AS BIGINT), c_custkey, c_acctbal FROM b2
+    """,
+    tags=("lakehouse", "identity"),
+)
+def lakehouse_identity_column(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Identity column (Delta GENERATED ALWAYS AS IDENTITY): two
+    appends that never supply ``row_id`` get ids ``100 + 5k``
+    allocated from the table's persisted high-water mark — the
+    second commit continues exactly where the first stopped. The
+    exact per-row ids are hash-gated against a row_number() oracle.
+
+    The id primitive (operators/ordering.py:block_row_number) never
+    shuffles — per-partition counts + a broadcast offset join — so
+    at 100 TB an identity append costs one P-row aggregate over the
+    incoming batch, nothing data-sized. The gate pins each batch to
+    ONE sorted partition purely so the placement-dependent ids
+    become oracle-predictable; uniqueness and high-water continuity
+    (what identity actually promises) hold at any partition count
+    (tests/test_wave31.py exercises 32-partition appends).
+    """
+    from lakehouse_test_spark.plans.lakehouse import LakehouseTable
+
+    c = T(spark, sf_dir, "customer").select("c_custkey", "c_acctbal")
+    t = LakehouseTable(spark, tempfile.mkdtemp(prefix="lh_ident_"))
+    t.set_identity("row_id", start=100, step=5)
+    for parity in (0, 1):
+        batch = (
+            c.where(F.col("c_custkey") % 3 == parity)
+            .repartitionByRange(1, "c_custkey")
+            .sortWithinPartitions("c_custkey")
+        )
+        t.append(batch)
+    return t.snapshot().select("row_id", "c_custkey", "c_acctbal")
+
+
+# --------------------------------------------------------------------------
+# cogrouped applyInPandas (two-sided grouped-map UDF)
+# --------------------------------------------------------------------------
+
+
+@query(
+    "udf_cogroup_join_stats",
+    oracle="""
+    SELECT c.c_custkey,
+           count(o.o_orderkey) AS n_orders,
+           CAST(round(coalesce(sum(CAST(o.o_totalprice AS DECIMAL(18,6))), 0), 2)
+                AS DOUBLE) AS total_spend,
+           max(c.c_acctbal) AS acctbal
+    FROM customer c LEFT JOIN orders o ON o.o_custkey = c.c_custkey
+    WHERE c.c_custkey % 7 = 0
+    GROUP BY c.c_custkey
+    """,
+    tags=("udf", "pandas", "cogroup"),
+)
+def udf_cogroup_join_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """``cogroup(...).applyInPandas``: customers and their orders
+    arrive as two per-key pandas frames in ONE task; the UDF computes
+    order count / decimal-exact spend / account balance per customer,
+    including customers with zero orders (empty right frame). Gate:
+    hash-match against the relational LEFT JOIN + GROUP BY.
+
+    Scale: cogroup shuffles BOTH sides once on the key — identical
+    movement to the join it replaces — and streams each key's pair
+    of Arrow batches through the UDF; per-key pandas state never
+    exceeds one customer's orders. Use it when per-key logic needs
+    both inputs at once and genuinely can't be a join+agg (walk-
+    forward validation, per-entity reconciliation); this gate keeps
+    the semantics oracle-checkable.
+    """
+    import pandas as pd
+
+    c = (
+        T(spark, sf_dir, "customer")
+        .where(F.col("c_custkey") % 7 == 0)
+        .select("c_custkey", "c_acctbal")
+    )
+    o = T(spark, sf_dir, "orders").select("o_custkey", "o_orderkey", "o_totalprice")
+    # pre-filter the orders side with the same predicate so the
+    # cogroup shuffle carries only matching keys (at 100 TB this is
+    # the difference between shuffling 1/7th and all of orders)
+    o = o.where(F.col("o_custkey") % 7 == 0)
+
+    def stats(key, cust: pd.DataFrame, orders: pd.DataFrame) -> pd.DataFrame:
+        if cust.empty:  # orders for a filtered-out customer: emit nothing
+            return pd.DataFrame(
+                columns=["c_custkey", "n_orders", "total_spend", "acctbal"]
+            )
+        from decimal import ROUND_HALF_UP, Decimal
+
+        spend = sum(
+            (Decimal(str(v)) for v in orders["o_totalprice"]), Decimal(0)
+        ).quantize(Decimal("0.01"), rounding=ROUND_HALF_UP)
+        return pd.DataFrame(
+            {
+                "c_custkey": [key[0]],
+                "n_orders": [len(orders)],
+                "total_spend": [float(spend)],
+                "acctbal": [cust["c_acctbal"].max()],
+            }
+        )
+
+    return (
+        c.groupBy("c_custkey")
+        .cogroup(o.groupBy("o_custkey"))
+        .applyInPandas(
+            stats,
+            schema="c_custkey bigint, n_orders bigint, total_spend double, "
+            "acctbal double",
+        )
+    )
+
+
+# --------------------------------------------------------------------------
+# bucketed tables: the zero-shuffle sort-merge join
+# --------------------------------------------------------------------------
+
+
+@query(
+    "join_bucketed_smj_no_shuffle",
+    oracle="""
+    SELECT o.o_orderpriority,
+           count(*) AS n_items,
+           CAST(round(sum(CAST(l.l_extendedprice AS DECIMAL(18,6))), 2) AS DOUBLE)
+             AS revenue
+    FROM orders o JOIN lineitem l ON l.l_orderkey = o.o_orderkey
+    GROUP BY o.o_orderpriority
+    """,
+    tags=("join", "bucketing", "layout"),
+)
+def join_bucketed_smj_no_shuffle(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Join two BUCKETED tables (``bucketBy(8, key)`` + ``sortBy``)
+    — Spark reads both sides already hash-partitioned on the join
+    key, so the sort-merge join plans with NO Exchange on either
+    side (pinned in tests/test_plans.py); the residual per-task Sort
+    is in-memory within a bucket, never a network move.
+
+    Scale: THE layout decision for a 100 TB fact-to-fact join.
+    Shuffling both sides on every run moves the whole dataset
+    through the network; bucketing amortizes that one-time shuffle
+    into the write path, and every subsequent join/aggregation on
+    the bucket key is exchange-free. The bench's broadcast/AQE paths
+    cover the small-dim case; this is the big-big case.
+    """
+    spark.sql("CREATE DATABASE IF NOT EXISTS bucketed")
+    o = T(spark, sf_dir, "orders").select(
+        "o_orderkey", "o_custkey", "o_orderpriority"
+    )
+    l = T(spark, sf_dir, "lineitem").select("l_orderkey", "l_extendedprice")
+    # EXTERNAL locations under a fresh tempdir: the default managed
+    # location persists across sessions while the in-memory catalog
+    # does not, so a rerun would hit LOCATION_ALREADY_EXISTS
+    root = tempfile.mkdtemp(prefix="lh_bucketed_")
+    for name, df, key in (
+        ("bucketed.orders_b", o, "o_orderkey"),
+        ("bucketed.lineitem_b", l, "l_orderkey"),
+    ):
+        spark.sql(f"DROP TABLE IF EXISTS {name}")
+        (
+            # repartition to the bucket count ON the bucket key:
+            # writer hash == bucket hash, so each task holds exactly
+            # one bucket → ONE sorted file per bucket (readers then
+            # skip the per-task Sort entirely) instead of
+            # tasks × buckets small files
+            df.repartition(8, key)
+            .write.mode("overwrite")
+            .bucketBy(8, key)
+            .sortBy(key)
+            .option("path", f"{root}/{name.split('.')[1]}")
+            .format("parquet")
+            .saveAsTable(name)
+        )
+    ob, lb = spark.table("bucketed.orders_b"), spark.table("bucketed.lineitem_b")
+    joined = lb.join(ob, lb.l_orderkey == ob.o_orderkey).groupBy(
+        "o_orderpriority"
+    ).agg(
+        F.count(F.lit(1)).alias("n_items"),
+        dround(dsum(F.col("l_extendedprice")), 2).alias("revenue"),
+    )
+    return joined

@@ -542,3 +542,25 @@ def test_geohash_encode_is_pure_projection(spark, sf_dir):
     p = plan_of(spark, sf_dir, "spatial_geohash_encode")
     assert "Exchange" not in p, p
     assert "BatchEvalPython" not in p and "ArrowEvalPython" not in p, p
+
+
+def test_bucketed_join_no_shuffle_on_either_side(spark, sf_dir):
+    """join_bucketed_smj_no_shuffle: both tables are bucketed on the
+    join key, so the join itself plans with NO Exchange on either
+    input — the only shuffle left is the final small group-by. A
+    hashpartitioning exchange on l_orderkey/o_orderkey means Spark
+    stopped exploiting the bucket layout (the 100 TB regression this
+    layout exists to prevent). Broadcast is disabled to simulate the
+    big-big case the layout targets (at test SF the optimizer would
+    rightly broadcast the small side); one sorted file per bucket
+    also eliminates the per-task Sort below the merge join."""
+    prior = spark.conf.get("spark.sql.autoBroadcastJoinThreshold")
+    spark.conf.set("spark.sql.autoBroadcastJoinThreshold", "-1")
+    try:
+        p = plan_of(spark, sf_dir, "join_bucketed_smj_no_shuffle")
+    finally:
+        spark.conf.set("spark.sql.autoBroadcastJoinThreshold", prior)
+    assert "hashpartitioning(l_orderkey" not in p, p
+    assert "hashpartitioning(o_orderkey" not in p, p
+    assert "SortMergeJoin" in p, p
+    assert "Bucketed: true" in p, p

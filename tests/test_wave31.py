@@ -1,0 +1,137 @@
+"""Wave AE units: MERGE schema evolution, identity columns, cogroup
+UDF, bucketed joins — the contracts the gate queries can't see."""
+
+from __future__ import annotations
+
+import tempfile
+
+import pytest
+from pyspark.sql import functions as F
+
+from lakehouse_test_spark.operators.ordering import block_row_number
+from lakehouse_test_spark.plans.lakehouse import (
+    ConstraintViolationError,
+    LakehouseTable,
+)
+
+
+def _t(spark):
+    return LakehouseTable(spark, tempfile.mkdtemp(prefix="lh_w31_"))
+
+
+# -- MERGE schema evolution -------------------------------------------------
+
+
+def test_merge_evolution_rejected_without_flag(spark):
+    t = _t(spark)
+    t.append(spark.createDataFrame([(1, "a")], "k int, v string"))
+    src = spark.createDataFrame([(1, "b", 9)], "k int, v string, extra int")
+    with pytest.raises(Exception):  # unionByName column mismatch
+        t.merge(src, key_cols=["k"])
+
+
+def test_merge_evolution_update_preserves_target_only_columns(spark):
+    t = _t(spark)
+    t.append(spark.createDataFrame([(1, "a", 10), (2, "b", 20)], "k int, v string, kept int"))
+    # source lacks `kept`, adds `extra`
+    src = spark.createDataFrame([(1, "A", 7), (3, "C", 8)], "k int, v string, extra int")
+    t.merge(src, key_cols=["k"], schema_evolution=True)
+    rows = {r["k"]: r for r in t.snapshot().collect()}
+    assert set(t.snapshot().columns) == {"k", "v", "kept", "extra"}
+    assert rows[1]["v"] == "A" and rows[1]["kept"] == 10 and rows[1]["extra"] == 7
+    assert rows[2]["v"] == "b" and rows[2]["kept"] == 20 and rows[2]["extra"] is None
+    assert rows[3]["v"] == "C" and rows[3]["kept"] is None and rows[3]["extra"] == 8
+
+
+def test_merge_evolution_ignore_mode_adds_column(spark):
+    t = _t(spark)
+    t.append(spark.createDataFrame([(1, "a")], "k int, v string"))
+    src = spark.createDataFrame([(1, "x", 1), (2, "y", 2)], "k int, v string, extra int")
+    t.merge(src, key_cols=["k"], when_matched="ignore", schema_evolution=True)
+    rows = {r["k"]: r for r in t.snapshot().collect()}
+    assert rows[1]["v"] == "a" and rows[1]["extra"] is None  # target won
+    assert rows[2]["extra"] == 2
+
+
+def test_merge_evolution_missing_key_raises(spark):
+    t = _t(spark)
+    t.append(spark.createDataFrame([(1, "a")], "k int, v string"))
+    with pytest.raises(ValueError, match="key columns"):
+        t.merge(
+            spark.createDataFrame([("a",)], "v string"),
+            key_cols=["k"],
+            schema_evolution=True,
+        )
+
+
+# -- identity columns --------------------------------------------------------
+
+
+def test_identity_unique_and_continuous_across_multipartition_appends(spark):
+    t = _t(spark)
+    t.set_identity("rid", start=1, step=1)
+    a = spark.range(0, 500).select(F.col("id").alias("k")).repartition(32)
+    b = spark.range(500, 800).select(F.col("id").alias("k")).repartition(32)
+    t.append(a)
+    t.append(b)
+    got = t.snapshot().select("rid").collect()
+    ids = sorted(r["rid"] for r in got)
+    assert ids == list(range(1, 801))  # dense, unique, high-water continues
+    # time travel: v0 holds exactly the first allocation block
+    v0 = sorted(r["rid"] for r in t.snapshot(0).collect())
+    assert v0 == list(range(1, 501))
+
+
+def test_identity_generated_always_rejects_supplied_values(spark):
+    t = _t(spark)
+    t.set_identity("rid")
+    df = spark.createDataFrame([(1, 99)], "k int, rid bigint")
+    with pytest.raises(ConstraintViolationError, match="GENERATED ALWAYS"):
+        t.append(df)
+
+
+def test_identity_step_and_start(spark):
+    t = _t(spark)
+    t.set_identity("rid", start=1000, step=-10)
+    t.append(spark.createDataFrame([(i,) for i in range(5)], "k int"))
+    ids = sorted((r["rid"] for r in t.snapshot().collect()), reverse=True)
+    assert ids == [1000, 990, 980, 970, 960]
+    with pytest.raises(ValueError):
+        t.set_identity("rid2", step=0)
+    with pytest.raises(ValueError):
+        t.set_identity("rid")  # already declared
+
+
+def test_identity_branch_appends_allocate_disjoint_ranges(spark):
+    t = _t(spark)
+    t.set_identity("rid")
+    t.append(spark.createDataFrame([(1,), (2,)], "k int"))
+    t.create_branch("wip")
+    t.branch_append("wip", spark.createDataFrame([(3,)], "k int"))
+    t.append(spark.createDataFrame([(4,)], "k int"))
+    t.merge_branch("wip")
+    ids = sorted(r["rid"] for r in t.snapshot().collect())
+    assert ids == [1, 2, 3, 4]  # no collision between branch and main
+
+
+# -- block_row_number ---------------------------------------------------------
+
+
+def test_block_row_number_dense_unique_no_shuffle(spark):
+    df = spark.range(0, 1000).repartition(16)
+    out, n = block_row_number(df, "rn")
+    assert n == 1000
+    vals = sorted(r["rn"] for r in out.collect())
+    assert vals == list(range(1, 1001))
+    # plan must move no data: no hash/range shuffle (the broadcast
+    # of the P-row offsets table and the source's own repartition
+    # are the only exchanges)
+    plan = out._jdf.queryExecution().executedPlan().toString()
+    assert "Exchange hashpartitioning" not in plan
+    assert "Exchange rangepartitioning" not in plan
+
+
+def test_block_row_number_empty_frame(spark):
+    df = spark.range(0).select(F.col("id"))
+    out, n = block_row_number(df, "rn")
+    assert n == 0 and out.count() == 0
