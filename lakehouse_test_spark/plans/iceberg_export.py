@@ -284,6 +284,15 @@ def data_file_schema(partition_schema: dict | None = None) -> dict:
             },
             _f("record_count", "long", 103),
             _f("file_size_in_bytes", "long", 104),
+            # equality-delete files (content=2) list the field ids
+            # their rows match on (spec field-id 135); null for data
+            # and position-delete files
+            {
+                "name": "equality_ids",
+                "type": ["null", {"type": "array", "items": "int"}],
+                "field-id": 135,
+                "default": None,
+            },
         ],
     }
 
@@ -308,6 +317,10 @@ MANIFEST_ENTRY_SCHEMA = manifest_entry_schema()
 # manifest-entry status / manifest content codes (spec)
 ST_EXISTING, ST_ADDED, ST_DELETED = 0, 1, 2
 CONTENT_DATA, CONTENT_DELETES = 0, 1
+# data_file.content code for EQUALITY deletes (spec §Delete Files):
+# rows match on the `equality_ids` columns and apply to data files
+# whose data sequence number is STRICTLY LESS than the delete's
+CONTENT_EQ_DELETES = 2
 
 _SPARK_TO_ICEBERG = {
     "long": "long",
@@ -932,27 +945,44 @@ def _apply_name_mapping(df: DataFrame, md: dict) -> DataFrame:
 
 def iceberg_plan_entries(
     table_path: str, snapshot_id: int | None = None
-) -> tuple[list[dict], list[str]]:
+) -> tuple[list[dict], list[str], list[dict]]:
     """Like :func:`iceberg_plan_files` but returns the live manifest
     ENTRIES' data_file records (path + partition tuple + counts) —
-    what partition-column reconstruction and log-only stats need."""
+    what partition-column reconstruction and log-only stats need.
+
+    Returns ``(data_entries, position_delete_files, eq_deletes)``;
+    each data entry carries its ``sequence_number`` (needed to scope
+    equality deletes), each eq-delete dict is ``{file_path,
+    equality_ids, sequence_number}``."""
     md = _load_metadata(table_path)
     sid = snapshot_id if snapshot_id is not None else md["current-snapshot-id"]
     snap = next(s for s in md["snapshots"] if s["snapshot-id"] == sid)
     _, _, manifests = read_ocf(Path(snap["manifest-list"]))
     entries: list[dict] = []
     delete_files: list[str] = []
+    eq_deletes: list[dict] = []
     for m in manifests:
         _, _, es = read_ocf(Path(m["manifest_path"]))
         for e in es:
             if e["status"] == ST_DELETED:
                 continue
             df = e["data_file"]
-            if df["content"] == CONTENT_DELETES:
+            seq = e.get("sequence_number") or 0
+            if df.get("content") == CONTENT_EQ_DELETES:
+                eq_deletes.append(
+                    {
+                        "file_path": df["file_path"],
+                        "equality_ids": df.get("equality_ids") or [],
+                        "sequence_number": seq,
+                    }
+                )
+            elif df["content"] == CONTENT_DELETES:
                 delete_files.append(df["file_path"])
             else:
+                df = dict(df)
+                df["sequence_number"] = seq
                 entries.append(df)
-    return entries, delete_files
+    return entries, delete_files, eq_deletes
 
 
 def _current_ids(md: dict) -> dict[int, str]:
@@ -1070,15 +1100,17 @@ def read_iceberg(
     must: plan files from the chosen snapshot's manifests, scan the
     data files RESOLVING COLUMNS BY FIELD ID (falling back to the
     name mapping for id-less files), reconstruct identity-partition
-    columns stored only in manifest partition tuples, and anti-join
-    position deletes on (file_path, pos). ``ref`` reads a named ref
-    (tag/branch) from the metadata."""
+    columns stored only in manifest partition tuples, anti-join
+    position deletes on (file_path, pos), and apply EQUALITY deletes
+    (content=2) to rows from data files whose sequence number is
+    strictly below the delete's — the Flink-CDC writer layout.
+    ``ref`` reads a named ref (tag/branch) from the metadata."""
     md = _load_metadata(table_path)
     if ref is not None:
         if snapshot_id is not None:
             raise ValueError("pass snapshot_id OR ref, not both")
         snapshot_id = md["refs"][ref]["snapshot-id"]
-    entries, delete_files = iceberg_plan_entries(table_path, snapshot_id)
+    entries, delete_files, eq_deletes = iceberg_plan_entries(table_path, snapshot_id)
     if not entries:
         raise ValueError(f"no data files at snapshot {snapshot_id}")
     data_files = [e["file_path"] for e in entries]
@@ -1093,7 +1125,77 @@ def read_iceberg(
             ["_ipath", "_ipos"],
             "left_anti",
         )
-    return df.drop("_ipath", "_ipos")
+    if eq_deletes:
+        df = _apply_equality_deletes(spark, df, md, entries, eq_deletes)
+    return df.drop("_ipath", "_ipos", "_iseq")
+
+
+def _apply_equality_deletes(
+    spark: SparkSession,
+    df: DataFrame,
+    md: dict,
+    entries: list[dict],
+    eq_deletes: list[dict],
+) -> DataFrame:
+    """Apply Iceberg v2 equality-delete files (content=2).
+
+    Scoping rule (spec §Scan Planning): an equality delete with data
+    sequence number S removes matching rows ONLY from data files with
+    sequence number < S — rows re-inserted at or after S survive. The
+    data row's sequence number is attached by broadcasting the tiny
+    path→seq map from the manifests onto the scan's ``_ipath``; each
+    delete file then removes rows via a LEFT ANTI join on its
+    ``equality_ids`` columns plus the seq bound.
+
+    Delete-file columns resolve BY FIELD ID against the current
+    schema (same contract as data files — a delete written before a
+    rename still applies). Scale: delete files are CDC-sized (keys
+    only); every anti-join here broadcasts the delete side, and the
+    seq map is O(files), never data-sized.
+    """
+    from pyspark.sql import functions as F
+
+    current = _current_ids(md)
+    seq_rows = [
+        (_norm_path(e["file_path"]), int(e.get("sequence_number") or 0))
+        for e in entries
+    ]
+    seq_df = spark.createDataFrame(seq_rows, "_ipath STRING, _iseq BIGINT")
+    df = df.join(F.broadcast(seq_df), "_ipath", "left")
+    for ed in sorted(eq_deletes, key=lambda d: d["sequence_number"]):
+        names = [current[int(fid)] for fid in ed["equality_ids"]]
+        if not names:
+            continue
+        dels = _scan_resolved_single(spark, ed["file_path"], md).select(
+            *[F.col(n).alias(f"__eq_{n}") for n in names]
+        )
+        cond = F.col("_iseq") < F.lit(int(ed["sequence_number"]))
+        for n in names:
+            cond = cond & F.col(n).eqNullSafe(F.col(f"__eq_{n}"))
+        df = df.join(F.broadcast(dels), on=cond, how="left_anti")
+    return df
+
+
+def _norm_path(p: str) -> str:
+    return p.removeprefix("file://").removeprefix("file:")
+
+
+def _scan_resolved_single(spark: SparkSession, path: str, md: dict) -> DataFrame:
+    """Field-id-resolved scan of ONE file (delete files): footer ids
+    rename to current-schema names; id-less footers pass through by
+    name (the name-mapping fallback)."""
+    import pyarrow.parquet as pq
+
+    current = _current_ids(md)
+    sch = pq.ParquetFile(path).schema_arrow
+    b = spark.read.parquet(path)
+    for f in sch:
+        if f.metadata and b"PARQUET:field_id" in f.metadata:
+            fid = int(f.metadata[b"PARQUET:field_id"])
+            tgt = current.get(fid)
+            if tgt and tgt != f.name:
+                b = b.withColumnRenamed(f.name, tgt)
+    return b
 
 
 def _item_field_name(item: str) -> str:
@@ -1142,6 +1244,7 @@ def iceberg_plan_files_pruned(
     out = {
         "data_files": [],
         "delete_files": [],
+        "eq_deletes": [],
         "files_total": 0,
         "manifests_read": 0,
         "manifests_total": 0,
@@ -1149,9 +1252,20 @@ def iceberg_plan_files_pruned(
     for m in manifests:
         if m["content"] == CONTENT_DELETES:
             _, _, entries = read_ocf(Path(m["manifest_path"]))
-            out["delete_files"] += [
-                e["data_file"]["file_path"] for e in entries if e["status"] != ST_DELETED
-            ]
+            for e in entries:
+                if e["status"] == ST_DELETED:
+                    continue
+                d = e["data_file"]
+                if d.get("content") == CONTENT_EQ_DELETES:
+                    out["eq_deletes"].append(
+                        {
+                            "file_path": d["file_path"],
+                            "equality_ids": d.get("equality_ids") or [],
+                            "sequence_number": e.get("sequence_number") or 0,
+                        }
+                    )
+                else:
+                    out["delete_files"].append(d["file_path"])
             continue
         out["manifests_total"] += 1
         out["files_total"] += m["added_files_count"] + m["existing_files_count"]
@@ -1171,6 +1285,23 @@ def iceberg_plan_files_pruned(
             if e["status"] == ST_DELETED:
                 continue
             df = e["data_file"]
+            # delete entries can live in data-content manifests too
+            # (single-manifest writers); route by data_file.content —
+            # delete files are NEVER partition-pruned (a delete in a
+            # pruned-away partition can still hit kept files under an
+            # older spec)
+            if df.get("content") == CONTENT_EQ_DELETES:
+                out["eq_deletes"].append(
+                    {
+                        "file_path": df["file_path"],
+                        "equality_ids": df.get("equality_ids") or [],
+                        "sequence_number": e.get("sequence_number") or 0,
+                    }
+                )
+                continue
+            if df.get("content") == CONTENT_DELETES:
+                out["delete_files"].append(df["file_path"])
+                continue
             if hit is None:
                 out["data_files"].append(df["file_path"])
                 continue
@@ -1200,9 +1331,32 @@ def read_iceberg_pruned(
         empty = read_iceberg(spark, table_path, snapshot_id).limit(0)
         return empty, plan
     md = _load_metadata(table_path)
+    from pyspark.sql import functions as F
+
     df = spark.read.option("mergeSchema", "true").parquet(*plan["data_files"])
-    df = _apply_name_mapping(_apply_position_deletes(spark, df, plan["delete_files"]), md)
-    return df, plan
+    # capture file identity ONCE, on the scan itself — _metadata is
+    # not resolvable after a join, and both delete flavors need it
+    df = df.withColumn(
+        "_ipath", F.regexp_replace(F.col("_metadata.file_path"), "^file:(//)?", "")
+    ).withColumn("_ipos", F.col("_metadata.row_index"))
+    if plan["delete_files"]:
+        dels = spark.read.parquet(*plan["delete_files"])
+        df = df.join(
+            dels.withColumnRenamed("file_path", "_ipath").withColumnRenamed(
+                "pos", "_ipos"
+            ),
+            ["_ipath", "_ipos"],
+            "left_anti",
+        )
+    df = _apply_name_mapping(df, md)
+    if plan["eq_deletes"]:
+        entries, _, _ = iceberg_plan_entries(table_path, snapshot_id)
+        keep = set(plan["data_files"])
+        df = _apply_equality_deletes(
+            spark, df, md, [e for e in entries if e["file_path"] in keep],
+            plan["eq_deletes"],
+        )
+    return df.drop("_ipath", "_ipos", "_iseq"), plan
 
 
 # ---------------------------------------------------------------------------
@@ -1539,6 +1693,224 @@ def lakehouse_iceberg_import_foreign(spark: SparkSession, sf_dir: str):
         .agg(
             F.count(F.lit(1)).alias("n_orders"),
             dround(dsum(F.col("o_totalprice")), 2).alias("total_price"),
+        )
+        .localCheckpoint()
+    )
+
+
+@query(
+    "lakehouse_iceberg_eq_delete_import",
+    oracle="""
+    WITH a AS (
+      SELECT c_custkey, c_name, c_acctbal, c_mktsegment FROM customer
+      WHERE c_custkey % 3 = 0 AND c_custkey % 15 <> 0
+    ), b1 AS (
+      SELECT c_custkey, c_name, c_acctbal, c_mktsegment FROM customer
+      WHERE c_custkey % 3 = 1
+    ), b2 AS (
+      SELECT c_custkey, c_name, c_acctbal + 1000 AS c_acctbal, c_mktsegment
+      FROM customer WHERE c_custkey % 15 = 0
+    ), final AS (
+      SELECT * FROM a UNION ALL SELECT * FROM b1 UNION ALL SELECT * FROM b2
+    )
+    SELECT c_mktsegment, count(*) AS n_rows,
+           CAST(round(sum(CAST(c_acctbal AS DECIMAL(18,6))), 2) AS DOUBLE)
+             AS total_bal
+    FROM final WHERE c_custkey % 7 <> 0
+    GROUP BY c_mktsegment
+    """,
+    tags=("lakehouse", "iceberg", "interop", "import", "customer"),
+)
+def lakehouse_iceberg_eq_delete_import(spark: SparkSession, sf_dir: str):
+    """Import a foreign Iceberg v2 table carrying EQUALITY deletes
+    (content=2) — the Flink-CDC writer layout our exporter never
+    produces — exercising the spec's scan-planning rules:
+
+    - SEQUENCE-NUMBER SCOPING: delete E1 (seq 2, ids=[c_custkey])
+      removes matching rows from data file A (seq 1) but NOT from
+      file B (seq 3), which re-inserts some of the very same keys
+      with a shifted balance — those must survive;
+    - MULTI-COLUMN equality: delete E2 (seq 4, ids=[c_custkey,
+      c_name]) matches on the (key, name) pair and hits BOTH data
+      vintages;
+    - FIELD-ID RESOLUTION OF DELETE FILES: E2's parquet columns are
+      named ``ck``/``nm`` — only the footer field ids (1, 2) bind
+      them to the schema's c_custkey/c_name.
+
+    Hash-gated against the relational reconstruction over customer.
+    """
+    import tempfile
+
+    import pyarrow as pa
+    import pyarrow.parquet as pq
+    from pyspark.sql import functions as F
+
+    from lakehouse_test_spark.fpsafe import dround, dsum
+
+    pdf = (
+        load_table(spark, sf_dir, "customer")
+        .select("c_custkey", "c_name", "c_acctbal", "c_mktsegment")
+        .toPandas()
+    )
+    root = Path(tempfile.mkdtemp(prefix="iceberg_eqdel_"))
+    (root / "metadata").mkdir(parents=True)
+    (root / "data").mkdir()
+    sid = 9001
+
+    def _schema(names: dict[str, str] | None = None) -> pa.schema:
+        nm = names or {}
+        return pa.schema(
+            [
+                pa.field(nm.get("c_custkey", "c_custkey"), pa.int64(),
+                         metadata={b"PARQUET:field_id": b"1"}),
+                pa.field(nm.get("c_name", "c_name"), pa.string(),
+                         metadata={b"PARQUET:field_id": b"2"}),
+                pa.field(nm.get("c_acctbal", "c_acctbal"), pa.float64(),
+                         metadata={b"PARQUET:field_id": b"3"}),
+                pa.field(nm.get("c_mktsegment", "c_mktsegment"), pa.string(),
+                         metadata={b"PARQUET:field_id": b"4"}),
+            ]
+        )
+
+    def _data_entry(path: str, seq: int, n: int) -> dict:
+        return {
+            "status": ST_ADDED, "snapshot_id": sid,
+            "sequence_number": seq, "file_sequence_number": seq,
+            "data_file": {
+                "content": CONTENT_DATA, "file_path": path,
+                "file_format": "PARQUET", "partition": {},
+                "record_count": n,
+                "file_size_in_bytes": Path(path).stat().st_size,
+                "equality_ids": None,
+            },
+        }
+
+    # data file A (seq 1): every key % 3 == 0
+    a = pdf[pdf["c_custkey"] % 3 == 0]
+    pa_path = str(root / "data" / "a.parquet")
+    pq.write_table(
+        pa.Table.from_pandas(a, preserve_index=False).cast(_schema()), pa_path
+    )
+    # data file B (seq 3): keys % 3 == 1, PLUS re-inserts of the
+    # E1-deleted keys with balance + 1000 (these must survive E1)
+    import pandas as pd
+
+    reins = pdf[pdf["c_custkey"] % 15 == 0].copy()
+    reins["c_acctbal"] = reins["c_acctbal"] + 1000
+    b = pd.concat([pdf[pdf["c_custkey"] % 3 == 1], reins])
+    pb_path = str(root / "data" / "b.parquet")
+    pq.write_table(
+        pa.Table.from_pandas(b, preserve_index=False).cast(_schema()), pb_path
+    )
+
+    # E1 (seq 2): single-column equality delete on c_custkey
+    e1 = pdf[pdf["c_custkey"] % 5 == 0][["c_custkey"]]
+    e1_path = str(root / "data" / "eq-del-1.parquet")
+    pq.write_table(
+        pa.Table.from_pandas(e1, preserve_index=False).cast(
+            pa.schema([pa.field("c_custkey", pa.int64(),
+                                metadata={b"PARQUET:field_id": b"1"})])
+        ),
+        e1_path,
+    )
+    # E2 (seq 4): multi-column (key, name) with ODD column names —
+    # only the footer field ids bind them
+    e2 = pdf[pdf["c_custkey"] % 7 == 0][["c_custkey", "c_name"]].rename(
+        columns={"c_custkey": "ck", "c_name": "nm"}
+    )
+    e2_path = str(root / "data" / "eq-del-2.parquet")
+    pq.write_table(
+        pa.Table.from_pandas(e2, preserve_index=False).cast(
+            pa.schema([
+                pa.field("ck", pa.int64(), metadata={b"PARQUET:field_id": b"1"}),
+                pa.field("nm", pa.string(), metadata={b"PARQUET:field_id": b"2"}),
+            ])
+        ),
+        e2_path,
+    )
+
+    def _del_entry(path: str, seq: int, ids: list[int], n: int) -> dict:
+        return {
+            "status": ST_ADDED, "snapshot_id": sid,
+            "sequence_number": seq, "file_sequence_number": seq,
+            "data_file": {
+                "content": CONTENT_EQ_DELETES, "file_path": path,
+                "file_format": "PARQUET", "partition": {},
+                "record_count": n,
+                "file_size_in_bytes": Path(path).stat().st_size,
+                "equality_ids": ids,
+            },
+        }
+
+    m_data = root / "metadata" / "manifest-data.avro"
+    m_del = root / "metadata" / "manifest-deletes.avro"
+    write_ocf(
+        m_data, MANIFEST_ENTRY_SCHEMA,
+        [_data_entry(pa_path, 1, len(a)), _data_entry(pb_path, 3, len(b))],
+        {"schema": "{}", "content": "data"},
+    )
+    write_ocf(
+        m_del, MANIFEST_ENTRY_SCHEMA,
+        [_del_entry(e1_path, 2, [1], len(e1)), _del_entry(e2_path, 4, [1, 2], len(e2))],
+        {"schema": "{}", "content": "deletes"},
+    )
+    mlist = root / "metadata" / f"snap-{sid}.avro"
+    write_ocf(
+        mlist, MANIFEST_FILE_SCHEMA,
+        [
+            {
+                "manifest_path": str(m_data), "manifest_length": m_data.stat().st_size,
+                "partition_spec_id": 0, "content": CONTENT_DATA,
+                "sequence_number": 1, "min_sequence_number": 1,
+                "added_snapshot_id": sid, "added_files_count": 2,
+                "existing_files_count": 0, "deleted_files_count": 0,
+                "added_rows_count": 0, "existing_rows_count": 0,
+                "deleted_rows_count": 0, "partitions": None,
+            },
+            {
+                "manifest_path": str(m_del), "manifest_length": m_del.stat().st_size,
+                "partition_spec_id": 0, "content": CONTENT_DELETES,
+                "sequence_number": 4, "min_sequence_number": 2,
+                "added_snapshot_id": sid, "added_files_count": 2,
+                "existing_files_count": 0, "deleted_files_count": 0,
+                "added_rows_count": 0, "existing_rows_count": 0,
+                "deleted_rows_count": 0, "partitions": None,
+            },
+        ],
+    )
+    meta = {
+        "format-version": 2,
+        "table-uuid": "foreign-eqdel-fixture",
+        "location": str(root),
+        "current-snapshot-id": sid,
+        "snapshots": [{"snapshot-id": sid, "manifest-list": str(mlist)}],
+        "schemas": [
+            {
+                "type": "struct", "schema-id": 0,
+                "fields": [
+                    {"id": 1, "name": "c_custkey", "required": False, "type": "long"},
+                    {"id": 2, "name": "c_name", "required": False, "type": "string"},
+                    {"id": 3, "name": "c_acctbal", "required": False, "type": "double"},
+                    {"id": 4, "name": "c_mktsegment", "required": False,
+                     "type": "string"},
+                ],
+            }
+        ],
+        "current-schema-id": 0,
+        "partition-specs": [{"spec-id": 0, "fields": []}],
+        "default-spec-id": 0,
+        "properties": {},
+        "refs": {},
+    }
+    (root / "metadata" / "v1.metadata.json").write_text(json.dumps(meta))
+    (root / "metadata" / "version-hint.text").write_text("1")
+
+    df = read_iceberg(spark, str(root))
+    return (
+        df.groupBy("c_mktsegment")
+        .agg(
+            F.count(F.lit(1)).alias("n_rows"),
+            dround(dsum(F.col("c_acctbal")), 2).alias("total_bal"),
         )
         .localCheckpoint()
     )

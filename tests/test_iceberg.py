@@ -48,6 +48,7 @@ def test_ocf_roundtrip_manifest_entries(tmp_path):
                 "partition": {},
                 "record_count": 1234,
                 "file_size_in_bytes": 56789,
+                "equality_ids": None,
             },
         },
         {
@@ -62,6 +63,7 @@ def test_ocf_roundtrip_manifest_entries(tmp_path):
                 "partition": {},
                 "record_count": 0,
                 "file_size_in_bytes": 0,
+                "equality_ids": [1, 3],
             },
         },
     ]
@@ -301,3 +303,113 @@ def test_iceberg_name_mapping_rename_and_tag_refs(spark, table):
     assert md["refs"]["v1.0"]["type"] == "tag"
     tagged = read_iceberg(spark, str(table.path), ref="v1.0")
     assert tagged.count() == 30 and "v_usd" in tagged.columns
+
+
+def _eqdel_fixture(tmp_path, rows, deletes, data_seq, del_seq):
+    """Minimal foreign table: one data file (seq=data_seq), one
+    equality-delete file on field 1 (seq=del_seq)."""
+    import pyarrow as pa
+    import pyarrow.parquet as pq
+
+    from lakehouse_test_spark.plans.iceberg_export import (
+        CONTENT_DATA,
+        CONTENT_DELETES,
+        CONTENT_EQ_DELETES,
+        MANIFEST_FILE_SCHEMA,
+        ST_ADDED,
+    )
+
+    root = tmp_path / "eqdel"
+    (root / "metadata").mkdir(parents=True)
+    (root / "data").mkdir()
+    sch = pa.schema(
+        [
+            pa.field("k", pa.int64(), metadata={b"PARQUET:field_id": b"1"}),
+            pa.field("v", pa.string(), metadata={b"PARQUET:field_id": b"2"}),
+        ]
+    )
+    dpath = str(root / "data" / "d.parquet")
+    pq.write_table(
+        pa.table({"k": [r[0] for r in rows], "v": [r[1] for r in rows]}).cast(sch),
+        dpath,
+    )
+    epath = str(root / "data" / "e.parquet")
+    pq.write_table(
+        pa.table(
+            {"k": pa.array(deletes, pa.int64())}
+        ).cast(pa.schema([pa.field("k", pa.int64(),
+                                    metadata={b"PARQUET:field_id": b"1"})])),
+        epath,
+    )
+    entries = [
+        {
+            "status": ST_ADDED, "snapshot_id": 1, "sequence_number": data_seq,
+            "file_sequence_number": data_seq,
+            "data_file": {
+                "content": CONTENT_DATA, "file_path": dpath,
+                "file_format": "PARQUET", "partition": {},
+                "record_count": len(rows),
+                "file_size_in_bytes": 1, "equality_ids": None,
+            },
+        },
+        {
+            "status": ST_ADDED, "snapshot_id": 1, "sequence_number": del_seq,
+            "file_sequence_number": del_seq,
+            "data_file": {
+                "content": CONTENT_EQ_DELETES, "file_path": epath,
+                "file_format": "PARQUET", "partition": {},
+                "record_count": len(deletes),
+                "file_size_in_bytes": 1, "equality_ids": [1],
+            },
+        },
+    ]
+    m = root / "metadata" / "m.avro"
+    write_ocf(m, MANIFEST_ENTRY_SCHEMA, entries, {"schema": "{}"})
+    mlist = root / "metadata" / "snap-1.avro"
+    write_ocf(
+        mlist, MANIFEST_FILE_SCHEMA,
+        [{
+            "manifest_path": str(m), "manifest_length": m.stat().st_size,
+            "partition_spec_id": 0, "content": CONTENT_DATA,
+            "sequence_number": 1, "min_sequence_number": 1,
+            "added_snapshot_id": 1, "added_files_count": 2,
+            "existing_files_count": 0, "deleted_files_count": 0,
+            "added_rows_count": 0, "existing_rows_count": 0,
+            "deleted_rows_count": 0, "partitions": None,
+        }],
+    )
+    meta = {
+        "format-version": 2, "table-uuid": "t", "location": str(root),
+        "current-snapshot-id": 1,
+        "snapshots": [{"snapshot-id": 1, "manifest-list": str(mlist)}],
+        "schemas": [{
+            "type": "struct", "schema-id": 0,
+            "fields": [
+                {"id": 1, "name": "k", "required": False, "type": "long"},
+                {"id": 2, "name": "v", "required": False, "type": "string"},
+            ],
+        }],
+        "current-schema-id": 0,
+        "partition-specs": [{"spec-id": 0, "fields": []}],
+        "default-spec-id": 0, "properties": {}, "refs": {},
+    }
+    (root / "metadata" / "v1.metadata.json").write_text(json.dumps(meta))
+    (root / "metadata" / "version-hint.text").write_text("1")
+    return root
+
+
+def test_equality_delete_applies_to_older_sequence(spark, tmp_path):
+    rows = [(1, "a"), (2, "b"), (3, "c")]
+    root = _eqdel_fixture(tmp_path, rows, deletes=[2, 3], data_seq=1, del_seq=2)
+    got = sorted(r["k"] for r in read_iceberg(spark, str(root)).collect())
+    assert got == [1]
+
+
+def test_equality_delete_strictly_less_scoping(spark, tmp_path):
+    """Spec: an equality delete applies to data files with sequence
+    number STRICTLY LESS than the delete's — equal-seq rows (same
+    transaction, e.g. a CDC upsert's own insert) must survive."""
+    rows = [(1, "a"), (2, "b")]
+    root = _eqdel_fixture(tmp_path, rows, deletes=[1, 2], data_seq=2, del_seq=2)
+    got = sorted(r["k"] for r in read_iceberg(spark, str(root)).collect())
+    assert got == [1, 2]
