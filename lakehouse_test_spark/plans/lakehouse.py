@@ -372,6 +372,21 @@ class LakehouseTable:
             raise ValueError(f"when_matched: {when_matched!r}")
         read_version = self.latest_version()
         current = self.snapshot()
+        ident_missing = [c for c in self.identity_columns() if c not in updates.columns]
+        if ident_missing:
+            # Delta identity semantics under MERGE: matched rows KEEP
+            # the target's generated ids (identity columns cannot be
+            # updated), unmatched source rows get FRESH ids from the
+            # high-water mark. Pull target ids by key, then allocate
+            # for the rows that found none.
+            from pyspark.sql import functions as F
+
+            u = updates.join(
+                current.select(*key_cols, *ident_missing), on=key_cols, how="left"
+            )
+            matched_part = u.where(F.col(ident_missing[0]).isNotNull())
+            inserts = u.where(F.col(ident_missing[0]).isNull()).drop(*ident_missing)
+            updates = matched_part.unionByName(self._apply_identity(inserts))
         if schema_evolution:
             missing = set(key_cols) - set(updates.columns)
             if missing:
@@ -778,7 +793,10 @@ class LakehouseTable:
             target.append(self.snapshot(version), operation="clone_deep")
         src_meta = self._read_meta()
         meta = target._read_meta()
-        for key in ("constraints", "generated_columns"):
+        # identity carries WITH its allocated high-water mark — a
+        # clone that restarted allocation at 0 would mint colliding
+        # ids on its first append
+        for key in ("constraints", "generated_columns", "identity"):
             if src_meta.get(key):
                 meta[key] = src_meta[key]
         if shallow and src_meta.get("column_renames"):

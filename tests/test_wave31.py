@@ -135,3 +135,52 @@ def test_block_row_number_empty_frame(spark):
     df = spark.range(0).select(F.col("id"))
     out, n = block_row_number(df, "rn")
     assert n == 0 and out.count() == 0
+
+
+def test_identity_merge_preserves_matched_allocates_inserts(spark):
+    """Delta identity x MERGE interplay: matched rows keep their
+    generated ids, inserted rows draw fresh ids from the high-water
+    mark; a later append continues above both."""
+    t = _t(spark)
+    t.set_identity("rid")
+    t.append(spark.createDataFrame([(1, "a"), (2, "b")], "k int, v string"))
+    ids_v0 = {r["k"]: r["rid"] for r in t.snapshot().collect()}
+    src = spark.createDataFrame([(2, "B"), (3, "C")], "k int, v string")
+    t.merge(src, key_cols=["k"])
+    rows = {r["k"]: r for r in t.snapshot().collect()}
+    assert rows[2]["rid"] == ids_v0[2]  # matched keeps its id
+    assert rows[1]["rid"] == ids_v0[1]  # untouched keeps its id
+    assert rows[3]["rid"] == 3  # fresh allocation continues
+    t.append(spark.createDataFrame([(4, "d")], "k int, v string"))
+    rows = {r["k"]: r for r in t.snapshot().collect()}
+    assert rows[4]["rid"] == 4
+    assert len({r["rid"] for r in rows.values()}) == 4  # all unique
+
+
+def test_identity_merge_with_schema_evolution(spark):
+    """identity x autoMerge: the identity column is pulled/allocated
+    BEFORE evolution computes target-only columns, so ids never read
+    NULL through the evolved union."""
+    t = _t(spark)
+    t.set_identity("rid")
+    t.append(spark.createDataFrame([(1, "a")], "k int, v string"))
+    src = spark.createDataFrame([(1, "A", 7), (2, "B", 8)], "k int, v string, extra int")
+    t.merge(src, key_cols=["k"], schema_evolution=True)
+    rows = {r["k"]: r for r in t.snapshot().collect()}
+    assert rows[1]["rid"] == 1 and rows[1]["extra"] == 7
+    assert rows[2]["rid"] == 2 and rows[2]["extra"] == 8
+    assert set(t.snapshot().columns) == {"k", "v", "rid", "extra"}
+
+
+def test_identity_clone_carries_high_water(spark):
+    """identity x CLONE: both clone flavors carry the identity spec
+    WITH its allocated counter — appends on the clone continue above
+    the source's ids instead of re-minting from the start."""
+    t = _t(spark)
+    t.set_identity("rid")
+    t.append(spark.createDataFrame([(1,), (2,), (3,)], "k int"))
+    for shallow in (True, False):
+        c = t.clone(tempfile.mkdtemp(prefix="lh_w31_clone_"), shallow=shallow)
+        c.append(spark.createDataFrame([(9,)], "k int"))
+        ids = sorted(r["rid"] for r in c.snapshot().collect())
+        assert ids == [1, 2, 3, 4], f"shallow={shallow}: {ids}"
