@@ -255,6 +255,59 @@ class LakehouseTable:
         os.rename(tmp, target)
         return commit
 
+    def convert_from_parquet(
+        self, source_dir: str, stats_cols: list[str] | None = None
+    ) -> Commit:
+        """CONVERT TO DELTA analog: adopt an existing directory of
+        parquet files as this (empty) table's first commit WITHOUT
+        copying or rewriting any data. The commit references the
+        files by absolute path (same mechanism as shallow CLONE);
+        footers supply the exact row count and, for ``stats_cols``,
+        the per-file min/max zone maps — so ``scan_pruned`` skips
+        files on a just-converted table exactly like on a native one.
+
+        At 100 TB this is the only sane migration: the conversion
+        cost is one footer read per file (metadata-only, parallel-
+        izable, no data pass), after which every lakehouse feature —
+        appends, MERGE, DV deletes, time travel, OPTIMIZE, exports —
+        operates on top. Like Delta's CONVERT, the source files are
+        now table data: deleting the source directory corrupts the
+        table (``vacuum`` itself never touches files outside the
+        table dir). Requires SELF-DESCRIBING files (all columns in
+        the data, the Iceberg-style layout); hive-partitioned layouts
+        whose partition values live only in directory names need the
+        rewrite path (their files are not complete rows).
+        """
+        if self.latest_version() >= 0:
+            raise ValueError("convert_from_parquet: table is not empty")
+        src = Path(source_dir)
+        files = sorted(str(p.resolve()) for p in src.rglob("*.parquet"))
+        if not files:
+            raise ValueError(f"no parquet files under {source_dir}")
+        if any("=" in p.relative_to(src).as_posix() for p in src.rglob("*.parquet")):
+            raise ValueError(
+                "convert_from_parquet: hive-partitioned layout — partition "
+                "values live in dir names, not in the files; import via a "
+                "partition-reconstructing rewrite instead"
+            )
+        stats = None
+        if stats_cols:
+            stats = {}
+            for f in files:
+                raw = _file_stats(Path(f), stats_cols)
+                stats[f] = {c: raw[c] for c in stats_cols if c in raw}
+        commit = Commit(
+            version=0,
+            files=files,
+            row_count=_footer_row_count(Path("/"), files),
+            operation="convert",
+            stats=stats,
+        )
+        tmp = self.log_dir / f".tmp-{uuid.uuid4().hex}"
+        tmp.write_text(json.dumps(commit.__dict__))
+        os.rename(tmp, self._commit_path(0))
+        return commit
+
     def append_with_retry(self, df: DataFrame, retries: int = 3, **kw) -> Commit:
         """Optimistic-concurrency append: on a version race (another
         writer published our target version first) re-resolve the

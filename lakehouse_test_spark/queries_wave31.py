@@ -317,3 +317,144 @@ def join_bucketed_smj_no_shuffle(spark: SparkSession, sf_dir: str) -> DataFrame:
         dround(dsum(F.col("l_extendedprice")), 2).alias("revenue"),
     )
     return joined
+
+
+# --------------------------------------------------------------------------
+# CONVERT TO DELTA analog: in-place adoption of existing parquet
+# --------------------------------------------------------------------------
+
+
+@query(
+    "lakehouse_convert_in_place",
+    oracle="""
+    WITH src AS (
+      SELECT p_partkey, p_brand, p_retailprice FROM part WHERE p_partkey % 3 = 0
+    ), kept AS (
+      SELECT * FROM src WHERE p_partkey % 13 <> 0
+    ), added AS (
+      SELECT p_partkey, p_brand, p_retailprice FROM part WHERE p_partkey % 3 = 2
+    ), final AS (
+      SELECT * FROM kept UNION ALL SELECT * FROM added
+    )
+    SELECT p_brand, count(*) AS n_parts,
+           CAST(round(sum(CAST(p_retailprice AS DECIMAL(18,6))), 2) AS DOUBLE)
+             AS total_price
+    FROM final GROUP BY p_brand
+    """,
+    tags=("lakehouse", "convert", "interop"),
+)
+def lakehouse_convert_in_place(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """CONVERT TO DELTA analog: adopt a plain parquet directory as a
+    lakehouse table WITHOUT copying data (commit references the files
+    in place; footers supply row counts + zone maps), then prove the
+    whole feature set runs on top: a DV DELETE (row-level, against
+    the external files), an APPEND (lands under the table dir), and
+    a pruned point-range scan that must actually skip files.
+
+    Scale: conversion is one footer read per file — the only viable
+    migration for a 100 TB estate; a copy-based import would be a
+    full data pass before the first query.
+    """
+    from lakehouse_test_spark.plans.lakehouse import LakehouseTable
+
+    p = T(spark, sf_dir, "part").select("p_partkey", "p_brand", "p_retailprice")
+    src_dir = tempfile.mkdtemp(prefix="lh_plainpq_")
+    (
+        p.where(F.col("p_partkey") % 3 == 0)
+        .repartitionByRange(4, "p_partkey")
+        .write.mode("overwrite")
+        .parquet(src_dir)
+    )
+    t = LakehouseTable(spark, tempfile.mkdtemp(prefix="lh_convert_"))
+    t.convert_from_parquet(src_dir, stats_cols=["p_partkey"])
+    t.delete_where_dv("p_partkey % 13 = 0")
+    t.append(
+        p.where(F.col("p_partkey") % 3 == 2), stats_cols=["p_partkey"]
+    )
+    # zone maps harvested at conversion must actually skip: a range
+    # probe in the first quartile cannot touch all range-partitioned
+    # source files
+    _df, scanned, total = t.scan_pruned("p_partkey", 0, 10)
+    if not (scanned < total):
+        raise AssertionError(
+            f"converted zone maps did not skip files ({scanned}/{total})"
+        )
+    return (
+        t.snapshot()
+        .groupBy("p_brand")
+        .agg(
+            F.count(F.lit(1)).alias("n_parts"),
+            dround(dsum(F.col("p_retailprice")), 2).alias("total_price"),
+        )
+        .localCheckpoint()
+    )
+
+
+# --------------------------------------------------------------------------
+# UniForm-style dual export: one table, both protocols, equal replays
+# --------------------------------------------------------------------------
+
+
+@query(
+    "lakehouse_uniform_dual_export",
+    oracle="""
+    WITH live AS (
+      SELECT event_type, value FROM events
+      WHERE event_id % 5 <> 0
+    ), agg AS (
+      SELECT event_type, count(*) AS n,
+             CAST(round(sum(CAST(value AS DECIMAL(18,6))), 2) AS DOUBLE) AS total
+      FROM live GROUP BY event_type
+    )
+    SELECT event_type,
+           n AS n_delta, n AS n_iceberg,
+           total AS total_delta, total AS total_iceberg
+    FROM agg
+    """,
+    tags=("lakehouse", "interop", "delta", "iceberg", "uniform"),
+)
+def lakehouse_uniform_dual_export(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """UniForm-style dual interop: export BOTH Delta-protocol and
+    Iceberg-v2 metadata over the SAME committed data files (one copy
+    of the data, two reader ecosystems — Delta UniForm's contract),
+    then replay the table through each protocol independently and
+    emit both aggregates side by side. The oracle asserts the two
+    protocols agree with the SQL truth column-for-column, so any
+    divergence between the exporters (DV handling, dropped commits,
+    schema drift) flips the hash.
+
+    Scale: both exports are metadata-only (O(files) driver work, no
+    data pass) — publishing 100 TB to two ecosystems costs the same
+    as to one.
+    """
+    from lakehouse_test_spark.plans.delta_export import (
+        export_delta_log,
+        read_delta_log,
+    )
+    from lakehouse_test_spark.plans.iceberg_export import (
+        export_iceberg_metadata,
+        read_iceberg,
+    )
+    from lakehouse_test_spark.plans.lakehouse import LakehouseTable
+
+    e = T(spark, sf_dir, "events").select("event_id", "event_type", "value")
+    t = LakehouseTable(spark, tempfile.mkdtemp(prefix="lh_uniform_"))
+    t.append(e.where(F.col("event_id") % 2 == 0))
+    t.append(e.where(F.col("event_id") % 2 == 1))
+    t.delete_where_dv("event_id % 5 = 0")  # DVs: the hard interop case
+    export_delta_log(spark, t)
+    export_iceberg_metadata(spark, t)
+
+    def _agg(df: DataFrame, suffix: str) -> DataFrame:
+        return df.groupBy("event_type").agg(
+            F.count(F.lit(1)).alias(f"n_{suffix}"),
+            dround(dsum(F.col("value")), 2).alias(f"total_{suffix}"),
+        )
+
+    via_delta = _agg(read_delta_log(spark, str(t.path)), "delta")
+    via_iceberg = _agg(read_iceberg(spark, str(t.path)), "iceberg")
+    return (
+        via_delta.join(via_iceberg, "event_type", "full_outer")
+        .select("event_type", "n_delta", "n_iceberg", "total_delta", "total_iceberg")
+        .localCheckpoint()
+    )

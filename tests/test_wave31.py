@@ -184,3 +184,43 @@ def test_identity_clone_carries_high_water(spark):
         c.append(spark.createDataFrame([(9,)], "k int"))
         ids = sorted(r["rid"] for r in c.snapshot().collect())
         assert ids == [1, 2, 3, 4], f"shallow={shallow}: {ids}"
+
+
+# -- convert_from_parquet -----------------------------------------------------
+
+
+def test_convert_adopts_files_in_place_and_layers_features(spark, tmp_path):
+    src = str(tmp_path / "plain")
+    spark.range(0, 100).selectExpr("id AS k", "id * 2.0 AS v").repartition(
+        4
+    ).write.parquet(src)
+    t = LakehouseTable(spark, str(tmp_path / "tbl"))
+    c = t.convert_from_parquet(src, stats_cols=["k"])
+    assert c.operation == "convert" and c.row_count == 100
+    # no data was copied: table dir holds no parquet of its own yet
+    assert not list((t.path / "data").rglob("*.parquet")) if (t.path / "data").exists() else True
+    assert t.snapshot().count() == 100
+    # features layer on top: DV delete + append + time travel
+    t.delete_where_dv("k % 10 = 0")
+    t.append(spark.range(100, 120).selectExpr("id AS k", "id * 2.0 AS v"))
+    assert t.snapshot().count() == 100 - 10 + 20
+    assert t.snapshot(0).count() == 100  # v0 = as-converted
+    # vacuum never touches the external source files
+    t.vacuum(keep_versions=1)
+    assert t.snapshot().count() == 110
+
+
+def test_convert_rejects_hive_layout_and_nonempty_table(spark, tmp_path):
+    src = str(tmp_path / "hive")
+    spark.range(0, 10).selectExpr("id AS k", "id % 2 AS p").write.partitionBy(
+        "p"
+    ).parquet(src)
+    t = LakehouseTable(spark, str(tmp_path / "tbl2"))
+    with pytest.raises(ValueError, match="hive-partitioned"):
+        t.convert_from_parquet(src)
+    t2 = LakehouseTable(spark, str(tmp_path / "tbl3"))
+    t2.append(spark.range(3).selectExpr("id AS k"))
+    flat = str(tmp_path / "flat")
+    spark.range(3).selectExpr("id AS k").write.parquet(flat)
+    with pytest.raises(ValueError, match="not empty"):
+        t2.convert_from_parquet(flat)
