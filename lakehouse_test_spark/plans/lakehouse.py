@@ -662,16 +662,18 @@ class LakehouseTable:
             data_change=False,
             removed_files=sorted(files_subset),
         )
-        # Conflict-aware publish (the Delta conflict matrix's rebase
-        # case): a partial compaction only touches ``files_subset``,
-        # so it REBASES over concurrent appends and disjoint partial
-        # rewrites — their file sets cannot invalidate this bin. A
-        # concurrent restate, DV delete, or overlapping rewrite CAN
-        # (the bin may no longer be live / positions may shift), so
-        # those raise for a replan.
+        return self._publish_partial(commit, set(files_subset))
+
+    def _publish_partial(self, commit: "Commit", bin_files: set[str]) -> "Commit":
+        """Conflict-aware publish for PARTIAL rewrites (the Delta
+        conflict matrix's rebase case): a partial rewrite only touches
+        ``bin_files``, so it REBASES over concurrent appends and
+        disjoint partial rewrites — their file sets cannot invalidate
+        this bin. A concurrent restate, DV delete, or overlapping
+        rewrite CAN (the bin may no longer be live / positions may
+        shift), so those raise for a replan."""
         if self._pre_publish_hook is not None:
             self._pre_publish_hook()
-        bin_files = set(files_subset)
         while True:
             head = self.latest_version()
             if head >= commit.version:
@@ -683,7 +685,7 @@ class LakehouseTable:
                 ]
                 if conflicts:
                     raise ConcurrentModificationError(
-                        f"compact_files of {sorted(bin_files)} raced with "
+                        f"partial rewrite of {sorted(bin_files)} raced with "
                         f"{conflicts}; the bin may no longer be live — replan"
                     )
                 commit.version = head + 1  # rebase: disjoint-files rule
@@ -969,17 +971,56 @@ class LakehouseTable:
         """
         from pyspark.sql import functions as F
 
-        from lakehouse_test_spark.operators.spacecurve import hilbert_key_udf
-
         read_version = self.latest_version()
         snap = self.snapshot()
         b = snap.agg(
             *[F.min(c).cast("double").alias(f"lo_{c}") for c in cols],
             *[F.max(c).cast("double").alias(f"hi_{c}") for c in cols],
         ).first()
+        bounds = {c: [float(b[f"lo_{c}"]), float(b[f"hi_{c}"])] for c in cols}
+        clustered = self._hilbert_bucketed(
+            snap, cols, bounds, target_partitions
+        )
+        commit = self._commit_restate(
+            clustered,
+            "hilbert_cluster",
+            data_change=False,
+            stats_cols=stats_cols or cols,
+            partition_by=["_hb"],
+            read_version=read_version,
+        )
+        # persist the clustering spec (cols + GRID BOUNDS) so
+        # incremental reclustering keys new data on the SAME grid —
+        # Delta stores the clustering columns in table metadata the
+        # same way
+        meta = self._read_meta()
+        meta["clustering"] = {
+            "cols": list(cols),
+            "bounds": bounds,
+            "target_partitions": target_partitions,
+            "version": commit.version,
+        }
+        self._write_meta(meta)
+        return commit
+
+    def _hilbert_bucketed(
+        self,
+        df: DataFrame,
+        cols: list[str],
+        bounds: dict[str, list[float]],
+        target_partitions: int,
+    ) -> DataFrame:
+        """Attach the Hilbert key for ``cols`` on the grid defined by
+        ``bounds`` (values outside clamp to the grid edge), bucket at
+        exact curve-key percentiles of ``df``, and sort each bucket —
+        the shared kernel of full and incremental clustering."""
+        from pyspark.sql import functions as F
+
+        from lakehouse_test_spark.operators.spacecurve import hilbert_key_udf
+
         coord_cols = []
         for c in cols:
-            lo, hi = b[f"lo_{c}"], b[f"hi_{c}"]
+            lo, hi = bounds[c]
             span = (hi - lo) or 1.0
             coord_cols.append(
                 F.least(
@@ -995,7 +1036,7 @@ class LakehouseTable:
                 ).cast("bigint")
             )
         key = hilbert_key_udf(len(cols), bits=16)
-        with_h = snap.withColumn("_h", key(*coord_cols))
+        with_h = df.withColumn("_h", key(*coord_cols))
         fracs = [i / target_partitions for i in range(1, target_partitions)]
         cuts = with_h.agg(
             F.expr(f"percentile(_h, array({','.join(str(f) for f in fracs)}))")
@@ -1003,20 +1044,90 @@ class LakehouseTable:
         bucket = F.lit(0)
         for cut in cuts:
             bucket = bucket + F.when(F.col("_h") > F.lit(int(cut)), 1).otherwise(0)
-        clustered = (
+        return (
             with_h.withColumn("_hb", bucket)
             .repartition(target_partitions, "_hb")
             .sortWithinPartitions("_hb", "_h")
             .drop("_h")
         )
-        return self._commit_restate(
-            clustered,
-            "hilbert_cluster",
-            data_change=False,
-            stats_cols=stats_cols or cols,
-            partition_by=["_hb"],
-            read_version=read_version,
+
+    def hilbert_cluster_incremental(
+        self, stats_cols: list[str] | None = None
+    ) -> Commit | None:
+        """Incremental OPTIMIZE ... CLUSTER BY (the liquid-clustering
+        maintenance loop): recluster ONLY the files appended since the
+        last clustering commit, on the SAME grid bounds, and publish
+        with RemoveFile semantics — previously clustered files are
+        untouched.
+
+        This is the only clustering shape that survives 100 TB: a
+        full recluster rewrites the entire table on every ingest
+        cycle, while this rewrites O(new data) and keeps every old
+        file's curve-contiguity (and zone maps) intact. New files may
+        overlap old files' key ranges — same as liquid clustering,
+        where per-batch clustering is local and a later full rewrite
+        is optional. Returns None when nothing new exists. Refuses
+        under live deletion vectors (position-keyed DVs don't survive
+        rewrites — same rule as ``compact_files``)."""
+        meta = self._read_meta()
+        spec = meta.get("clustering")
+        if not spec:
+            raise ValueError("hilbert_cluster_incremental: run hilbert_cluster first")
+        if any(c.dv_files for c in self._live_commits()):
+            raise ValueError(
+                "hilbert_cluster_incremental: table has deletion vectors; "
+                "use delete_where/compact first"
+            )
+        new_files = [
+            f for c, f in self._live_files() if c.version > spec["version"]
+        ]
+        if not new_files:
+            return None
+        cols = spec["cols"]
+        phys = self._physical_of_logical()
+        raw = self.spark.read.option("mergeSchema", "true").parquet(
+            *[str(self.path / f) for f in new_files]
         )
+        df = self._apply_renames(raw)
+        clustered = self._hilbert_bucketed(
+            df, cols, spec["bounds"], spec["target_partitions"]
+        )
+        version = self.latest_version() + 1
+        commit_dir = self.path / "data" / f"{uuid.uuid4().hex[:12]}"
+        # hive-partition by the bucket id like the full rewrite: one
+        # curve-contiguous file per bucket regardless of hash
+        # collisions in repartition; the synthetic _hb column lives
+        # only in dir names (snapshots read explicit file lists)
+        self._apply_reverse_renames(clustered).write.mode(
+            "errorifexists"
+        ).partitionBy("_hb").parquet(str(commit_dir))
+        files = sorted(
+            str(p.relative_to(self.path))
+            for p in commit_dir.rglob("*.parquet")
+            if p.name.startswith("part-")
+        )
+        scols = stats_cols or cols
+        stats = {}
+        for f in files:
+            rawst = _file_stats(self.path / f, [phys.get(c, c) for c in scols])
+            stats[f] = {
+                c: rawst[phys.get(c, c)] for c in scols if phys.get(c, c) in rawst
+            }
+        commit = Commit(
+            version=version,
+            files=files,
+            row_count=_footer_row_count(self.path, files),
+            operation="hilbert_cluster_incr",
+            data_change=False,
+            removed_files=sorted(new_files),
+            stats=stats or None,
+        )
+        out = self._publish_partial(commit, set(new_files))
+        meta = self._read_meta()
+        if meta.get("clustering"):
+            meta["clustering"]["version"] = out.version
+            self._write_meta(meta)
+        return out
 
     # -- reads ---------------------------------------------------------------
 
@@ -1700,6 +1811,12 @@ class LakehouseTable:
                 "(drop/redefine them first — Delta blocks this rename too)"
             )
         meta.setdefault("column_renames", []).append([old, new])
+        # the clustering spec stores LOGICAL column names + bounds;
+        # follow the rename so incremental reclustering keeps working
+        cl = meta.get("clustering")
+        if cl and old in cl["cols"]:
+            cl["cols"] = [new if c == old else c for c in cl["cols"]]
+            cl["bounds"][new] = cl["bounds"].pop(old)
         self._write_meta(meta)
 
     def _apply_renames(self, df: DataFrame) -> DataFrame:

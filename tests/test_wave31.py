@@ -224,3 +224,74 @@ def test_convert_rejects_hive_layout_and_nonempty_table(spark, tmp_path):
     spark.range(3).selectExpr("id AS k").write.parquet(flat)
     with pytest.raises(ValueError, match="not empty"):
         t2.convert_from_parquet(flat)
+
+
+# -- incremental Hilbert clustering (liquid-clustering maintenance) ----------
+
+
+def _xy(spark, lo, hi):
+    return spark.range(lo, hi).select(
+        F.col("id"),
+        (F.col("id") % 64).alias("x"),
+        (F.col("id") / 64).cast("bigint").alias("y"),
+    )
+
+
+def test_hilbert_incremental_rewrites_only_new_files(spark):
+    t = _t(spark)
+    t.append(_xy(spark, 0, 4096).repartition(8, "id"), stats_cols=["x", "y"])
+    t.hilbert_cluster(["x", "y"], target_partitions=8)
+    base_files = {f for _c, f in t._live_files()}
+    # two fresh appends land unclustered
+    t.append(_xy(spark, 4096, 5120).repartition(4, "id"), stats_cols=["x", "y"])
+    t.append(_xy(spark, 5120, 6144).repartition(4, "id"), stats_cols=["x", "y"])
+    new_raw = {f for _c, f in t._live_files()} - base_files
+    c = t.hilbert_cluster_incremental()
+    assert c is not None and c.operation == "hilbert_cluster_incr"
+    assert c.data_change is False
+    assert set(c.removed_files) == new_raw  # exactly the new files rewritten
+    live = {f for _c, f in t._live_files()}
+    assert base_files <= live  # previously clustered files untouched
+    assert not (new_raw & live)  # raw appends superseded
+    assert t.snapshot().count() == 6144
+    # box scan still prunes, including over the incremental files
+    got, scanned, total = t.scan_pruned_box({"x": (0, 7), "y": (0, 7)})
+    assert scanned < total
+    assert got.where("id < 4096").count() == len(
+        [i for i in range(4096) if i % 64 <= 7 and i // 64 <= 7]
+    )
+    # nothing new -> no-op
+    assert t.hilbert_cluster_incremental() is None
+
+
+def test_hilbert_incremental_requires_full_cluster_and_no_dvs(spark):
+    t = _t(spark)
+    t.append(_xy(spark, 0, 256), stats_cols=["x", "y"])
+    with pytest.raises(ValueError, match="run hilbert_cluster first"):
+        t.hilbert_cluster_incremental()
+    t.hilbert_cluster(["x", "y"], target_partitions=2)
+    t.append(_xy(spark, 256, 512))
+    t.delete_where_dv("id = 300")
+    with pytest.raises(ValueError, match="deletion vectors"):
+        t.hilbert_cluster_incremental()
+
+
+def test_hilbert_incremental_after_rename(spark):
+    """clustering x rename interplay: the stored clustering cols are
+    LOGICAL names; incremental reclustering after a rename must
+    resolve them through the mapping in both directions."""
+    t = _t(spark)
+    t.append(_xy(spark, 0, 1024).repartition(4, "id"), stats_cols=["x", "y"])
+    t.hilbert_cluster(["x", "y"], target_partitions=4)
+    t.rename_column("x", "xx")
+    # rename_column follows the clustering spec automatically
+    assert t._read_meta()["clustering"]["cols"] == ["xx", "y"]
+    t.append(
+        _xy(spark, 1024, 2048).withColumnRenamed("x", "xx").repartition(4, "id"),
+        stats_cols=["xx", "y"],
+    )
+    c = t.hilbert_cluster_incremental()
+    assert c is not None
+    assert t.snapshot().count() == 2048
+    got, scanned, total = t.scan_pruned_box({"xx": (0, 7), "y": (0, 7)})
+    assert scanned < total and got.count() > 0
