@@ -458,3 +458,68 @@ def lakehouse_uniform_dual_export(spark: SparkSession, sf_dir: str) -> DataFrame
         .select("event_type", "n_delta", "n_iceberg", "total_delta", "total_iceberg")
         .localCheckpoint()
     )
+
+
+# --------------------------------------------------------------------------
+# incremental clustering (liquid-clustering maintenance loop)
+# --------------------------------------------------------------------------
+
+
+@query(
+    "lakehouse_cluster_incremental",
+    oracle="""
+    SELECT count(*) AS n_rows,
+           CAST(sum(c_custkey) AS BIGINT) AS key_sum,
+           CAST(round(sum(CAST(c_acctbal AS DECIMAL(18,6))), 2) AS DOUBLE)
+             AS total_bal
+    FROM customer
+    WHERE c_custkey % 100 < 40
+    """,
+    tags=("lakehouse", "clustering", "optimize"),
+)
+def lakehouse_cluster_incremental(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Liquid-clustering maintenance loop under the value gate:
+    cluster a seeded table on (c_custkey, c_nationkey), append two
+    fresh batches, then ``hilbert_cluster_incremental`` — which must
+    rewrite ONLY the new files (RemoveFile semantics; the original
+    clustered files stay live and untouched) on the SAME stored grid.
+    The query asserts the partial-rewrite invariants in-plan and
+    returns the box-scanned slice's aggregate, hash-checked against
+    straight SQL — any row lost or duplicated by the incremental
+    rewrite flips the hash.
+
+    Scale: the only clustering shape that survives 100 TB — cost is
+    O(new data) per maintenance cycle, not O(table).
+    """
+    from lakehouse_test_spark.plans.lakehouse import LakehouseTable
+
+    c = T(spark, sf_dir, "customer").select("c_custkey", "c_nationkey", "c_acctbal")
+    t = LakehouseTable(spark, tempfile.mkdtemp(prefix="lh_liquid_"))
+    t.append(
+        c.where(F.col("c_custkey") % 3 == 0).repartition(4),
+        stats_cols=["c_custkey", "c_nationkey"],
+    )
+    t.hilbert_cluster(["c_custkey", "c_nationkey"], target_partitions=4)
+    base_files = {f for _c, f in t._live_files()}
+    for parity in (1, 2):
+        t.append(
+            c.where(F.col("c_custkey") % 3 == parity).repartition(2),
+            stats_cols=["c_custkey", "c_nationkey"],
+        )
+    new_raw = {f for _c, f in t._live_files()} - base_files
+    commit = t.hilbert_cluster_incremental()
+    live = {f for _c, f in t._live_files()}
+    if commit is None or set(commit.removed_files) != new_raw:
+        raise AssertionError("incremental cluster did not rewrite exactly the new files")
+    if not base_files <= live or (new_raw & live):
+        raise AssertionError("incremental cluster touched previously clustered files")
+    return (
+        t.snapshot()
+        .where(F.col("c_custkey") % 100 < 40)
+        .agg(
+            F.count(F.lit(1)).alias("n_rows"),
+            F.sum("c_custkey").cast("bigint").alias("key_sum"),
+            dround(dsum(F.col("c_acctbal")), 2).alias("total_bal"),
+        )
+        .localCheckpoint()
+    )
