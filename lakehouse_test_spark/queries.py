@@ -43,6 +43,7 @@ import lakehouse_test_spark.queries_wave28  # noqa: F401
 import lakehouse_test_spark.queries_wave29  # noqa: F401
 import lakehouse_test_spark.queries_wave30  # noqa: F401
 import lakehouse_test_spark.queries_wave31  # noqa: F401
+import lakehouse_test_spark.queries_wave32  # noqa: F401
 import lakehouse_test_spark.sources.python_datasource  # noqa: F401
 import lakehouse_test_spark.queries_dq  # noqa: F401
 
