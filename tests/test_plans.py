@@ -564,3 +564,27 @@ def test_bucketed_join_no_shuffle_on_either_side(spark, sf_dir):
     assert "hashpartitioning(o_orderkey" not in p, p
     assert "SortMergeJoin" in p, p
     assert "Bucketed: true" in p, p
+
+
+def test_target_encoding_single_pass_broadcast_global(spark, sf_dir):
+    """ml_target_encoding: one grouped aggregate + a broadcast of the
+    1-row global mean — a second full scan or a shuffled cross join
+    would double the cost of the encoder at 100 TB."""
+    p = plan_of(spark, sf_dir, "ml_target_encoding")
+    assert "BroadcastNestedLoopJoin" in p or "BroadcastExchange" in p, p
+    assert p.count("FileScan") <= 2, p  # global mean + segment agg
+
+
+def test_feature_hashing_no_vocab_join(spark, sf_dir):
+    """ml_feature_hashing: the hashing trick needs NO fitted
+    vocabulary — any join in this plan means someone reintroduced a
+    dictionary build."""
+    p = plan_of(spark, sf_dir, "ml_feature_hashing")
+    assert "Join" not in p, p
+
+
+def test_oov_rate_joins_against_distinct_vocab(spark, sf_dir):
+    """ml_oov_rate: membership is tested against the DISTINCT train
+    vocabulary (Heaps-law-bounded), not the raw token stream."""
+    p = plan_of(spark, sf_dir, "ml_oov_rate")
+    assert "HashAggregate" in p, p
