@@ -267,6 +267,27 @@ MANIFEST_FILE_SCHEMA = {
 _EMPTY_PARTITION = {"type": "record", "name": "r102", "fields": []}
 
 
+def _bounds_field(name: str, fid: int, kid: int, vid: int) -> dict:
+    """Iceberg ``map<int, binary>`` bounds field as Avro key/value
+    record arrays (the spec's map encoding for manifests)."""
+    return {
+        "name": name,
+        "type": [
+            "null",
+            {
+                "type": "array",
+                "items": {
+                    "type": "record",
+                    "name": f"k{kid}_v{vid}",
+                    "fields": [_f("key", "int", kid), _f("value", "bytes", vid)],
+                },
+            },
+        ],
+        "field-id": fid,
+        "default": None,
+    }
+
+
 def data_file_schema(partition_schema: dict | None = None) -> dict:
     """Iceberg ``data_file`` record; the ``partition`` struct's fields
     mirror the manifest's partition spec (spec field-ids 1000+)."""
@@ -293,6 +314,13 @@ def data_file_schema(partition_schema: dict | None = None) -> dict:
                 "field-id": 135,
                 "default": None,
             },
+            # per-file column bounds (spec field-ids 125/128): the
+            # file-tier of data skipping for NON-partition columns —
+            # an external planner prunes files on any stats column
+            # straight from the manifests. Iceberg encodes the
+            # map<int, binary> as arrays of key/value records.
+            _bounds_field("lower_bounds", 125, 126, 127),
+            _bounds_field("upper_bounds", 128, 129, 130),
         ],
     }
 
@@ -645,6 +673,40 @@ def export_iceberg_metadata(spark: SparkSession, table: LakehouseTable) -> Path:
             tup[sf["name"]] = to_iceberg_value(b[0], result_type(sf, ice_schema))
         return sid, tup
 
+    field_by_name = {f["name"]: f for f in ice_schema["fields"]}
+
+    def _column_bounds(commit, rel: str) -> tuple[list | None, list | None]:
+        """Translate the commit's native zone-map stats for plain
+        schema columns into Iceberg per-file bounds (field id →
+        single-value binary). Transform-item stats (``month(d)``…)
+        and bloom entries stay native-only; files without stats
+        export null bounds — readers must keep them (scan-safe)."""
+        st = (commit.stats or {}).get(rel) or {}
+        lower, upper = [], []
+        for cname, b in st.items():
+            fld = field_by_name.get(cname)
+            if (
+                fld is None
+                or not isinstance(b, (list, tuple))
+                or len(b) != 2
+                or b[0] is None
+                or b[1] is None
+            ):
+                continue
+            rt = fld["type"]
+            try:
+                lo = _bound_bytes(to_iceberg_value(b[0], rt), rt)
+                hi = _bound_bytes(to_iceberg_value(b[1], rt), rt)
+            except (ValueError, TypeError):
+                continue
+            lower.append({"key": fld["id"], "value": lo})
+            upper.append({"key": fld["id"], "value": hi})
+        if not lower:
+            return None, None
+        lower.sort(key=lambda kv: kv["key"])
+        upper.sort(key=lambda kv: kv["key"])
+        return lower, upper
+
     def _entry(
         rel: str, commit, snap_id: int, seq: int, content: int, partition: dict
     ) -> dict:
@@ -656,6 +718,7 @@ def export_iceberg_metadata(spark: SparkSession, table: LakehouseTable) -> Path:
         # referencing them are only reachable by time travel below the
         # horizon, which fails at scan time — the native contract
         exists = p.exists()
+        lower, upper = _column_bounds(commit, rel)
         return {
             "status": ST_ADDED,
             "snapshot_id": snap_id,
@@ -670,6 +733,8 @@ def export_iceberg_metadata(spark: SparkSession, table: LakehouseTable) -> Path:
                     pq.ParquetFile(str(p)).metadata.num_rows if exists else 0
                 ),
                 "file_size_in_bytes": p.stat().st_size if exists else 0,
+                "lower_bounds": lower,
+                "upper_bounds": upper,
             },
         }
 
@@ -1359,6 +1424,106 @@ def read_iceberg_pruned(
     return df.drop("_ipath", "_ipos", "_iseq"), plan
 
 
+def iceberg_plan_files_stats_pruned(
+    table_path: str, col: str, lo, hi, snapshot_id: int | None = None
+) -> dict:
+    """Plan a scan pruned by PER-FILE COLUMN BOUNDS (data_file
+    lower_bounds/upper_bounds, the spec's map<field-id, binary>) —
+    file-level skipping on any stats column, no partition spec
+    required. Files without bounds for the column are KEPT
+    (scan-safe), same contract as every other pruning tier. Returns
+    ``{data_files, delete_files, eq_deletes, files_total,
+    files_skipped}``."""
+    md = _load_metadata(table_path)
+    sid0 = md.get("current-schema-id", 0)
+    schema = next(
+        (s for s in md.get("schemas", []) if s.get("schema-id") == sid0),
+        md.get("schema"),
+    )
+    fld = next((f for f in schema["fields"] if f["name"] == col), None)
+    if fld is None:
+        raise ValueError(f"no column {col!r} in the current schema")
+    fid, rt = fld["id"], fld["type"]
+    lo_i, hi_i = to_iceberg_value(lo, rt), to_iceberg_value(hi, rt)
+    sid = snapshot_id if snapshot_id is not None else md["current-snapshot-id"]
+    snap = next(s for s in md["snapshots"] if s["snapshot-id"] == sid)
+    _, _, manifests = read_ocf(Path(snap["manifest-list"]))
+    out = {
+        "data_files": [],
+        "delete_files": [],
+        "eq_deletes": [],
+        "files_total": 0,
+        "files_skipped": 0,
+    }
+    for m in manifests:
+        _, _, entries = read_ocf(Path(m["manifest_path"]))
+        for e in entries:
+            if e["status"] == ST_DELETED:
+                continue
+            d = e["data_file"]
+            if d.get("content") == CONTENT_EQ_DELETES:
+                out["eq_deletes"].append(
+                    {
+                        "file_path": d["file_path"],
+                        "equality_ids": d.get("equality_ids") or [],
+                        "sequence_number": e.get("sequence_number") or 0,
+                    }
+                )
+                continue
+            if d.get("content") == CONTENT_DELETES:
+                out["delete_files"].append(d["file_path"])
+                continue
+            out["files_total"] += 1
+            lbs = {kv["key"]: kv["value"] for kv in (d.get("lower_bounds") or [])}
+            ubs = {kv["key"]: kv["value"] for kv in (d.get("upper_bounds") or [])}
+            if fid in lbs and fid in ubs:
+                flo = _bound_value(lbs[fid], rt)
+                fhi = _bound_value(ubs[fid], rt)
+                if hi_i < flo or lo_i > fhi:
+                    out["files_skipped"] += 1
+                    continue
+            out["data_files"].append(d["file_path"])
+    return out
+
+
+def read_iceberg_stats_pruned(
+    spark: SparkSession, table_path: str, col: str, lo, hi,
+    snapshot_id: int | None = None,
+) -> tuple[DataFrame, dict]:
+    """Scan an exported table with FILE-LEVEL stats pruning planned
+    from the Iceberg metadata alone (per-file column bounds). No
+    residual predicate is applied — callers filter the column
+    themselves, so correctness never depends on the pruning."""
+    plan = iceberg_plan_files_stats_pruned(table_path, col, lo, hi, snapshot_id)
+    if not plan["data_files"]:
+        return read_iceberg(spark, table_path, snapshot_id).limit(0), plan
+    md = _load_metadata(table_path)
+    from pyspark.sql import functions as F
+
+    df = spark.read.option("mergeSchema", "true").parquet(*plan["data_files"])
+    df = df.withColumn(
+        "_ipath", F.regexp_replace(F.col("_metadata.file_path"), "^file:(//)?", "")
+    ).withColumn("_ipos", F.col("_metadata.row_index"))
+    if plan["delete_files"]:
+        dels = spark.read.parquet(*plan["delete_files"])
+        df = df.join(
+            dels.withColumnRenamed("file_path", "_ipath").withColumnRenamed(
+                "pos", "_ipos"
+            ),
+            ["_ipath", "_ipos"],
+            "left_anti",
+        )
+    df = _apply_name_mapping(df, md)
+    if plan["eq_deletes"]:
+        entries, _, _ = iceberg_plan_entries(table_path, snapshot_id)
+        keep = set(plan["data_files"])
+        df = _apply_equality_deletes(
+            spark, df, md, [e for e in entries if e["file_path"] in keep],
+            plan["eq_deletes"],
+        )
+    return df.drop("_ipath", "_ipos", "_iseq"), plan
+
+
 # ---------------------------------------------------------------------------
 # gate query
 # ---------------------------------------------------------------------------
@@ -1911,6 +2076,72 @@ def lakehouse_iceberg_eq_delete_import(spark: SparkSession, sf_dir: str):
         .agg(
             F.count(F.lit(1)).alias("n_rows"),
             dround(dsum(F.col("c_acctbal")), 2).alias("total_bal"),
+        )
+        .localCheckpoint()
+    )
+
+
+@query(
+    "lakehouse_iceberg_stats_pruning",
+    oracle="""
+    SELECT l_returnflag,
+           count(*) AS n_items,
+           CAST(round(sum(CAST(l_extendedprice AS DECIMAL(18,6))), 2) AS DOUBLE)
+             AS revenue
+    FROM lineitem
+    WHERE l_orderkey % 4 <> 3 AND l_orderkey <= 1000
+    GROUP BY l_returnflag
+    """,
+    tags=("lakehouse", "iceberg", "interop", "stats", "lineitem"),
+)
+def lakehouse_iceberg_stats_pruning(spark: SparkSession, sf_dir: str):
+    """Per-file COLUMN BOUNDS through the Iceberg export: commits
+    carry native zone-map stats; the exporter serializes them as
+    data_file ``lower_bounds``/``upper_bounds`` (map<field-id,
+    single-value binary>), and an external planner working from the
+    manifests ALONE skips files whose bounds miss the predicate — no
+    partition spec involved. The query raises unless files were
+    actually skipped, then hash-checks the scanned slice.
+
+    Scale: this is the stats tier Iceberg readers use between
+    partition pruning and row groups — at 100 TB with key-ordered
+    ingest it cuts a point-range scan from O(files) to O(overlap),
+    and the planning cost is O(manifest entries), data never touched.
+    """
+    import tempfile
+
+    from pyspark.sql import functions as F
+
+    from lakehouse_test_spark.fpsafe import dround, dsum
+
+    li = (
+        load_table(spark, sf_dir, "lineitem")
+        .select("l_orderkey", "l_returnflag", "l_extendedprice")
+        .where(F.col("l_orderkey") % 4 != 3)
+    )
+    t = LakehouseTable(spark, tempfile.mkdtemp(prefix="lh_ice_stats_"))
+    # three commits over disjoint key bands -> disjoint exported bounds
+    hi = int(li.agg(F.max("l_orderkey")).first()[0])
+    cut1, cut2 = 1000, max(2000, hi // 2)
+    for pred in (
+        F.col("l_orderkey") <= cut1,
+        (F.col("l_orderkey") > cut1) & (F.col("l_orderkey") <= cut2),
+        F.col("l_orderkey") > cut2,
+    ):
+        t.append(li.where(pred).coalesce(1), stats_cols=["l_orderkey"])
+    export_iceberg_metadata(spark, t)
+    df, plan = read_iceberg_stats_pruned(spark, str(t.path), "l_orderkey", 0, cut1)
+    if plan["files_skipped"] < 2:
+        raise AssertionError(
+            f"exported bounds did not skip files: {plan['files_skipped']} of "
+            f"{plan['files_total']}"
+        )
+    return (
+        df.where(F.col("l_orderkey") <= cut1)  # residual: pruning is file-level
+        .groupBy("l_returnflag")
+        .agg(
+            F.count(F.lit(1)).alias("n_items"),
+            dround(dsum(F.col("l_extendedprice")), 2).alias("revenue"),
         )
         .localCheckpoint()
     )

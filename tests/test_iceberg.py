@@ -49,6 +49,8 @@ def test_ocf_roundtrip_manifest_entries(tmp_path):
                 "record_count": 1234,
                 "file_size_in_bytes": 56789,
                 "equality_ids": None,
+                "lower_bounds": [{"key": 1, "value": b"\x01\x00\x00\x00"}],
+                "upper_bounds": [{"key": 1, "value": b"\xff\x00\x00\x00"}],
             },
         },
         {
@@ -64,6 +66,8 @@ def test_ocf_roundtrip_manifest_entries(tmp_path):
                 "record_count": 0,
                 "file_size_in_bytes": 0,
                 "equality_ids": [1, 3],
+                "lower_bounds": None,
+                "upper_bounds": None,
             },
         },
     ]
