@@ -816,16 +816,22 @@ class LakehouseTable:
             raise ValueError(f"clone target {target_path} is not empty")
         if shallow:
             live = self._live_commits(version)
-            if not live:
+            # removed-files-aware live set: partial rewrites
+            # (compact_files, incremental clustering) supersede files
+            # of EARLIER commits — cloning raw commit file lists would
+            # reference superseded files that the source's vacuum
+            # rightfully deletes later (interplay caught by
+            # tests/test_lifecycle.py::test_wave_ae_lifecycle)
+            pairs = self._live_files(version)
+            if not pairs:
                 raise ValueError(f"no data at version {version}")
             files: list[str] = []
             stats: dict = {}
-            for c in live:
-                for f in c.files:
-                    ab = str((self.path / f).resolve())
-                    files.append(ab)
-                    if c.stats and f in c.stats:
-                        stats[ab] = c.stats[f]
+            for c, f in pairs:
+                ab = str((self.path / f).resolve())
+                files.append(ab)
+                if c.stats and f in c.stats:
+                    stats[ab] = c.stats[f]
             dv_files = [
                 str((self.path / f).resolve())
                 for f in self._live_dv_files(version)
@@ -833,7 +839,7 @@ class LakehouseTable:
             commit = Commit(
                 version=0,
                 files=files,
-                row_count=sum(c.row_count for c in live),
+                row_count=_footer_row_count(Path("/"), files),
                 operation="clone_shallow",
                 stats=stats or None,
                 restate=False,
@@ -1715,6 +1721,15 @@ class LakehouseTable:
         ``highWaterMark`` txn action."""
         if step == 0:
             raise ValueError("identity step must be non-zero")
+        if self.latest_version() >= 0:
+            # Delta's rule: identity columns exist only from CREATE
+            # TABLE — declaring one later would leave every existing
+            # row reading NULL through mergeSchema, silently breaking
+            # the uniqueness contract
+            raise ValueError(
+                "identity columns must be declared before the first write "
+                "(Delta allows them only at CREATE TABLE)"
+            )
         meta = self._read_meta()
         ident = meta.setdefault("identity", {})
         if col in ident:

@@ -150,3 +150,89 @@ def test_full_lifecycle(spark, tmp_path):
     export_iceberg_metadata(spark, t)
     got_i = {r.key: (r.v, r.v2) for r in read_iceberg(spark, str(t.path)).collect()}
     assert got_i == {k: (v, 2 * v) for k, v in model.items()}, "iceberg replay"
+
+
+def test_wave_ae_lifecycle(spark, tmp_path):
+    """Second kitchen sink over the wave-AE features IN SEQUENCE:
+    identity + clustering + incremental recluster + rename + merge
+    schema evolution + dual export + vacuum + clone. Each step's
+    state is checked against a model; the interactions are the test."""
+    t = LakehouseTable(spark, str(tmp_path / "life2"))
+    t.set_identity("rid")
+    with pytest.raises(ValueError):
+        t.set_identity("rid2", step=0)
+
+    def xy(lo, hi):
+        return spark.range(lo, hi).select(
+            F.col("id").alias("k"),
+            (F.col("id") % 32).alias("x"),
+            (F.col("id") / 32).cast("bigint").alias("y"),
+        )
+
+    t.append(xy(0, 1024).repartition(4), stats_cols=["x", "y"])
+    t.hilbert_cluster(["x", "y"], target_partitions=4)  # restate keeps rids
+    ids0 = sorted(r["rid"] for r in t.snapshot().collect())
+    assert ids0 == list(range(1, 1025))  # clustering preserved every id
+
+    t.append(xy(1024, 1536).repartition(2), stats_cols=["x", "y"])
+    assert t.hilbert_cluster_incremental() is not None
+    ids1 = sorted(r["rid"] for r in t.snapshot().collect())
+    assert ids1 == list(range(1, 1537))  # incremental rewrite lost nothing
+
+    t.rename_column("x", "x_coord")  # follows the clustering spec
+    assert t._read_meta()["clustering"]["cols"] == ["x_coord", "y"]
+
+    # merge with schema evolution: updates half the keys, adds a flag
+    src = spark.range(0, 1536, 2).select(
+        F.col("id").alias("k"), F.lit(1).alias("flag")
+    )
+    t.merge(src, key_cols=["k"], schema_evolution=True)
+    snap = t.snapshot()
+    assert set(snap.columns) == {"k", "x_coord", "y", "rid", "flag"}
+    assert snap.where("flag = 1").count() == 768
+    assert snap.where("k % 2 = 0 AND x_coord <> k % 32").count() == 0  # kept
+    ids2 = sorted(r["rid"] for r in snap.collect())
+    assert ids2 == list(range(1, 1537))  # merge preserved every matched id
+
+    # another incremental recluster AFTER rename+evolution
+    t.append(
+        xy(1536, 1792).withColumnRenamed("x", "x_coord").repartition(2),
+        stats_cols=["x_coord", "y"],
+    )
+    assert t.hilbert_cluster_incremental() is not None
+    assert t.snapshot().count() == 1792
+
+    # dual export replays equal (UniForm invariant) after ALL of it
+    from lakehouse_test_spark.plans.delta_export import (
+        export_delta_log,
+        read_delta_log,
+    )
+    from lakehouse_test_spark.plans.iceberg_export import (
+        export_iceberg_metadata,
+        read_iceberg,
+    )
+
+    export_delta_log(spark, t)
+    export_iceberg_metadata(spark, t)
+    via_d = read_delta_log(spark, str(t.path))
+    via_i = read_iceberg(spark, str(t.path))
+    for via in (via_d, via_i):
+        assert via.count() == 1792
+        assert sorted(r["rid"] for r in via.select("rid").collect()) == list(
+            range(1, 1793)
+        )
+        assert "x_coord" in via.columns  # logical names through both protocols
+
+    # vacuum then clone: identity high-water carries, appends continue
+    t.vacuum(keep_versions=1)
+    c = t.clone(str(tmp_path / "life2_clone"), shallow=True)
+    c.append(
+        spark.range(9000, 9010).select(
+            F.col("id").alias("k"),
+            (F.col("id") % 32).alias("x_coord"),
+            F.lit(0).cast("bigint").alias("y"),
+            F.lit(0).alias("flag"),
+        )
+    )
+    ids3 = sorted(r["rid"] for r in c.snapshot().collect())
+    assert ids3 == list(range(1, 1803))  # 1792 + 10, no collisions
