@@ -1281,3 +1281,56 @@ def streaming_cdc_apply(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .localCheckpoint()
     )
+
+
+@query(
+    "streaming_append_mode_windows",
+    oracle="""
+    WITH e AS (
+      SELECT date_trunc('second', ts) AS ts, value FROM events
+    ), wm AS (
+      SELECT max(ts) - INTERVAL 1 HOUR AS w FROM e
+    )
+    SELECT CAST(epoch(date_trunc('hour', ts)) AS BIGINT) AS window_start_sec,
+           count(*) AS n_events,
+           CAST(round(sum(CAST(value AS DECIMAL(18,6))), 2) AS DOUBLE)
+             AS total_value
+    FROM e, wm
+    WHERE date_trunc('hour', ts) + INTERVAL 1 HOUR <= w
+    GROUP BY 1
+    """,
+    tags=("streaming", "window", "watermark", "events"),
+)
+def streaming_append_mode_windows(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """APPEND-mode windowed aggregation — the third output-mode
+    semantics (complete and update are covered elsewhere): a window
+    row is emitted EXACTLY ONCE, only after the event-time watermark
+    passes its end, and is immutable afterwards — the contract
+    downstream exactly-once consumers (and the lakehouse append sink)
+    rely on. Bounded AvailableNow run: the final watermark advances
+    to ``max(ts) − 1 h``, so precisely the windows with
+    ``end ≤ watermark`` appear; the oracle reconstructs that set
+    relationally, pinning the emit-on-close boundary itself.
+
+    Scale: append mode is what makes infinite streams storable —
+    state holds ONLY open windows (bounded by delay × window grain),
+    closed windows leave state forever; complete mode's state grows
+    with history and update mode re-emits dirty keys.
+    """
+    s = events_stream(spark, sf_dir)
+    agg = (
+        s.withWatermark("ts", "1 hour")
+        .groupBy(F.window("ts", "1 hour").alias("w"))
+        .agg(
+            F.count(F.lit(1)).alias("n_events"),
+            dround(dsum(F.col("value")), 2).alias("total_value"),
+        )
+        .select(
+            F.unix_timestamp(F.col("w.start")).cast("bigint").alias(
+                "window_start_sec"
+            ),
+            "n_events",
+            "total_value",
+        )
+    )
+    return _drain_to_memory(agg, "append")
