@@ -419,6 +419,7 @@ def export_delta_log(
     phys_map = table._physical_of_logical()  # logical → stable physical
     constraints = dict(table._read_meta().get("constraints", {}))
     generated = table.generated_columns()
+    identity = table.identity_columns()
     history = table.history()
     has_dv = any(c.dv_files for c in history)
     if has_dv:
@@ -483,6 +484,25 @@ def export_delta_log(
                 if f["name"] in generated:
                     md_ = dict(f.get("metadata") or {})
                     md_["delta.generationExpression"] = generated[f["name"]]
+                    f["metadata"] = md_
+            schema_json = json.dumps(sch)
+        if identity:
+            # identity columns are schema-field metadata
+            # (PROTOCOL.md §Identity Columns): start/step plus the
+            # high-water mark a Delta writer would resume from
+            sch = json.loads(schema_json)
+            for f in sch.get("fields", []):
+                spec = identity.get(f["name"])
+                if spec:
+                    md_ = dict(f.get("metadata") or {})
+                    md_["delta.identity.start"] = spec["start"]
+                    md_["delta.identity.step"] = spec["step"]
+                    md_["delta.identity.highWaterMark"] = (
+                        spec["start"] + spec["step"] * (spec["allocated"] - 1)
+                        if spec["allocated"]
+                        else spec["start"] - spec["step"]
+                    )
+                    md_["delta.identity.allowExplicitInsert"] = False
                     f["metadata"] = md_
             schema_json = json.dumps(sch)
         return {

@@ -951,6 +951,11 @@ def iceberg_plan_files(
             if e["status"] == ST_DELETED:
                 continue
             df = e["data_file"]
+            if df.get("content") == CONTENT_EQ_DELETES:
+                # equality deletes need sequence-number scoping —
+                # callers of this (path, path) planner can't apply
+                # them; read_iceberg/iceberg_plan_entries handle them
+                continue
             if df["content"] == CONTENT_DELETES:
                 delete_files.append(df["file_path"])
             else:

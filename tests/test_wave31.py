@@ -295,3 +295,34 @@ def test_hilbert_incremental_after_rename(spark):
     assert t.snapshot().count() == 2048
     got, scanned, total = t.scan_pruned_box({"xx": (0, 7), "y": (0, 7)})
     assert scanned < total and got.count() > 0
+
+
+def test_delta_export_carries_identity_metadata(spark):
+    """identity x Delta export: schemaString field metadata carries
+    delta.identity.start/step/highWaterMark so a Delta writer resumes
+    allocation where we stopped."""
+    import json
+    from pathlib import Path
+
+    from lakehouse_test_spark.plans.delta_export import export_delta_log
+
+    t = _t(spark)
+    t.set_identity("rid", start=10, step=2)
+    t.append(spark.createDataFrame([(1,), (2,), (3,)], "k int"))
+    export_delta_log(spark, t)
+    log = sorted((Path(t.path) / "_delta_log").glob("*.json"))[0]
+    meta = next(
+        json.loads(l)["metaData"]
+        for l in log.read_text().splitlines()
+        if "metaData" in l
+    )
+    fld = next(
+        f
+        for f in json.loads(meta["schemaString"])["fields"]
+        if f["name"] == "rid"
+    )
+    md = fld["metadata"]
+    assert md["delta.identity.start"] == 10
+    assert md["delta.identity.step"] == 2
+    assert md["delta.identity.highWaterMark"] == 14  # 10, 12, 14 allocated
+    assert md["delta.identity.allowExplicitInsert"] is False
