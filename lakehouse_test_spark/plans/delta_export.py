@@ -349,7 +349,15 @@ def _dv_by_file(table: LakehouseTable, commit) -> dict[str, set[int]]:
         r = rel_of.get(p)
         if r is None:
             ap = Path(urlparse(p).path if p.startswith("file:") else p).resolve()
-            r = rel_of[p] = str(ap.relative_to(root))
+            try:
+                r = str(ap.relative_to(root))
+            except ValueError:
+                # CONVERTed tables reference files OUTSIDE the table
+                # dir; their add.path is the absolute string (the
+                # Delta spec allows absolute paths), so the DV key
+                # must match it verbatim
+                r = str(ap)
+            rel_of[p] = r
         return r
 
     for dvf in commit.dv_files or []:

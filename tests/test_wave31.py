@@ -326,3 +326,36 @@ def test_delta_export_carries_identity_metadata(spark):
     assert md["delta.identity.step"] == 2
     assert md["delta.identity.highWaterMark"] == 14  # 10, 12, 14 allocated
     assert md["delta.identity.allowExplicitInsert"] is False
+
+
+def test_convert_then_dual_export_replays_equal(spark, tmp_path):
+    """convert x export interplay: a CONVERTED table references data
+    files OUTSIDE the table directory by absolute path; both protocol
+    exports must still plan and replay them (plus a DV and a normal
+    append on top)."""
+    from lakehouse_test_spark.plans.delta_export import (
+        export_delta_log,
+        read_delta_log,
+    )
+    from lakehouse_test_spark.plans.iceberg_export import (
+        export_iceberg_metadata,
+        read_iceberg,
+    )
+
+    src = str(tmp_path / "plain")
+    spark.range(0, 200).selectExpr("id AS k", "id * 1.5 AS v").repartition(
+        3
+    ).write.parquet(src)
+    t = LakehouseTable(spark, str(tmp_path / "conv"))
+    t.convert_from_parquet(src, stats_cols=["k"])
+    t.delete_where_dv("k % 10 = 0")
+    t.append(spark.range(200, 260).selectExpr("id AS k", "id * 1.5 AS v"))
+    want = 200 - 20 + 60
+
+    export_delta_log(spark, t)
+    export_iceberg_metadata(spark, t)
+    via_d = read_delta_log(spark, str(t.path))
+    via_i = read_iceberg(spark, str(t.path))
+    assert via_d.count() == want
+    assert via_i.count() == want
+    assert via_d.agg(F.sum("k")).first()[0] == via_i.agg(F.sum("k")).first()[0]
