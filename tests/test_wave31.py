@@ -359,3 +359,27 @@ def test_convert_then_dual_export_replays_equal(spark, tmp_path):
     assert via_d.count() == want
     assert via_i.count() == want
     assert via_d.agg(F.sum("k")).first()[0] == via_i.agg(F.sum("k")).first()[0]
+
+
+def test_convert_then_incremental_cluster(spark, tmp_path):
+    """convert x clustering interplay: full cluster restates the
+    converted (external) files into the table dir; a later append +
+    incremental recluster must remove exactly the new files."""
+    src = str(tmp_path / "plain2")
+    spark.range(0, 512).selectExpr(
+        "id AS k", "id % 16 AS x", "CAST(id / 16 AS BIGINT) AS y"
+    ).repartition(2).write.parquet(src)
+    t = LakehouseTable(spark, str(tmp_path / "conv2"))
+    t.convert_from_parquet(src, stats_cols=["x", "y"])
+    t.hilbert_cluster(["x", "y"], target_partitions=4)
+    base = {f for _c, f in t._live_files()}
+    t.append(
+        spark.range(512, 640).selectExpr(
+            "id AS k", "id % 16 AS x", "CAST(id / 16 AS BIGINT) AS y"
+        ),
+        stats_cols=["x", "y"],
+    )
+    new_raw = {f for _c, f in t._live_files()} - base
+    c = t.hilbert_cluster_incremental()
+    assert c is not None and set(c.removed_files) == new_raw
+    assert t.snapshot().count() == 640
