@@ -1,0 +1,245 @@
+"""Round-4 wave AG: ML evaluation metrics as distributed queries.
+
+Model-eval at corpus scale is itself a data-engineering op: confusion
+counts, calibration tables, and ranking quality are aggregations over
+(label, score) or (rank, relevance) frames. Each query is hash-gated;
+NDCG's irrational log weights enter BOTH engines as identical DECIMAL
+literals, so the metric is bit-stable (exact, associative decimal
+arithmetic) instead of trusting two libm implementations to agree.
+
+The scores here are deterministic proxies from the fixtures (the
+METRIC pipeline is the operator under test, not the model).
+"""
+
+from __future__ import annotations
+
+import math
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from lakehouse_test_spark.registry import query
+from lakehouse_test_spark.session import load_table
+
+
+def T(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
+    return load_table(spark, sf_dir, name)
+
+
+# --------------------------------------------------------------------------
+# confusion matrix + precision/recall/F1 at a threshold
+# --------------------------------------------------------------------------
+
+
+@query(
+    "ml_confusion_threshold",
+    oracle="""
+    WITH scored AS (
+      SELECT (l_returnflag = 'R') AS label,
+             l_discount * 10 >= 0.5 AS pred
+      FROM lineitem
+    ), m AS (
+      SELECT count(*) FILTER (WHERE label AND pred) AS tp,
+             count(*) FILTER (WHERE NOT label AND pred) AS fp,
+             count(*) FILTER (WHERE label AND NOT pred) AS fn,
+             count(*) FILTER (WHERE NOT label AND NOT pred) AS tn
+      FROM scored
+    )
+    SELECT tp, fp, fn, tn,
+           CAST(round(tp * 1.0 / (tp + fp), 6) AS DOUBLE) AS precision,
+           CAST(round(tp * 1.0 / (tp + fn), 6) AS DOUBLE) AS recall,
+           CAST(round(2.0 * tp / (2 * tp + fp + fn), 6) AS DOUBLE) AS f1
+    FROM m
+    """,
+    tags=("ml", "eval", "lineitem"),
+)
+def ml_confusion_threshold(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Confusion matrix + precision/recall/F1 at threshold 0.5 over a
+    deterministic score column — one conditional-count aggregate, the
+    distributed half of every eval harness (the model call is
+    upstream; the counting is the data op).
+
+    Scale: single pass, 4 FILTER counts, map-side partials; nothing
+    label-cardinality-sized is collected.
+    """
+    li = T(spark, sf_dir, "lineitem").select(
+        (F.col("l_returnflag") == "R").alias("label"),
+        (F.col("l_discount") * 10 >= 0.5).alias("pred"),
+    )
+    m = li.agg(
+        F.count(F.when(F.col("label") & F.col("pred"), 1)).alias("tp"),
+        F.count(F.when(~F.col("label") & F.col("pred"), 1)).alias("fp"),
+        F.count(F.when(F.col("label") & ~F.col("pred"), 1)).alias("fn"),
+        F.count(F.when(~F.col("label") & ~F.col("pred"), 1)).alias("tn"),
+    )
+    return m.select(
+        "tp",
+        "fp",
+        "fn",
+        "tn",
+        F.round(F.col("tp") / (F.col("tp") + F.col("fp")), 6)
+        .cast("double")
+        .alias("precision"),
+        F.round(F.col("tp") / (F.col("tp") + F.col("fn")), 6)
+        .cast("double")
+        .alias("recall"),
+        F.round(2.0 * F.col("tp") / (2 * F.col("tp") + F.col("fp") + F.col("fn")), 6)
+        .cast("double")
+        .alias("f1"),
+    )
+
+
+# --------------------------------------------------------------------------
+# calibration (reliability) table
+# --------------------------------------------------------------------------
+
+
+@query(
+    "ml_calibration_bins",
+    oracle="""
+    WITH scored AS (
+      SELECT l_discount * 10 AS score,
+             CAST(l_returnflag = 'R' AS INT) AS y
+      FROM lineitem
+    )
+    SELECT LEAST(CAST(floor(score * 10) AS INT), 9) AS bin,
+           count(*) AS n,
+           CAST(round(sum(CAST(score AS DECIMAL(18,6))) / count(*), 6)
+                AS DOUBLE) AS mean_score,
+           CAST(round(sum(y) * 1.0 / count(*), 6) AS DOUBLE) AS frac_positive
+    FROM scored GROUP BY 1
+    """,
+    tags=("ml", "eval", "calibration", "lineitem"),
+)
+def ml_calibration_bins(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Reliability table: decile-binned score vs observed positive
+    rate — the input to a calibration curve / ECE computation and the
+    standard post-training diagnostic. Decimal-exact mean per bin.
+
+    Scale: one bounded group-by (10 bins), map-side combine; the
+    curve is O(bins) however large the eval set.
+    """
+    li = T(spark, sf_dir, "lineitem").select(
+        (F.col("l_discount") * 10).alias("score"),
+        (F.col("l_returnflag") == "R").cast("int").alias("y"),
+    )
+    return (
+        li.groupBy(
+            F.least(F.floor(F.col("score") * 10).cast("int"), F.lit(9)).alias("bin")
+        )
+        .agg(
+            F.count(F.lit(1)).alias("n"),
+            F.round(
+                F.sum(F.col("score").cast("decimal(18,6)")) / F.count(F.lit(1)), 6
+            )
+            .cast("double")
+            .alias("mean_score"),
+            F.round(F.sum("y") / F.count(F.lit(1)), 6)
+            .cast("double")
+            .alias("frac_positive"),
+        )
+    )
+
+
+# --------------------------------------------------------------------------
+# NDCG@5 with decimal-literal log weights
+# --------------------------------------------------------------------------
+
+_K = 5
+#: 1/log2(pos+1) for pos 1..5, rounded to 12 decimals and injected as
+#: DECIMAL literals into BOTH engines — exact, associative arithmetic
+#: instead of two libm log2 implementations agreeing to the last ulp
+_W = [round(1.0 / math.log2(p + 1), 12) for p in range(1, _K + 1)]
+
+
+def _ndcg_weight_case(rank_col: str) -> str:
+    return (
+        "CASE "
+        + " ".join(
+            f"WHEN {rank_col} = {p} THEN CAST({w:.12f} AS DECIMAL(16,12))"
+            for p, w in zip(range(1, _K + 1), _W)
+        )
+        + " ELSE CAST(0 AS DECIMAL(16,12)) END"
+    )
+
+
+@query(
+    "ml_ndcg_at_k",
+    oracle=f"""
+    WITH ranked AS (
+      SELECT o_custkey,
+             CAST(substr(o_orderpriority, 1, 1) AS INT) <= 2 AS rel,
+             row_number() OVER (
+               PARTITION BY o_custkey ORDER BY o_totalprice DESC, o_orderkey
+             ) AS rnk,
+             row_number() OVER (
+               PARTITION BY o_custkey
+               ORDER BY (CAST(substr(o_orderpriority, 1, 1) AS INT) <= 2) DESC,
+                        o_orderkey
+             ) AS ideal_rnk
+      FROM orders
+    ), per_cust AS (
+      SELECT o_custkey,
+             sum(CASE WHEN rel THEN {_ndcg_weight_case("rnk")}
+                 ELSE CAST(0 AS DECIMAL(16,12)) END) AS dcg,
+             sum(CASE WHEN rel THEN {_ndcg_weight_case("ideal_rnk")}
+                 ELSE CAST(0 AS DECIMAL(16,12)) END) AS idcg
+      FROM ranked WHERE rnk <= {_K} OR ideal_rnk <= {_K}
+      GROUP BY o_custkey
+    )
+    SELECT count(*) AS n_customers,
+           CAST(round(sum(CASE WHEN idcg > 0 THEN dcg / idcg ELSE 0 END)
+                      / count(*), 6) AS DOUBLE) AS mean_ndcg_at_5
+    FROM per_cust
+    """,
+    tags=("ml", "eval", "ranking", "orders"),
+)
+def ml_ndcg_at_k(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Mean NDCG@5 of a price-ordered ranking against priority
+    relevance, per customer then averaged — the ranking-eval op of
+    every recsys/retrieval pipeline. The log-discount weights enter
+    both engines as identical DECIMAL literals, making the metric
+    exact and order-independent (associative decimal sums), not a
+    cross-engine libm coin flip.
+
+    Scale: two per-key window ranks (hash-shuffled on customer, no
+    global sort), rows beyond position k drop BEFORE the aggregate,
+    and the final mean is one tiny reduce.
+    """
+    o = T(spark, sf_dir, "orders")
+    from pyspark.sql import Window
+
+    rel = (F.substring("o_orderpriority", 1, 1).cast("int") <= 2).alias("rel")
+    w_pred = Window.partitionBy("o_custkey").orderBy(
+        F.col("o_totalprice").desc(), F.col("o_orderkey")
+    )
+    w_ideal = Window.partitionBy("o_custkey").orderBy(
+        F.col("rel").desc(), F.col("o_orderkey")
+    )
+    ranked = (
+        o.select("o_custkey", "o_totalprice", "o_orderkey", rel)
+        .withColumn("rnk", F.row_number().over(w_pred))
+        .withColumn("ideal_rnk", F.row_number().over(w_ideal))
+        .where((F.col("rnk") <= _K) | (F.col("ideal_rnk") <= _K))
+    )
+    wcase = F.expr(_ndcg_weight_case("rnk"))
+    wcase_i = F.expr(_ndcg_weight_case("ideal_rnk"))
+    zero = F.expr("CAST(0 AS DECIMAL(16,12))")
+    per = ranked.groupBy("o_custkey").agg(
+        F.sum(F.when(F.col("rel"), wcase).otherwise(zero)).alias("dcg"),
+        F.sum(F.when(F.col("rel"), wcase_i).otherwise(zero)).alias("idcg"),
+    )
+    return per.agg(
+        F.count(F.lit(1)).alias("n_customers"),
+        F.round(
+            F.sum(
+                F.when(F.col("idcg") > 0, F.col("dcg") / F.col("idcg")).otherwise(
+                    F.lit(0)
+                )
+            )
+            / F.count(F.lit(1)),
+            6,
+        )
+        .cast("double")
+        .alias("mean_ndcg_at_5"),
+    )
