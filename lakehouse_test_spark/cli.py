@@ -109,6 +109,17 @@ def build_parser() -> argparse.ArgumentParser:
                      default="both")
     exp.add_argument("--checkpoint-interval", type=positive_int, default=10,
                      help="Delta parquet-checkpoint cadence (commits)")
+
+    cnv = sub.add_parser(
+        "convert",
+        help="adopt an existing flat parquet directory as a lakehouse "
+             "table IN PLACE (CONVERT TO DELTA analog: no data copied, "
+             "footer row counts + zone maps harvested)",
+    )
+    cnv.add_argument("--src", required=True, help="directory of parquet files")
+    cnv.add_argument("--table", required=True, help="target table path (empty)")
+    cnv.add_argument("--stats", metavar="COLS",
+                     help="comma-separated columns to harvest min/max zone maps for")
     return p
 
 
@@ -229,6 +240,17 @@ def main(argv: list[str] | None = None, spark=None) -> int:
                       f"(specs {len(md['partition-specs'])}, "
                       f"refs {len(md['refs'])})")
             print(f"Latest version: {head}")
+        elif args.verb == "convert":
+            table = LakehouseTable(spark, args.table)
+            commit = table.convert_from_parquet(
+                args.src,
+                stats_cols=args.stats.split(",") if args.stats else None,
+            )
+            print(
+                f"Converted {len(commit.files)} files "
+                f"({commit.row_count} rows) in place -> {args.table}"
+            )
+            print(f"Latest version: {table.latest_version()}")
         elif args.verb == "curate":
             # end-to-end pretraining curation: quality gates -> exact
             # dedup -> diversity gate -> committed lakehouse table

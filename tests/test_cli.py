@@ -134,3 +134,25 @@ def test_cli_export_verb(spark, tmp_path, capsys):
     assert "Iceberg:" in out and "snapshots" in out
     assert read_delta_log(spark, path).count() == 35
     assert read_iceberg(spark, path).count() == 35
+
+
+def test_cli_convert_verb(spark, tmp_path, capsys):
+    """convert verb adopts a plain parquet dir in place; the table
+    reads immediately and scan_pruned uses the harvested zone maps."""
+    from lakehouse_test_spark.cli import main
+    from lakehouse_test_spark.plans.lakehouse import LakehouseTable
+    from pyspark.sql import functions as F
+
+    src = str(tmp_path / "plain")
+    spark.range(100).select(F.col("id").alias("k")).repartitionByRange(
+        4, "k"
+    ).write.parquet(src)
+    path = str(tmp_path / "conv_tbl")
+    rc = main(["convert", "--src", src, "--table", path, "--stats", "k"], spark=spark)
+    assert rc == 0
+    out = capsys.readouterr().out
+    assert "Converted" in out and "100 rows" in out
+    t = LakehouseTable(spark, path)
+    assert t.snapshot().count() == 100
+    _df, scanned, total = t.scan_pruned("k", 0, 10)
+    assert scanned < total

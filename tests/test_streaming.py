@@ -179,3 +179,41 @@ def test_stream_scd2_dimension(spark, tmp_path):
     assert hist == {(1, "A"): False, (1, "B"): True, (2, "X"): True}
     assert t.latest_version() >= 1  # one commit per non-empty batch
     t.drop()
+
+
+def test_rocksdb_state_store_parity(spark, sf_dir):
+    """The RocksDB state store (spill-to-disk state, the provider for
+    state bigger than executor memory — 100 TB streams keep days of
+    window/session/join state) must produce byte-identical results to
+    the default in-memory provider. This pins the ONE-LINE config
+    swap a deployment makes when state outgrows the heap."""
+    import pyspark.sql.functions as F
+
+    from lakehouse_test_spark.streaming.jobs import _drain_to_memory, events_stream
+
+    def run():
+        s = events_stream(spark, sf_dir)
+        agg = (
+            s.withWatermark("ts", "1 hour")
+            .groupBy(F.window("ts", "1 day").alias("w"), "event_type")
+            .agg(F.count(F.lit(1)).alias("n"))
+            .select(F.col("w.start").alias("ws"), "event_type", "n")
+        )
+        return {tuple(r) for r in _drain_to_memory(agg, "complete").collect()}
+
+    key = "spark.sql.streaming.stateStore.providerClass"
+    prior = spark.conf.get(key, None)
+    base = run()
+    try:
+        spark.conf.set(
+            key,
+            "org.apache.spark.sql.execution.streaming.state."
+            "RocksDBStateStoreProvider",
+        )
+        rocks = run()
+    finally:
+        if prior:
+            spark.conf.set(key, prior)
+        else:
+            spark.conf.unset(key)
+    assert rocks == base and len(base) > 0
