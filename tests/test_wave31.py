@@ -383,3 +383,65 @@ def test_convert_then_incremental_cluster(spark, tmp_path):
     c = t.hilbert_cluster_incremental()
     assert c is not None and set(c.removed_files) == new_raw
     assert t.snapshot().count() == 640
+
+
+def test_merge_clause_matrix_against_reference_model(spark):
+    """Exhaustive MERGE semantics check: every (when_matched,
+    insert_new, sync_delete_unmatched) combination x five source
+    shapes (disjoint / subset / superset / overlap / empty), each
+    compared to a pure-Python reference model of the Delta clause
+    semantics. Catches clause-interaction regressions the individual
+    gates can't."""
+    target = {0: 10, 1: 11, 2: 12, 3: 13}
+    sources = {
+        "disjoint": {7: 107, 8: 108},
+        "subset": {1: 101, 2: 102},
+        "superset": {0: 100, 1: 101, 2: 102, 3: 103, 4: 104},
+        "overlap": {2: 102, 3: 103, 9: 109},
+        "empty": {},
+    }
+
+    def ref(tgt, src, wm, insert_new, sync):
+        out = dict(tgt)
+        if sync:  # WHEN NOT MATCHED BY SOURCE THEN DELETE
+            out = {k: v for k, v in out.items() if k in src}
+        for k, v in src.items():
+            if k in tgt:  # matched
+                if wm == "update":
+                    out[k] = v
+                elif wm == "delete":
+                    out.pop(k, None)
+                # ignore: target wins
+            elif insert_new:  # WHEN NOT MATCHED THEN INSERT
+                out[k] = v
+        return set(out.items())
+
+    for sname, src in sources.items():
+        for wm in ("update", "delete", "ignore"):
+            for insert_new in (True, False):
+                for sync in (False, True):
+                    want = ref(target, src, wm, insert_new, sync)
+                    t = _t(spark)
+                    t.append(
+                        spark.createDataFrame(
+                            list(target.items()), "k int, v int"
+                        )
+                    )
+                    sdf = spark.createDataFrame(
+                        list(src.items()) or [(None, None)], "k int, v int"
+                    ).where("k IS NOT NULL")
+                    label = f"{sname}/{wm}/insert={insert_new}/sync={sync}"
+                    try:
+                        t.merge(
+                            sdf,
+                            key_cols=["k"],
+                            when_matched=wm,
+                            insert_new=insert_new,
+                            sync_delete_unmatched=sync,
+                        )
+                    except Exception as ex:
+                        if not want:
+                            continue  # emptying the table may refuse; fine
+                        raise AssertionError(f"{label}: raised {ex}") from ex
+                    got = {(r["k"], r["v"]) for r in t.snapshot().collect()}
+                    assert got == want, f"{label}: {got} != {want}"
