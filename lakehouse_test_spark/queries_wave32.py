@@ -212,9 +212,10 @@ def ml_scaler_fit(spark: SparkSession, sf_dir: str) -> DataFrame:
            count(*) FILTER (
              WHERE tok NOT IN (SELECT tok FROM train_vocab)
            ) AS n_oov,
-           CAST(round(count(*) FILTER (
-             WHERE tok NOT IN (SELECT tok FROM train_vocab)
-           ) * 1.0 / count(*), 6) AS DOUBLE) AS oov_rate
+           CAST(CASE WHEN count(*) = 0 THEN NULL
+                ELSE round(count(*) FILTER (
+                       WHERE tok NOT IN (SELECT tok FROM train_vocab)
+                     ) * 1.0 / count(*), 6) END AS DOUBLE) AS oov_rate
     FROM val_toks
     """,
     tags=("ml", "llm", "vocab", "documents"),
@@ -238,14 +239,14 @@ def ml_oov_rate(spark: SparkSession, sf_dir: str) -> DataFrame:
     flagged = val.join(
         train_vocab.withColumn("__in_vocab", F.lit(1)), "tok", "left"
     )
+    n = F.count(F.lit(1))
+    n_oov = F.count(F.when(F.col("__in_vocab").isNull(), 1))
     return flagged.agg(
-        F.count(F.lit(1)).alias("n_val_tokens"),
-        F.count(F.when(F.col("__in_vocab").isNull(), 1)).alias("n_oov"),
-        F.round(
-            F.count(F.when(F.col("__in_vocab").isNull(), 1))
-            / F.count(F.lit(1)),
-            6,
-        )
+        n.alias("n_val_tokens"),
+        n_oov.alias("n_oov"),
+        # empty held-out split (degenerate corpora): rate is NULL,
+        # never an ANSI divide-by-zero
+        F.when(n > 0, F.round(n_oov / n, 6))
         .cast("double")
         .alias("oov_rate"),
     )

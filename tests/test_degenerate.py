@@ -32,6 +32,8 @@ ROBUST_DOC_QUERIES = [
     "text_sentence_stats",
     "pipeline_gate_attrition",
     "corpus_source_divergence",
+    # wave AF
+    "ml_oov_rate",
 ]
 
 
