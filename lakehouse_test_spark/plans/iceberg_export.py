@@ -1430,26 +1430,42 @@ def read_iceberg_pruned(
 
 
 def iceberg_plan_files_stats_pruned(
-    table_path: str, col: str, lo, hi, snapshot_id: int | None = None
+    table_path: str,
+    col: str | None = None,
+    lo=None,
+    hi=None,
+    snapshot_id: int | None = None,
+    preds: dict | None = None,
 ) -> dict:
     """Plan a scan pruned by PER-FILE COLUMN BOUNDS (data_file
     lower_bounds/upper_bounds, the spec's map<field-id, binary>) —
     file-level skipping on any stats column, no partition spec
-    required. Files without bounds for the column are KEPT
-    (scan-safe), same contract as every other pruning tier. Returns
-    ``{data_files, delete_files, eq_deletes, files_total,
-    files_skipped}``."""
+    required. Pass one range as ``(col, lo, hi)`` or several as
+    ``preds={col: (lo, hi), ...}`` — a file survives only if its
+    bounds overlap EVERY listed column's range (the multi-dimension
+    box scan a Hilbert/Z-ordered export serves). Files without bounds
+    for a column are KEPT (scan-safe), same contract as every other
+    pruning tier. Returns ``{data_files, delete_files, eq_deletes,
+    files_total, files_skipped}``."""
+    if preds is None:
+        if col is None:
+            raise ValueError("pass (col, lo, hi) or preds={col: (lo, hi)}")
+        preds = {col: (lo, hi)}
     md = _load_metadata(table_path)
     sid0 = md.get("current-schema-id", 0)
     schema = next(
         (s for s in md.get("schemas", []) if s.get("schema-id") == sid0),
         md.get("schema"),
     )
-    fld = next((f for f in schema["fields"] if f["name"] == col), None)
-    if fld is None:
-        raise ValueError(f"no column {col!r} in the current schema")
-    fid, rt = fld["id"], fld["type"]
-    lo_i, hi_i = to_iceberg_value(lo, rt), to_iceberg_value(hi, rt)
+    tests = []  # (field id, result type, canonical lo, canonical hi)
+    for cname, (plo, phi) in preds.items():
+        fld = next((f for f in schema["fields"] if f["name"] == cname), None)
+        if fld is None:
+            raise ValueError(f"no column {cname!r} in the current schema")
+        rt = fld["type"]
+        tests.append(
+            (fld["id"], rt, to_iceberg_value(plo, rt), to_iceberg_value(phi, rt))
+        )
     sid = snapshot_id if snapshot_id is not None else md["current-snapshot-id"]
     snap = next(s for s in md["snapshots"] if s["snapshot-id"] == sid)
     _, _, manifests = read_ocf(Path(snap["manifest-list"]))
@@ -1481,12 +1497,17 @@ def iceberg_plan_files_stats_pruned(
             out["files_total"] += 1
             lbs = {kv["key"]: kv["value"] for kv in (d.get("lower_bounds") or [])}
             ubs = {kv["key"]: kv["value"] for kv in (d.get("upper_bounds") or [])}
-            if fid in lbs and fid in ubs:
-                flo = _bound_value(lbs[fid], rt)
-                fhi = _bound_value(ubs[fid], rt)
-                if hi_i < flo or lo_i > fhi:
-                    out["files_skipped"] += 1
-                    continue
+            skip = False
+            for fid, rt, lo_i, hi_i in tests:
+                if fid in lbs and fid in ubs:
+                    flo = _bound_value(lbs[fid], rt)
+                    fhi = _bound_value(ubs[fid], rt)
+                    if hi_i < flo or lo_i > fhi:
+                        skip = True
+                        break
+            if skip:
+                out["files_skipped"] += 1
+                continue
             out["data_files"].append(d["file_path"])
     return out
 

@@ -151,3 +151,47 @@ def sql_lateral_explode_terms(spark: SparkSession, sf_dir: str) -> DataFrame:
         HAVING count(*) >= 3
         """
     )
+
+
+@query(
+    "sql_lateral_column_alias",
+    oracle="""
+    WITH t AS (
+      SELECT o_orderkey, CAST(o_totalprice AS DECIMAL(18,6)) AS p
+      FROM orders WHERE o_orderkey <= 2000
+    )
+    SELECT o_orderkey,
+           CAST(round(p * 0.07, 2) AS DOUBLE) AS tax,
+           CAST(round(round(p * 0.07, 2) + p, 2) AS DOUBLE) AS gross,
+           CAST(round((round(p * 0.07, 2) + p) * 0.99, 2) AS DOUBLE)
+             AS discounted_gross
+    FROM t
+    """,
+    tags=("sql", "scalar"),
+)
+def sql_lateral_column_alias(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Lateral column aliases (Spark 3.4+): a SELECT item referencing
+    a SIBLING alias in the same list (``tax`` feeds ``gross`` feeds
+    ``discounted_gross``) — the ergonomic form that otherwise forces
+    nested subqueries. The oracle expands the chain manually, pinning
+    that Spark's lateral resolution computes exactly the nested
+    expression.
+
+    Scale: resolution is purely analytical — one projection in the
+    physical plan, same as the hand-expanded form."""
+    o = _view(spark, sf_dir, "orders")
+    return spark.sql(
+        f"""
+        SELECT o_orderkey, tax, gross, discounted_gross
+        FROM (
+          SELECT o_orderkey,
+                 CAST(o_totalprice AS DECIMAL(18,6)) AS p,
+                 round(p * 0.07, 2) AS tax_d,
+                 CAST(tax_d AS DOUBLE) AS tax,
+                 round(tax_d + p, 2) AS gross_d,
+                 CAST(gross_d AS DOUBLE) AS gross,
+                 CAST(round(gross_d * 0.99, 2) AS DOUBLE) AS discounted_gross
+          FROM {o} WHERE o_orderkey <= 2000
+        )
+        """
+    )

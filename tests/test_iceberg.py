@@ -417,3 +417,36 @@ def test_equality_delete_strictly_less_scoping(spark, tmp_path):
     root = _eqdel_fixture(tmp_path, rows, deletes=[1, 2], data_seq=2, del_seq=2)
     got = sorted(r["k"] for r in read_iceberg(spark, str(root)).collect())
     assert got == [1, 2]
+
+
+def test_exported_bounds_serve_multidim_box_scan(spark, tmp_path):
+    """hilbert_cluster x export interplay: after clustering on (x, y)
+    the exported per-file bounds are tight on BOTH axes, so an
+    external planner's box scan (preds on x AND y) skips files from
+    the manifests alone — the full clustering-to-interop loop."""
+    from pyspark.sql import functions as F
+
+    from lakehouse_test_spark.plans.iceberg_export import (
+        iceberg_plan_files_stats_pruned,
+    )
+
+    t = LakehouseTable(spark, str(tmp_path / "boxexp"))
+    df = spark.range(4096).select(
+        F.col("id"),
+        (F.col("id") % 64).alias("x"),
+        (F.col("id") / 64).cast("bigint").alias("y"),
+    )
+    t.append(df.repartition(8, "id"), stats_cols=["x", "y"])
+    t.hilbert_cluster(["x", "y"], target_partitions=8)
+    export_iceberg_metadata(spark, t)
+    plan = iceberg_plan_files_stats_pruned(
+        str(t.path), preds={"x": (0, 15), "y": (0, 15)}
+    )
+    assert plan["files_skipped"] > 0, plan
+    # the kept files must cover the box: scan them and count
+    got = (
+        spark.read.parquet(*plan["data_files"])
+        .where("x <= 15 AND y <= 15")
+        .count()
+    )
+    assert got == 16 * 16

@@ -445,3 +445,34 @@ def test_merge_clause_matrix_against_reference_model(spark):
                         raise AssertionError(f"{label}: raised {ex}") from ex
                     got = {(r["k"], r["v"]) for r in t.snapshot().collect()}
                     assert got == want, f"{label}: {got} != {want}"
+
+
+def test_streaming_sink_into_identity_table(spark, sf_dir):
+    """streaming x identity interplay: a foreachBatch lakehouse sink
+    appending micro-batches into an identity table allocates unique,
+    continuous ids across batches."""
+    import shutil
+
+    from lakehouse_test_spark.streaming.jobs import _ckpt, events_stream
+
+    t = _t(spark)
+    t.set_identity("rid")
+
+    def sink(batch_df, _epoch):
+        if batch_df.count():
+            t.append(batch_df.select("event_id", "user_id"), operation="stream")
+
+    ck = _ckpt()
+    q = (
+        events_stream(spark, sf_dir)
+        .writeStream.foreachBatch(sink)
+        .option("checkpointLocation", ck)
+        .option("maxFilesPerTrigger", "1")
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination()
+    shutil.rmtree(ck, ignore_errors=True)
+    n = t.snapshot().count()
+    ids = sorted(r["rid"] for r in t.snapshot().select("rid").collect())
+    assert n > 0 and ids == list(range(1, n + 1))
