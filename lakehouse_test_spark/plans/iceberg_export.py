@@ -2110,12 +2110,18 @@ def lakehouse_iceberg_eq_delete_import(spark: SparkSession, sf_dir: str):
 @query(
     "lakehouse_iceberg_stats_pruning",
     oracle="""
+    WITH f AS (
+      SELECT l_orderkey, l_returnflag, l_extendedprice
+      FROM lineitem WHERE l_orderkey % 4 <> 3
+    ), m AS (
+      SELECT CAST(floor(max(l_orderkey) / 3.0) AS BIGINT) AS cut1 FROM f
+    )
     SELECT l_returnflag,
            count(*) AS n_items,
            CAST(round(sum(CAST(l_extendedprice AS DECIMAL(18,6))), 2) AS DOUBLE)
              AS revenue
-    FROM lineitem
-    WHERE l_orderkey % 4 <> 3 AND l_orderkey <= 1000
+    FROM f, m
+    WHERE f.l_orderkey <= m.cut1
     GROUP BY l_returnflag
     """,
     tags=("lakehouse", "iceberg", "interop", "stats", "lineitem"),
@@ -2146,9 +2152,12 @@ def lakehouse_iceberg_stats_pruning(spark: SparkSession, sf_dir: str):
         .where(F.col("l_orderkey") % 4 != 3)
     )
     t = LakehouseTable(spark, tempfile.mkdtemp(prefix="lh_ice_stats_"))
-    # three commits over disjoint key bands -> disjoint exported bounds
+    # three commits over disjoint key bands -> disjoint exported
+    # bounds; cuts derive from the ACTUAL key range so every band is
+    # non-empty at any SF (an empty band has no stats and is kept
+    # scan-safe, which would under-count the skips asserted below)
     hi = int(li.agg(F.max("l_orderkey")).first()[0])
-    cut1, cut2 = 1000, max(2000, hi // 2)
+    cut1, cut2 = hi // 3, (2 * hi) // 3
     for pred in (
         F.col("l_orderkey") <= cut1,
         (F.col("l_orderkey") > cut1) & (F.col("l_orderkey") <= cut2),
