@@ -243,3 +243,72 @@ def ml_ndcg_at_k(spark: SparkSession, sf_dir: str) -> DataFrame:
         .cast("double")
         .alias("mean_ndcg_at_5"),
     )
+
+
+# --------------------------------------------------------------------------
+# cross-table reconciliation (the migration / replication check)
+# --------------------------------------------------------------------------
+
+
+@query(
+    "dq_cross_table_reconciliation",
+    oracle="""
+    WITH src AS (
+      SELECT CAST(o_orderkey % 8 AS INT) AS bucket,
+             count(*) AS n,
+             CAST(sum(CAST(o_totalprice AS DECIMAL(18,6))) AS DOUBLE) AS s
+      FROM orders GROUP BY 1
+    ), tgt AS (
+      SELECT CAST(o_orderkey % 8 AS INT) AS bucket,
+             count(*) AS n,
+             CAST(sum(CAST(o_totalprice AS DECIMAL(18,6))) AS DOUBLE) AS s
+      FROM orders WHERE NOT (o_orderkey % 97 = 0 AND o_orderkey % 2 = 0)
+      GROUP BY 1
+    )
+    SELECT src.bucket,
+           src.n AS src_rows, tgt.n AS tgt_rows,
+           src.n - tgt.n AS missing_rows,
+           CAST(round(src.s - tgt.s, 2) AS DOUBLE) AS value_drift,
+           (src.n = tgt.n) AS reconciled
+    FROM src JOIN tgt ON src.bucket = tgt.bucket
+    """,
+    tags=("dq", "reconciliation", "orders"),
+)
+def dq_cross_table_reconciliation(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Source-vs-target reconciliation by hash bucket — count and
+    decimal-exact value sums per bucket, with the drift localized to
+    the buckets that lost rows. THE check after any 100 TB migration,
+    replication, or format conversion: full-table equality is one
+    shuffle each side at bucket granularity (here 8; thousands in
+    production), and a mismatch points at 1/N of the data instead of
+    'somewhere'. The gate's target deliberately drops a slice, so the
+    query must localize the loss to exactly the right buckets.
+    """
+    o = T(spark, sf_dir, "orders")
+    tgt_rows = o.where(~((F.col("o_orderkey") % 97 == 0) & (F.col("o_orderkey") % 2 == 0)))
+
+    def _sums(df: DataFrame):
+        return df.groupBy(
+            (F.col("o_orderkey") % 8).cast("int").alias("bucket")
+        ).agg(
+            F.count(F.lit(1)).alias("n"),
+            F.sum(F.col("o_totalprice").cast("decimal(18,6)"))
+            .cast("double")
+            .alias("s"),
+        )
+
+    src, tgt = _sums(o), _sums(tgt_rows)
+    return (
+        src.alias("src")
+        .join(tgt.alias("tgt"), "bucket")
+        .select(
+            "bucket",
+            F.col("src.n").alias("src_rows"),
+            F.col("tgt.n").alias("tgt_rows"),
+            (F.col("src.n") - F.col("tgt.n")).alias("missing_rows"),
+            F.round(F.col("src.s") - F.col("tgt.s"), 2)
+            .cast("double")
+            .alias("value_drift"),
+            (F.col("src.n") == F.col("tgt.n")).alias("reconciled"),
+        )
+    )

@@ -476,3 +476,35 @@ def test_streaming_sink_into_identity_table(spark, sf_dir):
     n = t.snapshot().count()
     ids = sorted(r["rid"] for r in t.snapshot().select("rid").collect())
     assert n > 0 and ids == list(range(1, n + 1))
+
+
+def test_threaded_append_with_retry_loses_nothing(spark):
+    """Optimistic-concurrency smoke under REAL thread interleaving:
+    4 writers x 5 appends race on the commit log via
+    append_with_retry; every row must land exactly once and the log
+    must be a gap-free version chain."""
+    import threading
+
+    t = _t(spark)
+    errs = []
+
+    def writer(wid: int):
+        try:
+            for i in range(5):
+                df = spark.createDataFrame(
+                    [(wid * 100 + i, wid)], "k int, writer int"
+                )
+                t.append_with_retry(df, retries=30)
+        except Exception as ex:  # pragma: no cover
+            errs.append(ex)
+
+    threads = [threading.Thread(target=writer, args=(w,)) for w in range(4)]
+    for th in threads:
+        th.start()
+    for th in threads:
+        th.join()
+    assert not errs, errs
+    assert t.latest_version() == 19  # 20 commits, gap-free
+    rows = t.snapshot().collect()
+    assert len(rows) == 20
+    assert len({r["k"] for r in rows}) == 20  # exactly once each
