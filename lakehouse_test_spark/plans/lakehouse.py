@@ -1745,25 +1745,64 @@ class LakehouseTable:
 
         from lakehouse_test_spark.operators.ordering import block_row_number
 
-        ident = self.identity_columns()
-        if not ident:
+        if not self.identity_columns():
             return df
-        meta = self._read_meta()
-        for name, spec in ident.items():
-            if name in df.columns:
-                raise ConstraintViolationError(
-                    f"identity column {name!r} is GENERATED ALWAYS — "
-                    "writers must not supply it"
-                )
-            df, n = block_row_number(df, "__id_k")
-            base = spec["start"] + spec["step"] * spec["allocated"]
-            df = df.withColumn(
-                name, (F.lit(base) + F.lit(spec["step"]) * (F.col("__id_k") - 1))
-                .cast("bigint")
-            ).drop("__id_k")
-            meta["identity"][name]["allocated"] = spec["allocated"] + n
-        self._write_meta(meta)
+        # the high-water bump is a read-modify-write of shared
+        # metadata: two concurrent appends reading the same mark
+        # would mint OVERLAPPING id ranges (the commit-version race
+        # is detected later, but ids are allocated before it) — so
+        # allocation itself serializes on a file mutex, the same way
+        # Delta serializes identity on its txn high-water action
+        with self._meta_mutex():
+            meta = self._read_meta()
+            ident = meta.get("identity", {})
+            for name, spec in ident.items():
+                if name in df.columns:
+                    raise ConstraintViolationError(
+                        f"identity column {name!r} is GENERATED ALWAYS — "
+                        "writers must not supply it"
+                    )
+                df, n = block_row_number(df, "__id_k")
+                base = spec["start"] + spec["step"] * spec["allocated"]
+                df = df.withColumn(
+                    name, (F.lit(base) + F.lit(spec["step"]) * (F.col("__id_k") - 1))
+                    .cast("bigint")
+                ).drop("__id_k")
+                meta["identity"][name]["allocated"] = spec["allocated"] + n
+            self._write_meta(meta)
         return df
+
+    def _meta_mutex(self, timeout: float = 30.0):
+        """Cross-process mutex for read-modify-write metadata updates
+        (O_CREAT|O_EXCL lock file + retry). Held only for driver-side
+        metadata arithmetic plus the P-row offsets job — never across
+        a data write."""
+        import contextlib
+        import time as _time
+
+        lock = self.path / ".meta.lock"
+
+        @contextlib.contextmanager
+        def _held():
+            deadline = _time.monotonic() + timeout
+            while True:
+                try:
+                    fd = os.open(str(lock), os.O_CREAT | os.O_EXCL | os.O_WRONLY)
+                    os.close(fd)
+                    break
+                except FileExistsError:
+                    if _time.monotonic() > deadline:
+                        raise TimeoutError(
+                            f"metadata lock {lock} held too long"
+                        ) from None
+                    _time.sleep(0.01)
+            try:
+                yield
+            finally:
+                with contextlib.suppress(FileNotFoundError):
+                    os.unlink(str(lock))
+
+        return _held()
 
     def constraints(self) -> dict[str, str]:
         return dict(self._read_meta().get("constraints", {}))

@@ -508,3 +508,34 @@ def test_threaded_append_with_retry_loses_nothing(spark):
     rows = t.snapshot().collect()
     assert len(rows) == 20
     assert len({r["k"] for r in rows}) == 20  # exactly once each
+
+
+def test_threaded_identity_appends_never_collide(spark):
+    """identity x concurrency: allocation serializes on the metadata
+    mutex, so racing writers mint disjoint id ranges even though the
+    ids are assigned BEFORE the commit-version race is resolved."""
+    import threading
+
+    t = _t(spark)
+    t.set_identity("rid")
+    errs = []
+
+    def writer(wid: int):
+        try:
+            for i in range(3):
+                df = spark.createDataFrame([(wid * 10 + i,)], "k int")
+                t.append_with_retry(df, retries=30)
+        except Exception as ex:  # pragma: no cover
+            errs.append(ex)
+
+    threads = [threading.Thread(target=writer, args=(w,)) for w in range(4)]
+    for th in threads:
+        th.start()
+    for th in threads:
+        th.join()
+    assert not errs, errs
+    ids = sorted(r["rid"] for r in t.snapshot().collect())
+    # uniqueness is the identity contract; density is NOT — a commit
+    # race loser retries the whole append and its first allocation
+    # block is burned (gaps on retry, same as Delta identity)
+    assert len(ids) == 12 and len(set(ids)) == 12, ids
