@@ -312,3 +312,53 @@ def dq_cross_table_reconciliation(spark: SparkSession, sf_dir: str) -> DataFrame
             (F.col("src.n") == F.col("tgt.n")).alias("reconciled"),
         )
     )
+
+
+# --------------------------------------------------------------------------
+# M4 time-series downsampling
+# --------------------------------------------------------------------------
+
+
+@query(
+    "timeseries_m4_downsample",
+    oracle="""
+    WITH e AS (
+      SELECT user_id, date_trunc('second', ts) AS ts, value
+      FROM events WHERE user_id <= 20
+    )
+    SELECT user_id,
+           CAST(date_trunc('day', ts) AS DATE) AS bucket,
+           min_by(value, ts) AS v_first,
+           max_by(value, ts) AS v_last,
+           min(value) AS v_min,
+           max(value) AS v_max,
+           count(*) AS n_points
+    FROM e GROUP BY 1, 2
+    """,
+    tags=("timeseries", "downsample", "events"),
+)
+def timeseries_m4_downsample(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """M4 downsampling (first/last/min/max per time bucket) — the
+    error-free line-chart downsampling operator (Jugel et al., VLDB
+    2014): those four points per pixel-bucket reproduce the exact
+    rendered line at any zoom, collapsing millions of points to
+    4×buckets.
+
+    Scale: ONE hash aggregate with min_by/max_by — no window, no
+    sort, map-side partials; this is the shape that lets a 100 TB
+    series downsample in a single shuffle of 4-value partials.
+    min_by/max_by tie-break identically in Spark and DuckDB here
+    because event timestamps are unique per user in the fixture.
+    """
+    e = T(spark, sf_dir, "events").where(F.col("user_id") <= 20)
+    ts = F.date_trunc("second", F.col("ts").cast("timestamp"))
+    e = e.select("user_id", ts.alias("ts"), "value")
+    return e.groupBy(
+        "user_id", F.to_date(F.date_trunc("day", "ts")).alias("bucket")
+    ).agg(
+        F.min_by("value", "ts").alias("v_first"),
+        F.max_by("value", "ts").alias("v_last"),
+        F.min("value").alias("v_min"),
+        F.max("value").alias("v_max"),
+        F.count(F.lit(1)).alias("n_points"),
+    )
