@@ -539,3 +539,17 @@ def test_threaded_identity_appends_never_collide(spark):
     # race loser retries the whole append and its first allocation
     # block is burned (gaps on retry, same as Delta identity)
     assert len(ids) == 12 and len(set(ids)) == 12, ids
+
+
+def test_merge_evolution_type_conflict_is_loud(spark):
+    """autoMerge adds NEW columns; it does NOT silently widen or cast
+    a same-name column whose type conflicts (Delta requires the
+    typeWidening feature for that). The failure must be loud, never a
+    silent coercion."""
+    t = _t(spark)
+    t.append(spark.createDataFrame([(1, 10)], "k int, v int"))
+    src = spark.createDataFrame([(1, "not-an-int")], "k int, v string")
+    with pytest.raises(Exception):
+        t.merge(src, key_cols=["k"], schema_evolution=True)
+    # table unchanged after the failed merge
+    assert [(r["k"], r["v"]) for r in t.snapshot().collect()] == [(1, 10)]
