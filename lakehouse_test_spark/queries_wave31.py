@@ -523,3 +523,51 @@ def lakehouse_cluster_incremental(spark: SparkSession, sf_dir: str) -> DataFrame
         )
         .localCheckpoint()
     )
+
+
+# --------------------------------------------------------------------------
+# TIMESTAMP AS OF time travel under the value gate
+# --------------------------------------------------------------------------
+
+
+@query(
+    "lakehouse_timestamp_time_travel",
+    oracle="""
+    SELECT n_nationkey, n_name FROM nation WHERE n_regionkey <> 0
+    """,
+    tags=("lakehouse", "time-travel"),
+)
+def lakehouse_timestamp_time_travel(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TIMESTAMP AS OF resolution (Delta/Iceberg both offer it):
+    ``version_at_timestamp`` maps a wall-clock instant to the newest
+    commit at-or-before it; reading at the FIRST commit's own
+    timestamp must surface exactly the first batch, reading at the
+    head timestamp the merged state, and an instant before history
+    must refuse. Wall clocks are nondeterministic, so the gate
+    travels to timestamps TAKEN FROM the commit log itself — the
+    resolved contents are deterministic and hash-checked.
+    """
+    from lakehouse_test_spark.plans.lakehouse import LakehouseTable
+
+    n = T(spark, sf_dir, "nation").select("n_nationkey", "n_name", "n_regionkey")
+    t = LakehouseTable(spark, tempfile.mkdtemp(prefix="lh_ts_travel_"))
+    t.append(n.where(F.col("n_regionkey") != 0).select("n_nationkey", "n_name"))
+    t.append(n.where(F.col("n_regionkey") == 0).select("n_nationkey", "n_name"))
+    hist = t.history()
+    ts0, ts1 = hist[0].ts, hist[1].ts
+    v_head = t.version_at_timestamp(ts1)
+    if v_head != 1:
+        raise AssertionError(f"head timestamp resolved to v{v_head}")
+    try:
+        t.version_at_timestamp(ts0 - 3600)
+    except ValueError:
+        pass
+    else:
+        raise AssertionError("pre-history timestamp must refuse")
+    if ts1 > ts0:  # commits share a clock reading only in theory;
+        # assert resolution only when the instants are distinct so
+        # the gate can never flake on clock granularity
+        v0 = t.version_at_timestamp(ts0)
+        if v0 != 0:
+            raise AssertionError(f"first-commit timestamp resolved to v{v0}")
+    return t.snapshot(version=0).localCheckpoint()
