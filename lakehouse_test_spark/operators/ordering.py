@@ -118,6 +118,69 @@ def block_row_number(df: DataFrame, out_col: str) -> tuple[DataFrame, int]:
     return out, acc
 
 
+def global_cumsum(
+    df: DataFrame,
+    keys: Sequence[str | Column],
+    val_cols: str | Sequence[str],
+    out_cols: str | Sequence[str],
+    num_partitions: int | None = None,
+) -> DataFrame:
+    """Exact INCLUSIVE running sum(s) of ``val_cols`` over the total
+    order ``keys`` — ``sum(val) OVER (ORDER BY *keys ROWS UNBOUNDED
+    PRECEDING)`` without the Exchange SinglePartition that the bare
+    global window plans. Several value columns share ONE range
+    shuffle (pass lists).
+
+    Same contract as :func:`global_row_number`: ``keys`` must be a
+    total order (include a unique tiebreaker). Shape: one range
+    shuffle on the keys, a TINY per-partition sum (P rows, collected)
+    whose running total in partition-id order gives each partition's
+    exclusive OFFSET, then a pid-partitioned window (every partition
+    advances in parallel) adds offset + within-partition cumsum.
+    """
+    vals = [val_cols] if isinstance(val_cols, str) else list(val_cols)
+    outs = [out_cols] if isinstance(out_cols, str) else list(out_cols)
+    assert len(vals) == len(outs)
+    part = (
+        df.repartitionByRange(num_partitions, *keys)
+        if num_partitions
+        else df.repartitionByRange(*keys)
+    ).sortWithinPartitions(*keys)
+    tagged = part.withColumn(_PID, F.spark_partition_id())
+    psum = tagged.groupBy(_PID).agg(
+        *[F.sum(v).alias(f"__s{i}") for i, v in enumerate(vals)]
+    )
+    per = psum.collect()
+    per.sort(key=lambda r: r[_PID])
+    offsets, acc = [], [None] * len(vals)
+    for r in per:
+        offsets.append((r[_PID], *acc))
+        acc = [
+            r[f"__s{i}"] if a is None else a + r[f"__s{i}"]
+            for i, a in enumerate(acc)
+        ]
+    spark = df.sparkSession
+    # offset dtypes follow the sum dtypes (decimal sums stay exact)
+    dts = dict(psum.dtypes)
+    off_schema = f"{_PID} INT, " + ", ".join(
+        f"{_OFF}{i} {dts[f'__s{i}']}" for i in range(len(vals))
+    )
+    off_df = spark.createDataFrame(offsets, off_schema)
+    from pyspark.sql import Window as _W
+
+    w = (
+        _W.partitionBy(_PID)
+        .orderBy(*keys)
+        .rowsBetween(_W.unboundedPreceding, 0)
+    )
+    out = tagged.join(F.broadcast(off_df), _PID)
+    for i, (v, o) in enumerate(zip(vals, outs)):
+        out = out.withColumn(
+            o, F.coalesce(F.col(f"{_OFF}{i}"), F.lit(0)) + F.sum(v).over(w)
+        )
+    return out.drop(_PID, *[f"{_OFF}{i}" for i in range(len(vals))])
+
+
 def ntile_from_rank(rank: Column, total: Column, n: int) -> Column:
     """Closed-form ``ntile(n)`` bucket for a known exact global
     ``rank`` (1-based) out of ``total`` rows — lets a hierarchical

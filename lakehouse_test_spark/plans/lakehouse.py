@@ -151,22 +151,37 @@ class LakehouseTable:
     def _commit_path(self, version: int) -> Path:
         return self.log_dir / f"{version:020d}.json"
 
+    def _put_if_absent(self, tmp, target) -> bool:
+        """True atomic put-if-absent for commit files. ``os.rename``
+        silently REPLACES an existing target on POSIX, so an
+        exists()-then-rename pair lets two racing writers both pass
+        the check and the later rename clobber the earlier commit —
+        the exact lost-update the commit protocol exists to prevent.
+        ``os.link`` raises FileExistsError atomically in the kernel;
+        the tmp file is always removed. Returns True iff we won."""
+        try:
+            os.link(tmp, target)
+        except FileExistsError:
+            return False
+        finally:
+            tmp.unlink(missing_ok=True)
+        return True
+
     def _publish(self, commit: "Commit") -> "Commit":
-        """Atomically publish ``commit`` at its version (tmp + rename).
-        If the version is already taken, classify the race: the caller
-        computed a full-state rewrite against a base that moved, so
-        rebasing is unsafe — raise :class:`ConcurrentModificationError`
-        naming the intervening commits (the Delta conflict matrix's
-        "recompute and retry" outcome). Append rebasing lives in
-        :meth:`append_with_retry`; partial-compaction rebasing in
-        :meth:`compact_files` (disjoint-files rule)."""
+        """Atomically publish ``commit`` at its version (tmp +
+        link-if-absent). If the version is already taken, classify the
+        race: the caller computed a full-state rewrite against a base
+        that moved, so rebasing is unsafe — raise
+        :class:`ConcurrentModificationError` naming the intervening
+        commits (the Delta conflict matrix's "recompute and retry"
+        outcome). Append rebasing lives in :meth:`append_with_retry`;
+        partial-compaction rebasing in :meth:`compact_files`
+        (disjoint-files rule)."""
         if self._pre_publish_hook is not None:
             self._pre_publish_hook()
         tmp = self.log_dir / f".tmp-{uuid.uuid4().hex}"
         tmp.write_text(json.dumps(commit.__dict__))
-        target = self._commit_path(commit.version)
-        if target.exists():
-            tmp.unlink()
+        if not self._put_if_absent(tmp, self._commit_path(commit.version)):
             inter = [
                 (c.version, c.operation)
                 for c in self.history()
@@ -177,7 +192,6 @@ class LakehouseTable:
                 f"{commit.version - 1} but concurrent commit(s) {inter} "
                 "landed; re-read the snapshot and retry"
             )
-        os.rename(tmp, target)
         return commit
 
     def history(self) -> list[Commit]:
@@ -248,11 +262,8 @@ class LakehouseTable:
         )
         tmp = self.log_dir / f".tmp-{uuid.uuid4().hex}"
         tmp.write_text(json.dumps(commit.__dict__))
-        target = self._commit_path(version)
-        if target.exists():  # lost the race — no concurrent writers expected here
-            tmp.unlink()
+        if not self._put_if_absent(tmp, self._commit_path(version)):
             raise RuntimeError(f"concurrent commit at version {version}")
-        os.rename(tmp, target)
         return commit
 
     def convert_from_parquet(
@@ -691,11 +702,8 @@ class LakehouseTable:
                 commit.version = head + 1  # rebase: disjoint-files rule
             tmp = self.log_dir / f".tmp-{uuid.uuid4().hex}"
             tmp.write_text(json.dumps(commit.__dict__))
-            target = self._commit_path(commit.version)
-            if target.exists():
-                tmp.unlink()
+            if not self._put_if_absent(tmp, self._commit_path(commit.version)):
                 continue  # lost another race — reclassify against the new head
-            os.rename(tmp, target)
             return commit
 
     def restore(self, version: int | None = None, timestamp: float | None = None) -> Commit:
@@ -1271,10 +1279,8 @@ class LakehouseTable:
         tmp = self.log_dir / f".tmp-{uuid.uuid4().hex}"
         tmp.write_text(json.dumps(commit.__dict__))
         target = self._branch_dir(name) / f"{version:020d}.json"
-        if target.exists():
-            tmp.unlink()
+        if not self._put_if_absent(tmp, target):
             raise RuntimeError(f"concurrent branch commit at version {version}")
-        os.rename(tmp, target)
         return commit
 
     def snapshot_branch(self, name: str) -> DataFrame:
@@ -1330,22 +1336,40 @@ class LakehouseTable:
         head = self.latest_version()
         commits = sorted(self._branch_dir(name).glob("*.json"))
         if head == fork:
+            # fast-forward: link (atomic put-if-absent — a concurrent
+            # main writer landing the same version must not be
+            # clobbered), then unlink the branch copy only once the
+            # main commit is durable. Crash between the two leaves the
+            # commit in both places; the rmtree below is the cleanup.
             for p in commits:
-                os.rename(p, self._commit_path(int(p.stem)))
+                try:
+                    os.link(p, self._commit_path(int(p.stem)))
+                except FileExistsError:
+                    raise ConcurrentModificationError(
+                        f"merge_branch {name!r}: main advanced past the "
+                        f"fork point mid-merge at version {p.stem}; retry"
+                    ) from None
+                p.unlink()
         else:
             # rebase: replay each branch commit at head+1… — contents
-            # unchanged (pure appends), only the version renumbers
+            # unchanged (pure appends), only the version renumbers.
+            # Each rebased commit is written tmp + link-if-absent (a
+            # bare write_text could leave torn JSON on crash, breaking
+            # every later history() parse), and the branch copy is
+            # unlinked only after its main commit is durable — a crash
+            # mid-merge never loses a commit, it at worst leaves the
+            # branch ref for a retry.
             for p in commits:
                 d = json.loads(p.read_text())
                 head += 1
                 d["version"] = head
-                target = self._commit_path(head)
-                if target.exists():
+                tmp = self.log_dir / f".tmp-{uuid.uuid4().hex}"
+                tmp.write_text(json.dumps(d))
+                if not self._put_if_absent(tmp, self._commit_path(head)):
                     raise ConcurrentModificationError(
                         f"merge_branch {name!r}: version {head} appeared "
                         "mid-rebase; retry"
                     )
-                target.write_text(json.dumps(d))
                 p.unlink()
         shutil.rmtree(self._branch_dir(name), ignore_errors=True)
         meta = self._read_meta()
@@ -1776,11 +1800,45 @@ class LakehouseTable:
         """Cross-process mutex for read-modify-write metadata updates
         (O_CREAT|O_EXCL lock file + retry). Held only for driver-side
         metadata arithmetic plus the P-row offsets job — never across
-        a data write."""
+        a data write.
+
+        Stale-lock recovery: the lock file is stamped with the holder
+        pid. A lock whose holder is dead (or unreadable and older than
+        the timeout) is broken instead of spinning to TimeoutError —
+        a crashed writer must not wedge every future identity append.
+        Breaking goes through rename-to-unique-then-unlink so two
+        waiters can't both break and then double-acquire."""
         import contextlib
         import time as _time
 
         lock = self.path / ".meta.lock"
+
+        def _holder_dead() -> bool:
+            try:
+                pid = int(lock.read_text().strip() or "0")
+            except (OSError, ValueError):
+                # torn/empty stamp: only age can judge it
+                try:
+                    return _time.time() - lock.stat().st_mtime > timeout
+                except OSError:
+                    return False  # vanished — normal release
+            if pid <= 0:
+                return False
+            try:
+                os.kill(pid, 0)  # signal 0: existence probe only
+                return False
+            except ProcessLookupError:
+                return True
+            except PermissionError:
+                return False  # alive, other uid
+
+        def _break_stale() -> None:
+            # claim-then-unlink: the rename succeeds for exactly one
+            # waiter; the loser's rename raises and it just re-spins
+            claim = self.path / f".meta.lock.stale-{uuid.uuid4().hex}"
+            with contextlib.suppress(FileNotFoundError):
+                os.rename(str(lock), str(claim))
+                os.unlink(str(claim))
 
         @contextlib.contextmanager
         def _held():
@@ -1788,9 +1846,15 @@ class LakehouseTable:
             while True:
                 try:
                     fd = os.open(str(lock), os.O_CREAT | os.O_EXCL | os.O_WRONLY)
-                    os.close(fd)
+                    try:
+                        os.write(fd, str(os.getpid()).encode())
+                    finally:
+                        os.close(fd)
                     break
                 except FileExistsError:
+                    if _holder_dead():
+                        _break_stale()
+                        continue
                     if _time.monotonic() > deadline:
                         raise TimeoutError(
                             f"metadata lock {lock} held too long"
@@ -2246,24 +2310,38 @@ class LakehouseTable:
 
         all_files: list[str] = []
         kept: list[str] = []
-        for c in self._live_commits():
-            for f in c.files:
-                all_files.append(f)
-                bl = (c.stats or {}).get(f, {}).get(f"__bloom__:{col}")
-                if bl is None:
-                    kept.append(f)
-                    continue
-                bits = base64.b64decode(bl["b64"])
-                hit = all(
-                    bits[p // 8] & (1 << (p % 8))
-                    for p in self._bloom_positions_py(value, bl["m"], bl["k"])
-                )
-                if hit:
-                    kept.append(f)
+        # rename-chain vintages: a file written before rename_column
+        # carries its bloom under the OLD physical name — probe every
+        # vintage key, exactly like scan_pruned's zone-map lookup.
+        keys = [f"__bloom__:{k}" for k in self._stat_keys(col)]
+        # _live_files (not raw commit.files): compaction / clustering
+        # rewrites record removed_files; scanning both the superseded
+        # file and its rewrite would return duplicate rows.
+        for c, f in self._live_files():
+            all_files.append(f)
+            fstats = (c.stats or {}).get(f, {})
+            bl = next((fstats[k] for k in keys if k in fstats), None)
+            if bl is None:
+                kept.append(f)
+                continue
+            bits = base64.b64decode(bl["b64"])
+            hit = all(
+                bits[p // 8] & (1 << (p % 8))
+                for p in self._bloom_positions_py(value, bl["m"], bl["k"])
+            )
+            if hit:
+                kept.append(f)
         if not kept:
             return self.snapshot().limit(0), 0, len(all_files)
-        df = self._apply_dvs(
-            self.spark.read.parquet(*[str(self.path / f) for f in kept])
+        # mergeSchema + renames: pre-rename files carry the old
+        # physical column name; the residual equality predicate must
+        # see the coalesced logical column (same as scan_pruned).
+        df = self._apply_renames(
+            self._apply_dvs(
+                self.spark.read.option("mergeSchema", "true").parquet(
+                    *[str(self.path / f) for f in kept]
+                )
+            )
         ).where(F_col(col) == value)
         return df, len(kept), len(all_files)
 
@@ -2445,7 +2523,7 @@ def maintain_join(
 @_query(
     "lakehouse_bloom_pointlookup",
     oracle="""
-    SELECT o_orderkey, o_custkey,
+    SELECT o_orderkey AS order_id, o_custkey,
            CAST(round(o_totalprice, 2) AS DOUBLE) AS o_totalprice
     FROM orders WHERE o_orderkey IN (77, 7777)
     """,
@@ -2454,8 +2532,12 @@ def maintain_join(
 def lakehouse_bloom_pointlookup(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Needle-in-haystack id probes through bloom file skipping:
     ingest orders into a lakehouse table in 4 disjoint commits with
-    per-file blooms on o_orderkey, then point-look-up two keys —
-    files whose bloom proves the key absent are never opened.
+    per-file blooms on o_orderkey, RENAME the key column mid-history
+    (column mapping: physical names stay stable, so two bloom-key
+    vintages coexist), partially COMPACT one bin (RemoveFile
+    semantics — the superseded files must not be double-scanned),
+    then point-look-up two keys by the NEW logical name — files whose
+    bloom proves the key absent are never opened.
 
     The membership complement to zone-map range pruning: at 100 TB a
     point probe touches O(1) files instead of O(table). Results are
@@ -2469,17 +2551,31 @@ def lakehouse_bloom_pointlookup(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     o = _lt(spark, sf_dir, "orders").select("o_orderkey", "o_custkey", "o_totalprice")
     t = LakehouseTable(spark, tempfile.mkdtemp(prefix="lh_bloom_"))
-    for shard in range(4):
+    for shard in range(2):
         t.append(
             o.where(F.col("o_orderkey") % 4 == shard).repartition(2),
             bloom_cols=["o_orderkey"],
         )
+    # rename mid-history: pre-rename files keep blooms under
+    # __bloom__:o_orderkey, post-rename appends record them under the
+    # new logical name — scan_point must probe BOTH vintages
+    t.rename_column("o_orderkey", "order_id")
+    renamed = o.withColumnRenamed("o_orderkey", "order_id")
+    for shard in range(2, 4):
+        t.append(
+            renamed.where(F.col("order_id") % 4 == shard).repartition(2),
+            bloom_cols=["order_id"],
+        )
+    # partial compaction supersedes shard-0's files; scanning both the
+    # rewrite and its sources would return duplicate rows
+    first_bin = list(t.history()[0].files)
+    t.compact_files(first_bin)
     parts = []
     for key in (77, 7777):
-        df, _, _ = t.scan_point("o_orderkey", key)
+        df, _, _ = t.scan_point("order_id", key)
         parts.append(df)
     out = parts[0].unionByName(parts[1]).select(
-        "o_orderkey", "o_custkey", F.round("o_totalprice", 2).alias("o_totalprice")
+        "order_id", "o_custkey", F.round("o_totalprice", 2).alias("o_totalprice")
     )
     return out.localCheckpoint()
 

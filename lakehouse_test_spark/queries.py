@@ -45,6 +45,7 @@ import lakehouse_test_spark.queries_wave30  # noqa: F401
 import lakehouse_test_spark.queries_wave31  # noqa: F401
 import lakehouse_test_spark.queries_wave32  # noqa: F401
 import lakehouse_test_spark.queries_wave33  # noqa: F401
+import lakehouse_test_spark.queries_wave34  # noqa: F401
 import lakehouse_test_spark.sources.python_datasource  # noqa: F401
 import lakehouse_test_spark.queries_dq  # noqa: F401
 

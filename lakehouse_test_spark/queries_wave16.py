@@ -146,19 +146,22 @@ def parts_abc_classification(spark: SparkSession, sf_dir: str) -> DataFrame:
     this is the single-metric cumulative cut).
 
     Determinism: exact decimal revenue, cumulative sum over a total
-    order (revenue DESC, partkey). Scale: the window runs on the
-    PART grain (bounded), not lineitem; at extreme catalog sizes use
-    the hierarchical-cumsum pattern from agg_weighted_median.
+    order (revenue DESC, partkey). Scale: the part grain GROWS with
+    the catalog, so the cumulative sum is the HIERARCHICAL
+    global_cumsum (range shuffle + per-partition offsets — no
+    Exchange SinglePartition), bit-identical to the global window
+    it replaces.
     """
+    from lakehouse_test_spark.operators.ordering import global_cumsum
+
     li = T(spark, sf_dir, "lineitem")
     rev = li.groupBy("l_partkey").agg(
         F.sum(F.col("l_extendedprice").cast("decimal(18,6)")).alias("revenue")
     )
     tot = rev.agg(F.sum("revenue").cast("double").alias("total"))
-    w = Window.orderBy(F.desc("revenue"), "l_partkey").rowsBetween(
-        Window.unboundedPreceding, 0
-    )
-    ranked = rev.withColumn("cum_rev", F.sum("revenue").over(w).cast("double"))
+    ranked = global_cumsum(
+        rev, [F.desc("revenue"), "l_partkey"], "revenue", "cum_rev"
+    ).withColumn("cum_rev", F.col("cum_rev").cast("double"))
     share = F.col("cum_rev") / F.col("total")
     return ranked.join(F.broadcast(tot)).select(
         "l_partkey",

@@ -153,24 +153,25 @@ def stats_ks_test(spark: SparkSession, sf_dir: str) -> DataFrame:
     sorted domain, D = max |ECDF_F − ECDF_O|. Integer counts divided
     as doubles — bit-identical in both engines.
 
-    Scale: the grouped domain is |distinct values|, not rows, and the
-    single global cumulative window is the textbook candidate for the
-    hierarchical two-level cumsum rewrite (see agg_weighted_median in
-    SCALE.md) — or a fixed-grid binned KS — once the domain itself is
-    huge; at the gate scale the exact form is the right baseline.
+    Scale: the grouped domain is |distinct values| — which GROWS with
+    the data — so both ECDFs run through the HIERARCHICAL
+    global_cumsum (one shared range shuffle + per-partition offsets,
+    no Exchange SinglePartition), bit-identical to the global window
+    it replaces; the totals come from a broadcast 1-row aggregate,
+    not a whole-frame window.
     """
+    from lakehouse_test_spark.operators.ordering import global_cumsum
+
     o = T(spark, sf_dir, "orders").where(F.col("o_orderstatus").isin("F", "O"))
     pts = o.groupBy(F.col("o_totalprice").alias("v")).agg(
         F.count_if(F.col("o_orderstatus") == "F").alias("c_f"),
         F.count_if(F.col("o_orderstatus") == "O").alias("c_o"),
+    ).localCheckpoint()
+    tot = pts.agg(
+        F.sum("c_f").alias("n_f"), F.sum("c_o").alias("n_o")
     )
-    w = Window.orderBy("v").rowsBetween(Window.unboundedPreceding, Window.currentRow)
-    wall = Window.partitionBy()
-    cum = pts.select(
-        F.sum("c_f").over(w).alias("cum_f"),
-        F.sum("c_o").over(w).alias("cum_o"),
-        F.sum("c_f").over(wall).alias("n_f"),
-        F.sum("c_o").over(wall).alias("n_o"),
+    cum = global_cumsum(pts, ["v"], ["c_f", "c_o"], ["cum_f", "cum_o"]).join(
+        F.broadcast(tot)
     )
     return cum.agg(
         F.max("n_f").cast("bigint").alias("n_f"),

@@ -1035,35 +1035,46 @@ def customer_rfm_segments(spark: SparkSession, sf_dir: str) -> DataFrame:
     into the 4×4×4 segment grid with customer counts and revenue —
     the marketing-analytics workhorse.
 
-    Scale: one aggregate to customer grain, three global ntiles over
-    the |customers|-sized result (single-partition windows are the
-    textbook ntile cost — at true scale swap for percent_rank over a
-    range-partitioned sort or approx quantile cuts; the 64-cell
-    rollup is free either way).
+    Scale: one aggregate to customer grain, then three HIERARCHICAL
+    ntiles — each quartile is `ntile_from_rank(global_row_number(…))`
+    (range shuffle + per-partition offsets + a closed-form bucket
+    formula), bit-identical to `ntile(4) OVER (ORDER BY …)` with no
+    Exchange SinglePartition anywhere. The customer grain GROWS with
+    the data (1.5 M rows at sf10), so the global-window form this
+    replaces was the textbook 100 TB scale-killer; the 64-cell
+    rollup is free either way.
     """
+    from lakehouse_test_spark.operators.ordering import (
+        global_row_number,
+        ntile_from_rank,
+    )
+
     o = T(spark, sf_dir, "orders")
     rfm = o.groupBy("o_custkey").agg(
         F.max("o_orderdate").alias("last_order"),
         F.count(F.lit(1)).alias("frequency"),
         F.sum(F.col("o_totalprice").cast("decimal(18,6)")).alias("monetary"),
     )
-    scored = rfm.select(
+    # monetary is pre-rounded HERE so the m-dimension ranks by the
+    # exact value the oracle sorts on (round(monetary, 2)); checkpoint
+    # because the grain is re-ranked three times + counted once.
+    cust = rfm.select(
         "o_custkey",
+        "last_order",
         "frequency",
         F.round(F.col("monetary").cast("double"), 2).alias("monetary"),
-        F.ntile(4).over(Window.orderBy("last_order", "o_custkey")).alias("r_score"),
-        F.ntile(4).over(Window.orderBy("frequency", "o_custkey")).alias("f_score"),
-        # Order by the ROUNDED expression explicitly: inside a single
-        # select, F.col("monetary") would resolve to rfm's raw DECIMAL
-        # sum (alias not yet visible), diverging from the oracle's
-        # round(monetary, 2) sort near quartile boundaries.
-        F.ntile(4)
-        .over(
-            Window.orderBy(
-                F.round(F.col("monetary").cast("double"), 2), "o_custkey"
-            )
-        )
-        .alias("m_score"),
+    ).localCheckpoint()
+    total = F.lit(cust.count())
+    d = global_row_number(cust, ["last_order", "o_custkey"], "__r_rk")
+    d = global_row_number(d, ["frequency", "o_custkey"], "__f_rk")
+    d = global_row_number(d, ["monetary", "o_custkey"], "__m_rk")
+    scored = d.select(
+        "o_custkey",
+        "frequency",
+        "monetary",
+        ntile_from_rank(F.col("__r_rk"), total, 4).cast("int").alias("r_score"),
+        ntile_from_rank(F.col("__f_rk"), total, 4).cast("int").alias("f_score"),
+        ntile_from_rank(F.col("__m_rk"), total, 4).cast("int").alias("m_score"),
     )
     return scored.groupBy("r_score", "f_score", "m_score").agg(
         F.count(F.lit(1)).alias("n_customers"),

@@ -746,10 +746,14 @@ def classifier_auc_rank(spark: SparkSession, sf_dir: str) -> DataFrame:
     Parity: scores rounded to 6dp before ranking; remaining ties
     break by doc_id in both engines, making ranks identical (the
     rank-sum identity is tie-sensitive, so the tiebreak IS the
-    contract). Scale: one global sort for ranks (Spark range-
-    partitions it) + one aggregate; at 100 TB swap the exact rank for
-    a fixed-width score histogram — same identity, bounded state.
+    contract). Scale: ranks come from the HIERARCHICAL
+    global_row_number (range shuffle + per-partition offsets — no
+    Exchange SinglePartition under a window), bit-identical to
+    ``row_number() OVER (ORDER BY score, doc_id)``; corpus-grain
+    input stays distributed end-to-end.
     """
+    from lakehouse_test_spark.operators.ordering import global_row_number
+
     d = T(spark, sf_dir, "documents")
     toks = F.filter(ws_tokens(F.col("text")), lambda x: x != "")
     scored = d.select(
@@ -759,8 +763,7 @@ def classifier_auc_rank(spark: SparkSession, sf_dir: str) -> DataFrame:
         ).alias("score"),
         "doc_id",
     )
-    w = Window.orderBy("score", "doc_id")
-    ranked = scored.withColumn("rk", F.row_number().over(w))
+    ranked = global_row_number(scored, ["score", "doc_id"], "rk")
     agg = ranked.agg(
         F.sum(F.when(F.col("is_pos"), F.col("rk")).otherwise(0)).alias("pos_rank_sum"),
         F.sum(F.when(F.col("is_pos"), 1).otherwise(0)).alias("n_pos"),

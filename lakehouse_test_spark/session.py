@@ -80,6 +80,9 @@ def get_spark(
         .config("spark.sql.files.maxPartitionBytes", "16m")
         # Arrow for every pandas_udf / toPandas boundary
         .config("spark.sql.execution.arrow.pyspark.enabled", "true")
+        # Python DataSource zone-map pruning (lakehouse_datasource
+        # consumes pushed filters to skip files via commit-log stats)
+        .config("spark.sql.python.filterPushdown.enabled", "true")
         .config("spark.sql.execution.arrow.maxRecordsPerBatch", "10000")
         # columnar storage for our own sinks
         .config("spark.sql.parquet.compression.codec", "zstd")

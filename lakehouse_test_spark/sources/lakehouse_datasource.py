@@ -1,0 +1,372 @@
+"""Spark 4 Python DataSource for BATCH snapshot reads of a
+LakehouseTable — the piece that makes lakehouse tables SQL-addressable:
+
+    spark.read.format("lakehouse").option("path", p).load()
+    spark.read.format("lakehouse").option("path", p)
+         .option("versionAsOf", "3").load()
+    spark.sql("SELECT * FROM lakehouse.`/path/to/table`")
+    spark.sql("SELECT * FROM lakehouse.`/path/to/table@v3`")     -- time travel
+    spark.sql("SELECT * FROM lakehouse.`/path@tag:stable`")      -- tag ref
+    spark.sql("SELECT * FROM lakehouse.`/path@branch:exp`")      -- branch ref
+    spark.sql("SELECT * FROM lakehouse.`/path@ts:1723680000`")   -- TIMESTAMP AS OF
+
+(the ``@`` path suffix mirrors Delta's ``table@v123`` addressing, so
+plain-SQL users get time travel without any Python API), plus
+:func:`register_table` to bind a snapshot under a catalog name.
+
+Semantics match :meth:`LakehouseTable.snapshot` exactly: restate-aware
+live file set, RemoveFile subtraction, deletion vectors applied,
+column-mapping renames coalesced, additive schema evolution
+(mergeSchema) — all resolved DRIVER-side from the commit log; the
+executors only ever open data files.
+
+Scale: one InputPartition per live data file (a snapshot read
+parallelizes exactly like the underlying scan); ``pushFilters``
+receives the query's predicates and prunes partitions through the
+commit-log zone maps (the scan_pruned machinery) BEFORE any executor
+launches — every filter is also returned to Spark, so it is re-applied
+row-level and pruning can only skip, never lie. Rows travel as Arrow
+record batches, never Python tuples.
+
+Reference analog: the consumer addresses the offloaded tier by name
+(hangc0276/lakehouse-test PerformanceConsumer.java:183-267); here the
+"name" is the table path + ref suffix resolved against the commit log.
+"""
+
+from __future__ import annotations
+
+import json
+import re
+from collections.abc import Iterator, Sequence
+from pathlib import Path
+
+from pyspark.sql.datasource import (
+    DataSource,
+    DataSourceReader,
+    EqualNullSafe,
+    EqualTo,
+    Filter,
+    GreaterThan,
+    GreaterThanOrEqual,
+    In,
+    InputPartition,
+    LessThan,
+    LessThanOrEqual,
+)
+
+_REF_RE = re.compile(r"^(?P<path>.*?)@(?:(?P<kind>v|ts:|tag:|branch:))(?P<val>[^@/]+)$")
+
+
+def _parse_ref(raw: str) -> tuple[str, dict]:
+    """Split a ``/path@v3`` / ``@ts:`` / ``@tag:`` / ``@branch:``
+    suffix off a table path (Delta's ``table@v123`` idiom). A bare
+    path means the latest snapshot."""
+    m = _REF_RE.match(raw)
+    if not m:
+        return raw, {}
+    kind, val = m.group("kind"), m.group("val")
+    if kind == "v":
+        return m.group("path"), {"versionAsOf": val}
+    if kind == "ts:":
+        return m.group("path"), {"timestampAsOf": val}
+    if kind == "tag:":
+        return m.group("path"), {"tag": val}
+    return m.group("path"), {"branch": val}
+
+
+def _table(path: str):
+    # metadata-only use: every method touched here reads the commit
+    # log / meta from disk — no SparkSession needed driver-side
+    from lakehouse_test_spark.plans.lakehouse import LakehouseTable
+
+    return LakehouseTable(None, path)
+
+
+def _resolve(options: dict) -> tuple["object", int | None, str | None]:
+    """(table, version, branch) for the requested ref. Exactly one of
+    versionAsOf / timestampAsOf / tag / branch may be set."""
+    raw = options.get("path")
+    if not raw:
+        raise ValueError("lakehouse datasource requires option 'path'")
+    path, from_suffix = _parse_ref(raw)
+    opts = dict(from_suffix)
+    for k in ("versionAsOf", "timestampAsOf", "tag", "branch"):
+        # DataSource options arrive lower-cased from SQL conf paths
+        v = options.get(k) or options.get(k.lower())
+        if v is not None:
+            opts[k] = v
+    if len(opts) > 1:
+        raise ValueError(f"pass at most one of versionAsOf/timestampAsOf/tag/branch, got {sorted(opts)}")
+    t = _table(path)
+    if "branch" in opts:
+        return t, None, opts["branch"]
+    version: int | None = None
+    if "versionAsOf" in opts:
+        version = int(opts["versionAsOf"])
+    elif "timestampAsOf" in opts:
+        version = t.version_at_timestamp(float(opts["timestampAsOf"]))
+    elif "tag" in opts:
+        known = t.tags()
+        if opts["tag"] not in known:
+            raise ValueError(f"unknown tag {opts['tag']!r}; have {sorted(known)}")
+        version = known[opts["tag"]]
+    t._check_horizon(version)
+    return t, version, None
+
+
+def _live_plan(t, version: int | None, branch: str | None):
+    """Driver-side snapshot plan: (commit, relative-or-absolute file)
+    pairs + live DV files, honoring refs. Mirrors snapshot() /
+    snapshot_branch() file resolution exactly."""
+    if branch is not None:
+        brs = t.branches()
+        if branch not in brs:
+            raise ValueError(f"unknown branch {branch!r}")
+        fork = brs[branch]["fork_version"]
+        pairs = list(t._live_files(fork))
+        pairs += [(c, f) for c in t._branch_commits(branch) for f in c.files]
+        dvs = t._live_dv_files(fork)
+    else:
+        pairs = list(t._live_files(version))
+        dvs = t._live_dv_files(version)
+    return pairs, dvs
+
+
+def _abs_file(root: Path, f: str) -> str:
+    # clone/convert commits reference absolute paths already
+    return f if f.startswith("/") or f.startswith("file:") else str(root / f)
+
+
+_PA_TO_DDL = {
+    "int64": "bigint",
+    "int32": "int",
+    "int16": "smallint",
+    "int8": "tinyint",
+    "double": "double",
+    "float": "float",
+    "string": "string",
+    "large_string": "string",
+    "bool": "boolean",
+    "binary": "binary",
+    "large_binary": "binary",
+    "date32[day]": "date",
+}
+
+
+def _ddl_of(pa_type) -> str:
+    t = str(pa_type)
+    if t in _PA_TO_DDL:
+        return _PA_TO_DDL[t]
+    if t.startswith("timestamp"):
+        return "timestamp"
+    if t.startswith("decimal128(") or t.startswith("decimal("):
+        return "decimal" + t[t.index("(") :]
+    if t.startswith("list<") or t.startswith("large_list<"):
+        import pyarrow as pa
+
+        return f"array<{_ddl_of(pa_type.value_type)}>"
+    raise ValueError(f"unsupported lakehouse column type {t}")
+
+
+class _SnapshotState:
+    """Everything the reader needs, resolved once driver-side and
+    pickled to executors: file list with per-file stats, DV positions
+    by file, physical→logical rename map, unified logical Arrow
+    schema."""
+
+    def __init__(self, options: dict):
+        import pyarrow as pa
+        import pyarrow.parquet as pq
+
+        t, version, branch = _resolve(options)
+        self.root = Path(t.path)
+        pairs, dv_files = _live_plan(t, version, branch)
+        if not pairs:
+            raise ValueError(f"no data at requested ref of {self.root}")
+        self.files: list[str] = []
+        self.stats: list[dict] = []
+        for c, f in pairs:
+            self.files.append(_abs_file(self.root, f))
+            self.stats.append((c.stats or {}).get(f, {}))
+        # physical → logical rename chain (column mapping)
+        renames = t._read_meta().get("column_renames", [])
+        log_of_phys: dict[str, str] = {}
+        for old, new in renames:
+            # walk: anything currently mapping TO old now maps to new
+            for k, v in list(log_of_phys.items()):
+                if v == old:
+                    log_of_phys[k] = new
+            log_of_phys.setdefault(old, new)
+        self.logical_of_physical = log_of_phys
+        self.stat_keys = {  # logical col -> every vintage stats key
+            c: sorted(t._stat_keys(c))
+            for c in {*log_of_phys.values()}
+        }
+        # unified logical schema across vintages (additive evolution)
+        fields: dict[str, pa.DataType] = {}
+        for f in self.files:
+            sch = pq.read_schema(f)
+            for fld in sch:
+                logical = log_of_phys.get(fld.name, fld.name)
+                prev = fields.get(logical)
+                if prev is None or (
+                    pa.types.is_null(prev) and not pa.types.is_null(fld.type)
+                ):
+                    fields[logical] = fld.type
+        self.arrow_schema = pa.schema(list(fields.items()))
+        # DV positions keyed by absolute file path
+        self.dv_positions: dict[str, list[int]] = {}
+        for dvf in dv_files:
+            tbl = pq.read_table(str(self.root / dvf))
+            for fp, pos in zip(
+                tbl.column("_dv_file").to_pylist(),
+                tbl.column("_dv_pos").to_pylist(),
+            ):
+                # Spark records file:/p, file:///p, or plain — normalize
+                if fp.startswith("file:"):
+                    fp = "/" + fp.split(":", 1)[1].lstrip("/")
+                self.dv_positions.setdefault(fp, []).append(pos)
+
+    def ddl(self) -> str:
+        return ", ".join(f"`{f.name}` {_ddl_of(f.type)}" for f in self.arrow_schema)
+
+
+class _FilePart(InputPartition):
+    def __init__(self, idx: int):
+        self.idx = idx
+
+
+class LakehouseSnapshotReader(DataSourceReader):
+    def __init__(self, state: _SnapshotState):
+        self.state = state
+        self._bounds: dict[str, list] = {}  # logical col -> [lo, hi]
+        self._points: dict[str, list] = {}  # logical col -> candidate values
+
+    # -- zone-map pruning ---------------------------------------------------
+    def pushFilters(self, filters: list[Filter]) -> Iterator[Filter]:
+        """Collect range/point predicates for commit-log zone-map file
+        skipping. EVERY filter is yielded back as unsupported, so Spark
+        re-applies them row-level — pruning can only skip files whose
+        recorded [min,max] proves no row can match."""
+        for f in filters:
+            col = f.attribute[0] if getattr(f, "attribute", None) else None
+            if col is None or col not in {
+                fld.name for fld in self.state.arrow_schema
+            }:
+                yield f
+                continue
+            b = self._bounds.setdefault(col, [None, None])
+            if isinstance(f, (EqualTo, EqualNullSafe)):
+                self._points.setdefault(col, []).append(f.value)
+            elif isinstance(f, In):
+                self._points.setdefault(col, []).extend(f.values)
+            elif isinstance(f, (GreaterThan, GreaterThanOrEqual)):
+                if b[0] is None or f.value > b[0]:
+                    b[0] = f.value
+            elif isinstance(f, (LessThan, LessThanOrEqual)):
+                if b[1] is None or f.value < b[1]:
+                    b[1] = f.value
+            yield f
+
+    def _keep(self, fstats: dict) -> bool:
+        """False only when stats PROVE no row matches every pushed
+        predicate (missing/None stats keep the file — skipping must
+        be safe)."""
+
+        def _bounds_of(col):
+            for k in self.state.stat_keys.get(col, [col]):
+                st = fstats.get(k)
+                if st is not None:
+                    return st
+            return None
+
+        for col, (lo, hi) in self._bounds.items():
+            st = _bounds_of(col)
+            if st is None or st[0] is None or st[1] is None:
+                continue
+            if lo is not None and st[1] < lo:
+                return False
+            if hi is not None and st[0] > hi:
+                return False
+        for col, vals in self._points.items():
+            st = _bounds_of(col)
+            if st is None or st[0] is None or st[1] is None:
+                continue
+            if all(v is not None and (v < st[0] or v > st[1]) for v in vals):
+                return False
+        return True
+
+    def partitions(self) -> Sequence[InputPartition]:
+        return [
+            _FilePart(i)
+            for i, fstats in enumerate(self.state.stats)
+            if self._keep(fstats)
+        ] or [_FilePart(-1)]
+
+    # -- executor-side scan ---------------------------------------------------
+    def read(self, partition: _FilePart):
+        import pyarrow as pa
+        import pyarrow.parquet as pq
+
+        if partition.idx < 0:
+            return
+        st = self.state
+        path = st.files[partition.idx]
+        tbl = pq.read_table(path)
+        dead = st.dv_positions.get(path)
+        if dead:
+            mask = [True] * tbl.num_rows
+            for p in dead:
+                mask[p] = False
+            tbl = tbl.filter(pa.array(mask))
+        # physical → logical, null-fill evolution gaps, unify types
+        arrays = []
+        present = {
+            st.logical_of_physical.get(n, n): tbl.column(n)
+            for n in tbl.column_names
+        }
+        for fld in st.arrow_schema:
+            col = present.get(fld.name)
+            if col is None:
+                arrays.append(pa.nulls(tbl.num_rows, fld.type))
+            else:
+                arrays.append(
+                    col.cast(fld.type) if col.type != fld.type else col
+                )
+        out = pa.table(arrays, schema=st.arrow_schema)
+        for batch in out.to_batches(max_chunksize=1 << 16):
+            yield batch
+
+
+class LakehouseDataSource(DataSource):
+    """``spark.read.format("lakehouse")`` — see module docstring."""
+
+    @classmethod
+    def name(cls) -> str:
+        return "lakehouse"
+
+    def schema(self) -> str:
+        return _SnapshotState(self.options).ddl()
+
+    def reader(self, schema) -> LakehouseSnapshotReader:
+        return LakehouseSnapshotReader(_SnapshotState(self.options))
+
+
+def register(spark) -> None:
+    spark.dataSource.register(LakehouseDataSource)
+
+
+def register_table(spark, path: str, name: str, **ref) -> None:
+    """Bind a lakehouse snapshot under a SQL-addressable view name:
+    ``register_table(spark, p, "orders_lh", versionAsOf=3)`` then
+    ``spark.sql("SELECT ... FROM orders_lh")``.
+
+    Contract: the view pins the snapshot RESOLVED AT REGISTRATION
+    (the commit log is read once, at load) — queries against the name
+    are snapshot-isolated from concurrent commits, exactly like a
+    DataFrame handle. Re-register to advance to the new head."""
+    register(spark)
+    r = spark.read.format("lakehouse").option("path", path)
+    for k, v in ref.items():
+        r = r.option(k, str(v))
+    r.load().createOrReplaceTempView(name)

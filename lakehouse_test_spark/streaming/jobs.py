@@ -143,19 +143,33 @@ def _drain_to_lakehouse(
         finally:
             batch_df.unpersist()
 
+    import shutil
+
+    ck = _ckpt()
+    # StreamExecution clones the session (and its SQLConf) when the
+    # query is CONSTRUCTED, so the shuffle-partition override only
+    # needs to be set across .start() — it is restored before
+    # awaitTermination, shrinking the window in which a concurrently
+    # planned query in the same session could observe the override
+    # from the whole stream run to stream construction only.
     prior = spark.conf.get("spark.sql.shuffle.partitions")
     spark.conf.set("spark.sql.shuffle.partitions", str(state_partitions))
     try:
         q = (
             stream_df.writeStream.foreachBatch(upsert)
             .outputMode("update")
-            .option("checkpointLocation", _ckpt())
+            .option("checkpointLocation", ck)
             .trigger(availableNow=True)
             .start()
         )
-        q.awaitTermination()
     finally:
         spark.conf.set("spark.sql.shuffle.partitions", prior)
+    try:
+        q.awaitTermination()
+    finally:
+        # bounded gate run: the checkpoint has no replay value and
+        # would otherwise leak into /dev/shm on every invocation
+        shutil.rmtree(ck, ignore_errors=True)
     return table.snapshot()
 
 

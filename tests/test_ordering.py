@@ -72,3 +72,56 @@ def test_ntile_from_rank_matches_sql_ntile(spark, total, n):
         ).collect()
     }
     assert got == want
+
+
+def test_global_cumsum_matches_window(spark):
+    """global_cumsum is bit-identical to the single-partition window
+    it replaces, including multi-column mode, decimals, and negative
+    values."""
+    from pyspark.sql import Window, functions as F
+
+    from lakehouse_test_spark.operators.ordering import global_cumsum
+
+    df = (
+        spark.range(0, 5000)
+        .select(
+            F.col("id").alias("k"),
+            ((F.col("id") * 37) % 101 - 50).alias("a"),
+            ((F.col("id") * 13) % 7).cast("decimal(18,6)").alias("b"),
+        )
+        .repartition(16)
+    )
+    got = (
+        global_cumsum(df, ["k"], ["a", "b"], ["ca", "cb"])
+        .orderBy("k")
+        .collect()
+    )
+    w = Window.orderBy("k").rowsBetween(Window.unboundedPreceding, 0)
+    want = (
+        df.select(
+            "k",
+            F.sum("a").over(w).alias("ca"),
+            F.sum("b").over(w).alias("cb"),
+        )
+        .orderBy("k")
+        .collect()
+    )
+    assert [(r.k, r.ca, r.cb) for r in got] == [
+        (r.k, r.ca, r.cb) for r in want
+    ]
+
+
+def test_global_cumsum_descending_keys(spark):
+    from pyspark.sql import Window, functions as F
+
+    from lakehouse_test_spark.operators.ordering import global_cumsum
+
+    df = spark.range(0, 3000).select(
+        (F.col("id") % 500).alias("v"), F.col("id").alias("k"), F.lit(1).alias("one")
+    )
+    got = (
+        global_cumsum(df, [F.desc("v"), "k"], "one", "c")
+        .orderBy(F.desc("v"), "k")
+        .collect()
+    )
+    assert [r.c for r in got] == list(range(1, 3001))

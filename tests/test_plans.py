@@ -588,3 +588,46 @@ def test_oov_rate_joins_against_distinct_vocab(spark, sf_dir):
     vocabulary (Heaps-law-bounded), not the raw token stream."""
     p = plan_of(spark, sf_dir, "ml_oov_rate")
     assert "HashAggregate" in p, p
+
+
+def test_auc_rank_no_global_window(spark, sf_dir):
+    """classifier_auc_rank ranks the whole corpus: the rank must come
+    from the hierarchical global_row_number (range shuffle + offset
+    join), never a partition-less window — corpus grain grows with
+    the data. The only SinglePartition exchange allowed is the final
+    1-row aggregate."""
+    p = plan_of(spark, sf_dir, "classifier_auc_rank")
+    assert "Window" not in p, p
+
+
+def test_rfm_segments_no_global_window(spark, sf_dir):
+    """customer_rfm_segments' three ntile(4) quartiles must be the
+    closed-form ntile_from_rank over hierarchical ranks — zero window
+    operators at the data-scaled customer grain."""
+    p = plan_of(spark, sf_dir, "customer_rfm_segments")
+    assert "Window" not in p, p
+
+
+def _windows_are_pid_partitioned(plan: str) -> None:
+    import re
+
+    specs = re.findall(r"windowspecdefinition\([^)]*", plan)
+    assert specs, "expected at least one window"
+    for s in specs:
+        assert "__gr_pid" in s, f"window not pid-partitioned: {s}"
+
+
+def test_abc_classification_cumsum_is_hierarchical(spark, sf_dir):
+    """parts_abc_classification's Pareto cumsum runs at part grain
+    (data-scaled): every window must partition by the range-shuffle
+    pid — the global_cumsum shape — not ORDER BY the whole frame."""
+    _windows_are_pid_partitioned(
+        plan_of(spark, sf_dir, "parts_abc_classification")
+    )
+
+
+def test_ks_test_ecdf_is_hierarchical(spark, sf_dir):
+    """stats_ks_test's two ECDF cumsums share one range shuffle and
+    window only within pid partitions (the distinct-value domain is
+    data-scaled)."""
+    _windows_are_pid_partitioned(plan_of(spark, sf_dir, "stats_ks_test"))

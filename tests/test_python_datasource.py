@@ -175,3 +175,159 @@ def test_cdf_stream_reader_pins_schema_and_nullfills(spark, tmp_path):
     with pytest.raises(RuntimeError, match="pinned schema"):
         for p in parts:
             list(narrow.read(p))
+
+
+# -- batch snapshot datasource (format("lakehouse")) ------------------------
+
+
+@pytest.fixture()
+def lh_table(spark, tmp_path):
+    from pyspark.sql import functions as F
+
+    from lakehouse_test_spark.plans.lakehouse import LakehouseTable
+    from lakehouse_test_spark.sources.lakehouse_datasource import register
+
+    register(spark)
+    t = LakehouseTable(spark, str(tmp_path / "dsbatch"))
+    t.append(
+        spark.range(0, 100).select(
+            F.col("id").alias("k"), (F.col("id") * 2).alias("v")
+        ),
+        stats_cols=["k"],
+    )
+    t.append(
+        spark.range(100, 200).select(
+            F.col("id").alias("k"), (F.col("id") * 2).alias("v")
+        ),
+        stats_cols=["k"],
+    )
+    return t
+
+
+def _load(spark, path, **opts):
+    r = spark.read.format("lakehouse").option("path", str(path))
+    for k, v in opts.items():
+        r = r.option(k, str(v))
+    return r.load()
+
+
+def test_batch_datasource_matches_snapshot(spark, lh_table):
+    got = {(r.k, r.v) for r in _load(spark, lh_table.path).collect()}
+    want = {(r.k, r.v) for r in lh_table.snapshot().collect()}
+    assert got == want and len(got) == 200
+
+
+def test_batch_datasource_time_travel_refs(spark, lh_table):
+    from pyspark.sql import functions as F
+
+    lh_table.tag("t0", 0)
+    # option form and @-suffix form resolve identically
+    assert _load(spark, lh_table.path, versionAsOf=0).count() == 100
+    assert _load(spark, f"{lh_table.path}@v0").count() == 100
+    assert _load(spark, f"{lh_table.path}@tag:t0").count() == 100
+    ts = lh_table.history()[0].ts
+    assert _load(spark, lh_table.path, timestampAsOf=ts).count() in (100, 200)
+    lh_table.create_branch("exp")
+    lh_table.branch_append(
+        "exp",
+        spark.range(900, 905).select(
+            F.col("k") if False else F.col("id").alias("k"),
+            (F.col("id") * 2).alias("v"),
+        ),
+    )
+    assert _load(spark, f"{lh_table.path}@branch:exp").count() == 205
+    b = {r.k for r in lh_table.snapshot_branch("exp").collect()}
+    got = {r.k for r in _load(spark, lh_table.path, branch="exp").collect()}
+    assert got == b
+
+
+def test_batch_datasource_applies_dvs_and_renames(spark, lh_table):
+    from pyspark.sql import functions as F
+
+    lh_table.delete_where_dv("k = 7")
+    lh_table.rename_column("v", "vv")
+    lh_table.append(
+        spark.range(200, 250).select(
+            F.col("id").alias("k"), (F.col("id") * 2).alias("vv")
+        ),
+        stats_cols=["k"],
+    )
+    df = _load(spark, lh_table.path)
+    assert df.columns == ["k", "vv"]
+    got = {(r.k, r.vv) for r in df.collect()}
+    want = {(r.k, r.vv) for r in lh_table.snapshot().collect()}
+    assert got == want
+    assert len(got) == 249 and (7, 14) not in got
+
+
+def test_batch_datasource_schema_evolution_nullfills(spark, lh_table):
+    from pyspark.sql import functions as F
+
+    lh_table.append(
+        spark.range(200, 220).select(
+            F.col("id").alias("k"),
+            (F.col("id") * 2).alias("v"),
+            F.lit("x").alias("extra"),
+        )
+    )
+    df = _load(spark, lh_table.path)
+    assert set(df.columns) == {"k", "v", "extra"}
+    assert df.where(F.col("extra").isNull()).count() == 200
+    assert df.where(F.col("extra") == "x").count() == 20
+
+
+def test_batch_datasource_zone_map_pruning_skips_files(spark, lh_table):
+    """pushFilters prunes partitions through commit-log stats: a
+    range predicate covering only commit 2's keys must plan fewer
+    input partitions than the live file count."""
+    from pyspark.sql.datasource import (
+        GreaterThanOrEqual,
+        LessThanOrEqual,
+    )
+
+    from lakehouse_test_spark.sources.lakehouse_datasource import (
+        LakehouseSnapshotReader,
+        _SnapshotState,
+    )
+
+    st = _SnapshotState({"path": str(lh_table.path)})
+    rd = LakehouseSnapshotReader(st)
+    unsupported = list(
+        rd.pushFilters(
+            [GreaterThanOrEqual(("k",), 150), LessThanOrEqual(("k",), 160)]
+        )
+    )
+    assert len(unsupported) == 2, "all filters must be re-applied by Spark"
+    kept = rd.partitions()
+    assert 0 < len(kept) < len(st.files), (len(kept), len(st.files))
+    # and the full-scan reader keeps everything
+    rd_all = LakehouseSnapshotReader(_SnapshotState({"path": str(lh_table.path)}))
+    assert len(rd_all.partitions()) == len(st.files)
+    # end-to-end: the pruned SQL result is still exact
+    from lakehouse_test_spark.sources.lakehouse_datasource import register_table
+
+    register_table(spark, str(lh_table.path), "prune_probe")
+    n = spark.sql(
+        "SELECT count(*) AS n FROM prune_probe WHERE k BETWEEN 150 AND 160"
+    ).collect()[0].n
+    assert n == 11
+
+
+def test_register_table_snapshot_isolation(spark, lh_table):
+    """A registered name pins the snapshot resolved at registration
+    (snapshot isolation from concurrent commits); re-registering
+    advances to the new head."""
+    from pyspark.sql import functions as F
+
+    from lakehouse_test_spark.sources.lakehouse_datasource import register_table
+
+    register_table(spark, str(lh_table.path), "livetab")
+    assert spark.sql("SELECT count(*) AS n FROM livetab").collect()[0].n == 200
+    lh_table.append(
+        spark.range(200, 230).select(
+            F.col("id").alias("k"), (F.col("id") * 2).alias("v")
+        )
+    )
+    assert spark.sql("SELECT count(*) AS n FROM livetab").collect()[0].n == 200
+    register_table(spark, str(lh_table.path), "livetab")
+    assert spark.sql("SELECT count(*) AS n FROM livetab").collect()[0].n == 230
