@@ -126,15 +126,66 @@ def ann_index_build(
     )
     meta["histogram"] = {str(r["bucket"]): int(r["cnt"]) for r in hist_rows}
     meta["band_shift"] = shift
+    meta["files"] = _list_vector_files(path)
     os.makedirs(path, exist_ok=True)
-    with open(os.path.join(path, "meta.json"), "w") as f:
-        json.dump(meta, f)
+    _atomic_write_meta(path, meta)
     return meta
 
 
 def _load_meta(path: str) -> dict:
     with open(os.path.join(path, "meta.json")) as f:
         return json.load(f)
+
+
+def _atomic_write_meta(path: str, meta: dict) -> None:
+    """meta.json IS the index's commit point (histogram + file
+    manifest swap in one os.replace): readers resolve their file list
+    through the manifest, so a reader never sees a half-written
+    append — it reads either the old index or the new one."""
+    import uuid as _uuid
+
+    tmp = os.path.join(path, f".meta-{_uuid.uuid4().hex}.json")
+    with open(tmp, "w") as f:
+        json.dump(meta, f)
+    os.replace(tmp, os.path.join(path, "meta.json"))
+
+
+def _list_vector_files(path: str) -> list[str]:
+    """Relative paths of data files under vectors/ (excluding Spark's
+    in-flight _temporary staging)."""
+    vdir = os.path.join(path, "vectors")
+    out = []
+    for root, _dirs, files in os.walk(vdir):
+        if "_temporary" in root:
+            continue
+        for fn in files:
+            if fn.startswith("part-") and fn.endswith(".parquet"):
+                out.append(os.path.relpath(os.path.join(root, fn), vdir))
+    return sorted(out)
+
+
+def _vectors_frame(spark: SparkSession, path: str, meta: dict, bands=None) -> DataFrame:
+    """Scan the index through its MANIFEST (snapshot isolation: files
+    not yet committed to meta.json are invisible), pruning whole band
+    directories driver-side before Spark even lists them. Indexes
+    built before the manifest existed fall back to a directory scan."""
+    vdir = os.path.join(path, "vectors")
+    files = meta.get("files")
+    if files is None:
+        return spark.read.parquet(vdir)
+    if bands is not None:
+        want = {int(b) for b in bands}
+        files = [
+            f
+            for f in files
+            if int(f.split("band=", 1)[1].split("/", 1)[0].split(os.sep, 1)[0])
+            in want
+        ]
+    if not files:
+        return spark.read.parquet(vdir).limit(0)
+    return spark.read.option("basePath", vdir).parquet(
+        *[os.path.join(vdir, f) for f in files]
+    )
 
 
 def _select_probes(meta: dict, query_vec: list[float], target_candidates: int) -> list[int]:
@@ -181,7 +232,7 @@ def ann_index_query(
     meta = _load_meta(path)
     probes = _select_probes(meta, query_vec, target_candidates)
     bands = sorted({b >> meta["band_shift"] for b in probes})
-    df = spark.read.parquet(os.path.join(path, "vectors"))
+    df = _vectors_frame(spark, path, meta, bands)
     cols = ["vec_id"] + (extra_cols or [])
     return (
         df.where(F.col("band").isin(bands) & F.col("bucket").isin(probes))
@@ -238,7 +289,7 @@ def ann_index_query_batch(
     )
     cols = ["vec_id"] + (extra_cols or [])
     cand = (
-        spark.read.parquet(os.path.join(path, "vectors"))
+        _vectors_frame(spark, path, meta, bands)
         .where(F.col("band").isin(bands) & F.col("bucket").isin(buckets))
         .join(F.broadcast(probes_df), "bucket")
         .join(F.broadcast(qvecs), "query_id")
@@ -279,6 +330,7 @@ def ann_index_append(embeddings: DataFrame, path: str) -> dict:
     """
     meta = _load_meta(path)
     shift = meta["band_shift"]
+    before = set(_list_vector_files(path))
     bucketed = embeddings.withColumn("bucket", _bucket_expr(meta)).withColumn(
         "band", F.shiftright(F.col("bucket").cast("int"), shift)
     )
@@ -296,8 +348,16 @@ def ann_index_append(embeddings: DataFrame, path: str) -> dict:
     for r in delta_rows:
         k = str(r["bucket"])
         hist[k] = hist.get(k, 0) + int(r["cnt"])
-    with open(os.path.join(path, "meta.json"), "w") as f:
-        json.dump(meta, f)
+    # COMMIT: histogram + manifest swap atomically (os.replace) — a
+    # concurrent reader sees the whole batch or none of it; files from
+    # a crashed append stay orphaned (never adopted: the diff is
+    # against the pre-write listing), preserving exactly-once under
+    # foreachBatch replay. Single concurrent WRITER by contract (the
+    # streaming maintenance path); readers need no lock at all.
+    after = _list_vector_files(path)
+    committed = set(meta.get("files") or [])
+    meta["files"] = sorted(committed | (set(after) - before))
+    _atomic_write_meta(path, meta)
     return meta
 
 

@@ -425,18 +425,32 @@ def export_delta_log(
     log_dir.mkdir(parents=True)
 
     phys_map = table._physical_of_logical()  # logical → stable physical
-    constraints = dict(table._read_meta().get("constraints", {}))
+    tmeta = table._read_meta()
+    constraints = dict(tmeta.get("constraints", {}))
     generated = table.generated_columns()
     identity = table.identity_columns()
+    widenings = tmeta.get("widenings") or {}
+    # Delta's rule: DROP COLUMN (like rename) requires column mapping —
+    # the schemaString simply omits the field while its physical data
+    # stays in place, invisible to physicalName-driven readers
+    needs_mapping = bool(phys_map) or bool(tmeta.get("dropped_columns"))
     history = table.history()
     has_dv = any(c.dv_files for c in history)
-    if has_dv:
-        # deletion vectors are a TABLE FEATURE: reader 3 / writer 7
-        # with explicit feature lists (PROTOCOL.md §Table Features);
-        # legacy features must be listed too once features are explicit
-        wfeats = ["deletionVectors"]
-        rfeats = ["deletionVectors"]
-        if phys_map:
+    if has_dv or widenings:
+        # deletion vectors / type widening are TABLE FEATURES:
+        # reader 3 / writer 7 with explicit feature lists (PROTOCOL.md
+        # §Table Features); legacy features must be listed too once
+        # features are explicit
+        wfeats, rfeats = [], []
+        if has_dv:
+            wfeats.append("deletionVectors")
+            rfeats.append("deletionVectors")
+        if widenings:
+            # readers must upcast old INT32 vintages into the widened
+            # schema type at scan (Delta §Type Widening)
+            wfeats.append("typeWidening")
+            rfeats.append("typeWidening")
+        if needs_mapping:
             wfeats.append("columnMapping")
             rfeats.append("columnMapping")
         if constraints:
@@ -449,7 +463,7 @@ def export_delta_log(
             "readerFeatures": rfeats,
             "writerFeatures": wfeats,
         }
-    elif phys_map:
+    elif needs_mapping:
         protocol = PROTOCOL_COLUMN_MAPPING  # writer 5 covers 3/4 features
     elif generated:
         protocol = {"minReaderVersion": 1, "minWriterVersion": 4}
@@ -462,19 +476,19 @@ def export_delta_log(
     def _schema_of(files: list[str]) -> str:
         # vacuumed files (below the retention horizon) have no footers;
         # derive the schema from the survivors, falling back to the
-        # current snapshot's schema when an entire vintage is gone
+        # current snapshot's schema when an entire vintage is gone.
+        # _read_data (not raw mergeSchema): DROPPED physicals must not
+        # leak into the exported schema and WIDENED columns export
+        # their target type (mixed int/bigint vintages would otherwise
+        # fail the schema merge outright).
         present = [str(table.path / f) for f in files if (table.path / f).exists()]
         if not present:
             return table.snapshot().schema.json() if files else "{}"
-        return (
-            spark.read.option("mergeSchema", "true")
-            .parquet(*present)
-            .schema.json()
-        )
+        return table._read_data(*present).schema.json()
 
     def _metadata_action(schema_json: str, now_ms: int) -> dict:
         configuration: dict[str, str] = {}
-        if phys_map:
+        if needs_mapping:
             schema_json, max_id = _with_column_mapping(schema_json, phys_map)
             configuration = {
                 "delta.columnMapping.mode": "name",
@@ -891,18 +905,86 @@ def _coerce_bounds(bounds: tuple, probe) -> tuple:
     return bounds
 
 
+_DELTA_TO_DDL = {
+    "integer": "int",
+    "long": "bigint",
+    "short": "smallint",
+    "byte": "tinyint",
+    "double": "double",
+    "float": "float",
+    "string": "string",
+    "boolean": "boolean",
+    "binary": "binary",
+    "date": "date",
+    "timestamp": "timestamp",
+    "timestamp_ntz": "timestamp_ntz",
+}
+
+
+def _ddl_from_schema_string(meta: dict | None) -> str | None:
+    """PHYSICAL-name read schema from the schemaString (partition
+    columns excluded — Delta data files do not store them). None when
+    a field's type is nested/unexpressible (callers fall back to
+    mergeSchema inference)."""
+    if not meta or not meta.get("schemaString"):
+        return None
+    try:
+        fields = json.loads(meta["schemaString"]).get("fields", [])
+    except (TypeError, ValueError):
+        return None
+    part_cols = set(meta.get("partitionColumns") or [])
+    out = []
+    for f in fields:
+        if f["name"] in part_cols:
+            continue
+        t = f.get("type")
+        if not isinstance(t, str):
+            return None
+        ddl = _DELTA_TO_DDL.get(t) or (t if t.startswith("decimal(") else None)
+        if ddl is None:
+            return None
+        physical = (f.get("metadata") or {}).get(
+            "delta.columnMapping.physicalName", f["name"]
+        )
+        out.append(f"`{physical}` {ddl}")
+    return ", ".join(out) if out else None
+
+
 def _frame_for(
     spark: SparkSession, root: Path, live: dict[str, dict], meta: dict | None
 ) -> DataFrame:
     """Materialize a DataFrame for a replayed live-file map: parquet
     scan + DV anti-join + column mapping + partition-column
-    reconstruction."""
+    reconstruction.
+
+    Under columnMapping mode=name the scan is SCHEMA-DRIVEN, exactly
+    like a real Delta reader: only the schemaString's physicalName
+    columns are read (a DROPPED column's physical data stays in the
+    files but is invisible), and the declared types drive Spark's
+    parquet upcast of older vintages (typeWidening: INT32 pages read
+    into a BIGINT column). Inference (mergeSchema) is only for tables
+    without mapping, where the files ARE the schema."""
     from pyspark.sql import functions as F
 
     files = sorted(live)
-    df = spark.read.option("mergeSchema", "true").parquet(
-        *[str(root / f) for f in files]
+    paths_abs = [str(root / f) for f in files]
+    mode_name = bool(
+        meta
+        and (meta.get("configuration") or {}).get("delta.columnMapping.mode")
+        == "name"
     )
+    ddl = _ddl_from_schema_string(meta)
+    if mode_name and ddl is not None:
+        df = spark.read.schema(ddl).parquet(*paths_abs)
+    else:
+        try:
+            df = spark.read.option("mergeSchema", "true").parquet(*paths_abs)
+        except Exception:
+            # mixed widened vintages without mapping: the declared
+            # schema is the only way to reconcile the footers
+            if ddl is None:
+                raise
+            df = spark.read.schema(ddl).parquet(*paths_abs)
     # deletion vectors: decode each live add's inline bitmap and
     # anti-join on (file, row index) — the v2 reader's merge-on-read.
     # Arrow-batched transfer: a python-tuple createDataFrame costs
@@ -983,6 +1065,20 @@ def _frame_for(
             .join(F.broadcast(pmap), "_ppath")
             .drop("_ppath")
         )
+    # final projection: the table IS its schemaString — anything else
+    # a scan surfaced (e.g. a dropped column's physical data on the
+    # inference path) is not part of the Delta table
+    if meta and meta.get("schemaString"):
+        try:
+            declared = [
+                f["name"]
+                for f in json.loads(meta["schemaString"]).get("fields", [])
+            ]
+        except (TypeError, ValueError):
+            declared = []
+        have = [c for c in declared if c in df.columns]
+        if have:
+            df = df.select(*have)
     return df
 
 

@@ -911,7 +911,29 @@ def export_iceberg_metadata(spark: SparkSession, table: LakehouseTable) -> Path:
         "last-partition-id": next_fid - 1 if next_fid > 1000 else 999,
         "default-sort-order-id": 0,
         "sort-orders": [{"order-id": 0, "fields": []}],
-        "properties": {"schema.name-mapping.default": json.dumps(name_mapping)},
+        "properties": {
+            "schema.name-mapping.default": json.dumps(name_mapping),
+            # dropped columns' physical names (stale data retained in
+            # files, invisible to readers): our files carry no
+            # field-ids, so without this marker a dropped-then-readded
+            # name would be ambiguous under name mapping alone
+            **(
+                {
+                    "lakehouse.dropped-physical-names": json.dumps(
+                        sorted(
+                            {
+                                d["physical"]
+                                for d in table._read_meta().get(
+                                    "dropped_columns", []
+                                )
+                            }
+                        )
+                    )
+                }
+                if table._read_meta().get("dropped_columns")
+                else {}
+            ),
+        },
         "current-snapshot-id": parent_id,
         "refs": refs,
         "snapshots": snapshots,
@@ -985,6 +1007,107 @@ def _apply_position_deletes(
         )
         .drop("_ipath", "_ipos")
     )
+
+
+_ICE_TO_DDL = {
+    "long": "bigint",
+    "int": "int",
+    "double": "double",
+    "float": "float",
+    "string": "string",
+    "boolean": "boolean",
+    "date": "date",
+    "binary": "binary",
+    "timestamptz": "timestamp",
+    "timestamp": "timestamp_ntz",
+}
+
+
+def _current_types(md: dict) -> dict[str, str]:
+    """Current-schema column name → Spark DDL type."""
+    sid = md.get("current-schema-id", 0)
+    schema = next(
+        (s for s in md.get("schemas", []) if s.get("schema-id") == sid),
+        md.get("schema"),
+    )
+    out = {}
+    for f in (schema or {}).get("fields", []):
+        t = f["type"]
+        out[f["name"]] = _ICE_TO_DDL.get(t) or (
+            t.replace(" ", "") if t.startswith("decimal(") else None
+        )
+    return out
+
+
+def _scan_name_mapped(spark: SparkSession, files: list[str], md: dict) -> DataFrame:
+    """Scan id-less data files the way an Iceberg reader resolves
+    them: through ``schema.name-mapping.default``, with the CURRENT
+    schema's types driving the read (spec type PROMOTION — old INT32
+    vintages read into a widened LONG column at scan), and footer
+    columns matching NO mapping entry IGNORED (the spec's rule; this
+    is what keeps a dropped-then-re-added column's stale physical
+    data invisible — the re-add's mapping lists only its fresh
+    physical name, and ``lakehouse.dropped-physical-names`` marks the
+    orphan). Files group by footer vintage; each vintage reads with
+    an explicit schema and the branches union by name (schema
+    evolution null-fills)."""
+    import pyarrow.parquet as pq
+    from pyspark.sql import functions as F
+
+    from lakehouse_test_spark.plans.lakehouse import LakehouseTable
+
+    props = md.get("properties") or {}
+    nm = json.loads(props.get("schema.name-mapping.default", "[]"))
+    dropped = set(json.loads(props.get("lakehouse.dropped-physical-names", "[]")))
+    ctypes = _current_types(md)
+    # physical file-column → logical resolution. The PHYSICAL name
+    # (names[-1]) always resolves; the logical alias (names[0]) also
+    # resolves for pre-stable-physical vintages — unless it is a
+    # dropped physical (stale data, never readable).
+    resolve: dict[str, str] = {}
+    for entry in nm:
+        names = entry.get("names") or []
+        if not names:
+            continue
+        resolve[names[-1]] = names[0]
+        if names[0] not in dropped:
+            resolve.setdefault(names[0], names[0])
+
+    groups: dict[tuple, list[str]] = {}
+    for p in files:
+        sch = pq.ParquetFile(p).schema_arrow
+        kept = []
+        for fld in sch:
+            logical = resolve.get(fld.name)
+            if logical is None:
+                continue  # unmapped → invisible (spec rule)
+            footer_ddl = LakehouseTable._pa_ddl(fld.type)
+            cur = ctypes.get(logical)
+            ddl = (
+                cur
+                if cur and LakehouseTable._widens_to(footer_ddl, cur)
+                else footer_ddl
+            )
+            kept.append((fld.name, ddl))
+        groups.setdefault(tuple(kept), []).append(p)
+
+    branches = []
+    for sig, fs in groups.items():
+        ddl = ", ".join(f"`{n}` {t}" for n, t in sig)
+        b = (
+            spark.read.schema(ddl)
+            .parquet(*fs)
+            .withColumn(
+                "_ipath",
+                F.regexp_replace(F.col("_metadata.file_path"), "^file:(//)?", ""),
+            )
+            .withColumn("_ipos", F.col("_metadata.row_index"))
+        )
+        branches.append(_apply_name_mapping(b, md))
+    out = branches[0]
+    for b in branches[1:]:
+        out = out.unionByName(b, allowMissingColumns=True)
+    return out
 
 
 def _apply_name_mapping(df: DataFrame, md: dict) -> DataFrame:
@@ -1100,6 +1223,11 @@ def _scan_resolved(
 
     branches = []
     for sig, files in groups.items():
+        if not sig:
+            # no embedded ids: resolve via name mapping, per-vintage
+            # explicit schemas (type promotion + dropped invisibility)
+            branches.append(_scan_name_mapped(spark, files, md))
+            continue
         b = (
             spark.read.option("mergeSchema", "true")
             .parquet(*files)
@@ -1113,9 +1241,6 @@ def _scan_resolved(
             target = current.get(fid)
             if target and target != name and name in b.columns:
                 b = b.withColumnRenamed(name, target)
-        if not sig:
-            # no embedded ids: resolve via name mapping instead
-            b = _apply_name_mapping(b, md)
         branches.append(b)
     out = branches[0]
     for b in branches[1:]:

@@ -559,7 +559,7 @@ class LakehouseTable:
         # _metadata for the positions — _apply_renames only touches
         # data columns, so file_path/row_index stay addressable
         base = self._apply_renames(
-            self.spark.read.option("mergeSchema", "true").parquet(*files)
+            self._read_data(*files)
         )
         matched = base.where(condition).select(
             F_col("_metadata.file_path").alias("_dv_file"),
@@ -654,7 +654,7 @@ class LakehouseTable:
                 "DVs do not survive file rewrites — use delete_where/compact"
             )
         version = self.latest_version() + 1
-        combined = self.spark.read.option("mergeSchema", "true").parquet(
+        combined = self._read_data(
             *[str(self.path / f) for f in files_subset]
         )
         commit_dir = self.path / "data" / f"{uuid.uuid4().hex[:12]}"
@@ -1099,7 +1099,7 @@ class LakehouseTable:
             return None
         cols = spec["cols"]
         phys = self._physical_of_logical()
-        raw = self.spark.read.option("mergeSchema", "true").parquet(
+        raw = self._read_data(
             *[str(self.path / f) for f in new_files]
         )
         df = self._apply_renames(raw)
@@ -1294,7 +1294,7 @@ class LakehouseTable:
         files = self._files_for(fork) + [
             str(self.path / f) for c in self._branch_commits(name) for f in c.files
         ]
-        df = self.spark.read.option("mergeSchema", "true").parquet(*files)
+        df = self._read_data(*files)
         return self._apply_renames(self._apply_dvs(df, fork))
 
     def drop_branch(self, name: str) -> int:
@@ -1406,7 +1406,7 @@ class LakehouseTable:
         files = self._files_for(version)
         if not files:
             raise ValueError(f"no data at version {version}")
-        df = self.spark.read.option("mergeSchema", "true").parquet(*files)
+        df = self._read_data(*files)
         return self._apply_renames(self._apply_dvs(df, version))
 
     def scan_pruned(self, col: str, lo, hi) -> tuple[DataFrame, int, int]:
@@ -1444,7 +1444,7 @@ class LakehouseTable:
         # pre-rename rows.
         df = self._apply_renames(
             self._apply_dvs(
-                self.spark.read.option("mergeSchema", "true").parquet(
+                self._read_data(
                     *[str(self.path / f) for f in kept]
                 )
             )
@@ -1482,7 +1482,7 @@ class LakehouseTable:
             return self.snapshot().limit(0), 0, len(all_files)
         df = self._apply_renames(
             self._apply_dvs(
-                self.spark.read.option("mergeSchema", "true").parquet(
+                self._read_data(
                     *[str(self.path / f) for f in kept]
                 )
             )
@@ -1532,7 +1532,7 @@ class LakehouseTable:
         # logical names, like snapshot/scan_pruned: incremental readers
         # must see the same schema the batch readers see
         return self._apply_renames(
-            self.spark.read.option("mergeSchema", "true").parquet(*files)
+            self._read_data(*files)
         )
 
     def read_changes_cdf(self, since_version: int) -> DataFrame:
@@ -1573,7 +1573,7 @@ class LakehouseTable:
                 live_files = [f for f in c.files if f not in removed0]
                 if not live_files:
                     continue
-                scan = self.spark.read.option("mergeSchema", "true").parquet(
+                scan = self._read_data(
                     *[str(self.path / f) for f in live_files]
                 )
                 parts0.append(
@@ -1611,8 +1611,7 @@ class LakehouseTable:
                         f"cursor v{since_version} needs {len(missing)} vacuumed file(s)"
                     )
                 deleted = (
-                    self.spark.read.option("mergeSchema", "true")
-                    .parquet(*base_files)
+                    self._read_data(*base_files)
                     .withColumn("_dv_file", F_col("_metadata.file_path"))
                     .withColumn("_dv_pos", F_col("_metadata.row_index"))
                     .join(dv, ["_dv_file", "_dv_pos"], "left_semi")
@@ -1634,8 +1633,7 @@ class LakehouseTable:
                         f"cursor v{since_version} needs {len(missing)} vacuumed file(s)"
                     )
                 parts.append(
-                    self.spark.read.option("mergeSchema", "true")
-                    .parquet(*files)
+                    self._read_data(*files)
                     .withColumns(
                         {
                             "_change_type": F.lit("insert"),
@@ -1937,6 +1935,228 @@ class LakehouseTable:
             cl["bounds"][new] = cl["bounds"].pop(old)
         self._write_meta(meta)
 
+    # -- DROP COLUMN + type widening (column-mapping schema evolution) --------
+
+    #: permitted lossless widenings (Delta/Iceberg type-promotion set);
+    #: decimals are handled separately (precision growth, scale kept)
+    _WIDEN_OK = {
+        ("tinyint", "smallint"),
+        ("tinyint", "int"),
+        ("tinyint", "bigint"),
+        ("smallint", "int"),
+        ("smallint", "bigint"),
+        ("int", "bigint"),
+        ("float", "double"),
+        ("tinyint", "double"),
+        ("smallint", "double"),
+        ("int", "double"),
+        ("date", "timestamp"),
+    }
+
+    @staticmethod
+    def _widens_to(src: str, dst: str) -> bool:
+        if src == dst:
+            return True
+        if (src, dst) in LakehouseTable._WIDEN_OK:
+            return True
+        m1 = _re.match(r"decimal\((\d+),\s*(\d+)\)", src)
+        m2 = _re.match(r"decimal\((\d+),\s*(\d+)\)", dst)
+        if m1 and m2:
+            p1, s1 = int(m1.group(1)), int(m1.group(2))
+            p2, s2 = int(m2.group(1)), int(m2.group(2))
+            # scale may grow only with matching integral headroom
+            return p2 - s2 >= p1 - s1 and s2 >= s1
+        return False
+
+    def drop_column(self, name: str) -> None:
+        """ALTER TABLE DROP COLUMN — logical, through column mapping:
+        no data file is touched; the physical column is recorded as
+        dropped and every reader projects it away from that point on
+        (Delta's DROP COLUMN under ``columnMapping.mode=name``).
+        A later append that carries the same logical name is a
+        RE-ADD: it mints a FRESH physical name (new field identity),
+        so the old vintage's values can never resurrect into the
+        re-added column. Same referent guards as :meth:`rename_column`
+        (constraints / generated columns / partition specs pin their
+        columns)."""
+        meta = self._read_meta()
+        referents = []
+        for cname, expr in (meta.get("constraints") or {}).items():
+            if _re.search(rf"\b{_re.escape(name)}\b", expr):
+                referents.append(f"constraint {cname!r} ({expr})")
+        for gname, expr in (meta.get("generated_columns") or {}).items():
+            if gname == name or _re.search(rf"\b{_re.escape(name)}\b", expr):
+                referents.append(f"generated column {gname!r} ({expr})")
+        specs = meta.get("partition_specs") or []
+        for item in (specs[-1]["cols"] if specs else []):
+            if _re.search(rf"\b{_re.escape(name)}\b", item):
+                referents.append(f"current partition spec item {item!r}")
+        if name in (meta.get("identity") or {}):
+            referents.append("identity column")
+        if referents:
+            raise ValueError(
+                f"cannot drop {name!r}: referenced by {'; '.join(referents)}"
+            )
+        physical = self._physical_of_logical().get(name, name)
+        meta.setdefault("dropped_columns", []).append(
+            {
+                "logical": name,
+                "physical": physical,
+                "version": self.latest_version(),
+            }
+        )
+        # NOTE: the rename chain stays intact — readers never see the
+        # dropped PHYSICAL (excluded from the read schema), so chain
+        # entries resolving to it are inert; removing them would
+        # resurrect intermediate logical names. A re-add appends a
+        # fresh-physical chain entry on top (_mint_readd_physicals).
+        wid = meta.get("widenings") or {}
+        wid.pop(physical, None)
+        self._write_meta(meta)
+
+    def widen_column(self, name: str, target: str) -> None:
+        """ALTER TABLE ALTER COLUMN TYPE — lossless widening (INT→
+        BIGINT, FLOAT→DOUBLE, decimal precision growth, …) as PURE
+        METADATA: no file is rewritten; reads pass an explicit
+        unified schema and Spark 4's parquet readers upcast old
+        vintages (INT32 pages into a BIGINT column) at scan — the
+        Delta ``typeWidening`` table-feature mechanism, physical
+        names unchanged. Narrowing raises."""
+        target = target.strip().lower()
+        phys = self._physical_of_logical().get(name, name)
+        current = None
+        for f in self._files_for():
+            import pyarrow.parquet as pq
+
+            sch = pq.read_schema(f)
+            if phys in sch.names:
+                current = self._pa_ddl(sch.field(phys).type)
+                break
+        meta = self._read_meta()
+        prior = (meta.get("widenings") or {}).get(phys)
+        src = prior or current
+        if src is not None and not self._widens_to(src, target):
+            raise ValueError(
+                f"widen_column {name!r}: {src} -> {target} is not a "
+                "lossless widening"
+            )
+        meta.setdefault("widenings", {})[phys] = target
+        self._write_meta(meta)
+
+    @staticmethod
+    def _pa_ddl(pa_type) -> str:
+        """Arrow footer type → Spark DDL (the subset lakehouse tables
+        carry)."""
+        t = str(pa_type)
+        simple = {
+            "int64": "bigint",
+            "int32": "int",
+            "int16": "smallint",
+            "int8": "tinyint",
+            "double": "double",
+            "float": "float",
+            "string": "string",
+            "large_string": "string",
+            "bool": "boolean",
+            "binary": "binary",
+            "large_binary": "binary",
+            "date32[day]": "date",
+        }
+        if t in simple:
+            return simple[t]
+        if t.startswith("timestamp"):
+            return "timestamp"
+        if t.startswith("decimal128(") or t.startswith("decimal("):
+            return "decimal" + t[t.index("(") :]
+        if t.startswith("list<") or t.startswith("large_list<"):
+            return f"array<{LakehouseTable._pa_ddl(pa_type.value_type)}>"
+        raise ValueError(f"unsupported column type {t}")
+
+    _DDL_RANK = {
+        "tinyint": 0,
+        "smallint": 1,
+        "int": 2,
+        "bigint": 3,
+        "float": 4,
+        "double": 5,
+    }
+
+    def _read_data(self, *files: str) -> DataFrame:
+        """Every data-file read routes through here. Fast path: plain
+        mergeSchema. Once the table has DROPPED or WIDENED columns,
+        reads switch to an EXPLICIT unified schema built from the
+        footers — dropped physicals excluded (projection, data
+        retained), widened targets applied (Spark's parquet reader
+        upcasts old vintages at scan), missing columns null-filled.
+        O(live files) driver-side footer reads, same order as the
+        planning listing itself."""
+        meta = self._read_meta()
+        dropped = {d["physical"] for d in meta.get("dropped_columns", [])}
+        wid = meta.get("widenings") or {}
+        if not dropped and not wid:
+            return self.spark.read.option("mergeSchema", "true").parquet(*files)
+        import pyarrow.parquet as pq
+
+        fields: dict[str, str] = {}
+        for f in files:
+            for fld in pq.read_schema(f):
+                if fld.name in dropped:
+                    continue
+                ddl = self._pa_ddl(fld.type)
+                prev = fields.get(fld.name)
+                if prev is None:
+                    fields[fld.name] = ddl
+                elif prev != ddl:
+                    # mixed vintages: legal only when both sides widen
+                    # to the declared target (or to each other)
+                    target = wid.get(fld.name)
+                    if target and self._widens_to(prev, target) and self._widens_to(ddl, target):
+                        fields[fld.name] = target
+                    elif self._widens_to(prev, ddl):
+                        fields[fld.name] = ddl
+                    elif self._widens_to(ddl, prev):
+                        pass
+                    else:
+                        raise ValueError(
+                            f"irreconcilable vintages for {fld.name}: "
+                            f"{prev} vs {ddl}"
+                        )
+        for phys, target in wid.items():
+            if phys in fields:
+                fields[phys] = target
+        ddl = ", ".join(f"`{n}` {t}" for n, t in fields.items())
+        return self.spark.read.schema(ddl).parquet(*files)
+
+    def _mint_readd_physicals(self, df: DataFrame) -> None:
+        """Called on append: a df column whose logical name currently
+        resolves to a DROPPED physical is a re-add — mint a fresh
+        physical name (rename-chain entry), giving it a new field
+        identity so old values never leak in."""
+        meta = self._read_meta()
+        dropped = meta.get("dropped_columns", [])
+        if not dropped:
+            return
+        dropped_phys = {d["physical"] for d in dropped}
+        phys_map = self._physical_of_logical()
+        changed = False
+        for c in df.columns:
+            if phys_map.get(c, c) in dropped_phys:
+                fresh = f"{c}__r{len(meta.get('column_renames', [])) + len(dropped)}"
+                meta.setdefault("column_renames", []).append([fresh, c])
+                changed = True
+        if changed:
+            self._write_meta(meta)
+
+    def _apply_widenings_write(self, df: DataFrame) -> DataFrame:
+        """Writer-side half of type widening: new files carry the
+        widened type (df here is already in PHYSICAL names)."""
+        wid = self._read_meta().get("widenings") or {}
+        dts = dict(df.dtypes)
+        for phys, target in wid.items():
+            if phys in dts and dts[phys] != target:
+                df = df.withColumn(phys, F_col(phys).cast(target))
+        return df
+
     def _apply_renames(self, df: DataFrame) -> DataFrame:
         from pyspark.sql import functions as F
 
@@ -1965,11 +2185,15 @@ class LakehouseTable:
 
     def _apply_reverse_renames(self, df: DataFrame) -> DataFrame:
         """Map logical→physical names before a data-file write (the
-        writer-side half of column mapping)."""
+        writer-side half of column mapping). Also the central write
+        hook for DROP/WIDEN evolution: a re-added dropped column
+        mints its fresh physical identity here, and widened columns
+        are cast so new files carry the widened type."""
+        self._mint_readd_physicals(df)
         for logical, physical in self._physical_of_logical().items():
             if logical in df.columns and physical not in df.columns:
                 df = df.withColumnRenamed(logical, physical)
-        return df
+        return self._apply_widenings_write(df)
 
     def _stat_keys(self, col: str) -> set[str]:
         """All names a logical column's per-file stats may live under:
@@ -2088,7 +2312,7 @@ class LakehouseTable:
         if not kept:
             return self.snapshot().limit(0), 0, len(all_files)
         df = self._apply_dvs(
-            self.spark.read.option("mergeSchema", "true").parquet(
+            self._read_data(
                 *[str(self.path / f) for f in kept]
             )
         )
@@ -2338,7 +2562,7 @@ class LakehouseTable:
         # see the coalesced logical column (same as scan_pruned).
         df = self._apply_renames(
             self._apply_dvs(
-                self.spark.read.option("mergeSchema", "true").parquet(
+                self._read_data(
                     *[str(self.path / f) for f in kept]
                 )
             )

@@ -111,3 +111,76 @@ def lakehouse_sql_datasource(spark: SparkSession, sf_dir: str) -> DataFrame:
         GROUP BY c.o_orderstatus
     """)
     return out.localCheckpoint()
+
+
+@query(
+    "lakehouse_drop_widen_column",
+    oracle="""
+    WITH cur AS (
+      SELECT CAST(o_orderkey AS BIGINT) AS o_orderkey,
+             o_orderstatus,
+             CAST(NULL AS INT) AS flag
+      FROM orders WHERE o_orderkey % 2 = 0
+      UNION ALL
+      SELECT CAST(o_orderkey AS BIGINT), o_orderstatus, 7 AS flag
+      FROM orders WHERE o_orderkey % 2 = 1
+    )
+    SELECT o_orderstatus,
+           count(*) AS n_orders,
+           CAST(sum(o_orderkey) AS BIGINT) AS key_sum,
+           count(flag) AS n_flagged,
+           CAST(sum(flag) AS BIGINT) AS flag_sum
+    FROM cur GROUP BY o_orderstatus
+    """,
+    tags=("lakehouse", "schema-evolution", "drop", "widen"),
+)
+def lakehouse_drop_widen_column(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """DROP COLUMN + re-add + INT→BIGINT widening across mixed file
+    vintages, hash-checked against a relational reconstruction:
+
+    v0 appends even-key orders with an INT ``flag`` column and INT
+    orderkeys; the flag column is DROPPED (logical — data retained,
+    readers project it away) and the orderkey WIDENED to BIGINT (pure
+    metadata — Spark's parquet reader upcasts the old INT32 pages at
+    scan); v2 appends odd-key orders with BIGINT keys and a re-added
+    ``flag`` (fresh physical identity — the old vintage's flag values
+    must NOT resurrect, so v0 rows read NULL while v2 rows read 7).
+
+    The oracle rebuilds exactly that state relationally. Scale: both
+    operations are O(metadata) — no file is rewritten at any size;
+    the read-side cost is one explicit unified schema instead of
+    footer schema inference."""
+    from lakehouse_test_spark.plans.lakehouse import LakehouseTable
+
+    o = T(spark, sf_dir, "orders").select(
+        "o_orderkey", "o_orderstatus"
+    )
+    t = LakehouseTable(spark, tempfile.mkdtemp(prefix="lh_dw_"))
+    t.append(
+        o.where(F.col("o_orderkey") % 2 == 0)
+        .select(
+            F.col("o_orderkey").cast("int").alias("o_orderkey"),
+            "o_orderstatus",
+            F.lit(1).cast("int").alias("flag"),
+        )
+        .repartition(2)
+    )
+    t.drop_column("flag")
+    t.widen_column("o_orderkey", "bigint")
+    t.append(
+        o.where(F.col("o_orderkey") % 2 == 1)
+        .select(
+            F.col("o_orderkey").cast("bigint").alias("o_orderkey"),
+            "o_orderstatus",
+            F.lit(7).cast("int").alias("flag"),
+        )
+        .repartition(2)
+    )
+    snap = t.snapshot()
+    out = snap.groupBy("o_orderstatus").agg(
+        F.count(F.lit(1)).alias("n_orders"),
+        F.sum("o_orderkey").cast("bigint").alias("key_sum"),
+        F.count("flag").alias("n_flagged"),
+        F.sum("flag").cast("bigint").alias("flag_sum"),
+    )
+    return out.localCheckpoint()

@@ -168,6 +168,32 @@ def _ddl_of(pa_type) -> str:
     raise ValueError(f"unsupported lakehouse column type {t}")
 
 
+def _arrow_of_ddl(ddl: str):
+    """Spark DDL → Arrow type (the widening-target subset)."""
+    import pyarrow as pa
+
+    simple = {
+        "tinyint": pa.int8(),
+        "smallint": pa.int16(),
+        "int": pa.int32(),
+        "bigint": pa.int64(),
+        "float": pa.float32(),
+        "double": pa.float64(),
+        "string": pa.string(),
+        "boolean": pa.bool_(),
+        "binary": pa.binary(),
+        "date": pa.date32(),
+        "timestamp": pa.timestamp("us", tz="UTC"),
+    }
+    ddl = ddl.strip().lower()
+    if ddl in simple:
+        return simple[ddl]
+    m = re.match(r"decimal\((\d+),\s*(\d+)\)", ddl)
+    if m:
+        return pa.decimal128(int(m.group(1)), int(m.group(2)))
+    raise ValueError(f"unsupported widening target {ddl}")
+
+
 class _SnapshotState:
     """Everything the reader needs, resolved once driver-side and
     pickled to executors: file list with per-file stats, DV positions
@@ -188,8 +214,16 @@ class _SnapshotState:
         for c, f in pairs:
             self.files.append(_abs_file(self.root, f))
             self.stats.append((c.stats or {}).get(f, {}))
+        tmeta = t._read_meta()
+        # DROP COLUMN + type widening metadata (column-mapping
+        # schema evolution): dropped physicals are invisible;
+        # widened columns read at their declared target type
+        self._dropped = {
+            d["physical"] for d in tmeta.get("dropped_columns", [])
+        }
+        self._widenings = tmeta.get("widenings") or {}
         # physical → logical rename chain (column mapping)
-        renames = t._read_meta().get("column_renames", [])
+        renames = tmeta.get("column_renames", [])
         log_of_phys: dict[str, str] = {}
         for old, new in renames:
             # walk: anything currently mapping TO old now maps to new
@@ -202,17 +236,32 @@ class _SnapshotState:
             c: sorted(t._stat_keys(c))
             for c in {*log_of_phys.values()}
         }
-        # unified logical schema across vintages (additive evolution)
+        # unified logical schema across vintages (additive evolution;
+        # type conflicts resolve to the WIDER side, then declared
+        # widening targets override)
+        from lakehouse_test_spark.plans.lakehouse import LakehouseTable as _LT
+
         fields: dict[str, pa.DataType] = {}
         for f in self.files:
             sch = pq.read_schema(f)
             for fld in sch:
+                if fld.name in self._dropped:
+                    continue
                 logical = log_of_phys.get(fld.name, fld.name)
                 prev = fields.get(logical)
                 if prev is None or (
                     pa.types.is_null(prev) and not pa.types.is_null(fld.type)
                 ):
                     fields[logical] = fld.type
+                elif prev != fld.type and _LT._widens_to(
+                    _LT._pa_ddl(prev), _LT._pa_ddl(fld.type)
+                ):
+                    fields[logical] = fld.type
+        phys_of_log = {v: k for k, v in log_of_phys.items()}
+        for logical in list(fields):
+            target = self._widenings.get(phys_of_log.get(logical, logical))
+            if target:
+                fields[logical] = _arrow_of_ddl(target)
         self.arrow_schema = pa.schema(list(fields.items()))
         # DV positions keyed by absolute file path
         self.dv_positions: dict[str, list[int]] = {}
@@ -319,11 +368,14 @@ class LakehouseSnapshotReader(DataSourceReader):
             for p in dead:
                 mask[p] = False
             tbl = tbl.filter(pa.array(mask))
-        # physical → logical, null-fill evolution gaps, unify types
+        # physical → logical, null-fill evolution gaps, unify types;
+        # dropped physicals stay invisible (their data is retained in
+        # the files but is not part of the table)
         arrays = []
         present = {
             st.logical_of_physical.get(n, n): tbl.column(n)
             for n in tbl.column_names
+            if n not in st._dropped
         }
         for fld in st.arrow_schema:
             col = present.get(fld.name)

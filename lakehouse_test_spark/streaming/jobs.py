@@ -1274,21 +1274,171 @@ def streaming_cdc_apply(spark: SparkSession, sf_dir: str) -> DataFrame:
         finally:
             latest.unpersist()
 
+    import shutil
+
+    ck = _ckpt()
     prior = spark.conf.get("spark.sql.shuffle.partitions")
     spark.conf.set("spark.sql.shuffle.partitions", "8")
     try:
         q = (
             stream.writeStream.foreachBatch(apply_batch)
-            .option("checkpointLocation", _ckpt())
+            .option("checkpointLocation", ck)
             .trigger(availableNow=True)
             .start()
         )
+    finally:
+        # StreamExecution clones the SQLConf at construction — restore
+        # before awaitTermination (see _drain_to_lakehouse)
+        spark.conf.set("spark.sql.shuffle.partitions", prior)
+    try:
         q.awaitTermination()
     finally:
-        spark.conf.set("spark.sql.shuffle.partitions", prior)
+        shutil.rmtree(ck, ignore_errors=True)
     return (
         table.snapshot()
         .groupBy("o_orderstatus")
+        .agg(
+            F.count(F.lit(1)).alias("n_orders"),
+            dround(dsum(F.col("o_totalprice")), 2).alias("total_price"),
+        )
+        .localCheckpoint()
+    )
+
+
+@query(
+    "streaming_cdc_schema_drift",
+    oracle="""
+    WITH cur AS (
+      SELECT o_orderkey, o_orderstatus,
+             CASE WHEN o_orderkey % 3 = 0 THEN o_totalprice + 100.0
+                  ELSE o_totalprice END AS price,
+             CASE WHEN o_orderkey % 3 = 0 THEN 'web' END AS channel
+      FROM orders WHERE o_orderkey % 5 <> 0
+    )
+    SELECT o_orderstatus,
+           coalesce(channel, 'none') AS channel,
+           count(*) AS n_orders,
+           CAST(round(sum(CAST(price AS DECIMAL(18,6))), 2) AS DOUBLE)
+             AS total_price
+    FROM cur GROUP BY o_orderstatus, coalesce(channel, 'none')
+    """,
+    tags=("streaming", "cdc", "merge", "schema-evolution", "lakehouse"),
+)
+def streaming_cdc_schema_drift(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """CDC WITH SCHEMA DRIFT — the Debezium schema-change reality:
+    a changelog adds a column mid-pipeline and the target table must
+    evolve ATOMICALLY while the stream keeps applying.
+
+    Run 1 streams the initial inserts under the original schema
+    (bootstrap append). The upstream schema then gains a ``channel``
+    column; as in real Debezium deployments the consumer RESTARTS
+    with the evolved schema (a Structured Streaming source pins its
+    schema at start — the restart IS the drift protocol). Run 2
+    applies updates carrying the new column through
+    ``merge(schema_evolution=True)`` — Delta autoMerge: the target
+    gains ``channel`` in the same atomic commit that applies the
+    batch, pre-drift rows read NULL — then a delete batch under the
+    evolved schema. The committed snapshot must equal the SQL net
+    effect; a TYPE-conflicting drift raises loudly instead (pinned in
+    tests, batch + streaming).
+    """
+    import os
+    import shutil
+    import tempfile
+    from pathlib import Path
+
+    from pyspark.sql import Window
+
+    from lakehouse_test_spark.plans.lakehouse import LakehouseTable
+
+    o = load_table(spark, sf_dir, "orders").select(
+        "o_orderkey", "o_orderstatus", "o_totalprice"
+    )
+    table = LakehouseTable(spark, tempfile.mkdtemp(prefix="lh_cdc_drift_"))
+    w = Window.partitionBy("o_orderkey").orderBy(F.desc("seq"))
+
+    def apply_batch(batch_df: DataFrame, batch_id: int) -> None:
+        latest = (
+            batch_df.withColumn("_rn", F.row_number().over(w))
+            .where(F.col("_rn") == 1)
+            .drop("_rn", "seq")
+        )
+        latest.persist()
+        try:
+            ups = latest.where(F.col("op") != "D").drop("op")
+            dels = latest.where(F.col("op") == "D").drop("op")
+            if latest.count() == 0:
+                return
+            if table.latest_version() < 0:
+                table.append(ups, operation="stream-cdc-bootstrap")
+            elif ups.count() > 0:
+                # autoMerge: the batch that first carries `channel`
+                # evolves the target in ITS commit
+                table.merge(
+                    ups, key_cols=["o_orderkey"], schema_evolution=True
+                )
+            if table.latest_version() >= 0 and dels.count() > 0:
+                table.merge(
+                    dels.select("o_orderkey"),
+                    key_cols=["o_orderkey"],
+                    when_matched="delete",
+                    insert_new=False,
+                )
+        finally:
+            latest.unpersist()
+
+    def run_stream(log_dir: str, schema) -> None:
+        stream = (
+            spark.readStream.schema(schema)
+            .option("maxFilesPerTrigger", "1")
+            .option("latestFirst", "false")
+            .parquet(log_dir + "/*")
+        )
+        ck = _ckpt()
+        try:
+            q = (
+                stream.writeStream.foreachBatch(apply_batch)
+                .option("checkpointLocation", ck)
+                .trigger(availableNow=True)
+                .start()
+            )
+            q.awaitTermination()
+        finally:
+            shutil.rmtree(ck, ignore_errors=True)
+
+    # run 1: original schema — inserts only
+    log1 = tempfile.mkdtemp(prefix="cdc_drift_a_")
+    b0 = o.withColumn("op", F.lit("I")).withColumn("seq", F.lit(1))
+    b0.coalesce(1).write.parquet(f"{log1}/b0")
+    run_stream(log1, b0.schema)
+
+    # upstream schema evolves: restart with the widened schema
+    log2 = tempfile.mkdtemp(prefix="cdc_drift_b_")
+    b1 = (
+        o.where(F.col("o_orderkey") % 3 == 0)
+        .withColumn("o_totalprice", F.col("o_totalprice") + 100.0)
+        .withColumn("channel", F.lit("web"))
+        .withColumn("op", F.lit("U"))
+        .withColumn("seq", F.lit(2))
+    )
+    b2 = (
+        o.where(F.col("o_orderkey") % 5 == 0)
+        .withColumn("channel", F.lit(None).cast("string"))
+        .withColumn("op", F.lit("D"))
+        .withColumn("seq", F.lit(3))
+    )
+    for i, s in enumerate((b1, b2)):
+        s.coalesce(1).write.parquet(f"{log2}/b{i}")
+        for p in Path(f"{log2}/b{i}").rglob("*.parquet"):
+            os.utime(p, (1_700_000_000 + i, 1_700_000_000 + i))
+    run_stream(log2, b1.schema)
+
+    return (
+        table.snapshot()
+        .groupBy(
+            "o_orderstatus",
+            F.coalesce(F.col("channel"), F.lit("none")).alias("channel"),
+        )
         .agg(
             F.count(F.lit(1)).alias("n_orders"),
             dround(dsum(F.col("o_totalprice")), 2).alias("total_price"),

@@ -226,3 +226,87 @@ def test_batch_query_one_pruned_scan(spark, planted, tmp_path_factory):
         assert [r.vec_id for r in by_q[qid]] == solo, qid
     # a vector probed only by query 900's buckets must not appear under 0
     assert all(r.query_id in (0, 500, 900) for r in rows)
+
+
+def test_append_is_atomic_under_concurrent_queries(spark, tmp_path):
+    """TORTURE: a reader racing ann_index_append must never see a
+    half-written batch. Every batch's vectors point in the query's
+    direction (same bucket), each batch spans multiple files, and a
+    query thread hammers the index during appends: every result must
+    contain whole batches only (all-or-nothing per batch) and the
+    pre-existing corpus always."""
+    import threading
+
+    import numpy as np
+    from pyspark.sql import functions as F
+
+    from lakehouse_test_spark.operators.ann_index import (
+        _load_meta,
+        ann_index_append,
+        ann_index_build,
+        ann_index_query,
+    )
+    from lakehouse_test_spark.operators.similarity import EMBED_DIM
+
+    rng = np.random.default_rng(7)
+    direction = rng.normal(size=EMBED_DIM)
+    direction /= np.linalg.norm(direction)
+
+    def frame(ids):
+        rows = [
+            (int(i), [float(x) for x in direction + rng.normal(scale=1e-3, size=EMBED_DIM)])
+            for i in ids
+        ]
+        return spark.createDataFrame(
+            rows, "vec_id bigint, embedding array<double>"
+        ).repartition(3)  # each batch spans several files
+
+    idx = str(tmp_path / "annidx")
+    base_ids = list(range(100))
+    ann_index_build(frame(base_ids), idx, kind="lsh")
+
+    batches = [list(range(1000 * (b + 1), 1000 * (b + 1) + 40)) for b in range(4)]
+    errors: list[str] = []
+    done = threading.Event()
+
+    def reader():
+        qv = [float(x) for x in direction]
+        while not done.is_set():
+            got = {
+                r.vec_id
+                for r in ann_index_query(
+                    spark, idx, qv, k=500, target_candidates=4000
+                ).collect()
+            }
+            if not set(base_ids) <= got:
+                errors.append(f"base corpus missing rows: {sorted(set(base_ids) - got)[:5]}")
+            for b in batches:
+                seen = got & set(b)
+                if seen and seen != set(b):
+                    errors.append(
+                        f"TORN batch visible: {len(seen)}/{len(b)} rows of {b[0]}"
+                    )
+            if errors:
+                return
+
+    t = threading.Thread(target=reader)
+    t.start()
+    try:
+        for b in batches:
+            ann_index_append(frame(b), idx)
+    finally:
+        done.set()
+        t.join()
+    assert not errors, errors[:3]
+    # after the dust settles: everything visible exactly once
+    final = {
+        r.vec_id
+        for r in ann_index_query(
+            spark, idx, [float(x) for x in direction], k=500, target_candidates=4000
+        ).collect()
+    }
+    want = set(base_ids) | {i for b in batches for i in b}
+    assert final == want
+    # the manifest is the commit point: it lists every committed file
+    meta = _load_meta(idx)
+    assert len(meta["files"]) >= 5

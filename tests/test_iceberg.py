@@ -450,3 +450,35 @@ def test_exported_bounds_serve_multidim_box_scan(spark, tmp_path):
         .count()
     )
     assert got == 16 * 16
+
+
+def test_dv_export_is_position_deletes_only(spark, tmp_path):
+    """Contract pin (USAGE.md): DV tables export POSITION deletes
+    (content=1) — never equality deletes (content=2). Native DVs are
+    position-keyed; the positional form is the lossless translation."""
+    import json
+
+    from pyspark.sql import functions as F
+
+    from lakehouse_test_spark.plans.lakehouse import LakehouseTable
+    from lakehouse_test_spark.plans.iceberg_export import (
+        CONTENT_DELETES,
+        CONTENT_EQ_DELETES,
+        export_iceberg_metadata,
+        iceberg_plan_entries,
+        read_iceberg,
+    )
+
+    t = LakehouseTable(spark, str(tmp_path / "dvpos"))
+    t.append(
+        spark.range(0, 100).select(F.col("id").alias("k"), (F.col("id") * 2).alias("v"))
+    )
+    t.delete_where_dv("k % 10 = 0")
+    export_iceberg_metadata(spark, t)
+    entries, delete_files, eq_deletes = iceberg_plan_entries(str(t.path))
+    assert delete_files, "DV commit must export delete files"
+    assert eq_deletes == [], "exporter must never fabricate equality deletes"
+    # and the position deletes replay to the exact snapshot
+    native = {(r.k, r.v) for r in t.snapshot().collect()}
+    got = {(r.k, r.v) for r in read_iceberg(spark, str(t.path)).select("k", "v").collect()}
+    assert got == native and len(got) == 90

@@ -843,3 +843,168 @@ def test_publish_put_if_absent_is_atomic(spark, table):
     # the original commit file is intact (not clobbered)
     assert table.history()[0].files == c.files
     assert not list(Path(table.log_dir).glob(".tmp-*"))
+
+
+# -- DROP COLUMN + type widening ------------------------------------------
+
+
+def test_drop_column_is_logical_and_readd_gets_fresh_identity(spark, table):
+    table.append(
+        spark.range(0, 50).select(
+            F.col("id").alias("k"), (F.col("id") * 2).alias("v")
+        )
+    )
+    table.drop_column("v")
+    assert table.snapshot().columns == ["k"]
+    # data files untouched (logical drop)
+    import pyarrow.parquet as pq
+
+    f = table._files_for()[0]
+    assert "v" in pq.read_schema(f).names
+    # re-add: fresh identity — old values must NOT resurrect
+    table.append(
+        spark.range(50, 60).select(F.col("id").alias("k"), F.lit(9).alias("v"))
+    )
+    rows = {(r.k, r.v) for r in table.snapshot().collect()}
+    assert all(v is None for k, v in rows if k < 50)
+    assert all(v == 9 for k, v in rows if k >= 50)
+    # physical identity is fresh in the new files
+    newest = table._files_for()[-1]
+    names = pq.read_schema(newest).names
+    assert "v" not in names and any(n.startswith("v__r") for n in names)
+
+
+def test_drop_column_guards_referents(spark, table):
+    table.add_constraint("v_pos", "v >= 0")
+    table.append(
+        spark.range(5).select(F.col("id").alias("k"), F.col("id").alias("v"))
+    )
+    with pytest.raises(ValueError, match="constraint"):
+        table.drop_column("v")
+
+
+def test_widen_column_int_to_bigint_mixed_vintages(spark, table):
+    table.append(
+        spark.range(0, 30).select(
+            F.col("id").cast("int").alias("k"), F.col("id").alias("v")
+        ),
+        stats_cols=["k"],
+    )
+    table.widen_column("k", "bigint")
+    table.append(
+        spark.range(30, 60).select(
+            F.col("id").cast("bigint").alias("k"), F.col("id").alias("v")
+        ),
+        stats_cols=["k"],
+    )
+    snap = table.snapshot()
+    assert dict(snap.dtypes)["k"] == "bigint"
+    assert snap.count() == 60
+    assert snap.agg(F.sum("k")).collect()[0][0] == sum(range(60))
+    # zone-map pruning still works across vintages
+    df, scanned, total = table.scan_pruned("k", 5, 10)
+    assert sorted(r.k for r in df.collect()) == list(range(5, 11))
+
+
+def test_widen_column_rejects_narrowing_and_lossy(spark, table):
+    table.append(
+        spark.range(5).select(F.col("id").alias("k"))  # bigint
+    )
+    with pytest.raises(ValueError, match="not a lossless widening"):
+        table.widen_column("k", "int")
+    with pytest.raises(ValueError, match="not a lossless widening"):
+        table.widen_column("k", "float")
+
+
+def test_widen_then_rename_then_scan(spark, table):
+    """Widening composes with column mapping: rename after widen,
+    stats probed through the rename chain, types unified."""
+    table.append(
+        spark.range(0, 20).select(F.col("id").cast("int").alias("k")),
+        stats_cols=["k"],
+    )
+    table.widen_column("k", "bigint")
+    table.rename_column("k", "kk")
+    table.append(
+        spark.range(20, 40).select(F.col("id").alias("kk")), stats_cols=["kk"]
+    )
+    snap = table.snapshot()
+    assert dict(snap.dtypes)["kk"] == "bigint"
+    df, _, _ = table.scan_pruned("kk", 15, 25)
+    assert sorted(r.kk for r in df.collect()) == list(range(15, 26))
+
+
+def test_drop_widen_export_replay_parity(spark, table):
+    """Delta + Iceberg exports of a dropped/widened/re-added table
+    replay to the exact native snapshot: Delta via schemaString-driven
+    physical reads (typeWidening feature), Iceberg via name-mapping
+    resolution with type promotion."""
+    from lakehouse_test_spark.plans.delta_export import (
+        export_delta_log,
+        read_delta_log,
+    )
+    from lakehouse_test_spark.plans.iceberg_export import (
+        export_iceberg_metadata,
+        read_iceberg,
+    )
+
+    table.append(
+        spark.range(0, 10).select(
+            F.col("id").cast("int").alias("k"),
+            (F.col("id") * 2).cast("int").alias("v"),
+        )
+    )
+    table.widen_column("k", "bigint")
+    table.append(
+        spark.range(10, 20).select(
+            F.col("id").alias("k"), (F.col("id") * 3).cast("int").alias("v")
+        )
+    )
+    table.drop_column("v")
+    table.append(
+        spark.range(20, 25).select(F.col("id").alias("k"), F.lit(99).alias("v"))
+    )
+    native = {(r.k, r.v) for r in table.snapshot().collect()}
+    export_delta_log(spark, table)
+    got_d = {
+        (r.k, r.v)
+        for r in read_delta_log(spark, table.path).select("k", "v").collect()
+    }
+    assert got_d == native
+    # protocol declares the features a real reader must check
+    import json as _json
+
+    first = [
+        _json.loads(line)
+        for line in open(sorted((table.path / "_delta_log").glob("*.json"))[0])
+    ]
+    proto = next(a["protocol"] for a in first if "protocol" in a)
+    assert "typeWidening" in proto["readerFeatures"]
+    assert "columnMapping" in proto["readerFeatures"]
+    export_iceberg_metadata(spark, table)
+    got_i = {
+        (r.k, r.v)
+        for r in read_iceberg(spark, table.path).select("k", "v").collect()
+    }
+    assert got_i == native
+
+
+def test_datasource_reads_drop_widen_table(spark, table):
+    from lakehouse_test_spark.sources.lakehouse_datasource import register
+
+    register(spark)
+    table.append(
+        spark.range(0, 10).select(
+            F.col("id").cast("int").alias("k"), F.lit(1).alias("v")
+        )
+    )
+    table.widen_column("k", "bigint")
+    table.drop_column("v")
+    table.append(
+        spark.range(10, 15).select(F.col("id").alias("k"), F.lit(5).alias("v"))
+    )
+    df = spark.read.format("lakehouse").option("path", str(table.path)).load()
+    assert dict(df.dtypes)["k"] == "bigint"
+    rows = {(r.k, r.v) for r in df.collect()}
+    want = {(r.k, r.v) for r in table.snapshot().collect()}
+    assert rows == want

@@ -217,3 +217,42 @@ def test_rocksdb_state_store_parity(spark, sf_dir):
         else:
             spark.conf.unset(key)
     assert rocks == base and len(base) > 0
+
+
+def test_streaming_cdc_type_conflict_is_loud(spark, tmp_path):
+    """The streaming twin of the batch autoMerge type-conflict pin:
+    a changelog batch whose evolved column TYPE conflicts with the
+    target must fail the stream loudly (StreamingQueryException from
+    foreachBatch), leaving the table at its pre-batch state — never a
+    silent coercion."""
+    import pytest
+    from pyspark.errors.exceptions.captured import StreamingQueryException
+
+    from lakehouse_test_spark.plans.lakehouse import LakehouseTable
+    from lakehouse_test_spark.streaming.jobs import _ckpt
+
+    t = LakehouseTable(spark, str(tmp_path / "cdc_conflict"))
+    t.append(spark.createDataFrame([(1, 10), (2, 20)], "k int, v int"))
+
+    bad_dir = tmp_path / "bad_log"
+    spark.createDataFrame(
+        [(1, "not-an-int")], "k int, v string"
+    ).coalesce(1).write.parquet(str(bad_dir / "b0"))
+
+    def apply_batch(batch_df, _bid):
+        t.merge(batch_df, key_cols=["k"], schema_evolution=True)
+
+    stream = spark.readStream.schema("k int, v string").parquet(
+        str(bad_dir) + "/*"
+    )
+    q = (
+        stream.writeStream.foreachBatch(apply_batch)
+        .option("checkpointLocation", _ckpt())
+        .trigger(availableNow=True)
+        .start()
+    )
+    with pytest.raises(StreamingQueryException):
+        q.awaitTermination()
+    # table unchanged: the failed batch committed nothing
+    assert sorted((r.k, r.v) for r in t.snapshot().collect()) == [(1, 10), (2, 20)]
+    assert t.latest_version() == 0
