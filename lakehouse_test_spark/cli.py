@@ -120,6 +120,19 @@ def build_parser() -> argparse.ArgumentParser:
     cnv.add_argument("--table", required=True, help="target table path (empty)")
     cnv.add_argument("--stats", metavar="COLS",
                      help="comma-separated columns to harvest min/max zone maps for")
+
+    alt = sub.add_parser(
+        "alter",
+        help="schema evolution: RENAME (column mapping), DROP COLUMN "
+             "(logical, data retained), WIDEN type (pure metadata — "
+             "INT->BIGINT etc., old vintages upcast at scan)",
+    )
+    alt.add_argument("--table", required=True)
+    alt.add_argument("--rename", metavar="OLD:NEW",
+                     help="rename a column (old:new)")
+    alt.add_argument("--drop", metavar="COL", help="drop a column")
+    alt.add_argument("--widen", metavar="COL:TYPE",
+                     help="widen a column's type (col:bigint)")
     return p
 
 
@@ -251,6 +264,30 @@ def main(argv: list[str] | None = None, spark=None) -> int:
                 f"({commit.row_count} rows) in place -> {args.table}"
             )
             print(f"Latest version: {table.latest_version()}")
+        elif args.verb == "alter":
+            table = LakehouseTable(spark, args.table)
+            did = False
+            if args.rename:
+                old, _, new = args.rename.partition(":")
+                if not old or not new:
+                    raise SystemExit("--rename needs OLD:NEW")
+                table.rename_column(old, new)
+                print(f"Renamed {old} -> {new}")
+                did = True
+            if args.drop:
+                table.drop_column(args.drop)
+                print(f"Dropped column {args.drop} (logical; data retained)")
+                did = True
+            if args.widen:
+                col, _, typ = args.widen.partition(":")
+                if not col or not typ:
+                    raise SystemExit("--widen needs COL:TYPE")
+                table.widen_column(col, typ)
+                print(f"Widened {col} -> {typ}")
+                did = True
+            if not did:
+                print("Nothing to do: pass --rename/--drop/--widen")
+            print(f"Columns: {table.snapshot().columns}")
         elif args.verb == "curate":
             # end-to-end pretraining curation: quality gates -> exact
             # dedup -> diversity gate -> committed lakehouse table

@@ -390,6 +390,197 @@ class LakehouseSnapshotReader(DataSourceReader):
             yield batch
 
 
+# ---------------------------------------------------------------------------
+# write path: df.write.format("lakehouse") / writeStream.format("lakehouse")
+# ---------------------------------------------------------------------------
+
+from dataclasses import dataclass, field  # noqa: E402
+
+from pyspark.sql.datasource import (  # noqa: E402
+    DataSourceArrowWriter,
+    DataSourceStreamArrowWriter,
+    WriterCommitMessage,
+)
+
+
+@dataclass
+class _FilesMsg(WriterCommitMessage):
+    files: list = field(default_factory=list)  # relative to table root
+    rows: int = 0
+
+
+class _WriterState:
+    """Pickled to executors: table root, one shared commit dir, the
+    logical→physical map and widening casts the write must apply
+    (column mapping's writer half)."""
+
+    def __init__(self, options: dict, overwrite: bool):
+        import uuid as _uuid
+
+        raw = options.get("path")
+        if not raw:
+            raise ValueError("lakehouse datasource requires option 'path'")
+        path, ref = _parse_ref(raw)
+        if ref:
+            raise ValueError("refs are read-only; write to the bare table path")
+        t = _table(path)
+        meta = t._read_meta()
+        # features whose write-side invariants the Python DataSource
+        # cannot enforce executor-side — refuse loudly, never corrupt
+        blockers = [
+            k
+            for k, present in (
+                ("constraints", meta.get("constraints")),
+                ("generated columns", meta.get("generated_columns")),
+                ("identity columns", meta.get("identity")),
+            )
+            if present
+        ]
+        if blockers:
+            raise ValueError(
+                f"table declares {', '.join(blockers)}; write through the "
+                "Python API (LakehouseTable.append) which enforces them"
+            )
+        self.root = str(t.path)
+        self.overwrite = overwrite
+        self.commit_dir_rel = f"data/{_uuid.uuid4().hex[:12]}"
+        Path(self.root, self.commit_dir_rel).mkdir(parents=True, exist_ok=True)
+        self.phys_of_logical = t._physical_of_logical()
+        self.widenings = meta.get("widenings") or {}
+        self.dropped = {d["physical"] for d in meta.get("dropped_columns", [])}
+        self.stats_cols = [
+            c.strip()
+            for c in (options.get("stats") or options.get("statscols") or "").split(",")
+            if c.strip()
+        ]
+
+    # -- executor side -------------------------------------------------------
+    def write_batches(self, iterator) -> _FilesMsg:
+        import uuid as _uuid
+
+        import pyarrow as pa
+        import pyarrow.parquet as pq
+
+        writer = None
+        rows = 0
+        rel = f"{self.commit_dir_rel}/part-{_uuid.uuid4().hex}.zstd.parquet"
+        full = str(Path(self.root) / rel)
+        for batch in iterator:
+            tbl = pa.Table.from_batches([batch])
+            # logical → physical names; dropped-name collisions were
+            # re-minted at metadata level, phys map covers them
+            tbl = tbl.rename_columns(
+                [self.phys_of_logical.get(n, n) for n in tbl.column_names]
+            )
+            # widened columns: new files carry the widened type
+            for i, name in enumerate(tbl.column_names):
+                target = self.widenings.get(name)
+                if target:
+                    want = _arrow_of_ddl(target)
+                    if tbl.column(i).type != want:
+                        tbl = tbl.set_column(
+                            i, name, tbl.column(i).cast(want)
+                        )
+            if writer is None:
+                writer = pq.ParquetWriter(full, tbl.schema, compression="zstd")
+            writer.write_table(tbl)
+            rows += tbl.num_rows
+        if writer is None:
+            return _FilesMsg([], 0)  # empty partition: no file
+        writer.close()
+        return _FilesMsg([rel], rows)
+
+    # -- driver side ----------------------------------------------------------
+    def publish(self, messages, operation: str, restate: bool) -> None:
+        from lakehouse_test_spark.plans.lakehouse import (
+            Commit,
+            LakehouseTable,
+            _file_stats,
+            _footer_row_count,
+        )
+
+        files = sorted(f for m in messages if m for f in m.files)
+        if not files:
+            return  # nothing written — no empty commit
+        t = LakehouseTable(None, self.root)
+        stats = None
+        if self.stats_cols:
+            pcols = [self.phys_of_logical.get(c, c) for c in self.stats_cols]
+            stats = {}
+            for f in files:
+                raw = _file_stats(Path(self.root) / f, pcols)
+                stats[f] = {
+                    c: raw[p]
+                    for c, p in zip(self.stats_cols, pcols)
+                    if p in raw
+                }
+        commit = Commit(
+            version=t.latest_version() + 1,
+            files=files,
+            row_count=_footer_row_count(Path(self.root), files),
+            operation=operation,
+            stats=stats,
+            restate=restate,
+        )
+        t._publish(commit)
+
+    def discard(self, messages) -> None:
+        for m in messages or []:
+            if not m:
+                continue
+            for f in m.files:
+                Path(self.root, f).unlink(missing_ok=True)
+
+
+class LakehouseBatchWriter(DataSourceArrowWriter):
+    def __init__(self, options: dict, overwrite: bool):
+        self.state = _WriterState(options, overwrite)
+
+    def write(self, iterator):
+        return self.state.write_batches(iterator)
+
+    def commit(self, messages) -> None:
+        self.state.publish(
+            messages,
+            operation="overwrite" if self.state.overwrite else "append",
+            restate=self.state.overwrite,
+        )
+
+    def abort(self, messages) -> None:
+        self.state.discard(messages)
+
+
+class LakehouseStreamWriter(DataSourceStreamArrowWriter):
+    """``writeStream.format("lakehouse")`` — each micro-batch is one
+    atomic commit; EXACTLY-ONCE under replay: the commit operation
+    records the batch id, and a replayed batch whose id already sits
+    in the log discards its files instead of double-committing."""
+
+    def __init__(self, options: dict, overwrite: bool):
+        self.options = dict(options)
+        self.overwrite = overwrite
+        self.state = _WriterState(options, overwrite)
+
+    def write(self, iterator):
+        return self.state.write_batches(iterator)
+
+    def commit(self, messages, batchId: int) -> None:
+        from lakehouse_test_spark.plans.lakehouse import LakehouseTable
+
+        op = f"stream-append-b{batchId}"
+        t = LakehouseTable(None, self.state.root)
+        if any(c.operation == op for c in t.history()):
+            self.state.discard(messages)  # replayed batch: already in
+            return
+        self.state.publish(messages, operation=op, restate=False)
+        # fresh staging dir for the next micro-batch (files must not
+        # collide across commits)
+        self.state = _WriterState(self.options, self.overwrite)
+
+    def abort(self, messages, batchId: int) -> None:
+        self.state.discard(messages)
+
+
 class LakehouseDataSource(DataSource):
     """``spark.read.format("lakehouse")`` — see module docstring."""
 
@@ -402,6 +593,12 @@ class LakehouseDataSource(DataSource):
 
     def reader(self, schema) -> LakehouseSnapshotReader:
         return LakehouseSnapshotReader(_SnapshotState(self.options))
+
+    def writer(self, schema, overwrite: bool) -> LakehouseBatchWriter:
+        return LakehouseBatchWriter(self.options, overwrite)
+
+    def streamWriter(self, schema, overwrite: bool) -> LakehouseStreamWriter:
+        return LakehouseStreamWriter(self.options, overwrite)
 
 
 def register(spark) -> None:

@@ -156,3 +156,25 @@ def test_cli_convert_verb(spark, tmp_path, capsys):
     assert t.snapshot().count() == 100
     _df, scanned, total = t.scan_pruned("k", 0, 10)
     assert scanned < total
+
+
+def test_cli_alter_rename_drop_widen(spark, tmp_path, capsys):
+    from pyspark.sql import functions as F
+
+    from lakehouse_test_spark.cli import main
+    from lakehouse_test_spark.plans.lakehouse import LakehouseTable
+
+    path = str(tmp_path / "alter_t")
+    t = LakehouseTable(spark, path)
+    t.append(
+        spark.range(10).select(
+            F.col("id").cast("int").alias("k"), F.lit(1).alias("flag")
+        )
+    )
+    assert main(["alter", "--table", path, "--widen", "k:bigint"], spark=spark) == 0
+    assert main(["alter", "--table", path, "--drop", "flag"], spark=spark) == 0
+    assert main(["alter", "--table", path, "--rename", "k:kk"], spark=spark) == 0
+    out = capsys.readouterr().out
+    assert "Widened k -> bigint" in out and "Dropped column flag" in out
+    snap = LakehouseTable(spark, path).snapshot()
+    assert snap.columns == ["kk"] and dict(snap.dtypes)["kk"] == "bigint"

@@ -631,3 +631,30 @@ def test_ks_test_ecdf_is_hierarchical(spark, sf_dir):
     window only within pid partitions (the distinct-value domain is
     data-scaled)."""
     _windows_are_pid_partitioned(plan_of(spark, sf_dir, "stats_ks_test"))
+
+
+def test_q18_bucketed_layout_no_join_exchange(spark, sf_dir):
+    """The q18 second-decade fix (tools/bucketed_join_proof.py): on
+    bucketBy(orderkey) fact tables, BOTH the per-order quantity
+    pre-aggregation and the agg⋈orders join consume the bucket layout
+    — zero Exchange between the scans and the join. Only the
+    customer join (different key) may shuffle."""
+    import tempfile
+
+    from tools.bucketed_join_proof import BUCKETS, build_bucketed, q18_bucketed
+
+    build_bucketed(spark, sf_dir, "plantest")
+    import io
+    from contextlib import redirect_stdout
+
+    buf = io.StringIO()
+    with redirect_stdout(buf):
+        q18_bucketed(spark, "plantest").explain(mode="simple")
+    p = buf.getvalue()
+    # the orderkey exchanges are gone: any remaining hash exchange may
+    # only be on the custkey side
+    import re
+
+    for m in re.finditer(r"Exchange hashpartitioning\(([a-z_]+)#", p):
+        assert "custkey" in m.group(1), f"unexpected exchange on {m.group(1)}:\n{p}"
+    assert "SortMergeJoin [l_orderkey" in p or "SortMergeJoin [o_orderkey" in p or "l_orderkey" in p

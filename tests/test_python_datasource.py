@@ -331,3 +331,122 @@ def test_register_table_snapshot_isolation(spark, lh_table):
     assert spark.sql("SELECT count(*) AS n FROM livetab").collect()[0].n == 200
     register_table(spark, str(lh_table.path), "livetab")
     assert spark.sql("SELECT count(*) AS n FROM livetab").collect()[0].n == 230
+
+
+# -- write path: df.write.format("lakehouse") -------------------------------
+
+
+def test_batch_writer_append_and_overwrite(spark, tmp_path):
+    from pyspark.sql import functions as F
+
+    from lakehouse_test_spark.plans.lakehouse import LakehouseTable
+    from lakehouse_test_spark.sources.lakehouse_datasource import register
+
+    register(spark)
+    path = str(tmp_path / "w1")
+    df = spark.range(100).select(F.col("id").alias("k"), (F.col("id") * 2).alias("v"))
+    df.write.format("lakehouse").option("path", path).option("stats", "k").mode(
+        "append"
+    ).save()
+    spark.range(100, 150).select(
+        F.col("id").alias("k"), (F.col("id") * 2).alias("v")
+    ).write.format("lakehouse").option("path", path).mode("append").save()
+    t = LakehouseTable(spark, path)
+    assert t.snapshot().count() == 150 and t.latest_version() == 1
+    # harvested zone maps serve scan_pruned
+    _, scanned, total = t.scan_pruned("k", 5, 9)
+    assert scanned < total
+    # overwrite = restate commit; time travel preserved
+    spark.range(7).select(F.col("id").alias("k"), F.lit(0).alias("v")).write.format(
+        "lakehouse"
+    ).option("path", path).mode("overwrite").save()
+    assert t.snapshot().count() == 7
+    assert t.snapshot(version=1).count() == 150
+    assert t.history()[-1].restate
+
+
+def test_batch_writer_maps_logical_to_physical(spark, tmp_path):
+    import pyarrow.parquet as pq
+    from pyspark.sql import functions as F
+
+    from lakehouse_test_spark.plans.lakehouse import LakehouseTable
+    from lakehouse_test_spark.sources.lakehouse_datasource import register
+
+    register(spark)
+    path = str(tmp_path / "w2")
+    t = LakehouseTable(spark, path)
+    t.append(spark.range(5).select(F.col("id").alias("a")))
+    t.rename_column("a", "b")
+    spark.range(5, 10).select(F.col("id").alias("b")).write.format(
+        "lakehouse"
+    ).option("path", path).mode("append").save()
+    assert sorted(r.b for r in t.snapshot().collect()) == list(range(10))
+    assert pq.read_schema(t._files_for()[-1]).names == ["a"]
+
+
+def test_batch_writer_refuses_enforced_features(spark, tmp_path):
+    from pyspark.sql import functions as F
+
+    from lakehouse_test_spark.plans.lakehouse import LakehouseTable
+    from lakehouse_test_spark.sources.lakehouse_datasource import register
+
+    register(spark)
+    path = str(tmp_path / "w3")
+    t = LakehouseTable(spark, path)
+    t.add_constraint("k_pos", "k >= 0")
+    t.append(spark.range(5).select(F.col("id").alias("k")))
+    with pytest.raises(Exception, match="constraints"):
+        spark.range(5).select(F.col("id").alias("k")).write.format(
+            "lakehouse"
+        ).option("path", path).mode("append").save()
+    assert t.latest_version() == 0  # nothing landed
+
+
+def test_stream_writer_exactly_once_replay(spark, tmp_path):
+    import os
+    import shutil
+
+    from pyspark.sql import functions as F
+
+    from lakehouse_test_spark.plans.lakehouse import LakehouseTable
+    from lakehouse_test_spark.sources.lakehouse_datasource import register
+    from lakehouse_test_spark.streaming.jobs import _ckpt
+
+    register(spark)
+    src = tmp_path / "src"
+    for b in range(3):
+        spark.range(b * 100, (b + 1) * 100).select(
+            F.col("id").alias("k")
+        ).coalesce(1).write.parquet(str(src / f"b{b}"))
+        for p in (src / f"b{b}").rglob("*.parquet"):
+            os.utime(p, (1_700_000_000 + b,) * 2)
+    tgt = str(tmp_path / "tgt")
+
+    def run():
+        ck = _ckpt()
+        try:
+            q = (
+                spark.readStream.schema("k bigint")
+                .option("maxFilesPerTrigger", "1")
+                .parquet(str(src) + "/*")
+                .writeStream.format("lakehouse")
+                .option("path", tgt)
+                .option("checkpointLocation", ck)
+                .trigger(availableNow=True)
+                .start()
+            )
+            q.awaitTermination()
+        finally:
+            shutil.rmtree(ck, ignore_errors=True)
+
+    run()
+    t = LakehouseTable(spark, tgt)
+    assert t.snapshot().count() == 300
+    assert [c.operation for c in t.history()] == [
+        "stream-append-b0",
+        "stream-append-b1",
+        "stream-append-b2",
+    ]
+    # full replay from a FRESH checkpoint: batch-id dedup must hold
+    run()
+    assert t.snapshot().count() == 300 and len(t.history()) == 3
