@@ -868,9 +868,15 @@ class LakehouseTable:
         for key in ("constraints", "generated_columns", "identity"):
             if src_meta.get(key):
                 meta[key] = src_meta[key]
-        if shallow and src_meta.get("column_renames"):
-            # the referenced source files carry physical names
-            meta["column_renames"] = src_meta["column_renames"]
+        if shallow:
+            # the referenced source files carry the PHYSICAL layout —
+            # the whole column-mapping state must follow them: rename
+            # chain, dropped physicals (stale data must stay invisible
+            # in the clone too), and widening targets (mixed int/bigint
+            # vintages need the explicit-schema read path)
+            for key in ("column_renames", "dropped_columns", "widenings"):
+                if src_meta.get(key):
+                    meta[key] = src_meta[key]
         if src_meta.get("partition_specs"):
             # spec history re-based: the clone's log starts at v0, so
             # every spec applies from its beginning; the CURRENT spec
@@ -2397,7 +2403,7 @@ class LakehouseTable:
 
     # -- VACUUM ---------------------------------------------------------------
 
-    def vacuum(self, keep_versions: int = 1) -> dict:
+    def vacuum(self, keep_versions: int = 1, min_age_seconds: float = 0.0) -> dict:
         """Physically delete data files reachable only from versions
         older than the retention horizon (Delta VACUUM analog).
 
@@ -2415,7 +2421,15 @@ class LakehouseTable:
         files and the fork-version live set it reads under (branch
         data lives in data/<uuid>/ but is referenced only from the
         branch's own log — without this it would be deleted as
-        unreachable, corrupting the branch and any later merge)."""
+        unreachable, corrupting the branch and any later merge).
+
+        ``min_age_seconds`` is Delta's retention guard: files younger
+        than it survive even when unreferenced, because they may be an
+        IN-FLIGHT writer's staged output (written, not yet committed —
+        the datasource write path stages files before its atomic
+        publish). Production sets this to hours/days like Delta's
+        ``deletedFileRetentionDuration``; 0 (tests) trusts that no
+        writer is concurrent."""
         latest = self.latest_version()
         if latest < 0:
             return {"deleted": 0, "horizon": 0}
@@ -2431,10 +2445,17 @@ class LakehouseTable:
             for c in self._live_commits(v):
                 keep.update(c.dv_files or [])
         deleted = 0
+        now = _time.time()
         data_dir = self.path / "data"
         for f in sorted(data_dir.rglob("*.parquet")):
             rel = str(f.relative_to(self.path))
             if rel not in keep:
+                if min_age_seconds:
+                    try:
+                        if now - f.stat().st_mtime < min_age_seconds:
+                            continue  # possibly an in-flight writer's staging
+                    except OSError:
+                        continue
                 f.unlink()
                 deleted += 1
         # drop now-empty commit dirs

@@ -184,3 +184,61 @@ def lakehouse_drop_widen_column(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.sum("flag").cast("bigint").alias("flag_sum"),
     )
     return out.localCheckpoint()
+
+
+@query(
+    "lakehouse_datasource_write_roundtrip",
+    oracle="""
+    WITH final AS (
+      SELECT o_orderkey, o_orderstatus, o_totalprice
+      FROM orders WHERE o_orderkey % 4 = 1
+    )
+    SELECT o_orderstatus,
+           count(*) AS n_orders,
+           CAST(round(sum(CAST(o_totalprice AS DECIMAL(18,6))), 2) AS DOUBLE)
+             AS total_price
+    FROM final GROUP BY o_orderstatus
+    """,
+    tags=("lakehouse", "datasource", "write"),
+)
+def lakehouse_datasource_write_roundtrip(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The DataSource WRITE path under the hash gate: two
+    ``df.write.format("lakehouse")`` appends (Arrow-batched executor
+    writes, atomic driver-side publish, zone maps harvested via the
+    ``stats`` option), then an OVERWRITE (restate commit) that
+    replaces the table with the %4==1 slice — read back through the
+    same datasource, with version-0 time travel asserting the
+    overwrite preserved history.
+
+    Scale: executors stream Arrow batches straight to zstd parquet
+    (no driver hop); the commit is one put-if-absent rename — the
+    write parallelizes like any scan and the publish is O(1)."""
+    from lakehouse_test_spark.sources.lakehouse_datasource import register
+
+    register(spark)
+    o = T(spark, sf_dir, "orders").select(
+        "o_orderkey", "o_orderstatus", "o_totalprice"
+    )
+    path = tempfile.mkdtemp(prefix="lh_dsw_")
+
+    def w(df, mode):
+        df.repartition(2).write.format("lakehouse").option("path", path).option(
+            "stats", "o_orderkey"
+        ).mode(mode).save()
+
+    w(o.where(F.col("o_orderkey") % 2 == 0), "append")
+    w(o.where(F.col("o_orderkey") % 2 == 1), "append")
+    w(o.where(F.col("o_orderkey") % 4 == 1), "overwrite")
+    back = spark.read.format("lakehouse").option("path", path).load()
+    # history intact across the restate: v0 still the even half
+    v0 = spark.read.format("lakehouse").option("path", f"{path}@v0").load()
+    assert v0.where(F.col("o_orderkey") % 2 != 0).isEmpty()
+    out = back.groupBy("o_orderstatus").agg(
+        F.count(F.lit(1)).alias("n_orders"),
+        F.round(
+            F.sum(F.col("o_totalprice").cast("decimal(18,6)")), 2
+        )
+        .cast("double")
+        .alias("total_price"),
+    )
+    return out.localCheckpoint()

@@ -43,6 +43,7 @@ from pathlib import Path
 from pyspark.sql.datasource import (
     DataSource,
     DataSourceReader,
+    DataSourceStreamReader,
     EqualNullSafe,
     EqualTo,
     Filter,
@@ -581,6 +582,92 @@ class LakehouseStreamWriter(DataSourceStreamArrowWriter):
         self.state.discard(messages)
 
 
+class LakehouseStreamReader(DataSourceStreamReader):
+    """``spark.readStream.format("lakehouse")`` — the Delta streaming
+    source semantic: starting from offset −1 the table's whole append
+    history replays as ordinary rows (snapshot-then-follow for an
+    append-only table), later appends arrive as micro-batches. A
+    deletion-vector commit fails the stream (its rows cannot be
+    UN-emitted) unless ``ignoreDeletes=true`` skips it; restates
+    (merge/delete rewrites) always raise — restart from a fresh
+    snapshot, exactly Delta's contract. Compactions
+    (dataChange=false) are skipped silently. Offsets are commit
+    versions, so restarts are exactly-once against the immutable log.
+    """
+
+    def __init__(self, options: dict, data_columns: list[str]):
+        from lakehouse_test_spark.sources.cdf_datasource import (
+            LakehouseCDFStreamReader,
+        )
+
+        self._cdf = LakehouseCDFStreamReader(dict(options), None)
+        path, _ = _parse_ref(options["path"])
+        t = _table(path)
+        meta = t._read_meta()
+        self._logical_of_physical = {}
+        for old, new in meta.get("column_renames", []):
+            for k, v in list(self._logical_of_physical.items()):
+                if v == old:
+                    self._logical_of_physical[k] = new
+            self._logical_of_physical.setdefault(old, new)
+        self._dropped = {d["physical"] for d in meta.get("dropped_columns", [])}
+        self.data_columns = data_columns
+        self.ignore_deletes = str(
+            options.get("ignoreDeletes") or options.get("ignoredeletes") or ""
+        ).lower() in ("true", "1")
+
+    def initialOffset(self):
+        return self._cdf.initialOffset()
+
+    def latestOffset(self):
+        return self._cdf.latestOffset()
+
+    def partitions(self, start, end):
+        parts = self._cdf.partitions(start, end)
+        out = []
+        for p in parts:
+            if getattr(p, "kind", "insert") == "delete":
+                if self.ignore_deletes:
+                    continue
+                raise RuntimeError(
+                    f"commit v{p.version} deletes rows; a plain stream "
+                    "source cannot un-emit them — set ignoreDeletes=true "
+                    "to skip delete commits, or consume the change feed "
+                    "(format 'lakehouse_cdf') instead"
+                )
+            out.append(p)
+        if not out:
+            # keep the contract of at least one (empty) partition
+            from lakehouse_test_spark.sources.cdf_datasource import _FilePartition
+
+            out = [_FilePartition("insert", "", end["version"])]
+        return out
+
+    def read(self, partition):
+        if not partition.file:
+            return
+        import pyarrow.parquet as pq
+
+        path = partition.file
+        if path.startswith("file://"):
+            path = path[len("file://") :]
+        tbl = pq.read_table(path)
+        present = {}
+        for n in tbl.column_names:
+            if n in self._dropped:
+                continue
+            present[self._logical_of_physical.get(n, n)] = tbl.column(n)
+        cols = [
+            present[n].to_pylist() if n in present else [None] * tbl.num_rows
+            for n in self.data_columns
+        ]
+        for row in zip(*cols):
+            yield row
+
+    def commit(self, end) -> None:
+        pass
+
+
 class LakehouseDataSource(DataSource):
     """``spark.read.format("lakehouse")`` — see module docstring."""
 
@@ -596,6 +683,9 @@ class LakehouseDataSource(DataSource):
 
     def writer(self, schema, overwrite: bool) -> LakehouseBatchWriter:
         return LakehouseBatchWriter(self.options, overwrite)
+
+    def streamReader(self, schema) -> LakehouseStreamReader:
+        return LakehouseStreamReader(self.options, [f.name for f in schema.fields])
 
     def streamWriter(self, schema, overwrite: bool) -> LakehouseStreamWriter:
         return LakehouseStreamWriter(self.options, overwrite)

@@ -64,12 +64,28 @@ def _ckpt() -> str:
     they add ~15% to every bounded run (measured 1.65 s → 1.43 s at
     sf0.1). Durability is irrelevant for a run-once AvailableNow
     gate; PRODUCTION jobs point checkpointLocation at HDFS/S3 —
-    that knob, not this default, is the deployment contract."""
+    that knob, not this default, is the deployment contract.
+
+    Every dir handed out is registered for atexit cleanup, so gates
+    that don't (or can't, on an exception path) rmtree their
+    checkpoint never leak it into /dev/shm across runs."""
     import os
     import tempfile
 
     base = "/dev/shm" if os.path.isdir("/dev/shm") else None
-    return tempfile.mkdtemp(prefix="ckpt_", dir=base)
+    d = tempfile.mkdtemp(prefix="ckpt_", dir=base)
+    if not _CKPT_DIRS:
+        import atexit
+        import shutil
+
+        atexit.register(
+            lambda: [shutil.rmtree(p, ignore_errors=True) for p in _CKPT_DIRS]
+        )
+    _CKPT_DIRS.append(d)
+    return d
+
+
+_CKPT_DIRS: list[str] = []
 
 
 def _drain_to_memory(stream_df: DataFrame, output_mode: str) -> DataFrame:

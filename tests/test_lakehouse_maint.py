@@ -1008,3 +1008,57 @@ def test_datasource_reads_drop_widen_table(spark, table):
     rows = {(r.k, r.v) for r in df.collect()}
     want = {(r.k, r.v) for r in table.snapshot().collect()}
     assert rows == want
+
+
+def test_clone_carries_drop_and_widen_metadata(spark, table, tmp_path):
+    """Interplay (found by the r5 torture sweep): a shallow clone
+    references the source's PHYSICAL files, so the whole
+    column-mapping state must follow — without the widening targets
+    the clone's first read dies in CANNOT_MERGE_SCHEMAS on the mixed
+    int/bigint vintages, and without the dropped set the dropped
+    column's stale data resurrects in the clone."""
+    table.append(
+        spark.range(0, 50).select(
+            F.col("id").cast("int").alias("k"),
+            (F.col("id") * 2).cast("int").alias("v"),
+        ),
+        stats_cols=["k"],
+    )
+    table.widen_column("k", "bigint")
+    table.drop_column("v")
+    table.append(
+        spark.range(50, 80).select(F.col("id").alias("k"), F.lit(9).alias("v")),
+        stats_cols=["k"],
+    )
+    c = table.clone(str(tmp_path / "cl_dw"))
+    s = c.snapshot()
+    assert dict(s.dtypes)["k"] == "bigint"
+    assert s.count() == 80
+    assert s.where(F.col("v").isNull()).count() == 50  # no resurrection
+    # the clone stays independently writable under the evolved schema
+    c.append(
+        spark.range(100, 105).select(F.col("id").alias("k"), F.lit(1).alias("v"))
+    )
+    assert c.snapshot().count() == 85
+    deep = table.clone(str(tmp_path / "cl_dw_deep"), shallow=False)
+    assert deep.snapshot().count() == 80
+    assert dict(deep.snapshot().dtypes)["k"] == "bigint"
+
+
+def test_vacuum_retention_age_spares_young_orphans(spark, table):
+    """min_age_seconds is the in-flight-writer guard (Delta's
+    deletedFileRetentionDuration): an unreferenced file younger than
+    the retention window survives vacuum — it may be a concurrent
+    writer's staged-but-not-yet-committed output."""
+    table.append(_df(spark, 0, 50))
+    staged = Path(table.path) / "data" / "staging123"
+    staged.mkdir(parents=True)
+    orphan = staged / "part-orphan.parquet"
+    orphan.write_bytes(b"PAR1fake")
+    res = table.vacuum(keep_versions=1, min_age_seconds=3600)
+    assert orphan.exists(), "young orphan must survive retention"
+    import os
+
+    os.utime(orphan, (1_600_000_000, 1_600_000_000))  # age it past any window
+    res = table.vacuum(keep_versions=1, min_age_seconds=3600)
+    assert not orphan.exists() and res["deleted"] >= 1

@@ -450,3 +450,54 @@ def test_stream_writer_exactly_once_replay(spark, tmp_path):
     # full replay from a FRESH checkpoint: batch-id dedup must hold
     run()
     assert t.snapshot().count() == 300 and len(t.history()) == 3
+
+
+def test_unified_stream_reader_snapshot_then_follow(spark, tmp_path):
+    """readStream.format("lakehouse"): the Delta streaming-source
+    semantic — append history replays as plain rows (rename mapping
+    applied), a DV commit fails the stream unless ignoreDeletes=true
+    skips it."""
+    import shutil
+
+    from pyspark.sql import functions as F
+
+    from lakehouse_test_spark.plans.lakehouse import LakehouseTable
+    from lakehouse_test_spark.sources.lakehouse_datasource import register
+    from lakehouse_test_spark.streaming.jobs import _ckpt
+
+    register(spark)
+    p = str(tmp_path / "srt")
+    t = LakehouseTable(spark, p)
+    t.append(spark.range(0, 50).select(F.col("id").alias("k")))
+    t.rename_column("k", "kk")
+    t.append(spark.range(50, 80).select(F.col("id").alias("kk")))
+
+    def drain(name, **opts):
+        ck = _ckpt()
+        try:
+            r = spark.readStream.format("lakehouse").option("path", p)
+            for k, v in opts.items():
+                r = r.option(k, v)
+            q = (
+                r.load()
+                .writeStream.format("memory")
+                .queryName(name)
+                .option("checkpointLocation", ck)
+                .trigger(availableNow=True)
+                .start()
+            )
+            q.awaitTermination()
+        finally:
+            shutil.rmtree(ck, ignore_errors=True)
+        return spark.table(name)
+
+    got = sorted(r.kk for r in drain("sr_a").collect())
+    assert got == list(range(80))
+
+    t.delete_where_dv("kk = 5")
+    t.append(spark.range(80, 85).select(F.col("id").alias("kk")))
+    from pyspark.errors.exceptions.captured import StreamingQueryException
+
+    with pytest.raises(StreamingQueryException):
+        drain("sr_b")
+    assert drain("sr_c", ignoreDeletes="true").count() == 85
