@@ -1062,3 +1062,28 @@ def test_vacuum_retention_age_spares_young_orphans(spark, table):
     os.utime(orphan, (1_600_000_000, 1_600_000_000))  # age it past any window
     res = table.vacuum(keep_versions=1, min_age_seconds=3600)
     assert not orphan.exists() and res["deleted"] >= 1
+
+
+def test_widen_decimal_precision_growth(spark, table):
+    table.append(
+        spark.range(10).select(
+            F.col("id").alias("k"),
+            (F.col("id") * 1.5).cast("decimal(10,2)").alias("m"),
+        )
+    )
+    table.widen_column("m", "decimal(20,2)")
+    table.append(
+        spark.range(10, 15).select(
+            F.col("id").alias("k"),
+            F.lit("123456789012345678.99").cast("decimal(20,2)").alias("m"),
+        )
+    )
+    snap = table.snapshot()
+    assert dict(snap.dtypes)["m"] == "decimal(20,2)"
+    assert snap.count() == 15
+    # scale growth without integral headroom is lossy -> rejected
+    with pytest.raises(ValueError, match="lossless"):
+        table.widen_column("m", "decimal(20,4)")
+    # but scale growth WITH headroom is fine
+    table.widen_column("m", "decimal(24,4)")
+    assert dict(table.snapshot().dtypes)["m"] == "decimal(24,4)"

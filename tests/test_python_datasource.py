@@ -501,3 +501,24 @@ def test_unified_stream_reader_snapshot_then_follow(spark, tmp_path):
     with pytest.raises(StreamingQueryException):
         drain("sr_b")
     assert drain("sr_c", ignoreDeletes="true").count() == 85
+
+
+def test_datasource_respects_vacuum_horizon(spark, lh_table):
+    from lakehouse_test_spark.plans.lakehouse import VacuumHorizonError
+
+    lh_table.compact(target_partitions=1)
+    lh_table.vacuum(keep_versions=1)
+    with pytest.raises((VacuumHorizonError, Exception), match="[Hh]orizon|vacuum"):
+        _load(spark, lh_table.path, versionAsOf=0).count()
+    # latest still reads
+    assert _load(spark, lh_table.path).count() == 200
+
+
+def test_datasource_reads_cloned_table_absolute_paths(spark, lh_table, tmp_path):
+    """Shallow clones reference absolute source paths; the datasource
+    must scan them (and their DVs) like the native reader."""
+    lh_table.delete_where_dv("k = 3")
+    c = lh_table.clone(str(tmp_path / "ds_clone"))
+    got = {r.k for r in _load(spark, tmp_path / "ds_clone").collect()}
+    want = {r.k for r in c.snapshot().collect()}
+    assert got == want and 3 not in got and len(got) == 199
