@@ -133,6 +133,13 @@ def build_parser() -> argparse.ArgumentParser:
     alt.add_argument("--drop", metavar="COL", help="drop a column")
     alt.add_argument("--widen", metavar="COL:TYPE",
                      help="widen a column's type (col:bigint)")
+
+    vfy = sub.add_parser(
+        "verify",
+        help="integrity check (fsck): live files exist with parseable "
+             "footers, commit row counts match, metadata self-consistent",
+    )
+    vfy.add_argument("--table", required=True)
     return p
 
 
@@ -288,6 +295,17 @@ def main(argv: list[str] | None = None, spark=None) -> int:
             if not did:
                 print("Nothing to do: pass --rename/--drop/--widen")
             print(f"Columns: {table.snapshot().columns}")
+        elif args.verb == "verify":
+            table = LakehouseTable(spark, args.table)
+            report = table.verify()
+            print(
+                f"Checked {report['files_checked']} files across "
+                f"{report['live_versions']} live versions"
+            )
+            for e in report["errors"]:
+                print(f"ERROR: {e}")
+            print("OK" if report["ok"] else f"FAILED: {len(report['errors'])} errors")
+            return 0 if report["ok"] else 1
         elif args.verb == "curate":
             # end-to-end pretraining curation: quality gates -> exact
             # dedup -> diversity gate -> committed lakehouse table

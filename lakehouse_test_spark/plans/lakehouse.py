@@ -2403,7 +2403,90 @@ class LakehouseTable:
 
     # -- VACUUM ---------------------------------------------------------------
 
-    def vacuum(self, keep_versions: int = 1, min_age_seconds: float = 0.0) -> dict:
+    def verify(self) -> dict:
+        """Integrity check (fsck for the table): every live file and
+        DV file exists with a parseable footer, per-commit recorded
+        row counts match the footers, stats keys reference real
+        columns of their files, and the rename chain / dropped /
+        widening metadata is self-consistent. Returns a report dict
+        with an ``errors`` list — EMPTY means the table is sound.
+        O(live files) footer reads, no Spark jobs: runnable from any
+        operator box against a 100 TB table."""
+        import pyarrow.parquet as pq
+
+        errors: list[str] = []
+        checked_files = 0
+        meta = self._read_meta()
+        live = self._live_files()
+        by_commit: dict[int, list[str]] = {}
+        for c, f in live:
+            by_commit.setdefault(c.version, []).append(f)
+        commits = {c.version: c for c, _f in live}
+        for v, files in sorted(by_commit.items()):
+            c = commits[v]
+            rows = 0
+            for f in files:
+                p = Path(f) if f.startswith("/") else self.path / f
+                try:
+                    md = pq.ParquetFile(str(p)).metadata
+                    rows += md.num_rows
+                    checked_files += 1
+                except FileNotFoundError:
+                    errors.append(f"v{v}: missing data file {f}")
+                    continue
+                except Exception as e:  # torn/corrupt footer
+                    errors.append(f"v{v}: unreadable footer {f}: {e}")
+                    continue
+                fstats = (c.stats or {}).get(f) or {}
+                names = set(pq.read_schema(str(p)).names)
+                phys = self._physical_of_logical()
+                for key in fstats:
+                    col = key.split(":", 1)[1] if key.startswith("__bloom__:") else key
+                    # stats keys are logical-at-write-time; the file
+                    # stores the physical form — accept either
+                    if col not in names and phys.get(col, col) not in names:
+                        errors.append(f"v{v}: stats key {key!r} not a column of {f}")
+            # a commit's recorded row_count covers ALL its files; only
+            # comparable when none were superseded by partial rewrites
+            if len(files) == len(c.files) and c.row_count != rows:
+                errors.append(
+                    f"v{v}: recorded row_count {c.row_count} != footer sum {rows}"
+                )
+        for dvf in self._live_dv_files():
+            p = self.path / dvf
+            if not p.exists():
+                errors.append(f"missing DV file {dvf}")
+        # metadata self-consistency
+        phys = self._physical_of_logical()
+        dropped_pairs = {
+            (d["logical"], d["physical"]) for d in meta.get("dropped_columns", [])
+        }
+        dropped = {p for _l, p in dropped_pairs}
+        for logical, physical in phys.items():
+            # a dropped column's OWN chain entry legitimately resolves
+            # to its dropped physical (until a re-add re-points it);
+            # any OTHER live logical resolving there is corruption
+            if physical in dropped and (logical, physical) not in dropped_pairs:
+                errors.append(
+                    f"rename chain maps live column {logical!r} to DROPPED "
+                    f"physical {physical!r}"
+                )
+        for w in meta.get("widenings", {}):
+            if w in dropped:
+                errors.append(f"widening declared on dropped physical {w!r}")
+        return {
+            "ok": not errors,
+            "errors": errors,
+            "files_checked": checked_files,
+            "live_versions": len(by_commit),
+        }
+
+    def vacuum(
+        self,
+        keep_versions: int = 1,
+        min_age_seconds: float = 0.0,
+        dry_run: bool = False,
+    ) -> dict:
         """Physically delete data files reachable only from versions
         older than the retention horizon (Delta VACUUM analog).
 
@@ -2445,6 +2528,7 @@ class LakehouseTable:
             for c in self._live_commits(v):
                 keep.update(c.dv_files or [])
         deleted = 0
+        victims: list[str] = []
         now = _time.time()
         data_dir = self.path / "data"
         for f in sorted(data_dir.rglob("*.parquet")):
@@ -2456,8 +2540,14 @@ class LakehouseTable:
                             continue  # possibly an in-flight writer's staging
                     except OSError:
                         continue
+                if dry_run:
+                    victims.append(rel)
+                    continue
                 f.unlink()
                 deleted += 1
+        if dry_run:
+            # report only — no files touched, horizon NOT advanced
+            return {"deleted": 0, "horizon": horizon, "would_delete": victims}
         # drop now-empty commit dirs
         for d in sorted(data_dir.glob("*"), reverse=True):
             if d.is_dir() and not any(d.iterdir()):

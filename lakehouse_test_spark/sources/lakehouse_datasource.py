@@ -695,7 +695,7 @@ def register(spark) -> None:
     spark.dataSource.register(LakehouseDataSource)
 
 
-def register_table(spark, path: str, name: str, **ref) -> None:
+def register_table(spark, path: str, name: str, engine: str = "datasource", **ref) -> None:
     """Bind a lakehouse snapshot under a SQL-addressable view name:
     ``register_table(spark, p, "orders_lh", versionAsOf=3)`` then
     ``spark.sql("SELECT ... FROM orders_lh")``.
@@ -703,7 +703,35 @@ def register_table(spark, path: str, name: str, **ref) -> None:
     Contract: the view pins the snapshot RESOLVED AT REGISTRATION
     (the commit log is read once, at load) — queries against the name
     are snapshot-isolated from concurrent commits, exactly like a
-    DataFrame handle. Re-register to advance to the new head."""
+    DataFrame handle. Re-register to advance to the new head.
+
+    ``engine``: "datasource" (default) serves the view through the
+    Python DataSource — commit-log zone maps prune FILES before any
+    task launches, but bytes decode in Python workers. "native"
+    serves it through :meth:`LakehouseTable.snapshot` — a JVM parquet
+    scan (whole-stage codegen, row-group pruning) with no file-level
+    zone-map skip. At 100 TB: point/range workloads want
+    "datasource"; full-scan analytics want "native"."""
+    if engine == "native":
+        from lakehouse_test_spark.plans.lakehouse import LakehouseTable
+
+        p, from_suffix = _parse_ref(path)
+        opts = {**from_suffix, **{k: v for k, v in ref.items() if v is not None}}
+        t = LakehouseTable(spark, p)
+        if "branch" in opts:
+            df = t.snapshot_branch(opts["branch"])
+        else:
+            df = t.snapshot(
+                version=int(opts["versionAsOf"]) if "versionAsOf" in opts else None,
+                timestamp=float(opts["timestampAsOf"])
+                if "timestampAsOf" in opts
+                else None,
+                tag=opts.get("tag"),
+            )
+        df.createOrReplaceTempView(name)
+        return
+    if engine != "datasource":
+        raise ValueError(f"engine must be 'datasource' or 'native', got {engine!r}")
     register(spark)
     r = spark.read.format("lakehouse").option("path", path)
     for k, v in ref.items():

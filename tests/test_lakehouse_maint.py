@@ -1087,3 +1087,57 @@ def test_widen_decimal_precision_growth(spark, table):
     # but scale growth WITH headroom is fine
     table.widen_column("m", "decimal(24,4)")
     assert dict(table.snapshot().dtypes)["m"] == "decimal(24,4)"
+
+
+def test_verify_clean_and_detects_corruption(spark, table):
+    """verify() is the table fsck: clean on a healthy evolved table
+    (renames + drop + widen + compaction), and reports missing files,
+    torn footers, and row-count drift instead of failing mid-scan."""
+    table.append(_df(spark, 0, 100).repartition(2), stats_cols=["k"], bloom_cols=["k"])
+    table.rename_column("v", "vv")
+    table.widen_column("k", "bigint")
+    table.append(
+        spark.range(100, 150).select(
+            F.col("id").alias("k"), (F.col("id") * 2).alias("vv")
+        ),
+        stats_cols=["k"],
+    )
+    table.drop_column("vv")
+    rep = table.verify()
+    assert rep["ok"], rep["errors"]
+    assert rep["files_checked"] >= 3
+    # corrupt: delete one live file
+    victim = Path(table.path) / table.history()[-1].files[0]
+    victim.unlink()
+    rep2 = table.verify()
+    assert not rep2["ok"]
+    assert any("missing data file" in e for e in rep2["errors"])
+    # torn footer
+    victim2 = Path(table.path) / table.history()[0].files[0]
+    victim2.write_bytes(b"not a parquet file")
+    rep3 = table.verify()
+    assert any("unreadable footer" in e for e in rep3["errors"])
+
+
+def test_vacuum_dry_run_reports_without_deleting(spark, table):
+    table.append(_df(spark, 0, 100))
+    table.compact(target_partitions=1)
+    n_before = len(list(Path(table.path).rglob("*.parquet")))
+    rep = table.vacuum(keep_versions=1, dry_run=True)
+    assert rep["deleted"] == 0 and len(rep["would_delete"]) > 0
+    assert len(list(Path(table.path).rglob("*.parquet"))) == n_before
+    # horizon NOT advanced by the dry run: time travel still works
+    assert table.snapshot(version=0).count() == 100
+    real = table.vacuum(keep_versions=1)
+    assert real["deleted"] == len(rep["would_delete"])
+
+
+def test_cli_verify_verb(spark, table, capsys):
+    from lakehouse_test_spark.cli import main
+
+    table.append(_df(spark, 0, 50))
+    assert main(["verify", "--table", str(table.path)], spark=spark) == 0
+    (Path(table.path) / table.history()[0].files[0]).unlink()
+    assert main(["verify", "--table", str(table.path)], spark=spark) == 1
+    out = capsys.readouterr().out
+    assert "OK" in out and "FAILED" in out

@@ -522,3 +522,25 @@ def test_datasource_reads_cloned_table_absolute_paths(spark, lh_table, tmp_path)
     got = {r.k for r in _load(spark, tmp_path / "ds_clone").collect()}
     want = {r.k for r in c.snapshot().collect()}
     assert got == want and 3 not in got and len(got) == 199
+
+
+def test_register_table_native_engine(spark, lh_table):
+    """engine="native" serves the view through the JVM snapshot scan
+    — same rows as the datasource engine, including time travel."""
+    from lakehouse_test_spark.sources.lakehouse_datasource import register_table
+
+    lh_table.tag("t0", 0)
+    register_table(spark, str(lh_table.path), "nat_all", engine="native")
+    register_table(
+        spark, str(lh_table.path), "nat_v0", engine="native", versionAsOf=0
+    )
+    register_table(spark, f"{lh_table.path}@tag:t0", "nat_tag", engine="native")
+    register_table(spark, str(lh_table.path), "ds_all")  # datasource twin
+    a = {tuple(r) for r in spark.sql("SELECT k, v FROM nat_all").collect()}
+    b = {tuple(r) for r in spark.sql("SELECT k, v FROM ds_all").collect()}
+    assert a == b and len(a) == 200
+    assert spark.sql("SELECT count(*) n FROM nat_v0").collect()[0].n == 100
+    assert spark.sql("SELECT count(*) n FROM nat_tag").collect()[0].n == 100
+    # native plan is a JVM parquet scan (no Python datasource node)
+    plan = spark.sql("SELECT * FROM nat_all WHERE k > 10")._jdf.queryExecution().executedPlan().toString()
+    assert "PythonScan" not in plan and "Scan parquet" in plan
