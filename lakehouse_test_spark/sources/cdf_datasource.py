@@ -11,6 +11,13 @@ positions out of the base files). This is the streaming twin of
 ``LakehouseTable.read_changes_cdf`` — same contract, delivered as an
 unbounded source that any Structured Streaming job can consume.
 
+Contract note: this feed replays the PHYSICAL file layout (columns as
+written — after a rename, the stable physical names; after a DROP, the
+column keeps appearing for pre-drop commits since those files carry
+it). Consumers wanting the current LOGICAL schema read snapshots via
+``format("lakehouse")`` or fold the feed through a view; the native
+``read_changes_cdf`` applies the logical mapping batch-side.
+
 Scale: partitions map 1:1 to files, so a commit's replay
 parallelizes exactly like a scan of it; the driver only lists the
 log. Restate commits (merge/delete/restore rewrites) cannot be
