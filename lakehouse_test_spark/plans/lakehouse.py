@@ -316,7 +316,8 @@ class LakehouseTable:
         )
         tmp = self.log_dir / f".tmp-{uuid.uuid4().hex}"
         tmp.write_text(json.dumps(commit.__dict__))
-        os.rename(tmp, self._commit_path(0))
+        if not self._put_if_absent(tmp, self._commit_path(0)):
+            raise RuntimeError("convert_from_parquet: table is not empty (raced a writer)")
         return commit
 
     def append_with_retry(self, df: DataFrame, retries: int = 3, **kw) -> Commit:
@@ -2394,11 +2395,8 @@ class LakehouseTable:
         )
         tmp = self.log_dir / f".tmp-{uuid.uuid4().hex}"
         tmp.write_text(json.dumps(commit.__dict__))
-        target = self._commit_path(version)
-        if target.exists():
-            tmp.unlink()
+        if not self._put_if_absent(tmp, self._commit_path(version)):
             raise RuntimeError(f"concurrent commit at version {version}")
-        os.rename(tmp, target)
         return commit
 
     # -- VACUUM ---------------------------------------------------------------
