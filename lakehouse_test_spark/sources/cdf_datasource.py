@@ -102,6 +102,7 @@ class _FilePartition(InputPartition):
 
 class LakehouseCDFStreamReader(DataSourceStreamReader):
     def __init__(self, options: dict, data_columns: list[str] | None = None):
+        self.options = dict(options)
         self.path = Path(options["path"])
         # pinned data-column names (schema minus _change_type/
         # _commit_version) — read() replays every file into this shape
@@ -132,7 +133,14 @@ class LakehouseCDFStreamReader(DataSourceStreamReader):
         return out
 
     def initialOffset(self) -> dict:
-        return {"version": -1}
+        # Delta's startingVersion: begin the replay at a chosen commit
+        # instead of the table's birth (omit or -0/"earliest" = all)
+        sv = self.options.get("startingVersion") or self.options.get(
+            "startingversion"
+        )
+        if sv is None or str(sv).lower() == "earliest":
+            return {"version": -1}
+        return {"version": int(sv) - 1}
 
     def latestOffset(self) -> dict:
         versions = [int(p.stem) for p in (self.path / "_log").glob("*.json")]

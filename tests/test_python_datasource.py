@@ -544,3 +544,47 @@ def test_register_table_native_engine(spark, lh_table):
     # native plan is a JVM parquet scan (no Python datasource node)
     plan = spark.sql("SELECT * FROM nat_all WHERE k > 10")._jdf.queryExecution().executedPlan().toString()
     assert "PythonScan" not in plan and "Scan parquet" in plan
+
+
+def test_starting_version_option(spark, tmp_path):
+    """Delta's startingVersion on both streaming sources: begin the
+    replay at a chosen commit instead of the table's birth."""
+    import shutil
+
+    from pyspark.sql import functions as F
+
+    from lakehouse_test_spark.plans.lakehouse import LakehouseTable
+    from lakehouse_test_spark.sources.cdf_datasource import register as reg_cdf
+    from lakehouse_test_spark.sources.lakehouse_datasource import register
+    from lakehouse_test_spark.streaming.jobs import _ckpt
+
+    register(spark)
+    reg_cdf(spark)
+    p = str(tmp_path / "sv")
+    t = LakehouseTable(spark, p)
+    for b in range(3):
+        t.append(spark.range(b * 10, (b + 1) * 10).select(F.col("id").alias("k")))
+
+    def drain(fmt, name, **opts):
+        ck = _ckpt()
+        try:
+            r = spark.readStream.format(fmt).option("path", p)
+            for k, v in opts.items():
+                r = r.option(k, v)
+            q = (
+                r.load()
+                .writeStream.format("memory")
+                .queryName(name)
+                .option("checkpointLocation", ck)
+                .trigger(availableNow=True)
+                .start()
+            )
+            q.awaitTermination()
+        finally:
+            shutil.rmtree(ck, ignore_errors=True)
+        return spark.table(name).count()
+
+    assert drain("lakehouse_cdf", "sv_a") == 30
+    assert drain("lakehouse_cdf", "sv_b", startingVersion="1") == 20
+    assert drain("lakehouse", "sv_c", startingVersion="2") == 10
+    assert drain("lakehouse", "sv_d", startingVersion="earliest") == 30
