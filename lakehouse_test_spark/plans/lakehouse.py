@@ -2004,6 +2004,10 @@ class LakehouseTable:
             raise ValueError(
                 f"cannot drop {name!r}: referenced by {'; '.join(referents)}"
             )
+        if self.latest_version() >= 0:
+            cols = self.snapshot().columns
+            if name not in cols:
+                raise ValueError(f"drop_column: no column {name!r}; have {cols}")
         physical = self._physical_of_logical().get(name, name)
         meta.setdefault("dropped_columns", []).append(
             {
@@ -2030,6 +2034,10 @@ class LakehouseTable:
         Delta ``typeWidening`` table-feature mechanism, physical
         names unchanged. Narrowing raises."""
         target = target.strip().lower()
+        if self.latest_version() >= 0:
+            cols = self.snapshot().columns
+            if name not in cols:
+                raise ValueError(f"widen_column: no column {name!r}; have {cols}")
         phys = self._physical_of_logical().get(name, name)
         current = None
         for f in self._files_for():

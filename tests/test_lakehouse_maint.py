@@ -1141,3 +1141,11 @@ def test_cli_verify_verb(spark, table, capsys):
     assert main(["verify", "--table", str(table.path)], spark=spark) == 1
     out = capsys.readouterr().out
     assert "OK" in out and "FAILED" in out
+
+
+def test_drop_widen_reject_unknown_columns(spark, table):
+    table.append(_df(spark, 0, 10))
+    with pytest.raises(ValueError, match="no column 'nope'"):
+        table.drop_column("nope")
+    with pytest.raises(ValueError, match="no column 'nope'"):
+        table.widen_column("nope", "bigint")
