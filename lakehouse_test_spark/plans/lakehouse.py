@@ -2000,6 +2000,11 @@ class LakehouseTable:
                 referents.append(f"current partition spec item {item!r}")
         if name in (meta.get("identity") or {}):
             referents.append("identity column")
+        cl = meta.get("clustering")
+        if cl and name in cl.get("cols", []):
+            # found by the r5 torture sweep: a dropped clustered column
+            # left hilbert_cluster_incremental resolving a ghost
+            referents.append(f"clustering spec {cl['cols']} (recluster first)")
         if referents:
             raise ValueError(
                 f"cannot drop {name!r}: referenced by {'; '.join(referents)}"

@@ -1149,3 +1149,36 @@ def test_drop_widen_reject_unknown_columns(spark, table):
         table.drop_column("nope")
     with pytest.raises(ValueError, match="no column 'nope'"):
         table.widen_column("nope", "bigint")
+
+
+def test_drop_clustered_column_guarded_widen_composes(spark, table):
+    """Interplay (r5 torture sweep): dropping a clustered column left
+    hilbert_cluster_incremental resolving a ghost — now guarded like
+    constraints/generated/spec referents. WIDENING a clustered column
+    composes fine: incremental reclustering and box scans keep
+    working across the int/bigint vintages."""
+    df = spark.range(0, 1000).select(
+        F.col("id").cast("int").alias("x"),
+        ((F.col("id") * 7) % 997).cast("int").alias("y"),
+    )
+    table.append(df, stats_cols=["x", "y"])
+    table.hilbert_cluster(["x", "y"])
+    with pytest.raises(ValueError, match="clustering spec"):
+        table.drop_column("y")
+    table.widen_column("x", "bigint")
+    table.append(
+        spark.range(1000, 1200).select(
+            F.col("id").alias("x"), ((F.col("id") * 3) % 997).cast("int").alias("y")
+        ),
+        stats_cols=["x", "y"],
+    )
+    c = table.hilbert_cluster_incremental()
+    assert c is not None and table.snapshot().count() == 1200
+    got, scanned, total = table.scan_pruned_box({"x": (10, 50), "y": (100, 300)})
+    rows = {(r.x, r.y) for r in got.collect()}
+    want = {
+        (i, (i * 7) % 997)
+        for i in range(1000)
+        if 10 <= i <= 50 and 100 <= (i * 7) % 997 <= 300
+    }
+    assert rows == want and scanned < total
