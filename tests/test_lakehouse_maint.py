@@ -1182,3 +1182,56 @@ def test_drop_clustered_column_guarded_widen_composes(spark, table):
         if 10 <= i <= 50 and 100 <= (i * 7) % 997 <= 300
     }
     assert rows == want and scanned < total
+
+
+def test_export_parity_rename_drop_widen_dv_combined(spark, table):
+    """The everything-at-once export torture: rename + widen + drop +
+    re-add + deletion vectors in ONE table, exported to BOTH formats,
+    each replayed by its own external-reader path — row-set parity
+    with the native snapshot."""
+    from lakehouse_test_spark.plans.delta_export import (
+        export_delta_log,
+        read_delta_log,
+    )
+    from lakehouse_test_spark.plans.iceberg_export import (
+        export_iceberg_metadata,
+        read_iceberg,
+    )
+
+    table.append(
+        spark.range(0, 60).select(
+            F.col("id").cast("int").alias("k"),
+            (F.col("id") * 2).cast("int").alias("v"),
+            F.lit("a").alias("s"),
+        )
+    )
+    table.rename_column("s", "tag")
+    table.widen_column("k", "bigint")
+    table.append(
+        spark.range(60, 100).select(
+            F.col("id").alias("k"),
+            (F.col("id") * 3).cast("int").alias("v"),
+            F.lit("b").alias("tag"),
+        )
+    )
+    table.drop_column("v")
+    table.append(
+        spark.range(100, 120).select(
+            F.col("id").alias("k"), F.lit(9).alias("v"), F.lit("c").alias("tag")
+        )
+    )
+    table.delete_where_dv("k % 10 = 0")
+    native = {(r.k, r.v, r.tag) for r in table.snapshot().collect()}
+    assert len(native) == 108
+    export_delta_log(spark, table)
+    got_d = {
+        (r.k, r.v, r.tag)
+        for r in read_delta_log(spark, table.path).select("k", "v", "tag").collect()
+    }
+    assert got_d == native
+    export_iceberg_metadata(spark, table)
+    got_i = {
+        (r.k, r.v, r.tag)
+        for r in read_iceberg(spark, str(table.path)).select("k", "v", "tag").collect()
+    }
+    assert got_i == native
