@@ -155,8 +155,13 @@ def global_cumsum(
     offsets, acc = [], [None] * len(vals)
     for r in per:
         offsets.append((r[_PID], *acc))
+        # an all-NULL partition sums to None: it contributes NOTHING
+        # to later offsets (never poisons the chain with None + x),
+        # while a leading None stays None (SQL: sum over an all-null
+        # prefix is NULL, handled at use below)
         acc = [
-            r[f"__s{i}"] if a is None else a + r[f"__s{i}"]
+            a if r[f"__s{i}"] is None
+            else (r[f"__s{i}"] if a is None else a + r[f"__s{i}"])
             for i, a in enumerate(acc)
         ]
     spark = df.sparkSession
@@ -175,8 +180,17 @@ def global_cumsum(
     )
     out = tagged.join(F.broadcast(off_df), _PID)
     for i, (v, o) in enumerate(zip(vals, outs)):
+        off = F.col(f"{_OFF}{i}")
+        within = F.sum(v).over(w)
+        zero = F.lit(0).cast(dts[f"__s{i}"])
+        # SQL running-sum NULL semantics: NULL only while EVERY value
+        # so far (prior partitions + this prefix) is NULL; otherwise
+        # nulls on either side contribute zero
         out = out.withColumn(
-            o, F.coalesce(F.col(f"{_OFF}{i}"), F.lit(0)) + F.sum(v).over(w)
+            o,
+            F.when(off.isNull() & within.isNull(), F.lit(None)).otherwise(
+                F.coalesce(off, zero) + F.coalesce(within, zero)
+            ),
         )
     return out.drop(_PID, *[f"{_OFF}{i}" for i in range(len(vals))])
 

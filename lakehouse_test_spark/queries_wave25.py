@@ -193,12 +193,70 @@ def stats_mann_whitney(spark: SparkSession, sf_dir: str) -> DataFrame:
     exact halves (no per-row global ranking), and the rank-sum
     aggregate is decimal-cast.
 
-    Scale: identical shape to stats_ks_test — |distinct values|
-    domain, one cumulative window, one aggregate; same two-level
-    cumsum escape hatch if the domain itself explodes.
+    Scale: the grouped domain is |distinct o_totalprice| — which GROWS
+    with the data — so the cumulative count runs through the
+    HIERARCHICAL :func:`global_cumsum` (one range shuffle +
+    per-partition offsets, no data-bearing Exchange SinglePartition),
+    exactly the stats_ks_test conversion; the inclusive cumsum minus
+    the group count is the exclusive rank base, integer-exact.
     """
-    T(spark, sf_dir, "orders").createOrReplaceTempView("v_w25_orders_mwu")
-    return spark.sql(_MWU_SQL.format(orders="v_w25_orders_mwu"))
+    from lakehouse_test_spark.operators.ordering import global_cumsum
+
+    o = T(spark, sf_dir, "orders").where(F.col("o_orderstatus").isin("F", "O"))
+    pts = (
+        o.groupBy(F.col("o_totalprice").alias("v"))
+        .agg(
+            F.count_if(F.col("o_orderstatus") == "F").alias("c_f"),
+            F.count_if(F.col("o_orderstatus") == "O").alias("c_o"),
+        )
+        .withColumn("t", F.col("c_f") + F.col("c_o"))
+        .localCheckpoint()
+    )
+    rk = global_cumsum(pts, ["v"], ["t"], ["cum_t"]).withColumn(
+        "avg_rank",
+        (F.col("cum_t") - F.col("t")).cast("double")
+        + (F.col("t") + F.lit(1.0)) / F.lit(2.0),
+    )
+    agg = rk.agg(
+        F.sum("c_f").cast("double").alias("n_f"),
+        F.sum("c_o").cast("double").alias("n_o"),
+        F.sum((F.col("c_f") * F.col("avg_rank")).cast("decimal(32,8)"))
+        .cast("double")
+        .alias("r_f"),
+        F.sum(
+            F.col("t").cast("double") * F.col("t") * F.col("t") - F.col("t")
+        )
+        .cast("double")
+        .alias("tie_sum"),
+    )
+    n_f, n_o = F.col("n_f"), F.col("n_o")
+    r_f, tie = F.col("r_f"), F.col("tie_sum")
+    return agg.select(
+        n_f.cast("bigint").alias("n_f"),
+        n_o.cast("bigint").alias("n_o"),
+        F.round(r_f - n_f * (n_f + F.lit(1.0)) / F.lit(2.0), 1)
+        .cast("double")
+        .alias("u_stat"),
+        F.round(
+            (
+                r_f
+                - n_f * (n_f + F.lit(1.0)) / F.lit(2.0)
+                - n_f * n_o / F.lit(2.0)
+            )
+            / F.sqrt(
+                n_f
+                * n_o
+                / F.lit(12.0)
+                * (
+                    (n_f + n_o + F.lit(1.0))
+                    - tie / ((n_f + n_o) * (n_f + n_o - F.lit(1.0)))
+                )
+            ),
+            4,
+        )
+        .cast("double")
+        .alias("z_stat"),
+    )
 
 
 @query(
@@ -343,10 +401,60 @@ def stats_spearman_rho(spark: SparkSession, sf_dir: str) -> DataFrame:
     the ranks from one decimal-exact moment pass.
 
     Scale: rank tables are |distinct values| (tiny for quantity — 50
-    rows — and ~rows for price); the joins are equi-joins on the
-    value, AQE-broadcast when small, and the moment pass is a single
-    aggregate. Same two-level-cumsum escape hatch as the other
-    grouped-domain statistics.
+    rows — and ~rows for price), so BOTH rank cumsums run through the
+    HIERARCHICAL :func:`global_cumsum` (one range shuffle each, no
+    data-bearing Exchange SinglePartition — the price domain grows
+    with the data). The joins are equi-joins on the value,
+    AQE-broadcast when small, and the moment pass is one aggregate.
     """
-    T(spark, sf_dir, "lineitem").createOrReplaceTempView("v_w25_lineitem_sp")
-    return spark.sql(_SPEARMAN_SQL.format(lineitem="v_w25_lineitem_sp"))
+    from lakehouse_test_spark.operators.ordering import global_cumsum
+
+    src = T(spark, sf_dir, "lineitem").select(
+        F.col("l_quantity").alias("x"), F.col("l_extendedprice").alias("y")
+    )
+
+    def _rank_map(col: str) -> DataFrame:
+        g = (
+            src.groupBy(col)
+            .agg(F.count(F.lit(1)).alias("c"))
+            .localCheckpoint()
+        )
+        return global_cumsum(g, [col], ["c"], ["cum"]).select(
+            col,
+            (
+                (F.col("cum") - F.col("c")).cast("double")
+                + (F.col("c") + F.lit(1.0)) / F.lit(2.0)
+            ).alias(f"r_{col}"),
+        )
+
+    ranked = (
+        src.join(_rank_map("x"), "x")
+        .join(_rank_map("y"), "y")
+        .select(F.col("r_x").alias("a"), F.col("r_y").alias("b"))
+    )
+    m = ranked.agg(
+        F.count(F.lit(1)).cast("double").alias("n"),
+        F.sum(F.col("a").cast("decimal(32,8)")).cast("double").alias("sa"),
+        F.sum(F.col("b").cast("decimal(32,8)")).cast("double").alias("sb"),
+        F.sum((F.col("a") * F.col("b")).cast("decimal(32,8)"))
+        .cast("double")
+        .alias("sab"),
+        F.sum((F.col("a") * F.col("a")).cast("decimal(32,8)"))
+        .cast("double")
+        .alias("saa"),
+        F.sum((F.col("b") * F.col("b")).cast("decimal(32,8)"))
+        .cast("double")
+        .alias("sbb"),
+    )
+    n, sa, sb = F.col("n"), F.col("sa"), F.col("sb")
+    sab, saa, sbb = F.col("sab"), F.col("saa"), F.col("sbb")
+    return m.select(
+        n.cast("bigint").alias("n_rows"),
+        F.round(
+            (n * sab - sa * sb)
+            / F.sqrt((n * saa - sa * sa) * (n * sbb - sb * sb)),
+            6,
+        )
+        .cast("double")
+        .alias("spearman_rho"),
+    )

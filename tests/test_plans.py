@@ -633,6 +633,21 @@ def test_ks_test_ecdf_is_hierarchical(spark, sf_dir):
     _windows_are_pid_partitioned(plan_of(spark, sf_dir, "stats_ks_test"))
 
 
+def test_mann_whitney_rank_cumsum_is_hierarchical(spark, sf_dir):
+    """stats_mann_whitney's midrank cumulative count runs over the
+    distinct-o_totalprice domain (data-scaled): pid-partitioned
+    global_cumsum windows only, no Exchange SinglePartition carrying
+    the rank table (r5 judge weak-family sibling of stats_ks_test)."""
+    _windows_are_pid_partitioned(plan_of(spark, sf_dir, "stats_mann_whitney"))
+
+
+def test_spearman_rank_cumsums_are_hierarchical(spark, sf_dir):
+    """stats_spearman_rho's two rank cumsums (distinct quantity +
+    distinct extendedprice — the latter grows with the data) both run
+    through global_cumsum: every window pid-partitioned."""
+    _windows_are_pid_partitioned(plan_of(spark, sf_dir, "stats_spearman_rho"))
+
+
 def test_q18_bucketed_layout_no_join_exchange(spark, sf_dir):
     """The q18 second-decade fix (tools/bucketed_join_proof.py): on
     bucketBy(orderkey) fact tables, BOTH the per-order quantity
