@@ -201,18 +201,133 @@ class LakehouseTable:
                 f"{commit.version - 1} but concurrent commit(s) {inter} "
                 "landed; re-read the snapshot and retry"
             )
+        self._maybe_checkpoint(commit.version)
         return commit
 
+    @staticmethod
+    def _commit_of(d: dict) -> Commit:
+        d.setdefault("ts", None)  # logs written before timestamps
+        if "restate" not in d:  # logs written before the restate flag
+            d["restate"] = d["operation"] == "compact"
+            d["data_change"] = d["operation"] != "compact"
+        return Commit(**d)
+
     def history(self) -> list[Commit]:
-        commits = []
-        for p in sorted(self.log_dir.glob("*.json")):
-            d = json.loads(p.read_text())
-            d.setdefault("ts", None)  # logs written before timestamps
-            if "restate" not in d:  # logs written before the restate flag
-                d["restate"] = d["operation"] == "compact"
-                d["data_change"] = d["operation"] != "compact"
-            commits.append(Commit(**d))
-        return commits
+        """EVERY commit ever (the audit/time-travel surface) — full
+        log parse by design; snapshot PLANNING goes through
+        :meth:`_live_commits`, which reads checkpoint + tail."""
+        return [
+            self._commit_of(json.loads(p.read_text()))
+            for p in sorted(self.log_dir.glob("*.json"))
+        ]
+
+    def _commits_between(self, after: int, upto: int | None) -> list[Commit]:
+        """Commits with ``after < version <= upto`` — parses only the
+        tail JSONs (the file LISTING is still O(commits), like Delta's
+        _delta_log LIST; the expensive part, parsing, is O(tail)).
+        scandir, not glob: at 10⁵ commits Path construction dominates
+        the listing itself."""
+        tail: list[tuple[int, str]] = []
+        with os.scandir(self.log_dir) as it:
+            for e in it:
+                nm = e.name
+                if not nm.endswith(".json"):
+                    continue
+                try:
+                    v = int(nm[:-5])
+                except ValueError:
+                    continue
+                if v <= after or (upto is not None and v > upto):
+                    continue
+                tail.append((v, e.path))
+        tail.sort()
+        return [
+            self._commit_of(json.loads(Path(p).read_text())) for _v, p in tail
+        ]
+
+    # -- commit-log checkpoints (Delta _last_checkpoint analog) ---------------
+
+    #: auto-checkpoint cadence on the append/DataSource write paths
+    CHECKPOINT_INTERVAL = 10
+
+    def _ckpt_dir(self) -> Path:
+        return self.log_dir / "_ckpt"
+
+    def _read_checkpoint(self) -> dict | None:
+        ptr = self.log_dir / "_last_checkpoint"
+        try:
+            v = int(json.loads(ptr.read_text())["version"])
+            return json.loads((self._ckpt_dir() / f"{v}.json").read_text())
+        except (FileNotFoundError, ValueError, KeyError, json.JSONDecodeError):
+            return None
+
+    def checkpoint(self) -> dict | None:
+        """Write a commit-log CHECKPOINT at the current head: the live
+        commit set (files + stats + schema + DVs) and the streaming
+        txn high-waters, serialized once — so snapshot planning reads
+        checkpoint + tail commits instead of EVERY commit JSON ever,
+        and the streaming writer's replay dedup is O(1) instead of a
+        full history scan per micro-batch. Incremental: builds from
+        the previous checkpoint + tail, O(tail) not O(commits).
+        Atomic via tmp + ``os.replace``; the ``_last_checkpoint``
+        pointer is only ever advanced after the checkpoint file is
+        durable (a crash between the two leaves the older, still-valid
+        pointer). Checkpoints are additive metadata — the log itself
+        is never compacted away, so ``history()``/time travel/exports
+        are unaffected. Mirrors Delta's ``_last_checkpoint`` +
+        10-commit cadence (auto on append paths)."""
+        v = self.latest_version()
+        if v < 0:
+            return None
+        prev = self._read_checkpoint()
+        txn = dict((prev or {}).get("txn") or {})
+        after = prev["version"] if prev else -1
+        for c in self._commits_between(after, v):
+            pre, _, num = c.operation.rpartition("-b")
+            if pre and num.isdigit():
+                txn[pre] = max(txn.get(pre, -1), int(num))
+        state = {
+            "version": v,
+            "live_commits": [c.__dict__ for c in self._live_commits(v)],
+            "txn": txn,
+        }
+        self._ckpt_dir().mkdir(parents=True, exist_ok=True)
+        tmp = self._ckpt_dir() / f".tmp-{uuid.uuid4().hex}"
+        tmp.write_text(json.dumps(state))
+        os.replace(tmp, self._ckpt_dir() / f"{v}.json")
+        # the pointer carries the (tiny) txn map too, so the streaming
+        # writer's per-batch dedup reads ONE small file + tail — never
+        # the full live-set checkpoint
+        tmp2 = self.log_dir / f".ptr-{uuid.uuid4().hex}"
+        tmp2.write_text(json.dumps({"version": v, "txn": txn}))
+        os.replace(tmp2, self.log_dir / "_last_checkpoint")
+        return state
+
+    def _maybe_checkpoint(self, version: int) -> None:
+        if version > 0 and version % self.CHECKPOINT_INTERVAL == 0:
+            try:
+                self.checkpoint()
+            except OSError:  # checkpointing is an optimization, never a gate
+                pass
+
+    def _stream_batch_high(self, prefix: str) -> int:
+        """Highest committed micro-batch id for ``prefix`` (the Delta
+        txn-action high-water): pointer txn map + tail commits —
+        O(tail) per micro-batch instead of the full history scan."""
+        ptr = None
+        try:
+            ptr = json.loads((self.log_dir / "_last_checkpoint").read_text())
+        except (FileNotFoundError, json.JSONDecodeError):
+            pass
+        if ptr is not None and "txn" not in ptr:  # pre-txn pointer vintage
+            ptr = self._read_checkpoint()
+        high = int(((ptr or {}).get("txn") or {}).get(prefix, -1))
+        after = int(ptr["version"]) if ptr else -1
+        for c in self._commits_between(after, None):
+            pre, _, num = c.operation.rpartition("-b")
+            if pre == prefix and num.isdigit():
+                high = max(high, int(num))
+        return high
 
     def latest_version(self) -> int:
         """The offload-watermark analog (§2a op 29): everything at or
@@ -283,6 +398,7 @@ class LakehouseTable:
         tmp.write_text(json.dumps(commit.__dict__))
         if not self._put_if_absent(tmp, self._commit_path(version)):
             raise RuntimeError(f"concurrent commit at version {version}")
+        self._maybe_checkpoint(version)
         return commit
 
     def convert_from_parquet(
@@ -1174,10 +1290,21 @@ class LakehouseTable:
     def _live_commits(self, version: int | None = None) -> list[Commit]:
         """Commits whose files are live as of ``version``: the latest
         restate (merge/delete/compact full rewrite) is the base, plus
-        every append after it. Pre-restate appends are superseded."""
-        commits = self.history()
-        if version is not None:
-            commits = [c for c in commits if c.version <= version]
+        every append after it. Pre-restate appends are superseded.
+
+        Planning cost: with a checkpoint at C ≤ version this parses
+        the checkpoint + commits (C, version] only — a long-lived
+        table with 10⁵ commits plans from the last checkpoint's state,
+        not 10⁵ JSON reads. Time travel BELOW the checkpoint takes the
+        full-history path (rare, audit-grade)."""
+        ck = self._read_checkpoint()
+        if ck is not None and (version is None or version >= ck["version"]):
+            commits = [self._commit_of(dict(d)) for d in ck["live_commits"]]
+            commits += self._commits_between(ck["version"], version)
+        else:
+            commits = self.history()
+            if version is not None:
+                commits = [c for c in commits if c.version <= version]
         restates = [c for c in commits if c.restate]
         if restates:
             base = restates[-1]
@@ -1370,16 +1497,29 @@ class LakehouseTable:
         fork = brs[name]["fork_version"]
         head = self.latest_version()
         commits = sorted(self._branch_dir(name).glob("*.json"))
+        # retry-safety: a crash between linking a commit into main and
+        # unlinking the branch copy leaves it in BOTH logs; on retry
+        # main has advanced, so a naive rebase would replay the
+        # already-merged commit (duplicate rows — r6 ADVICE). A branch
+        # commit whose file list already sits at a main version after
+        # the fork was merged by the crashed attempt: drop its copy.
+        merged = {
+            tuple(c.files) for c in self._commits_between(fork, None)
+        }
         if head == fork:
             # fast-forward: link (atomic put-if-absent — a concurrent
             # main writer landing the same version must not be
             # clobbered), then unlink the branch copy only once the
             # main commit is durable. Crash between the two leaves the
-            # commit in both places; the rmtree below is the cleanup.
+            # commit in both places; the dedup above is the retry path.
             for p in commits:
                 try:
                     os.link(p, self._commit_path(int(p.stem)))
                 except FileExistsError:
+                    d = json.loads(p.read_text())
+                    if tuple(d["files"]) in merged:
+                        p.unlink()  # crashed attempt already merged it
+                        continue
                     raise ConcurrentModificationError(
                         f"merge_branch {name!r}: main advanced past the "
                         f"fork point mid-merge at version {p.stem}; retry"
@@ -1396,6 +1536,9 @@ class LakehouseTable:
             # branch ref for a retry.
             for p in commits:
                 d = json.loads(p.read_text())
+                if tuple(d["files"]) in merged:
+                    p.unlink()  # crashed attempt already merged it
+                    continue
                 head += 1
                 d["version"] = head
                 tmp = self.log_dir / f".tmp-{uuid.uuid4().hex}"
@@ -1844,8 +1987,15 @@ class LakehouseTable:
         pid. A lock whose holder is dead (or unreadable and older than
         the timeout) is broken instead of spinning to TimeoutError —
         a crashed writer must not wedge every future identity append.
-        Breaking goes through rename-to-unique-then-unlink so two
-        waiters can't both break and then double-acquire."""
+        Breaking is serialized through a BREAKER mutex and the lock is
+        re-judged under it before the unlink: without that, waiter B
+        could judge a lock stale, waiter A break + re-acquire it (new
+        LIVE lock at the same path), and B then delete A's fresh lock
+        — double-hold, lost metadata updates (the r6-ADVICE TOCTOU).
+        Only a dead lock is ever unlinked, and only by one breaker, so
+        no live holder can lose its lock. A breaker that itself
+        crashed mid-break (held for microseconds of syscalls) ages out
+        after 5 s."""
         import contextlib
         import time as _time
 
@@ -1871,12 +2021,33 @@ class LakehouseTable:
                 return False  # alive, other uid
 
         def _break_stale() -> None:
-            # claim-then-unlink: the rename succeeds for exactly one
-            # waiter; the loser's rename raises and it just re-spins
-            claim = self.path / f".meta.lock.stale-{uuid.uuid4().hex}"
-            with contextlib.suppress(FileNotFoundError):
-                os.rename(str(lock), str(claim))
-                os.unlink(str(claim))
+            breaker = self.path / ".meta.lock.breaker"
+            try:
+                fd = os.open(
+                    str(breaker), os.O_CREAT | os.O_EXCL | os.O_WRONLY
+                )
+                os.close(fd)
+            except FileExistsError:
+                # another waiter is breaking; if THAT waiter crashed
+                # mid-break the breaker ages out (it is held only
+                # across a handful of syscalls)
+                with contextlib.suppress(OSError):
+                    if _time.time() - breaker.stat().st_mtime > 5.0:
+                        with contextlib.suppress(FileNotFoundError):
+                            os.unlink(str(breaker))
+                return  # re-spin; the winning breaker finishes the job
+            try:
+                # serialized: re-judge the CURRENT lock before the
+                # unlink. A live holder can only exist if the lock
+                # path was vacant, and only breakers unlink foreign
+                # locks — so a lock that is still dead here stays
+                # dead until we remove it.
+                if _holder_dead():
+                    with contextlib.suppress(FileNotFoundError):
+                        os.unlink(str(lock))
+            finally:
+                with contextlib.suppress(FileNotFoundError):
+                    os.unlink(str(breaker))
 
         @contextlib.contextmanager
         def _held():

@@ -101,12 +101,21 @@ class _FilePartition(InputPartition):
 
 
 class LakehouseCDFStreamReader(DataSourceStreamReader):
-    def __init__(self, options: dict, data_columns: list[str] | None = None):
+    def __init__(
+        self,
+        options: dict,
+        data_columns: list[str] | None = None,
+        data_types: dict[str, str] | None = None,
+    ):
         self.options = dict(options)
         self.path = Path(options["path"])
         # pinned data-column names (schema minus _change_type/
         # _commit_version) — read() replays every file into this shape
         self.data_columns = data_columns
+        # pinned DDL per data column: lets read() emit Arrow
+        # RecordBatches in the declared schema (typed null-fill +
+        # old-vintage upcasts) instead of per-row Python tuples
+        self.data_types = data_types
 
     def _vacuum_horizon(self) -> int:
         meta = self.path / "_meta.json"
@@ -192,9 +201,10 @@ class LakehouseCDFStreamReader(DataSourceStreamReader):
                     parts.append(_FilePartition("insert", f, v))
         return parts or [_FilePartition("insert", "", hi)]
 
-    def read(self, partition: _FilePartition) -> Iterator[tuple]:
+    def read(self, partition: _FilePartition):
         if not partition.file:
             return
+        import pyarrow as pa
         import pyarrow.parquet as pq
 
         path = partition.file
@@ -202,8 +212,6 @@ class LakehouseCDFStreamReader(DataSourceStreamReader):
             path = path[len("file://") :]
         t = pq.read_table(path)
         if partition.kind == "delete":
-            import pyarrow as pa
-
             t = t.take(pa.array(partition.positions))
         if self.data_columns is not None:
             # replay into the pinned schema: null-fill columns this
@@ -216,14 +224,55 @@ class LakehouseCDFStreamReader(DataSourceStreamReader):
                     "stream's pinned schema; restart the stream to pick up "
                     "the evolved schema"
                 )
-            cols = [
-                t.column(n).to_pylist() if n in t.column_names else [None] * t.num_rows
-                for n in self.data_columns
-            ]
+            names = self.data_columns
         else:
-            cols = [t.column(i).to_pylist() for i in range(t.num_columns)]
+            names = t.column_names
+        # Arrow fast path: emit ONE RecordBatch per file in the pinned
+        # schema (typed null-fill, old-vintage upcasts, constant meta
+        # columns) — the Spark 4 stream-reader API accepts RecordBatch
+        # iterators exactly like the batch API, so no per-row Python
+        # tuples (the repo-wide standard the row loop here violated).
+        if self.data_types is not None:
+            try:
+                yield self._as_batch(pa, t, names, partition)
+                return
+            except (ValueError, pa.ArrowInvalid):
+                pass  # unsupported type for this table: row fallback
+        cols = [
+            t.column(n).to_pylist() if n in t.column_names else [None] * t.num_rows
+            for n in names
+        ]
         for row in zip(*cols):
             yield (*row, partition.kind, partition.version)
+
+    def _as_batch(self, pa, t, names: list[str], partition: _FilePartition):
+        from lakehouse_test_spark.sources.lakehouse_datasource import (
+            _arrow_of_ddl,
+        )
+
+        arrays, fields = [], []
+        for n in names:
+            want = _arrow_of_ddl(self.data_types[n])
+            if n in t.column_names:
+                col = t.column(n)
+                if col.num_chunks == 0:
+                    arr = pa.nulls(0, col.type)
+                elif col.num_chunks == 1:
+                    arr = col.chunk(0)
+                else:
+                    arr = pa.concat_arrays(col.chunks)
+                if arr.type != want:
+                    arr = arr.cast(want)
+            else:
+                arr = pa.nulls(t.num_rows, want)
+            arrays.append(arr)
+            fields.append(pa.field(n, want))
+        n_rows = t.num_rows
+        arrays.append(pa.array([partition.kind] * n_rows, pa.string()))
+        fields.append(pa.field("_change_type", pa.string()))
+        arrays.append(pa.array([partition.version] * n_rows, pa.int32()))
+        fields.append(pa.field("_commit_version", pa.int32()))
+        return pa.RecordBatch.from_arrays(arrays, schema=pa.schema(fields))
 
     def commit(self, end: dict) -> None:
         pass
@@ -240,12 +289,16 @@ class LakehouseCDFDataSource(DataSource):
         return _ddl_for_table(Path(self.options["path"]))
 
     def streamReader(self, schema) -> LakehouseCDFStreamReader:
-        data_cols = [
-            f.name
+        data = [
+            f
             for f in schema.fields
             if f.name not in ("_change_type", "_commit_version")
         ]
-        return LakehouseCDFStreamReader(self.options, data_cols)
+        return LakehouseCDFStreamReader(
+            self.options,
+            [f.name for f in data],
+            {f.name: f.dataType.simpleString().lower() for f in data},
+        )
 
 
 def register(spark) -> None:

@@ -627,7 +627,10 @@ class LakehouseStreamWriter(DataSourceStreamArrowWriter):
 
         op = f"stream-append-b{batchId}"
         t = LakehouseTable(None, self.state.root)
-        if any(c.operation == op for c in t.history()):
+        # replay dedup via the checkpointed txn high-water (batch ids
+        # are monotonic per query — Delta's txn-action check): O(tail
+        # since last checkpoint), NOT a full history scan per batch
+        if batchId <= t._stream_batch_high("stream-append"):
             self.state.discard(messages)  # replayed batch: already in
             return
         self.state.publish(messages, operation=op, restate=False)
@@ -652,7 +655,12 @@ class LakehouseStreamReader(DataSourceStreamReader):
     versions, so restarts are exactly-once against the immutable log.
     """
 
-    def __init__(self, options: dict, data_columns: list[str]):
+    def __init__(
+        self,
+        options: dict,
+        data_columns: list[str],
+        data_types: dict[str, str] | None = None,
+    ):
         from lakehouse_test_spark.sources.cdf_datasource import (
             LakehouseCDFStreamReader,
         )
@@ -669,6 +677,7 @@ class LakehouseStreamReader(DataSourceStreamReader):
             self._logical_of_physical.setdefault(old, new)
         self._dropped = {d["physical"] for d in meta.get("dropped_columns", [])}
         self.data_columns = data_columns
+        self.data_types = data_types or {}
         self.ignore_deletes = str(
             options.get("ignoreDeletes") or options.get("ignoredeletes") or ""
         ).lower() in ("true", "1")
@@ -703,6 +712,7 @@ class LakehouseStreamReader(DataSourceStreamReader):
     def read(self, partition):
         if not partition.file:
             return
+        import pyarrow as pa
         import pyarrow.parquet as pq
 
         path = partition.file
@@ -714,6 +724,34 @@ class LakehouseStreamReader(DataSourceStreamReader):
             if n in self._dropped:
                 continue
             present[self._logical_of_physical.get(n, n)] = tbl.column(n)
+        # Arrow fast path (Spark 4 stream readers accept RecordBatch
+        # iterators): one batch per file in the pinned logical schema —
+        # typed null-fill for pre-evolution vintages, upcasts for
+        # pre-widening ones; no per-row Python tuples
+        if self.data_types:
+            try:
+                arrays, fields = [], []
+                for n in self.data_columns:
+                    want = _arrow_of_ddl(self.data_types[n])
+                    col = present.get(n)
+                    if col is None:
+                        arr = pa.nulls(tbl.num_rows, want)
+                    elif col.num_chunks == 1:
+                        arr = col.chunk(0)
+                    elif col.num_chunks == 0:
+                        arr = pa.nulls(0, col.type)
+                    else:
+                        arr = pa.concat_arrays(col.chunks)
+                    if arr.type != want:
+                        arr = arr.cast(want)
+                    arrays.append(arr)
+                    fields.append(pa.field(n, want))
+                yield pa.RecordBatch.from_arrays(
+                    arrays, schema=pa.schema(fields)
+                )
+                return
+            except (ValueError, pa.ArrowInvalid, KeyError):
+                pass  # unsupported type for this table: row fallback
         cols = [
             present[n].to_pylist() if n in present else [None] * tbl.num_rows
             for n in self.data_columns
@@ -742,7 +780,11 @@ class LakehouseDataSource(DataSource):
         return LakehouseBatchWriter(self.options, overwrite, schema)
 
     def streamReader(self, schema) -> LakehouseStreamReader:
-        return LakehouseStreamReader(self.options, [f.name for f in schema.fields])
+        return LakehouseStreamReader(
+            self.options,
+            [f.name for f in schema.fields],
+            {f.name: f.dataType.simpleString().lower() for f in schema.fields},
+        )
 
     def streamWriter(self, schema, overwrite: bool) -> LakehouseStreamWriter:
         return LakehouseStreamWriter(self.options, overwrite, schema)

@@ -1,0 +1,101 @@
+"""Native commit-log checkpoints: snapshot planning reads checkpoint +
+tail instead of every commit JSON; the streaming writer's replay dedup
+is a txn high-water, not a full history scan (r5 VERDICT task #4)."""
+from __future__ import annotations
+
+import json
+
+import pytest
+from pyspark.sql import functions as F
+
+from lakehouse_test_spark.plans.lakehouse import Commit, LakehouseTable
+
+
+def _t(spark, tmp_path, name="t"):
+    return LakehouseTable(spark, str(tmp_path / name))
+
+
+def test_auto_checkpoint_cadence_and_equivalence(spark, tmp_path):
+    t = _t(spark, tmp_path)
+    for i in range(12):
+        t.append(spark.range(i, i + 2).select(F.col("id").alias("v")))
+    # cadence: a checkpoint landed at v10 (versions are 0-based: the
+    # 11th append is version 10)
+    assert (t._ckpt_dir() / "10.json").exists()
+    ck = t._read_checkpoint()
+    assert ck["version"] == 10
+    # checkpointed and non-checkpointed planning agree exactly
+    fast = [(c.version, tuple(c.files)) for c in t._live_commits()]
+    (t.log_dir / "_last_checkpoint").unlink()
+    slow = [(c.version, tuple(c.files)) for c in t._live_commits()]
+    assert fast == slow
+    assert t.snapshot().count() == 24
+
+
+def test_checkpoint_then_restate_tail(spark, tmp_path):
+    """A restate AFTER the checkpoint supersedes the checkpointed
+    base — the tail's restate must win."""
+    t = _t(spark, tmp_path)
+    for i in range(11):
+        t.append(spark.range(3).select(F.col("id").alias("v")))
+    assert t._read_checkpoint() is not None
+    t.delete_where("v = 1")  # restate in the tail
+    assert t.snapshot().count() == 22
+    live = t._live_commits()
+    assert live[0].restate and live[0].version == 11
+
+
+def test_time_travel_below_checkpoint_uses_full_history(spark, tmp_path):
+    t = _t(spark, tmp_path)
+    for i in range(12):
+        t.append(spark.range(1).select(F.lit(i).alias("v")))
+    assert t.snapshot(version=3).count() == 4
+    assert t.snapshot(version=11).count() == 12
+
+
+def test_stream_batch_high_water(spark, tmp_path):
+    t = _t(spark, tmp_path)
+    df = spark.range(2).select(F.col("id").alias("v"))
+    t.append(df, operation="stream-append-b0")
+    t.append(df, operation="stream-append-b1")
+    t.append(df, operation="stream-append-b4")
+    assert t._stream_batch_high("stream-append") == 4
+    assert t._stream_batch_high("other-prefix") == -1
+    # the high-water survives (and is served by) a checkpoint
+    t.checkpoint()
+    assert t._stream_batch_high("stream-append") == 4
+    t.append(df, operation="stream-append-b5")
+    assert t._stream_batch_high("stream-append") == 5
+
+
+def test_checkpoint_incremental_matches_full(spark, tmp_path):
+    """checkpoint() builds from the previous checkpoint + tail; the
+    result must equal a from-scratch rebuild."""
+    t = _t(spark, tmp_path)
+    for i in range(11):
+        t.append(spark.range(2).select(F.col("id").alias("v")))
+    first = t._read_checkpoint()
+    for i in range(5):
+        t.append(spark.range(2).select(F.col("id").alias("v")))
+    inc = t.checkpoint()
+    # from scratch: drop the pointer so checkpoint() sees no prior
+    (t.log_dir / "_last_checkpoint").unlink()
+    scratch = t.checkpoint()
+    assert inc["version"] == scratch["version"]
+    assert inc["live_commits"] == scratch["live_commits"]
+    assert inc["txn"] == scratch["txn"]
+    assert first["version"] < inc["version"]
+
+
+def test_planning_parses_only_tail_after_checkpoint(spark, tmp_path, monkeypatch):
+    """The fast path must not parse pre-checkpoint commit JSONs:
+    corrupt one (metadata-level fault injection) and show planning
+    still works from the checkpoint, while full history() fails."""
+    t = _t(spark, tmp_path)
+    for i in range(11):
+        t.append(spark.range(1).select(F.lit(i).alias("v")))
+    assert t._read_checkpoint() is not None
+    (t.log_dir / f"{2:020d}.json").write_text("{corrupt")
+    assert t.snapshot().count() == 11  # planned from checkpoint + tail
+    with pytest.raises(json.JSONDecodeError):
+        t.history()

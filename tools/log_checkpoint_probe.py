@@ -1,0 +1,93 @@
+"""Probe: commit-log checkpoint scaling (r5 VERDICT task #4 "done"
+criterion — flat per-snapshot planning and per-batch commit cost on a
+long-lived table).
+
+Forges N metadata-only commits (planning never opens data files), then
+times, at each decade:
+  - _live_commits() with checkpoints (fast path) vs without (full parse)
+  - _stream_batch_high() — the streaming writer's per-batch replay dedup
+
+Run: python tools/log_checkpoint_probe.py [--n 10000]
+"""
+from __future__ import annotations
+
+import argparse
+import json
+import shutil
+import sys
+import tempfile
+import time
+import uuid
+from pathlib import Path
+
+sys.path.insert(0, str(Path(__file__).resolve().parent.parent))
+
+from lakehouse_test_spark.plans.lakehouse import Commit, LakehouseTable
+
+
+def forge(t: LakehouseTable, n: int, checkpoint_every: int | None) -> None:
+    """Metadata-only log: streaming appends with a COMPACTION every
+    500 commits (the realistic long-lived-table shape — OPTIMIZE keeps
+    the live set bounded while the commit count grows without bound)."""
+    for v in range(n):
+        restate = v > 0 and v % 500 == 0
+        c = Commit(
+            version=v,
+            files=[f"data/x/{uuid.uuid4().hex}.parquet"],
+            row_count=10,
+            operation="compact" if restate else f"stream-append-b{v}",
+            stats={"f": {"v": [v, v + 1]}},
+            restate=restate,
+            data_change=not restate,
+            schema={"v": "bigint"},
+        )
+        (t.log_dir / f"{v:020d}.json").write_text(json.dumps(c.__dict__))
+        if checkpoint_every and v > 0 and v % checkpoint_every == 0:
+            t.checkpoint()
+
+
+def timeit(fn, reps=5) -> float:
+    best = float("inf")
+    for _ in range(reps):
+        s = time.perf_counter()
+        fn()
+        best = min(best, time.perf_counter() - s)
+    return best
+
+
+def main() -> None:
+    ap = argparse.ArgumentParser()
+    ap.add_argument("--n", type=int, default=10_000)
+    args = ap.parse_args()
+
+    print(f"{'commits':>8} {'plan ckpt':>10} {'plan full':>10} {'dedup ckpt':>11} {'dedup full':>11}")
+    for n in (100, 1_000, args.n):
+        root = Path(tempfile.mkdtemp(prefix="lkhprobe-"))
+        try:
+            t = LakehouseTable(None, str(root / "ck"))
+            forge(t, n, checkpoint_every=LakehouseTable.CHECKPOINT_INTERVAL)
+            u = LakehouseTable(None, str(root / "full"))
+            forge(u, n, checkpoint_every=None)
+            plan_ck = timeit(lambda: t._live_commits())
+            plan_full = timeit(lambda: u._live_commits())
+            ded_ck = timeit(lambda: t._stream_batch_high("stream-append"))
+            ded_full = timeit(lambda: u._stream_batch_high("stream-append"))
+            assert t._stream_batch_high("stream-append") == n - 1
+            assert u._stream_batch_high("stream-append") == n - 1
+            fast = [(c.version, c.files) for c in t._live_commits()]
+            ptr = t.log_dir / "_last_checkpoint"
+            bak = ptr.read_text()
+            ptr.unlink()  # force the full-parse path on the SAME log
+            slow = [(c.version, c.files) for c in t._live_commits()]
+            ptr.write_text(bak)
+            assert fast == slow, "checkpointed plan diverged from full parse"
+            print(
+                f"{n:>8} {plan_ck*1e3:>9.1f}m {plan_full*1e3:>9.1f}m "
+                f"{ded_ck*1e3:>10.1f}m {ded_full*1e3:>10.1f}m"
+            )
+        finally:
+            shutil.rmtree(root, ignore_errors=True)
+
+
+if __name__ == "__main__":
+    main()
