@@ -43,6 +43,7 @@ Iceberg scales planning to 100k-commit tables.
 from __future__ import annotations
 
 import json
+import re
 import struct
 import time
 import uuid
@@ -380,6 +381,137 @@ def _iceberg_schema(spark_schema) -> dict:
             {"id": i, "name": f.name, "required": False, "type": ice}
         )
     return {"type": "struct", "schema-id": 0, "fields": fields}
+
+
+_DDL_TO_ICEBERG = {
+    "bigint": "long",
+    "int": "int",
+    "smallint": "int",
+    "tinyint": "int",
+    "double": "double",
+    "float": "float",
+    "string": "string",
+    "boolean": "boolean",
+    "date": "date",
+    "binary": "binary",
+    "timestamp": "timestamptz",
+    "timestamp_ntz": "timestamp",
+}
+
+
+def _ice_of_ddl(ddl: str) -> str:
+    ddl = ddl.strip().lower()
+    if ddl in _DDL_TO_ICEBERG:
+        return _DDL_TO_ICEBERG[ddl]
+    m = re.match(r"decimal\((\d+),\s*(\d+)\)$", ddl)
+    if m:
+        return f"decimal({m.group(1)}, {m.group(2)})"
+    raise ValueError(f"no Iceberg mapping for DDL {ddl}")
+
+
+def _schema_history(table, commits, ice_schema: dict):
+    """Per-snapshot SCHEMA LINEAGE (spec §Table Metadata: ``schemas``
+    list + per-snapshot ``schema-id``): fold each commit's recorded
+    physical schema (footer fallback for legacy logs) into the
+    schema-as-of-that-version — renames apply only to snapshots AFTER
+    their stamped version (an old snapshot shows the name it had
+    THEN), declared widenings likewise, and field-ids are stable per
+    PHYSICAL column so identity survives both. Returns
+    ``(schemas, schema_id_of_version, last_column_id)``.
+
+    Contract notes: DROP COLUMN stays retroactive (dropped physicals
+    are excluded from EVERY schema, matching the native reads and the
+    name-mapping invisibility rule); metadata stamped before version
+    tracking existed applies to all snapshots (the old current-names-
+    everywhere behavior)."""
+    from lakehouse_test_spark.plans.lakehouse import LakehouseTable as _LT
+
+    meta = table._read_meta()
+    head = commits[-1].version
+    renames = meta.get("column_renames", [])
+    stamps = list(meta.get("rename_versions") or [])
+    stamps += [-1] * (len(renames) - len(stamps))
+    wid = meta.get("widenings") or {}
+    wid_vs = meta.get("widening_versions") or {}
+    dropped_phys = {d["physical"] for d in meta.get("dropped_columns", [])}
+
+    # stable field-id per PHYSICAL column (current assignment first —
+    # manifests/bounds key on these ids)
+    phys_map = table._physical_of_logical()
+    id_of_phys = {
+        phys_map.get(f["name"], f["name"]): f["id"]
+        for f in ice_schema["fields"]
+    }
+    next_id = max(id_of_phys.values(), default=0) + 1
+
+    # an ALTER stamped at (or clamped to) the head applies to the head
+    # snapshot too — the current schema must reflect it even when no
+    # data commit followed (clone carries source-stamps > its head)
+    def _applies(stamp: int, version: int) -> bool:
+        return version > min(int(stamp), head - 1)
+
+    def _names_at(version: int) -> dict[str, str]:
+        m: dict[str, str] = {}
+        for (old, new), sv in zip(renames, stamps):
+            if not _applies(sv, version):
+                continue
+            for k, v in list(m.items()):
+                if v == old:
+                    m[k] = new
+            m.setdefault(old, new)
+        return m
+
+    fields_phys: dict[str, str] = {}  # folded physical ddl, first-seen order
+    schemas: list[dict] = []
+    sid_of_key: dict[tuple, int] = {}
+    sid_of_version: dict[int, int] = {}
+    for c in commits:
+        sch = c.schema
+        if sch is None and c.files:
+            sch = {}
+            for _lbl, s in table._footer_schema_sources(
+                [f if f.startswith("/") else str(table.path / f) for f in c.files]
+            ):
+                sch.update(s)
+        for name, ddl in (sch or {}).items():
+            prev = fields_phys.get(name)
+            if prev is None:
+                fields_phys[name] = ddl
+            elif prev != ddl:
+                if _LT._widens_to(prev, ddl):
+                    fields_phys[name] = ddl
+                elif not _LT._widens_to(ddl, prev):
+                    raise ValueError(
+                        f"irreconcilable vintages for {name}: {prev} vs {ddl}"
+                    )
+        lop = _names_at(c.version)
+        flds = []
+        for phys, ddl in fields_phys.items():
+            if phys in dropped_phys:
+                continue
+            target = wid.get(phys)
+            if target and _applies(wid_vs.get(phys, -1), c.version) and _LT._widens_to(ddl, target):
+                ddl = target
+            fid = id_of_phys.get(phys)
+            if fid is None:
+                fid = id_of_phys[phys] = next_id
+                next_id += 1
+            flds.append(
+                {
+                    "id": fid,
+                    "name": lop.get(phys, phys),
+                    "required": False,
+                    "type": _ice_of_ddl(ddl),
+                }
+            )
+        flds.sort(key=lambda f: f["id"])
+        key = tuple((f["id"], f["name"], f["type"]) for f in flds)
+        sid = sid_of_key.get(key)
+        if sid is None:
+            sid = sid_of_key[key] = len(schemas)
+            schemas.append({"type": "struct", "schema-id": sid, "fields": flds})
+        sid_of_version[c.version] = sid
+    return schemas, sid_of_version, next_id - 1
 
 
 def _snapshot_id(version: int) -> int:
@@ -739,6 +871,19 @@ def export_iceberg_metadata(spark: SparkSession, table: LakehouseTable) -> Path:
         }
 
     history = table.history()
+    # per-snapshot schema lineage (spec: ``schemas`` + snapshot
+    # ``schema-id``); unreconstructible histories (legacy logs with
+    # unmappable footer types) fall back to current-schema-only
+    try:
+        schemas_hist, sid_of_version, last_col_id = _schema_history(
+            table, history, ice_schema
+        )
+    except (ValueError, OSError):
+        schemas_hist, sid_of_version, last_col_id = (
+            [ice_schema],
+            {},
+            len(ice_schema["fields"]),
+        )
     last_seq = 0
     live_entries: dict[str, tuple[int, dict]] = {}  # file → (spec-id, entry)
 
@@ -864,7 +1009,7 @@ def export_iceberg_metadata(spark: SparkSession, table: LakehouseTable) -> Path:
             "sequence-number": seq,
             "timestamp-ms": now_ms + commit.version,
             "manifest-list": str((meta_dir / list_name).resolve()),
-            "schema-id": 0,
+            "schema-id": sid_of_version.get(commit.version, 0),
             "summary": {"operation": operation},
         }
         if parent_id is not None:
@@ -903,9 +1048,11 @@ def export_iceberg_metadata(spark: SparkSession, table: LakehouseTable) -> Path:
         "location": str(table.path.resolve()),
         "last-sequence-number": last_seq,
         "last-updated-ms": now_ms,
-        "last-column-id": len(table.snapshot().schema.fields),
-        "current-schema-id": 0,
-        "schemas": [ice_schema],
+        "last-column-id": last_col_id,
+        "current-schema-id": sid_of_version.get(history[-1].version, 0)
+        if history
+        else 0,
+        "schemas": schemas_hist,
         "default-spec-id": export_specs[-1]["spec-id"],
         "partition-specs": export_specs,
         "last-partition-id": next_fid - 1 if next_fid > 1000 else 999,
@@ -1023,13 +1170,19 @@ _ICE_TO_DDL = {
 }
 
 
-def _current_types(md: dict) -> dict[str, str]:
-    """Current-schema column name → Spark DDL type."""
-    sid = md.get("current-schema-id", 0)
-    schema = next(
+def _schema_by_id(md: dict, schema_id: int | None = None) -> dict:
+    """The metadata's schema with ``schema_id`` (None = current) —
+    per-snapshot resolution target for time-traveled reads."""
+    sid = md.get("current-schema-id", 0) if schema_id is None else schema_id
+    return next(
         (s for s in md.get("schemas", []) if s.get("schema-id") == sid),
         md.get("schema"),
-    )
+    ) or {}
+
+
+def _current_types(md: dict, schema_id: int | None = None) -> dict[str, str]:
+    """Schema column name → Spark DDL type (current by default)."""
+    schema = _schema_by_id(md, schema_id)
     out = {}
     for f in (schema or {}).get("fields", []):
         t = f["type"]
@@ -1039,7 +1192,12 @@ def _current_types(md: dict) -> dict[str, str]:
     return out
 
 
-def _scan_name_mapped(spark: SparkSession, files: list[str], md: dict) -> DataFrame:
+def _scan_name_mapped(
+    spark: SparkSession,
+    files: list[str],
+    md: dict,
+    schema_id: int | None = None,
+) -> DataFrame:
     """Scan id-less data files the way an Iceberg reader resolves
     them: through ``schema.name-mapping.default``, with the CURRENT
     schema's types driving the read (spec type PROMOTION — old INT32
@@ -1059,7 +1217,14 @@ def _scan_name_mapped(spark: SparkSession, files: list[str], md: dict) -> DataFr
     props = md.get("properties") or {}
     nm = json.loads(props.get("schema.name-mapping.default", "[]"))
     dropped = set(json.loads(props.get("lakehouse.dropped-physical-names", "[]")))
-    ctypes = _current_types(md)
+    ctypes = _current_types(md, schema_id)
+    # the chosen snapshot schema's name per field-id: a time-traveled
+    # read resolves a renamed column to the name it had THEN (the
+    # mapping's field-id is the bridge; names[0] is only the CURRENT
+    # alias)
+    name_of_id = {
+        f["id"]: f["name"] for f in _schema_by_id(md, schema_id).get("fields", [])
+    }
     # physical file-column → logical resolution. The PHYSICAL name
     # (names[-1]) always resolves; the logical alias (names[0]) also
     # resolves for pre-stable-physical vintages — unless it is a
@@ -1069,9 +1234,10 @@ def _scan_name_mapped(spark: SparkSession, files: list[str], md: dict) -> DataFr
         names = entry.get("names") or []
         if not names:
             continue
-        resolve[names[-1]] = names[0]
+        target = name_of_id.get(entry.get("field-id"), names[0])
+        resolve[names[-1]] = target
         if names[0] not in dropped:
-            resolve.setdefault(names[0], names[0])
+            resolve.setdefault(names[0], target)
 
     groups: dict[tuple, list[str]] = {}
     for p in files:
@@ -1103,27 +1269,35 @@ def _scan_name_mapped(spark: SparkSession, files: list[str], md: dict) -> DataFr
             )
             .withColumn("_ipos", F.col("_metadata.row_index"))
         )
-        branches.append(_apply_name_mapping(b, md))
+        branches.append(_apply_name_mapping(b, md, schema_id))
     out = branches[0]
     for b in branches[1:]:
         out = out.unionByName(b, allowMissingColumns=True)
     return out
 
 
-def _apply_name_mapping(df: DataFrame, md: dict) -> DataFrame:
+def _apply_name_mapping(
+    df: DataFrame, md: dict, schema_id: int | None = None
+) -> DataFrame:
     """Resolve physical file columns to the schema's logical names via
     ``schema.name-mapping.default`` (what an Iceberg reader does for
-    files without embedded field-ids)."""
+    files without embedded field-ids). With ``schema_id``, the
+    resolution target is that snapshot's contemporaneous schema —
+    renamed columns surface the name they had then."""
     from pyspark.sql import functions as F
 
     nm = json.loads(
         (md.get("properties") or {}).get("schema.name-mapping.default", "[]")
     )
+    name_of_id = {
+        f["id"]: f["name"] for f in _schema_by_id(md, schema_id).get("fields", [])
+    }
     for entry in nm:
         names = entry.get("names") or []
         if len(names) < 2:
             continue
         logical, physical = names[0], names[1]
+        logical = name_of_id.get(entry.get("field-id"), logical)
         if physical == logical:
             continue
         if physical in df.columns and logical in df.columns:
@@ -1178,18 +1352,19 @@ def iceberg_plan_entries(
     return entries, delete_files, eq_deletes
 
 
-def _current_ids(md: dict) -> dict[int, str]:
-    """field-id → name of the CURRENT schema (the resolution target)."""
-    sid = md.get("current-schema-id", 0)
-    schema = next(
-        (s for s in md.get("schemas", []) if s.get("schema-id") == sid),
-        md.get("schema"),
-    )
-    return {f["id"]: f["name"] for f in (schema or {}).get("fields", [])}
+def _current_ids(md: dict, schema_id: int | None = None) -> dict[int, str]:
+    """field-id → name of the resolution-target schema (current by
+    default; a snapshot's own schema-id for time-traveled reads)."""
+    return {
+        f["id"]: f["name"] for f in _schema_by_id(md, schema_id).get("fields", [])
+    }
 
 
 def _scan_resolved(
-    spark: SparkSession, data_files: list[str], md: dict
+    spark: SparkSession,
+    data_files: list[str],
+    md: dict,
+    schema_id: int | None = None,
 ) -> DataFrame:
     """Scan data files resolving columns BY FIELD ID — Iceberg's core
     evolution rule: a file written before a rename stores the old
@@ -1208,7 +1383,7 @@ def _scan_resolved(
     import pyarrow.parquet as pq
     from pyspark.sql import functions as F
 
-    current = _current_ids(md)
+    current = _current_ids(md, schema_id)
     groups: dict[tuple, list[str]] = {}
     for p in data_files:
         sch = pq.ParquetFile(p).schema_arrow
@@ -1226,7 +1401,7 @@ def _scan_resolved(
         if not sig:
             # no embedded ids: resolve via name mapping, per-vintage
             # explicit schemas (type promotion + dropped invisibility)
-            branches.append(_scan_name_mapped(spark, files, md))
+            branches.append(_scan_name_mapped(spark, files, md, schema_id))
             continue
         b = (
             spark.read.option("mergeSchema", "true")
@@ -1305,11 +1480,22 @@ def read_iceberg(
         if snapshot_id is not None:
             raise ValueError("pass snapshot_id OR ref, not both")
         snapshot_id = md["refs"][ref]["snapshot-id"]
+    # resolve the SNAPSHOT's contemporaneous schema (spec: snapshots
+    # carry a schema-id into the schemas lineage) — a time-traveled
+    # read surfaces the names/types the table had at that snapshot
+    sid = None
+    if snapshot_id is not None:
+        snap = next(
+            (s for s in md.get("snapshots", []) if s["snapshot-id"] == snapshot_id),
+            None,
+        )
+        if snap is not None and "schema-id" in snap:
+            sid = snap["schema-id"]
     entries, delete_files, eq_deletes = iceberg_plan_entries(table_path, snapshot_id)
     if not entries:
         raise ValueError(f"no data files at snapshot {snapshot_id}")
     data_files = [e["file_path"] for e in entries]
-    df = _scan_resolved(spark, data_files, md)
+    df = _scan_resolved(spark, data_files, md, sid)
     df = _reconstruct_identity_partitions(spark, df, md, entries)
     if delete_files:
         dels = spark.read.parquet(*delete_files)
@@ -1322,7 +1508,12 @@ def read_iceberg(
         )
     if eq_deletes:
         df = _apply_equality_deletes(spark, df, md, entries, eq_deletes)
-    return df.drop("_ipath", "_ipos", "_iseq")
+    df = df.drop("_ipath", "_ipos", "_iseq")
+    # project to the snapshot schema: columns ADDED after this
+    # snapshot are not part of its schema and must not surface
+    want = [f["name"] for f in _schema_by_id(md, sid).get("fields", [])]
+    keep = [n for n in want if n in df.columns]
+    return df.select(*keep) if keep else df
 
 
 def _apply_equality_deletes(

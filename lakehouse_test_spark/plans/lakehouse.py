@@ -1010,7 +1010,13 @@ class LakehouseTable:
             # chain, dropped physicals (stale data must stay invisible
             # in the clone too), and widening targets (mixed int/bigint
             # vintages need the explicit-schema read path)
-            for key in ("column_renames", "dropped_columns", "widenings"):
+            for key in (
+                "column_renames",
+                "rename_versions",
+                "dropped_columns",
+                "widenings",
+                "widening_versions",
+            ):
                 if src_meta.get(key):
                     meta[key] = src_meta[key]
         if src_meta.get("partition_specs"):
@@ -2138,6 +2144,16 @@ class LakehouseTable:
                 "(drop/redefine them first — Delta blocks this rename too)"
             )
         meta.setdefault("column_renames", []).append([old, new])
+        # version stamp (parallel list — [old, new] pair shape is
+        # load-bearing for every chain walker): powers per-snapshot
+        # schema lineage in the Iceberg export (an OLD snapshot shows
+        # the name it had THEN). Native reads stay current-names-
+        # everywhere (the documented Delta-like contract).
+        while len(meta.setdefault("rename_versions", [])) < len(
+            meta["column_renames"]
+        ) - 1:
+            meta["rename_versions"].append(-1)  # pre-stamp vintages
+        meta["rename_versions"].append(self.latest_version())
         # the clustering spec stores LOGICAL column names + bounds;
         # follow the rename so incremental reclustering keeps working
         cl = meta.get("clustering")
@@ -2265,6 +2281,11 @@ class LakehouseTable:
                 "lossless widening"
             )
         meta.setdefault("widenings", {})[phys] = target
+        # version stamp for per-snapshot schema lineage (Iceberg
+        # export): snapshots at or before this version export the
+        # pre-widening type. Native reads widen everywhere (metadata-
+        # only contract), unchanged.
+        meta.setdefault("widening_versions", {})[phys] = self.latest_version()
         self._write_meta(meta)
 
     @staticmethod

@@ -290,12 +290,15 @@ def test_iceberg_name_mapping_rename_and_tag_refs(spark, table):
     meta_dir = export_iceberg_metadata(spark, table)
     md = json.loads((meta_dir / "v1.metadata.json").read_text())
 
-    assert {f["name"] for f in md["schemas"][0]["fields"]} == {"k", "v_usd"}
+    cur = next(
+        s for s in md["schemas"] if s["schema-id"] == md["current-schema-id"]
+    )
+    assert {f["name"] for f in cur["fields"]} == {"k", "v_usd"}
     nm = {
         e["field-id"]: e["names"]
         for e in json.loads(md["properties"]["schema.name-mapping.default"])
     }
-    v_id = next(f["id"] for f in md["schemas"][0]["fields"] if f["name"] == "v_usd")
+    v_id = next(f["id"] for f in cur["fields"] if f["name"] == "v_usd")
     assert nm[v_id] == ["v_usd", "v"]  # logical first, physical second
 
     got = read_iceberg(spark, str(table.path))
@@ -303,10 +306,12 @@ def test_iceberg_name_mapping_rename_and_tag_refs(spark, table):
     assert got.where(F.col("v_usd").isNull()).count() == 0
     assert got.agg(F.sum("v_usd")).collect()[0][0] == sum(2 * i for i in range(60))
 
-    # tag ref: reads the tagged snapshot, logical names included
+    # tag ref: reads the tagged snapshot under its CONTEMPORANEOUS
+    # schema (per-snapshot schema-id lineage) — the tag predates the
+    # rename, so the column surfaces its then-current name
     assert md["refs"]["v1.0"]["type"] == "tag"
     tagged = read_iceberg(spark, str(table.path), ref="v1.0")
-    assert tagged.count() == 30 and "v_usd" in tagged.columns
+    assert tagged.count() == 30 and "v" in tagged.columns
 
 
 def _eqdel_fixture(tmp_path, rows, deletes, data_seq, del_seq):
