@@ -87,6 +87,45 @@ def test_checkpoint_incremental_matches_full(spark, tmp_path):
     assert first["version"] < inc["version"]
 
 
+def test_checkpoint_interplay_dv_compact_restore_vacuum(spark, tmp_path):
+    """Checkpoints must stay invisible to every maintenance feature:
+    DV deletes, a full-restate compact, RESTORE (to a version BELOW
+    the checkpoint), VACUUM, and a second checkpoint cycle all replay
+    identically with and without the pointer."""
+    t = _t(spark, tmp_path)
+    for i in range(11):  # crosses the v10 auto-checkpoint
+        t.append(spark.range(i * 10, i * 10 + 5).select(F.col("id").alias("v")))
+    assert t._read_checkpoint() is not None
+
+    def both(version=None):
+        ptr = t.log_dir / "_last_checkpoint"
+        fast = sorted(r["v"] for r in t.snapshot(version=version).collect())
+        bak = ptr.read_text()
+        ptr.unlink()
+        slow = sorted(r["v"] for r in t.snapshot(version=version).collect())
+        ptr.write_text(bak)
+        assert fast == slow
+        return fast
+
+    assert len(both()) == 55
+    t.delete_where_dv("v % 10 = 4")  # v11: DV commit in the tail
+    assert len(both()) == 44
+    t.compact()  # v12: full restate supersedes the checkpointed base
+    assert len(both()) == 44
+    t.append(spark.range(200, 203).select(F.col("id").alias("v")))  # v13
+    assert len(both()) == 47
+    # restore BELOW the checkpoint version (full-history path feeds it)
+    t.restore(version=3)
+    assert len(both()) == 20
+    # a fresh checkpoint over the restored state
+    t.checkpoint()
+    assert len(both()) == 20
+    t.vacuum(keep_versions=1)
+    assert len(both()) == 20
+    rep = t.verify()
+    assert rep["ok"], rep["errors"]
+
+
 def test_planning_parses_only_tail_after_checkpoint(spark, tmp_path, monkeypatch):
     """The fast path must not parse pre-checkpoint commit JSONs:
     corrupt one (metadata-level fault injection) and show planning
