@@ -135,11 +135,29 @@ class LakehouseCDFStreamReader(DataSourceStreamReader):
                 "restart the stream from a fresh snapshot"
             )
 
-    def _commits(self) -> list[dict]:
-        out = []
-        for p in sorted((self.path / "_log").glob("*.json")):
-            out.append(json.loads(p.read_text()))
-        return out
+    def _commits(self, lo: int | None = None, hi: int | None = None) -> list[dict]:
+        """Commit dicts with ``lo < version <= hi`` — parses ONLY the
+        requested range (a micro-batch's window), never the whole log:
+        on a long-lived table the per-batch planning cost follows the
+        batch, not the commit count (same fix as the writer's
+        checkpointed replay dedup)."""
+        import os
+
+        rng: list[tuple[int, str]] = []
+        with os.scandir(self.path / "_log") as it:
+            for e in it:
+                nm = e.name
+                if not nm.endswith(".json"):
+                    continue
+                try:
+                    v = int(nm[:-5])
+                except ValueError:
+                    continue
+                if (lo is not None and v <= lo) or (hi is not None and v > hi):
+                    continue
+                rng.append((v, e.path))
+        rng.sort()
+        return [json.loads(Path(p).read_text()) for _v, p in rng]
 
     def initialOffset(self) -> dict:
         # Delta's startingVersion: begin the replay at a chosen commit
@@ -158,7 +176,7 @@ class LakehouseCDFStreamReader(DataSourceStreamReader):
     def partitions(self, start: dict, end: dict) -> Sequence[InputPartition]:
         lo, hi = start["version"], end["version"]
         parts: list[InputPartition] = []
-        commits = {c["version"]: c for c in self._commits()}
+        commits = {c["version"]: c for c in self._commits(lo, hi)}
         for v in range(lo + 1, hi + 1):
             c = commits.get(v)
             if c is None:
