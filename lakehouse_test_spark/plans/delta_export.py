@@ -800,6 +800,16 @@ def read_delta_log(
     so a reader that just scans the parquet silently loses them."""
     live, _, _, meta = _replay_state(table_path, version)
     if not live:
+        # a truncating overwrite (remove-all commit) leaves a valid
+        # EMPTY table: replay it as zero rows in the metaData schema,
+        # exactly like delta-spark (logical names — schemaString
+        # field names are logical under columnMapping)
+        if meta and meta.get("schemaString"):
+            from pyspark.sql.types import StructType
+
+            return spark.createDataFrame(
+                [], StructType.fromJson(json.loads(meta["schemaString"]))
+            )
         raise ValueError(f"no live files at version {version}")
     return _frame_for(spark, Path(table_path), live, meta)
 

@@ -1493,6 +1493,12 @@ def read_iceberg(
             sid = snap["schema-id"]
     entries, delete_files, eq_deletes = iceberg_plan_entries(table_path, snapshot_id)
     if not entries:
+        # truncated table (zero-manifest snapshot): a valid EMPTY
+        # read in the snapshot's schema, not an error
+        ctypes = _current_types(md, sid)
+        if ctypes and all(t is not None for t in ctypes.values()):
+            ddl = ", ".join(f"`{n}` {t}" for n, t in ctypes.items())
+            return spark.createDataFrame([], ddl)
         raise ValueError(f"no data files at snapshot {snapshot_id}")
     data_files = [e["file_path"] for e in entries]
     df = _scan_resolved(spark, data_files, md, sid)

@@ -2866,6 +2866,28 @@ class LakehouseTable:
         for w in meta.get("widenings", {}):
             if w in dropped:
                 errors.append(f"widening declared on dropped physical {w!r}")
+        # checkpoint integrity — fsck distrusts the checkpoint too: a
+        # stale or corrupt checkpoint silently re-routes EVERY
+        # snapshot plan, so compare the checkpointed live set against
+        # the full-log parse and flag any divergence.
+        if self._read_checkpoint() is not None:
+            fast = [(c.version, tuple(c.files)) for c in self._live_commits()]
+            full_commits = self.history()
+            restates = [c for c in full_commits if c.restate]
+            if restates:
+                base = restates[-1]
+                full_commits = [base] + [
+                    c
+                    for c in full_commits
+                    if c.version > base.version and not c.restate
+                ]
+            slow = [(c.version, tuple(c.files)) for c in full_commits]
+            if fast != slow:
+                errors.append(
+                    "checkpoint divergence: checkpointed live set != "
+                    "full-log parse (rewrite it with checkpoint(), or "
+                    "delete _log/_last_checkpoint to fall back)"
+                )
         # cross-file schema MERGEABILITY — the one corruption a writer
         # bug actually produces (a type-conflicting commit that landed
         # poisons every read with CANNOT_MERGE_SCHEMAS while each

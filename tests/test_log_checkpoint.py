@@ -126,6 +126,23 @@ def test_checkpoint_interplay_dv_compact_restore_vacuum(spark, tmp_path):
     assert rep["ok"], rep["errors"]
 
 
+def test_verify_flags_checkpoint_divergence(spark, tmp_path):
+    """fsck distrusts the checkpoint: a checkpoint whose live set
+    disagrees with the full-log parse re-routes every snapshot plan,
+    so verify() must flag it."""
+    t = _t(spark, tmp_path)
+    for i in range(11):
+        t.append(spark.range(2).select(F.col("id").alias("v")))
+    assert t.verify()["ok"]
+    # corrupt the checkpoint: drop one live commit from its state
+    ck_file = t._ckpt_dir() / f"{t._read_checkpoint()['version']}.json"
+    state = json.loads(ck_file.read_text())
+    state["live_commits"] = state["live_commits"][:-1]
+    ck_file.write_text(json.dumps(state))
+    rep = t.verify()
+    assert any("checkpoint divergence" in e for e in rep["errors"])
+
+
 def test_planning_parses_only_tail_after_checkpoint(spark, tmp_path, monkeypatch):
     """The fast path must not parse pre-checkpoint commit JSONs:
     corrupt one (metadata-level fault injection) and show planning

@@ -183,6 +183,38 @@ def test_empty_append_still_noop(spark, tmp_path):
     assert t.snapshot().count() == 4
 
 
+def test_truncate_then_export_replays_empty(spark, tmp_path):
+    """Interplay: a truncated table exports and replays as an EMPTY
+    table (schema intact) through BOTH external-reader paths, and
+    time travel to the pre-truncate version still replays the rows."""
+    from lakehouse_test_spark.plans.delta_export import (
+        export_delta_log,
+        read_delta_log,
+    )
+    from lakehouse_test_spark.plans.iceberg_export import (
+        _snapshot_id,
+        export_iceberg_metadata,
+        read_iceberg,
+    )
+    from lakehouse_test_spark.sources.lakehouse_datasource import register
+
+    register(spark)
+    t = _t(spark, tmp_path)
+    df = spark.range(6).select(F.col("id").alias("k"))
+    t.append(df)
+    df.limit(0).write.format("lakehouse").option("path", str(t.path)).mode(
+        "overwrite"
+    ).save()
+    export_delta_log(spark, t)
+    head = read_delta_log(spark, str(t.path))
+    assert head.count() == 0 and head.columns == ["k"]
+    assert read_delta_log(spark, str(t.path), version=0).count() == 6
+    export_iceberg_metadata(spark, t)
+    ihead = read_iceberg(spark, str(t.path))
+    assert ihead.count() == 0 and ihead.columns == ["k"]
+    assert read_iceberg(spark, str(t.path), snapshot_id=_snapshot_id(0)).count() == 6
+
+
 # ---------------------------------------------------------------------------
 # 3. verify() detects schema poisoning
 # ---------------------------------------------------------------------------
