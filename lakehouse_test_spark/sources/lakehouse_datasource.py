@@ -570,16 +570,31 @@ class _WriterState:
                     for c, p in zip(self.stats_cols, pcols)
                     if p in raw
                 }
-        commit = Commit(
-            version=t.latest_version() + 1,
-            files=files,
-            row_count=_footer_row_count(Path(self.root), files) if files else 0,
-            operation=operation,
-            stats=stats,
-            restate=restate,
-            schema=self.commit_schema,
+        from lakehouse_test_spark.plans.lakehouse import (
+            ConcurrentModificationError,
         )
-        t._publish(commit)
+
+        row_count = _footer_row_count(Path(self.root), files) if files else 0
+        # appends COMMUTE (the Delta conflict matrix): a version race
+        # against a concurrent writer re-resolves the head and retries
+        # — data files are already staged, only the log entry moves.
+        # Restates never rebase (computed against a moved base).
+        for attempt in range(4):
+            commit = Commit(
+                version=t.latest_version() + 1,
+                files=files,
+                row_count=row_count,
+                operation=operation,
+                stats=stats,
+                restate=restate,
+                schema=self.commit_schema,
+            )
+            try:
+                t._publish(commit)
+                return
+            except ConcurrentModificationError:
+                if restate or attempt == 3:
+                    raise
 
     def discard(self, messages) -> None:
         for m in messages or []:

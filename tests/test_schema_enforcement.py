@@ -215,6 +215,59 @@ def test_truncate_then_export_replays_empty(spark, tmp_path):
     assert read_iceberg(spark, str(t.path), snapshot_id=_snapshot_id(0)).count() == 6
 
 
+def test_datasource_publish_rebases_on_version_race(spark, tmp_path, monkeypatch):
+    """A concurrent commit landing between the DataSource writer's
+    version resolution and its publish must REBASE the append (Delta
+    conflict matrix: appends commute), not fail the job. Driven at
+    the _WriterState level (the DataSource driver-side commit path)
+    with the race injected deterministically into _publish."""
+    import pyarrow as pa
+
+    from lakehouse_test_spark.sources.lakehouse_datasource import _WriterState
+
+    t = _t(spark, tmp_path)
+    t.append(spark.range(3).select(F.col("id").alias("v")))
+    schema = spark.range(1).select(F.col("id").alias("v")).schema
+    st = _WriterState({"path": str(t.path)}, False, schema)
+    msg = st.write_batches(
+        iter([pa.record_batch([pa.array([10, 11], pa.int64())], names=["v"])])
+    )
+
+    orig = LakehouseTable._publish
+    state = {"raced": False}
+
+    def racing(self, commit):
+        if not state["raced"]:
+            state["raced"] = True
+            LakehouseTable(spark, str(self.path)).append(
+                spark.range(100, 102).select(F.col("id").alias("v"))
+            )
+        return orig(self, commit)
+
+    monkeypatch.setattr(LakehouseTable, "_publish", racing)
+    st.publish([msg], operation="append", restate=False)
+    monkeypatch.setattr(LakehouseTable, "_publish", orig)
+    assert state["raced"]
+    vals = sorted(r["v"] for r in t.snapshot().collect())
+    assert vals == [0, 1, 2, 10, 11, 100, 101]
+    versions = [c.version for c in t.history()]
+    assert versions == list(range(len(versions)))  # gap-free chain
+    # a RESTATE racing the same way must refuse (never silently drop
+    # the concurrent commit's rows)
+    st2 = _WriterState({"path": str(t.path)}, True, schema)
+    msg2 = st2.write_batches(
+        iter([pa.record_batch([pa.array([7], pa.int64())], names=["v"])])
+    )
+    state["raced"] = False
+    monkeypatch.setattr(LakehouseTable, "_publish", racing)
+    from lakehouse_test_spark.plans.lakehouse import (
+        ConcurrentModificationError,
+    )
+
+    with pytest.raises(ConcurrentModificationError):
+        st2.publish([msg2], operation="overwrite", restate=True)
+
+
 # ---------------------------------------------------------------------------
 # 3. verify() detects schema poisoning
 # ---------------------------------------------------------------------------
