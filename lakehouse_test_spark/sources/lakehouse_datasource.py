@@ -633,6 +633,17 @@ class LakehouseStreamWriter(DataSourceStreamArrowWriter):
         self.overwrite = overwrite
         self.schema = schema
         self.state = _WriterState(options, overwrite, schema)
+        # Delta's txn appId: TWO streaming queries writing to one
+        # table must not share a replay-dedup namespace (query B's
+        # batch 0 would look "already committed" once query A passed
+        # batch 0). `.option("txnAppId", "my-job")` scopes the
+        # high-water per logical job, exactly Delta's foreachBatch
+        # idempotent-write contract. The single-writer default keeps
+        # the shared 'stream-append' prefix, whose (deliberately
+        # stronger) semantic is pinned: a full replay from a FRESH
+        # checkpoint of the same job still dedups.
+        app = options.get("txnAppId") or options.get("txnappid")
+        self.txn_app = str(app) if app else "stream-append"
 
     def write(self, iterator):
         return self.state.write_batches(iterator)
@@ -640,12 +651,12 @@ class LakehouseStreamWriter(DataSourceStreamArrowWriter):
     def commit(self, messages, batchId: int) -> None:
         from lakehouse_test_spark.plans.lakehouse import LakehouseTable
 
-        op = f"stream-append-b{batchId}"
+        op = f"{self.txn_app}-b{batchId}"
         t = LakehouseTable(None, self.state.root)
         # replay dedup via the checkpointed txn high-water (batch ids
         # are monotonic per query — Delta's txn-action check): O(tail
         # since last checkpoint), NOT a full history scan per batch
-        if batchId <= t._stream_batch_high("stream-append"):
+        if batchId <= t._stream_batch_high(self.txn_app):
             self.state.discard(messages)  # replayed batch: already in
             return
         self.state.publish(messages, operation=op, restate=False)

@@ -55,6 +55,49 @@ def test_lakehouse_stream_reader_yields_recordbatches(spark, tmp_path):
     assert first.column(2).type == pa.string()
 
 
+def test_txn_app_id_scopes_replay_dedup(spark, tmp_path):
+    """Two streaming queries writing to ONE table with distinct
+    txnAppIds keep independent batch-id high-waters (Delta's txn
+    contract): job B's batch 0 commits even after job A passed batch
+    0; a REPLAY of job A's batch 0 is still discarded."""
+    from lakehouse_test_spark.sources.lakehouse_datasource import (
+        LakehouseStreamWriter,
+    )
+
+    t = _table(spark, tmp_path)
+    schema = (
+        spark.range(1)
+        .select(F.col("id").alias("k"), F.lit(0.0).alias("v"), F.lit("x").alias("note"))
+        .schema
+    )
+
+    def batch(vals):
+        return pa.record_batch(
+            [
+                pa.array(vals, pa.int64()),
+                pa.array([float(v) for v in vals], pa.float64()),
+                pa.array(["x"] * len(vals), pa.string()),
+            ],
+            names=["k", "v", "note"],
+        )
+
+    wa = LakehouseStreamWriter({"path": str(t.path), "txnAppId": "jobA"}, False, schema)
+    wb = LakehouseStreamWriter({"path": str(t.path), "txnAppId": "jobB"}, False, schema)
+    wa.commit([wa.write(iter([batch([100])]))], 0)
+    base = t.snapshot().count()
+    # different app, same batch id: MUST commit
+    wb.commit([wb.write(iter([batch([200])]))], 0)
+    assert t.snapshot().count() == base + 1
+    # replay of jobA's batch 0: discarded
+    wa.commit([wa.write(iter([batch([300])]))], 0)
+    assert t.snapshot().count() == base + 1
+    # jobA advances normally
+    wa.commit([wa.write(iter([batch([101])]))], 1)
+    assert t.snapshot().count() == base + 2
+    ops = [c.operation for c in t.history()]
+    assert "jobA-b0" in ops and "jobB-b0" in ops and "jobA-b1" in ops
+
+
 def test_cdf_stream_reader_yields_recordbatches_and_range_parse(spark, tmp_path):
     from lakehouse_test_spark.sources.cdf_datasource import (
         LakehouseCDFStreamReader,
