@@ -308,6 +308,21 @@ class _SnapshotState:
         return ", ".join(f"`{f.name}` {_ddl_of(f.type)}" for f in self.arrow_schema)
 
 
+def _bloom_hit(bl: dict, value) -> bool:
+    """Probe a commit-log bloom descriptor ({m, k, b64}) for a value —
+    byte-identical to LakehouseTable._bloom_positions_py, so the SQL
+    path and scan_point can never drift."""
+    import base64
+
+    from lakehouse_test_spark.plans.lakehouse import LakehouseTable
+
+    bits = base64.b64decode(bl["b64"])
+    return all(
+        bits[p // 8] & (1 << (p % 8))
+        for p in LakehouseTable._bloom_positions_py(value, bl["m"], bl["k"])
+    )
+
+
 class _FilePart(InputPartition):
     def __init__(self, idx: int):
         self.idx = idx
@@ -367,9 +382,19 @@ class LakehouseSnapshotReader(DataSourceReader):
                 return False
         for col, vals in self._points.items():
             st = _bounds_of(col)
-            if st is None or st[0] is None or st[1] is None:
-                continue
-            if all(v is not None and (v < st[0] or v > st[1]) for v in vals):
+            if st is not None and st[0] is not None and st[1] is not None:
+                if all(v is not None and (v < st[0] or v > st[1]) for v in vals):
+                    return False
+            # bloom MEMBERSHIP skip (scan_point's mechanism, reached
+            # from SQL): every point value proven absent → skip file
+            bl = None
+            for k in self.state.stat_keys.get(col, [col]):
+                bl = fstats.get(f"__bloom__:{k}")
+                if bl is not None:
+                    break
+            if bl is not None and all(
+                v is not None and not _bloom_hit(bl, v) for v in vals
+            ):
                 return False
         return True
 
@@ -435,6 +460,9 @@ from pyspark.sql.datasource import (  # noqa: E402
 class _FilesMsg(WriterCommitMessage):
     files: list = field(default_factory=list)  # relative to table root
     rows: int = 0
+    #: per-file bloom descriptors built executor-side:
+    #: {rel_file: {logical_col: {m, k, b64}}}
+    blooms: dict = field(default_factory=dict)
 
 
 class _WriterState:
@@ -504,6 +532,15 @@ class _WriterState:
             for c in (options.get("stats") or options.get("statscols") or "").split(",")
             if c.strip()
         ]
+        # bloom membership filters, built EXECUTOR-side from the Arrow
+        # batches as they stream through (no second scan, no Spark job
+        # — unlike the native _bloom_stats path, which re-reads the
+        # commit dir): `.option("blooms", "col1,col2")`
+        self.bloom_cols = [
+            c.strip()
+            for c in (options.get("blooms") or options.get("bloomcols") or "").split(",")
+            if c.strip()
+        ]
 
     # -- executor side -------------------------------------------------------
     def write_batches(self, iterator) -> _FilesMsg:
@@ -516,6 +553,8 @@ class _WriterState:
         rows = 0
         rel = f"{self.commit_dir_rel}/part-{_uuid.uuid4().hex}.zstd.parquet"
         full = str(Path(self.root) / rel)
+        bloom_vals: dict[str, set] = {c: set() for c in self.bloom_cols}
+        bloom_phys = {c: self.phys_of_logical.get(c, c) for c in self.bloom_cols}
         for batch in iterator:
             tbl = pa.Table.from_batches([batch])
             # logical → physical names; dropped-name collisions were
@@ -536,10 +575,38 @@ class _WriterState:
                 writer = pq.ParquetWriter(full, tbl.schema, compression="zstd")
             writer.write_table(tbl)
             rows += tbl.num_rows
+            for c, phys in bloom_phys.items():
+                vals = bloom_vals[c]
+                if phys in tbl.column_names and len(vals) <= 8192:
+                    vals.update(
+                        v for v in tbl.column(phys).to_pylist() if v is not None
+                    )
         if writer is None:
             return _FilesMsg([], 0)  # empty partition: no file
         writer.close()
-        return _FilesMsg([rel], rows)
+        blooms = {}
+        if self.bloom_cols:
+            import base64
+
+            from lakehouse_test_spark.plans.lakehouse import LakehouseTable
+
+            m, k = LakehouseTable.BLOOM_M, LakehouseTable.BLOOM_K
+            per_col = {}
+            for c, vals in bloom_vals.items():
+                if not vals or len(vals) > 8192:
+                    continue  # over cap: no bloom (skipping must be safe)
+                bits = bytearray(m // 8)
+                for v in vals:
+                    for p in LakehouseTable._bloom_positions_py(v, m, k):
+                        bits[p // 8] |= 1 << (p % 8)
+                per_col[c] = {
+                    "m": m,
+                    "k": k,
+                    "b64": base64.b64encode(bytes(bits)).decode(),
+                }
+            if per_col:
+                blooms[rel] = per_col
+        return _FilesMsg([rel], rows, blooms)
 
     # -- driver side ----------------------------------------------------------
     def publish(self, messages, operation: str, restate: bool) -> None:
@@ -570,6 +637,15 @@ class _WriterState:
                     for c, p in zip(self.stats_cols, pcols)
                     if p in raw
                 }
+        # executor-built bloom descriptors land in the commit log under
+        # the same __bloom__: keys the native path and scan_point use
+        for m in messages or []:
+            if not m:
+                continue
+            for f, per_col in (getattr(m, "blooms", None) or {}).items():
+                stats = stats if stats is not None else {}
+                for c, bl in per_col.items():
+                    stats.setdefault(f, {})[f"__bloom__:{c}"] = bl
         from lakehouse_test_spark.plans.lakehouse import (
             ConcurrentModificationError,
         )

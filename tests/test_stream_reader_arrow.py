@@ -98,6 +98,50 @@ def test_txn_app_id_scopes_replay_dedup(spark, tmp_path):
     assert "jobA-b0" in ops and "jobB-b0" in ops and "jobA-b1" in ops
 
 
+def test_datasource_bloom_write_and_point_prune(spark, tmp_path):
+    """`.option("blooms", "k")` builds per-file bloom filters
+    EXECUTOR-side during the Arrow write; the commit-log descriptors
+    are byte-compatible with the native path — scan_point skips on
+    them, and the SQL DataSource's pushFilters prunes point lookups
+    by MEMBERSHIP, not just [min,max]."""
+    from pyspark.sql.datasource import EqualTo
+
+    from lakehouse_test_spark.plans.lakehouse import LakehouseTable
+    from lakehouse_test_spark.sources.lakehouse_datasource import (
+        LakehouseSnapshotReader,
+        _SnapshotState,
+        register,
+    )
+
+    register(spark)
+    path = str(tmp_path / "bl")
+    # interleaved keys: every file's [min,max] OVERLAPS every probe —
+    # zone maps alone cannot skip; only membership can
+    for b in range(4):
+        spark.range(200).select(
+            (F.col("id") * 4 + b).alias("k"), F.lit(b).alias("src")
+        ).coalesce(1).write.format("lakehouse").option("path", path).option(
+            "blooms", "k"
+        ).mode("append").save()
+    t = LakehouseTable(spark, path)
+    df, kept, total = t.scan_point("k", 5)  # 5 = 1*4+1 → only file b=1
+    assert total == 4 and kept == 1
+    assert df.count() == 1 and df.collect()[0]["src"] == 1
+    # SQL path: EqualTo prunes through the same blooms
+    reader = LakehouseSnapshotReader(_SnapshotState({"path": path}))
+    list(reader.pushFilters([EqualTo(("k",), 5)]))
+    parts = reader.partitions()
+    assert len(parts) == 1
+    got = (
+        spark.read.format("lakehouse")
+        .option("path", path)
+        .load()
+        .where(F.col("k") == 5)
+        .collect()
+    )
+    assert len(got) == 1 and got[0]["src"] == 1
+
+
 def test_cdf_stream_reader_yields_recordbatches_and_range_parse(spark, tmp_path):
     from lakehouse_test_spark.sources.cdf_datasource import (
         LakehouseCDFStreamReader,
