@@ -227,6 +227,63 @@ def lakehouse_log_checkpoint(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @query(
+    "lakehouse_bloom_point_sql",
+    oracle="""
+    WITH t AS (
+      SELECT p_partkey AS k, p_retailprice AS price,
+             p_partkey % 4 AS shard
+      FROM part
+    )
+    SELECT k, CAST(count(*) AS BIGINT) AS n,
+           CAST(round(sum(CAST(price AS DECIMAL(18,2))), 2) AS DOUBLE) AS price_sum,
+           TRUE AS bloom_skipped, 4 AS files_total
+    FROM t WHERE k = 17 GROUP BY k
+    """,
+    tags=("lakehouse", "bloom", "datasource", "point-lookup"),
+)
+def lakehouse_bloom_point_sql(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Needle-in-100TB point lookup THROUGH SQL: four interleaved
+    shards (every file's [min,max] overlaps every key, so zone maps
+    cannot skip anything) written via the DataSource with
+    ``.option("blooms", "k")`` — per-file bloom bitsets built
+    executor-side from the Arrow batches. The point probe prunes by
+    bloom MEMBERSHIP before any task launches; the gate row-encodes
+    ``bloom_skipped`` (files_scanned < files_total — boolean, so a
+    rare single-file bloom false positive can never flake the hash;
+    losing the skip entirely DOES mismatch).
+
+    Scale: this is the id-probe shape — at 10⁶ files, zone maps on an
+    interleaved key keep every file; an 8 KiB bloom per file in the
+    commit log turns the probe into O(matching files) I/O."""
+    from lakehouse_test_spark.plans.lakehouse import LakehouseTable
+    from lakehouse_test_spark.sources.lakehouse_datasource import register
+
+    register(spark)
+    p = T(spark, sf_dir, "part").select(
+        F.col("p_partkey").alias("k"),
+        F.col("p_retailprice").alias("price"),
+        (F.col("p_partkey") % 4).alias("shard"),
+    )
+    path = tempfile.mkdtemp(prefix="lh_bloom_")
+    for b in range(4):
+        p.where(F.col("shard") == b).coalesce(1).write.format(
+            "lakehouse"
+        ).option("path", path).option("blooms", "k").mode("append").save()
+    t = LakehouseTable(spark, path)
+    df, kept, total = t.scan_point("k", 17)
+    assert total == 4, total
+    out = df.groupBy("k").agg(
+        F.count(F.lit(1)).alias("n"),
+        F.round(F.sum(F.col("price").cast("decimal(18,2)")), 2)
+        .cast("double")
+        .alias("price_sum"),
+        F.lit(kept < total).alias("bloom_skipped"),
+        F.lit(total).cast("int").alias("files_total"),
+    )
+    return out.localCheckpoint()
+
+
+@query(
     "lakehouse_iceberg_schema_history",
     oracle="""
     WITH v0 AS (
