@@ -2193,6 +2193,15 @@ class LakehouseTable:
             p2, s2 = int(m2.group(1)), int(m2.group(2))
             # scale may grow only with matching integral headroom
             return p2 - s2 >= p1 - s1 and s2 >= s1
+        if m2 and src in ("tinyint", "smallint", "int", "bigint"):
+            # Delta typeWidening's integer→decimal promotions: the
+            # decimal needs the integer's full integral range
+            # (verified: Spark 4's parquet reader upcasts INT32 pages
+            # into decimal(p-s>=10,*) and INT64 into decimal(p-s>=20,*)
+            # at scan; anything narrower fails the read, so the
+            # whitelist is exactly the readable set)
+            p2, s2 = int(m2.group(1)), int(m2.group(2))
+            return p2 - s2 >= (20 if src == "bigint" else 10)
         return False
 
     def drop_column(self, name: str) -> None:

@@ -124,6 +124,37 @@ def test_enforcement_respects_declared_widening(spark, tmp_path):
     assert t.snapshot().count() == 5
 
 
+def test_widen_int_to_decimal(spark, tmp_path):
+    """Delta typeWidening's integer→decimal promotion as pure
+    metadata: INT32/INT64 vintages read into the decimal column at
+    scan; insufficient integral headroom is rejected at declaration."""
+    t = _t(spark, tmp_path)
+    t.append(spark.range(3).select(F.col("id").cast("int").alias("v")))
+    with pytest.raises(ValueError, match="lossless"):
+        t.widen_column("v", "decimal(9,2)")  # p-s < 10: int range lost
+    t.widen_column("v", "decimal(12,2)")
+    t.append(
+        spark.range(3, 5).select(F.col("id").cast("decimal(12,2)").alias("v"))
+    )
+    snap = t.snapshot()
+    assert dict(snap.dtypes)["v"] == "decimal(12,2)"
+    assert snap.count() == 5
+    assert {str(r["v"]) for r in snap.collect()} == {
+        "0.00", "1.00", "2.00", "3.00", "4.00",
+    }
+    # bigint needs p-s >= 20
+    u = _t(spark, tmp_path, "u")
+    u.append(spark.range(3).select(F.col("id").alias("v")))
+    with pytest.raises(ValueError, match="lossless"):
+        u.widen_column("v", "decimal(18,0)")
+    u.widen_column("v", "decimal(22,2)")
+    assert dict(u.snapshot().dtypes)["v"] == "decimal(22,2)"
+    # enforcement composes: an int frame upcasts into the decimal table
+    t.append(spark.range(5, 6).select(F.col("id").cast("int").alias("v")))
+    assert t.snapshot().count() == 6
+    assert t.verify()["ok"]
+
+
 def test_enforcement_after_rename(spark, tmp_path):
     """The guard compares PHYSICAL names: a renamed column's conflict
     is still caught (incoming frame carries the logical name)."""
