@@ -499,7 +499,18 @@ class LakehouseTable:
         self._validate_constraints(df)
         commit_dir = self.path / "data" / f"{operation}-{uuid.uuid4().hex[:12]}"
         phys = self._physical_of_logical()
-        w = self._apply_reverse_renames(df).write
+        pdf = self._apply_reverse_renames(df)
+        # restates define the new base schema — recording it keeps the
+        # post-restate append guard on the O(log JSON) path (no footer
+        # fallback until the next legacy commit). partitionBy columns
+        # live in directory names, not in the files — exclude them.
+        part_phys = {phys.get(c, c) for c in (partition_by or [])}
+        commit_schema = {
+            f.name: f.dataType.simpleString().lower()
+            for f in pdf.schema.fields
+            if f.name not in part_phys
+        }
+        w = pdf.write
         if partition_by:
             w = w.partitionBy(*[phys.get(c, c) for c in partition_by])
         w.parquet(str(commit_dir))
@@ -526,6 +537,7 @@ class LakehouseTable:
                 stats=stats,
                 restate=True,
                 data_change=data_change,
+                schema=commit_schema,
             )
         )
 
