@@ -298,6 +298,16 @@ def _checkpoint_schema():
                     ]
                 ),
             ),
+            (
+                "txn",
+                pa.struct(
+                    [
+                        ("appId", pa.string()),
+                        ("version", pa.int64()),
+                        ("lastUpdated", pa.int64()),
+                    ]
+                ),
+            ),
         ]
     )
 
@@ -308,13 +318,19 @@ def _write_checkpoint(
     metadata_action: dict,
     live_adds: dict[str, dict],
     protocol: dict | None = None,
+    txns: dict[str, dict] | None = None,
 ) -> None:
     """Write ``%020d.checkpoint.parquet`` (full state at ``version``)
-    and repoint ``_last_checkpoint`` at it."""
+    and repoint ``_last_checkpoint`` at it. ``txns`` carries the
+    newest SetTransaction per appId — the spec REQUIRES checkpoints to
+    retain them (a streaming writer resuming from the checkpoint must
+    still see its idempotence high-water)."""
     import pyarrow as pa
     import pyarrow.parquet as pq
 
     rows: list[dict] = [{"protocol": protocol or PROTOCOL}]
+    for app in sorted(txns or {}):
+        rows.append({"txn": txns[app]})
     md = dict(metadata_action["metaData"])
     md["format"] = {"provider": md.get("format", {}).get("provider", "parquet")}
     md["configuration"] = [
@@ -543,9 +559,19 @@ def export_delta_log(
     live: list[str] = []
     live_adds: dict[str, dict] = {}
     live_dv: dict[str, set[int]] = {}  # file → deleted row indexes
+    txn_high: dict[str, dict] = {}  # appId → newest SetTransaction
     for commit in history:
         actions: list[dict] = []
         now_ms = int(time.time() * 1000)
+        # streaming micro-batch commits carry the writer's txn
+        # high-water as a SetTransaction action (PROTOCOL.md
+        # §Transaction Identifiers) — an external Delta writer doing
+        # idempotent appends reads exactly this to dedup replays
+        pre, _, num = commit.operation.rpartition("-b")
+        if pre and num.isdigit():
+            txn = {"appId": pre, "version": int(num), "lastUpdated": now_ms}
+            actions.append({"txn": txn})
+            txn_high[pre] = txn
         if commit.version == 0:
             actions.append({"protocol": protocol})
             current_schema = _schema_of(commit.files)
@@ -663,7 +689,9 @@ def export_delta_log(
             and commit.version % checkpoint_interval == 0
         ):
             assert current_meta is not None
-            _write_checkpoint(log_dir, commit.version, current_meta, live_adds, protocol)
+            _write_checkpoint(
+                log_dir, commit.version, current_meta, live_adds, protocol, txn_high
+            )
     return log_dir
 
 
@@ -760,6 +788,41 @@ def _replay_state(
             elif "metaData" in action:
                 meta = action["metaData"]
     return live, ckpt_version, replayed, meta
+
+
+def replay_txn_high(table_path: str, app_id: str) -> int:
+    """Newest SetTransaction version for ``app_id`` from an exported
+    ``_delta_log`` — checkpoint txn rows + JSON tail, exactly the read
+    an external Delta streaming writer performs to dedup replayed
+    micro-batches (PROTOCOL.md §Transaction Identifiers). −1 = never
+    committed."""
+    import pyarrow.parquet as pq
+
+    log_dir = Path(table_path) / "_delta_log"
+    high = -1
+    start_after = -1
+    lc = log_dir / "_last_checkpoint"
+    if lc.exists():
+        v = int(json.loads(lc.read_text())["version"])
+        for pf in sorted(log_dir.glob(f"{v:020d}.checkpoint*.parquet")):
+            t = pq.read_table(str(pf))
+            if "txn" not in t.column_names:
+                continue
+            for row in t.column("txn").to_pylist():
+                if row and row.get("appId") == app_id:
+                    high = max(high, int(row["version"]))
+        start_after = v
+    for p in sorted(log_dir.glob("*.json")):
+        if int(p.stem) <= start_after:
+            continue
+        for line in p.read_text().splitlines():
+            if not line.strip():
+                continue
+            action = json.loads(line)
+            txn = action.get("txn")
+            if txn and txn.get("appId") == app_id:
+                high = max(high, int(txn["version"]))
+    return high
 
 
 def replay_live_files(table_path: str, version: int | None = None) -> list[str]:

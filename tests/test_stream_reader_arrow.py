@@ -98,6 +98,69 @@ def test_txn_app_id_scopes_replay_dedup(spark, tmp_path):
     assert "jobA-b0" in ops and "jobB-b0" in ops and "jobA-b1" in ops
 
 
+def test_delta_export_carries_stream_txn(spark, tmp_path):
+    """Streaming micro-batch commits export as Delta SetTransaction
+    actions, retained through checkpoints — an external Delta writer
+    resuming the same appId reads its idempotence high-water from the
+    exported log."""
+    from lakehouse_test_spark.plans.delta_export import (
+        export_delta_log,
+        replay_txn_high,
+    )
+    from lakehouse_test_spark.sources.lakehouse_datasource import (
+        LakehouseStreamWriter,
+    )
+
+    t = _table(spark, tmp_path)  # two plain appends (no txn)
+    schema = (
+        spark.range(1)
+        .select(F.col("id").alias("k"), F.lit(0.0).alias("v"), F.lit("x").alias("note"))
+        .schema
+    )
+    w = LakehouseStreamWriter({"path": str(t.path), "txnAppId": "ing"}, False, schema)
+    for b in range(3):
+        msg = w.write(
+            iter(
+                [
+                    pa.record_batch(
+                        [
+                            pa.array([50 + b], pa.int64()),
+                            pa.array([0.5], pa.float64()),
+                            pa.array(["s"], pa.string()),
+                        ],
+                        names=["k", "v", "note"],
+                    )
+                ]
+            )
+        )
+        w.commit([msg], b)
+    export_delta_log(spark, t)
+    assert replay_txn_high(str(t.path), "ing") == 2
+    assert replay_txn_high(str(t.path), "other") == -1
+    # checkpoint retention: force a checkpoint-bearing export by
+    # growing the history past the export's checkpoint cadence
+    for b in range(3, 12):
+        msg = w.write(
+            iter(
+                [
+                    pa.record_batch(
+                        [
+                            pa.array([50 + b], pa.int64()),
+                            pa.array([0.5], pa.float64()),
+                            pa.array(["s"], pa.string()),
+                        ],
+                        names=["k", "v", "note"],
+                    )
+                ]
+            )
+        )
+        w.commit([msg], b)
+    export_delta_log(spark, t)
+    lc = t.path / "_delta_log" / "_last_checkpoint"
+    assert lc.exists()
+    assert replay_txn_high(str(t.path), "ing") == 11
+
+
 def test_datasource_bloom_write_and_point_prune(spark, tmp_path):
     """`.option("blooms", "k")` builds per-file bloom filters
     EXECUTOR-side during the Arrow write; the commit-log descriptors
