@@ -11,12 +11,13 @@ positions out of the base files). This is the streaming twin of
 ``LakehouseTable.read_changes_cdf`` — same contract, delivered as an
 unbounded source that any Structured Streaming job can consume.
 
-Contract note: this feed replays the PHYSICAL file layout (columns as
-written — after a rename, the stable physical names; after a DROP, the
-column keeps appearing for pre-drop commits since those files carry
-it). Consumers wanting the current LOGICAL schema read snapshots via
-``format("lakehouse")`` or fold the feed through a view; the native
-``read_changes_cdf`` applies the logical mapping batch-side.
+Contract note: by default this feed replays the PHYSICAL file layout
+(columns as written — after a rename, the stable physical names; after
+a DROP, the column keeps appearing for pre-drop commits since those
+files carry it). ``.option("logicalNames", "true")`` switches the
+replay to the current LOGICAL schema (rename chain applied per file),
+matching the native ``read_changes_cdf`` surface — use it when the
+consumer joins the feed against logical-schema snapshots.
 
 Scale: partitions map 1:1 to files, so a commit's replay
 parallelizes exactly like a scan of it; the driver only lists the
@@ -53,9 +54,27 @@ _PA_TO_DDL = {
 }
 
 
-def _ddl_for_table(path: Path) -> str:
+def _logical_of_physical(path: Path) -> dict[str, str]:
+    """Physical column → current logical name (the table's rename
+    chain, walked forward) — loaded straight from ``_meta.json`` so
+    the DataSource stays standalone (no LakehouseTable/Spark)."""
+    meta = path / "_meta.json"
+    if not meta.exists():
+        return {}
+    out: dict[str, str] = {}
+    for old, new in json.loads(meta.read_text()).get("column_renames", []):
+        for k, v in list(out.items()):
+            if v == old:
+                out[k] = new
+        out.setdefault(old, new)
+    return out
+
+
+def _ddl_for_table(path: Path, logical: bool = False) -> str:
     """Derive the CDF schema (data columns + _change_type +
-    _commit_version) from the newest commit's first data file.
+    _commit_version) from the newest commit's first data file. With
+    ``logical`` the rename chain maps physical file columns to their
+    current LOGICAL names (the ``logicalNames`` option).
 
     Fixed-schema assumption (enforced at read time, not here): a
     streaming source's schema is pinned at start, so commits written
@@ -65,6 +84,7 @@ def _ddl_for_table(path: Path) -> str:
     replayed into a narrower schema)."""
     import pyarrow.parquet as pq
 
+    lop = _logical_of_physical(path) if logical else {}
     log = sorted((path / "_log").glob("*.json"), reverse=True)
     for entry in log:
         d = json.loads(entry.read_text())
@@ -79,7 +99,7 @@ def _ddl_for_table(path: Path) -> str:
                     ddl = _PA_TO_DDL[t]
                 else:
                     raise ValueError(f"unsupported CDF column type {t} for {f.name}")
-                cols.append(f"{f.name} {ddl}")
+                cols.append(f"{lop.get(f.name, f.name)} {ddl}")
             cols.append("_change_type string")
             cols.append("_commit_version int")
             return ", ".join(cols)
@@ -116,6 +136,14 @@ class LakehouseCDFStreamReader(DataSourceStreamReader):
         # RecordBatches in the declared schema (typed null-fill +
         # old-vintage upcasts) instead of per-row Python tuples
         self.data_types = data_types
+        # logicalNames=true: replay under the current LOGICAL schema
+        # (rename chain applied to every vintage's physical columns),
+        # matching the native read_changes_cdf surface instead of the
+        # default physical-layout contract
+        self.logical = str(
+            options.get("logicalNames") or options.get("logicalnames") or ""
+        ).lower() in ("true", "1")
+        self._lop = _logical_of_physical(self.path) if self.logical else {}
 
     def _vacuum_horizon(self) -> int:
         meta = self.path / "_meta.json"
@@ -229,6 +257,12 @@ class LakehouseCDFStreamReader(DataSourceStreamReader):
         if path.startswith("file://"):
             path = path[len("file://") :]
         t = pq.read_table(path)
+        if self._lop:
+            # logicalNames: every vintage's physical columns surface
+            # under their current logical identity
+            t = t.rename_columns(
+                [self._lop.get(n, n) for n in t.column_names]
+            )
         if partition.kind == "delete":
             t = t.take(pa.array(partition.positions))
         if self.data_columns is not None:
@@ -304,7 +338,12 @@ class LakehouseCDFDataSource(DataSource):
         return "lakehouse_cdf"
 
     def schema(self) -> str:
-        return _ddl_for_table(Path(self.options["path"]))
+        logical = str(
+            self.options.get("logicalNames")
+            or self.options.get("logicalnames")
+            or ""
+        ).lower() in ("true", "1")
+        return _ddl_for_table(Path(self.options["path"]), logical)
 
     def streamReader(self, schema) -> LakehouseCDFStreamReader:
         data = [

@@ -98,6 +98,49 @@ def test_txn_app_id_scopes_replay_dedup(spark, tmp_path):
     assert "jobA-b0" in ops and "jobB-b0" in ops and "jobA-b1" in ops
 
 
+def test_cdf_logical_names_option(spark, tmp_path):
+    """logicalNames=true replays the change feed under the CURRENT
+    logical schema: pre-rename vintages surface the renamed column,
+    exactly the native read_changes_cdf surface."""
+    import shutil
+    import tempfile
+
+    from lakehouse_test_spark.sources.cdf_datasource import register
+
+    register(spark)
+    t = LakehouseTable(spark, str(tmp_path / "cdfl"))
+    t.append(spark.range(3).select(F.col("id").alias("k"), (F.col("id") * 2.0).alias("v")))
+    t.rename_column("v", "v_usd")
+    t.append(
+        spark.range(3, 5).select(
+            F.col("id").alias("k"), (F.col("id") * 2.0).alias("v_usd")
+        )
+    )
+    ck = tempfile.mkdtemp(prefix="cdfl_ck_")
+    try:
+        q = (
+            spark.readStream.format("lakehouse_cdf")
+            .option("path", str(t.path))
+            .option("logicalNames", "true")
+            .load()
+            .writeStream.format("memory")
+            .queryName("cdfl_sink")
+            .option("checkpointLocation", ck)
+            .trigger(availableNow=True)
+            .start()
+        )
+        q.awaitTermination()
+    finally:
+        shutil.rmtree(ck, ignore_errors=True)
+    got = spark.sql("SELECT * FROM cdfl_sink")
+    assert "v_usd" in got.columns and "v" not in got.columns
+    rows = got.collect()
+    assert len(rows) == 5
+    # BOTH vintages (pre- and post-rename files) carry real values
+    assert all(r["v_usd"] is not None for r in rows)
+    assert {r["_commit_version"] for r in rows} == {0, 1}
+
+
 def test_delta_export_carries_stream_txn(spark, tmp_path):
     """Streaming micro-batch commits export as Delta SetTransaction
     actions, retained through checkpoints — an external Delta writer
