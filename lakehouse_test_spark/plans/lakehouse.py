@@ -2830,7 +2830,24 @@ class LakehouseTable:
         errors: list[str] = []
         checked_files = 0
         meta = self._read_meta()
-        live = self._live_files()
+        try:
+            live = self._live_files()
+        except (json.JSONDecodeError, KeyError, TypeError, ValueError) as e:
+            # fsck must REPORT a torn/corrupt commit JSON, never crash
+            # on it — locate the offender by parsing one-by-one
+            for p in sorted(self.log_dir.glob("*.json")):
+                try:
+                    self._commit_of(json.loads(p.read_text()))
+                except Exception as pe:  # noqa: BLE001 — naming it is the point
+                    errors.append(f"unreadable commit {p.name}: {pe}")
+            if not errors:
+                errors.append(f"commit log unreadable: {e}")
+            return {
+                "ok": False,
+                "errors": errors,
+                "files_checked": 0,
+                "live_versions": 0,
+            }
         by_commit: dict[int, list[str]] = {}
         for c, f in live:
             by_commit.setdefault(c.version, []).append(f)
@@ -2892,23 +2909,29 @@ class LakehouseTable:
         # snapshot plan, so compare the checkpointed live set against
         # the full-log parse and flag any divergence.
         if self._read_checkpoint() is not None:
-            fast = [(c.version, tuple(c.files)) for c in self._live_commits()]
-            full_commits = self.history()
-            restates = [c for c in full_commits if c.restate]
-            if restates:
-                base = restates[-1]
-                full_commits = [base] + [
-                    c
-                    for c in full_commits
-                    if c.version > base.version and not c.restate
-                ]
-            slow = [(c.version, tuple(c.files)) for c in full_commits]
-            if fast != slow:
-                errors.append(
-                    "checkpoint divergence: checkpointed live set != "
-                    "full-log parse (rewrite it with checkpoint(), or "
-                    "delete _log/_last_checkpoint to fall back)"
-                )
+            try:
+                fast = [(c.version, tuple(c.files)) for c in self._live_commits()]
+                full_commits = self.history()
+                restates = [c for c in full_commits if c.restate]
+                if restates:
+                    base = restates[-1]
+                    full_commits = [base] + [
+                        c
+                        for c in full_commits
+                        if c.version > base.version and not c.restate
+                    ]
+                slow = [(c.version, tuple(c.files)) for c in full_commits]
+                if fast != slow:
+                    errors.append(
+                        "checkpoint divergence: checkpointed live set != "
+                        "full-log parse (rewrite it with checkpoint(), or "
+                        "delete _log/_last_checkpoint to fall back)"
+                    )
+            except (json.JSONDecodeError, KeyError, TypeError, ValueError) as e:
+                # a commit shadowed by the checkpoint is unreadable:
+                # reads still plan (fast path), but the audit trail is
+                # damaged — report, don't crash
+                errors.append(f"unreadable commit in full log: {e}")
         # cross-file schema MERGEABILITY — the one corruption a writer
         # bug actually produces (a type-conflicting commit that landed
         # poisons every read with CANNOT_MERGE_SCHEMAS while each

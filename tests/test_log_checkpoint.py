@@ -126,6 +126,28 @@ def test_checkpoint_interplay_dv_compact_restore_vacuum(spark, tmp_path):
     assert rep["ok"], rep["errors"]
 
 
+def test_verify_reports_corrupt_commit_json(spark, tmp_path):
+    """fsck reports a torn commit JSON (naming the file) instead of
+    crashing with JSONDecodeError."""
+    t = _t(spark, tmp_path)
+    t.append(spark.range(3).select(F.col("id").alias("v")))
+    t.append(spark.range(3).select(F.col("id").alias("v")))
+    (t.log_dir / f"{1:020d}.json").write_text("{torn")
+    rep = t.verify()
+    assert not rep["ok"]
+    assert any("unreadable commit" in e and "0000" in e for e in rep["errors"])
+    # with a checkpoint shadowing the torn commit, reads still plan
+    # but fsck still reports the damaged audit trail
+    u = _t(spark, tmp_path, "u")
+    for i in range(11):
+        u.append(spark.range(2).select(F.col("id").alias("v")))
+    (u.log_dir / f"{2:020d}.json").write_text("{torn")
+    assert u.snapshot().count() == 22  # fast path unaffected
+    rep2 = u.verify()
+    assert not rep2["ok"]
+    assert any("unreadable commit" in e for e in rep2["errors"])
+
+
 def test_verify_flags_checkpoint_divergence(spark, tmp_path):
     """fsck distrusts the checkpoint: a checkpoint whose live set
     disagrees with the full-log parse re-routes every snapshot plan,
