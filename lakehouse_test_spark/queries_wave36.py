@@ -92,6 +92,57 @@ def pipeline_preference_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @query(
+    "streaming_cdf_logical_names",
+    oracle="""
+    SELECT s_suppkey AS k,
+           CAST(round(s_acctbal, 2) AS DOUBLE) AS bal_usd,
+           'insert' AS _change_type,
+           CAST(s_suppkey % 2 AS INTEGER) AS _commit_version
+    FROM supplier
+    """,
+    tags=("streaming", "lakehouse", "cdf", "schema"),
+)
+def streaming_cdf_logical_names(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The change feed replayed under the CURRENT LOGICAL schema
+    (``logicalNames=true``): commit v0 was written BEFORE the rename
+    (its files physically carry ``bal``), v1 after — the stream
+    surfaces BOTH vintages as ``bal_usd``, so a consumer can join the
+    feed against logical-schema snapshots without per-vintage mapping.
+    The default physical-layout contract stays available (documented
+    in sources/cdf_datasource.py).
+
+    Scale: identical plan to streaming_cdf_source — one partition per
+    file per micro-batch, Arrow batches, the rename applied per file
+    at zero cost (a column-name swap on the RecordBatch schema)."""
+    import tempfile
+
+    from lakehouse_test_spark.plans.lakehouse import LakehouseTable
+    from lakehouse_test_spark.sources.cdf_datasource import register
+    from lakehouse_test_spark.streaming.jobs import _drain_to_memory
+
+    register(spark)
+    s = T(spark, sf_dir, "supplier").select(
+        F.col("s_suppkey").alias("k"),
+        F.round("s_acctbal", 2).alias("bal"),
+    )
+    t = LakehouseTable(spark, tempfile.mkdtemp(prefix="lh_cdfln_"))
+    t.append(s.where(F.col("k") % 2 == 0).repartition(2))
+    t.rename_column("bal", "bal_usd")
+    t.append(
+        s.where(F.col("k") % 2 == 1)
+        .withColumnRenamed("bal", "bal_usd")
+        .repartition(2)
+    )
+    stream = (
+        spark.readStream.format("lakehouse_cdf")
+        .option("path", str(t.path))
+        .option("logicalNames", "true")
+        .load()
+    )
+    return _drain_to_memory(stream, "append")
+
+
+@query(
     "search_reciprocal_rank_fusion",
     oracle="""
     WITH scored AS (
