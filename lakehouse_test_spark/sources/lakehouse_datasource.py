@@ -794,7 +794,7 @@ class LakehouseStreamReader(DataSourceStreamReader):
         parts = self._cdf.partitions(start, end)
         out = []
         for p in parts:
-            if getattr(p, "kind", "insert") == "delete":
+            if getattr(p, "kind", "insert") in ("delete", "dv"):
                 if self.ignore_deletes:
                     continue
                 raise RuntimeError(
