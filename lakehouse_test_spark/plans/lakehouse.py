@@ -1706,7 +1706,10 @@ class LakehouseTable:
         a fresh snapshot."""
         if since_version < 0:
             return self.snapshot()
-        newer = [c for c in self.history() if c.version > since_version]
+        # O(tail) cursor: parse only commits past the cursor (the same
+        # cost class the checkpointed writer uses) — an incremental
+        # poll on a long-lived table must never re-read the whole log
+        newer = self._commits_between(since_version, None)
         logical_restates = [
             c for c in newer if (c.restate and c.data_change) or c.dv_files
         ]
@@ -1791,7 +1794,10 @@ class LakehouseTable:
             for q in parts0[1:]:
                 out0 = out0.unionByName(q, allowMissingColumns=True)
             return self._apply_renames(out0)
-        newer = [c for c in self.history() if c.version > since_version]
+        # O(tail) cursor: parse only commits past the cursor (the same
+        # cost class the checkpointed writer uses) — an incremental
+        # poll on a long-lived table must never re-read the whole log
+        newer = self._commits_between(since_version, None)
         hard_restates = [c for c in newer if c.restate and c.data_change]
         if hard_restates:
             ops = [(c.version, c.operation) for c in hard_restates]
