@@ -566,12 +566,14 @@ def export_delta_log(
         # streaming micro-batch commits carry the writer's txn
         # high-water as a SetTransaction action (PROTOCOL.md
         # §Transaction Identifiers) — an external Delta writer doing
-        # idempotent appends reads exactly this to dedup replays
-        pre, _, num = commit.operation.rpartition("-b")
-        if pre and num.isdigit():
-            txn = {"appId": pre, "version": int(num), "lastUpdated": now_ms}
+        # idempotent appends reads exactly this to dedup replays.
+        # Driven by the commit's EXPLICIT txn field (written only by
+        # streaming writers), never by parsing the operation label.
+        if commit.txn:
+            app, num = commit.txn[0], int(commit.txn[1])
+            txn = {"appId": app, "version": num, "lastUpdated": now_ms}
             actions.append({"txn": txn})
-            txn_high[pre] = txn
+            txn_high[app] = txn
         if commit.version == 0:
             actions.append({"protocol": protocol})
             current_schema = _schema_of(commit.files)

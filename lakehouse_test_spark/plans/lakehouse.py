@@ -78,6 +78,14 @@ class Commit:
     #: (pre-schema logs) and metadata-only commits — readers fall
     #: back to footer reads for those.
     schema: dict | None = None
+    #: streaming idempotence marker ``[appId, batchVersion]`` — the
+    #: Delta SetTransaction-action analog, written ONLY by streaming
+    #: writers. Replay dedup and the Delta-export SetTransaction are
+    #: driven by THIS field, never by parsing the operation name: a
+    #: user-labeled commit like ``operation="load-b7"`` must not be
+    #: mistaken for micro-batch 7 of a job named "load" (that misread
+    #: silently discarded a resuming stream's first batches).
+    txn: list | None = None
 
 
 class ConcurrentModificationError(RuntimeError):
@@ -283,9 +291,9 @@ class LakehouseTable:
         txn = dict((prev or {}).get("txn") or {})
         after = prev["version"] if prev else -1
         for c in self._commits_between(after, v):
-            pre, _, num = c.operation.rpartition("-b")
-            if pre and num.isdigit():
-                txn[pre] = max(txn.get(pre, -1), int(num))
+            if c.txn:
+                app, num = c.txn[0], int(c.txn[1])
+                txn[app] = max(txn.get(app, -1), num)
         state = {
             "version": v,
             "live_commits": [c.__dict__ for c in self._live_commits(v)],
@@ -324,9 +332,8 @@ class LakehouseTable:
         high = int(((ptr or {}).get("txn") or {}).get(prefix, -1))
         after = int(ptr["version"]) if ptr else -1
         for c in self._commits_between(after, None):
-            pre, _, num = c.operation.rpartition("-b")
-            if pre == prefix and num.isdigit():
-                high = max(high, int(num))
+            if c.txn and c.txn[0] == prefix:
+                high = max(high, int(c.txn[1]))
         return high
 
     def latest_version(self) -> int:
@@ -343,6 +350,7 @@ class LakehouseTable:
         operation: str = "append",
         stats_cols: list[str] | None = None,
         bloom_cols: list[str] | None = None,
+        txn: tuple[str, int] | None = None,
     ) -> Commit:
         """Write df as parquet files under a unique commit dir, then
         atomically publish the commit (op 33's trigger analog: data
@@ -393,6 +401,7 @@ class LakehouseTable:
             operation=operation,
             stats=stats,
             schema=commit_schema,
+            txn=[txn[0], int(txn[1])] if txn else None,
         )
         tmp = self.log_dir / f".tmp-{uuid.uuid4().hex}"
         tmp.write_text(json.dumps(commit.__dict__))

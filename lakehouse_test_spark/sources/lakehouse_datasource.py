@@ -609,7 +609,13 @@ class _WriterState:
         return _FilesMsg([rel], rows, blooms)
 
     # -- driver side ----------------------------------------------------------
-    def publish(self, messages, operation: str, restate: bool) -> None:
+    def publish(
+        self,
+        messages,
+        operation: str,
+        restate: bool,
+        txn: tuple[str, int] | None = None,
+    ) -> None:
         from lakehouse_test_spark.plans.lakehouse import (
             Commit,
             LakehouseTable,
@@ -664,6 +670,7 @@ class _WriterState:
                 stats=stats,
                 restate=restate,
                 schema=self.commit_schema,
+                txn=[txn[0], int(txn[1])] if txn else None,
             )
             try:
                 t._publish(commit)
@@ -735,7 +742,13 @@ class LakehouseStreamWriter(DataSourceStreamArrowWriter):
         if batchId <= t._stream_batch_high(self.txn_app):
             self.state.discard(messages)  # replayed batch: already in
             return
-        self.state.publish(messages, operation=op, restate=False)
+        # the txn marker is an EXPLICIT commit field (Delta's
+        # SetTransaction analog) — dedup never pattern-matches the
+        # operation label, so a user commit named "load-b7" can't be
+        # mistaken for this job's micro-batch 7
+        self.state.publish(
+            messages, operation=op, restate=False, txn=(self.txn_app, batchId)
+        )
         # fresh staging dir for the next micro-batch (files must not
         # collide across commits)
         self.state = _WriterState(self.options, self.overwrite, self.schema)

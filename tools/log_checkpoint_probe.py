@@ -40,6 +40,7 @@ def forge(t: LakehouseTable, n: int, checkpoint_every: int | None) -> None:
             restate=restate,
             data_change=not restate,
             schema={"v": "bigint"},
+            txn=None if restate else ["stream-append", v],
         )
         (t.log_dir / f"{v:020d}.json").write_text(json.dumps(c.__dict__))
         if checkpoint_every and v > 0 and v % checkpoint_every == 0:
