@@ -1424,15 +1424,24 @@ def _scan_resolved(
 
 
 def _reconstruct_identity_partitions(
-    spark: SparkSession, df: DataFrame, md: dict, entries: list[dict]
+    spark: SparkSession,
+    df: DataFrame,
+    md: dict,
+    entries: list[dict],
+    schema_id: int | None = None,
 ) -> DataFrame:
     """Attach identity-partitioned columns that are ABSENT from the
     data files (Hive-migrated and some foreign writers store them
     only in the manifests' partition tuples) — broadcast path→value
-    map, like the Delta reader's partitionValues reconstruction."""
+    map, like the Delta reader's partitionValues reconstruction.
+
+    ``schema_id`` resolves the source column under the SNAPSHOT's
+    contemporaneous schema: a time-traveled read's final projection
+    keeps the snapshot-era names, so attaching the column under its
+    CURRENT (post-rename) name would silently drop it."""
     from pyspark.sql import functions as F
 
-    ids = _current_ids(md)
+    ids = _current_ids(md, schema_id)
     spec_id = md.get("default-spec-id", 0)
     spec = next(
         (s for s in md.get("partition-specs", []) if s.get("spec-id") == spec_id),
@@ -1502,7 +1511,7 @@ def read_iceberg(
         raise ValueError(f"no data files at snapshot {snapshot_id}")
     data_files = [e["file_path"] for e in entries]
     df = _scan_resolved(spark, data_files, md, sid)
-    df = _reconstruct_identity_partitions(spark, df, md, entries)
+    df = _reconstruct_identity_partitions(spark, df, md, entries, sid)
     if delete_files:
         dels = spark.read.parquet(*delete_files)
         df = df.join(

@@ -2059,6 +2059,7 @@ class LakehouseTable:
                 fd = os.open(
                     str(breaker), os.O_CREAT | os.O_EXCL | os.O_WRONLY
                 )
+                my_ino = os.fstat(fd).st_ino
                 os.close(fd)
             except FileExistsError:
                 # another waiter is breaking; if THAT waiter crashed
@@ -2069,18 +2070,34 @@ class LakehouseTable:
                         with contextlib.suppress(FileNotFoundError):
                             os.unlink(str(breaker))
                 return  # re-spin; the winning breaker finishes the job
+
+            def _still_mine() -> bool:
+                # ownership re-check by INODE: if we stalled past the
+                # 5s age-out, a waiter reclaimed the breaker and a new
+                # breaker (fresh inode) may have broken + a new holder
+                # re-acquired the lock — unlinking it now would be the
+                # double-hold the breaker mutex exists to prevent.
+                # Re-stating immediately before each unlink shrinks the
+                # race window from the whole break (arbitrary stall) to
+                # one adjacent syscall pair after a fresh check.
+                try:
+                    return os.stat(str(breaker)).st_ino == my_ino
+                except OSError:
+                    return False
+
             try:
                 # serialized: re-judge the CURRENT lock before the
                 # unlink. A live holder can only exist if the lock
                 # path was vacant, and only breakers unlink foreign
                 # locks — so a lock that is still dead here stays
                 # dead until we remove it.
-                if _holder_dead():
+                if _holder_dead() and _still_mine():
                     with contextlib.suppress(FileNotFoundError):
                         os.unlink(str(lock))
             finally:
-                with contextlib.suppress(FileNotFoundError):
-                    os.unlink(str(breaker))
+                if _still_mine():
+                    with contextlib.suppress(FileNotFoundError):
+                        os.unlink(str(breaker))
 
         @contextlib.contextmanager
         def _held():

@@ -487,3 +487,108 @@ def test_dv_export_is_position_deletes_only(spark, tmp_path):
     native = {(r.k, r.v) for r in t.snapshot().collect()}
     got = {(r.k, r.v) for r in read_iceberg(spark, str(t.path)).select("k", "v").collect()}
     assert got == native and len(got) == 90
+
+
+def test_identity_partition_reconstruction_under_snapshot_schema(spark, tmp_path):
+    """A time-traveled read of a Hive-migrated table (identity
+    partition values live only in the manifests) must attach the
+    reconstructed column under the SNAPSHOT-era name: the source
+    column was renamed after the snapshot, and the final projection
+    keeps snapshot-schema names — resolving via the CURRENT name
+    would silently drop the column (r6 ADVICE #4)."""
+    import pyarrow as pa
+    import pyarrow.parquet as pq
+
+    from lakehouse_test_spark.plans.iceberg_export import (
+        CONTENT_DATA,
+        MANIFEST_FILE_SCHEMA,
+        ST_ADDED,
+        manifest_entry_schema,
+    )
+
+    part_avro = {
+        "type": "record",
+        "name": "r102",
+        "fields": [
+            {"name": "region", "type": ["null", "string"], "field-id": 1000}
+        ],
+    }
+    root = tmp_path / "idpart"
+    (root / "metadata").mkdir(parents=True)
+    (root / "data").mkdir()
+    sch = pa.schema(
+        [pa.field("k", pa.int64(), metadata={b"PARQUET:field_id": b"1"})]
+    )
+    dpath = str(root / "data" / "d.parquet")
+    pq.write_table(pa.table({"k": [1, 2, 3]}).cast(sch), dpath)
+    entries = [
+        {
+            "status": ST_ADDED, "snapshot_id": 1, "sequence_number": 1,
+            "file_sequence_number": 1,
+            "data_file": {
+                "content": CONTENT_DATA, "file_path": dpath,
+                "file_format": "PARQUET",
+                "partition": {"region": "eu"},
+                "record_count": 3,
+                "file_size_in_bytes": 1, "equality_ids": None,
+            },
+        },
+    ]
+    m = root / "metadata" / "m.avro"
+    write_ocf(m, manifest_entry_schema(part_avro), entries, {"schema": "{}"})
+    mlist = root / "metadata" / "snap-1.avro"
+    write_ocf(
+        mlist, MANIFEST_FILE_SCHEMA,
+        [{
+            "manifest_path": str(m), "manifest_length": m.stat().st_size,
+            "partition_spec_id": 0, "content": CONTENT_DATA,
+            "sequence_number": 1, "min_sequence_number": 1,
+            "added_snapshot_id": 1, "added_files_count": 1,
+            "existing_files_count": 0, "deleted_files_count": 0,
+            "added_rows_count": 3, "existing_rows_count": 0,
+            "deleted_rows_count": 0, "partitions": None,
+        }],
+    )
+    meta = {
+        "format-version": 2, "table-uuid": "t", "location": str(root),
+        "current-snapshot-id": 1,
+        "snapshots": [{"snapshot-id": 1, "manifest-list": str(mlist),
+                       "schema-id": 0}],
+        "schemas": [
+            {
+                "type": "struct", "schema-id": 0,
+                "fields": [
+                    {"id": 1, "name": "k", "required": False, "type": "long"},
+                    {"id": 2, "name": "region", "required": False,
+                     "type": "string"},
+                ],
+            },
+            {
+                # the partition source column renamed AFTER snapshot 1
+                "type": "struct", "schema-id": 1,
+                "fields": [
+                    {"id": 1, "name": "k", "required": False, "type": "long"},
+                    {"id": 2, "name": "zone", "required": False,
+                     "type": "string"},
+                ],
+            },
+        ],
+        "current-schema-id": 1,
+        "partition-specs": [{
+            "spec-id": 0,
+            "fields": [{"name": "region", "transform": "identity",
+                        "source-id": 2, "field-id": 1000}],
+        }],
+        "default-spec-id": 0, "properties": {}, "refs": {},
+    }
+    (root / "metadata" / "v1.metadata.json").write_text(json.dumps(meta))
+    (root / "metadata" / "version-hint.text").write_text("1")
+
+    # time-traveled read: snapshot-era name, values from the manifest
+    old = read_iceberg(spark, str(root), snapshot_id=1)
+    assert set(old.columns) == {"k", "region"}
+    assert [r["region"] for r in old.collect()] == ["eu", "eu", "eu"]
+    # current read: the renamed name carries the same values
+    cur = read_iceberg(spark, str(root))
+    assert set(cur.columns) == {"k", "zone"}
+    assert {r["zone"] for r in cur.collect()} == {"eu"}
