@@ -592,3 +592,51 @@ def test_identity_partition_reconstruction_under_snapshot_schema(spark, tmp_path
     cur = read_iceberg(spark, str(root))
     assert set(cur.columns) == {"k", "zone"}
     assert {r["zone"] for r in cur.collect()} == {"eu"}
+
+
+def test_compaction_materializes_widening_spec_native(spark, tmp_path):
+    """OPTIMIZE is the spec-native migration for non-spec promotions
+    (int→decimal is NOT in Iceberg's blessed set): compact() reads
+    through the widened schema and rewrites, so every live file's
+    FOOTER carries the widened physical type — the exported head
+    snapshot needs no explicit-schema promotion crutch; only time
+    travel below the compaction still reads old int32 vintages."""
+    import pyarrow.parquet as pq
+
+    t = LakehouseTable(spark, str(tmp_path / "widcomp"))
+    t.append(
+        spark.range(5).select(
+            F.col("id").alias("k"), F.col("id").cast("int").alias("v")
+        )
+    )
+    t.widen_column("v", "decimal(12,2)")
+    t.append(
+        spark.range(5, 8).select(
+            F.col("id").alias("k"),
+            (F.col("id") * 1.0).cast("decimal(12,2)").alias("v"),
+        )
+    )
+    # pre-compaction: two footer vintages live (int32 + decimal)
+    vintages = {
+        str(pq.read_schema(f).field("v").type) for f in t._files_for()
+    }
+    assert len(vintages) == 2
+    c = t.compact(target_partitions=2)
+    # post-compaction: ONE footer schema, the widened physical type
+    vintages = {
+        str(pq.read_schema(f).field("v").type) for f in t._files_for()
+    }
+    assert vintages == {"decimal128(12, 2)"}
+    # export: the head snapshot's manifests reference only
+    # decimal-typed files; an external reader replays it without any
+    # promotion, and equals the native snapshot
+    export_iceberg_metadata(spark, t)
+    got = read_iceberg(spark, str(t.path))
+    want = t.snapshot()
+    assert got.exceptAll(want).count() == 0
+    assert want.exceptAll(got).count() == 0
+    assert dict(got.dtypes)["v"] == "decimal(12,2)"
+    # time travel below the compaction still serves the old vintages
+    old = read_iceberg(spark, str(t.path), _snapshot_id(0))
+    assert old.count() == 5
+    assert t.snapshot(version=0).count() == 5
