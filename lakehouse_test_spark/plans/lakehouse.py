@@ -294,12 +294,54 @@ class LakehouseTable:
             if c.txn:
                 app, num = c.txn[0], int(c.txn[1])
                 txn[app] = max(txn.get(app, -1), num)
+        # bloom descriptors ride in a SIDE-CAR, not the checkpoint
+        # body: a bitset per (file, column) would dominate the
+        # checkpoint at 10⁶ files, and every snapshot PLAN would pay
+        # to parse bytes only point-lookups ever read. The main
+        # checkpoint keeps zone maps inline (planning uses them);
+        # bloom probes hydrate the side-car lazily (_ckpt_blooms).
+        prev_blooms = self._ckpt_blooms()
+        blooms: dict[str, dict] = {}
+        live_dicts: list[dict] = []
+        for c in self._live_commits(v):
+            d = dict(c.__dict__)
+            if d.get("stats"):
+                lean: dict[str, dict] = {}
+                for f, st in d["stats"].items():
+                    bl = {
+                        k: val
+                        for k, val in st.items()
+                        if k.startswith("__bloom__:")
+                    }
+                    if bl:
+                        blooms.setdefault(f, {}).update(bl)
+                        st = {
+                            k: val
+                            for k, val in st.items()
+                            if not k.startswith("__bloom__:")
+                        }
+                    lean[f] = st
+                d["stats"] = lean
+            # carry forward the previous side-car's blooms for files
+            # still live (their commits were already stripped); inline
+            # (tail) descriptors win on key collisions
+            for f in d.get("files") or []:
+                for k, val in (prev_blooms.get(f) or {}).items():
+                    blooms.setdefault(f, {}).setdefault(k, val)
+            live_dicts.append(d)
         state = {
             "version": v,
-            "live_commits": [c.__dict__ for c in self._live_commits(v)],
+            "live_commits": live_dicts,
             "txn": txn,
         }
         self._ckpt_dir().mkdir(parents=True, exist_ok=True)
+        if blooms:
+            state["blooms"] = f"{v}.blooms.json"
+            tmpb = self._ckpt_dir() / f".tmpb-{uuid.uuid4().hex}"
+            tmpb.write_text(json.dumps(blooms))
+            # side-car lands BEFORE the checkpoint that names it (a
+            # crash between the two leaves the older pointer valid)
+            os.replace(tmpb, self._ckpt_dir() / state["blooms"])
         tmp = self._ckpt_dir() / f".tmp-{uuid.uuid4().hex}"
         tmp.write_text(json.dumps(state))
         os.replace(tmp, self._ckpt_dir() / f"{v}.json")
@@ -310,6 +352,27 @@ class LakehouseTable:
         tmp2.write_text(json.dumps({"version": v, "txn": txn}))
         os.replace(tmp2, self.log_dir / "_last_checkpoint")
         return state
+
+    def _ckpt_blooms(self) -> dict:
+        """File → {``__bloom__:col``: descriptor} from the current
+        checkpoint's side-car — loaded lazily (and cached per
+        checkpoint version) by bloom membership probes only; snapshot
+        planning never parses bitsets. Tail commits (after the
+        checkpoint) keep their blooms inline, so callers overlay
+        commit stats on top of this map."""
+        ck = self._read_checkpoint()
+        if not ck or not ck.get("blooms"):
+            return {}
+        v = ck["version"]
+        cached = getattr(self, "_bloom_sidecar_cache", None)
+        if cached is not None and cached[0] == v:
+            return cached[1]
+        try:
+            d = json.loads((self._ckpt_dir() / ck["blooms"]).read_text())
+        except (OSError, json.JSONDecodeError):
+            d = {}
+        self._bloom_sidecar_cache = (v, d)
+        return d
 
     def _maybe_checkpoint(self, version: int) -> None:
         if version > 0 and version % self.CHECKPOINT_INTERVAL == 0:
@@ -3161,12 +3224,15 @@ class LakehouseTable:
         # carries its bloom under the OLD physical name — probe every
         # vintage key, exactly like scan_pruned's zone-map lookup.
         keys = [f"__bloom__:{k}" for k in self._stat_keys(col)]
+        # checkpointed commits keep blooms in the side-car; tail
+        # commits carry them inline (inline wins on collision)
+        side = self._ckpt_blooms()
         # _live_files (not raw commit.files): compaction / clustering
         # rewrites record removed_files; scanning both the superseded
         # file and its rewrite would return duplicate rows.
         for c, f in self._live_files():
             all_files.append(f)
-            fstats = (c.stats or {}).get(f, {})
+            fstats = {**side.get(f, {}), **(c.stats or {}).get(f, {})}
             bl = next((fstats[k] for k in keys if k in fstats), None)
             if bl is None:
                 kept.append(f)

@@ -219,9 +219,10 @@ class _SnapshotState:
                 raise ValueError(f"no data at requested ref of {self.root}")
         self.files: list[str] = []
         self.stats: list[dict] = []
+        side = t._ckpt_blooms()  # checkpoint side-car bloom descriptors
         for c, f in pairs:
             self.files.append(_abs_file(self.root, f))
-            self.stats.append((c.stats or {}).get(f, {}))
+            self.stats.append({**side.get(f, {}), **(c.stats or {}).get(f, {})})
         tmeta = t._read_meta()
         # DROP COLUMN + type widening metadata (column-mapping
         # schema evolution): dropped physicals are invisible;

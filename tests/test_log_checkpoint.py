@@ -209,3 +209,47 @@ def test_read_changes_cursors_parse_only_the_tail(spark, tmp_path):
         assert len(rows) == 4
         assert {r["_commit_version"] for r in rows} == {4, 5}
         assert all(r["_change_type"] == "insert" for r in rows)
+
+
+def test_checkpoint_stores_blooms_in_sidecar(spark, tmp_path):
+    """Bloom bitsets never ride in the checkpoint body (at 10⁶ files
+    they would dominate it and every snapshot plan would parse them):
+    checkpoint() strips __bloom__ stats into a lazily-read side-car,
+    scan_point and the DataSource bloom pruning hydrate it, and a
+    re-checkpoint carries forward side-car blooms for still-live
+    files."""
+    import json as _json
+
+    t = _t(spark, tmp_path, "bl")
+    for lo in (0, 1000, 2000):
+        t.append(
+            spark.range(lo, lo + 500).select(
+                F.col("id").alias("k"), (F.col("id") * 2).alias("v")
+            ).repartition(2),
+            bloom_cols=["k"],
+        )
+    t.checkpoint()
+    ck = t._read_checkpoint()
+    body = (t._ckpt_dir() / f"{ck['version']}.json").read_text()
+    assert "__bloom__" not in body, "bitsets must not ride in the body"
+    assert ck.get("blooms") and (t._ckpt_dir() / ck["blooms"]).exists()
+    side = _json.loads((t._ckpt_dir() / ck["blooms"]).read_text())
+    assert any("__bloom__:k" in d for d in side.values())
+    # point lookups still skip through the side-car
+    df, scanned, total = t.scan_point("k", 1234)
+    assert total == 6 and scanned < total
+    assert df.count() == 1
+    # second checkpoint (no new blooms inline): carried forward
+    t.append(spark.range(3000, 3100).select(
+        F.col("id").alias("k"), (F.col("id") * 2).alias("v")).repartition(1))
+    t.checkpoint()
+    df2, scanned2, total2 = t.scan_point("k", 1234)
+    assert total2 == 7 and scanned2 < total2
+    assert df2.count() == 1
+    # the DataSource's SQL bloom pruning reads the side-car too
+    from lakehouse_test_spark.sources.lakehouse_datasource import (
+        _SnapshotState,
+    )
+
+    st = _SnapshotState({"path": str(t.path)})
+    assert any("__bloom__:k" in s for s in st.stats)

@@ -25,18 +25,36 @@ sys.path.insert(0, str(Path(__file__).resolve().parent.parent))
 from lakehouse_test_spark.plans.lakehouse import Commit, LakehouseTable
 
 
-def forge(t: LakehouseTable, n: int, checkpoint_every: int | None) -> None:
+def forge(
+    t: LakehouseTable,
+    n: int,
+    checkpoint_every: int | None,
+    blooms: bool = False,
+) -> None:
     """Metadata-only log: streaming appends with a COMPACTION every
     500 commits (the realistic long-lived-table shape — OPTIMIZE keeps
-    the live set bounded while the commit count grows without bound)."""
+    the live set bounded while the commit count grows without bound).
+    ``blooms`` stamps each file with a realistic 1 KiB bloom bitset
+    (m=8192) — the checkpoint-size audit."""
+    import base64
+
+    bloom = {
+        "m": 8192,
+        "k": 6,
+        "b64": base64.b64encode(bytes(1024)).decode(),
+    }
     for v in range(n):
         restate = v > 0 and v % 500 == 0
+        f = f"data/x/{uuid.uuid4().hex}.parquet"
+        stats: dict = {f: {"v": [v, v + 1]}}
+        if blooms and not restate:
+            stats[f]["__bloom__:v"] = bloom
         c = Commit(
             version=v,
-            files=[f"data/x/{uuid.uuid4().hex}.parquet"],
+            files=[f],
             row_count=10,
             operation="compact" if restate else f"stream-append-b{v}",
-            stats={"f": {"v": [v, v + 1]}},
+            stats=stats,
             restate=restate,
             data_change=not restate,
             schema={"v": "bigint"},
@@ -82,9 +100,25 @@ def main() -> None:
             slow = [(c.version, c.files) for c in t._live_commits()]
             ptr.write_text(bak)
             assert fast == slow, "checkpointed plan diverged from full parse"
+            # bloom size audit: with per-file bitsets, the checkpoint
+            # BODY must stay lean (planning parses it every snapshot);
+            # the bitsets ride in the lazily-read side-car
+            b = LakehouseTable(None, str(root / "bl"))
+            forge(b, n, checkpoint_every=None, blooms=True)
+            b.checkpoint()
+            ck = b._read_checkpoint()
+            body_kb = (b._ckpt_dir() / f"{ck['version']}.json").stat().st_size / 1024
+            side_kb = (
+                (b._ckpt_dir() / ck["blooms"]).stat().st_size / 1024
+                if ck.get("blooms")
+                else 0.0
+            )
+            plan_bl = timeit(lambda: b._live_commits())
             print(
                 f"{n:>8} {plan_ck*1e3:>9.1f}m {plan_full*1e3:>9.1f}m "
-                f"{ded_ck*1e3:>10.1f}m {ded_full*1e3:>10.1f}m"
+                f"{ded_ck*1e3:>10.1f}m {ded_full*1e3:>10.1f}m "
+                f"ckpt {body_kb:>8.0f}K +blooms-sidecar {side_kb:>8.0f}K "
+                f"plan(bloomy) {plan_bl*1e3:>6.1f}m"
             )
         finally:
             shutil.rmtree(root, ignore_errors=True)
