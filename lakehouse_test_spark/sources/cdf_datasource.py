@@ -85,25 +85,36 @@ def _ddl_for_table(path: Path, logical: bool = False) -> str:
     under an OLDER schema replay with the newest one — ``read()``
     null-fills columns a file predates and raises if a file carries
     columns the pinned schema lacks (a dropped column cannot be
-    replayed into a narrower schema)."""
+    replayed into a narrower schema).
+
+    Source preference: the newest data commit's RECORDED schema (the
+    Commit.schema field — no footer read, and it exists even for a
+    zero-file TRUNCATE restate); parquet-footer fallback for legacy
+    logs that predate schema recording."""
     import pyarrow.parquet as pq
 
     from lakehouse_test_spark.sources.lakehouse_datasource import _ddl_of
 
     lop, dropped = _evolution_of(path) if logical else ({}, set())
+
+    def _render(pairs) -> str:
+        cols = [
+            f"{lop.get(name, name)} {ddl}"
+            for name, ddl in pairs
+            if not (logical and name in dropped)
+        ]
+        cols.append("_change_type string")
+        cols.append("_commit_version int")
+        return ", ".join(cols)
+
     log = sorted((path / "_log").glob("*.json"), reverse=True)
     for entry in log:
         d = json.loads(entry.read_text())
+        if d.get("schema") and (d.get("files") or d.get("restate")):
+            return _render(d["schema"].items())
         if d.get("files"):
             sch = pq.read_schema(str(path / d["files"][0]))
-            cols = []
-            for f in sch:
-                if logical and f.name in dropped:
-                    continue
-                cols.append(f"{lop.get(f.name, f.name)} {_ddl_of(f.type)}")
-            cols.append("_change_type string")
-            cols.append("_commit_version int")
-            return ", ".join(cols)
+            return _render((f.name, _ddl_of(f.type)) for f in sch)
     raise ValueError(f"no data commits under {path}")
 
 

@@ -17,6 +17,7 @@ import shutil
 import tempfile
 
 import pyarrow as pa
+import pytest
 from pyspark.sql import functions as F
 
 from lakehouse_test_spark.plans.lakehouse import LakehouseTable
@@ -141,3 +142,45 @@ def test_cdf_dv_replay_is_distributed_and_correct(spark, tmp_path):
     assert by_type == {"insert", "delete"}
     dels = got.filter("_change_type = 'delete'").select("k").collect()
     assert sorted(r["k"] for r in dels) == [7, 8, 9]
+
+
+def test_cdf_schema_prefers_recorded_schema_and_survives_truncate(spark, tmp_path):
+    """schema() reads the newest data commit's RECORDED schema (no
+    footer read); a truncating empty overwrite leaves a zero-file
+    restate whose recorded schema still types the stream — and the
+    replay contract raises on the restate itself (a truncate is not
+    expressible as row deltas)."""
+    import pyarrow.parquet as pq
+    from unittest import mock
+
+    from lakehouse_test_spark.sources.cdf_datasource import (
+        LakehouseCDFStreamReader,
+        _ddl_for_table,
+    )
+
+    t = LakehouseTable(spark, str(tmp_path / "trunc"))
+    t.append(
+        spark.range(3).select(
+            F.col("id").alias("k"),
+            (F.col("id") * 1.5).cast("decimal(12,2)").alias("price"),
+        )
+    )
+    # recorded schema serves schema() without touching footers
+    with mock.patch.object(
+        pq, "read_schema", side_effect=AssertionError("footer read")
+    ):
+        ddl = _ddl_for_table(t.path)
+    assert "price decimal(12,2)" in ddl
+    # truncate: zero-file restate with a recorded schema
+    empty = spark.createDataFrame([], "k bigint, price decimal(12,2)")
+    df = empty.write.format("lakehouse")
+    from lakehouse_test_spark.sources.lakehouse_datasource import register
+
+    register(spark)
+    df.mode("overwrite").option("path", str(t.path)).save()
+    assert t.snapshot().count() == 0
+    ddl2 = _ddl_for_table(t.path)
+    assert "price decimal(12,2)" in ddl2  # still typed, zero files
+    r = LakehouseCDFStreamReader({"path": str(t.path)}, None)
+    with pytest.raises(RuntimeError, match="full rewrite"):
+        r.partitions({"version": -1}, r.latestOffset())
