@@ -1055,11 +1055,18 @@ class LakehouseTable:
                 raise ValueError(f"no data at version {version}")
             files: list[str] = []
             stats: dict = {}
+            # checkpointed commits keep bloom descriptors in the
+            # side-car — fold them back so the clone's commit is
+            # self-contained (it has no access to the SOURCE's
+            # checkpoint; losing blooms here would silently cost the
+            # clone its point-lookup skipping)
+            side = self._ckpt_blooms()
             for c, f in pairs:
                 ab = str((self.path / f).resolve())
                 files.append(ab)
-                if c.stats and f in c.stats:
-                    stats[ab] = c.stats[f]
+                merged = {**side.get(f, {}), **(c.stats or {}).get(f, {})}
+                if merged:
+                    stats[ab] = merged
             dv_files = [
                 str((self.path / f).resolve())
                 for f in self._live_dv_files(version)

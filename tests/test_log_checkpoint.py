@@ -253,3 +253,25 @@ def test_checkpoint_stores_blooms_in_sidecar(spark, tmp_path):
 
     st = _SnapshotState({"path": str(t.path)})
     assert any("__bloom__:k" in s for s in st.stats)
+
+
+def test_clone_folds_sidecar_blooms(spark, tmp_path):
+    """A shallow clone of a checkpointed table must fold the bloom
+    SIDE-CAR back into its self-contained commit — the clone has no
+    access to the source's checkpoint, and losing the descriptors
+    would silently cost it scan_point's file skipping."""
+    t = _t(spark, tmp_path, "src")
+    for lo in (0, 1000, 2000):
+        t.append(
+            spark.range(lo, lo + 500).select(
+                F.col("id").alias("k"), (F.col("id") * 2).alias("v")
+            ).repartition(2),
+            bloom_cols=["k"],
+        )
+    t.checkpoint()
+    body = (t._ckpt_dir() / f"{t._read_checkpoint()['version']}.json").read_text()
+    assert "__bloom__" not in body
+    c = t.clone(str(tmp_path / "cl"))
+    df, scanned, total = c.scan_point("k", 1234)
+    assert total == 6 and scanned < total, "clone lost bloom skipping"
+    assert df.count() == 1
