@@ -43,20 +43,24 @@ from pyspark.sql.datasource import (
     InputPartition,
 )
 
-def _evolution_of(path: Path) -> tuple[dict[str, str], set[str]]:
-    """(physical column → current logical name, dropped physicals) —
-    loaded straight from ``_meta.json`` so the DataSource stays
-    standalone (no LakehouseTable/Spark). The rename chain is walked
-    forward; a physical recorded in ``dropped_columns`` is EXCLUDED
-    from the map (and projected away by logical-mode reads): its
-    chain ended at the DROP, and a later re-add of the same logical
-    name minted a FRESH physical — mapping the dead physical to that
-    name would resurrect dropped values under the re-added column
-    (the r6 judge's repro; native ``read_changes_cdf`` and
-    ``LakehouseStreamReader._dropped`` apply the same rule)."""
+def _evolution_of(path: Path) -> tuple[dict[str, str], set[str], dict[str, str]]:
+    """(physical column → current logical name, dropped physicals,
+    physical → declared widening target) — loaded straight from
+    ``_meta.json`` so the DataSource stays standalone (no
+    LakehouseTable/Spark). The rename chain is walked forward; a
+    physical recorded in ``dropped_columns`` is EXCLUDED from the map
+    (and projected away by logical-mode reads): its chain ended at
+    the DROP, and a later re-add of the same logical name minted a
+    FRESH physical — mapping the dead physical to that name would
+    resurrect dropped values under the re-added column (the r6
+    judge's repro; native ``read_changes_cdf`` and
+    ``LakehouseStreamReader._dropped`` apply the same rule).
+    Widenings override the schema's declared type in logical mode
+    (native parity: a widened column surfaces its target type even
+    before any post-widen file exists)."""
     meta = path / "_meta.json"
     if not meta.exists():
-        return {}, set()
+        return {}, set(), {}
     md = json.loads(meta.read_text())
     out: dict[str, str] = {}
     for old, new in md.get("column_renames", []):
@@ -67,7 +71,7 @@ def _evolution_of(path: Path) -> tuple[dict[str, str], set[str]]:
     dropped = {d["physical"] for d in md.get("dropped_columns", [])}
     for phys in dropped:
         out.pop(phys, None)
-    return out, dropped
+    return out, dropped, dict(md.get("widenings") or {})
 
 
 def _ddl_for_table(path: Path, logical: bool = False) -> str:
@@ -95,11 +99,13 @@ def _ddl_for_table(path: Path, logical: bool = False) -> str:
 
     from lakehouse_test_spark.sources.lakehouse_datasource import _ddl_of
 
-    lop, dropped = _evolution_of(path) if logical else ({}, set())
+    lop, dropped, wid = (
+        _evolution_of(path) if logical else ({}, set(), {})
+    )
 
     def _render(pairs) -> str:
         cols = [
-            f"{lop.get(name, name)} {ddl}"
+            f"{lop.get(name, name)} {wid.get(name, ddl)}"
             for name, ddl in pairs
             if not (logical and name in dropped)
         ]
@@ -162,8 +168,8 @@ class LakehouseCDFStreamReader(DataSourceStreamReader):
         self.logical = str(
             options.get("logicalNames") or options.get("logicalnames") or ""
         ).lower() in ("true", "1")
-        self._lop, self._dropped = (
-            _evolution_of(self.path) if self.logical else ({}, set())
+        self._lop, self._dropped, _ = (
+            _evolution_of(self.path) if self.logical else ({}, set(), {})
         )
 
     def _vacuum_horizon(self) -> int:

@@ -184,3 +184,33 @@ def test_cdf_schema_prefers_recorded_schema_and_survives_truncate(spark, tmp_pat
     r = LakehouseCDFStreamReader({"path": str(t.path)}, None)
     with pytest.raises(RuntimeError, match="full rewrite"):
         r.partitions({"version": -1}, r.latestOffset())
+
+
+def test_cdf_logical_names_applies_widening(spark, tmp_path):
+    """logicalNames=true surfaces a widened column at its declared
+    target type (int32 vintages upcast in the Arrow batch), matching
+    native read_changes_cdf — even when NO post-widen file exists yet."""
+    t = LakehouseTable(spark, str(tmp_path / "widcdf"))
+    t.append(
+        spark.range(3).select(
+            F.col("id").alias("k"), F.col("id").cast("int").alias("v")
+        )
+    )
+    t.widen_column("v", "decimal(12,2)")
+    got = _drain(spark, str(t.path), "cdffix_widen", logicalNames="true")
+    assert dict(got.dtypes)["v"] == "decimal(12,2)"
+    native = t.read_changes_cdf(-1)
+    assert dict(native.dtypes)["v"] == "decimal(12,2)"
+    assert {str(r["v"]) for r in got.collect()} == {
+        str(r["v"]) for r in native.collect()
+    }
+    # mixed vintages after a post-widen append: one pinned schema
+    t.append(
+        spark.range(3, 5).select(
+            F.col("id").alias("k"),
+            (F.col("id") * 1.0).cast("decimal(12,2)").alias("v"),
+        )
+    )
+    got2 = _drain(spark, str(t.path), "cdffix_widen2", logicalNames="true")
+    assert got2.count() == 5
+    assert dict(got2.dtypes)["v"] == "decimal(12,2)"
