@@ -1843,35 +1843,39 @@ class LakehouseTable:
             # actually inserted it (Delta CDF reports the true commit
             # version per row, not a synthetic "latest"), and filter
             # DV-deleted rows so the load equals the live snapshot.
+            # ONE scan of the live set + a broadcast (file → version)
+            # map — never a union branch per commit (an append-only
+            # table with 10⁴ live commits would otherwise build a
+            # 10⁴-branch plan; the version is physical provenance, a
+            # per-FILE fact, exactly what a broadcast map encodes).
+            # Rows living in a compacted file surface under the
+            # compacting commit (the logical insert version is not
+            # recoverable post-compaction, as in Delta).
             self._check_horizon(None)
-            removed0: set[str] = set()
-            for c in self._live_commits():
-                removed0.update(c.removed_files or [])
-            parts0: list[DataFrame] = []
-            for c in self._live_commits():
-                # partial rewrites: skip replaced files; rows living in
-                # a compacted file surface under the compacting commit
-                # (physical provenance — the logical insert version is
-                # not recoverable post-compaction, as in Delta)
-                live_files = [f for f in c.files if f not in removed0]
-                if not live_files:
-                    continue
-                scan = self._read_data(
-                    *[str(self.path / f) for f in live_files]
-                )
-                parts0.append(
-                    self._apply_dvs(scan).withColumns(
-                        {
-                            "_change_type": F.lit("insert"),
-                            "_commit_version": F.lit(c.version).cast("int"),
-                        }
-                    )
-                )
-            if not parts0:
+            pairs0 = self._live_files()
+            if not pairs0:
                 raise ValueError("no data at version None")
-            out0 = parts0[0]
-            for q in parts0[1:]:
-                out0 = out0.unionByName(q, allowMissingColumns=True)
+            ver_rows = [
+                (str(self.path / f), c.version) for c, f in pairs0
+            ]
+            scan = self._read_data(*[p for p, _v in ver_rows]).withColumn(
+                "_cdf_path",
+                F.regexp_replace(
+                    F_col("_metadata.file_path"), "^file:(//)?", ""
+                ),
+            )
+            vmap = self.spark.createDataFrame(
+                ver_rows, "_cdf_path STRING, _commit_version INT"
+            )
+            data_cols = [
+                c for c in scan.columns if c != "_cdf_path"
+            ]
+            out0 = (
+                self._apply_dvs(scan)
+                .join(F.broadcast(vmap), "_cdf_path")
+                .withColumn("_change_type", F.lit("insert"))
+                .select(*data_cols, "_change_type", "_commit_version")
+            )
             return self._apply_renames(out0)
         # O(tail) cursor: parse only commits past the cursor (the same
         # cost class the checkpointed writer uses) — an incremental
