@@ -1894,7 +1894,20 @@ class LakehouseTable:
                 continue  # compaction (full or partial): no logical change
             if c.dv_files:
                 dv = self.spark.read.parquet(*[str(self.path / f) for f in c.dv_files])
-                base_files = self._files_for(c.version - 1)
+                # scan ONLY the files this DV references — a DV
+                # deleting rows in 2 files of a 10⁵-file snapshot must
+                # not re-scan the snapshot. The distinct referenced-
+                # file list is O(files touched), planning-sized.
+                from urllib.parse import urlparse
+
+                ref = [
+                    r["_dv_file"]
+                    for r in dv.select("_dv_file").distinct().collect()
+                ]
+                base_files = [
+                    urlparse(p).path if p.startswith("file:") else p
+                    for p in ref
+                ]
                 missing = [f for f in base_files if not Path(f).exists()]
                 if missing:
                     raise VacuumHorizonError(
