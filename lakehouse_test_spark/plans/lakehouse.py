@@ -402,8 +402,21 @@ class LakehouseTable:
     def latest_version(self) -> int:
         """The offload-watermark analog (§2a op 29): everything at or
         below this version is durable and readable."""
-        versions = [int(p.stem) for p in self.log_dir.glob("*.json")]
-        return max(versions) if versions else -1
+        # scandir, not glob: this runs once per commit/offset poll, and
+        # at 10⁵ commits Path construction dominates the listing
+        hi = -1
+        try:
+            with os.scandir(self.log_dir) as it:
+                for e in it:
+                    nm = e.name
+                    if nm.endswith(".json"):
+                        try:
+                            hi = max(hi, int(nm[:-5]))
+                        except ValueError:
+                            pass
+        except FileNotFoundError:
+            return -1
+        return hi
 
     # -- writes --------------------------------------------------------------
 

@@ -225,8 +225,23 @@ class LakehouseCDFStreamReader(DataSourceStreamReader):
         return {"version": int(sv) - 1}
 
     def latestOffset(self) -> dict:
-        versions = [int(p.stem) for p in (self.path / "_log").glob("*.json")]
-        return {"version": max(versions) if versions else -1}
+        # scandir, not glob: runs EVERY trigger; at 10⁵ commits Path
+        # construction dominates the listing itself
+        import os
+
+        hi = -1
+        try:
+            with os.scandir(self.path / "_log") as it:
+                for e in it:
+                    nm = e.name
+                    if nm.endswith(".json"):
+                        try:
+                            hi = max(hi, int(nm[:-5]))
+                        except ValueError:
+                            pass
+        except FileNotFoundError:
+            pass
+        return {"version": hi}
 
     def partitions(self, start: dict, end: dict) -> Sequence[InputPartition]:
         lo, hi = start["version"], end["version"]
