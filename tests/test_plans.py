@@ -673,3 +673,32 @@ def test_q18_bucketed_layout_no_join_exchange(spark, sf_dir):
     for m in re.finditer(r"Exchange hashpartitioning\(([a-z_]+)#", p):
         assert "custkey" in m.group(1), f"unexpected exchange on {m.group(1)}:\n{p}"
     assert "SortMergeJoin [l_orderkey" in p or "SortMergeJoin [o_orderkey" in p or "l_orderkey" in p
+
+
+def test_cdf_initial_load_is_one_scan_not_per_commit_union(spark, tmp_path):
+    """read_changes_cdf(-1) plans ONE parquet scan of the live set +
+    a broadcast (file -> version) map — never a union branch per live
+    commit (a 10k-append table would otherwise build a 10k-branch
+    plan)."""
+    import io
+    from contextlib import redirect_stdout
+
+    from pyspark.sql import functions as F
+    from lakehouse_test_spark.plans.lakehouse import LakehouseTable
+
+    t = LakehouseTable(spark, str(tmp_path / "cdf1scan"))
+    for i in range(6):
+        t.append(
+            spark.range(i * 10, i * 10 + 3).select(F.col("id").alias("v"))
+        )
+    df = t.read_changes_cdf(-1)
+    buf = io.StringIO()
+    with redirect_stdout(buf):
+        df.explain(mode="simple")
+    plan = buf.getvalue()
+    assert plan.count("FileScan parquet") == 1, plan
+    assert "Union" not in plan, plan
+    assert "BroadcastHashJoin" in plan or "BroadcastNestedLoop" not in plan
+    rows = df.collect()
+    assert len(rows) == 18
+    assert {r["_commit_version"] for r in rows} == set(range(6))
