@@ -416,29 +416,115 @@ def _stats_json(
     return json.dumps(stats, default=str)
 
 
+def _export_fingerprint(
+    tmeta: dict, generated: dict, identity: dict, constraints: dict
+) -> str:
+    """Digest of every table-metadata input that shapes EXPORTED
+    history retroactively (renames/drops/widenings rewrite the
+    columnMapping config of every metaData action; constraints/
+    generated/identity ride in configuration + protocol). A change
+    here invalidates incremental export — the full rewrite path
+    re-derives everything."""
+    import hashlib
+
+    basis = json.dumps(
+        {
+            "renames": tmeta.get("column_renames", []),
+            "dropped": tmeta.get("dropped_columns", []),
+            "widenings": tmeta.get("widenings") or {},
+            "constraints": constraints,
+            "generated": generated,
+            "identity": identity,
+        },
+        sort_keys=True,
+    )
+    return hashlib.md5(basis.encode()).hexdigest()
+
+
+def _resume_point(log_dir: Path, fingerprint: str) -> tuple[int, str] | None:
+    """(exported head version, its pre-mapping schema json) when the
+    exported log's newest commit carries a matching lakehouseExport
+    stamp — the incremental-export handshake. None = full rewrite."""
+    heads = [
+        int(p.stem)
+        for p in log_dir.glob("*.json")
+        if p.stem.isdigit()
+    ]
+    if not heads:
+        return None
+    head = max(heads)
+    try:
+        for line in (log_dir / f"{head:020d}.json").read_text().splitlines():
+            action = json.loads(line) if line.strip() else {}
+            stamp = (action.get("commitInfo") or {}).get("lakehouseExport")
+            if stamp:
+                if stamp.get("fingerprint") != fingerprint:
+                    return None
+                return head, stamp["schema"]
+    except (OSError, json.JSONDecodeError, KeyError):
+        return None
+    return None
+
+
+def _replay_txn_map(log_dir: Path) -> dict[str, dict]:
+    """appId → newest SetTransaction from an exported log (checkpoint
+    txn rows + JSON tail) — the state the incremental exporter's next
+    checkpoint must carry forward."""
+    import pyarrow.parquet as pq
+
+    out: dict[str, dict] = {}
+    start_after = -1
+    lc = log_dir / "_last_checkpoint"
+    if lc.exists():
+        v = int(json.loads(lc.read_text())["version"])
+        for pf in sorted(log_dir.glob(f"{v:020d}.checkpoint*.parquet")):
+            t = pq.read_table(str(pf))
+            if "txn" in t.column_names:
+                for row in t.column("txn").to_pylist():
+                    if row:
+                        out[row["appId"]] = dict(row)
+        start_after = v
+    for p in sorted(log_dir.glob("*.json")):
+        if not p.stem.isdigit() or int(p.stem) <= start_after:
+            continue
+        for line in p.read_text().splitlines():
+            if not line.strip():
+                continue
+            txn = json.loads(line).get("txn")
+            if txn:
+                out[txn["appId"]] = dict(txn)
+    return out
+
+
 def export_delta_log(
-    spark: SparkSession, table: LakehouseTable, checkpoint_interval: int = 10
+    spark: SparkSession,
+    table: LakehouseTable,
+    checkpoint_interval: int = 10,
+    incremental: bool = True,
 ) -> Path:
     """Write ``_delta_log/`` at the table root from the native commit
-    history. Idempotent (rewrites the log dir); returns its path.
-    Every ``checkpoint_interval`` commits the full state is also
-    written as a parquet checkpoint + ``_last_checkpoint`` pointer
-    (0 disables), so readers replay O(interval) JSON commits, not
-    O(history).
+    history. Idempotent; returns its path. Every
+    ``checkpoint_interval`` commits the full state is also written as
+    a parquet checkpoint + ``_last_checkpoint`` pointer (0 disables),
+    so readers replay O(interval) JSON commits, not O(history).
+
+    INCREMENTAL by default: when a previous export's stamp (the
+    ``lakehouseExport`` commitInfo field — fingerprint of every
+    retroactive metadata input + the running schema) matches, only
+    the commits PAST the exported head are generated, with state
+    (live adds, cumulative DVs, schema) reconstructed from the
+    exported log itself — a streaming table exporting per micro-batch
+    pays O(new commits), not O(history) per call. Any ALTER
+    (rename/drop/widen/constraint/generated) or an identity column
+    changes the fingerprint → full rewrite (those inputs rewrite
+    every metaData action retroactively). A DV feature appearing
+    mid-log on the incremental path emits a Delta protocol-upgrade
+    action instead (the spec's own mechanism).
 
     Scale: the export touches parquet *footers* only — per-file
-    metadata, no data I/O — and is O(files in history) driver work,
-    the same cost class as the native log itself. (A real deployment
-    would emit these actions inside each commit instead of
-    re-deriving them; this entry point exists to adopt tables written
-    before the exporter.)
+    metadata, no data I/O.
     """
     log_dir = table.path / "_delta_log"
-    if log_dir.exists():
-        import shutil
-
-        shutil.rmtree(log_dir)
-    log_dir.mkdir(parents=True)
 
     phys_map = table._physical_of_logical()  # logical → stable physical
     tmeta = table._read_meta()
@@ -450,8 +536,43 @@ def export_delta_log(
     # the schemaString simply omits the field while its physical data
     # stays in place, invisible to physicalName-driven readers
     needs_mapping = bool(phys_map) or bool(tmeta.get("dropped_columns"))
-    history = table.history()
+    fingerprint = _export_fingerprint(tmeta, generated, identity, constraints)
+
+    resume: tuple[int, str] | None = None
+    if incremental and not identity and log_dir.exists():
+        # identity allocation advances with every append (the metaData
+        # highWaterMark must track it) — identity tables always take
+        # the full path
+        resume = _resume_point(log_dir, fingerprint)
+        if resume is not None and resume[0] >= table.latest_version():
+            return log_dir  # exported head is current: no-op
+    if resume is None:
+        if log_dir.exists():
+            import shutil
+
+            shutil.rmtree(log_dir)
+        log_dir.mkdir(parents=True)
+        history = table.history()
+    else:
+        history = table._commits_between(resume[0], None)
     has_dv = any(c.dv_files for c in history)
+    exported_protocol: dict | None = None
+    if resume is not None:
+        # the exported protocol rules until a NEW feature appears in
+        # the tail (then a protocol-UPGRADE action is emitted — the
+        # spec's own evolution mechanism, never a history rewrite)
+        try:
+            for line in (log_dir / f"{0:020d}.json").read_text().splitlines():
+                p = json.loads(line).get("protocol") if line.strip() else None
+                if p:
+                    exported_protocol = p
+                    break
+        except (OSError, json.JSONDecodeError):
+            pass
+        if exported_protocol and "deletionVectors" in (
+            exported_protocol.get("readerFeatures") or []
+        ):
+            has_dv = True
     if has_dv or widenings:
         # deletion vectors / type widening are TABLE FEATURES:
         # reader 3 / writer 7 with explicit feature lists (PROTOCOL.md
@@ -560,9 +681,28 @@ def export_delta_log(
     live_adds: dict[str, dict] = {}
     live_dv: dict[str, set[int]] = {}  # file → deleted row indexes
     txn_high: dict[str, dict] = {}  # appId → newest SetTransaction
+    pending_protocol: dict | None = None
+    if resume is not None:
+        # reconstruct the generator state from the EXPORTED log — the
+        # same replay an external Delta reader performs, so resumed
+        # generation continues bit-compatibly
+        current_schema = resume[1]
+        live_adds, _ckv, _replayed, meta_inner = _replay_state(str(table.path))
+        live = list(live_adds)
+        for f, add in live_adds.items():
+            if add.get("deletionVector"):
+                live_dv[f] = set(dv_positions(add["deletionVector"]))
+        if meta_inner is not None:
+            current_meta = {"metaData": meta_inner}
+        txn_high = _replay_txn_map(log_dir)
+        if exported_protocol is not None and protocol != exported_protocol:
+            pending_protocol = protocol  # upgrade rides the next commit
     for commit in history:
         actions: list[dict] = []
         now_ms = int(time.time() * 1000)
+        if pending_protocol is not None:
+            actions.append({"protocol": pending_protocol})
+            pending_protocol = None
         # streaming micro-batch commits carry the writer's txn
         # high-water as a SetTransaction action (PROTOCOL.md
         # §Transaction Identifiers) — an external Delta writer doing
@@ -679,6 +819,13 @@ def export_delta_log(
                     "operation": commit.operation.upper(),
                     "operationParameters": {},
                     "engineInfo": "lakehouse_test_spark delta-export",
+                    # incremental-export handshake: fingerprint of the
+                    # retroactive metadata inputs + the running schema,
+                    # read back by the next export call to resume
+                    "lakehouseExport": {
+                        "fingerprint": fingerprint,
+                        "schema": current_schema,
+                    },
                 }
             }
         )
