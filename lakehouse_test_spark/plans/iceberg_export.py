@@ -670,7 +670,29 @@ def _bound_value(b: bytes, rt: str):
 # ---------------------------------------------------------------------------
 
 
-def export_iceberg_metadata(spark: SparkSession, table: LakehouseTable) -> Path:
+def _ice_export_fingerprint(tmeta: dict) -> str:
+    """Digest of the metadata inputs that rewrite EXPORTED manifests
+    retroactively (renames drive the name mapping, drops the
+    invisibility marker, widenings the schema lineage types). A change
+    invalidates incremental export; additive schema evolution, new
+    partition specs, tags, and plain commits do NOT (they only append
+    new metadata objects)."""
+    import hashlib
+
+    basis = json.dumps(
+        {
+            "renames": tmeta.get("column_renames", []),
+            "dropped": tmeta.get("dropped_columns", []),
+            "widenings": tmeta.get("widenings") or {},
+        },
+        sort_keys=True,
+    )
+    return hashlib.md5(basis.encode()).hexdigest()
+
+
+def export_iceberg_metadata(
+    spark: SparkSession, table: LakehouseTable, incremental: bool = True
+) -> Path:
     """Write Iceberg v2 table metadata under ``<table>/metadata`` from
     the native commit history. Idempotent; returns the metadata dir.
 
@@ -680,13 +702,43 @@ def export_iceberg_metadata(spark: SparkSession, table: LakehouseTable) -> Path:
     commits write position-delete parquet + a delete manifest
     (content=1). One snapshot per commit, so Iceberg time travel by
     snapshot matches native time travel by version.
-    """
-    meta_dir = table.path / "metadata"
-    if meta_dir.exists():
-        import shutil
 
-        shutil.rmtree(meta_dir)
-    meta_dir.mkdir(parents=True)
+    INCREMENTAL by default: when the exported metadata's fingerprint
+    (``lakehouse.export-fingerprint`` property — renames/drops/
+    widenings, the retroactive inputs) matches, only commits past the
+    exported head get new manifests/delete files — old manifest .avro
+    files are reused byte-identical and the (small) metadata.json is
+    rewritten with the extended snapshot list. A rename/drop/widen
+    falls back to the full rewrite; additive schema evolution, spec
+    evolution, and tags stay incremental (they only append)."""
+    meta_dir = table.path / "metadata"
+    tmeta0 = table._read_meta()
+    fingerprint = _ice_export_fingerprint(tmeta0)
+    resume_md: dict | None = None
+    resume_head = -1
+    if incremental and meta_dir.exists():
+        try:
+            md_old = _load_metadata(str(table.path))
+            if (
+                md_old.get("properties", {}).get("lakehouse.export-fingerprint")
+                == fingerprint
+                and md_old.get("snapshots")
+            ):
+                resume_head = max(
+                    s["snapshot-id"] for s in md_old["snapshots"]
+                ) - 1000
+                if resume_head >= table.latest_version():
+                    return meta_dir  # exported head is current: no-op
+                resume_md = md_old
+        except (OSError, ValueError, KeyError, json.JSONDecodeError):
+            resume_md = None
+    if resume_md is None:
+        resume_head = -1
+        if meta_dir.exists():
+            import shutil
+
+            shutil.rmtree(meta_dir)
+        meta_dir.mkdir(parents=True)
 
     now_ms = int(time.time() * 1000)
     tbl_uuid = str(uuid.uuid5(uuid.NAMESPACE_URL, str(table.path)))
@@ -873,7 +925,11 @@ def export_iceberg_metadata(spark: SparkSession, table: LakehouseTable) -> Path:
     history = table.history()
     # per-snapshot schema lineage (spec: ``schemas`` + snapshot
     # ``schema-id``); unreconstructible histories (legacy logs with
-    # unmappable footer types) fall back to current-schema-only
+    # unmappable footer types) fall back to current-schema-only.
+    # ALWAYS over the full history (deterministic, append-only given a
+    # matching fingerprint — old snapshots keep their schema-ids);
+    # this is cheap JSON, the expensive manifest/footer work below is
+    # what the incremental path skips.
     try:
         schemas_hist, sid_of_version, last_col_id = _schema_history(
             table, history, ice_schema
@@ -886,6 +942,44 @@ def export_iceberg_metadata(spark: SparkSession, table: LakehouseTable) -> Path:
         )
     last_seq = 0
     live_entries: dict[str, tuple[int, dict]] = {}  # file → (spec-id, entry)
+
+    def _entry_key(file_path: str) -> str:
+        # live_entries keys are what commit.files/removed_files carry:
+        # table-relative for native files, absolute for CONVERT/CLONE
+        root = str(table.path.resolve())
+        return (
+            file_path[len(root) + 1 :]
+            if file_path.startswith(root + "/")
+            else file_path
+        )
+
+    if resume_md is not None:
+        # reconstruct the carry-forward state from the EXPORTED
+        # metadata: the head snapshot's manifest list IS the live
+        # manifest set; live entries re-read from those manifests
+        # (needed only to re-list survivors on a partial rewrite)
+        history = [c for c in history if c.version > resume_head]
+        snapshots = list(resume_md["snapshots"])
+        snapshot_log = list(resume_md.get("snapshot-log", []))
+        last = max(snapshots, key=lambda s: s["snapshot-id"])
+        parent_id = last["snapshot-id"]
+        last_seq = last.get("sequence-number", 0)
+        _, _, mlist = read_ocf(Path(last["manifest-list"]))
+        live_data_manifests = [
+            m for m in mlist if m.get("content", CONTENT_DATA) == CONTENT_DATA
+        ]
+        live_delete_manifests = [
+            m for m in mlist if m.get("content") == CONTENT_DELETES
+        ]
+        for m in live_data_manifests:
+            _, _, es = read_ocf(Path(m["manifest_path"]))
+            for e in es:
+                if e["status"] == ST_DELETED:
+                    continue
+                live_entries[_entry_key(e["data_file"]["file_path"])] = (
+                    m.get("partition_spec_id", 0),
+                    e,
+                )
 
     def _manifests_by_spec(
         tagged: list[tuple[int, dict]], seq: int, snap_id: int
@@ -1059,6 +1153,8 @@ def export_iceberg_metadata(spark: SparkSession, table: LakehouseTable) -> Path:
         "default-sort-order-id": 0,
         "sort-orders": [{"order-id": 0, "fields": []}],
         "properties": {
+            # incremental-export handshake (see _ice_export_fingerprint)
+            "lakehouse.export-fingerprint": fingerprint,
             "schema.name-mapping.default": json.dumps(name_mapping),
             # dropped columns' physical names (stale data retained in
             # files, invisible to readers): our files carry no

@@ -1,0 +1,106 @@
+"""Incremental Iceberg export: a re-export writes manifests only for
+commits past the exported head (old manifest .avro files reused
+byte-identical); retroactive metadata changes (rename/drop/widen)
+fall back to the full rewrite; spec evolution and tags stay
+incremental."""
+from __future__ import annotations
+
+import json
+from pathlib import Path
+
+from pyspark.sql import functions as F
+
+from lakehouse_test_spark.plans.iceberg_export import (
+    export_iceberg_metadata,
+    read_iceberg,
+    _snapshot_id,
+)
+from lakehouse_test_spark.plans.lakehouse import LakehouseTable
+
+
+def _t(spark, tmp_path, name="t"):
+    t = LakehouseTable(spark, str(tmp_path / name))
+    t.append(spark.range(3).select(F.col("id").alias("k"), (F.col("id") * 2.0).alias("v")))
+    t.append(spark.range(3, 6).select(F.col("id").alias("k"), (F.col("id") * 2.0).alias("v")))
+    return t
+
+
+def _avro_state(meta_dir: Path) -> dict[str, float]:
+    return {
+        p.name: p.stat().st_mtime_ns
+        for p in meta_dir.glob("*.avro")
+    }
+
+
+def test_incremental_iceberg_export_reuses_manifests(spark, tmp_path):
+    t = _t(spark, tmp_path)
+    meta_dir = export_iceberg_metadata(spark, t)
+    before = _avro_state(meta_dir)
+    t.append(spark.range(6, 9).select(F.col("id").alias("k"), (F.col("id") * 2.0).alias("v")))
+    t.delete_where_dv("k = 7")
+    export_iceberg_metadata(spark, t)
+    after = _avro_state(meta_dir)
+    # every pre-existing manifest/list file untouched
+    for name, mtime in before.items():
+        assert after[name] == mtime, f"{name} was rewritten"
+    assert len(after) > len(before)
+    got = read_iceberg(spark, str(t.path))
+    assert got.exceptAll(t.snapshot()).count() == 0
+    assert t.snapshot().exceptAll(got).count() == 0
+    # time travel across the incremental boundary
+    old = read_iceberg(spark, str(t.path), _snapshot_id(1))
+    assert old.count() == 6
+    # no new commits: no-op (metadata.json untouched too)
+    md = (meta_dir / "v1.metadata.json").stat().st_mtime_ns
+    export_iceberg_metadata(spark, t)
+    assert (meta_dir / "v1.metadata.json").stat().st_mtime_ns == md
+
+
+def test_incremental_iceberg_partial_rewrite_relists_survivors(spark, tmp_path):
+    """A compact_files commit AFTER the first export re-lists the
+    surviving entries from reconstructed state (RewriteManifests)."""
+    t = _t(spark, tmp_path)
+    export_iceberg_metadata(spark, t)
+    t.append(spark.range(6, 9).select(F.col("id").alias("k"), (F.col("id") * 2.0).alias("v")))
+    first_files = t.history()[0].files
+    t.compact_files(list(first_files))
+    export_iceberg_metadata(spark, t)
+    got = read_iceberg(spark, str(t.path))
+    assert sorted(r["k"] for r in got.collect()) == list(range(9))
+
+
+def test_rename_after_export_falls_back_to_full_rewrite(spark, tmp_path):
+    t = _t(spark, tmp_path)
+    meta_dir = export_iceberg_metadata(spark, t)
+    before = _avro_state(meta_dir)
+    t.rename_column("v", "v_usd")
+    export_iceberg_metadata(spark, t)
+    md = json.loads((meta_dir / "v1.metadata.json").read_text())
+    nm = json.loads(md["properties"]["schema.name-mapping.default"])
+    assert any(e["names"][0] == "v_usd" for e in nm)
+    # full rewrite regenerated the manifest set
+    after = _avro_state(meta_dir)
+    assert not (set(before) & set(after))
+    got = read_iceberg(spark, str(t.path))
+    assert "v_usd" in got.columns and got.count() == 6
+
+
+def test_spec_evolution_stays_incremental(spark, tmp_path):
+    t = LakehouseTable(spark, str(tmp_path / "spec"))
+    rows = [(i, f"2024-{(i % 3) + 1:02d}-05", float(i)) for i in range(12)]
+    df = spark.createDataFrame(rows, "id long, d string, v double").withColumn(
+        "d", F.to_date("d")
+    )
+    t.append(df.where("id < 6"))
+    meta_dir = export_iceberg_metadata(spark, t)
+    before = _avro_state(meta_dir)
+    t.set_partition_spec(["month(d)"])
+    t.append_partitioned(df.where("id >= 6"))
+    export_iceberg_metadata(spark, t)
+    after = _avro_state(meta_dir)
+    for name, mtime in before.items():
+        assert after[name] == mtime, f"{name} was rewritten"
+    md = json.loads((meta_dir / "v1.metadata.json").read_text())
+    assert len(md["partition-specs"]) == 2
+    got = read_iceberg(spark, str(t.path))
+    assert got.count() == 12
