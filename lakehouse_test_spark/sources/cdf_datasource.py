@@ -34,7 +34,7 @@ contract). Compactions (dataChange=false) are skipped silently.
 from __future__ import annotations
 
 import json
-from collections.abc import Iterator, Sequence
+from collections.abc import Sequence
 from pathlib import Path
 
 from pyspark.sql.datasource import (
@@ -42,6 +42,7 @@ from pyspark.sql.datasource import (
     DataSourceStreamReader,
     InputPartition,
 )
+
 
 def _evolution_of(path: Path) -> tuple[dict[str, str], set[str], dict[str, str]]:
     """(physical column → current logical name, dropped physicals,
