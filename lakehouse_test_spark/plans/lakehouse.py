@@ -351,6 +351,27 @@ class LakehouseTable:
         tmp2 = self.log_dir / f".ptr-{uuid.uuid4().hex}"
         tmp2.write_text(json.dumps({"version": v, "txn": txn}))
         os.replace(tmp2, self.log_dir / "_last_checkpoint")
+        # retention: only the pointer's checkpoint is ever read (time
+        # travel below it takes the full-history path), so superseded
+        # checkpoint bodies + bloom side-cars are garbage — keep the
+        # newest TWO versions (one spare for a reader racing the
+        # pointer advance; a vanished file degrades to full parse)
+        try:
+            vs = sorted(
+                {
+                    int(p.name.split(".")[0])
+                    for p in self._ckpt_dir().iterdir()
+                    if p.name.split(".")[0].isdigit()
+                },
+                reverse=True,
+            )
+            for old_v in vs[2:]:
+                for suffix in (".json", ".blooms.json"):
+                    (self._ckpt_dir() / f"{old_v}{suffix}").unlink(
+                        missing_ok=True
+                    )
+        except OSError:
+            pass  # retention is an optimization, never a gate
         return state
 
     def _ckpt_blooms(self) -> dict:

@@ -275,3 +275,24 @@ def test_clone_folds_sidecar_blooms(spark, tmp_path):
     df, scanned, total = c.scan_point("k", 1234)
     assert total == 6 and scanned < total, "clone lost bloom skipping"
     assert df.count() == 1
+
+
+def test_checkpoint_retention_keeps_newest_two(spark, tmp_path):
+    """Superseded checkpoint bodies + bloom side-cars are reclaimed
+    (only the pointer's checkpoint is ever read; one spare survives
+    for readers racing the pointer advance)."""
+    t = _t(spark, tmp_path, "ret")
+    df = spark.range(2).select(F.col("id").alias("k"), (F.col("id") * 2).alias("v"))
+    for _ in range(3):
+        t.append(df, bloom_cols=["k"])
+        t.checkpoint()
+    vs = sorted(
+        {int(p.name.split(".")[0]) for p in t._ckpt_dir().iterdir()
+         if p.name.split(".")[0].isdigit()}
+    )
+    assert len(vs) == 2, vs  # newest two only
+    assert vs[-1] == t._read_checkpoint()["version"]
+    # the table still plans + bloom-probes correctly
+    assert t.snapshot().count() == 6
+    df2, scanned, total = t.scan_point("k", 1)
+    assert df2.count() == 3
