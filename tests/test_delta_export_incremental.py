@@ -111,3 +111,19 @@ def test_resume_stamp_is_delta_inert(spark, tmp_path):
     )
     assert "lakehouseExport" in head["commitInfo"]
     assert read_delta_log(spark, str(t.path)).count() == 6
+
+
+def test_resume_reconstructs_dv_state_from_checkpoint(spark, tmp_path):
+    """Resume state includes cumulative DV positions recovered from
+    the exported adds' inline descriptors (checkpoint + tail), so a
+    SECOND DV commit after the resume exports the union, not just its
+    own positions."""
+    t = _t(spark, tmp_path)  # 6 rows across 2 commits
+    t.delete_where_dv("k = 0")  # v2
+    t.append(spark.range(6, 8).select(F.col("id").alias("k"), (F.col("id") * 2.0).alias("v")))  # v3
+    export_delta_log(spark, t, checkpoint_interval=2)  # ckpt at v2
+    t.delete_where_dv("k = 1")  # v4: second DV on the SAME base file
+    export_delta_log(spark, t, checkpoint_interval=2)
+    got = read_delta_log(spark, str(t.path))
+    assert sorted(r["k"] for r in got.collect()) == [2, 3, 4, 5, 6, 7]
+    assert got.exceptAll(t.snapshot()).count() == 0
