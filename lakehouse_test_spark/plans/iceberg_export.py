@@ -727,8 +727,9 @@ def export_iceberg_metadata(
                 resume_head = max(
                     s["snapshot-id"] for s in md_old["snapshots"]
                 ) - 1000
-                if resume_head >= table.latest_version():
-                    return meta_dir  # exported head is current: no-op
+                # head current → still rewrite metadata.json (cheap):
+                # TAGS and other ref changes carry no commit, and the
+                # exported refs must track them
                 resume_md = md_old
         except (OSError, ValueError, KeyError, json.JSONDecodeError):
             resume_md = None
@@ -1143,9 +1144,9 @@ def export_iceberg_metadata(
         "last-sequence-number": last_seq,
         "last-updated-ms": now_ms,
         "last-column-id": last_col_id,
-        "current-schema-id": sid_of_version.get(history[-1].version, 0)
-        if history
-        else 0,
+        # by the NATIVE head (not history[-1] — on a tag-only resume
+        # the commit tail is empty)
+        "current-schema-id": sid_of_version.get(table.latest_version(), 0),
         "schemas": schemas_hist,
         "default-spec-id": export_specs[-1]["spec-id"],
         "partition-specs": export_specs,

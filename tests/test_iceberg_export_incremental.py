@@ -50,10 +50,15 @@ def test_incremental_iceberg_export_reuses_manifests(spark, tmp_path):
     # time travel across the incremental boundary
     old = read_iceberg(spark, str(t.path), _snapshot_id(1))
     assert old.count() == 6
-    # no new commits: no-op (metadata.json untouched too)
-    md = (meta_dir / "v1.metadata.json").stat().st_mtime_ns
+    # no new commits: manifests untouched, but metadata.json is still
+    # refreshed — a TAG carries no commit yet must reach the refs
+    t.tag("release-1")
+    state = _avro_state(meta_dir)
     export_iceberg_metadata(spark, t)
-    assert (meta_dir / "v1.metadata.json").stat().st_mtime_ns == md
+    assert _avro_state(meta_dir) == state  # zero manifest work
+    md = json.loads((meta_dir / "v1.metadata.json").read_text())
+    assert md["refs"]["release-1"]["type"] == "tag"
+    assert read_iceberg(spark, str(t.path), ref="release-1").count() == 9 - 1
 
 
 def test_incremental_iceberg_partial_rewrite_relists_survivors(spark, tmp_path):
