@@ -109,6 +109,9 @@ def build_parser() -> argparse.ArgumentParser:
                      default="both")
     exp.add_argument("--checkpoint-interval", type=positive_int, default=10,
                      help="Delta parquet-checkpoint cadence (commits)")
+    exp.add_argument("--full", action="store_true",
+                     help="force a full rewrite instead of resuming "
+                          "from the exported head")
 
     cnv = sub.add_parser(
         "convert",
@@ -239,7 +242,9 @@ def main(argv: list[str] | None = None, spark=None) -> int:
                 from lakehouse_test_spark.plans.delta_export import export_delta_log
 
                 log_dir = export_delta_log(
-                    spark, table, checkpoint_interval=args.checkpoint_interval
+                    spark, table,
+                    checkpoint_interval=args.checkpoint_interval,
+                    incremental=not args.full,
                 )
                 proto = next(
                     _json.loads(l)["protocol"]
@@ -254,7 +259,9 @@ def main(argv: list[str] | None = None, spark=None) -> int:
                     export_iceberg_metadata,
                 )
 
-                meta_dir = export_iceberg_metadata(spark, table)
+                meta_dir = export_iceberg_metadata(
+                    spark, table, incremental=not args.full
+                )
                 md = _json.loads((meta_dir / "v1.metadata.json").read_text())
                 print(f"Iceberg: {len(md['snapshots'])} snapshots -> {meta_dir} "
                       f"(specs {len(md['partition-specs'])}, "
