@@ -1805,10 +1805,14 @@ class LakehouseTable:
             df = df.where((F_col(col) >= lo) & (F_col(col) <= hi))
         return df, len(kept), len(all_files)
 
-    def read_changes(self, since_version: int) -> DataFrame:
+    def read_changes(
+        self, since_version: int, upto_version: int | None = None
+    ) -> DataFrame:
         """Incremental scan: rows committed after ``since_version`` —
         the consume-loop analog (§2a ops 5, 31): a reader that
         remembers its last version gets exactly-once batches.
+        ``upto_version`` bounds the window (Delta CDF's
+        ``endingVersion``): only commits ≤ it are replayed.
 
         Restate semantics (the Delta CDF / Iceberg incremental-read
         contract): pure compactions carry ``data_change=False`` and are
@@ -1818,11 +1822,11 @@ class LakehouseTable:
         :class:`RestateAcrossCursorError` and the reader restarts from
         a fresh snapshot."""
         if since_version < 0:
-            return self.snapshot()
+            return self.snapshot(version=upto_version)
         # O(tail) cursor: parse only commits past the cursor (the same
         # cost class the checkpointed writer uses) — an incremental
         # poll on a long-lived table must never re-read the whole log
-        newer = self._commits_between(since_version, None)
+        newer = self._commits_between(since_version, upto_version)
         logical_restates = [
             c for c in newer if (c.restate and c.data_change) or c.dv_files
         ]
@@ -1852,7 +1856,9 @@ class LakehouseTable:
             self._read_data(*files)
         )
 
-    def read_changes_cdf(self, since_version: int) -> DataFrame:
+    def read_changes_cdf(
+        self, since_version: int, upto_version: int | None = None
+    ) -> DataFrame:
         """Change data feed (Delta CDF analog): every row-level change
         after ``since_version`` as (data columns, _change_type,
         _commit_version) — appends emit ``insert`` rows, deletion-
@@ -1885,8 +1891,8 @@ class LakehouseTable:
             # Rows living in a compacted file surface under the
             # compacting commit (the logical insert version is not
             # recoverable post-compaction, as in Delta).
-            self._check_horizon(None)
-            pairs0 = self._live_files()
+            self._check_horizon(upto_version)
+            pairs0 = self._live_files(upto_version)
             if not pairs0:
                 raise ValueError("no data at version None")
             ver_rows = [
@@ -1914,7 +1920,7 @@ class LakehouseTable:
         # O(tail) cursor: parse only commits past the cursor (the same
         # cost class the checkpointed writer uses) — an incremental
         # poll on a long-lived table must never re-read the whole log
-        newer = self._commits_between(since_version, None)
+        newer = self._commits_between(since_version, upto_version)
         hard_restates = [c for c in newer if c.restate and c.data_change]
         if hard_restates:
             ops = [(c.version, c.operation) for c in hard_restates]

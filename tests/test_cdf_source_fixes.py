@@ -214,3 +214,23 @@ def test_cdf_logical_names_applies_widening(spark, tmp_path):
     got2 = _drain(spark, str(t.path), "cdffix_widen2", logicalNames="true")
     assert got2.count() == 5
     assert dict(got2.dtypes)["v"] == "decimal(12,2)"
+
+
+def test_read_changes_upto_version_bounds_the_window(spark, tmp_path):
+    """upto_version (Delta CDF endingVersion): only commits in
+    (since, upto] replay; the initial load at upto equals the
+    time-traveled snapshot."""
+    t = LakehouseTable(spark, str(tmp_path / "upto"))
+    for i in range(4):
+        t.append(spark.range(i * 10, i * 10 + 2).select(F.col("id").alias("v")))
+    win = t.read_changes(0, upto_version=2)
+    assert sorted(r["v"] for r in win.collect()) == [10, 11, 20, 21]
+    feed = t.read_changes_cdf(1, upto_version=2)
+    assert {r["_commit_version"] for r in feed.collect()} == {2}
+    init = t.read_changes_cdf(-1, upto_version=1)
+    assert sorted(r["v"] for r in init.collect()) == [0, 1, 10, 11]
+    assert {r["_commit_version"] for r in init.collect()} == {0, 1}
+    # a restate BEYOND the window does not poison a bounded read
+    t.delete_where("v = 0")  # v4 restate
+    ok = t.read_changes(0, upto_version=3)
+    assert ok.count() == 6
