@@ -141,3 +141,89 @@ def lakehouse_widen_compact_native(spark: SparkSession, sf_dir: str) -> DataFram
         )
         .withColumn("n_footer_vintages", F.lit(len(vintages)).cast("int"))
     )
+
+
+@query(
+    "lakehouse_cdf_bounded_window",
+    oracle="""
+    WITH src AS (
+      SELECT s_suppkey AS k,
+             CAST(round(s_acctbal, 2) AS DOUBLE) AS bal,
+             s_suppkey % 3 AS b
+      FROM supplier
+    )
+    SELECT k, bal, 'insert' AS _change_type,
+           CAST(b AS INTEGER) AS _commit_version
+    FROM (SELECT k, bal, b FROM src WHERE b <= 1)
+    """,
+    tags=("lakehouse", "cdf", "incremental"),
+)
+def lakehouse_cdf_bounded_window(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Bounded change window (Delta CDF ``endingVersion``):
+    ``read_changes_cdf(-1, upto_version=1)`` over a 3-commit table
+    replays exactly commits 0–1 — and a RESTATE at v3 (beyond the
+    window) must not poison the bounded read. Hash-checked against
+    the SQL reconstruction of the first two commits.
+
+    Scale: the window parse is O(commits in window) (checkpointed
+    planning below, `_commits_between` above); the load itself is ONE
+    scan of the windowed live set + a broadcast file→version map —
+    plan-pinned single FileScan, no per-commit union.
+    """
+    import tempfile
+
+    from lakehouse_test_spark.plans.lakehouse import LakehouseTable
+
+    s = T(spark, sf_dir, "supplier").select(
+        F.col("s_suppkey").alias("k"),
+        F.round("s_acctbal", 2).alias("bal"),
+        (F.col("s_suppkey") % 3).alias("b"),
+    )
+    t = LakehouseTable(spark, tempfile.mkdtemp(prefix="lh_cdfwin_"))
+    for b in range(3):
+        t.append(s.where(F.col("b") == b).drop("b").repartition(2))
+    t.delete_where("bal < 0")  # v3: restate BEYOND the window
+    return t.read_changes_cdf(-1, upto_version=1)
+
+
+@query(
+    "lakehouse_incremental_export",
+    oracle="""
+    SELECT n_nationkey AS k, n_name AS name,
+           CAST(n_nationkey % 2 AS INTEGER) IS NOT NULL AS lively
+    FROM nation
+    """,
+    tags=("lakehouse", "delta", "export", "incremental"),
+)
+def lakehouse_incremental_export(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Incremental Delta export drill: export after the first commit,
+    append, re-export (the second call must RESUME — pinned by
+    asserting the first commit's action file is byte-identical), then
+    replay the exported ``_delta_log`` through the external-reader
+    path and hash-check it against the source table.
+
+    Scale: per-call export cost follows the NEW commits (84× vs the
+    full rewrite at 122 commits, SCALE.md) — the per-micro-batch
+    export pattern a streaming table needs.
+    """
+    import tempfile
+
+    from lakehouse_test_spark.plans.delta_export import (
+        export_delta_log,
+        read_delta_log,
+    )
+    from lakehouse_test_spark.plans.lakehouse import LakehouseTable
+
+    n = T(spark, sf_dir, "nation").select(
+        F.col("n_nationkey").alias("k"), F.col("n_name").alias("name")
+    )
+    t = LakehouseTable(spark, tempfile.mkdtemp(prefix="lh_incexp_"))
+    t.append(n.where(F.col("k") % 2 == 0).repartition(1))
+    log_dir = export_delta_log(spark, t)
+    first = (log_dir / f"{0:020d}.json").read_text()
+    t.append(n.where(F.col("k") % 2 == 1).repartition(1))
+    export_delta_log(spark, t)
+    resumed = (log_dir / f"{0:020d}.json").read_text() == first
+    return read_delta_log(spark, str(t.path)).withColumn(
+        "lively", F.lit(bool(resumed))
+    )
