@@ -29,6 +29,14 @@ log (never O(deleted rows) memory). Restate commits (merge/delete/
 restore rewrites) cannot be expressed as row deltas — the reader
 raises, and the job restarts from a fresh snapshot (the Delta CDF
 contract). Compactions (dataChange=false) are skipped silently.
+
+Backlog note: a stream starting from ``earliest`` on a long table
+replays the whole backlog as its FIRST micro-batch (the Spark 4
+Python DataSource API exposes no admission control to cap
+``latestOffset`` relative to the query's restored offset — capping
+blindly can deadlock a restarted query whose committed offset is
+above the cap). Start large catch-ups from a recent
+``startingVersion`` (or seed from a snapshot read) instead.
 """
 
 from __future__ import annotations

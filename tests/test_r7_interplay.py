@@ -105,3 +105,68 @@ def test_cdf_source_streams_a_shallow_clone(spark, tmp_path):
     got = spark.sql("SELECT * FROM clone_feed")
     assert got.count() == 4
     assert dict(got.dtypes)["amt"] == "decimal(12,2)"
+
+
+def test_upto_window_with_vacuumed_files_raises(spark, tmp_path):
+    """A bounded window referencing vacuumed files raises the
+    descriptive horizon error, exactly like the unbounded cursor."""
+    import pytest
+
+    from lakehouse_test_spark.plans.lakehouse import VacuumHorizonError
+
+    t = LakehouseTable(spark, str(tmp_path / "vac"))
+    for i in range(3):
+        t.append(spark.range(2).select(F.lit(i).alias("v")))
+    t.compact(target_partitions=1)  # v3 supersedes 0-2
+    t.vacuum(keep_versions=1)
+    with pytest.raises(VacuumHorizonError):
+        t.read_changes(0, upto_version=2).count()
+
+
+def test_incremental_export_after_truncate_in_tail(spark, tmp_path):
+    """A truncating empty overwrite AFTER the first export replays as
+    a remove-everything restate on the incremental path."""
+    from lakehouse_test_spark.plans.delta_export import (
+        export_delta_log,
+        read_delta_log,
+    )
+    from lakehouse_test_spark.sources.lakehouse_datasource import register
+
+    register(spark)
+    t = LakehouseTable(spark, str(tmp_path / "tr"))
+    t.append(spark.range(4).select(F.col("id").alias("k"), (F.col("id") * 2.0).alias("v")))
+    log_dir = export_delta_log(spark, t)
+    first = (log_dir / f"{0:020d}.json").read_text()
+    empty = spark.createDataFrame([], "k bigint, v double")
+    empty.write.format("lakehouse").mode("overwrite").option(
+        "path", str(t.path)
+    ).save()
+    t.append(spark.range(100, 102).select(F.col("id").alias("k"), (F.col("id") * 2.0).alias("v")))
+    export_delta_log(spark, t)
+    assert (log_dir / f"{0:020d}.json").read_text() == first  # resumed
+    got = read_delta_log(spark, str(t.path))
+    assert sorted(r["k"] for r in got.collect()) == [100, 101]
+    # time travel through the exported log still sees the old rows
+    old = read_delta_log(spark, str(t.path), 0)
+    assert old.count() == 4
+
+
+def test_incremental_iceberg_export_dv_then_restate_tail(spark, tmp_path):
+    """DV then full-restate compaction in the tail: the incremental
+    path drops the reconstructed manifest set exactly like the full
+    path (fresh manifests after the restate)."""
+    from lakehouse_test_spark.plans.iceberg_export import (
+        export_iceberg_metadata,
+        read_iceberg,
+    )
+
+    t = LakehouseTable(spark, str(tmp_path / "ice"))
+    t.append(spark.range(6).select(F.col("id").alias("k"), (F.col("id") * 2.0).alias("v")))
+    export_iceberg_metadata(spark, t)
+    t.delete_where_dv("k >= 4")
+    t.compact(target_partitions=1)
+    t.append(spark.range(10, 12).select(F.col("id").alias("k"), (F.col("id") * 2.0).alias("v")))
+    export_iceberg_metadata(spark, t)
+    got = read_iceberg(spark, str(t.path))
+    assert sorted(r["k"] for r in got.collect()) == [0, 1, 2, 3, 10, 11]
+    assert got.exceptAll(t.snapshot()).count() == 0
