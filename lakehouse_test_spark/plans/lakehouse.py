@@ -1720,7 +1720,9 @@ class LakehouseTable:
             if empty is not None:
                 return empty
             raise ValueError(f"no data at version {version}")
-        df = self._read_data(*files)
+        df = self._read_data(
+            *files, unified=lambda: self._unified_live_schema(version)
+        )
         return self._apply_renames(self._apply_dvs(df, version))
 
     def scan_pruned(self, col: str, lo, hi) -> tuple[DataFrame, int, int]:
@@ -2679,23 +2681,36 @@ class LakehouseTable:
         )
         return self._apply_renames(self.spark.createDataFrame([], ddl))
 
-    def _read_data(self, *files: str) -> DataFrame:
+    def _read_data(self, *files: str, unified: dict | None = None) -> DataFrame:
         """Every data-file read routes through here. Fast path: plain
         mergeSchema. Once the table has DROPPED or WIDENED columns,
-        reads switch to an EXPLICIT unified schema built from the
-        footers — dropped physicals excluded (projection, data
-        retained), widened targets applied (Spark's parquet reader
-        upcasts old vintages at scan), missing columns null-filled.
-        O(live files) driver-side footer reads, same order as the
-        planning listing itself."""
+        reads switch to an EXPLICIT unified schema — dropped physicals
+        excluded (projection, data retained), widened targets applied
+        (Spark's parquet reader upcasts old vintages at scan), missing
+        columns null-filled.
+
+        ``unified``: a pre-folded {col: ddl} (or a thunk returning
+        one, evaluated only on the evolved path) covering exactly
+        these files (FULL-set readers pass ``_unified_live_schema``
+        — O(live commits) log JSON instead of O(live files) footer
+        reads). Subset readers (scan_pruned/scan_point) omit it and
+        pay a footer read per KEPT file — bounded by the pruning
+        itself. An opaque-folded entry (legacy nested vintage) is not
+        expressible as read DDL, so those fall back to footers too."""
         meta = self._read_meta()
         dropped = {d["physical"] for d in meta.get("dropped_columns", [])}
         wid = meta.get("widenings") or {}
         if not dropped and not wid:
             return self.spark.read.option("mergeSchema", "true").parquet(*files)
-        fields = self._fold_schemas(
-            self._footer_schema_sources(files), dropped, wid
-        )
+        fields = None
+        if unified is not None:
+            u = unified() if callable(unified) else unified
+            if not any(str(t).startswith("__opaque__") for t in u.values()):
+                fields = u
+        if fields is None:
+            fields = self._fold_schemas(
+                self._footer_schema_sources(files), dropped, wid
+            )
         ddl = ", ".join(f"`{n}` {t}" for n, t in fields.items())
         return self.spark.read.schema(ddl).parquet(*files)
 
