@@ -48,7 +48,7 @@ from pathlib import Path
 
 from pyspark.sql import DataFrame, SparkSession
 
-from lakehouse_test_spark.plans.lakehouse import LakehouseTable
+from lakehouse_test_spark.plans.lakehouse import LakehouseTable, txn_marker
 
 PROTOCOL = {"minReaderVersion": 1, "minWriterVersion": 2}
 #: column mapping requires reader 2 / writer 5 (PROTOCOL.md §Column Mapping)
@@ -707,10 +707,13 @@ def export_delta_log(
         # high-water as a SetTransaction action (PROTOCOL.md
         # §Transaction Identifiers) — an external Delta writer doing
         # idempotent appends reads exactly this to dedup replays.
-        # Driven by the commit's EXPLICIT txn field (written only by
-        # streaming writers), never by parsing the operation label.
-        if commit.txn:
-            app, num = commit.txn[0], int(commit.txn[1])
+        # Driven by the commit's EXPLICIT txn field; tables opened
+        # with legacy_txn_compat=True also fold the pre-txn-field
+        # operation-label encoding (txn_marker) so re-exports of old
+        # tables keep their SetTransaction actions.
+        marker = txn_marker(commit, getattr(table, "legacy_txn_compat", False))
+        if marker:
+            app, num = marker
             txn = {"appId": app, "version": num, "lastUpdated": now_ms}
             actions.append({"txn": txn})
             txn_high[app] = txn

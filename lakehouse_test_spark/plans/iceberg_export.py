@@ -958,29 +958,48 @@ def export_iceberg_metadata(
         # reconstruct the carry-forward state from the EXPORTED
         # metadata: the head snapshot's manifest list IS the live
         # manifest set; live entries re-read from those manifests
-        # (needed only to re-list survivors on a partial rewrite)
-        history = [c for c in history if c.version > resume_head]
-        snapshots = list(resume_md["snapshots"])
-        snapshot_log = list(resume_md.get("snapshot-log", []))
-        last = max(snapshots, key=lambda s: s["snapshot-id"])
-        parent_id = last["snapshot-id"]
-        last_seq = last.get("sequence-number", 0)
-        _, _, mlist = read_ocf(Path(last["manifest-list"]))
-        live_data_manifests = [
-            m for m in mlist if m.get("content", CONTENT_DATA) == CONTENT_DATA
-        ]
-        live_delete_manifests = [
-            m for m in mlist if m.get("content") == CONTENT_DELETES
-        ]
-        for m in live_data_manifests:
-            _, _, es = read_ocf(Path(m["manifest_path"]))
-            for e in es:
-                if e["status"] == ST_DELETED:
-                    continue
-                live_entries[_entry_key(e["data_file"]["file_path"])] = (
-                    m.get("partition_spec_id", 0),
-                    e,
-                )
+        # (needed only to re-list survivors on a partial rewrite).
+        # Guarded like the fingerprint handshake: manifest-list paths
+        # are stored ABSOLUTE, so a copied/moved table (or partially
+        # damaged metadata dir) must degrade to the full-rewrite path,
+        # not crash the exporter mid-call.
+        try:
+            snapshots = list(resume_md["snapshots"])
+            snapshot_log = list(resume_md.get("snapshot-log", []))
+            last = max(snapshots, key=lambda s: s["snapshot-id"])
+            parent_id = last["snapshot-id"]
+            last_seq = last.get("sequence-number", 0)
+            _, _, mlist = read_ocf(Path(last["manifest-list"]))
+            live_data_manifests = [
+                m
+                for m in mlist
+                if m.get("content", CONTENT_DATA) == CONTENT_DATA
+            ]
+            live_delete_manifests = [
+                m for m in mlist if m.get("content") == CONTENT_DELETES
+            ]
+            for m in live_data_manifests:
+                _, _, es = read_ocf(Path(m["manifest_path"]))
+                for e in es:
+                    if e["status"] == ST_DELETED:
+                        continue
+                    live_entries[_entry_key(e["data_file"]["file_path"])] = (
+                        m.get("partition_spec_id", 0),
+                        e,
+                    )
+            history = [c for c in history if c.version > resume_head]
+        except (OSError, KeyError, ValueError):
+            # full rewrite: reset every carry-forward variable and
+            # clear the stale export (nothing has been written yet —
+            # manifests land only in the commit loop below)
+            resume_md, resume_head = None, -1
+            snapshots, snapshot_log = [], []
+            live_data_manifests, live_delete_manifests = [], []
+            parent_id, last_seq, live_entries = None, 0, {}
+            import shutil
+
+            shutil.rmtree(meta_dir, ignore_errors=True)
+            meta_dir.mkdir(parents=True, exist_ok=True)
 
     def _manifests_by_spec(
         tagged: list[tuple[int, dict]], seq: int, snap_id: int

@@ -88,6 +88,30 @@ class Commit:
     txn: list | None = None
 
 
+def txn_marker(c: Commit, legacy: bool = False) -> tuple[str, int] | None:
+    """Idempotence marker of a commit: the explicit ``txn`` field —
+    and, ONLY when ``legacy=True``, a fallback parse of the pre-r7
+    operation-name encoding ``<appId>-b<N>`` for commits lacking the
+    field. The fallback is opt-in because the two failure modes are
+    asymmetric: without it, a table written by the previous code can
+    re-commit an already-applied micro-batch on resume (duplicates);
+    WITH it always on, a user commit hand-labeled ``load-b7`` is
+    misread as micro-batch 7 of app "load" and a resuming stream
+    silently DROPS its first 8 batches (data loss — the r7 bug the
+    explicit field fixed, pinned in ``test_stream_batch_high_water``).
+    Set ``LakehouseTable(..., legacy_txn_compat=True)`` for the first
+    session on an upgraded pre-txn-field table, checkpoint once (the
+    markers fold into the pointer's txn map), then drop the flag —
+    see USAGE.md."""
+    if c.txn:
+        return c.txn[0], int(c.txn[1])
+    if legacy:
+        pre, _, num = (c.operation or "").rpartition("-b")
+        if pre and num.isdigit():
+            return pre, int(num)
+    return None
+
+
 class ConcurrentModificationError(RuntimeError):
     """A concurrent commit conflicts with this transaction — the Delta
     conflict-matrix outcome when rebasing is unsafe: a restate
@@ -154,11 +178,22 @@ def _file_stats(path: Path, cols: list[str]) -> dict:
 class LakehouseTable:
     """Append-only versioned table at ``path`` (data/ + _log/)."""
 
-    def __init__(self, spark: SparkSession, path: str):
+    def __init__(
+        self,
+        spark: SparkSession,
+        path: str,
+        legacy_txn_compat: bool = False,
+    ):
         self.spark = spark
         self.path = Path(path)
         self.log_dir = self.path / "_log"
         self.log_dir.mkdir(parents=True, exist_ok=True)
+        #: opt-in migration shim for tables written before the explicit
+        #: Commit.txn field: parse legacy '<appId>-b<N>' operation
+        #: labels as idempotence markers (see txn_marker). One
+        #: checkpoint() under this flag folds the legacy markers into
+        #: the pointer's txn map; then drop the flag.
+        self.legacy_txn_compat = legacy_txn_compat
         #: test seam: invoked right before a commit's publish attempt —
         #: lets concurrency tests inject a racing writer deterministically
         self._pre_publish_hook = None
@@ -291,9 +326,9 @@ class LakehouseTable:
         txn = dict((prev or {}).get("txn") or {})
         after = prev["version"] if prev else -1
         for c in self._commits_between(after, v):
-            if c.txn:
-                app, num = c.txn[0], int(c.txn[1])
-                txn[app] = max(txn.get(app, -1), num)
+            t = txn_marker(c, self.legacy_txn_compat)
+            if t:
+                txn[t[0]] = max(txn.get(t[0], -1), t[1])
         # bloom descriptors ride in a SIDE-CAR, not the checkpoint
         # body: a bitset per (file, column) would dominate the
         # checkpoint at 10⁶ files, and every snapshot PLAN would pay
@@ -416,8 +451,9 @@ class LakehouseTable:
         high = int(((ptr or {}).get("txn") or {}).get(prefix, -1))
         after = int(ptr["version"]) if ptr else -1
         for c in self._commits_between(after, None):
-            if c.txn and c.txn[0] == prefix:
-                high = max(high, int(c.txn[1]))
+            t = txn_marker(c, self.legacy_txn_compat)
+            if t and t[0] == prefix:
+                high = max(high, t[1])
         return high
 
     def latest_version(self) -> int:
@@ -1897,8 +1933,15 @@ class LakehouseTable:
             pairs0 = self._live_files(upto_version)
             if not pairs0:
                 raise ValueError("no data at version None")
+            # Absolutize the map keys: _metadata.file_path is always a
+            # fully-qualified URI, so a table opened via a RELATIVE
+            # path would otherwise build keys that never match and the
+            # inner join would silently return an empty initial load.
+            # The same absolutized strings feed _read_data so scan
+            # paths and map keys stay byte-identical.
             ver_rows = [
-                (str(self.path / f), c.version) for c, f in pairs0
+                (os.path.abspath(str(self.path / f)), c.version)
+                for c, f in pairs0
             ]
             scan = self._read_data(*[p for p, _v in ver_rows]).withColumn(
                 "_cdf_path",
@@ -1913,7 +1956,12 @@ class LakehouseTable:
                 c for c in scan.columns if c != "_cdf_path"
             ]
             out0 = (
-                self._apply_dvs(scan)
+                # DVs as of the BOUND, not the head: a DV committed
+                # after upto_version must not filter this load, and a
+                # restate after it must not drop a DV that WAS live at
+                # the bound (the contract is load == time-traveled
+                # snapshot, same as snapshot()'s _apply_dvs(df, v)).
+                self._apply_dvs(scan, upto_version)
                 .join(F.broadcast(vmap), "_cdf_path")
                 .withColumn("_change_type", F.lit("insert"))
                 .select(*data_cols, "_change_type", "_commit_version")

@@ -30,13 +30,21 @@ restore rewrites) cannot be expressed as row deltas — the reader
 raises, and the job restarts from a fresh snapshot (the Delta CDF
 contract). Compactions (dataChange=false) are skipped silently.
 
-Backlog note: a stream starting from ``earliest`` on a long table
-replays the whole backlog as its FIRST micro-batch (the Spark 4
-Python DataSource API exposes no admission control to cap
+Catch-up admission: a stream starting from ``earliest`` on a long
+table replays the whole CHANGE HISTORY as its FIRST micro-batch (the
+Spark 4 Python DataSource API exposes no admission control to cap
 ``latestOffset`` relative to the query's restored offset — capping
 blindly can deadlock a restarted query whose committed offset is
-above the cap). Start large catch-ups from a recent
-``startingVersion`` (or seed from a snapshot read) instead.
+above the cap). Use ``.option("startingMode", "snapshot")`` instead:
+the first micro-batch is the LIVE SNAPSHOT at stream start — one
+partition per live file, deletion vectors applied, each row labeled
+``insert`` with its owning commit's ``_commit_version`` (exactly
+``read_changes_cdf(-1, upto_version=head)``) — and subsequent batches
+stream the tail. The first batch is bounded by the table's live size,
+never the total change volume, and a restate anywhere in the BACKLOG
+no longer poisons the start (restates after the seed still raise, as
+the contract requires). ``startingVersion`` remains for cursor-style
+starts; the two options conflict.
 """
 
 from __future__ import annotations
@@ -140,6 +148,7 @@ class _FilePartition(InputPartition):
         file: str,
         version: int,
         positions: list[int] | None = None,
+        dv_files: list[str] | None = None,
     ):
         # "insert": file is a data file, replayed whole;
         # "delete": file is a data file, positions picks deleted rows;
@@ -147,11 +156,17 @@ class _FilePartition(InputPartition):
         #   it, groups positions by base file, and emits the deleted
         #   rows (driver never materializes positions: a DV deleting
         #   10⁶ rows used to cost O(deleted rows) DRIVER memory per
-        #   micro-batch, the r6 judge's #3)
+        #   micro-batch, the r6 judge's #3);
+        # "snap": file is a LIVE data file of the seed snapshot
+        #   (startingMode=snapshot) — the executor emits its rows as
+        #   inserts MINUS the positions recorded for it in dv_files
+        #   (the DV parquets active at the seed version that
+        #   reference this file; position lists stay executor-side)
         self.kind = kind
         self.file = file
         self.version = version
         self.positions = positions
+        self.dv_files = dv_files
 
 
 class LakehouseCDFStreamReader(DataSourceStreamReader):
@@ -225,10 +240,32 @@ class LakehouseCDFStreamReader(DataSourceStreamReader):
 
     def initialOffset(self) -> dict:
         # Delta's startingVersion: begin the replay at a chosen commit
-        # instead of the table's birth (omit or -0/"earliest" = all)
+        # instead of the table's birth (omit or -0/"earliest" = all).
+        # startingMode=snapshot: the FIRST micro-batch is the live
+        # snapshot at stream start (bounded by table size, restate-
+        # proof) and the stream continues from there — the catch-up
+        # admission recipe, one option instead of a manual
+        # batch-load + startingVersion pairing.
         sv = self.options.get("startingVersion") or self.options.get(
             "startingversion"
         )
+        mode = str(
+            self.options.get("startingMode")
+            or self.options.get("startingmode")
+            or ""
+        ).lower()
+        if mode and mode not in ("earliest", "snapshot"):
+            raise ValueError(
+                f"startingMode={mode!r}: expected 'earliest' or 'snapshot'"
+            )
+        if mode == "snapshot":
+            if sv is not None:
+                raise ValueError(
+                    "startingMode=snapshot conflicts with startingVersion: "
+                    "the snapshot seed chooses its own start (the head at "
+                    "first trigger)"
+                )
+            return {"version": -1, "mode": "snapshot"}
         if sv is None or str(sv).lower() == "earliest":
             return {"version": -1}
         return {"version": int(sv) - 1}
@@ -252,7 +289,50 @@ class LakehouseCDFStreamReader(DataSourceStreamReader):
             pass
         return {"version": hi}
 
+    def _snapshot_partitions(self, upto: int) -> Sequence[InputPartition]:
+        """Seed batch for ``startingMode=snapshot``: one partition per
+        LIVE file as of ``upto`` (checkpoint-backed live-set fold —
+        O(tail) planning on a checkpointed table), each carrying the
+        DV parquet(s) that reference it so the executor can subtract
+        deleted positions. Driver cost: live-file listing + one
+        column-projected read of each live DV's distinct ``_dv_file``
+        list (planning-sized — files touched, never positions). The
+        batch equals ``read_changes_cdf(-1, upto_version=upto)``:
+        net live rows as ``insert``, provenance ``_commit_version``."""
+        import os
+
+        import pyarrow.parquet as pq
+
+        from lakehouse_test_spark.plans.lakehouse import LakehouseTable
+
+        if upto < 0:
+            return [_FilePartition("insert", "", upto)]
+        t = LakehouseTable(None, str(self.path))
+        pairs = t._live_files(upto)
+        # base file → the live DV parquets that reference it
+        by_base: dict[str, list[str]] = {}
+        for dvf in t._live_dv_files(upto):
+            dvp = os.path.abspath(str(self.path / dvf))
+            self._require_files(upto, [dvp])
+            refs = pq.read_table(dvp, columns=["_dv_file"])
+            for r in set(refs.column("_dv_file").to_pylist()):
+                by_base.setdefault(
+                    os.path.abspath(self._local(r)), []
+                ).append(dvp)
+        parts: list[InputPartition] = []
+        for c, f in pairs:
+            fp = os.path.abspath(str(self.path / f))
+            parts.append(
+                _FilePartition(
+                    "snap", fp, c.version, dv_files=by_base.get(fp)
+                )
+            )
+        self._require_files(upto, [p.file for p in parts])
+        return parts or [_FilePartition("insert", "", upto)]
+
     def partitions(self, start: dict, end: dict) -> Sequence[InputPartition]:
+        if start.get("mode") == "snapshot" and start["version"] < 0:
+            return self._snapshot_partitions(end["version"])
         lo, hi = start["version"], end["version"]
         parts: list[InputPartition] = []
         commits = {c["version"]: c for c in self._commits(lo, hi)}
@@ -297,6 +377,36 @@ class LakehouseCDFStreamReader(DataSourceStreamReader):
             return
         import pyarrow.parquet as pq
 
+        if partition.kind == "snap":
+            # seed-snapshot file: emit as inserts MINUS the positions
+            # its DVs recorded for it (executor-side — the driver only
+            # attached the DV file paths)
+            import os
+
+            positions = None
+            if partition.dv_files:
+                skip: set[int] = set()
+                me = os.path.abspath(self._local(partition.file))
+                for dvf in partition.dv_files:
+                    dvt = pq.read_table(self._local(dvf))
+                    for fp, pos in zip(
+                        dvt.column("_dv_file").to_pylist(),
+                        dvt.column("_dv_pos").to_pylist(),
+                    ):
+                        if os.path.abspath(self._local(fp)) == me:
+                            skip.add(pos)
+                if skip:
+                    n = pq.read_metadata(
+                        self._local(partition.file)
+                    ).num_rows
+                    positions = [i for i in range(n) if i not in skip]
+            yield from self._emit(
+                self._local(partition.file),
+                "insert",
+                partition.version,
+                positions,
+            )
+            return
         if partition.kind == "dv":
             # executor-side DV replay: read THIS deletion-vector file,
             # group its positions by base file, emit the deleted rows

@@ -1,0 +1,195 @@
+"""startingMode=snapshot — CDF catch-up admission (round 8):
+
+a fresh stream on a long table seeds its FIRST micro-batch from the
+LIVE SNAPSHOT (bounded by table size, restate-proof) instead of
+replaying the whole change history, then streams the tail. The seed
+equals ``read_changes_cdf(-1, upto_version=head)`` exactly.
+"""
+from __future__ import annotations
+
+import shutil
+import tempfile
+
+import pytest
+from pyspark.sql import functions as F
+
+from lakehouse_test_spark.plans.lakehouse import LakehouseTable
+from lakehouse_test_spark.sources.cdf_datasource import (
+    LakehouseCDFStreamReader,
+    register,
+)
+
+
+def _key(rows):
+    return sorted(
+        (r["k"], r["_change_type"], r["_commit_version"]) for r in rows
+    )
+
+
+def _drain_memory(spark, path, name, **opts):
+    register(spark)
+    ck = tempfile.mkdtemp(prefix=f"snapseed_{name}_")
+    try:
+        reader = spark.readStream.format("lakehouse_cdf").option("path", path)
+        for kk, vv in opts.items():
+            reader = reader.option(kk, vv)
+        q = (
+            reader.load()
+            .writeStream.format("memory")
+            .queryName(name)
+            .option("checkpointLocation", ck)
+            .trigger(availableNow=True)
+            .start()
+        )
+        q.awaitTermination()
+    finally:
+        shutil.rmtree(ck, ignore_errors=True)
+    return spark.sql(f"SELECT * FROM {name}")
+
+
+def test_snapshot_seed_equals_native_initial_load(spark, tmp_path):
+    """Backlog with restates and DVs — poison for an earliest start —
+    seeds cleanly and matches read_changes_cdf(-1) row for row,
+    provenance versions included."""
+    t = LakehouseTable(spark, str(tmp_path / "seed"))
+    for i in range(5):
+        t.append(spark.range(i * 10, i * 10 + 5).select(F.col("id").alias("k")))
+    t.delete_where("k % 10 = 4")  # restate in the backlog
+    t.append(spark.range(100, 105).select(F.col("id").alias("k")))
+    t.delete_where_dv("k >= 103")  # live DV at the head
+    got = _drain_memory(
+        spark, str(t.path), "snapseed_eq", startingMode="snapshot"
+    ).collect()
+    native = t.read_changes_cdf(-1).collect()
+    assert _key(got) == _key(native)
+    assert {r["_change_type"] for r in got} == {"insert"}
+    # earliest mode on the same table raises (restate in the backlog)
+    with pytest.raises(Exception, match="full rewrite|restate|snapshot"):
+        _drain_memory(spark, str(t.path), "snapseed_poison").collect()
+
+
+def test_snapshot_seed_partitions_bounded_by_live_set(spark, tmp_path):
+    """40 backlog commits compacted to 2 files: the seed plans 2
+    partitions (the LIVE set), never one per historical file — the
+    100 TB admission property."""
+    t = LakehouseTable(spark, str(tmp_path / "bounded"))
+    for i in range(40):
+        t.append(
+            spark.range(i, i + 1).select(F.col("id").alias("k")).coalesce(1)
+        )
+    t.compact(target_partitions=2)
+    r = LakehouseCDFStreamReader({"path": str(t.path)}, None)
+    start = r.initialOffset()  # no mode: earliest
+    assert start == {"version": -1}
+    rs = LakehouseCDFStreamReader(
+        {"path": str(t.path), "startingMode": "snapshot"}, None
+    )
+    s0 = rs.initialOffset()
+    assert s0 == {"version": -1, "mode": "snapshot"}
+    parts = rs.partitions(s0, rs.latestOffset())
+    assert len(parts) == 2
+    assert all(p.kind == "snap" for p in parts)
+    assert all(p.positions is None for p in parts)  # nothing driver-side
+    # the compacting restate is the provenance version (as in Delta,
+    # the logical insert version is unrecoverable post-compaction)
+    assert {p.version for p in parts} == {t.latest_version()}
+
+
+def test_snapshot_seed_then_tail_across_restart(spark, tmp_path):
+    """AvailableNow drain, then appends, then a SECOND drain from the
+    same checkpoint: only the tail replays (exactly-once), labeled
+    with its own commit versions."""
+    t = LakehouseTable(spark, str(tmp_path / "tail"))
+    for i in range(3):
+        t.append(spark.range(i * 10, i * 10 + 5).select(F.col("id").alias("k")))
+    t.delete_where_dv("k = 11")
+    register(spark)
+    ck = tempfile.mkdtemp(prefix="snapseed_ck_")
+    out = str(tmp_path / "out")
+
+    def drain():
+        q = (
+            spark.readStream.format("lakehouse_cdf")
+            .option("path", str(t.path))
+            .option("startingMode", "snapshot")
+            .load()
+            .writeStream.format("parquet")
+            .option("path", out)
+            .option("checkpointLocation", ck)
+            .trigger(availableNow=True)
+            .start()
+        )
+        q.awaitTermination()
+        return spark.read.parquet(out).collect()
+
+    try:
+        seed = drain()
+        assert sorted(r["k"] for r in seed) == sorted(
+            (set(range(5)) | set(range(10, 15)) | set(range(20, 25))) - {11}
+        )
+        assert 11 not in {r["k"] for r in seed}  # DV applied in the seed
+        t.append(spark.range(200, 203).select(F.col("id").alias("k")))
+        t.delete_where_dv("k = 200")
+        all2 = drain()
+        tail = [r for r in all2 if r["_commit_version"] > 3]
+        assert len(all2) == len(seed) + len(tail)  # no seed re-replay
+        assert sorted(
+            (r["k"], r["_change_type"]) for r in tail
+        ) == [(200, "delete"), (200, "insert"), (201, "insert"), (202, "insert")]
+    finally:
+        shutil.rmtree(ck, ignore_errors=True)
+
+
+def test_snapshot_seed_conflicts_and_empty_table(spark, tmp_path):
+    t = LakehouseTable(spark, str(tmp_path / "conflict"))
+    t.append(spark.range(2).select(F.col("id").alias("k")))
+    r = LakehouseCDFStreamReader(
+        {
+            "path": str(t.path),
+            "startingMode": "snapshot",
+            "startingVersion": "1",
+        },
+        None,
+    )
+    with pytest.raises(ValueError, match="conflicts"):
+        r.initialOffset()
+    with pytest.raises(ValueError, match="startingMode"):
+        LakehouseCDFStreamReader(
+            {"path": str(t.path), "startingMode": "bogus"}, None
+        ).initialOffset()
+    # empty table: seed plans the no-op partition, no crash
+    e = LakehouseTable(spark, str(tmp_path / "empty"))
+    re_ = LakehouseCDFStreamReader(
+        {"path": str(e.path), "startingMode": "snapshot"}, None
+    )
+    parts = re_.partitions(re_.initialOffset(), re_.latestOffset())
+    assert len(parts) == 1 and parts[0].file == ""
+
+
+def test_snapshot_seed_logical_names(spark, tmp_path):
+    """Seed on a renamed+dropped table under logicalNames=true matches
+    the native logical surface (no dead-physical resurrection)."""
+    t = LakehouseTable(spark, str(tmp_path / "seedlogical"))
+    t.append(
+        spark.range(3).select(
+            F.col("id").alias("k"), (F.col("id") * 111).alias("v")
+        )
+    )
+    t.rename_column("v", "w")
+    t.drop_column("w")
+    t.append(
+        spark.range(3, 5).select(
+            F.col("id").alias("k"), (F.col("id") * 7).alias("w")
+        )
+    )
+    got = _drain_memory(
+        spark,
+        str(t.path),
+        "snapseed_logical",
+        startingMode="snapshot",
+        logicalNames="true",
+    )
+    rows = {r["k"]: r["w"] for r in got.collect()}
+    native = {r["k"]: r["w"] for r in t.read_changes_cdf(-1).collect()}
+    assert rows == native
+    assert rows[0] is None and rows[3] == 21

@@ -109,3 +109,26 @@ def test_spec_evolution_stays_incremental(spark, tmp_path):
     assert len(md["partition-specs"]) == 2
     got = read_iceberg(spark, str(t.path))
     assert got.count() == 12
+
+
+def test_damaged_resume_state_degrades_to_full_rewrite(spark, tmp_path):
+    """Resume reconstruction reads the exported manifest-list by its
+    stored ABSOLUTE path; if that file is gone (table copied/moved,
+    metadata dir partially damaged), export must degrade to the
+    full-rewrite path — same as a fingerprint mismatch — not crash."""
+    t = _t(spark, tmp_path, "damaged")
+    meta_dir = export_iceberg_metadata(spark, t)
+    # simulate damage: delete the head snapshot's manifest-list file
+    md = json.loads((meta_dir / "v1.metadata.json").read_text())
+    head = max(md["snapshots"], key=lambda s: s["snapshot-id"])
+    Path(head["manifest-list"]).unlink()
+    t.append(
+        spark.range(6, 9).select(
+            F.col("id").alias("k"), (F.col("id") * 2.0).alias("v")
+        )
+    )
+    export_iceberg_metadata(spark, t)  # must not raise
+    got = read_iceberg(spark, str(t.path))
+    assert sorted(r["k"] for r in got.collect()) == list(range(9))
+    # time travel over the rewritten export still works
+    assert read_iceberg(spark, str(t.path), _snapshot_id(1)).count() == 6

@@ -1,0 +1,128 @@
+"""Round-8 fixes, each an ADVICE item pinned as a test:
+
+1. (high) the bounded CDF initial load ``read_changes_cdf(-1,
+   upto_version=V)`` must resolve deletion vectors AS OF V, not the
+   current head — a DV committed after V must not filter the load
+   (over-delete), and a restate after V must not drop a DV that WAS
+   live at V (resurrection);
+2. (medium) the single-scan initial load's broadcast (file → version)
+   map must join against absolutized keys, so a table opened via a
+   RELATIVE path still loads (it used to silently return zero rows).
+"""
+from __future__ import annotations
+
+import os
+
+from pyspark.sql import functions as F
+
+from lakehouse_test_spark.plans.lakehouse import LakehouseTable
+
+
+def test_bounded_cdf_initial_load_ignores_dv_after_bound(spark, tmp_path):
+    """A DV committed AFTER upto_version must not filter rows out of
+    the bounded initial load: the contract is load == time-traveled
+    snapshot at the bound."""
+    t = LakehouseTable(spark, str(tmp_path / "dvafter"))
+    t.append(spark.range(6).select(F.col("id").alias("k")))  # v0
+    t.append(spark.range(6, 9).select(F.col("id").alias("k")))  # v1
+    t.delete_where_dv("k >= 7")  # v2 — after the bound
+    init = t.read_changes_cdf(-1, upto_version=1)
+    assert sorted(r["k"] for r in init.collect()) == list(range(9))
+    # parity with the time-traveled snapshot
+    snap = t.snapshot(version=1)
+    assert sorted(r["k"] for r in snap.collect()) == list(range(9))
+    # head load still sees the DV
+    head = t.read_changes_cdf(-1)
+    assert sorted(r["k"] for r in head.collect()) == list(range(7))
+
+
+def test_bounded_cdf_initial_load_keeps_dv_live_at_bound(spark, tmp_path):
+    """DV-then-restate: a restate AFTER the bound resets the live
+    commit chain (head has no DV), but the bounded load must still
+    apply the DV that was live at the bound — deleted rows must not
+    resurrect."""
+    t = LakehouseTable(spark, str(tmp_path / "dvrestate"))
+    t.append(spark.range(6).select(F.col("id").alias("k")))  # v0
+    t.delete_where_dv("k >= 4")  # v1: DV live at the bound
+    t.delete_where("k = 0")  # v2: full restate — clears DVs at head
+    init = t.read_changes_cdf(-1, upto_version=1)
+    assert sorted(r["k"] for r in init.collect()) == [0, 1, 2, 3]
+    snap = t.snapshot(version=1)
+    assert sorted(r["k"] for r in snap.collect()) == [0, 1, 2, 3]
+    # head is the restated surface
+    assert sorted(r["k"] for r in t.read_changes_cdf(-1).collect()) == [
+        1,
+        2,
+        3,
+    ]
+
+
+def test_cdf_initial_load_from_relative_path(spark, tmp_path, monkeypatch):
+    """A table opened via a RELATIVE path must produce a non-empty
+    initial load: the broadcast map keys are absolutized so they match
+    _metadata.file_path's fully-qualified URIs."""
+    t0 = LakehouseTable(spark, str(tmp_path / "relcdf"))
+    t0.append(spark.range(5).select(F.col("id").alias("k")))
+    t0.delete_where_dv("k = 4")
+    rel = os.path.relpath(str(tmp_path / "relcdf"), os.getcwd())
+    t = LakehouseTable(spark, rel)
+    init = t.read_changes_cdf(-1)
+    rows = init.collect()
+    assert sorted(r["k"] for r in rows) == [0, 1, 2, 3]
+    assert {r["_change_type"] for r in rows} == {"insert"}
+    assert {r["_commit_version"] for r in rows} == {0}
+
+
+def test_legacy_txn_compat_folds_operation_labels(spark, tmp_path):
+    """Opt-in migration shim: a pre-r7 table (markers encoded in
+    operation labels, no txn field) surfaces its high-waters under
+    legacy_txn_compat=True; one checkpoint folds them durably so the
+    flag can then be dropped. Default stays label-blind (the misread
+    is data loss, pinned in test_stream_batch_high_water)."""
+    from lakehouse_test_spark.plans.lakehouse import LakehouseTable
+
+    from pyspark.sql import functions as F
+
+    p = str(tmp_path / "legacytxn")
+    t = LakehouseTable(spark, p)
+    df = spark.range(2).select(F.col("id").alias("v"))
+    t.append(df, operation="job-b0")  # legacy-style: no txn field
+    t.append(df, operation="job-b3")
+    assert t._stream_batch_high("job") == -1  # default: invisible
+    tc = LakehouseTable(spark, p, legacy_txn_compat=True)
+    assert tc._stream_batch_high("job") == 3
+    tc.checkpoint()  # folds legacy markers into the pointer txn map
+    t2 = LakehouseTable(spark, p)  # flag dropped
+    assert t2._stream_batch_high("job") == 3
+
+
+def test_sql_dml_fails_loudly_on_lakehouse_views(spark, tmp_path):
+    """DML is engine-API-only (the Spark 4 Python DataSource exposes
+    no DML hook): MERGE/UPDATE/DELETE against a registered lakehouse
+    view must fail LOUDLY in analysis — never silently no-op. The
+    supported route is LakehouseTable.merge / delete_where[_dv]
+    (USAGE.md Round 8)."""
+    import pytest
+    from pyspark.sql import functions as F
+
+    from lakehouse_test_spark.sources.lakehouse_datasource import (
+        register_table,
+    )
+
+    t = LakehouseTable(spark, str(tmp_path / "dml"))
+    t.append(spark.range(3).select(F.col("id").alias("k")))
+    register_table(spark, str(tmp_path / "dml"), "dml_t")
+    spark.range(2).select(F.col("id").alias("k")).createOrReplaceTempView(
+        "dml_src"
+    )
+    with pytest.raises(Exception, match="MERGE INTO|does not support"):
+        spark.sql(
+            "MERGE INTO dml_t USING dml_src ON dml_t.k = dml_src.k "
+            "WHEN MATCHED THEN UPDATE SET k = dml_src.k"
+        )
+    with pytest.raises(Exception, match="UPDATE|does not support"):
+        spark.sql("UPDATE dml_t SET k = 0")
+    with pytest.raises(Exception, match="delete|DELETE"):
+        spark.sql("DELETE FROM dml_t WHERE k = 1")
+    # the table itself is untouched
+    assert t.snapshot().count() == 3
