@@ -409,7 +409,10 @@ def _ice_of_ddl(ddl: str) -> str:
     raise ValueError(f"no Iceberg mapping for DDL {ddl}")
 
 
-def _schema_history(table, commits, ice_schema: dict):
+def _schema_history(
+    table, commits, ice_schema: dict, head: int | None = None,
+    seed: dict | None = None,
+):
     """Per-snapshot SCHEMA LINEAGE (spec §Table Metadata: ``schemas``
     list + per-snapshot ``schema-id``): fold each commit's recorded
     physical schema (footer fallback for legacy logs) into the
@@ -417,7 +420,24 @@ def _schema_history(table, commits, ice_schema: dict):
     their stamped version (an old snapshot shows the name it had
     THEN), declared widenings likewise, and field-ids are stable per
     PHYSICAL column so identity survives both. Returns
-    ``(schemas, schema_id_of_version, last_column_id)``.
+    ``(schemas, schema_id_of_version, last_column_id, fold_state)`` —
+    ``fold_state`` is the JSON-serializable carry-forward the
+    incremental exporter persists (``lakehouse.export-schema-state``)
+    so the NEXT call folds only tail commits.
+
+    ``seed`` resumes the fold O(tail): it carries the previous
+    export's ``fields_phys``/``id_of_phys`` (from the persisted
+    property) plus ``schemas``/``sid_of_version`` (reconstructed from
+    the exported metadata — snapshots already record ``schema-id``).
+    Valid only under a matching export fingerprint (no retroactive
+    rename/drop/widen since). Field-id consistency with the CURRENT
+    ``ice_schema`` is verified — a mismatch (e.g. a historical extra
+    physical shifted the id sequence) raises ValueError and the
+    caller degrades to the full-rewrite path.
+
+    ``head`` is the NATIVE head version (defaults to the last folded
+    commit — pass it explicitly on resume, where ``commits`` is only
+    the tail and may even be empty on a tag-only re-export).
 
     Contract notes: DROP COLUMN stays retroactive (dropped physicals
     are excluded from EVERY schema, matching the native reads and the
@@ -427,7 +447,8 @@ def _schema_history(table, commits, ice_schema: dict):
     from lakehouse_test_spark.plans.lakehouse import LakehouseTable as _LT
 
     meta = table._read_meta()
-    head = commits[-1].version
+    if head is None:
+        head = commits[-1].version
     renames = meta.get("column_renames", [])
     stamps = list(meta.get("rename_versions") or [])
     stamps += [-1] * (len(renames) - len(stamps))
@@ -438,10 +459,28 @@ def _schema_history(table, commits, ice_schema: dict):
     # stable field-id per PHYSICAL column (current assignment first —
     # manifests/bounds key on these ids)
     phys_map = table._physical_of_logical()
-    id_of_phys = {
-        phys_map.get(f["name"], f["name"]): f["id"]
-        for f in ice_schema["fields"]
-    }
+    if seed is not None:
+        id_of_phys = {k: int(v) for k, v in seed["id_of_phys"].items()}
+        # the exported name mapping keys on ice_schema's ids, so a
+        # resumed fold must agree with them exactly
+        for f in ice_schema["fields"]:
+            phys = phys_map.get(f["name"], f["name"])
+            prev_id = id_of_phys.get(phys)
+            if prev_id is None:
+                if f["id"] in id_of_phys.values():
+                    raise ValueError(
+                        f"resume id collision for new column {phys!r}"
+                    )
+                id_of_phys[phys] = f["id"]
+            elif prev_id != f["id"]:
+                raise ValueError(
+                    f"resume id drift for {phys!r}: {prev_id} vs {f['id']}"
+                )
+    else:
+        id_of_phys = {
+            phys_map.get(f["name"], f["name"]): f["id"]
+            for f in ice_schema["fields"]
+        }
     next_id = max(id_of_phys.values(), default=0) + 1
 
     # an ALTER stamped at (or clamped to) the head applies to the head
@@ -461,10 +500,21 @@ def _schema_history(table, commits, ice_schema: dict):
             m.setdefault(old, new)
         return m
 
-    fields_phys: dict[str, str] = {}  # folded physical ddl, first-seen order
-    schemas: list[dict] = []
-    sid_of_key: dict[tuple, int] = {}
-    sid_of_version: dict[int, int] = {}
+    if seed is not None:
+        fields_phys = dict(seed["fields_phys"])
+        schemas = [dict(s) for s in seed["schemas"]]
+        sid_of_version = {int(k): int(v) for k, v in seed["sid_of_version"].items()}
+        sid_of_key = {
+            tuple((f["id"], f["name"], f["type"]) for f in s["fields"]): s[
+                "schema-id"
+            ]
+            for s in schemas
+        }
+    else:
+        fields_phys = {}  # folded physical ddl, first-seen order
+        schemas: list[dict] = []
+        sid_of_key: dict[tuple, int] = {}
+        sid_of_version: dict[int, int] = {}
     for c in commits:
         sch = c.schema
         if sch is None and c.files:
@@ -511,7 +561,33 @@ def _schema_history(table, commits, ice_schema: dict):
             sid = sid_of_key[key] = len(schemas)
             schemas.append({"type": "struct", "schema-id": sid, "fields": flds})
         sid_of_version[c.version] = sid
-    return schemas, sid_of_version, next_id - 1
+    # persisted carry-forward: ONLY what the exported metadata cannot
+    # reconstruct (schemas ride in metadata.json, sid_of_version in
+    # snapshots[*].schema-id) — O(columns), not O(commits)
+    fold_state = {"fields_phys": fields_phys, "id_of_phys": id_of_phys}
+    return schemas, sid_of_version, next_id - 1, fold_state
+
+
+def _head_schema(table):
+    """Spark StructType of the head snapshot WITHOUT touching data
+    files: fold the live commits' RECORDED schemas (drops excluded,
+    widenings applied — the same fold write enforcement trusts),
+    renames applied on an empty frame. ``snapshot().schema`` paid one
+    mergeSchema footer read per LIVE file per export call — the
+    dominant cost of an incremental export on an append-heavy table
+    (profiled: 1.85 s of a 2.0 s call at 300 one-file commits).
+    Fallback to the snapshot plan only for legacy logs whose commits
+    predate schema recording (opaque nested vintages included)."""
+    try:
+        u = table._unified_live_schema()
+        if u and not any(str(t).startswith("__opaque__") for t in u.values()):
+            ddl = ", ".join(f"`{n}` {t}" for n, t in u.items())
+            return table._apply_renames(
+                table.spark.createDataFrame([], ddl)
+            ).schema
+    except (ValueError, OSError):
+        pass
+    return table.snapshot().schema
 
 
 def _snapshot_id(version: int) -> int:
@@ -743,7 +819,7 @@ def export_iceberg_metadata(
 
     now_ms = int(time.time() * 1000)
     tbl_uuid = str(uuid.uuid5(uuid.NAMESPACE_URL, str(table.path)))
-    ice_schema = _iceberg_schema(table.snapshot().schema)
+    ice_schema = _iceberg_schema(_head_schema(table))
 
     # ---- partition specs: native spec history → Iceberg spec list.
     # Export spec-id 0 is always the unpartitioned spec (files written
@@ -923,26 +999,20 @@ def export_iceberg_metadata(
             },
         }
 
-    history = table.history()
-    # per-snapshot schema lineage (spec: ``schemas`` + snapshot
-    # ``schema-id``); unreconstructible histories (legacy logs with
-    # unmappable footer types) fall back to current-schema-only.
-    # ALWAYS over the full history (deterministic, append-only given a
-    # matching fingerprint — old snapshots keep their schema-ids);
-    # this is cheap JSON, the expensive manifest/footer work below is
-    # what the incremental path skips.
-    try:
-        schemas_hist, sid_of_version, last_col_id = _schema_history(
-            table, history, ice_schema
-        )
-    except (ValueError, OSError):
-        schemas_hist, sid_of_version, last_col_id = (
-            [ice_schema],
-            {},
-            len(ice_schema["fields"]),
-        )
+    # O(tail) on resume: only commits past the exported head are read
+    # at all — a per-micro-batch exporter on a 10⁴-commit table must
+    # never re-parse its whole log per call (the schema lineage is
+    # likewise resumed below from the exported metadata + the
+    # persisted fold state, not re-folded from v0).
+    native_head = table.latest_version()
+    history = (
+        table.history()
+        if resume_md is None
+        else table._commits_between(resume_head, None)
+    )
     last_seq = 0
     live_entries: dict[str, tuple[int, dict]] = {}  # file → (spec-id, entry)
+    pending_hydration: list[dict] = []  # resumed manifests, entries unread
 
     def _entry_key(file_path: str) -> str:
         # live_entries keys are what commit.files/removed_files carry:
@@ -978,16 +1048,12 @@ def export_iceberg_metadata(
             live_delete_manifests = [
                 m for m in mlist if m.get("content") == CONTENT_DELETES
             ]
-            for m in live_data_manifests:
-                _, _, es = read_ocf(Path(m["manifest_path"]))
-                for e in es:
-                    if e["status"] == ST_DELETED:
-                        continue
-                    live_entries[_entry_key(e["data_file"]["file_path"])] = (
-                        m.get("partition_spec_id", 0),
-                        e,
-                    )
-            history = [c for c in history if c.version > resume_head]
+            # entry hydration is LAZY (see _ensure_entries): reading
+            # every live manifest's entries back is O(live manifests)
+            # per call, and only a partial rewrite (compact_files) in
+            # the tail actually needs them — an append-only
+            # per-micro-batch export must stay O(tail)
+            pending_hydration = list(live_data_manifests)
         except (OSError, KeyError, ValueError):
             # full rewrite: reset every carry-forward variable and
             # clear the stale export (nothing has been written yet —
@@ -996,10 +1062,89 @@ def export_iceberg_metadata(
             snapshots, snapshot_log = [], []
             live_data_manifests, live_delete_manifests = [], []
             parent_id, last_seq, live_entries = None, 0, {}
+            pending_hydration = []
+            history = table.history()
             import shutil
 
             shutil.rmtree(meta_dir, ignore_errors=True)
             meta_dir.mkdir(parents=True, exist_ok=True)
+
+    # ---- per-snapshot schema lineage (spec: ``schemas`` + snapshot
+    # ``schema-id``). On resume the fold CONTINUES from the exported
+    # metadata + the persisted fold state (O(tail) — the r7 exporter
+    # re-folded the full log's JSON every call); a missing state
+    # property (pre-r8 export) pays one full fold and persists it; an
+    # id-consistency failure degrades to full-history. Legacy logs
+    # with unmappable footer types fall back to current-schema-only.
+    seed = None
+    if resume_md is not None:
+        try:
+            raw = resume_md.get("properties", {}).get(
+                "lakehouse.export-schema-state"
+            )
+            if raw:
+                st = json.loads(raw)
+                seed = {
+                    "fields_phys": st["fields_phys"],
+                    "id_of_phys": st["id_of_phys"],
+                    "schemas": resume_md["schemas"],
+                    "sid_of_version": {
+                        s["snapshot-id"] - 1000: s.get("schema-id", 0)
+                        for s in resume_md["snapshots"]
+                    },
+                }
+        except (KeyError, ValueError, json.JSONDecodeError):
+            seed = None
+    fold_state = None
+    if seed is not None:
+        try:
+            schemas_hist, sid_of_version, last_col_id, fold_state = (
+                _schema_history(
+                    table, history, ice_schema, head=native_head, seed=seed
+                )
+            )
+        except (ValueError, OSError):
+            # id drift: the resumed manifests embed the OLD field ids,
+            # so the whole resume is stale — degrade to full rewrite
+            seed = None
+            resume_md, resume_head = None, -1
+            snapshots, snapshot_log = [], []
+            live_data_manifests, live_delete_manifests = [], []
+            parent_id, last_seq, live_entries = None, 0, {}
+            pending_hydration = []
+            import shutil
+
+            shutil.rmtree(meta_dir, ignore_errors=True)
+            meta_dir.mkdir(parents=True, exist_ok=True)
+            history = table.history()
+    if seed is None:
+        try:
+            full = history if resume_md is None else table.history()
+            schemas_hist, sid_of_version, last_col_id, fold_state = (
+                _schema_history(table, full, ice_schema, head=native_head)
+            )
+        except (ValueError, OSError):
+            schemas_hist, sid_of_version, last_col_id = (
+                [ice_schema],
+                {},
+                len(ice_schema["fields"]),
+            )
+
+    def _ensure_entries() -> None:
+        """Hydrate live_entries from the RESUMED manifests on first
+        need (a partial rewrite re-lists survivors). In-call entries
+        (tail appends) win on key collision — they are newer."""
+        nonlocal pending_hydration
+        for m in pending_hydration:
+            _, _, es = read_ocf(Path(m["manifest_path"]))
+            for e in es:
+                if e["status"] == ST_DELETED:
+                    continue
+                live_entries.setdefault(
+                    _entry_key(e["data_file"]["file_path"]),
+                    (m.get("partition_spec_id", 0), e),
+                )
+        pending_hydration = []
 
     def _manifests_by_spec(
         tagged: list[tuple[int, dict]], seq: int, snap_id: int
@@ -1024,11 +1169,13 @@ def export_iceberg_metadata(
             live_data_manifests = []
             live_delete_manifests = []
             live_entries = {}
+            pending_hydration = []  # superseded wholesale
             operation = "replace" if not commit.data_change else "overwrite"
         elif commit.removed_files:
             # partial rewrite (compact_files): Iceberg's RewriteManifests
             # shape — fresh manifests re-list the SURVIVING prior
             # entries, replaced files simply stop being referenced
+            _ensure_entries()
             operation = "replace"
             for f in commit.removed_files:
                 live_entries.pop(f, None)
@@ -1175,6 +1322,16 @@ def export_iceberg_metadata(
         "properties": {
             # incremental-export handshake (see _ice_export_fingerprint)
             "lakehouse.export-fingerprint": fingerprint,
+            # schema-fold carry-forward (O(columns)): lets the NEXT
+            # incremental call resume the schema lineage from the
+            # exported metadata instead of re-folding the full log —
+            # absent on the current-schema-only legacy fallback, whose
+            # lineage is not resumable
+            **(
+                {"lakehouse.export-schema-state": json.dumps(fold_state)}
+                if fold_state is not None
+                else {}
+            ),
             "schema.name-mapping.default": json.dumps(name_mapping),
             # dropped columns' physical names (stale data retained in
             # files, invisible to readers): our files carry no

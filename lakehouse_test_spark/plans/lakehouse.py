@@ -329,17 +329,40 @@ class LakehouseTable:
             t = txn_marker(c, self.legacy_txn_compat)
             if t:
                 txn[t[0]] = max(txn.get(t[0], -1), t[1])
-        # bloom descriptors ride in a SIDE-CAR, not the checkpoint
+        # bloom descriptors ride in SIDE-CAR files, not the checkpoint
         # body: a bitset per (file, column) would dominate the
         # checkpoint at 10⁶ files, and every snapshot PLAN would pay
         # to parse bytes only point-lookups ever read. The main
         # checkpoint keeps zone maps inline (planning uses them);
-        # bloom probes hydrate the side-car lazily (_ckpt_blooms).
-        prev_blooms = self._ckpt_blooms()
-        blooms: dict[str, dict] = {}
+        # bloom probes hydrate the side-cars lazily (_ckpt_blooms).
+        # SHARDED PER COMMIT (round 8): one immutable
+        # ``b<version>.blooms.json`` per bloom-bearing commit,
+        # referenced by a manifest in the checkpoint body — a
+        # checkpoint WRITES only commits whose shard doesn't exist
+        # yet (the new tail), so side-car write cost follows NEW
+        # files, never table size (the r7 monolithic blob was a
+        # multi-GB rewrite every 10 commits at 10⁶ files).
+        prev_ck = prev or {}
+        prev_manifest = (
+            dict(prev_ck["blooms"])
+            if isinstance(prev_ck.get("blooms"), dict)
+            else {}
+        )
+        # legacy monolithic side-car (pre-shard checkpoints): load it
+        # once to migrate stripped commits' blooms into shards
+        legacy_blob = (
+            self._ckpt_blooms()
+            if isinstance(prev_ck.get("blooms"), str)
+            else {}
+        )
+        manifest: dict[str, str] = {}
+        shards_to_write: dict[str, dict] = {}
         live_dicts: list[dict] = []
+        self._ckpt_dir().mkdir(parents=True, exist_ok=True)
         for c in self._live_commits(v):
             d = dict(c.__dict__)
+            cv = str(d["version"])
+            shard: dict[str, dict] = {}
             if d.get("stats"):
                 lean: dict[str, dict] = {}
                 for f, st in d["stats"].items():
@@ -349,7 +372,7 @@ class LakehouseTable:
                         if k.startswith("__bloom__:")
                     }
                     if bl:
-                        blooms.setdefault(f, {}).update(bl)
+                        shard.setdefault(f, {}).update(bl)
                         st = {
                             k: val
                             for k, val in st.items()
@@ -357,26 +380,36 @@ class LakehouseTable:
                         }
                     lean[f] = st
                 d["stats"] = lean
-            # carry forward the previous side-car's blooms for files
-            # still live (their commits were already stripped); inline
-            # (tail) descriptors win on key collisions
-            for f in d.get("files") or []:
-                for k, val in (prev_blooms.get(f) or {}).items():
-                    blooms.setdefault(f, {}).setdefault(k, val)
+            if legacy_blob:
+                # one-time migration: a commit stripped by a PRE-SHARD
+                # checkpoint finds its blooms in the monolithic blob
+                for f in d.get("files") or []:
+                    for k, val in (legacy_blob.get(f) or {}).items():
+                        shard.setdefault(f, {}).setdefault(k, val)
             live_dicts.append(d)
+            if cv in prev_manifest:
+                # already sharded by a previous checkpoint: reference
+                # the immutable file, zero bytes rewritten
+                manifest[cv] = prev_manifest[cv]
+                continue
+            if shard:
+                name = f"b{d['version']:020d}.blooms.json"
+                manifest[cv] = name
+                if not (self._ckpt_dir() / name).exists():
+                    shards_to_write[name] = shard
         state = {
             "version": v,
             "live_commits": live_dicts,
             "txn": txn,
         }
-        self._ckpt_dir().mkdir(parents=True, exist_ok=True)
-        if blooms:
-            state["blooms"] = f"{v}.blooms.json"
+        if manifest:
+            state["blooms"] = manifest
+        for name, shard in shards_to_write.items():
             tmpb = self._ckpt_dir() / f".tmpb-{uuid.uuid4().hex}"
-            tmpb.write_text(json.dumps(blooms))
-            # side-car lands BEFORE the checkpoint that names it (a
+            tmpb.write_text(json.dumps(shard))
+            # shards land BEFORE the checkpoint that names them (a
             # crash between the two leaves the older pointer valid)
-            os.replace(tmpb, self._ckpt_dir() / state["blooms"])
+            os.replace(tmpb, self._ckpt_dir() / name)
         tmp = self._ckpt_dir() / f".tmp-{uuid.uuid4().hex}"
         tmp.write_text(json.dumps(state))
         os.replace(tmp, self._ckpt_dir() / f"{v}.json")
@@ -389,8 +422,12 @@ class LakehouseTable:
         # retention: only the pointer's checkpoint is ever read (time
         # travel below it takes the full-history path), so superseded
         # checkpoint bodies + bloom side-cars are garbage — keep the
-        # newest TWO versions (one spare for a reader racing the
-        # pointer advance; a vanished file degrades to full parse)
+        # newest TWO body versions (one spare for a reader racing the
+        # pointer advance; a vanished file degrades to full parse) and
+        # every bloom shard those two bodies reference (shards are
+        # immutable and shared across checkpoints — a shard becomes
+        # garbage only when no retained body references it, i.e. its
+        # commit left the live set).
         try:
             vs = sorted(
                 {
@@ -405,17 +442,39 @@ class LakehouseTable:
                     (self._ckpt_dir() / f"{old_v}{suffix}").unlink(
                         missing_ok=True
                     )
+            referenced: set[str] = set()
+            for keep_v in vs[:2]:
+                try:
+                    body = json.loads(
+                        (self._ckpt_dir() / f"{keep_v}.json").read_text()
+                    )
+                except (OSError, json.JSONDecodeError):
+                    continue
+                bl = body.get("blooms")
+                if isinstance(bl, dict):
+                    referenced.update(bl.values())
+                elif isinstance(bl, str):
+                    referenced.add(bl)
+            for p in self._ckpt_dir().iterdir():
+                if (
+                    p.name.startswith("b")
+                    and p.name.endswith(".blooms.json")
+                    and p.name not in referenced
+                ):
+                    p.unlink(missing_ok=True)
         except OSError:
             pass  # retention is an optimization, never a gate
         return state
 
     def _ckpt_blooms(self) -> dict:
         """File → {``__bloom__:col``: descriptor} from the current
-        checkpoint's side-car — loaded lazily (and cached per
+        checkpoint's side-car shards — loaded lazily (and cached per
         checkpoint version) by bloom membership probes only; snapshot
         planning never parses bitsets. Tail commits (after the
         checkpoint) keep their blooms inline, so callers overlay
-        commit stats on top of this map."""
+        commit stats on top of this map. Handles both formats: the
+        round-8 per-commit shard manifest (dict) and the legacy
+        monolithic blob (str)."""
         ck = self._read_checkpoint()
         if not ck or not ck.get("blooms"):
             return {}
@@ -423,8 +482,21 @@ class LakehouseTable:
         cached = getattr(self, "_bloom_sidecar_cache", None)
         if cached is not None and cached[0] == v:
             return cached[1]
+        bl = ck["blooms"]
+        d: dict = {}
         try:
-            d = json.loads((self._ckpt_dir() / ck["blooms"]).read_text())
+            if isinstance(bl, dict):
+                for name in bl.values():
+                    try:
+                        d.update(
+                            json.loads(
+                                (self._ckpt_dir() / name).read_text()
+                            )
+                        )
+                    except (OSError, json.JSONDecodeError):
+                        pass  # vanished shard: probes keep those files
+            else:
+                d = json.loads((self._ckpt_dir() / bl).read_text())
         except (OSError, json.JSONDecodeError):
             d = {}
         self._bloom_sidecar_cache = (v, d)
@@ -1772,7 +1844,7 @@ class LakehouseTable:
         the residual predicate still applies row-level.
         """
         all_files: list[str] = []
-        kept: list[str] = []
+        kept: list[tuple[Commit, str]] = []
         keys = self._stat_keys(col)  # logical name + rename-chain vintages
         for c, f in self._live_files():
             all_files.append(f)
@@ -1786,7 +1858,7 @@ class LakehouseTable:
                 or st[1] is None
                 or not (hi < st[0] or lo > st[1])
             ):
-                kept.append(f)
+                kept.append((c, f))
         if not kept:
             return self.snapshot().limit(0), 0, len(all_files)
         # mergeSchema + renames: pre-rename files carry the old
@@ -1797,7 +1869,8 @@ class LakehouseTable:
         df = self._apply_renames(
             self._apply_dvs(
                 self._read_data(
-                    *[str(self.path / f) for f in kept]
+                    *[str(self.path / f) for _c, f in kept],
+                    unified=lambda: self._unified_schema_for(kept),
                 )
             )
         ).where((F_col(col) >= lo) & (F_col(col) <= hi))
@@ -1815,7 +1888,7 @@ class LakehouseTable:
         with missing stats on any axis are kept (skipping is safe).
         Returns (df, files_scanned, files_total)."""
         all_files: list[str] = []
-        kept: list[str] = []
+        kept: list[tuple[Commit, str]] = []
         keys = {c: self._stat_keys(c) for c in preds}
         for c, f in self._live_files():
             all_files.append(f)
@@ -1829,13 +1902,14 @@ class LakehouseTable:
                     keep = False
                     break
             if keep:
-                kept.append(f)
+                kept.append((c, f))
         if not kept:
             return self.snapshot().limit(0), 0, len(all_files)
         df = self._apply_renames(
             self._apply_dvs(
                 self._read_data(
-                    *[str(self.path / f) for f in kept]
+                    *[str(self.path / f) for _c, f in kept],
+                    unified=lambda: self._unified_schema_for(kept),
                 )
             )
         )
@@ -2642,6 +2716,37 @@ class LakehouseTable:
 
         return self._fold_schemas(_sources(), dropped, wid, opaque_ok=True)
 
+    def _unified_schema_for(
+        self, pairs: list[tuple["Commit", str]]
+    ) -> dict[str, str]:
+        """Unified PHYSICAL schema covering exactly these (owning
+        commit, file) pairs — the SUBSET-reader twin of
+        :meth:`_unified_live_schema`: each kept file's owning commit
+        already sits in the pruning loop's hand, so its RECORDED
+        schema covers the file with zero footer GETs (on object
+        storage a point lookup keeping 50 files used to pay 50 footer
+        reads it didn't need). Footer fallback only for legacy
+        commits that predate schema recording."""
+        meta = self._read_meta()
+        dropped = {d["physical"] for d in meta.get("dropped_columns", [])}
+        wid = meta.get("widenings") or {}
+
+        def _sources():
+            legacy: list[str] = []
+            seen: set[int] = set()
+            for c, f in pairs:
+                if c.schema is not None:
+                    if c.version not in seen:
+                        seen.add(c.version)
+                        yield f"commit v{c.version}", c.schema
+                else:
+                    legacy.append(
+                        f if f.startswith("/") else str(self.path / f)
+                    )
+            yield from self._footer_schema_sources(legacy, opaque_ok=True)
+
+        return self._fold_schemas(_sources(), dropped, wid, opaque_ok=True)
+
     def _check_append_types(self, incoming: dict[str, str]) -> dict[str, str]:
         """Write-time schema ENFORCEMENT (the Delta write-path
         contract): an appended frame may ADD columns (additive
@@ -2739,12 +2844,14 @@ class LakehouseTable:
 
         ``unified``: a pre-folded {col: ddl} (or a thunk returning
         one, evaluated only on the evolved path) covering exactly
-        these files (FULL-set readers pass ``_unified_live_schema``
-        — O(live commits) log JSON instead of O(live files) footer
-        reads). Subset readers (scan_pruned/scan_point) omit it and
-        pay a footer read per KEPT file — bounded by the pruning
-        itself. An opaque-folded entry (legacy nested vintage) is not
-        expressible as read DDL, so those fall back to footers too."""
+        these files (FULL-set readers pass ``_unified_live_schema``;
+        SUBSET readers — scan_pruned/scan_point/scan_pruned_box/
+        scan_pruned_hidden — pass ``_unified_schema_for`` over their
+        kept (commit, file) pairs: the owning commits' recorded
+        schemas cover the kept set with zero footer GETs). Footer
+        reads remain only for legacy commits lacking recorded schemas
+        and for opaque-folded entries (legacy nested vintages) not
+        expressible as read DDL."""
         meta = self._read_meta()
         dropped = {d["physical"] for d in meta.get("dropped_columns", [])}
         wid = meta.get("widenings") or {}
@@ -2932,7 +3039,7 @@ class LakehouseTable:
         column themselves; correctness never depends on the pruning.
         Returns (df, files_scanned, files_total)."""
         all_files: list[str] = []
-        kept: list[str] = []
+        kept: list[tuple[Commit, str]] = []
         for c, f in self._live_files():
             all_files.append(f)
             st = (c.stats or {}).get(f, {}).get(item)
@@ -2944,12 +3051,13 @@ class LakehouseTable:
                 or st[1] is None
                 or not (hi < st[0] or lo > st[1])
             ):
-                kept.append(f)
+                kept.append((c, f))
         if not kept:
             return self.snapshot().limit(0), 0, len(all_files)
         df = self._apply_dvs(
             self._read_data(
-                *[str(self.path / f) for f in kept]
+                *[str(self.path / f) for _c, f in kept],
+                unified=lambda: self._unified_schema_for(kept),
             )
         )
         return self._apply_renames(df), len(kept), len(all_files)
@@ -3346,7 +3454,7 @@ class LakehouseTable:
         import base64
 
         all_files: list[str] = []
-        kept: list[str] = []
+        kept: list[tuple[Commit, str]] = []
         # rename-chain vintages: a file written before rename_column
         # carries its bloom under the OLD physical name — probe every
         # vintage key, exactly like scan_pruned's zone-map lookup.
@@ -3362,7 +3470,7 @@ class LakehouseTable:
             fstats = {**side.get(f, {}), **(c.stats or {}).get(f, {})}
             bl = next((fstats[k] for k in keys if k in fstats), None)
             if bl is None:
-                kept.append(f)
+                kept.append((c, f))
                 continue
             bits = base64.b64decode(bl["b64"])
             hit = all(
@@ -3370,7 +3478,7 @@ class LakehouseTable:
                 for p in self._bloom_positions_py(value, bl["m"], bl["k"])
             )
             if hit:
-                kept.append(f)
+                kept.append((c, f))
         if not kept:
             return self.snapshot().limit(0), 0, len(all_files)
         # mergeSchema + renames: pre-rename files carry the old
@@ -3379,7 +3487,8 @@ class LakehouseTable:
         df = self._apply_renames(
             self._apply_dvs(
                 self._read_data(
-                    *[str(self.path / f) for f in kept]
+                    *[str(self.path / f) for _c, f in kept],
+                    unified=lambda: self._unified_schema_for(kept),
                 )
             )
         ).where(F_col(col) == value)

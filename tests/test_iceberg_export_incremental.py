@@ -132,3 +132,74 @@ def test_damaged_resume_state_degrades_to_full_rewrite(spark, tmp_path):
     assert sorted(r["k"] for r in got.collect()) == list(range(9))
     # time travel over the rewritten export still works
     assert read_iceberg(spark, str(t.path), _snapshot_id(1)).count() == 6
+
+
+def test_resumed_export_never_reads_full_history(spark, tmp_path):
+    """O(tail) resume (round 8): a clean incremental call reads only
+    commits past the exported head — table.history() (the full-log
+    parse) must never run; the schema lineage resumes from the
+    exported metadata + the persisted fold state."""
+    from unittest import mock
+
+    t = _t(spark, tmp_path, "otail")
+    for i in range(10):  # cross the v10 auto-checkpoint: snapshot
+        t.append(  # planning itself must be checkpoint-backed too
+            spark.range(10 + i, 11 + i).select(
+                F.col("id").alias("k"), (F.col("id") * 2.0).alias("v")
+            )
+        )
+    meta_dir = export_iceberg_metadata(spark, t)
+    md = json.loads((meta_dir / "v1.metadata.json").read_text())
+    assert "lakehouse.export-schema-state" in md["properties"]
+    t.append(
+        spark.range(6, 9).select(
+            F.col("id").alias("k"), (F.col("id") * 2.0).alias("v")
+        )
+    )
+    before = _avro_state(meta_dir)
+    with mock.patch.object(
+        type(t), "history", side_effect=AssertionError("full-log parse")
+    ):
+        export_iceberg_metadata(spark, t)
+    after = _avro_state(meta_dir)
+    for name, mtime in before.items():
+        assert after[name] == mtime, f"{name} was rewritten"
+    got = read_iceberg(spark, str(t.path))
+    assert sorted(r["k"] for r in got.collect()) == list(range(9)) + list(
+        range(10, 20)
+    )
+    # the schema lineage survives the resumed fold byte-for-byte
+    md2 = json.loads((meta_dir / "v1.metadata.json").read_text())
+    assert md2["schemas"] == md["schemas"]
+
+
+def test_resumed_export_schema_lineage_additive_evolution(spark, tmp_path):
+    """A NEW column added in the tail (additive evolution keeps the
+    fingerprint, so the export resumes) mints a new schema-id in the
+    resumed fold; old snapshots keep theirs; the exported lineage
+    equals a from-scratch rewrite's."""
+    import shutil as _sh
+
+    t = _t(spark, tmp_path, "lineage")
+    meta_dir = export_iceberg_metadata(spark, t)
+    t.append(
+        spark.range(6, 8).select(
+            F.col("id").alias("k"),
+            (F.col("id") * 2.0).alias("v"),
+            (F.col("id") * 10).alias("extra"),
+        )
+    )
+    export_iceberg_metadata(spark, t)  # resumed
+    md_inc = json.loads((meta_dir / "v1.metadata.json").read_text())
+    _sh.rmtree(meta_dir)
+    export_iceberg_metadata(spark, t)  # from scratch
+    md_full = json.loads((meta_dir / "v1.metadata.json").read_text())
+    assert md_inc["schemas"] == md_full["schemas"]
+    assert md_inc["current-schema-id"] == md_full["current-schema-id"]
+    assert {
+        s["snapshot-id"]: s.get("schema-id") for s in md_inc["snapshots"]
+    } == {
+        s["snapshot-id"]: s.get("schema-id") for s in md_full["snapshots"]
+    }
+    got = read_iceberg(spark, str(t.path))
+    assert got.count() == 8 and "extra" in got.columns

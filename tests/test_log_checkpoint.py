@@ -232,17 +232,31 @@ def test_checkpoint_stores_blooms_in_sidecar(spark, tmp_path):
     ck = t._read_checkpoint()
     body = (t._ckpt_dir() / f"{ck['version']}.json").read_text()
     assert "__bloom__" not in body, "bitsets must not ride in the body"
-    assert ck.get("blooms") and (t._ckpt_dir() / ck["blooms"]).exists()
-    side = _json.loads((t._ckpt_dir() / ck["blooms"]).read_text())
-    assert any("__bloom__:k" in d for d in side.values())
+    # round 8: the side-car is SHARDED per commit — the checkpoint
+    # body carries a {commit_version: shard_file} manifest of
+    # immutable b<v>.blooms.json files
+    manifest = ck.get("blooms")
+    assert isinstance(manifest, dict) and manifest
+    for name in manifest.values():
+        assert (t._ckpt_dir() / name).exists()
+        side = _json.loads((t._ckpt_dir() / name).read_text())
+        assert any("__bloom__:k" in d for d in side.values())
     # point lookups still skip through the side-car
     df, scanned, total = t.scan_point("k", 1234)
     assert total == 6 and scanned < total
     assert df.count() == 1
-    # second checkpoint (no new blooms inline): carried forward
+    # second checkpoint (no new blooms inline): old shards are
+    # REFERENCED, never rewritten — write cost follows NEW files
+    mtimes = {
+        n: (t._ckpt_dir() / n).stat().st_mtime_ns for n in manifest.values()
+    }
     t.append(spark.range(3000, 3100).select(
         F.col("id").alias("k"), (F.col("id") * 2).alias("v")).repartition(1))
     t.checkpoint()
+    ck2 = t._read_checkpoint()
+    for cv, name in manifest.items():
+        assert ck2["blooms"][cv] == name
+        assert (t._ckpt_dir() / name).stat().st_mtime_ns == mtimes[name]
     df2, scanned2, total2 = t.scan_point("k", 1234)
     assert total2 == 7 and scanned2 < total2
     assert df2.count() == 1
@@ -296,3 +310,74 @@ def test_checkpoint_retention_keeps_newest_two(spark, tmp_path):
     assert t.snapshot().count() == 6
     df2, scanned, total = t.scan_point("k", 1)
     assert df2.count() == 3
+
+
+def test_legacy_monolithic_sidecar_migrates_to_shards(spark, tmp_path):
+    """A table checkpointed by the pre-shard code (one monolithic
+    <v>.blooms.json named by a STRING in the body) migrates on the
+    next checkpoint: blooms re-shard per commit, probes keep their
+    skipping, and the monolithic blob is reclaimed by retention."""
+    import json as _json
+
+    t = _t(spark, tmp_path, "legacy_bl")
+    for lo in (0, 1000, 2000):
+        t.append(
+            spark.range(lo, lo + 500).select(
+                F.col("id").alias("k"), (F.col("id") * 2).alias("v")
+            ).repartition(2),
+            bloom_cols=["k"],
+        )
+    t.checkpoint()
+    ck = t._read_checkpoint()
+    # rewrite the checkpoint into the LEGACY monolithic format
+    merged: dict = {}
+    for name in ck["blooms"].values():
+        merged.update(_json.loads((t._ckpt_dir() / name).read_text()))
+        (t._ckpt_dir() / name).unlink()
+    mono = f"{ck['version']}.blooms.json"
+    (t._ckpt_dir() / mono).write_text(_json.dumps(merged))
+    ck["blooms"] = mono
+    (t._ckpt_dir() / f"{ck['version']}.json").write_text(_json.dumps(ck))
+    t._bloom_sidecar_cache = None
+    # legacy format still probes
+    df, scanned, total = t.scan_point("k", 1234)
+    assert scanned < total and df.count() == 1
+    # next checkpoint migrates to shards
+    t.append(
+        spark.range(3000, 3100).select(
+            F.col("id").alias("k"), (F.col("id") * 2).alias("v")
+        ).repartition(1),
+        bloom_cols=["k"],
+    )
+    t.checkpoint()
+    ck2 = t._read_checkpoint()
+    assert isinstance(ck2["blooms"], dict) and len(ck2["blooms"]) == 4
+    df2, scanned2, total2 = t.scan_point("k", 1234)
+    assert scanned2 < total2 and df2.count() == 1
+
+
+def test_sidecar_shards_reclaimed_when_commit_leaves_live_set(spark, tmp_path):
+    """A restate supersedes old commits; once no retained checkpoint
+    references their shards, the files are reclaimed."""
+    t = _t(spark, tmp_path, "reclaim_bl")
+    for lo in (0, 1000):
+        t.append(
+            spark.range(lo, lo + 500).select(
+                F.col("id").alias("k"), (F.col("id") * 2).alias("v")
+            ),
+            bloom_cols=["k"],
+        )
+    t.checkpoint()
+    old_shards = set(t._read_checkpoint()["blooms"].values())
+    assert old_shards
+    t.compact(target_partitions=1, stats_cols=["k"])  # restate
+    t.checkpoint()
+    t.append(spark.range(2000, 2001).select(
+        F.col("id").alias("k"), (F.col("id") * 2).alias("v")))
+    t.checkpoint()  # second post-restate checkpoint: old body rotates out
+    live = {
+        p.name for p in t._ckpt_dir().iterdir()
+        if p.name.endswith(".blooms.json")
+    }
+    assert not (old_shards & live), "superseded shards must be reclaimed"
+    assert t.snapshot().count() == 1001

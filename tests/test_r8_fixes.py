@@ -126,3 +126,45 @@ def test_sql_dml_fails_loudly_on_lakehouse_views(spark, tmp_path):
         spark.sql("DELETE FROM dml_t WHERE k = 1")
     # the table itself is untouched
     assert t.snapshot().count() == 3
+
+
+def test_subset_readers_zero_footer_reads_on_evolved_table(spark, tmp_path):
+    """scan_pruned / scan_point / scan_pruned_box on an evolved table
+    (drop + widen) fold the kept files' OWNING commits' recorded
+    schemas — zero parquet-footer reads (on object storage a point
+    lookup keeping 50 files used to pay 50 footer GETs)."""
+    from unittest import mock
+
+    import pyarrow.parquet as pq
+    from pyspark.sql import functions as F
+
+    t = LakehouseTable(spark, str(tmp_path / "subsetev"))
+    t.append(
+        spark.range(10).select(
+            F.col("id").alias("k"),
+            F.col("id").cast("int").alias("v"),
+            (F.col("id") * 2).alias("dead"),
+        ),
+        stats_cols=["k"],
+        bloom_cols=["k"],
+    )
+    t.widen_column("v", "bigint")
+    t.drop_column("dead")
+    t.append(
+        spark.range(10, 20).select(
+            F.col("id").alias("k"), F.col("id").cast("bigint").alias("v")
+        ),
+        stats_cols=["k"],
+        bloom_cols=["k"],
+    )
+    with mock.patch.object(
+        pq, "read_schema", side_effect=AssertionError("footer read")
+    ):
+        df, kept, total = t.scan_pruned("k", 12, 15)
+        assert sorted(r["k"] for r in df.collect()) == [12, 13, 14, 15]
+        dfp, _, _ = t.scan_point("k", 3)
+        assert [r["v"] for r in dfp.collect()] == [3]
+        dfb, _, _ = t.scan_pruned_box({"k": (5, 7)})
+        assert sorted(r["k"] for r in dfb.collect()) == [5, 6, 7]
+    assert "dead" not in df.columns
+    assert dict(df.dtypes)["v"] == "bigint"

@@ -108,17 +108,55 @@ def main() -> None:
             b.checkpoint()
             ck = b._read_checkpoint()
             body_kb = (b._ckpt_dir() / f"{ck['version']}.json").stat().st_size / 1024
-            side_kb = (
-                (b._ckpt_dir() / ck["blooms"]).stat().st_size / 1024
-                if ck.get("blooms")
-                else 0.0
-            )
+
+            def _side_kb(c) -> float:
+                bl = c.get("blooms")
+                if isinstance(bl, dict):  # round-8 per-commit shards
+                    return sum(
+                        (b._ckpt_dir() / f).stat().st_size for f in bl.values()
+                    ) / 1024
+                if isinstance(bl, str):  # legacy monolithic
+                    return (b._ckpt_dir() / bl).stat().st_size / 1024
+                return 0.0
+
+            side_kb = _side_kb(ck)
             plan_bl = timeit(lambda: b._live_commits())
+            # incremental side-car write cost: 10 new bloomy commits,
+            # re-checkpoint, count bytes WRITTEN (new shard files) vs
+            # the total side-car — must follow NEW files, not table
+            # size (the r7 monolith rewrote everything every time)
+            before = {
+                p.name for p in b._ckpt_dir().iterdir()
+                if p.name.endswith(".blooms.json")
+            }
+            forge2_base = n
+            for v in range(forge2_base, forge2_base + 10):
+                import base64 as _b64
+                import uuid as _uuid
+
+                f = f"data/x/{_uuid.uuid4().hex}.parquet"
+                c2 = Commit(
+                    version=v, files=[f], row_count=10,
+                    operation=f"stream-append-b{v}",
+                    stats={f: {"v": [v, v + 1], "__bloom__:v": {
+                        "m": 8192, "k": 6,
+                        "b64": _b64.b64encode(bytes(1024)).decode()}}},
+                    schema={"v": "bigint"}, txn=["stream-append", v],
+                )
+                (b.log_dir / f"{v:020d}.json").write_text(json.dumps(c2.__dict__))
+            b.checkpoint()
+            written_kb = sum(
+                p.stat().st_size
+                for p in b._ckpt_dir().iterdir()
+                if p.name.endswith(".blooms.json") and p.name not in before
+            ) / 1024
+            total_kb = _side_kb(b._read_checkpoint())
             print(
                 f"{n:>8} {plan_ck*1e3:>9.1f}m {plan_full*1e3:>9.1f}m "
                 f"{ded_ck*1e3:>10.1f}m {ded_full*1e3:>10.1f}m "
                 f"ckpt {body_kb:>8.0f}K +blooms-sidecar {side_kb:>8.0f}K "
-                f"plan(bloomy) {plan_bl*1e3:>6.1f}m"
+                f"plan(bloomy) {plan_bl*1e3:>6.1f}m "
+                f"re-ckpt-wrote {written_kb:>6.0f}K of {total_kb:>8.0f}K total"
             )
         finally:
             shutil.rmtree(root, ignore_errors=True)
