@@ -234,3 +234,90 @@ def test_read_changes_upto_version_bounds_the_window(spark, tmp_path):
     t.delete_where("v = 0")  # v4 restate
     ok = t.read_changes(0, upto_version=3)
     assert ok.count() == 6
+
+
+def test_cdf_wide_dv_splits_one_partition_per_base_file(spark, tmp_path):
+    """A single DV commit referencing MANY base files plans one
+    partition per (DV, base file) — a wide DV parallelizes across
+    tasks instead of serializing in one — with positions still
+    executor-side (driver holds only file names)."""
+    from lakehouse_test_spark.sources.cdf_datasource import (
+        LakehouseCDFStreamReader,
+    )
+
+    from pyspark.sql import functions as SF
+
+    t = LakehouseTable(spark, str(tmp_path / "widedv"))
+    # 8 base files in one commit, then ONE single-file DV touching all
+    # of them (the compacted-DV layout: matched positions coalesced
+    # into one parquet — the shape that used to serialize as one task)
+    t.append(
+        spark.range(80).select(
+            F.col("id").alias("k"), (F.col("id") * 2.0).alias("v")
+        ).repartition(8)
+    )
+    matched = (
+        t.snapshot()
+        .where("k % 10 < 3")
+        .select(
+            SF.col("_metadata.file_path").alias("_dv_file"),
+            SF.col("_metadata.row_index").alias("_dv_pos"),
+        )
+        .coalesce(1)
+    )
+    dv_dir = t.path / "data" / "deletedv-wide"
+    matched.write.parquet(str(dv_dir))
+    from lakehouse_test_spark.plans.lakehouse import Commit
+
+    dv_files = sorted(
+        str(q.relative_to(t.path)) for q in dv_dir.rglob("part-*.parquet")
+    )
+    assert len(dv_files) == 1
+    t._publish(
+        Commit(
+            version=1, files=[], row_count=0, operation="delete_dv",
+            stats=None, restate=False, data_change=True,
+            dv_files=dv_files, dv_row_count=24,
+        )
+    )
+    import pyarrow.parquet as pq
+
+    n_bases = len(
+        set(
+            pq.read_table(str(t.path / dv_files[0]), columns=["_dv_file"])
+            .column("_dv_file")
+            .to_pylist()
+        )
+    )
+    assert n_bases > 1  # genuinely wide
+    r = LakehouseCDFStreamReader({"path": str(t.path)}, None)
+    parts = r.partitions({"version": 0}, {"version": 1})
+    assert all(p.kind == "dv" for p in parts)
+    # one partition per (DV file, base file) pair — wider than one
+    # per DV file
+    assert len(parts) == n_bases
+    assert all(p.base is not None for p in parts)
+    assert all(p.positions is None for p in parts)  # nothing driver-side
+    # each task emits exactly its base file's deletes; the union is
+    # the full delete set
+    deleted = []
+    for p in parts:
+        ks = set()
+        for b in r.read(p):
+            import pyarrow as pa
+
+            if isinstance(b, pa.RecordBatch):
+                ks.update(b.column(0).to_pylist())
+            else:
+                ks.add(b[0])
+        assert ks, "a base-file partition exists only when it has deletes"
+        deleted.extend(ks)
+    assert sorted(deleted) == sorted(
+        k for k in range(80) if k % 10 < 3
+    )
+    # end-to-end drain matches the native feed
+    got = _drain(spark, str(t.path), "cdffix_widedv")
+    dels = sorted(
+        r_["k"] for r_ in got.collect() if r_["_change_type"] == "delete"
+    )
+    assert dels == sorted(k for k in range(80) if k % 10 < 3)

@@ -1,0 +1,237 @@
+"""Structural cross-check of the Iceberg export through a THIRD,
+independently-written minimal reader (r7 VERDICT task #8): this file
+imports NOTHING from ``plans.iceberg_export`` — it decodes the Avro
+object-container files and walks metadata → snapshot → manifest-list →
+manifests → (data files, position deletes) from the Avro/Iceberg
+SPECS alone (stdlib + pyarrow for the parquet leaves). If the export
+were only self-consistent (writer and reader sharing a quirk), this
+parser would catch it — the same role the DuckDB oracle plays for
+queries.
+"""
+from __future__ import annotations
+
+import json
+import struct
+from pathlib import Path
+
+import pyarrow.parquet as pq
+from pyspark.sql import functions as F
+
+from lakehouse_test_spark.plans.lakehouse import LakehouseTable
+
+# --- independent Avro OCF decoder (spec: container file + binary
+# encoding; null codec). No code shared with plans/iceberg_export. ---
+
+
+def _varint(buf: bytes, pos: int) -> tuple[int, int]:
+    shift = acc = 0
+    while True:
+        b = buf[pos]
+        pos += 1
+        acc |= (b & 0x7F) << shift
+        if not b & 0x80:
+            break
+        shift += 7
+    return (acc >> 1) ^ -(acc & 1), pos  # zigzag
+
+
+def _decode(buf: bytes, pos: int, sch):
+    if isinstance(sch, list):  # union
+        idx, pos = _varint(buf, pos)
+        return _decode(buf, pos, sch[idx])
+    if isinstance(sch, dict):
+        kind = sch["type"]
+        if kind == "record":
+            out = {}
+            for f in sch["fields"]:
+                out[f["name"]], pos = _decode(buf, pos, f["type"])
+            return out, pos
+        if kind == "array":
+            items = []
+            while True:
+                n, pos = _varint(buf, pos)
+                if n == 0:
+                    break
+                if n < 0:
+                    n, (_, pos) = -n, _varint(buf, pos)
+                for _ in range(n):
+                    v, pos = _decode(buf, pos, sch["items"])
+                    items.append(v)
+            return items, pos
+        if kind == "map":
+            out = {}
+            while True:
+                n, pos = _varint(buf, pos)
+                if n == 0:
+                    break
+                if n < 0:
+                    n, (_, pos) = -n, _varint(buf, pos)
+                for _ in range(n):
+                    k, pos = _decode(buf, pos, "string")
+                    out[k], pos = _decode(buf, pos, sch["values"])
+            return out, pos
+        return _decode(buf, pos, kind)  # {"type": "string"} wrapper
+    if sch in ("int", "long"):
+        return _varint(buf, pos)
+    if sch in ("string", "bytes"):
+        n, pos = _varint(buf, pos)
+        raw = buf[pos : pos + n]
+        return (raw.decode() if sch == "string" else bytes(raw)), pos + n
+    if sch == "boolean":
+        return buf[pos] == 1, pos + 1
+    if sch == "double":
+        return struct.unpack_from("<d", buf, pos)[0], pos + 8
+    if sch == "float":
+        return struct.unpack_from("<f", buf, pos)[0], pos + 4
+    if sch == "null":
+        return None, pos
+    raise AssertionError(f"unexpected avro type {sch!r}")
+
+
+def _read_avro(path: Path) -> list[dict]:
+    buf = path.read_bytes()
+    assert buf[:4] == b"Obj\x01", f"{path}: bad OCF magic"
+    pos, meta = 4, {}
+    while True:
+        n, pos = _varint(buf, pos)
+        if n == 0:
+            break
+        if n < 0:
+            n, (_, pos) = -n, _varint(buf, pos)
+        for _ in range(n):
+            kl, pos = _varint(buf, pos)
+            key = buf[pos : pos + kl].decode()
+            pos += kl
+            vl, pos = _varint(buf, pos)
+            meta[key] = buf[pos : pos + vl]
+            pos += vl
+    assert meta.get("avro.codec", b"null") == b"null", "unsupported codec"
+    schema = json.loads(meta["avro.schema"])
+    sync = buf[pos : pos + 16]
+    pos += 16
+    records = []
+    while pos < len(buf):
+        count, pos = _varint(buf, pos)
+        _size, pos = _varint(buf, pos)
+        for _ in range(count):
+            rec, pos = _decode(buf, pos, schema)
+            records.append(rec)
+        assert buf[pos : pos + 16] == sync, f"{path}: sync marker mismatch"
+        pos += 16
+    return records
+
+
+# --- independent Iceberg planner: metadata → files ---
+
+
+def _cold_plan(table_path: str, snapshot_id: int | None = None):
+    meta_dir = Path(table_path) / "metadata"
+    hint = (meta_dir / "version-hint.text").read_text().strip()
+    md = json.loads((meta_dir / f"v{hint}.metadata.json").read_text())
+    sid = snapshot_id if snapshot_id is not None else md["current-snapshot-id"]
+    snap = next(s for s in md["snapshots"] if s["snapshot-id"] == sid)
+    data_files: list[str] = []
+    deletes: dict[str, set[int]] = {}
+    for m in _read_avro(Path(snap["manifest-list"])):
+        entries = _read_avro(Path(m["manifest_path"]))
+        if m.get("content", 0) == 1:  # delete manifest
+            for e in entries:
+                if e["status"] == 2:
+                    continue
+                t = pq.read_table(e["data_file"]["file_path"])
+                for fp, p in zip(
+                    t.column("file_path").to_pylist(),
+                    t.column("pos").to_pylist(),
+                ):
+                    deletes.setdefault(fp, set()).add(p)
+        else:
+            for e in entries:
+                if e["status"] == 2:  # DELETED
+                    continue
+                data_files.append(e["data_file"]["file_path"])
+    return md, data_files, deletes
+
+
+def _cold_scan(table_path: str, column: str, snapshot_id: int | None = None):
+    _, files, deletes = _cold_plan(table_path, snapshot_id)
+    out = []
+    for f in files:
+        t = pq.read_table(f)
+        dead = deletes.get(str(Path(f).resolve()), set()) | deletes.get(
+            f, set()
+        )
+        col = t.column(column).to_pylist()
+        out.extend(v for i, v in enumerate(col) if i not in dead)
+    return sorted(out)
+
+
+def test_cold_reader_parses_export_end_to_end(spark, tmp_path):
+    """Appends + a deletion vector + a compaction + a tag, exported,
+    then read back through the independent parser: head scan, DV
+    subtraction, and tag-addressed time travel all match values
+    computed from the construction alone."""
+    from lakehouse_test_spark.plans.iceberg_export import (
+        export_iceberg_metadata,
+    )
+
+    t = LakehouseTable(spark, str(tmp_path / "cold"))
+    t.append(
+        spark.range(6).select(
+            F.col("id").alias("k"), (F.col("id") * 2.0).alias("v")
+        )
+    )
+    t.append(
+        spark.range(6, 12).select(
+            F.col("id").alias("k"), (F.col("id") * 2.0).alias("v")
+        )
+    )
+    t.delete_where_dv("k >= 10")
+    t.tag("rel")
+    export_iceberg_metadata(spark, t)
+    got = _cold_scan(str(t.path), "k")
+    assert got == list(range(10))  # DV applied by the cold reader
+    # snapshot BEFORE the DV via the tag ref
+    md, _, _ = _cold_plan(str(t.path))
+    tag_sid = md["refs"]["rel"]["snapshot-id"]
+    # the tag points at the DV commit itself; the plain v1 snapshot
+    # predates it
+    pre_dv = _cold_scan(str(t.path), "k", snapshot_id=tag_sid - 1)
+    assert pre_dv == list(range(12))
+    # schema surface: current schema names/types parse from the spec
+    cur = next(
+        s for s in md["schemas"] if s["schema-id"] == md["current-schema-id"]
+    )
+    assert [f["name"] for f in cur["fields"]] == ["k", "v"]
+    assert [f["type"] for f in cur["fields"]] == ["long", "double"]
+
+
+def test_cold_reader_incremental_resume_and_rename(spark, tmp_path):
+    """The incrementally-resumed export (old manifests reused
+    byte-identical) parses identically through the cold reader, and a
+    rename (full-rewrite fallback) surfaces the new logical name."""
+    from lakehouse_test_spark.plans.iceberg_export import (
+        export_iceberg_metadata,
+    )
+
+    t = LakehouseTable(spark, str(tmp_path / "coldinc"))
+    t.append(
+        spark.range(5).select(
+            F.col("id").alias("k"), (F.col("id") * 3.0).alias("v")
+        )
+    )
+    export_iceberg_metadata(spark, t)
+    t.append(
+        spark.range(5, 9).select(
+            F.col("id").alias("k"), (F.col("id") * 3.0).alias("v")
+        )
+    )
+    export_iceberg_metadata(spark, t)  # resumed
+    assert _cold_scan(str(t.path), "k") == list(range(9))
+    t.rename_column("v", "v_usd")
+    export_iceberg_metadata(spark, t)  # full rewrite
+    md, _, _ = _cold_plan(str(t.path))
+    cur = next(
+        s for s in md["schemas"] if s["schema-id"] == md["current-schema-id"]
+    )
+    assert "v_usd" in [f["name"] for f in cur["fields"]]
+    assert _cold_scan(str(t.path), "k") == list(range(9))
