@@ -623,6 +623,55 @@ def export_delta_log(
             return table.snapshot().schema.json() if files else "{}"
         return table._read_data(*present).schema.json()
 
+    # ---- merged-live-schema FOLD (round 8): the per-commit schema
+    # check used to call _schema_of over the ENTIRE live set — one
+    # mergeSchema footer pass per schema-bearing commit, O(live files)
+    # per incremental call on a 10⁵-file table. Commit-RECORDED
+    # schemas fold the same surface from already-parsed log JSON;
+    # footers remain only for legacy commits lacking one (fold_broken
+    # flips once and the footer path takes over for the rest).
+    meta0 = table._read_meta()
+    dropped0 = {d["physical"] for d in meta0.get("dropped_columns", [])}
+    wid0 = meta0.get("widenings") or {}
+    fields_live: dict[str, str] = {}  # physical → recorded ddl fold
+
+    def _fold_tail_commit(c) -> bool:
+        if c.schema is None:
+            return False
+        for name, ddl in c.schema.items():
+            prev = fields_live.get(name)
+            if prev is None or prev == ddl:
+                fields_live[name] = ddl
+            elif LakehouseTable._widens_to(prev, ddl):
+                fields_live[name] = ddl
+            elif not LakehouseTable._widens_to(ddl, prev):
+                return False  # irreconcilable: let footers decide
+        return True
+
+    _render_cache: dict[tuple, str | None] = {}
+
+    def _render_fold() -> str | None:
+        # memoized on the fold content: a 10³-commit export whose
+        # schema never changes renders (and analyzes) exactly once
+        key = tuple(fields_live.items())
+        if key in _render_cache:
+            return _render_cache[key]
+        try:
+            u = table._fold_schemas(
+                [("live", dict(fields_live))], dropped0, wid0, opaque_ok=True
+            )
+            if not u or any(
+                str(t).startswith("__opaque__") for t in u.values()
+            ):
+                out = None
+            else:
+                ddl = ", ".join(f"`{n}` {t}" for n, t in u.items())
+                out = table.spark.createDataFrame([], ddl).schema.json()
+        except Exception:  # any render failure → footer path decides
+            out = None
+        _render_cache[key] = out
+        return out
+
     def _metadata_action(schema_json: str, now_ms: int) -> dict:
         configuration: dict[str, str] = {}
         if needs_mapping:
@@ -682,11 +731,25 @@ def export_delta_log(
     live_dv: dict[str, set[int]] = {}  # file → deleted row indexes
     txn_high: dict[str, dict] = {}  # appId → newest SetTransaction
     pending_protocol: dict | None = None
+    fold_broken = False
     if resume is not None:
         # reconstruct the generator state from the EXPORTED log — the
         # same replay an external Delta reader performs, so resumed
         # generation continues bit-compatibly
         current_schema = resume[1]
+        # seed the schema fold from the exported schemaString (field
+        # order preserved, so an unchanged tail emits no spurious
+        # metaData action)
+        try:
+            from pyspark.sql.types import StructType
+
+            for f0 in StructType.fromJson(json.loads(current_schema)).fields:
+                phys = (f0.metadata or {}).get(
+                    "delta.columnMapping.physicalName", f0.name
+                )
+                fields_live[phys] = f0.dataType.simpleString()
+        except Exception:
+            fold_broken = True  # unparseable vintage: footer path
         live_adds, _ckv, _replayed, meta_inner = _replay_state(str(table.path))
         live = list(live_adds)
         for f, add in live_adds.items():
@@ -719,7 +782,16 @@ def export_delta_log(
             txn_high[app] = txn
         if commit.version == 0:
             actions.append({"protocol": protocol})
-            current_schema = _schema_of(commit.files)
+            fields_live.clear()
+            s0 = (
+                _render_fold()
+                if not fold_broken and _fold_tail_commit(commit)
+                else None
+            )
+            if s0 is None:
+                fold_broken = True
+                s0 = _schema_of(commit.files)
+            current_schema = s0
             current_meta = _metadata_action(current_schema, now_ms)
             actions.append(current_meta)
         elif commit.files:
@@ -728,14 +800,29 @@ def export_delta_log(
             # about evolved (added) columns. The reference point is the
             # MERGED schema of the post-commit live set, so an append
             # that still carries the old (narrower) schema never
-            # regresses the published one.
-            next_live = (
-                commit.files
-                if commit.restate
-                else [f for f in live if f not in set(commit.removed_files or [])]
-                + commit.files
+            # regresses the published one. Computed by the recorded-
+            # schema FOLD (zero file reads); footer merge only for
+            # legacy vintages.
+            if commit.restate:
+                fields_live.clear()
+            merged_schema = (
+                _render_fold()
+                if not fold_broken and _fold_tail_commit(commit)
+                else None
             )
-            merged_schema = _schema_of(next_live)
+            if merged_schema is None:
+                fold_broken = True
+                next_live = (
+                    commit.files
+                    if commit.restate
+                    else [
+                        f
+                        for f in live
+                        if f not in set(commit.removed_files or [])
+                    ]
+                    + commit.files
+                )
+                merged_schema = _schema_of(next_live)
             if merged_schema != current_schema:
                 current_schema = merged_schema
                 current_meta = _metadata_action(current_schema, now_ms)

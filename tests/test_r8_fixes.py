@@ -168,3 +168,35 @@ def test_subset_readers_zero_footer_reads_on_evolved_table(spark, tmp_path):
         assert sorted(r["k"] for r in dfb.collect()) == [5, 6, 7]
     assert "dead" not in df.columns
     assert dict(df.dtypes)["v"] == "bigint"
+
+
+def test_delta_export_schema_fold_no_live_footer_pass(spark, tmp_path):
+    """The Delta exporter's per-commit merged-schema check folds
+    commit-RECORDED schemas — an export must not mergeSchema-read the
+    live set's footers per schema-bearing commit (O(live files) per
+    incremental call). Pin: _read_data never runs during a full
+    export of a modern (schema-recording) table."""
+    from unittest import mock
+
+    from pyspark.sql import functions as F
+
+    from lakehouse_test_spark.plans.delta_export import (
+        export_delta_log,
+        read_delta_log,
+    )
+
+    t = LakehouseTable(spark, str(tmp_path / "dfold"))
+    t.append(spark.range(4).select(F.col("id").alias("k")))
+    t.append(
+        spark.range(4, 8).select(
+            F.col("id").alias("k"), (F.col("id") * 2.0).alias("v")
+        )
+    )  # additive evolution: schema changes mid-history
+    with mock.patch.object(
+        type(t), "_read_data", side_effect=AssertionError("footer pass")
+    ):
+        export_delta_log(spark, t, incremental=False)
+    got = read_delta_log(spark, str(t.path))
+    assert got.count() == 8 and set(got.columns) == {"k", "v"}
+    # evolved published schema reached the log
+    assert got.where("v IS NULL").count() == 4
