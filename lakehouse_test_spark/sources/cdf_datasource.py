@@ -177,6 +177,44 @@ class _FilePartition(InputPartition):
         self.base = base
 
 
+def _local_path(path: str) -> str:
+    if path.startswith("file:"):
+        from urllib.parse import urlparse
+
+        return urlparse(path).path
+    return path
+
+
+def snap_keep_positions(partition: _FilePartition) -> list[int] | None:
+    """Executor-side half of the seed snapshot: the row positions of
+    ``partition.file`` that SURVIVE its deletion vectors (None = all
+    rows — the whole-file fast path). Shared by the CDF reader and the
+    plain ``format("lakehouse")`` stream reader, which delegates its
+    partition planning to the CDF reader and must subtract the same
+    positions (a seed that re-emitted DV-deleted rows would diverge
+    from the snapshot it claims to be)."""
+    import os
+
+    import pyarrow.parquet as pq
+
+    if not partition.dv_files:
+        return None
+    skip: set[int] = set()
+    me = os.path.abspath(_local_path(partition.file))
+    for dvf in partition.dv_files:
+        dvt = pq.read_table(_local_path(dvf))
+        for fp, pos in zip(
+            dvt.column("_dv_file").to_pylist(),
+            dvt.column("_dv_pos").to_pylist(),
+        ):
+            if os.path.abspath(_local_path(fp)) == me:
+                skip.add(pos)
+    if not skip:
+        return None
+    n = pq.read_metadata(_local_path(partition.file)).num_rows
+    return [i for i in range(n) if i not in skip]
+
+
 class LakehouseCDFStreamReader(DataSourceStreamReader):
     def __init__(
         self,
@@ -404,30 +442,11 @@ class LakehouseCDFStreamReader(DataSourceStreamReader):
             # seed-snapshot file: emit as inserts MINUS the positions
             # its DVs recorded for it (executor-side — the driver only
             # attached the DV file paths)
-            import os
-
-            positions = None
-            if partition.dv_files:
-                skip: set[int] = set()
-                me = os.path.abspath(self._local(partition.file))
-                for dvf in partition.dv_files:
-                    dvt = pq.read_table(self._local(dvf))
-                    for fp, pos in zip(
-                        dvt.column("_dv_file").to_pylist(),
-                        dvt.column("_dv_pos").to_pylist(),
-                    ):
-                        if os.path.abspath(self._local(fp)) == me:
-                            skip.add(pos)
-                if skip:
-                    n = pq.read_metadata(
-                        self._local(partition.file)
-                    ).num_rows
-                    positions = [i for i in range(n) if i not in skip]
             yield from self._emit(
                 self._local(partition.file),
                 "insert",
                 partition.version,
-                positions,
+                snap_keep_positions(partition),
             )
             return
         if partition.kind == "dv":

@@ -769,6 +769,14 @@ class LakehouseStreamReader(DataSourceStreamReader):
     snapshot, exactly Delta's contract. Compactions
     (dataChange=false) are skipped silently. Offsets are commit
     versions, so restarts are exactly-once against the immutable log.
+
+    ``startingMode=snapshot`` (round 8) works here too — planning is
+    delegated to the CDF reader, so the first micro-batch is the LIVE
+    snapshot (one partition per live file, deletion vectors
+    subtracted executor-side via :func:`snap_keep_positions`) and the
+    tail follows: bounded catch-up on a long table, and a restate in
+    the BACKLOG no longer poisons the start (restates after the seed
+    still raise, as the contract requires).
     """
 
     def __init__(
@@ -835,6 +843,17 @@ class LakehouseStreamReader(DataSourceStreamReader):
         if path.startswith("file://"):
             path = path[len("file://") :]
         tbl = pq.read_table(path)
+        if getattr(partition, "kind", "insert") == "snap":
+            # startingMode=snapshot seed (planned by the CDF reader):
+            # subtract this file's DV positions, or the seed would
+            # re-emit rows the snapshot it claims to be has deleted
+            from lakehouse_test_spark.sources.cdf_datasource import (
+                snap_keep_positions,
+            )
+
+            keep = snap_keep_positions(partition)
+            if keep is not None:
+                tbl = tbl.take(pa.array(keep, pa.int64()))
         present = {}
         for n in tbl.column_names:
             if n in self._dropped:

@@ -193,3 +193,67 @@ def test_snapshot_seed_logical_names(spark, tmp_path):
     native = {r["k"]: r["w"] for r in t.read_changes_cdf(-1).collect()}
     assert rows == native
     assert rows[0] is None and rows[3] == 21
+
+
+def test_plain_lakehouse_stream_snapshot_seed(spark, tmp_path):
+    """startingMode=snapshot on the PLAIN format('lakehouse') stream
+    (which delegates planning to the CDF reader): the seed equals the
+    live snapshot — DV-deleted rows subtracted, restates in the
+    backlog tolerated — and the tail follows across a restart."""
+    from lakehouse_test_spark.sources.lakehouse_datasource import (
+        register as register_lh,
+    )
+
+    t = LakehouseTable(spark, str(tmp_path / "plainseed"))
+    for i in range(3):
+        t.append(spark.range(i * 10, i * 10 + 5).select(F.col("id").alias("k")))
+    t.delete_where("k = 0")  # restate in the backlog: poison for earliest
+    t.delete_where_dv("k >= 20")  # live DV at the head
+    register_lh(spark)
+    ck = tempfile.mkdtemp(prefix="plainseed_ck_")
+    out = str(tmp_path / "plain_out")
+
+    def drain():
+        q = (
+            spark.readStream.format("lakehouse")
+            .option("path", str(t.path))
+            .option("startingMode", "snapshot")
+            .load()
+            .writeStream.format("parquet")
+            .option("path", out)
+            .option("checkpointLocation", ck)
+            .trigger(availableNow=True)
+            .start()
+        )
+        q.awaitTermination()
+        return spark.read.parquet(out).collect()
+
+    try:
+        seed = drain()
+        expect = sorted(r["k"] for r in t.snapshot().collect())
+        assert sorted(r["k"] for r in seed) == expect
+        assert 20 not in {r["k"] for r in seed}  # DV applied in the seed
+        # earliest mode on the same table raises (restate in backlog)
+        import pytest as _pytest
+
+        ck2 = tempfile.mkdtemp(prefix="plainseed_ck2_")
+        with _pytest.raises(Exception, match="rewrite|restate|snapshot"):
+            q2 = (
+                spark.readStream.format("lakehouse")
+                .option("path", str(t.path))
+                .load()
+                .writeStream.format("parquet")
+                .option("path", str(tmp_path / "poison_out"))
+                .option("checkpointLocation", ck2)
+                .trigger(availableNow=True)
+                .start()
+            )
+            q2.awaitTermination()
+        shutil.rmtree(ck2, ignore_errors=True)
+        # tail continues exactly-once from the same checkpoint
+        t.append(spark.range(100, 103).select(F.col("id").alias("k")))
+        all2 = drain()
+        assert len(all2) == len(seed) + 3
+        assert {100, 101, 102} <= {r["k"] for r in all2}
+    finally:
+        shutil.rmtree(ck, ignore_errors=True)
