@@ -1054,10 +1054,14 @@ def export_iceberg_metadata(
             # the tail actually needs them — an append-only
             # per-micro-batch export must stay O(tail)
             pending_hydration = list(live_data_manifests)
-        except (OSError, KeyError, ValueError):
+        except (OSError, KeyError, ValueError, IndexError, struct.error):
             # full rewrite: reset every carry-forward variable and
             # clear the stale export (nothing has been written yet —
-            # manifests land only in the commit loop below)
+            # manifests land only in the commit loop below).
+            # IndexError/struct.error: a TRUNCATED manifest (crash
+            # mid-export) still passes the Avro magic check and then
+            # runs the varint/double decoders off the buffer end —
+            # exactly the partial damage this guard must degrade on.
             resume_md, resume_head = None, -1
             snapshots, snapshot_log = [], []
             live_data_manifests, live_delete_manifests = [], []

@@ -325,6 +325,14 @@ class LakehouseTable:
         prev = self._read_checkpoint()
         txn = dict((prev or {}).get("txn") or {})
         after = prev["version"] if prev else -1
+        if self.legacy_txn_compat:
+            # migration fold runs over the FULL history: a label-blind
+            # checkpoint may have already landed ABOVE legacy markers
+            # (any post-upgrade append auto-checkpoints), and a fold
+            # that starts at it would silently lose them — the exact
+            # duplicate-replay the flag exists to prevent. One full
+            # parse, once, during the migration session.
+            txn, after = {}, -1
         for c in self._commits_between(after, v):
             t = txn_marker(c, self.legacy_txn_compat)
             if t:
@@ -522,6 +530,12 @@ class LakehouseTable:
             ptr = self._read_checkpoint()
         high = int(((ptr or {}).get("txn") or {}).get(prefix, -1))
         after = int(ptr["version"]) if ptr else -1
+        if self.legacy_txn_compat:
+            # the pointer's txn map may predate the flag (label-blind
+            # fold above buried legacy markers) — scan the full log
+            # during the migration session; checkpoint() under the
+            # flag persists the recovered map and retires this cost
+            high, after = -1, -1
         for c in self._commits_between(after, None):
             t = txn_marker(c, self.legacy_txn_compat)
             if t and t[0] == prefix:

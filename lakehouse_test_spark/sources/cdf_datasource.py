@@ -152,6 +152,7 @@ class _FilePartition(InputPartition):
         positions: list[int] | None = None,
         dv_files: list[str] | None = None,
         base: str | None = None,
+        dv_refs: list[list[str]] | None = None,
     ):
         # "insert": file is a data file, replayed whole;
         # "delete": file is a data file, positions picks deleted rows;
@@ -175,6 +176,10 @@ class _FilePartition(InputPartition):
         self.positions = positions
         self.dv_files = dv_files
         self.base = base
+        # per-dv_files entry: the exact _dv_file strings the planner
+        # matched to this base file — executors read the DV with a
+        # pushed filter instead of scanning it whole
+        self.dv_refs = dv_refs
 
 
 def _local_path(path: str) -> str:
@@ -185,6 +190,23 @@ def _local_path(path: str) -> str:
     return path
 
 
+def _match_key(path: str) -> str:
+    """Representation-insensitive identity of a data file: the last
+    two path components (commit dir + file name — both uuid-bearing,
+    unique within a table), percent-DECODED and stripped of any
+    ``file:`` scheme. Spark's ``_metadata.file_path`` is a
+    URL-encoded URI (a space is ``%20``) and may differ from a
+    Python-built ``os.path.abspath`` in scheme, encoding, and symlink
+    resolution — comparing full derived paths silently failed to
+    match on such tables, and a seed that misses its DV re-emits
+    deleted rows. Suffix identity is immune to all three."""
+    from urllib.parse import unquote
+
+    p = unquote(_local_path(path))
+    parts = p.rstrip("/").split("/")
+    return "/".join(parts[-2:])
+
+
 def snap_keep_positions(partition: _FilePartition) -> list[int] | None:
     """Executor-side half of the seed snapshot: the row positions of
     ``partition.file`` that SURVIVE its deletion vectors (None = all
@@ -192,22 +214,35 @@ def snap_keep_positions(partition: _FilePartition) -> list[int] | None:
     plain ``format("lakehouse")`` stream reader, which delegates its
     partition planning to the CDF reader and must subtract the same
     positions (a seed that re-emitted DV-deleted rows would diverge
-    from the snapshot it claims to be)."""
-    import os
+    from the snapshot it claims to be).
 
+    When the planner attached ``dv_refs`` (the EXACT ``_dv_file``
+    strings it matched to this base file), each DV parquet is read
+    with a pushed ``filters=`` predicate — a wide DV with 10⁶
+    positions over 10³ base files costs each task only its own rows,
+    not a full scan of the DV per referencing file. Fallback (no
+    refs): full read with representation-insensitive suffix matching
+    (:func:`_match_key`)."""
     import pyarrow.parquet as pq
 
     if not partition.dv_files:
         return None
     skip: set[int] = set()
-    me = os.path.abspath(_local_path(partition.file))
-    for dvf in partition.dv_files:
+    refs = getattr(partition, "dv_refs", None)
+    me = _match_key(partition.file)
+    for i, dvf in enumerate(partition.dv_files):
+        if refs is not None:
+            dvt = pq.read_table(
+                _local_path(dvf), filters=[("_dv_file", "in", refs[i])]
+            )
+            skip.update(dvt.column("_dv_pos").to_pylist())
+            continue
         dvt = pq.read_table(_local_path(dvf))
         for fp, pos in zip(
             dvt.column("_dv_file").to_pylist(),
             dvt.column("_dv_pos").to_pylist(),
         ):
-            if os.path.abspath(_local_path(fp)) == me:
+            if _match_key(fp) == me:
                 skip.add(pos)
     if not skip:
         return None
@@ -355,22 +390,35 @@ class LakehouseCDFStreamReader(DataSourceStreamReader):
             return [_FilePartition("insert", "", upto)]
         t = LakehouseTable(None, str(self.path))
         pairs = t._live_files(upto)
-        # base file → the live DV parquets that reference it
-        by_base: dict[str, list[str]] = {}
+        # base-file match key → [(dv path, [exact recorded refs])] —
+        # distinct refs accumulated batch-by-batch (iter_batches), so
+        # the driver never materializes the DV's full O(deleted rows)
+        # column, only its distinct base-file strings
+        by_base: dict[str, list[tuple[str, list[str]]]] = {}
         for dvf in t._live_dv_files(upto):
             dvp = os.path.abspath(str(self.path / dvf))
             self._require_files(upto, [dvp])
-            refs = pq.read_table(dvp, columns=["_dv_file"])
-            for r in set(refs.column("_dv_file").to_pylist()):
-                by_base.setdefault(
-                    os.path.abspath(self._local(r)), []
-                ).append(dvp)
+            distinct: set[str] = set()
+            for batch in pq.ParquetFile(dvp).iter_batches(
+                columns=["_dv_file"]
+            ):
+                distinct.update(batch.column(0).unique().to_pylist())
+            per_key: dict[str, list[str]] = {}
+            for r in distinct:
+                per_key.setdefault(_match_key(r), []).append(r)
+            for k, rs in per_key.items():
+                by_base.setdefault(k, []).append((dvp, sorted(rs)))
         parts: list[InputPartition] = []
         for c, f in pairs:
             fp = os.path.abspath(str(self.path / f))
+            hits = by_base.get(_match_key(fp))
             parts.append(
                 _FilePartition(
-                    "snap", fp, c.version, dv_files=by_base.get(fp)
+                    "snap",
+                    fp,
+                    c.version,
+                    dv_files=[d for d, _r in hits] if hits else None,
+                    dv_refs=[r for _d, r in hits] if hits else None,
                 )
             )
         self._require_files(upto, [p.file for p in parts])
@@ -407,16 +455,17 @@ class LakehouseCDFStreamReader(DataSourceStreamReader):
                 self._require_files(v, [str(self.path / f) for f in c["dv_files"]])
                 for dvf in c["dv_files"]:
                     dvp = str(self.path / dvf)
-                    bases = sorted(
-                        set(
-                            pq.read_table(dvp, columns=["_dv_file"])
-                            .column("_dv_file")
-                            .to_pylist()
-                        )
-                    )
-                    for b in bases:
+                    # distinct accumulated batch-by-batch: the driver
+                    # holds only the distinct base-file strings, never
+                    # the DV's full O(deleted rows) column
+                    distinct: set[str] = set()
+                    for batch in pq.ParquetFile(dvp).iter_batches(
+                        columns=["_dv_file"]
+                    ):
+                        distinct.update(batch.column(0).unique().to_pylist())
+                    for b in sorted(distinct):
                         parts.append(_FilePartition("dv", dvp, v, base=b))
-                    if not bases:  # empty DV: keep the no-op contract
+                    if not distinct:  # empty DV: keep the no-op contract
                         parts.append(_FilePartition("dv", dvp, v))
             else:
                 files = [str(self.path / f) for f in c.get("files", [])]
@@ -425,13 +474,9 @@ class LakehouseCDFStreamReader(DataSourceStreamReader):
                     parts.append(_FilePartition("insert", f, v))
         return parts or [_FilePartition("insert", "", hi)]
 
-    @staticmethod
-    def _local(path: str) -> str:
-        if path.startswith("file:"):
-            from urllib.parse import urlparse
-
-            return urlparse(path).path
-        return path
+    # one URI-stripping helper for the whole module: the seed path and
+    # the replay path must never diverge on path normalization
+    _local = staticmethod(_local_path)
 
     def read(self, partition: _FilePartition):
         if not partition.file:

@@ -200,3 +200,90 @@ def test_delta_export_schema_fold_no_live_footer_pass(spark, tmp_path):
     assert got.count() == 8 and set(got.columns) == {"k", "v"}
     # evolved published schema reached the log
     assert got.where("v IS NULL").count() == 4
+
+
+def test_legacy_txn_compat_recovers_markers_buried_under_checkpoint(
+    spark, tmp_path
+):
+    """A label-blind checkpoint that already landed ABOVE legacy
+    markers must not hide them from the migration fold: under
+    legacy_txn_compat the fold runs over the full history, recovers
+    the high-water, and one checkpoint persists it."""
+    from pyspark.sql import functions as F
+
+    p = str(tmp_path / "buried")
+    t = LakehouseTable(spark, p)
+    df = spark.range(2).select(F.col("id").alias("v"))
+    t.append(df, operation="job-b0")  # legacy markers, no txn field
+    t.append(df, operation="job-b6")
+    t.checkpoint()  # label-blind checkpoint BURIES the markers
+    assert t._stream_batch_high("job") == -1  # default: invisible
+    tc = LakehouseTable(spark, p, legacy_txn_compat=True)
+    assert tc._stream_batch_high("job") == 6  # full-history scan
+    tc.checkpoint()  # persists the recovered map
+    t2 = LakehouseTable(spark, p)  # flag dropped
+    assert t2._stream_batch_high("job") == 6
+
+
+def test_snapshot_seed_on_path_with_space(spark, tmp_path):
+    """Spark records _metadata.file_path URL-encoded (a space is
+    %20); the seed's DV matching is representation-insensitive, so a
+    table under such a path still subtracts its deletion vectors
+    (it used to silently re-emit the deleted rows)."""
+    import shutil as _sh
+    import tempfile as _tf
+
+    from pyspark.sql import functions as F
+
+    from lakehouse_test_spark.sources.cdf_datasource import register
+
+    t = LakehouseTable(spark, str(tmp_path / "odd name" / "tbl"))
+    t.append(spark.range(8).select(F.col("id").alias("k")))
+    t.delete_where_dv("k >= 5")
+    register(spark)
+    ck = _tf.mkdtemp(prefix="seedspace_")
+    try:
+        q = (
+            spark.readStream.format("lakehouse_cdf")
+            .option("path", str(t.path))
+            .option("startingMode", "snapshot")
+            .load()
+            .writeStream.format("memory")
+            .queryName("seedspace")
+            .option("checkpointLocation", ck)
+            .trigger(availableNow=True)
+            .start()
+        )
+        q.awaitTermination()
+        rows = spark.sql("SELECT * FROM seedspace").collect()
+        assert sorted(r["k"] for r in rows) == [0, 1, 2, 3, 4]
+    finally:
+        _sh.rmtree(ck, ignore_errors=True)
+
+
+def test_iceberg_resume_degrades_on_truncated_manifest(spark, tmp_path):
+    """A TRUNCATED manifest-list (crash mid-export) still passes the
+    Avro magic check and then runs the varint decoder off the buffer
+    end — the resume guard must degrade to full rewrite, not raise
+    IndexError."""
+    import json as _json
+    from pathlib import Path as _P
+
+    from pyspark.sql import functions as F
+
+    from lakehouse_test_spark.plans.iceberg_export import (
+        export_iceberg_metadata,
+        read_iceberg,
+    )
+
+    t = LakehouseTable(spark, str(tmp_path / "trunc_ice"))
+    t.append(spark.range(4).select(F.col("id").alias("k")))
+    meta_dir = export_iceberg_metadata(spark, t)
+    md = _json.loads((meta_dir / "v1.metadata.json").read_text())
+    head = max(md["snapshots"], key=lambda s: s["snapshot-id"])
+    ml = _P(head["manifest-list"])
+    ml.write_bytes(ml.read_bytes()[:10])  # magic intact, body gone
+    t.append(spark.range(4, 7).select(F.col("id").alias("k")))
+    export_iceberg_metadata(spark, t)  # must not raise
+    got = read_iceberg(spark, str(t.path))
+    assert sorted(r["k"] for r in got.collect()) == list(range(7))
