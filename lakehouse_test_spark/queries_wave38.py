@@ -85,3 +85,76 @@ def streaming_cdf_snapshot_seed(spark: SparkSession, sf_dir: str) -> DataFrame:
         .load()
     )
     return _drain_to_memory(stream, "append")
+
+
+@query(
+    "lakehouse_pruned_scan_evolved",
+    oracle="""
+    WITH src AS (
+      SELECT s_suppkey AS k,
+             CAST(TRUNC(s_acctbal) AS DECIMAL(12,2)) AS balance
+      FROM supplier
+    )
+    SELECT CAST(count(*) AS BIGINT) AS n,
+           CAST(round(sum(balance), 2) AS DOUBLE) AS bal_sum,
+           TRUE AS pruned, TRUE AS zero_footer_reads
+    FROM src WHERE k BETWEEN 21 AND 60
+    """,
+    tags=("lakehouse", "pruning", "alter", "widen", "drop"),
+)
+def lakehouse_pruned_scan_evolved(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Zone-map pruned range scan on an EVOLVED table (int→decimal
+    widening + DROP COLUMN), with the round-8 contract pinned in the
+    output: ``zero_footer_reads`` is True only when the kept files'
+    schemas fold from their OWNING commits' recorded schemas — the
+    gate runs the scan with the parquet-footer reader patched to
+    count, so a regression to footer folding hash-mismatches.
+
+    Scale: a point/range probe on a 10⁶-file evolved table keeps a
+    handful of files via zone maps; reading even the KEPT footers is
+    50 object-store GETs a log-recorded schema makes free.
+    """
+    import tempfile
+    from unittest import mock
+
+    import pyarrow.parquet as pq
+
+    from lakehouse_test_spark.plans.lakehouse import LakehouseTable
+
+    s = T(spark, sf_dir, "supplier").select(
+        F.col("s_suppkey").alias("k"),
+        F.col("s_acctbal").cast("int").alias("balance"),
+        (F.col("s_suppkey") % 7).alias("dead"),
+    )
+    t = LakehouseTable(spark, tempfile.mkdtemp(prefix="lh_prunev_"))
+    # 4 key-ranged files per vintage: zone maps prune the range probe
+    for lo, hi in ((0, 20), (20, 40), (40, 60), (60, 10**9)):
+        t.append(
+            s.where((F.col("k") > lo) & (F.col("k") <= hi)).coalesce(1),
+            stats_cols=["k"],
+        )
+    t.widen_column("balance", "decimal(12,2)")
+    t.drop_column("dead")
+    t.append(
+        s.limit(0)
+        .select("k", F.col("balance").cast("decimal(12,2)"))
+        .coalesce(1),
+        stats_cols=["k"],
+    )
+    footer_reads = {"n": 0}
+    orig = pq.read_schema
+
+    def _counting(*a, **kw):
+        footer_reads["n"] += 1
+        return orig(*a, **kw)
+
+    with mock.patch.object(pq, "read_schema", side_effect=_counting):
+        df, kept, total = t.scan_pruned("k", 21, 60)
+        out = df.agg(
+            F.count(F.lit(1)).alias("n"),
+            F.round(F.sum("balance"), 2).cast("double").alias("bal_sum"),
+            F.lit(kept < total).alias("pruned"),
+        ).localCheckpoint()
+    return out.withColumn(
+        "zero_footer_reads", F.lit(footer_reads["n"] == 0)
+    )
