@@ -190,6 +190,29 @@ def _local_path(path: str) -> str:
     return path
 
 
+def _reject_ref_path(raw: str) -> None:
+    """Streaming does not compose with ``@``-ref table paths: ``@v`` /
+    ``@ts:`` / ``@tag:`` pin a BOUNDED snapshot while a stream follows
+    the live log, and ``@branch:`` names a fork whose head advances
+    independently. Without this guard the suffix reaches the log
+    listing verbatim and dies as a cryptic
+    ``FileNotFoundError: …/t@branch:dev/_log`` inside planPartitions —
+    fail at ``load()`` with the recipe instead."""
+    from lakehouse_test_spark.sources.lakehouse_datasource import _parse_ref
+
+    _, ref = _parse_ref(raw)
+    if ref:
+        raise ValueError(
+            f"streaming does not support @-ref table paths ({raw!r}): "
+            "a stream follows the LIVE log; @v/@ts/@tag pin a bounded "
+            "snapshot and @branch names a fork. Stream the bare path "
+            "and use .option('startingVersion', ...) or "
+            ".option('startingMode', 'snapshot') for catch-up; read "
+            "versions/tags/branches with the BATCH reader "
+            "(spark.read.format('lakehouse'))."
+        )
+
+
 def _match_key(path: str) -> str:
     """Representation-insensitive identity of a data file: the last
     two path components (commit dir + file name — both uuid-bearing,
@@ -258,6 +281,7 @@ class LakehouseCDFStreamReader(DataSourceStreamReader):
         data_types: dict[str, str] | None = None,
     ):
         self.options = dict(options)
+        _reject_ref_path(options["path"])
         self.path = Path(options["path"])
         # pinned data-column names (schema minus _change_type/
         # _commit_version) — read() replays every file into this shape
@@ -623,6 +647,7 @@ class LakehouseCDFDataSource(DataSource):
         return "lakehouse_cdf"
 
     def schema(self) -> str:
+        _reject_ref_path(self.options["path"])  # fail at load(), loud
         logical = str(
             self.options.get("logicalNames")
             or self.options.get("logicalnames")

@@ -287,3 +287,52 @@ def test_iceberg_resume_degrades_on_truncated_manifest(spark, tmp_path):
     export_iceberg_metadata(spark, t)  # must not raise
     got = read_iceberg(spark, str(t.path))
     assert sorted(r["k"] for r in got.collect()) == list(range(7))
+
+
+def test_streaming_rejects_ref_suffixed_paths_loudly(spark, tmp_path):
+    """A stream on an @-ref path (pinned snapshot / fork) must fail at
+    load()/start() with the recipe — it used to die inside
+    planPartitions as 'FileNotFoundError: .../t@branch:dev/_log'."""
+    import pytest
+    from pyspark.sql import functions as F
+
+    from lakehouse_test_spark.sources.cdf_datasource import (
+        register as reg_cdf,
+    )
+    from lakehouse_test_spark.sources.lakehouse_datasource import (
+        register as reg_lh,
+    )
+
+    t = LakehouseTable(spark, str(tmp_path / "refstream"))
+    t.append(spark.range(3).select(F.col("id").alias("k")))
+    t.tag("r1")
+    reg_cdf(spark)
+    reg_lh(spark)
+    with pytest.raises(Exception, match="streaming does not support"):
+        (
+            spark.readStream.format("lakehouse_cdf")
+            .option("path", str(t.path) + "@tag:r1")
+            .load()
+        )
+    with pytest.raises(Exception, match="streaming does not support"):
+        q = (
+            spark.readStream.format("lakehouse")
+            .option("path", str(t.path) + "@v0")
+            .load()
+            .writeStream.format("memory")
+            .queryName("refstream_guard")
+            .trigger(availableNow=True)
+            .start()
+        )
+        q.awaitTermination()
+    # the BATCH reader keeps full ref support
+    from lakehouse_test_spark.sources.lakehouse_datasource import (
+        register_table,
+    )
+
+    got = (
+        spark.read.format("lakehouse")
+        .load(str(t.path) + "@tag:r1")
+        .count()
+    )
+    assert got == 3
