@@ -336,3 +336,28 @@ def test_streaming_rejects_ref_suffixed_paths_loudly(spark, tmp_path):
         .count()
     )
     assert got == 3
+
+
+def test_legacy_txn_compat_flows_through_delta_export(spark, tmp_path):
+    """The migration flag reaches the Delta exporter: a pre-r7 table's
+    label-encoded markers export as SetTransaction actions only under
+    legacy_txn_compat (default stays label-blind), so an external
+    Delta writer resuming idempotent appends sees the recovered
+    high-water."""
+    from pyspark.sql import functions as F
+
+    from lakehouse_test_spark.plans.delta_export import (
+        export_delta_log,
+        replay_txn_high,
+    )
+
+    p = str(tmp_path / "legacydelta")
+    w = LakehouseTable(spark, p)
+    df0 = spark.range(2).select(F.col("id").alias("v"))
+    w.append(df0, operation="job-b0")
+    w.append(df0, operation="job-b4")
+    export_delta_log(spark, w)
+    assert replay_txn_high(p, "job") == -1  # default: invisible
+    wl = LakehouseTable(spark, p, legacy_txn_compat=True)
+    export_delta_log(spark, wl, incremental=False)
+    assert replay_txn_high(p, "job") == 4
