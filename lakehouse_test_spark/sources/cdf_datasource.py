@@ -300,6 +300,27 @@ class LakehouseCDFStreamReader(DataSourceStreamReader):
         self._lop, self._dropped, _ = (
             _evolution_of(self.path) if self.logical else ({}, set(), {})
         )
+        # seedChunkFiles: admission control for startingMode=snapshot —
+        # the seed drains as a SEQUENCE of micro-batches of at most
+        # this many live files each (0/absent = the whole seed in one
+        # batch). Chunking is safe only on a FRESH start: Spark calls
+        # initialOffset() solely when no offset is committed, and on a
+        # restart partitions() runs BEFORE the first latestOffset()
+        # (verified empirically) — so a restarted reader detects the
+        # restart and serves rest-of-seed + tail in one batch instead
+        # of re-entering a cursor sequence it cannot align with.
+        # Intended for continuous triggers; Trigger.AvailableNow falls
+        # back to single-batch execution on Python sources and would
+        # stop after ONE chunk — leave the option unset there.
+        self.seed_chunk = int(
+            options.get("seedChunkFiles")
+            or options.get("seedchunkfiles")
+            or 0
+        )
+        self._latest_called = False  # restart discriminator (see above)
+        self._restarted = False
+        self._seed_cursor = 0
+        self._seed_cache: tuple[int, list] | None = None  # (seedv, parts)
 
     def _vacuum_horizon(self) -> int:
         meta = self.path / "_meta.json"
@@ -380,6 +401,7 @@ class LakehouseCDFStreamReader(DataSourceStreamReader):
         # construction dominates the listing itself
         import os
 
+        self._latest_called = True
         hi = -1
         try:
             with os.scandir(self.path / "_log") as it:
@@ -392,6 +414,36 @@ class LakehouseCDFStreamReader(DataSourceStreamReader):
                             pass
         except FileNotFoundError:
             pass
+        # chunked seed admission (seedChunkFiles): on a FRESH start
+        # (never after a restart — the discriminator is that restarted
+        # queries call partitions() before the first latestOffset())
+        # advance a cursor over the seed plan, at most seed_chunk live
+        # files per micro-batch; the tail starts once the cursor
+        # drains.
+        if (
+            self.seed_chunk > 0
+            and not self._restarted
+            and hi >= 0
+            and str(
+                self.options.get("startingMode")
+                or self.options.get("startingmode")
+                or ""
+            ).lower()
+            == "snapshot"
+        ):
+            if self._seed_cache is None:
+                self._seed_cache = (hi, list(self._snapshot_partitions(hi)))
+            seedv, plan = self._seed_cache
+            if self._seed_cursor < len(plan):
+                self._seed_cursor = min(
+                    self._seed_cursor + self.seed_chunk, len(plan)
+                )
+                return {
+                    "version": -1,
+                    "mode": "snapshot",
+                    "cursor": self._seed_cursor,
+                    "seedv": seedv,
+                }
         return {"version": hi}
 
     def _snapshot_partitions(self, upto: int) -> Sequence[InputPartition]:
@@ -448,10 +500,47 @@ class LakehouseCDFStreamReader(DataSourceStreamReader):
         self._require_files(upto, [p.file for p in parts])
         return parts or [_FilePartition("insert", "", upto)]
 
+    def _seed_plan(self, seedv: int) -> list:
+        if self._seed_cache is None or self._seed_cache[0] != seedv:
+            self._seed_cache = (
+                seedv,
+                list(self._snapshot_partitions(seedv)),
+            )
+        return self._seed_cache[1]
+
     def partitions(self, start: dict, end: dict) -> Sequence[InputPartition]:
+        if not self._latest_called:
+            # partitions() before any latestOffset() happens only on a
+            # RESTARTED query (replay of the checkpointed last batch)
+            # — disable seed chunking: a fresh cursor sequence cannot
+            # be aligned with the committed one, so the next batch
+            # serves rest-of-seed + tail wholesale instead
+            self._restarted = True
         if start.get("mode") == "snapshot" and start["version"] < 0:
-            return self._snapshot_partitions(end["version"])
-        lo, hi = start["version"], end["version"]
+            s_cur = int(start.get("cursor", 0))
+            if end.get("mode") == "snapshot" and end.get("version", 0) < 0:
+                # chunk WITHIN the seed: files [s_cur, e_cur) at the
+                # pinned seed version (plan recomputed
+                # deterministically after a mid-seed restart replay)
+                plan = self._seed_plan(int(end["seedv"]))
+                chunk = plan[s_cur : int(end["cursor"])]
+                return chunk or [_FilePartition("insert", "", -1)]
+            # seed completion (+ tail): rest of the seed at its pinned
+            # version, then the commit tail up to end. An unchunked
+            # seed has no cursor/seedv — s_cur 0 and seedv==end pin
+            # today's whole-seed-in-one-batch behavior exactly.
+            hi = end["version"]
+            seedv = int(start.get("seedv", hi))
+            rest = list(self._seed_plan(seedv)[s_cur:])
+            both = [p for p in rest if p.file] + [
+                p for p in self._tail_partitions(seedv, hi) if p.file
+            ]  # no-op markers re-added only when NOTHING remains
+            return both or [_FilePartition("insert", "", hi)]
+        return self._tail_partitions(start["version"], end["version"])
+
+    def _tail_partitions(
+        self, lo: int, hi: int
+    ) -> Sequence[InputPartition]:
         parts: list[InputPartition] = []
         commits = {c["version"]: c for c in self._commits(lo, hi)}
         for v in range(lo + 1, hi + 1):
