@@ -303,24 +303,49 @@ class LakehouseCDFStreamReader(DataSourceStreamReader):
         # seedChunkFiles: admission control for startingMode=snapshot —
         # the seed drains as a SEQUENCE of micro-batches of at most
         # this many live files each (0/absent = the whole seed in one
-        # batch). Chunking is safe only on a FRESH start: Spark calls
-        # initialOffset() solely when no offset is committed, and on a
-        # restart partitions() runs BEFORE the first latestOffset()
-        # (verified empirically) — so a restarted reader detects the
-        # restart and serves rest-of-seed + tail in one batch instead
-        # of re-entering a cursor sequence it cannot align with.
-        # Intended for continuous triggers; Trigger.AvailableNow falls
-        # back to single-batch execution on Python sources and would
-        # stop after ONE chunk — leave the option unset there.
+        # batch). Cursor-form offsets are only meaningful against the
+        # plan THIS instance built, so chunking is ALIGNMENT-GATED:
+        # latestOffset() emits a cursor offset only while (a)
+        # initialOffset() ran on this instance (Spark calls it on a
+        # fresh start, and when replaying a first batch whose start IS
+        # the initial offset — never on a cleanly-committed restart;
+        # traced empirically for both trigger families) and (b) every
+        # seed-form offset partitions() has seen was emitted by this
+        # instance. Any checkpointed cursor from a PREVIOUS run breaks
+        # (b) before the next latestOffset(), so a restarted query
+        # replays its checkpointed chunk deterministically (the plan
+        # rebuilds from the offset's own pinned seedv) and then gets
+        # rest-of-seed + tail in one batch — duplicates are
+        # structurally impossible, chunking never resumes misaligned.
+        # Under Trigger.AvailableNow the eagerly-pinned end offset is
+        # computed BEFORE initialOffset, so (a) fails and the seed
+        # correctly lands whole in the single batch.
         self.seed_chunk = int(
             options.get("seedChunkFiles")
             or options.get("seedchunkfiles")
             or 0
         )
-        self._latest_called = False  # restart discriminator (see above)
-        self._restarted = False
+        self.snapshot_mode = (
+            str(
+                options.get("startingMode")
+                or options.get("startingmode")
+                or ""
+            ).lower()
+            == "snapshot"
+        )
+        self._aligned = False  # set by initialOffset; see above
+        self._emitted: set[str] = set()  # seed-form offsets we produced
         self._seed_cursor = 0
         self._seed_cache: tuple[int, list] | None = None  # (seedv, parts)
+
+    def __getstate__(self):
+        # executors re-create the reader from this pickle per batch:
+        # the cached seed plan (O(live files) partition objects) is
+        # driver planning state and must not ride along
+        st = dict(self.__dict__)
+        st["_seed_cache"] = None
+        st["_emitted"] = set()
+        return st
 
     def _vacuum_horizon(self) -> int:
         meta = self.path / "_meta.json"
@@ -391,7 +416,10 @@ class LakehouseCDFStreamReader(DataSourceStreamReader):
                     "the snapshot seed chooses its own start (the head at "
                     "first trigger)"
                 )
-            return {"version": -1, "mode": "snapshot"}
+            o = {"version": -1, "mode": "snapshot"}
+            self._aligned = True  # fresh start (or first-batch replay)
+            self._emitted.add(json.dumps(o, sort_keys=True))
+            return o
         if sv is None or str(sv).lower() == "earliest":
             return {"version": -1}
         return {"version": int(sv) - 1}
@@ -401,7 +429,6 @@ class LakehouseCDFStreamReader(DataSourceStreamReader):
         # construction dominates the listing itself
         import os
 
-        self._latest_called = True
         hi = -1
         try:
             with os.scandir(self.path / "_log") as it:
@@ -414,22 +441,16 @@ class LakehouseCDFStreamReader(DataSourceStreamReader):
                             pass
         except FileNotFoundError:
             pass
-        # chunked seed admission (seedChunkFiles): on a FRESH start
-        # (never after a restart — the discriminator is that restarted
-        # queries call partitions() before the first latestOffset())
-        # advance a cursor over the seed plan, at most seed_chunk live
-        # files per micro-batch; the tail starts once the cursor
-        # drains.
+        # chunked seed admission (seedChunkFiles): advance a cursor
+        # over the seed plan, at most seed_chunk live files per
+        # micro-batch; the tail starts once the cursor drains. Gated
+        # on ALIGNMENT (see __init__): never after a restart whose
+        # checkpointed offsets this instance did not produce.
         if (
             self.seed_chunk > 0
-            and not self._restarted
+            and self._aligned
             and hi >= 0
-            and str(
-                self.options.get("startingMode")
-                or self.options.get("startingmode")
-                or ""
-            ).lower()
-            == "snapshot"
+            and self.snapshot_mode
         ):
             if self._seed_cache is None:
                 self._seed_cache = (hi, list(self._snapshot_partitions(hi)))
@@ -438,12 +459,14 @@ class LakehouseCDFStreamReader(DataSourceStreamReader):
                 self._seed_cursor = min(
                     self._seed_cursor + self.seed_chunk, len(plan)
                 )
-                return {
+                o = {
                     "version": -1,
                     "mode": "snapshot",
                     "cursor": self._seed_cursor,
                     "seedv": seedv,
                 }
+                self._emitted.add(json.dumps(o, sort_keys=True))
+                return o
         return {"version": hi}
 
     def _snapshot_partitions(self, upto: int) -> Sequence[InputPartition]:
@@ -509,19 +532,31 @@ class LakehouseCDFStreamReader(DataSourceStreamReader):
         return self._seed_cache[1]
 
     def partitions(self, start: dict, end: dict) -> Sequence[InputPartition]:
-        if not self._latest_called:
-            # partitions() before any latestOffset() happens only on a
-            # RESTARTED query (replay of the checkpointed last batch)
-            # — disable seed chunking: a fresh cursor sequence cannot
-            # be aligned with the committed one, so the next batch
-            # serves rest-of-seed + tail wholesale instead
-            self._restarted = True
+        # alignment guard: a seed-form offset this instance did not
+        # emit is a checkpointed cursor from a PREVIOUS run — replay
+        # it deterministically (below) but never resume chunking from
+        # it (latestOffset keeps the tail in the version domain)
+        for o in (start, end):
+            if (
+                o.get("mode") == "snapshot"
+                and json.dumps(o, sort_keys=True) not in self._emitted
+            ):
+                self._aligned = False
         if start.get("mode") == "snapshot" and start["version"] < 0:
             s_cur = int(start.get("cursor", 0))
             if end.get("mode") == "snapshot" and end.get("version", 0) < 0:
                 # chunk WITHIN the seed: files [s_cur, e_cur) at the
                 # pinned seed version (plan recomputed
-                # deterministically after a mid-seed restart replay)
+                # deterministically after a mid-seed restart replay —
+                # both offsets came from the SAME run's sequence, so
+                # their seedv agree; a mismatch would mean a corrupted
+                # checkpoint and must fail loudly, not misread)
+                if int(start.get("seedv", end["seedv"])) != int(end["seedv"]):
+                    raise RuntimeError(
+                        f"seed cursor offsets disagree on the seed version "
+                        f"({start} vs {end}); the stream checkpoint is "
+                        "inconsistent — restart from a fresh checkpoint"
+                    )
                 plan = self._seed_plan(int(end["seedv"]))
                 chunk = plan[s_cur : int(end["cursor"])]
                 return chunk or [_FilePartition("insert", "", -1)]
@@ -532,6 +567,7 @@ class LakehouseCDFStreamReader(DataSourceStreamReader):
             hi = end["version"]
             seedv = int(start.get("seedv", hi))
             rest = list(self._seed_plan(seedv)[s_cur:])
+            self._seed_cache = None  # seed done: drop the O(files) plan
             both = [p for p in rest if p.file] + [
                 p for p in self._tail_partitions(seedv, hi) if p.file
             ]  # no-op markers re-added only when NOTHING remains

@@ -295,14 +295,16 @@ def test_seed_chunk_files_drains_in_bounded_batches(spark, tmp_path):
         },
         None,
     )
-    # Spark's fresh-start order: latestOffset, initialOffset, partitions
-    offsets = [r.latestOffset()]
+    # processingTime fresh-start order: initialOffset precedes the
+    # first latestOffset (under AvailableNow the eager latestOffset
+    # comes FIRST, alignment fails, and the whole seed correctly
+    # lands in the single batch — asserted at the end)
     start = r.initialOffset()
     assert start == {"version": -1, "mode": "snapshot"}
     rows, batches = [], 0
     prev = start
     while True:
-        end = offsets.pop(0) if offsets else r.latestOffset()
+        end = r.latestOffset()
         if end == prev:
             break
         parts = r.partitions(prev, end)
@@ -318,6 +320,22 @@ def test_seed_chunk_files_drains_in_bounded_batches(spark, tmp_path):
         for x in t.read_changes_cdf(-1).collect()
     ]
     assert sorted(rows) == sorted(native)
+    # AvailableNow shape: latestOffset BEFORE initialOffset → no
+    # chunking, the single batch carries the full seed (never a
+    # silent partial snapshot)
+    r2 = LakehouseCDFStreamReader(
+        {
+            "path": str(t.path),
+            "startingMode": "snapshot",
+            "seedChunkFiles": "2",
+        },
+        None,
+    )
+    e = r2.latestOffset()  # eager pin, before initialOffset
+    assert e == {"version": t.latest_version()}
+    s2 = r2.initialOffset()
+    full = _drive(r2, s2, e)
+    assert sorted(full) == sorted(native)
 
 
 def test_seed_chunk_restart_mid_seed_serves_rest_plus_tail(spark, tmp_path):
@@ -338,8 +356,8 @@ def test_seed_chunk_restart_mid_seed_serves_rest_plus_tail(spark, tmp_path):
         "seedChunkFiles": "1",
     }
     r1 = LakehouseCDFStreamReader(dict(opts), None)
-    e1 = r1.latestOffset()  # first chunk offset
     s0 = r1.initialOffset()
+    e1 = r1.latestOffset()  # first chunk offset
     assert e1["cursor"] == 1 and e1["seedv"] == 3
     batch1 = _drive(r1, s0, e1)
     assert len(batch1) == 3  # one file's rows

@@ -326,10 +326,6 @@ def test_streaming_rejects_ref_suffixed_paths_loudly(spark, tmp_path):
         )
         q.awaitTermination()
     # the BATCH reader keeps full ref support
-    from lakehouse_test_spark.sources.lakehouse_datasource import (
-        register_table,
-    )
-
     got = (
         spark.read.format("lakehouse")
         .load(str(t.path) + "@tag:r1")
