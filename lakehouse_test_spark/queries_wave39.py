@@ -1,0 +1,144 @@
+"""Round-9 wave AM: streaming tail admission control.
+
+- ``streaming_cdf_capped_drain`` — a ``lakehouse_cdf`` stream that
+  fell 12 commits behind drains them under
+  ``maxVersionsPerTrigger=3`` as a SEQUENCE of capped micro-batches
+  (each advancing ≤3 commit versions — the per-batch end offsets are
+  read back from the checkpoint and the cap is pinned INTO the hashed
+  output), exactly-once against a pure-SQL reconstruction. This is
+  the reference's consume-side rate limiting (``PerformanceConsumer``
+  poll loop bounded per iteration) re-expressed in the version
+  domain: a 100 TB consumer that was down for a day replays the
+  backlog as bounded micro-batches, never as one giant transaction.
+  The admission design (floor fast-forwarded by the engine's
+  re-planned checkpointed batch BEFORE the first capped
+  ``latestOffset``) is derived from the TRACED engine call order —
+  see ``tools/probe_call_order.py`` and
+  ``tests/test_stream_engine_contract.py``.
+"""
+
+from __future__ import annotations
+
+import json
+from pathlib import Path
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from lakehouse_test_spark.registry import query
+from lakehouse_test_spark.session import load_table
+
+
+def T(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
+    return load_table(spark, sf_dir, name)
+
+
+def _end_versions(ck: str) -> list[int]:
+    """Per-batch end-offset versions from a stream checkpoint (line 1
+    'v1', line 2 metadata, last line the source-0 offset JSON)."""
+    out = []
+    for f in sorted(
+        Path(ck, "offsets").glob("[0-9]*"), key=lambda p: int(p.name)
+    ):
+        try:
+            off = json.loads(f.read_text().splitlines()[-1])
+        except (json.JSONDecodeError, IndexError):
+            continue
+        if isinstance(off, str):
+            off = json.loads(off)
+        if isinstance(off, dict) and isinstance(off.get("version"), int):
+            out.append(off["version"])
+    return out
+
+
+@query(
+    "streaming_cdf_capped_drain",
+    oracle="""
+    WITH seed AS (
+      SELECT n_nationkey AS k, 0 AS v FROM nation
+    ),
+    tail AS (
+      SELECT n.n_nationkey + 100 * (g.i + 1) AS k,
+             CAST(g.i + 1 AS INTEGER) AS v
+      FROM nation n, (SELECT UNNEST(range(12)) AS i) g
+      WHERE n.n_nationkey < 5
+    ),
+    feed AS (
+      SELECT * FROM seed UNION ALL SELECT * FROM tail
+    )
+    SELECT CAST(count(*) AS BIGINT) AS n_rows,
+           CAST(sum(k) AS BIGINT) AS k_sum,
+           CAST(sum(v) AS BIGINT) AS v_sum,
+           TRUE AS capped,
+           TRUE AS multi_batch
+    FROM feed
+    """,
+    tags=("streaming", "lakehouse", "cdf", "admission", "datasource"),
+)
+def streaming_cdf_capped_drain(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Tail admission control, engine-driven: seed a checkpoint at v0
+    (snapshot mode), land 12 commits while the stream is DOWN, then
+    drain with ``maxVersionsPerTrigger=3`` — the checkpoint's offset
+    log must show every advance ≤3 versions (``capped``) across ≥4
+    batches (``multi_batch``), both pinned into the hashed output,
+    and the drained feed must be exactly-once (count/sum of keys AND
+    of provenance versions match the SQL reconstruction — a replayed
+    or skipped batch breaks the sums).
+
+    Scale: the cap bounds a micro-batch by COMMIT COUNT, the
+    snapshot seed bounds the first batch by LIVE SIZE — together a
+    consumer can bound every transaction it replays regardless of
+    how far behind it fell. Restart safety is engine-order-derived:
+    Spark re-plans the checkpointed batch before the first capped
+    ``latestOffset`` (floor fast-forward), so the cap can never
+    regress below a committed offset.
+    """
+    import tempfile
+
+    from lakehouse_test_spark.plans.lakehouse import LakehouseTable
+    from lakehouse_test_spark.sources.cdf_datasource import register
+
+    register(spark)
+    n = T(spark, sf_dir, "nation").select(
+        F.col("n_nationkey").cast("long").alias("k")
+    )
+    t = LakehouseTable(spark, tempfile.mkdtemp(prefix="lh_cdfcap_"))
+    t.append(n.coalesce(1))  # v0: the seed
+    work = tempfile.mkdtemp(prefix="lh_cdfcap_ck_")
+    ck, out = f"{work}/ck", f"{work}/out"
+
+    def run_once():
+        q = (
+            spark.readStream.format("lakehouse_cdf")
+            .option("path", str(t.path))
+            .option("startingMode", "snapshot")
+            .option("maxVersionsPerTrigger", "3")
+            .load()
+            .writeStream.format("parquet")
+            .option("path", out)
+            .option("checkpointLocation", ck)
+            .trigger(availableNow=True)
+            .start()
+        )
+        q.awaitTermination()
+
+    run_once()  # establish the checkpoint at v0 (seed batch)
+    small = n.where(F.col("k") < 5).coalesce(1)
+    for i in range(12):  # fall behind by 12 commits
+        t.append(small.select((F.col("k") + 100 * (i + 1)).alias("k")))
+    head = t.latest_version()
+    runs = 0
+    while (_end_versions(ck) or [-1])[-1] < head and runs < 10:
+        run_once()
+        runs += 1
+    vs = _end_versions(ck)
+    deltas = [b - a for a, b in zip(vs, vs[1:])]
+    capped = bool(deltas) and max(deltas) <= 3
+    multi_batch = len([d for d in deltas if d > 0]) >= 4
+    return spark.read.parquet(out).agg(
+        F.count(F.lit(1)).cast("long").alias("n_rows"),
+        F.sum("k").cast("long").alias("k_sum"),
+        F.sum("_commit_version").cast("long").alias("v_sum"),
+        F.lit(capped).alias("capped"),
+        F.lit(multi_batch).alias("multi_batch"),
+    )

@@ -259,120 +259,30 @@ def test_plain_lakehouse_stream_snapshot_seed(spark, tmp_path):
         shutil.rmtree(ck, ignore_errors=True)
 
 
-def _drive(reader, start, end):
-    """Collect (k, change, version) rows from partitions(start, end)."""
-    import pyarrow as pa
-
-    out = []
-    for p in reader.partitions(start, end):
-        for b in reader.read(p):
-            if isinstance(b, pa.RecordBatch):
-                for i in range(b.num_rows):
-                    out.append(tuple(col[i].as_py() for col in b.columns))
-            else:
-                out.append(tuple(b))
-    return out
-
-
-def test_seed_chunk_files_drains_in_bounded_batches(spark, tmp_path):
-    """seedChunkFiles=2: a fresh start drains the seed as a SEQUENCE
-    of ≤2-file micro-batches (driven through the exact offset API
-    Spark uses), then the tail follows; the union equals the native
-    initial load + tail."""
-    t = LakehouseTable(spark, str(tmp_path / "chunkseed"))
-    for i in range(5):
-        t.append(
-            spark.range(i * 10, i * 10 + 4)
-            .select(F.col("id").alias("k"))
-            .coalesce(1)
+def test_seed_chunk_files_removed_loudly(spark, tmp_path):
+    """seedChunkFiles (r8) was REMOVED: the engine pins the first end
+    offset before initialOffset runs (tools/probe_call_order.py), so
+    cursor-chunking the seed duplicated rows. The knob now fails at
+    construction — never a silently-ignored option — and checkpoints
+    holding its cursor-form offsets are refused with a recipe."""
+    t = LakehouseTable(spark, str(tmp_path / "chunkgone"))
+    t.append(spark.range(3).select(F.col("id").alias("k")))
+    with pytest.raises(ValueError, match="seedChunkFiles was removed"):
+        LakehouseCDFStreamReader(
+            {
+                "path": str(t.path),
+                "startingMode": "snapshot",
+                "seedChunkFiles": "2",
+            },
+            None,
         )
-    t.delete_where_dv("k % 10 = 3")
+    # a checkpointed cursor-form offset from an r8 chunked stream is
+    # known-corrupt (the option duplicated rows): refuse, don't guess
     r = LakehouseCDFStreamReader(
-        {
-            "path": str(t.path),
-            "startingMode": "snapshot",
-            "seedChunkFiles": "2",
-        },
-        None,
+        {"path": str(t.path), "startingMode": "snapshot"}, None
     )
-    # processingTime fresh-start order: initialOffset precedes the
-    # first latestOffset (under AvailableNow the eager latestOffset
-    # comes FIRST, alignment fails, and the whole seed correctly
-    # lands in the single batch — asserted at the end)
-    start = r.initialOffset()
-    assert start == {"version": -1, "mode": "snapshot"}
-    rows, batches = [], 0
-    prev = start
-    while True:
-        end = r.latestOffset()
-        if end == prev:
-            break
-        parts = r.partitions(prev, end)
-        if end.get("mode") == "snapshot":
-            real = [p for p in parts if p.file]
-            assert len(real) <= 2, "chunk must respect seedChunkFiles"
-        rows.extend(_drive(r, prev, end))
-        batches += 1
-        prev = end
-    assert batches >= 3, "5 files at chunk 2 need ≥3 seed batches"
-    native = [
-        (x["k"], x["_change_type"], x["_commit_version"])
-        for x in t.read_changes_cdf(-1).collect()
-    ]
-    assert sorted(rows) == sorted(native)
-    # AvailableNow shape: latestOffset BEFORE initialOffset → no
-    # chunking, the single batch carries the full seed (never a
-    # silent partial snapshot)
-    r2 = LakehouseCDFStreamReader(
-        {
-            "path": str(t.path),
-            "startingMode": "snapshot",
-            "seedChunkFiles": "2",
-        },
-        None,
-    )
-    e = r2.latestOffset()  # eager pin, before initialOffset
-    assert e == {"version": t.latest_version()}
-    s2 = r2.initialOffset()
-    full = _drive(r2, s2, e)
-    assert sorted(full) == sorted(native)
-
-
-def test_seed_chunk_restart_mid_seed_serves_rest_plus_tail(spark, tmp_path):
-    """A query restarted MID-SEED (committed offset is a seed cursor)
-    must not re-enter a fresh cursor sequence: the restarted reader
-    replays its checkpointed chunk deterministically, then serves
-    rest-of-seed + tail in one batch — exactly-once, no overlap."""
-    t = LakehouseTable(spark, str(tmp_path / "chunkrestart"))
-    for i in range(4):
-        t.append(
-            spark.range(i * 10, i * 10 + 3)
-            .select(F.col("id").alias("k"))
-            .coalesce(1)
-        )
-    opts = {
-        "path": str(t.path),
-        "startingMode": "snapshot",
-        "seedChunkFiles": "1",
-    }
-    r1 = LakehouseCDFStreamReader(dict(opts), None)
-    s0 = r1.initialOffset()
-    e1 = r1.latestOffset()  # first chunk offset
-    assert e1["cursor"] == 1 and e1["seedv"] == 3
-    batch1 = _drive(r1, s0, e1)
-    assert len(batch1) == 3  # one file's rows
-    # --- restart: committed offset is e1; a new commit lands too
-    t.append(spark.range(100, 102).select(F.col("id").alias("k")))
-    r2 = LakehouseCDFStreamReader(dict(opts), None)
-    # Spark's restart order: partitions(last batch) BEFORE latestOffset
-    replay = _drive(r2, s0, e1)
-    assert sorted(replay) == sorted(batch1)  # deterministic replay
-    e2 = r2.latestOffset()
-    assert e2 == {"version": 4}, e2  # chunking disabled after restart
-    batch2 = _drive(r2, e1, e2)
-    rows = batch1 + batch2
-    native = [
-        (x["k"], x["_change_type"], x["_commit_version"])
-        for x in t.read_changes_cdf(-1).collect()
-    ]
-    assert sorted(rows) == sorted(native)  # no overlap, no gap
+    legacy = {"version": -1, "mode": "snapshot", "cursor": 2, "seedv": 0}
+    with pytest.raises(RuntimeError, match="seedChunkFiles"):
+        r.partitions(legacy, {"version": 0})
+    with pytest.raises(RuntimeError, match="fresh checkpoint"):
+        r.partitions({"version": -1, "mode": "snapshot"}, legacy)

