@@ -43,6 +43,7 @@ Iceberg scales planning to 100k-commit tables.
 from __future__ import annotations
 
 import json
+import os
 import re
 import struct
 import time
@@ -766,8 +767,24 @@ def _ice_export_fingerprint(tmeta: dict) -> str:
     return hashlib.md5(basis.encode()).hexdigest()
 
 
+def _stale_export_names(meta_dir: Path) -> set[str]:
+    """File names of a superseded export, recorded for DEFERRED
+    deletion by the degrade-to-full-rewrite paths: the previously
+    valid export stays on disk (readable by concurrent external
+    readers, recoverable after a crash mid-rewrite) until the
+    rewrite's metadata.json has atomically replaced the old one."""
+    try:
+        return {p.name for p in meta_dir.iterdir() if p.is_file()}
+    except OSError:
+        return set()
+
+
 def export_iceberg_metadata(
-    spark: SparkSession, table: LakehouseTable, incremental: bool = True
+    spark: SparkSession,
+    table: LakehouseTable,
+    incremental: bool = True,
+    expire_keep_last: int | None = None,
+    expire_older_than_ms: int | None = None,
 ) -> Path:
     """Write Iceberg v2 table metadata under ``<table>/metadata`` from
     the native commit history. Idempotent; returns the metadata dir.
@@ -786,7 +803,16 @@ def export_iceberg_metadata(
     files are reused byte-identical and the (small) metadata.json is
     rewritten with the extended snapshot list. A rename/drop/widen
     falls back to the full rewrite; additive schema evolution, spec
-    evolution, and tags stay incremental (they only append)."""
+    evolution, and tags stay incremental (they only append).
+
+    RETENTION (``expire_keep_last`` / ``expire_older_than_ms``,
+    Iceberg's expireSnapshots): trims ``snapshots[]``/``snapshot-log``
+    to the union of {current, every ref-reachable (tags!), newest N,
+    newer-than-ts} and deletes manifest-list/manifest/position-delete
+    files under metadata/ referenced ONLY by expired snapshots (after
+    the new metadata.json lands — crash-safe). Bounds metadata growth
+    on a per-micro-batch export loop; time travel to an expired
+    snapshot fails loudly. Never touches native data files."""
     meta_dir = table.path / "metadata"
     tmeta0 = table._read_meta()
     fingerprint = _ice_export_fingerprint(tmeta0)
@@ -809,13 +835,19 @@ def export_iceberg_metadata(
                 resume_md = md_old
         except (OSError, ValueError, KeyError, json.JSONDecodeError):
             resume_md = None
+    # Degrade-to-full-rewrite paths DEFER destroying the superseded
+    # export: they record its file names here and the purge happens
+    # only AFTER the rewrite's metadata.json has landed (atomic
+    # replace). The old rmtree-first behavior left a crashed rewrite —
+    # or a concurrent external reader — with NO metadata at all, where
+    # a valid export had existed moments before (r8 ADVICE). Fresh
+    # manifests are uuid-named, so old and new files never collide.
+    stale_names: set[str] = set()
     if resume_md is None:
         resume_head = -1
         if meta_dir.exists():
-            import shutil
-
-            shutil.rmtree(meta_dir)
-        meta_dir.mkdir(parents=True)
+            stale_names = _stale_export_names(meta_dir)
+        meta_dir.mkdir(parents=True, exist_ok=True)
 
     now_ms = int(time.time() * 1000)
     tbl_uuid = str(uuid.uuid5(uuid.NAMESPACE_URL, str(table.path)))
@@ -1068,10 +1100,7 @@ def export_iceberg_metadata(
             parent_id, last_seq, live_entries = None, 0, {}
             pending_hydration = []
             history = table.history()
-            import shutil
-
-            shutil.rmtree(meta_dir, ignore_errors=True)
-            meta_dir.mkdir(parents=True, exist_ok=True)
+            stale_names |= _stale_export_names(meta_dir)
 
     # ---- per-snapshot schema lineage (spec: ``schemas`` + snapshot
     # ``schema-id``). On resume the fold CONTINUES from the exported
@@ -1116,10 +1145,7 @@ def export_iceberg_metadata(
             live_data_manifests, live_delete_manifests = [], []
             parent_id, last_seq, live_entries = None, 0, {}
             pending_hydration = []
-            import shutil
-
-            shutil.rmtree(meta_dir, ignore_errors=True)
-            meta_dir.mkdir(parents=True, exist_ok=True)
+            stale_names |= _stale_export_names(meta_dir)
             history = table.history()
     if seed is None:
         try:
@@ -1307,6 +1333,53 @@ def export_iceberg_metadata(
     for tag_name, tag_version in table.tags().items():
         refs[tag_name] = {"snapshot-id": _snapshot_id(tag_version), "type": "tag"}
 
+    # ---- snapshot expiration (Iceberg expireSnapshots analog) ----
+    # Without a retention knob the incremental exporter appends to
+    # snapshots[]/snapshot-log FOREVER — metadata.json and the
+    # manifest population grow O(total commits) even though the
+    # native side bounds its own log with vacuum/retention. The keep
+    # set is the union of: the current snapshot, every REF-reachable
+    # snapshot (tags never silently lose their target — Iceberg's
+    # rule), the newest ``expire_keep_last``, and anything newer than
+    # ``expire_older_than_ms``. Expired snapshots leave the metadata
+    # now; their exclusively-referenced manifest-list/manifest/
+    # position-delete files under meta_dir are purged AFTER the new
+    # metadata.json lands (same crash-safety rule as stale_names —
+    # a reader never observes missing files behind a live metadata).
+    # Native DATA files are never touched: vacuum owns those.
+    expired_snaps: list[dict] = []
+    if expire_keep_last is not None or expire_older_than_ms is not None:
+        if expire_keep_last is not None and expire_keep_last < 1:
+            raise ValueError(
+                f"expire_keep_last must be >= 1, got {expire_keep_last}"
+            )
+        keep_ids = {parent_id}
+        for r in refs.values():
+            if r.get("snapshot-id") is not None:
+                keep_ids.add(r["snapshot-id"])
+        ordered = sorted(snapshots, key=lambda s: s["snapshot-id"])
+        if expire_keep_last is not None:
+            keep_ids.update(
+                s["snapshot-id"] for s in ordered[-expire_keep_last:]
+            )
+        if expire_older_than_ms is not None:
+            keep_ids.update(
+                s["snapshot-id"]
+                for s in ordered
+                if s["timestamp-ms"] >= expire_older_than_ms
+            )
+        expired_snaps = [
+            s for s in snapshots if s["snapshot-id"] not in keep_ids
+        ]
+        if expired_snaps:
+            snapshots = [
+                s for s in snapshots if s["snapshot-id"] in keep_ids
+            ]
+            kept_ids = {s["snapshot-id"] for s in snapshots}
+            snapshot_log = [
+                e for e in snapshot_log if e["snapshot-id"] in kept_ids
+            ]
+
     metadata = {
         "format-version": 2,
         "table-uuid": tbl_uuid,
@@ -1364,8 +1437,77 @@ def export_iceberg_metadata(
         "snapshot-log": snapshot_log,
         "metadata-log": [],
     }
-    (meta_dir / "v1.metadata.json").write_text(json.dumps(metadata, indent=2))
+    # Files exclusively referenced by EXPIRED snapshots: walk the
+    # surviving manifest-lists for the referenced set (O(kept
+    # snapshots), bounded by the retention knob), the expired ones
+    # for candidates, and — only when a DELETE manifest dies — its
+    # entries for the position-delete parquets it owned. Everything
+    # purged must live under meta_dir (native data files are listed
+    # in DATA manifests but are the table's own storage).
+    expired_files: set[str] = set()
+    if expired_snaps:
+
+        def _walk_lists(snaps: list[dict]) -> tuple[set[str], set[str]]:
+            paths: set[str] = set()
+            del_manifests: set[str] = set()
+            for s in snaps:
+                paths.add(s["manifest-list"])
+                try:
+                    _, _, ms = read_ocf(Path(s["manifest-list"]))
+                except (OSError, ValueError, struct.error):
+                    continue
+                for m in ms:
+                    paths.add(m["manifest_path"])
+                    if m.get("content") == CONTENT_DELETES:
+                        del_manifests.add(m["manifest_path"])
+            return paths, del_manifests
+
+        def _delete_parquets(manifest_paths: set[str]) -> set[str]:
+            out: set[str] = set()
+            for mp in manifest_paths:
+                try:
+                    _, _, es = read_ocf(Path(mp))
+                except (OSError, ValueError, struct.error):
+                    continue
+                for e in es:
+                    df = e.get("data_file") or {}
+                    if df.get("content") in (CONTENT_DELETES, CONTENT_EQ_DELETES):
+                        out.add(df["file_path"])
+            return out
+
+        referenced, ref_dels = _walk_lists(snapshots)
+        candidates, cand_dels = _walk_lists(expired_snaps)
+        dying_dels = cand_dels - referenced
+        if dying_dels:
+            expired_files |= _delete_parquets(dying_dels) - _delete_parquets(
+                ref_dels
+            )
+        expired_files |= candidates - referenced
+        md_resolved = meta_dir.resolve()
+        expired_files = {
+            f for f in expired_files if Path(f).parent.resolve() == md_resolved
+        }
+
+    # land the new metadata ATOMICALLY, then purge the superseded
+    # export's files (deferred from the degrade paths above) and the
+    # expired snapshots' files: a crash at any point leaves a
+    # parseable export — either the old one (plus orphaned new
+    # manifests) or the new one (plus not-yet-purged old files),
+    # never a missing/truncated metadata.json
+    tmp = meta_dir / f".v1.metadata.json.{uuid.uuid4().hex}.tmp"
+    tmp.write_text(json.dumps(metadata, indent=2))
+    os.replace(tmp, meta_dir / "v1.metadata.json")
     (meta_dir / "version-hint.text").write_text("1")
+    for name in stale_names - {"v1.metadata.json", "version-hint.text"}:
+        try:
+            (meta_dir / name).unlink()
+        except OSError:
+            pass
+    for f in expired_files:
+        try:
+            Path(f).unlink()
+        except OSError:
+            pass
     return meta_dir
 
 
@@ -1380,6 +1522,22 @@ def _load_metadata(table_path: str) -> dict:
     return json.loads((meta_dir / f"v{hint}.metadata.json").read_text())
 
 
+def _find_snapshot(md: dict, sid: int) -> dict:
+    """Loud snapshot lookup: a missing id used to surface as a bare
+    StopIteration; after snapshot EXPIRATION a time travel to an
+    expired id must fail with the recipe instead."""
+    for s in md["snapshots"]:
+        if s["snapshot-id"] == sid:
+            return s
+    have = sorted(s["snapshot-id"] for s in md["snapshots"])
+    raise ValueError(
+        f"snapshot {sid} not in the exported metadata (expired by "
+        f"expire_keep_last/expire_older_than_ms, or never exported); "
+        f"available: {have[:3]}..{have[-3:]} — re-export without "
+        "expiration or time-travel the NATIVE table"
+    )
+
+
 def iceberg_plan_files(
     table_path: str, snapshot_id: int | None = None
 ) -> tuple[list[str], list[str]]:
@@ -1387,7 +1545,7 @@ def iceberg_plan_files(
     list → manifests → (data files, position-delete files)."""
     md = _load_metadata(table_path)
     sid = snapshot_id if snapshot_id is not None else md["current-snapshot-id"]
-    snap = next(s for s in md["snapshots"] if s["snapshot-id"] == sid)
+    snap = _find_snapshot(md, sid)
     _, _, manifests = read_ocf(Path(snap["manifest-list"]))
     data_files: list[str] = []
     delete_files: list[str] = []
@@ -1600,7 +1758,7 @@ def iceberg_plan_entries(
     equality_ids, sequence_number}``."""
     md = _load_metadata(table_path)
     sid = snapshot_id if snapshot_id is not None else md["current-snapshot-id"]
-    snap = next(s for s in md["snapshots"] if s["snapshot-id"] == sid)
+    snap = _find_snapshot(md, sid)
     _, _, manifests = read_ocf(Path(snap["manifest-list"]))
     entries: list[dict] = []
     delete_files: list[str] = []
@@ -1917,7 +2075,7 @@ def iceberg_plan_files_pruned(
             if f["name"] == fname:
                 target[spec["spec-id"]] = (i, result_type(f, schema))
     sid = snapshot_id if snapshot_id is not None else md["current-snapshot-id"]
-    snap = next(s for s in md["snapshots"] if s["snapshot-id"] == sid)
+    snap = _find_snapshot(md, sid)
     _, _, manifests = read_ocf(Path(snap["manifest-list"]))
     out = {
         "data_files": [],
@@ -2075,7 +2233,7 @@ def iceberg_plan_files_stats_pruned(
             (fld["id"], rt, to_iceberg_value(plo, rt), to_iceberg_value(phi, rt))
         )
     sid = snapshot_id if snapshot_id is not None else md["current-snapshot-id"]
-    snap = next(s for s in md["snapshots"] if s["snapshot-id"] == sid)
+    snap = _find_snapshot(md, sid)
     _, _, manifests = read_ocf(Path(snap["manifest-list"]))
     out = {
         "data_files": [],

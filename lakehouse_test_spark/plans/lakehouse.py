@@ -2021,20 +2021,33 @@ class LakehouseTable:
             pairs0 = self._live_files(upto_version)
             if not pairs0:
                 raise ValueError("no data at version None")
-            # Absolutize the map keys: _metadata.file_path is always a
-            # fully-qualified URI, so a table opened via a RELATIVE
-            # path would otherwise build keys that never match and the
-            # inner join would silently return an empty initial load.
-            # The same absolutized strings feed _read_data so scan
-            # paths and map keys stay byte-identical.
-            ver_rows = [
-                (os.path.abspath(str(self.path / f)), c.version)
-                for c, f in pairs0
+            # Join on the file's SUFFIX identity (last two path
+            # components: commit dir + file name — both writer-
+            # generated, uuid-bearing, unique within a table, and
+            # drawn from a charset URL-encoding never touches), not
+            # on full derived paths: _metadata.file_path is a
+            # URL-ENCODED fully-qualified URI (a space is %20) that
+            # can differ from an os.path.abspath key in scheme,
+            # percent-encoding, AND symlink resolution — a full-path
+            # compare silently returned an EMPTY initial load on a
+            # table path containing a space (r8 ADVICE; the streaming
+            # source's _match_key applies the same rule). Absolute
+            # paths still feed _read_data (relative-path tables scan
+            # correctly); only the join key is suffix-normalized.
+            scan_paths = [
+                os.path.abspath(str(self.path / f)) for _c, f in pairs0
             ]
-            scan = self._read_data(*[p for p, _v in ver_rows]).withColumn(
+            ver_rows = [
+                ("/".join(p.rstrip("/").split("/")[-2:]), c.version)
+                for (c, _f), p in zip(pairs0, scan_paths)
+            ]
+            scan = self._read_data(*scan_paths).withColumn(
                 "_cdf_path",
-                F.regexp_replace(
-                    F_col("_metadata.file_path"), "^file:(//)?", ""
+                F.array_join(
+                    F.slice(
+                        F.split(F_col("_metadata.file_path"), "/"), -2, 2
+                    ),
+                    "/",
                 ),
             )
             vmap = self.spark.createDataFrame(

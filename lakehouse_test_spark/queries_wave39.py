@@ -142,3 +142,78 @@ def streaming_cdf_capped_drain(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.lit(capped).alias("capped"),
         F.lit(multi_batch).alias("multi_batch"),
     )
+
+
+@query(
+    "iceberg_export_expire_snapshots",
+    oracle="""
+    WITH src AS (
+      SELECT s_suppkey AS k,
+             CAST(FLOOR(s_acctbal) AS DECIMAL(12,2)) AS bal
+      FROM supplier
+    )
+    SELECT CAST(count(*) AS BIGINT) AS n_rows,
+           CAST(sum(k) AS BIGINT) AS k_sum,
+           CAST(round(sum(bal), 2) AS DOUBLE) AS bal_sum,
+           CAST(3 AS BIGINT) AS snapshots_kept,
+           TRUE AS expired_raises,
+           TRUE AS tag_survives
+    FROM src
+    """,
+    tags=("lakehouse", "iceberg", "interop", "retention"),
+)
+def iceberg_export_expire_snapshots(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Iceberg export retention (expireSnapshots analog): 6 commits +
+    a tag on v0, exported with ``expire_keep_last=2`` — the metadata
+    keeps exactly {newest 2} ∪ {tag target} = 3 snapshots (pinned as
+    ``snapshots_kept``), the head read through the Iceberg replay path
+    still equals the full table (count/sum/bal hashed vs DuckDB), a
+    time travel to an EXPIRED snapshot raises the documented error
+    (``expired_raises``), and the tag-protected snapshot still
+    time-travels (``tag_survives``).
+
+    Scale: without retention a per-micro-batch export loop grows
+    metadata.json and the manifest population O(total commits); with
+    ``expire_keep_last`` both are pinned (probe:
+    ``tools/iceberg_export_probe.py`` retention phase) while the
+    incremental per-call cost stays flat. Ref-reachable snapshots
+    never expire — Iceberg's own expireSnapshots contract.
+    """
+    import tempfile
+
+    from lakehouse_test_spark.plans.iceberg_export import (
+        _snapshot_id,
+        export_iceberg_metadata,
+        read_iceberg,
+    )
+    from lakehouse_test_spark.plans.lakehouse import LakehouseTable
+
+    s = T(spark, sf_dir, "supplier").select(
+        F.col("s_suppkey").cast("long").alias("k"),
+        F.floor(F.col("s_acctbal")).cast("decimal(12,2)").alias("bal"),
+    )
+    t = LakehouseTable(spark, tempfile.mkdtemp(prefix="lh_iceexp_"))
+    for i in range(6):
+        t.append(s.where(F.col("k") % 6 == i).coalesce(1))
+    t.tag("baseline", version=0)
+    export_iceberg_metadata(spark, t, expire_keep_last=2)
+    import json as _json
+
+    md = _json.loads((t.path / "metadata" / "v1.metadata.json").read_text())
+    expired_raises = False
+    try:
+        read_iceberg(spark, str(t.path), _snapshot_id(2)).count()
+    except ValueError as e:
+        expired_raises = "expired" in str(e)
+    tag_survives = (
+        read_iceberg(spark, str(t.path), _snapshot_id(0)).count()
+        == t.snapshot(version=0).count()
+    )
+    return read_iceberg(spark, str(t.path)).agg(
+        F.count(F.lit(1)).cast("long").alias("n_rows"),
+        F.sum("k").cast("long").alias("k_sum"),
+        F.round(F.sum("bal"), 2).cast("double").alias("bal_sum"),
+        F.lit(len(md["snapshots"])).cast("long").alias("snapshots_kept"),
+        F.lit(expired_raises).alias("expired_raises"),
+        F.lit(tag_survives).alias("tag_survives"),
+    )

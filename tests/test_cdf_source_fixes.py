@@ -321,3 +321,35 @@ def test_cdf_wide_dv_splits_one_partition_per_base_file(spark, tmp_path):
         r_["k"] for r_ in got.collect() if r_["_change_type"] == "delete"
     )
     assert dels == sorted(k for k in range(80) if k % 10 < 3)
+
+
+def test_initial_load_on_percent_encodable_table_path(spark, tmp_path):
+    """read_changes_cdf(-1) on a table whose PATH contains spaces and
+    percent-encodable characters: _metadata.file_path is a URL-encoded
+    URI (space -> %20), so a full-path join against os.path.abspath
+    keys silently returned ZERO rows (r8 ADVICE). The join now uses
+    the writer-generated last-two-components suffix identity — same
+    rule as the streaming source's _match_key."""
+    from lakehouse_test_spark.plans.lakehouse import LakehouseTable
+
+    base = tmp_path / "sp ace %20 dir"
+    base.mkdir()
+    t = LakehouseTable(spark, str(base / "t"))
+    t.append(spark.range(5).select(F.col("id").alias("k")))
+    t.append(spark.range(10, 13).select(F.col("id").alias("k")))
+    t.delete_where_dv("k = 3")
+    rows = sorted(
+        (r["k"], r["_change_type"], r["_commit_version"])
+        for r in t.read_changes_cdf(-1).collect()
+    )
+    assert rows == [
+        (0, "insert", 0),
+        (1, "insert", 0),
+        (2, "insert", 0),
+        (4, "insert", 0),
+        (10, "insert", 1),
+        (11, "insert", 1),
+        (12, "insert", 1),
+    ], rows
+    # bounded form sees the pre-DV snapshot on the same encoded path
+    assert len(t.read_changes_cdf(-1, upto_version=1).collect()) == 8

@@ -235,3 +235,39 @@ def test_cold_reader_incremental_resume_and_rename(spark, tmp_path):
     )
     assert "v_usd" in [f["name"] for f in cur["fields"]]
     assert _cold_scan(str(t.path), "k") == list(range(9))
+
+
+def test_cold_reader_parses_post_expiry_export(spark, tmp_path):
+    """After expire_keep_last trims the snapshot history, the export
+    must still parse through the INDEPENDENT cold reader: head scan
+    with a DV, tag-protected old snapshot via its ref, and every
+    manifest-list referenced by the metadata present on disk; a
+    time travel to an expired snapshot fails loudly (missing from
+    snapshots[]), never silently returns wrong data."""
+    from pathlib import Path as _P
+
+    from lakehouse_test_spark.plans.iceberg_export import (
+        export_iceberg_metadata,
+    )
+
+    t = LakehouseTable(spark, str(tmp_path / "coldexp"))
+    for i in range(6):
+        t.append(
+            spark.range(i * 5, i * 5 + 5).select(
+                F.col("id").alias("k"), (F.col("id") * 2.0).alias("v")
+            )
+        )
+    t.tag("old", version=1)
+    t.delete_where_dv("k >= 28")
+    export_iceberg_metadata(spark, t, expire_keep_last=2)
+    got = _cold_scan(str(t.path), "k")
+    assert got == list(range(28))  # DV applied post-expiry
+    md, _, _ = _cold_plan(str(t.path))
+    assert len(md["snapshots"]) == 3  # newest 2 + tag-protected
+    for s in md["snapshots"]:
+        assert _P(s["manifest-list"]).exists()
+    tag_sid = md["refs"]["old"]["snapshot-id"]
+    assert _cold_scan(str(t.path), "k", snapshot_id=tag_sid) == list(range(10))
+    # expired snapshot: absent from the metadata the cold reader walks
+    expired_sid = tag_sid + 1000
+    assert expired_sid not in {s["snapshot-id"] for s in md["snapshots"]}

@@ -1,0 +1,152 @@
+"""Iceberg export snapshot expiration (round 9).
+
+``export_iceberg_metadata(..., expire_keep_last=N /
+expire_older_than_ms=ts)`` — Iceberg's expireSnapshots re-expressed
+on the export side: without it the incremental exporter appends to
+``snapshots[]``/``snapshot-log`` forever, so a per-micro-batch export
+loop grows its metadata O(total commits). The keep set is
+{current} ∪ {ref-reachable} ∪ {newest N} ∪ {newer than ts}; files
+referenced only by expired snapshots are purged from metadata/ AFTER
+the new metadata.json lands. Native data files are never touched.
+"""
+from __future__ import annotations
+
+import json
+from pathlib import Path
+
+import pytest
+from pyspark.sql import functions as F
+
+from lakehouse_test_spark.plans.iceberg_export import (
+    export_iceberg_metadata,
+    read_iceberg,
+    _snapshot_id,
+)
+from lakehouse_test_spark.plans.lakehouse import LakehouseTable
+
+
+def _md(t) -> dict:
+    return json.loads((t.path / "metadata" / "v1.metadata.json").read_text())
+
+
+def _mk(spark, tmp_path, name, commits=8):
+    t = LakehouseTable(spark, str(tmp_path / name))
+    for i in range(commits):
+        t.append(
+            spark.range(i * 10, i * 10 + 3)
+            .select(F.col("id").alias("k"), (F.col("id") * 2.0).alias("v"))
+            .coalesce(1)
+        )
+    return t
+
+
+def test_expire_keep_last_bounds_metadata(spark, tmp_path):
+    t = _mk(spark, tmp_path, "keepn", commits=8)
+    export_iceberg_metadata(spark, t, expire_keep_last=3)
+    md = _md(t)
+    assert len(md["snapshots"]) == 3
+    assert len(md["snapshot-log"]) == 3
+    assert md["current-snapshot-id"] == _snapshot_id(7)
+    # head scan unaffected; time travel inside the window works
+    assert read_iceberg(spark, str(t.path)).count() == 24
+    assert read_iceberg(spark, str(t.path), _snapshot_id(5)).count() == 18
+    # time travel to an EXPIRED snapshot fails loudly, not StopIteration
+    with pytest.raises(ValueError, match="expired"):
+        read_iceberg(spark, str(t.path), _snapshot_id(1)).count()
+
+
+def test_expire_preserves_ref_reachable_tags(spark, tmp_path):
+    """Tags are refs: their snapshots never expire silently (Iceberg's
+    rule) — a tagged ancient snapshot survives keep_last=2 and still
+    time-travels, both by id and through the exported ref."""
+    t = _mk(spark, tmp_path, "tagged", commits=6)
+    t.tag("v1.0", version=1)
+    export_iceberg_metadata(spark, t, expire_keep_last=2)
+    md = _md(t)
+    ids = {s["snapshot-id"] for s in md["snapshots"]}
+    assert _snapshot_id(1) in ids  # tag-protected
+    assert len(md["snapshots"]) == 3  # newest 2 + the tagged one
+    assert md["refs"]["v1.0"] == {
+        "snapshot-id": _snapshot_id(1),
+        "type": "tag",
+    }
+    assert read_iceberg(spark, str(t.path), _snapshot_id(1)).count() == 6
+    with pytest.raises(ValueError, match="expired"):
+        read_iceberg(spark, str(t.path), _snapshot_id(2)).count()
+
+
+def test_expire_purges_exclusively_referenced_files(spark, tmp_path):
+    """Expired snapshots' manifest-lists (and manifests no kept
+    snapshot reuses) leave metadata/; manifests REUSED by surviving
+    snapshots stay; native data files are untouched."""
+    t = _mk(spark, tmp_path, "purge", commits=6)
+    meta_dir = export_iceberg_metadata(spark, t)
+    md_full = _md(t)
+    lists_before = {
+        Path(s["manifest-list"]).name for s in md_full["snapshots"]
+    }
+    data_before = sorted((t.path / "data").rglob("*.parquet"))
+    export_iceberg_metadata(spark, t, expire_keep_last=2)
+    md = _md(t)
+    lists_kept = {Path(s["manifest-list"]).name for s in md["snapshots"]}
+    present = {p.name for p in meta_dir.iterdir()}
+    # every expired manifest-list is gone; kept ones remain
+    assert not (lists_before - lists_kept) & present
+    assert lists_kept <= present
+    # append-only history: the head snapshot reuses EVERY old
+    # manifest, so no manifest .avro may have been deleted
+    assert read_iceberg(spark, str(t.path)).count() == 18
+    assert sorted((t.path / "data").rglob("*.parquet")) == data_before
+
+
+def test_expire_purges_dead_delete_parquets(spark, tmp_path):
+    """A position-delete parquet owned only by expired snapshots (its
+    delete manifest died with them — a later restate started a fresh
+    manifest set) is purged; the post-restate read is unaffected."""
+    t = _mk(spark, tmp_path, "dvpurge", commits=3)
+    t.delete_where_dv("k = 11")  # v3: DV commit -> delete parquet
+    t.delete_where("k % 10 = 2")  # v4: restate -> fresh manifest set
+    t.append(spark.range(100, 103).select(
+        F.col("id").alias("k"), (F.col("id") * 2.0).alias("v")))  # v5
+    meta_dir = export_iceberg_metadata(spark, t)
+    dels_before = {p.name for p in meta_dir.glob("delete-*.parquet")}
+    assert dels_before, "test needs a position-delete parquet"
+    export_iceberg_metadata(spark, t, expire_keep_last=2)  # keep v4, v5
+    dels_after = {p.name for p in meta_dir.glob("delete-*.parquet")}
+    assert not dels_after  # exclusively pre-restate: purged
+    got = sorted(r["k"] for r in read_iceberg(spark, str(t.path)).collect())
+    want = sorted(r["k"] for r in t.snapshot().collect())
+    assert got == want
+
+
+def test_expire_composes_with_incremental_resume(spark, tmp_path):
+    """Per-micro-batch loop: export(expire_keep_last=3) after every
+    commit — each call RESUMES (head manifest reuse intact, no
+    degrade-to-full-rewrite) and the snapshot count stays pinned at 3
+    while the table grows; older_than_ms composes via union."""
+    t = _mk(spark, tmp_path, "loop", commits=3)
+    export_iceberg_metadata(spark, t, expire_keep_last=3)
+    sizes = []
+    for i in range(5):
+        t.append(
+            spark.range(1000 + i, 1001 + i)
+            .select(F.col("id").alias("k"), (F.col("id") * 2.0).alias("v"))
+            .coalesce(1)
+        )
+        export_iceberg_metadata(spark, t, expire_keep_last=3)
+        md = _md(t)
+        sizes.append(len((t.path / "metadata" / "v1.metadata.json").read_bytes()))
+        assert len(md["snapshots"]) == 3
+        assert md["current-snapshot-id"] == _snapshot_id(t.latest_version())
+    assert max(sizes) - min(sizes) < 500  # bounded, not O(commits)
+    assert read_iceberg(spark, str(t.path)).count() == 14
+    # older_than in the future + keep_last=1 -> keep set is the union:
+    # current only (no refs) — still reads, still resumes
+    export_iceberg_metadata(
+        spark, t, expire_keep_last=1,
+        expire_older_than_ms=2**62,
+    )
+    assert len(_md(t)["snapshots"]) == 1
+    assert read_iceberg(spark, str(t.path)).count() == 14
+    with pytest.raises(ValueError):
+        export_iceberg_metadata(spark, t, expire_keep_last=0)

@@ -8,6 +8,8 @@ from __future__ import annotations
 import json
 from pathlib import Path
 
+import pytest
+
 from pyspark.sql import functions as F
 
 from lakehouse_test_spark.plans.iceberg_export import (
@@ -203,3 +205,53 @@ def test_resumed_export_schema_lineage_additive_evolution(spark, tmp_path):
     }
     got = read_iceberg(spark, str(t.path))
     assert got.count() == 8 and "extra" in got.columns
+
+
+def test_degrade_rewrite_defers_destroying_prior_export(spark, tmp_path):
+    """A degrade-to-full-rewrite must NOT rmtree the existing (valid!)
+    export before the rewrite lands: a crash mid-rewrite — or a
+    concurrent external reader — must still find a parseable
+    metadata.json pointing at intact manifests. The superseded files
+    are purged only AFTER the new metadata.json atomically replaces
+    the old one (r8 ADVICE)."""
+    from unittest import mock
+
+    import lakehouse_test_spark.plans.iceberg_export as ice
+
+    t = _t(spark, tmp_path, "deferred")
+    meta_dir = export_iceberg_metadata(spark, t)
+    old_md = (meta_dir / "v1.metadata.json").read_text()
+    old_rows = sorted(r["k"] for r in read_iceberg(spark, str(t.path)).collect())
+    # force the truncated-manifest degrade path on the next export
+    md = json.loads(old_md)
+    head = max(md["snapshots"], key=lambda s: s["snapshot-id"])
+    ml = Path(head["manifest-list"])
+    ml.write_bytes(ml.read_bytes()[:40])  # valid magic, truncated body
+    t.append(
+        spark.range(6, 9).select(
+            F.col("id").alias("k"), (F.col("id") * 2.0).alias("v")
+        )
+    )
+    # crash the rewrite mid-commit-loop: the OCF writer dies
+    with mock.patch.object(
+        ice, "write_ocf", side_effect=OSError("disk gone")
+    ):
+        with pytest.raises(OSError, match="disk gone"):
+            export_iceberg_metadata(spark, t)
+    # the PRIOR export is untouched: metadata.json parses and every
+    # manifest it references (except the one WE truncated) is intact
+    survivor = json.loads((meta_dir / "v1.metadata.json").read_text())
+    assert survivor == json.loads(old_md)
+    for s in survivor["snapshots"]:
+        if s["manifest-list"] != str(ml):
+            assert Path(s["manifest-list"]).exists()
+    # a clean re-export completes, reads correctly, and purges the
+    # superseded files (only the new export's uuid-named files remain)
+    before = {p.name for p in meta_dir.iterdir()}
+    export_iceberg_metadata(spark, t)
+    got = read_iceberg(spark, str(t.path))
+    assert sorted(r["k"] for r in got.collect()) == list(range(9))
+    after = {p.name for p in meta_dir.iterdir()}
+    stale_kept = (before & after) - {"v1.metadata.json", "version-hint.text"}
+    assert not stale_kept, stale_kept
+    assert old_rows == list(range(6))

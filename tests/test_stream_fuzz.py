@@ -1,0 +1,107 @@
+"""End-to-end stream fuzz (round 9 stretch).
+
+Bounded property test: seeded-random commit scripts (appends, DV
+deletes, restates, compactions — restates/compactions only in the
+BACKLOG, where the snapshot seed must tolerate them) are driven
+through REAL streams (real triggers, real checkpoints, restarts
+between stages) and the drained feed is multiset-compared against the
+native ``read_changes_cdf`` reconstruction. The r6 CDF-type bug and
+the r8 chunked-seed duplicates are exactly the class this catches:
+both shipped green past hand-driven offset tests and fell to the
+first real-engine drain.
+"""
+from __future__ import annotations
+
+import random
+import tempfile
+
+from pyspark.sql import functions as F
+
+from lakehouse_test_spark.plans.lakehouse import LakehouseTable
+from lakehouse_test_spark.sources.cdf_datasource import register as register_cdf
+
+
+def _rows(collected):
+    return sorted(
+        (r["k"], r["_change_type"], r["_commit_version"]) for r in collected
+    )
+
+
+def _apply_op(spark, t, rng, op, lo):
+    """One random commit; returns the next unused key floor."""
+    if op == "append":
+        n = rng.randint(1, 4)
+        t.append(
+            spark.range(lo, lo + n).select(F.col("id").alias("k")).coalesce(1)
+        )
+        return lo + n
+    if op == "dv":
+        t.delete_where_dv(f"k % 7 = {rng.randint(0, 6)}")
+        return lo
+    if op == "restate":
+        t.delete_where(f"k % 5 = {rng.randint(0, 4)}")
+        return lo
+    t.compact(target_partitions=rng.randint(1, 2))
+    return lo
+
+
+def _drain_available_now(spark, path, ck, out, cap):
+    r = (
+        spark.readStream.format("lakehouse_cdf")
+        .option("path", path)
+        .option("startingMode", "snapshot")
+    )
+    if cap:
+        r = r.option("maxVersionsPerTrigger", str(cap))
+    q = (
+        r.load()
+        .writeStream.format("parquet")
+        .option("path", out)
+        .option("checkpointLocation", ck)
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination(120)
+
+
+def test_stream_fuzz_snapshot_seed_exactly_once(spark, tmp_path):
+    """5 seeded scripts × {backlog with restates/DVs/compactions} ×
+    {capped, uncapped} × a restart between two drain stages: the
+    final sink multiset equals seed-at-seedv + changes-after-seedv."""
+    register_cdf(spark)
+    for seed in range(5):
+        rng = random.Random(seed * 7919 + 13)
+        t = LakehouseTable(
+            spark, str(tmp_path / f"fuzz{seed}" / "t")
+        )
+        lo = 0
+        lo = _apply_op(spark, t, rng, "append", lo)  # v0 is an append
+        # backlog: anything goes (seed must tolerate restates)
+        for _ in range(rng.randint(2, 4)):
+            op = rng.choice(["append", "append", "dv", "restate", "compact"])
+            lo = _apply_op(spark, t, rng, op, lo)
+        if t.snapshot().count() == 0:
+            lo = _apply_op(spark, t, rng, "append", lo)
+        work = tempfile.mkdtemp(prefix=f"fuzz_ck_{seed}_")
+        ck, out = f"{work}/ck", f"{work}/out"
+        cap = rng.choice([0, 1, 2])
+        _drain_available_now(spark, str(t.path), ck, out, cap)
+        seedv = t.latest_version()
+        # post-seed tail: only CDF-expressible ops (appends + DVs +
+        # compactions; a restate would raise, by contract)
+        for _ in range(rng.randint(1, 3)):
+            op = rng.choice(["append", "append", "dv", "compact"])
+            lo = _apply_op(spark, t, rng, op, lo)
+        # restart (same checkpoint) — possibly several capped runs
+        for _ in range(12 if cap else 2):
+            _drain_available_now(spark, str(t.path), ck, out, cap)
+        got = _rows(spark.read.parquet(out).collect())
+        want = _rows(
+            t.read_changes_cdf(-1, upto_version=seedv)
+            .unionByName(t.read_changes_cdf(seedv))
+            .collect()
+        )
+        assert got == want, (
+            f"seed {seed} (cap={cap}, seedv={seedv}): stream feed "
+            f"diverged from native CDF\n got={got}\nwant={want}"
+        )

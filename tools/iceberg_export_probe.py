@@ -84,6 +84,43 @@ def main() -> None:
         )
         print(json.dumps(results[-1]), flush=True)
     print(json.dumps({"probe": "iceberg_export_incremental", "results": results}))
+
+    # ---- retention phase (r9): per-micro-batch export loop with
+    # expire_keep_last=5 — metadata.json size and metadata/ file count
+    # must stay PINNED while commits keep landing, and the per-call
+    # incremental cost must stay in the flat band measured above
+    md_file = meta_dir / "v1.metadata.json"
+    unbounded_size = md_file.stat().st_size
+    unbounded_files = len(list(meta_dir.iterdir()))
+    exp_results = []
+    for i in range(10):
+        t.append(row)
+        built += 1
+        t0 = time.perf_counter()
+        export_iceberg_metadata(spark, t, expire_keep_last=5)
+        exp_s = time.perf_counter() - t0
+        md = json.loads(md_file.read_text())
+        exp_results.append(
+            {
+                "commits": built,
+                "export_s": round(exp_s, 3),
+                "snapshots": len(md["snapshots"]),
+                "metadata_bytes": md_file.stat().st_size,
+                "meta_dir_files": len(list(meta_dir.iterdir())),
+            }
+        )
+        print(json.dumps(exp_results[-1]), flush=True)
+    assert all(r["snapshots"] == 5 for r in exp_results)
+    print(
+        json.dumps(
+            {
+                "probe": "iceberg_export_expire",
+                "unbounded_metadata_bytes": unbounded_size,
+                "unbounded_meta_dir_files": unbounded_files,
+                "results": exp_results,
+            }
+        )
+    )
     spark.stop()
 
 
