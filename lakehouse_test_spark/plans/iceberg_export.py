@@ -785,6 +785,7 @@ def export_iceberg_metadata(
     incremental: bool = True,
     expire_keep_last: int | None = None,
     expire_older_than_ms: int | None = None,
+    compact_manifests_above: int | None = None,
 ) -> Path:
     """Write Iceberg v2 table metadata under ``<table>/metadata`` from
     the native commit history. Idempotent; returns the metadata dir.
@@ -936,7 +937,15 @@ def export_iceberg_metadata(
             "partition_spec_id": spec_id,
             "content": content,
             "sequence_number": seq,
-            "min_sequence_number": seq,
+            # min over the ENTRIES' data sequence numbers, not the
+            # writing snapshot's: a merged/partial-rewrite manifest
+            # carries EXISTING entries from older snapshots, and a
+            # strict reader scopes delete application by this bound
+            "min_sequence_number": (
+                min((e.get("sequence_number") or seq) for e in entries)
+                if entries
+                else seq
+            ),
             "added_snapshot_id": snap_id,
             "added_files_count": len(added),
             "existing_files_count": len(existing),
@@ -1311,6 +1320,67 @@ def export_iceberg_metadata(
             {"timestamp-ms": snap["timestamp-ms"], "snapshot-id": snap_id}
         )
 
+    # ---- manifest compaction (Iceberg rewrite_manifests analog) ----
+    # A per-micro-batch export accretes one manifest per commit, all
+    # carried forward by the head snapshot — expiration bounds the
+    # SNAPSHOT metadata but not this population. When the head's data-
+    # manifest count exceeds the threshold, merge every live data
+    # entry into one manifest per partition spec (entries verbatim:
+    # status EXISTING, original snapshot_id and per-entry sequence
+    # numbers preserved — our entries are always explicit, never
+    # inheritance-dependent) and rewrite ONLY the head's manifest
+    # list. Older snapshots keep referencing the original manifests
+    # (time travel untouched); the superseded head list is purged
+    # after the new metadata lands. Cost when triggered: O(live
+    # entries) — amortized by the threshold; zero when below it.
+    if compact_manifests_above is not None and compact_manifests_above < 1:
+        raise ValueError(
+            f"compact_manifests_above must be >= 1, got "
+            f"{compact_manifests_above}"
+        )
+    compacted_orphans: set[str] = set()
+    if (
+        compact_manifests_above is not None
+        and snapshots
+        and len(live_data_manifests) > compact_manifests_above
+    ):
+        _ensure_entries()
+        head_snap = snapshots[-1]
+        head_seq = head_snap.get("sequence-number", last_seq)
+        merged: list[tuple[int, dict]] = []
+        for key in sorted(live_entries):
+            sid, e = live_entries[key]
+            e2 = dict(e)
+            e2["status"] = ST_EXISTING
+            merged.append((sid, e2))
+        pre_compaction = live_data_manifests
+        live_data_manifests = _manifests_by_spec(
+            merged, head_seq, head_snap["snapshot-id"]
+        )
+        list_name = (
+            f"snap-{head_snap['snapshot-id']}-1-{uuid.uuid4().hex}.avro"
+        )
+        write_ocf(
+            meta_dir / list_name,
+            MANIFEST_FILE_SCHEMA,
+            live_data_manifests + live_delete_manifests,
+            meta={"format-version": "2"},
+        )
+        compacted_orphans.add(head_snap["manifest-list"])
+        # manifests ADDED BY the head commit itself were referenced
+        # only by the head's pre-compaction list (no later snapshot
+        # exists, earlier ones predate them) — the merged manifest
+        # absorbed their entries, so they orphan NOW; every other
+        # pre-compaction manifest stays referenced by older
+        # snapshots' lists and is reclaimed by expiration when they
+        # expire (leak measured: one file per compaction cycle)
+        compacted_orphans.update(
+            m["manifest_path"]
+            for m in pre_compaction
+            if m.get("added_snapshot_id") == head_snap["snapshot-id"]
+        )
+        head_snap["manifest-list"] = str((meta_dir / list_name).resolve())
+
     # name mapping (spec §Name Mapping Serialization): data files carry
     # STABLE PHYSICAL column names and no embedded field-ids, so a
     # reader resolves fields through this mapping — the spec's designed
@@ -1503,7 +1573,7 @@ def export_iceberg_metadata(
             (meta_dir / name).unlink()
         except OSError:
             pass
-    for f in expired_files:
+    for f in expired_files | compacted_orphans:
         try:
             Path(f).unlink()
         except OSError:

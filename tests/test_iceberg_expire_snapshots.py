@@ -150,3 +150,70 @@ def test_expire_composes_with_incremental_resume(spark, tmp_path):
     assert read_iceberg(spark, str(t.path)).count() == 14
     with pytest.raises(ValueError):
         export_iceberg_metadata(spark, t, expire_keep_last=0)
+
+
+def test_compact_manifests_merges_head_list(spark, tmp_path):
+    """compact_manifests_above=N (rewrite_manifests analog): the head
+    snapshot's data manifests merge into one per partition spec —
+    entries verbatim (original snapshot_id + per-entry sequence
+    numbers), head scan and DV subtraction unchanged, older snapshots
+    still time-travel through their ORIGINAL manifests."""
+    from lakehouse_test_spark.plans.iceberg_export import (
+        CONTENT_DATA,
+        read_ocf,
+    )
+
+    t = _mk(spark, tmp_path, "compact", commits=6)
+    t.delete_where_dv("k = 11")
+    export_iceberg_metadata(spark, t, compact_manifests_above=3)
+    md = _md(t)
+    head = max(md["snapshots"], key=lambda s: s["snapshot-id"])
+    _, _, mlist = read_ocf(Path(head["manifest-list"]))
+    data_m = [m for m in mlist if m.get("content", 0) == CONTENT_DATA]
+    assert len(data_m) == 1  # one spec -> one merged manifest
+    # merged manifest: EXISTING entries, original seq preserved,
+    # min_sequence_number reflects the OLDEST entry
+    _, _, entries = read_ocf(Path(data_m[0]["manifest_path"]))
+    assert len(entries) == 6
+    assert {e["status"] for e in entries} == {0}  # ST_EXISTING
+    assert sorted(e["sequence_number"] for e in entries) == list(range(1, 7))
+    assert data_m[0]["min_sequence_number"] == 1
+    got = sorted(r["k"] for r in read_iceberg(spark, str(t.path)).collect())
+    want = sorted(r["k"] for r in t.snapshot().collect())
+    assert got == want and 11 not in got
+    # an older snapshot still reads through its original manifests
+    assert read_iceberg(spark, str(t.path), _snapshot_id(2)).count() == 9
+
+
+def test_compact_plus_expire_bounds_metadata_dir(spark, tmp_path):
+    """Retention + compaction together: a per-commit export loop keeps
+    the WHOLE metadata/ population pinned — snapshots by keep_last,
+    manifests by the compaction threshold (old manifests leave as
+    their snapshots expire) — while head reads stay correct and each
+    call still RESUMES incrementally."""
+    t = _mk(spark, tmp_path, "bounded", commits=4)
+    export_iceberg_metadata(
+        spark, t, expire_keep_last=2, compact_manifests_above=4
+    )
+    meta_dir = t.path / "metadata"
+    counts = []
+    for i in range(8):
+        t.append(
+            spark.range(2000 + i, 2001 + i)
+            .select(F.col("id").alias("k"), (F.col("id") * 2.0).alias("v"))
+            .coalesce(1)
+        )
+        export_iceberg_metadata(
+            spark, t, expire_keep_last=2, compact_manifests_above=4
+        )
+        counts.append(len(list(meta_dir.iterdir())))
+        assert len(_md(t)["snapshots"]) == 2
+    # bounded sawtooth, not O(commits): manifests accumulate to the
+    # threshold then merge; the dir never exceeds its steady-state
+    # envelope and the second half shows no growth over the first
+    assert max(counts) <= 12, counts  # keep_last=2 + threshold=4 envelope
+    assert max(counts[4:]) <= max(counts[:4]), counts
+    assert read_iceberg(spark, str(t.path)).count() == 20
+    got = sorted(r["k"] for r in read_iceberg(spark, str(t.path)).collect())
+    want = sorted(r["k"] for r in t.snapshot().collect())
+    assert got == want

@@ -86,18 +86,21 @@ def main() -> None:
     print(json.dumps({"probe": "iceberg_export_incremental", "results": results}))
 
     # ---- retention phase (r9): per-micro-batch export loop with
-    # expire_keep_last=5 — metadata.json size and metadata/ file count
-    # must stay PINNED while commits keep landing, and the per-call
-    # incremental cost must stay in the flat band measured above
+    # expire_keep_last=5 + compact_manifests_above=8 — metadata.json
+    # size AND the metadata/ file count must stay PINNED while commits
+    # keep landing (snapshots bounded by retention, manifests by
+    # compaction), and the per-call cost must stay in the flat band
     md_file = meta_dir / "v1.metadata.json"
     unbounded_size = md_file.stat().st_size
     unbounded_files = len(list(meta_dir.iterdir()))
     exp_results = []
-    for i in range(10):
+    for i in range(20):
         t.append(row)
         built += 1
         t0 = time.perf_counter()
-        export_iceberg_metadata(spark, t, expire_keep_last=5)
+        export_iceberg_metadata(
+            spark, t, expire_keep_last=5, compact_manifests_above=8
+        )
         exp_s = time.perf_counter() - t0
         md = json.loads(md_file.read_text())
         exp_results.append(
