@@ -109,6 +109,22 @@ def build_parser() -> argparse.ArgumentParser:
                      default="both")
     exp.add_argument("--checkpoint-interval", type=positive_int, default=10,
                      help="Delta parquet-checkpoint cadence (commits)")
+    exp.add_argument("--log-retention-versions", type=positive_int,
+                     default=None, metavar="N",
+                     help="Delta only: after export, delete commit JSONs "
+                          "and checkpoints below min(newest checkpoint, "
+                          "head-N+1) — Delta's metadata cleanup")
+    exp.add_argument("--expire-keep-last", type=positive_int, default=None,
+                     metavar="N",
+                     help="Iceberg only: expire exported snapshots beyond "
+                          "the newest N (current + ref-reachable always "
+                          "kept); purges exclusively-referenced metadata "
+                          "files after the new metadata.json lands")
+    exp.add_argument("--compact-manifests-above", type=positive_int,
+                     default=None, metavar="N",
+                     help="Iceberg only: merge the head snapshot's data "
+                          "manifests into one per partition spec when it "
+                          "carries more than N (rewrite_manifests analog)")
     exp.add_argument("--full", action="store_true",
                      help="force a full rewrite instead of resuming "
                           "from the exported head")
@@ -245,11 +261,19 @@ def main(argv: list[str] | None = None, spark=None) -> int:
                     spark, table,
                     checkpoint_interval=args.checkpoint_interval,
                     incremental=not args.full,
+                    log_retention_versions=args.log_retention_versions,
+                )
+                first = min(
+                    (p for p in log_dir.glob("*.json") if p.stem.isdigit()),
+                    key=lambda p: int(p.stem),
                 )
                 proto = next(
-                    _json.loads(l)["protocol"]
-                    for l in (log_dir / f"{0:020d}.json").read_text().splitlines()
-                    if '"protocol"' in l
+                    (
+                        _json.loads(l)["protocol"]
+                        for l in first.read_text().splitlines()
+                        if '"protocol"' in l
+                    ),
+                    {"minReaderVersion": "?", "minWriterVersion": "?"},
                 )
                 print(f"Delta: {head + 1} commits -> {log_dir} "
                       f"(reader {proto['minReaderVersion']} / "
@@ -260,7 +284,9 @@ def main(argv: list[str] | None = None, spark=None) -> int:
                 )
 
                 meta_dir = export_iceberg_metadata(
-                    spark, table, incremental=not args.full
+                    spark, table, incremental=not args.full,
+                    expire_keep_last=args.expire_keep_last,
+                    compact_manifests_above=args.compact_manifests_above,
                 )
                 md = _json.loads((meta_dir / "v1.metadata.json").read_text())
                 print(f"Iceberg: {len(md['snapshots'])} snapshots -> {meta_dir} "

@@ -501,6 +501,7 @@ def export_delta_log(
     table: LakehouseTable,
     checkpoint_interval: int = 10,
     incremental: bool = True,
+    log_retention_versions: int | None = None,
 ) -> Path:
     """Write ``_delta_log/`` at the table root from the native commit
     history. Idempotent; returns its path. Every
@@ -523,7 +524,21 @@ def export_delta_log(
 
     Scale: the export touches parquet *footers* only — per-file
     metadata, no data I/O.
+
+    RETENTION (``log_retention_versions=N`` — Delta's metadata
+    cleanup): after the export, commit JSONs and checkpoint files
+    below ``min(newest checkpoint, head - N + 1)`` are deleted, so a
+    per-micro-batch export loop holds ``_delta_log/`` at
+    O(N + checkpoint_interval) files instead of O(total commits).
+    Readers replay checkpoint + tail as always; time travel below the
+    cutoff raises a descriptive error (never a silently truncated
+    replay). A no-op until a checkpoint exists.
     """
+    if log_retention_versions is not None and log_retention_versions < 1:
+        raise ValueError(
+            f"log_retention_versions must be >= 1, got "
+            f"{log_retention_versions}"
+        )
     log_dir = table.path / "_delta_log"
 
     phys_map = table._physical_of_logical()  # logical → stable physical
@@ -931,7 +946,40 @@ def export_delta_log(
             _write_checkpoint(
                 log_dir, commit.version, current_meta, live_adds, protocol, txn_high
             )
+    if log_retention_versions is not None:
+        _clean_log(log_dir, table.latest_version(), log_retention_versions)
     return log_dir
+
+
+def _clean_log(log_dir: Path, head: int, keep_versions: int) -> None:
+    """Delta's metadata cleanup (log retention): delete commit JSONs
+    and checkpoint files below ``cutoff = min(newest checkpoint,
+    head - keep_versions + 1)`` — never a JSON ABOVE the newest
+    checkpoint (readers replay checkpoint + tail; the checkpoint's
+    txn rows carry SetTransaction state forward, so streaming-writer
+    dedup survives cleanup too). Without a checkpoint nothing is
+    deleted: every reader would need the full JSON chain. Time travel
+    below the cutoff becomes unavailable — ``_replay_state`` raises
+    the documented recipe instead of silently replaying a truncated
+    chain (missing early commits would otherwise fabricate a smaller
+    table)."""
+    lc = log_dir / "_last_checkpoint"
+    if not lc.exists():
+        return
+    try:
+        ckpt_v = int(json.loads(lc.read_text())["version"])
+    except (OSError, ValueError, KeyError, json.JSONDecodeError):
+        return
+    cutoff = min(ckpt_v, head - keep_versions + 1)
+    if cutoff <= 0:
+        return
+    for p in log_dir.glob("*.json"):
+        if p.stem.isdigit() and int(p.stem) < cutoff:
+            p.unlink(missing_ok=True)
+    for p in log_dir.glob("*.checkpoint*.parquet"):
+        v = p.name.split(".")[0]
+        if v.isdigit() and int(v) < cutoff:
+            p.unlink(missing_ok=True)
 
 
 def _replay_state(
@@ -1009,8 +1057,11 @@ def _replay_state(
                     meta = md
         start_after = ckpt_version
     replayed: list[int] = []
+    earliest_json: int | None = None
     for p in sorted(log_dir.glob("*.json")):
         v = int(p.stem)
+        if earliest_json is None or v < earliest_json:
+            earliest_json = v
         if v <= start_after:
             continue
         if version is not None and v > version:
@@ -1026,6 +1077,18 @@ def _replay_state(
                 live.pop(action["remove"]["path"], None)
             elif "metaData" in action:
                 meta = action["metaData"]
+    if ckpt_version is None and earliest_json is not None and earliest_json > 0:
+        # log retention deleted the head of the JSON chain and no
+        # eligible checkpoint covers this version: a "full" replay
+        # would silently fabricate a smaller table
+        raise ValueError(
+            f"cannot replay version {version if version is not None else 'HEAD'}: "
+            f"commits below v{earliest_json} were removed by log "
+            "retention and no checkpoint at or below the requested "
+            "version survives — re-export with a larger "
+            "log_retention_versions or read a version at/after the "
+            "newest checkpoint"
+        )
     return live, ckpt_version, replayed, meta
 
 
