@@ -370,7 +370,44 @@ class LakehouseCDFStreamReader(DataSourceStreamReader):
                 f"maxVersionsPerTrigger must be positive, got "
                 f"{self.max_versions}"
             )
-        self._floor: int | None = None  # highest version seen by partitions()
+        # maxFilesPerTrigger (Delta's admission knob): the finer cap —
+        # at most N PLANNED PARTITIONS (file units) per micro-batch,
+        # splitting even a single wide commit across triggers via
+        # ``{"version": v, "files": k}`` offsets ("commits < v whole,
+        # plus the first k planned units of commit v"). Unlike the
+        # removed seed cursors, a files-form offset names a
+        # DETERMINISTIC position in the immutable log — any instance
+        # replans the same slice — so it is restart-safe under the
+        # traced call order. Composes with maxVersionsPerTrigger
+        # (version cap applies first). Same blind-first-answer rule:
+        # uncapped until the floor is known.
+        self.max_files = int(
+            options.get("maxFilesPerTrigger")
+            or options.get("maxfilespertrigger")
+            or 0
+        )
+        if self.max_files < 0:
+            raise ValueError(
+                f"maxFilesPerTrigger must be positive, got {self.max_files}"
+            )
+        # admission floor: the highest offset observed in any
+        # partitions() call, as an orderable key — (version, 0, units)
+        # for a mid-commit files-form offset, (version, 1, 0) for a
+        # commit-aligned one (complete sorts AFTER any partial of the
+        # same version)
+        self._floor_key: tuple[int, int, int] | None = None
+        # per-version planned-partition cache: latestOffset's capped
+        # walk and partitions() both plan the same frontier commits;
+        # bounded FIFO so a long drain can't accrete driver memory
+        self._plan_cache: dict[int, list] = {}
+
+    def __getstate__(self):
+        # executors re-create the reader from this pickle per batch:
+        # the plan cache (O(files) partition objects for recent
+        # commits) is driver planning state and must not ride along
+        st = dict(self.__dict__)
+        st["_plan_cache"] = {}
+        return st
 
     def _vacuum_horizon(self) -> int:
         meta = self.path / "_meta.json"
@@ -473,9 +510,59 @@ class LakehouseCDFStreamReader(DataSourceStreamReader):
         # cap is a no-op, and hi < floor (impossible against an
         # immutable log) would surface as "no new data", never as a
         # regressed offset.
-        if self.max_versions > 0 and self._floor is not None:
-            hi = min(hi, self._floor + self.max_versions)
+        if self.max_versions > 0 and self._floor_key is not None:
+            hi = min(hi, self._floor_key[0] + self.max_versions)
+        # file-unit admission (maxFilesPerTrigger): walk the frontier
+        # commits, spending the budget against each commit's PLANNED
+        # partition count; stop mid-commit with a files-form offset
+        # when a commit alone exceeds the remaining budget. Commit
+        # dicts fetch in bounded chunks (never the whole backlog) and
+        # plans cache for the partitions() call that follows.
+        if self.max_files > 0 and self._floor_key is not None and hi >= 0:
+            return self._file_capped_offset(hi)
         return {"version": hi}
+
+    def _file_capped_offset(self, hi: int) -> dict:
+        fv, complete, fk = self._floor_key
+        v = fv + 1 if complete else fv
+        consumed = 0 if complete else fk
+        budget = self.max_files
+        chunk = max(self.max_files, 64)
+        commits: dict[int, dict] = {}
+        fetched_hi = v - 1
+        while v <= hi:
+            if v > fetched_hi:
+                nxt = min(v + chunk - 1, hi)
+                commits.update(
+                    {c["version"]: c for c in self._commits(v - 1, nxt)}
+                )
+                fetched_hi = nxt
+            plan = self._planned(v, commits.get(v))
+            avail = len(plan) - consumed
+            if avail > budget:
+                # a commit-aligned offset is the canonical form of a
+                # complete commit, so a files-form offset always names
+                # a strictly-interior position (0 < k < len(plan))
+                return {"version": v, "files": consumed + budget}
+            budget -= avail
+            consumed = 0
+            if budget == 0:
+                return {"version": v}
+            v += 1
+        return {"version": hi}
+
+    def _planned(self, v: int, c: dict | None) -> list:
+        """Planned partitions of commit ``v`` (deterministic across
+        reader instances — files-form offsets are replayed by slicing
+        this list on a fresh instance after a restart). ``c`` may be
+        None for a version gap (no commit file): plans empty."""
+        if v in self._plan_cache:
+            return self._plan_cache[v]
+        plan = [] if c is None else self._commit_partitions(v, c)
+        if len(self._plan_cache) >= 128:
+            self._plan_cache.pop(next(iter(self._plan_cache)))
+        self._plan_cache[v] = plan
+        return plan
 
     def _snapshot_partitions(self, upto: int) -> Sequence[InputPartition]:
         """Seed batch for ``startingMode=snapshot``: one partition per
@@ -545,14 +632,18 @@ class LakehouseCDFStreamReader(DataSourceStreamReader):
                 )
         # fast-forward the admission floor: every offset Spark hands
         # us here is checkpoint-backed (or about to be), so the NEXT
-        # latestOffset may advance maxVersionsPerTrigger past it. On
+        # latestOffset may advance past it by at most the caps. On
         # every restart Spark re-plans the last checkpointed batch
         # before the first latestOffset (traced), so the floor is
-        # known before the first capped answer.
+        # known before the first capped answer. Files-form offsets
+        # sort below the same version's commit-aligned form.
         for o in (start, end):
             v = o.get("version")
             if isinstance(v, int):
-                self._floor = v if self._floor is None else max(self._floor, v)
+                k = o.get("files")
+                key = (v, 1, 0) if k is None else (v, 0, int(k))
+                if self._floor_key is None or key > self._floor_key:
+                    self._floor_key = key
         if start.get("mode") == "snapshot" and start["version"] < 0:
             # seed batch: the whole live snapshot at the end version,
             # then nothing else (the tail begins at the next batch —
@@ -561,55 +652,82 @@ class LakehouseCDFStreamReader(DataSourceStreamReader):
             hi = end["version"]
             seed = [p for p in self._snapshot_partitions(hi) if p.file]
             return seed or [_FilePartition("insert", "", hi)]
-        return self._tail_partitions(start["version"], end["version"])
+        return self._tail_partitions(
+            start["version"],
+            end["version"],
+            start.get("files"),
+            end.get("files"),
+        )
+
+    def _commit_partitions(self, v: int, c: dict) -> list:
+        """Deterministic planned partitions of ONE commit — the unit
+        list files-form offsets index into, so the ORDER must be
+        identical across reader instances (restart replays a slice on
+        a fresh instance): insert commits follow the commit's recorded
+        file order; DV commits follow dv_files order then sorted
+        distinct base files. Restates raise the CDF contract error;
+        compactions plan empty."""
+        if c.get("restate"):
+            if c.get("data_change", True):
+                raise RuntimeError(
+                    f"commit v{v} ({c['operation']}) is a full rewrite; "
+                    "CDF stream cannot express it — restart from a snapshot"
+                )
+            return []  # compaction: no logical change
+        parts: list[_FilePartition] = []
+        if c.get("dv_files"):
+            # one partition per (DV file, BASE file): the driver
+            # reads only each DV's distinct base-file list
+            # (column-projected — planning-sized, never positions)
+            # and each executor task replays the deletes of ONE
+            # base file, so a wide DV referencing 10³ base files
+            # parallelizes as 10³ tasks with flat driver memory
+            # (base-file vacuum damage raises executor-side with
+            # the same descriptive contract)
+            import pyarrow.parquet as pq
+
+            self._require_files(v, [str(self.path / f) for f in c["dv_files"]])
+            for dvf in c["dv_files"]:
+                dvp = str(self.path / dvf)
+                # distinct accumulated batch-by-batch: the driver
+                # holds only the distinct base-file strings, never
+                # the DV's full O(deleted rows) column
+                distinct: set[str] = set()
+                for batch in pq.ParquetFile(dvp).iter_batches(
+                    columns=["_dv_file"]
+                ):
+                    distinct.update(batch.column(0).unique().to_pylist())
+                for b in sorted(distinct):
+                    parts.append(_FilePartition("dv", dvp, v, base=b))
+                if not distinct:  # empty DV: keep the no-op contract
+                    parts.append(_FilePartition("dv", dvp, v))
+        else:
+            files = [str(self.path / f) for f in c.get("files", [])]
+            self._require_files(v, files)
+            for f in files:
+                parts.append(_FilePartition("insert", f, v))
+        return parts
 
     def _tail_partitions(
-        self, lo: int, hi: int
+        self,
+        lo: int,
+        hi: int,
+        lo_files: int | None = None,
+        hi_files: int | None = None,
     ) -> Sequence[InputPartition]:
+        """Commits in ``(lo, hi]`` — or, with files-form bounds, from
+        unit ``lo_files`` of commit ``lo`` (exclusive below) up to
+        unit ``hi_files`` of commit ``hi`` (exclusive above): the
+        slice a files-form offset pair names, replayed identically by
+        any instance."""
         parts: list[InputPartition] = []
-        commits = {c["version"]: c for c in self._commits(lo, hi)}
-        for v in range(lo + 1, hi + 1):
-            c = commits.get(v)
-            if c is None:
-                continue
-            if c.get("restate"):
-                if c.get("data_change", True):
-                    raise RuntimeError(
-                        f"commit v{v} ({c['operation']}) is a full rewrite; "
-                        "CDF stream cannot express it — restart from a snapshot"
-                    )
-                continue  # compaction: no logical change
-            if c.get("dv_files"):
-                # one partition per (DV file, BASE file): the driver
-                # reads only each DV's distinct base-file list
-                # (column-projected — planning-sized, never positions)
-                # and each executor task replays the deletes of ONE
-                # base file, so a wide DV referencing 10³ base files
-                # parallelizes as 10³ tasks with flat driver memory
-                # (base-file vacuum damage raises executor-side with
-                # the same descriptive contract)
-                import pyarrow.parquet as pq
-
-                self._require_files(v, [str(self.path / f) for f in c["dv_files"]])
-                for dvf in c["dv_files"]:
-                    dvp = str(self.path / dvf)
-                    # distinct accumulated batch-by-batch: the driver
-                    # holds only the distinct base-file strings, never
-                    # the DV's full O(deleted rows) column
-                    distinct: set[str] = set()
-                    for batch in pq.ParquetFile(dvp).iter_batches(
-                        columns=["_dv_file"]
-                    ):
-                        distinct.update(batch.column(0).unique().to_pylist())
-                    for b in sorted(distinct):
-                        parts.append(_FilePartition("dv", dvp, v, base=b))
-                    if not distinct:  # empty DV: keep the no-op contract
-                        parts.append(_FilePartition("dv", dvp, v))
-            else:
-                files = [str(self.path / f) for f in c.get("files", [])]
-                self._require_files(v, files)
-                for f in files:
-                    parts.append(_FilePartition("insert", f, v))
+        start_v = lo if lo_files is not None else lo + 1
+        commits = {c["version"]: c for c in self._commits(start_v - 1, hi)}
+        for v in range(start_v, hi + 1):
+            plan = self._planned(v, commits.get(v))
+            a = lo_files if (v == lo and lo_files is not None) else 0
+            b = hi_files if (v == hi and hi_files is not None) else len(plan)
+            parts.extend(plan[a:b])
         return parts or [_FilePartition("insert", "", hi)]
 
     # one URI-stripping helper for the whole module: the seed path and

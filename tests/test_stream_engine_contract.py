@@ -85,8 +85,16 @@ def _committed_batches(ck: str) -> int:
 
 
 def _caught_up(ck: str, head: int) -> bool:
-    vs = _ck_end_versions(ck)
-    return bool(vs) and vs[-1] >= head and _committed_batches(ck) >= len(vs)
+    offs = _ck_end_offsets(ck)
+    if not offs:
+        return False
+    last = offs[-1]
+    # a files-form offset is MID-commit: not caught up even at head
+    return (
+        last["version"] >= head
+        and "files" not in last
+        and _committed_batches(ck) >= len(offs)
+    )
 
 
 def _start(spark, fmt, path, ck, out=None, name=None, trigger=None, **opts):
@@ -357,3 +365,95 @@ def test_plain_lakehouse_inherits_cap_and_seed_contract(spark, tmp_path):
     got = sorted(r["k"] for r in spark.read.parquet(out).collect())
     want = sorted(r["k"] for r in t.snapshot().collect())
     assert got == want  # append-only table: stream == snapshot, no dups
+
+
+def _ck_end_offsets(ck: str) -> list[dict]:
+    out = []
+    for f in sorted(Path(ck, "offsets").glob("[0-9]*"), key=lambda p: int(p.name)):
+        try:
+            off = json.loads(f.read_text().splitlines()[-1])
+        except (json.JSONDecodeError, IndexError):
+            continue
+        if isinstance(off, str):
+            off = json.loads(off)
+        if isinstance(off, dict) and isinstance(off.get("version"), int):
+            out.append(off)
+    return out
+
+
+def test_max_files_per_trigger_splits_wide_commits(spark, tmp_path):
+    """maxFilesPerTrigger=3 (Delta's admission knob): a single 10-file
+    commit — which maxVersionsPerTrigger cannot split — drains as ≥4
+    micro-batches via files-form offsets ({"version": v, "files": k} =
+    a deterministic position in the immutable log), exactly-once,
+    including a kill + restart MID-COMMIT."""
+    register_cdf(spark)
+    t = LakehouseTable(spark, str(tmp_path / "fcap"))
+    t.append(spark.range(3).select(F.col("id").alias("k")))
+    ck, out = str(tmp_path / "ck"), str(tmp_path / "out")
+    opts = dict(startingMode="snapshot", maxFilesPerTrigger="3")
+    q = _start(spark, "lakehouse_cdf", str(t.path), ck, out=out, **opts)
+    assert _wait(lambda: _caught_up(ck, t.latest_version()))
+    q.stop()
+    q.awaitTermination(10)
+    # one WIDE commit (10 files) + a DV while the stream is down
+    t.append(
+        spark.range(100, 120).select(F.col("id").alias("k")).repartition(10)
+    )
+    t.delete_where_dv("k >= 118")
+    head = t.latest_version()
+    q = _start(spark, "lakehouse_cdf", str(t.path), ck, out=out, **opts)
+    # kill mid-commit: wait until a files-form offset is committed
+    assert _wait(
+        lambda: any("files" in o for o in _ck_end_offsets(ck))
+        and _committed_batches(ck) >= 2
+    )
+    q.stop()
+    q.awaitTermination(10)
+    q = _start(spark, "lakehouse_cdf", str(t.path), ck, out=out, **opts)
+    assert _wait(lambda: _caught_up(ck, head))
+    q.stop()
+    q.awaitTermination(10)
+    offs = _ck_end_offsets(ck)
+    mid = [o for o in offs if "files" in o]
+    assert mid, "wide commit must be split via files-form offsets"
+    # the wide commit needed >= ceil(10/3) batches
+    wide_batches = [o for o in offs if o["version"] == 1]
+    assert len(wide_batches) >= 3
+    seedv = offs[0]["version"]
+    got = _rows(spark.read.parquet(out).collect())
+    want = _rows(
+        t.read_changes_cdf(-1, upto_version=seedv)
+        .unionByName(t.read_changes_cdf(seedv))
+        .collect()
+    )
+    assert got == want, "file-capped drain diverged (dup or gap)"
+
+
+def test_max_files_per_trigger_plain_lakehouse(spark, tmp_path):
+    """The plain format('lakehouse') stream inherits the file cap via
+    delegated planning: a 9-file commit drains in ≥3 batches at cap 3,
+    append-only sink equals the snapshot."""
+    from lakehouse_test_spark.sources.lakehouse_datasource import (
+        register as register_lh,
+    )
+
+    register_lh(spark)
+    t = LakehouseTable(spark, str(tmp_path / "fplain"))
+    t.append(spark.range(3).select(F.col("id").alias("k")))
+    ck, out = str(tmp_path / "ck"), str(tmp_path / "out")
+    opts = dict(startingMode="snapshot", maxFilesPerTrigger="3")
+    q = _start(spark, "lakehouse", str(t.path), ck, out=out, **opts)
+    assert _wait(lambda: _caught_up(ck, t.latest_version()))
+    q.stop()
+    q.awaitTermination(10)
+    t.append(spark.range(200, 218).select(F.col("id").alias("k")).repartition(9))
+    head = t.latest_version()
+    q = _start(spark, "lakehouse", str(t.path), ck, out=out, **opts)
+    assert _wait(lambda: _caught_up(ck, head))
+    q.stop()
+    q.awaitTermination(10)
+    assert len([o for o in _ck_end_offsets(ck) if o["version"] == 1]) >= 3
+    got = sorted(r["k"] for r in spark.read.parquet(out).collect())
+    want = sorted(r["k"] for r in t.snapshot().collect())
+    assert got == want

@@ -30,10 +30,11 @@ def _rows(collected):
 def _apply_op(spark, t, rng, op, lo):
     """One random commit; returns the next unused key floor."""
     if op == "append":
-        n = rng.randint(1, 4)
-        t.append(
-            spark.range(lo, lo + n).select(F.col("id").alias("k")).coalesce(1)
-        )
+        n = rng.randint(1, 6)
+        df = spark.range(lo, lo + n).select(F.col("id").alias("k"))
+        # sometimes a WIDE commit (n files) — exercises the file cap's
+        # mid-commit offsets; sometimes a single file
+        t.append(df.repartition(n) if rng.random() < 0.4 else df.coalesce(1))
         return lo + n
     if op == "dv":
         t.delete_where_dv(f"k % 7 = {rng.randint(0, 6)}")
@@ -51,8 +52,8 @@ def _drain_available_now(spark, path, ck, out, cap):
         .option("path", path)
         .option("startingMode", "snapshot")
     )
-    if cap:
-        r = r.option("maxVersionsPerTrigger", str(cap))
+    for k, v in (cap or {}).items():
+        r = r.option(k, str(v))
     q = (
         r.load()
         .writeStream.format("parquet")
@@ -66,7 +67,7 @@ def _drain_available_now(spark, path, ck, out, cap):
 
 def test_stream_fuzz_snapshot_seed_exactly_once(spark, tmp_path):
     """5 seeded scripts × {backlog with restates/DVs/compactions} ×
-    {capped, uncapped} × a restart between two drain stages: the
+    {uncapped, version-capped, file-capped, both} × a restart between two drain stages: the
     final sink multiset equals seed-at-seedv + changes-after-seedv."""
     register_cdf(spark)
     for seed in range(5):
@@ -84,7 +85,17 @@ def test_stream_fuzz_snapshot_seed_exactly_once(spark, tmp_path):
             lo = _apply_op(spark, t, rng, "append", lo)
         work = tempfile.mkdtemp(prefix=f"fuzz_ck_{seed}_")
         ck, out = f"{work}/ck", f"{work}/out"
-        cap = rng.choice([0, 1, 2])
+        cap = rng.choice(
+            [
+                None,
+                {"maxVersionsPerTrigger": rng.randint(1, 2)},
+                {"maxFilesPerTrigger": rng.randint(2, 3)},
+                {
+                    "maxVersionsPerTrigger": 2,
+                    "maxFilesPerTrigger": rng.randint(2, 4),
+                },
+            ]
+        )
         _drain_available_now(spark, str(t.path), ck, out, cap)
         seedv = t.latest_version()
         # post-seed tail: only CDF-expressible ops (appends + DVs +
@@ -93,7 +104,7 @@ def test_stream_fuzz_snapshot_seed_exactly_once(spark, tmp_path):
             op = rng.choice(["append", "append", "dv", "compact"])
             lo = _apply_op(spark, t, rng, op, lo)
         # restart (same checkpoint) — possibly several capped runs
-        for _ in range(12 if cap else 2):
+        for _ in range(16 if cap else 2):
             _drain_available_now(spark, str(t.path), ck, out, cap)
         got = _rows(spark.read.parquet(out).collect())
         want = _rows(
