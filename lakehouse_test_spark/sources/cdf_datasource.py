@@ -523,21 +523,37 @@ class LakehouseCDFStreamReader(DataSourceStreamReader):
         return {"version": hi}
 
     def _file_capped_offset(self, hi: int) -> dict:
+        import os
+
         fv, complete, fk = self._floor_key
         v = fv + 1 if complete else fv
         consumed = 0 if complete else fk
+        # ONE scandir for the walk window, commit JSONs read LAZILY in
+        # version order: the walk stops after ~cap units, so per
+        # trigger this costs one directory listing + O(commits walked)
+        # file reads — never O(backlog) parses (zero-unit commits like
+        # compactions are walked past, but each is read once and the
+        # floor jumps over them after the batch)
+        paths: dict[int, str] = {}
+        try:
+            with os.scandir(self.path / "_log") as it:
+                for e in it:
+                    nm = e.name
+                    if nm.endswith(".json"):
+                        try:
+                            pv = int(nm[:-5])
+                        except ValueError:
+                            continue
+                        if v <= pv <= hi:
+                            paths[pv] = e.path
+        except FileNotFoundError:
+            pass
         budget = self.max_files
-        chunk = max(self.max_files, 64)
-        commits: dict[int, dict] = {}
-        fetched_hi = v - 1
         while v <= hi:
-            if v > fetched_hi:
-                nxt = min(v + chunk - 1, hi)
-                commits.update(
-                    {c["version"]: c for c in self._commits(v - 1, nxt)}
-                )
-                fetched_hi = nxt
-            plan = self._planned(v, commits.get(v))
+            c = None
+            if v not in self._plan_cache and v in paths:
+                c = json.loads(Path(paths[v]).read_text())
+            plan = self._planned(v, c) if (v in paths or v in self._plan_cache) else []
             avail = len(plan) - consumed
             if avail > budget:
                 # a commit-aligned offset is the canonical form of a
