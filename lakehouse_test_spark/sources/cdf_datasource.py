@@ -489,15 +489,27 @@ class LakehouseCDFStreamReader(DataSourceStreamReader):
         import os
 
         hi = -1
+        # the SINGLE per-trigger listing: the head fold always needs
+        # it, and the file-capped walk reuses the same pass for its
+        # window's (version → path) map instead of a second scandir —
+        # the directory listing is the per-trigger cost floor (O(log
+        # size), inherent to polling a file log), so pay it once
+        want_paths = self.max_files > 0 and self._floor_key is not None
+        floor_v = self._floor_key[0] if want_paths else 0
+        paths: dict[int, str] = {}
         try:
             with os.scandir(self.path / "_log") as it:
                 for e in it:
                     nm = e.name
                     if nm.endswith(".json"):
                         try:
-                            hi = max(hi, int(nm[:-5]))
+                            v = int(nm[:-5])
                         except ValueError:
-                            pass
+                            continue
+                        if v > hi:
+                            hi = v
+                        if want_paths and v >= floor_v:
+                            paths[v] = e.path
         except FileNotFoundError:
             pass
         # tail admission control (maxVersionsPerTrigger): once the
@@ -516,38 +528,20 @@ class LakehouseCDFStreamReader(DataSourceStreamReader):
         # commits, spending the budget against each commit's PLANNED
         # partition count; stop mid-commit with a files-form offset
         # when a commit alone exceeds the remaining budget. Commit
-        # dicts fetch in bounded chunks (never the whole backlog) and
-        # plans cache for the partitions() call that follows.
-        if self.max_files > 0 and self._floor_key is not None and hi >= 0:
-            return self._file_capped_offset(hi)
+        # JSONs read lazily in version order — the walk stops after
+        # ~cap units, so per trigger this is the one listing above +
+        # O(commits walked) file reads, never O(backlog) parses
+        # (zero-unit commits like compactions are walked past, but
+        # each is read once and the floor jumps over them after the
+        # batch); plans cache for the partitions() call that follows.
+        if want_paths and hi >= 0:
+            return self._file_capped_offset(hi, paths)
         return {"version": hi}
 
-    def _file_capped_offset(self, hi: int) -> dict:
-        import os
-
+    def _file_capped_offset(self, hi: int, paths: dict[int, str]) -> dict:
         fv, complete, fk = self._floor_key
         v = fv + 1 if complete else fv
         consumed = 0 if complete else fk
-        # ONE scandir for the walk window, commit JSONs read LAZILY in
-        # version order: the walk stops after ~cap units, so per
-        # trigger this costs one directory listing + O(commits walked)
-        # file reads — never O(backlog) parses (zero-unit commits like
-        # compactions are walked past, but each is read once and the
-        # floor jumps over them after the batch)
-        paths: dict[int, str] = {}
-        try:
-            with os.scandir(self.path / "_log") as it:
-                for e in it:
-                    nm = e.name
-                    if nm.endswith(".json"):
-                        try:
-                            pv = int(nm[:-5])
-                        except ValueError:
-                            continue
-                        if v <= pv <= hi:
-                            paths[pv] = e.path
-        except FileNotFoundError:
-            pass
         budget = self.max_files
         while v <= hi:
             c = None
