@@ -457,3 +457,29 @@ def test_max_files_per_trigger_plain_lakehouse(spark, tmp_path):
     got = sorted(r["k"] for r in spark.read.parquet(out).collect())
     want = sorted(r["k"] for r in t.snapshot().collect())
     assert got == want
+
+
+def test_capped_drain_behind_vacuum_raises_contract_error(spark, tmp_path):
+    """A capped stream that fell so far behind that VACUUM reclaimed
+    commits it still needs must fail with the VacuumHorizonError
+    recipe (restart from a fresh snapshot) — never silently skip the
+    vacuumed range or emit partial data."""
+    register_cdf(spark)
+    t = LakehouseTable(spark, str(tmp_path / "vac"))
+    t.append(spark.range(3).select(F.col("id").alias("k")))
+    ck, out = str(tmp_path / "ck"), str(tmp_path / "out")
+    opts = dict(startingMode="snapshot", maxVersionsPerTrigger="2")
+    q = _start(spark, "lakehouse_cdf", str(t.path), ck, out=out, **opts)
+    assert _wait(lambda: _caught_up(ck, t.latest_version()))
+    q.stop()
+    q.awaitTermination(10)
+    # fall behind: restates + appends, then compact + vacuum so the
+    # files of the commits right after the floor are reclaimed
+    for i in range(6):
+        t.append(spark.range(100 + i * 10, 103 + i * 10).select(F.col("id").alias("k")))
+    t.compact(target_partitions=1)
+    t.vacuum(keep_versions=1)
+    q = _start(spark, "lakehouse_cdf", str(t.path), ck, out=out, **opts)
+    with pytest.raises(Exception, match="Vacuum|vacuum|snapshot"):
+        q.awaitTermination(60)
+        raise RuntimeError("drain should have failed on vacuumed files")
