@@ -116,3 +116,98 @@ def test_stream_fuzz_snapshot_seed_exactly_once(spark, tmp_path):
             f"seed {seed} (cap={cap}, seedv={seedv}): stream feed "
             f"diverged from native CDF\n got={got}\nwant={want}"
         )
+
+
+def test_stream_fuzz_processing_time_live_ops(spark, tmp_path):
+    """processingTime variant (the r8 bug's trigger family): 3 seeded
+    scripts run a REAL continuous stream while appends/DVs/compactions
+    land mid-stream, under a random cap — the drained feed must equal
+    seed-at-seedv + changes-after-seedv exactly once."""
+    import json
+    import time
+    from pathlib import Path
+
+    register_cdf(spark)
+
+    def _offsets(ck):
+        out = []
+        for f in sorted(
+            Path(ck, "offsets").glob("[0-9]*"), key=lambda p: int(p.name)
+        ):
+            try:
+                o = json.loads(f.read_text().splitlines()[-1])
+                if isinstance(o, str):
+                    o = json.loads(o)
+                out.append(o)
+            except (json.JSONDecodeError, IndexError):
+                continue
+        return out
+
+    for seed in (101, 202, 303):
+        rng = random.Random(seed)
+        t = LakehouseTable(spark, str(tmp_path / f"ptfuzz{seed}" / "t"))
+        lo = _apply_op(spark, t, rng, "append", 0)
+        for _ in range(rng.randint(1, 3)):
+            lo = _apply_op(
+                spark, t, rng, rng.choice(["append", "dv", "restate"]), lo
+            )
+        if t.snapshot().count() == 0:
+            lo = _apply_op(spark, t, rng, "append", lo)
+        work = tempfile.mkdtemp(prefix=f"ptfuzz_{seed}_")
+        ck, out = f"{work}/ck", f"{work}/out"
+        cap = rng.choice(
+            [None, {"maxVersionsPerTrigger": 2}, {"maxFilesPerTrigger": 3}]
+        )
+        r = (
+            spark.readStream.format("lakehouse_cdf")
+            .option("path", str(t.path))
+            .option("startingMode", "snapshot")
+        )
+        for k, v in (cap or {}).items():
+            r = r.option(k, str(v))
+        q = (
+            r.load()
+            .writeStream.format("parquet")
+            .option("path", out)
+            .option("checkpointLocation", ck)
+            .trigger(processingTime="0 seconds")
+            .start()
+        )
+        try:
+            t0 = time.time()
+            while not _offsets(ck) and time.time() - t0 < 60:
+                time.sleep(0.2)
+            seedv = _offsets(ck)[0]["version"]
+            for _ in range(rng.randint(2, 4)):  # live ops mid-stream
+                lo = _apply_op(
+                    spark, t, rng, rng.choice(["append", "append", "dv", "compact"]), lo
+                )
+                time.sleep(0.2)
+            head = t.latest_version()
+            t0 = time.time()
+            while time.time() - t0 < 90:
+                offs = _offsets(ck)
+                done = Path(ck, "commits")
+                n_commits = (
+                    len(list(done.glob("[0-9]*"))) if done.exists() else 0
+                )
+                if (
+                    offs
+                    and offs[-1].get("version", -1) >= head
+                    and "files" not in offs[-1]
+                    and n_commits >= len(offs)
+                ):
+                    break
+                time.sleep(0.3)
+        finally:
+            q.stop()
+            q.awaitTermination(15)
+        got = _rows(spark.read.parquet(out).collect())
+        want = _rows(
+            t.read_changes_cdf(-1, upto_version=seedv)
+            .unionByName(t.read_changes_cdf(seedv))
+            .collect()
+        )
+        assert got == want, (
+            f"seed {seed} (cap={cap}): processingTime feed diverged"
+        )
