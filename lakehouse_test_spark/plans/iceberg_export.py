@@ -1342,7 +1342,8 @@ def export_iceberg_metadata(
     if (
         compact_manifests_above is not None
         and snapshots
-        and len(live_data_manifests) > compact_manifests_above
+        and len(live_data_manifests) + len(live_delete_manifests)
+        > compact_manifests_above
     ):
         _ensure_entries()
         head_snap = snapshots[-1]
@@ -1353,10 +1354,34 @@ def export_iceberg_metadata(
             e2 = dict(e)
             e2["status"] = ST_EXISTING
             merged.append((sid, e2))
-        pre_compaction = live_data_manifests
+        pre_compaction = live_data_manifests + live_delete_manifests
         live_data_manifests = _manifests_by_spec(
             merged, head_seq, head_snap["snapshot-id"]
         )
+        # DELETE manifests merge too (a CDC-heavy table accretes one
+        # per DV commit): entries verbatim with their explicit
+        # per-entry sequence numbers — delete application scopes by
+        # ENTRY seq, so a merged container changes nothing a reader
+        # sees; min_sequence_number recomputes over the entries
+        if len(live_delete_manifests) > 1:
+            del_entries: list[dict] = []
+            for m in live_delete_manifests:
+                _, _, es = read_ocf(Path(m["manifest_path"]))
+                for e in es:
+                    if e["status"] == ST_DELETED:
+                        continue
+                    e2 = dict(e)
+                    e2["status"] = ST_EXISTING
+                    del_entries.append(e2)
+            live_delete_manifests = [
+                _write_manifest(
+                    f"{uuid.uuid4().hex}-m1.avro",
+                    del_entries,
+                    CONTENT_DELETES,
+                    head_seq,
+                    head_snap["snapshot-id"],
+                )
+            ]
         list_name = (
             f"snap-{head_snap['snapshot-id']}-1-{uuid.uuid4().hex}.avro"
         )
@@ -1369,15 +1394,20 @@ def export_iceberg_metadata(
         compacted_orphans.add(head_snap["manifest-list"])
         # manifests ADDED BY the head commit itself were referenced
         # only by the head's pre-compaction list (no later snapshot
-        # exists, earlier ones predate them) — the merged manifest
+        # exists, earlier ones predate them) — the merged manifests
         # absorbed their entries, so they orphan NOW; every other
         # pre-compaction manifest stays referenced by older
         # snapshots' lists and is reclaimed by expiration when they
         # expire (leak measured: one file per compaction cycle)
+        still_referenced = {
+            m["manifest_path"]
+            for m in live_data_manifests + live_delete_manifests
+        }
         compacted_orphans.update(
             m["manifest_path"]
             for m in pre_compaction
             if m.get("added_snapshot_id") == head_snap["snapshot-id"]
+            and m["manifest_path"] not in still_referenced
         )
         head_snap["manifest-list"] = str((meta_dir / list_name).resolve())
 

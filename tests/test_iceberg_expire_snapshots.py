@@ -217,3 +217,42 @@ def test_compact_plus_expire_bounds_metadata_dir(spark, tmp_path):
     got = sorted(r["k"] for r in read_iceberg(spark, str(t.path)).collect())
     want = sorted(r["k"] for r in t.snapshot().collect())
     assert got == want
+
+
+def test_compact_merges_delete_manifests(spark, tmp_path):
+    """A CDC-heavy table accretes one delete manifest per DV commit;
+    compaction merges them into ONE (entries verbatim — per-entry
+    sequence numbers preserved, so delete application is unchanged)
+    and the head read still subtracts every deletion."""
+    from lakehouse_test_spark.plans.iceberg_export import (
+        CONTENT_DELETES,
+        read_ocf,
+    )
+
+    t = _mk(spark, tmp_path, "dvmerge", commits=3)
+    t.delete_where_dv("k = 1")   # v3
+    t.delete_where_dv("k = 10")  # v4
+    t.delete_where_dv("k = 21")  # v5
+    export_iceberg_metadata(spark, t, compact_manifests_above=2)
+    md = _md(t)
+    head = max(md["snapshots"], key=lambda s: s["snapshot-id"])
+    _, _, mlist = read_ocf(Path(head["manifest-list"]))
+    dels = [m for m in mlist if m.get("content") == CONTENT_DELETES]
+    assert len(dels) == 1  # merged
+    _, _, entries = read_ocf(Path(dels[0]["manifest_path"]))
+    live = [e for e in entries if e["status"] != 2]
+    assert len(live) == 3
+    # per-entry sequence numbers preserved (v3..v5 -> seq 4..6)
+    assert sorted(e["sequence_number"] for e in live) == [4, 5, 6]
+    assert dels[0]["min_sequence_number"] == 4
+    got = sorted(r["k"] for r in read_iceberg(spark, str(t.path)).collect())
+    want = sorted(r["k"] for r in t.snapshot().collect())
+    assert got == want
+    assert {1, 10, 21}.isdisjoint(got)
+    # incremental resume after the merge stays clean and correct
+    t.append(spark.range(500, 502).select(
+        F.col("id").alias("k"), (F.col("id") * 2.0).alias("v")))
+    export_iceberg_metadata(spark, t, compact_manifests_above=2)
+    got2 = sorted(r["k"] for r in read_iceberg(spark, str(t.path)).collect())
+    want2 = sorted(r["k"] for r in t.snapshot().collect())
+    assert got2 == want2
