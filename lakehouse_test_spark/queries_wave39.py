@@ -217,3 +217,73 @@ def iceberg_export_expire_snapshots(spark: SparkSession, sf_dir: str) -> DataFra
         F.lit(expired_raises).alias("expired_raises"),
         F.lit(tag_survives).alias("tag_survives"),
     )
+
+
+@query(
+    "cdf_batch_read_window",
+    oracle="""
+    WITH base AS (
+      SELECT n_nationkey AS k, 0 AS v FROM nation
+      UNION ALL
+      SELECT n_nationkey + 100 AS k, 1 AS v FROM nation WHERE n_nationkey < 5
+    ),
+    deletes AS (
+      SELECT k, 'delete' AS _change_type, 2 AS _commit_version
+      FROM base WHERE k % 10 = 3
+    ),
+    inserts AS (
+      SELECT n_nationkey + 200 AS k, 'insert' AS _change_type,
+             3 AS _commit_version
+      FROM nation WHERE n_nationkey < 3
+    )
+    SELECT CAST(k AS BIGINT) AS k, _change_type,
+           CAST(_commit_version AS INTEGER) AS _commit_version
+    FROM (SELECT * FROM deletes UNION ALL SELECT * FROM inserts)
+    """,
+    tags=("lakehouse", "cdf", "batch", "datasource"),
+)
+def cdf_batch_read_window(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """SQL-addressable BATCH change-feed window (Delta's
+    readChangeFeed batch form): ``spark.read.format("lakehouse_cdf")``
+    with ``startingVersion=3`` / ``endingVersion=4`` over a table with
+    appends (v0, v1), a deletion-vector commit (v2) and a tail append
+    (v3) — the window replays the DV's delete rows (recovered from the
+    base files with provenance version 2) and v3's inserts, row-hashed
+    against a pure-SQL reconstruction. Planning and decode are the
+    STREAM reader's own methods, so batch and stream surfaces cannot
+    diverge.
+
+    Scale: a bounded window plans O(commits in the window) — one
+    partition per data file / per (DV, base file) pair — never a log
+    replay; the driver holds only planning-sized state.
+    """
+    import tempfile
+
+    from lakehouse_test_spark.plans.lakehouse import LakehouseTable
+    from lakehouse_test_spark.sources.cdf_datasource import register
+
+    register(spark)
+    n = T(spark, sf_dir, "nation").select(
+        F.col("n_nationkey").cast("long").alias("k")
+    )
+    t = LakehouseTable(spark, tempfile.mkdtemp(prefix="lh_cdfbatch_"))
+    t.append(n.coalesce(1))  # v0
+    t.append(
+        n.where(F.col("k") < 5).select((F.col("k") + 100).alias("k")).coalesce(1)
+    )  # v1
+    t.delete_where_dv("k % 10 = 3")  # v2
+    t.append(
+        n.where(F.col("k") < 3).select((F.col("k") + 200).alias("k")).coalesce(1)
+    )  # v3
+    return (
+        spark.read.format("lakehouse_cdf")
+        .option("path", str(t.path))
+        .option("startingVersion", "2")
+        .option("endingVersion", "3")
+        .load()
+        .select(
+            F.col("k").cast("long").alias("k"),
+            "_change_type",
+            F.col("_commit_version").cast("int").alias("_commit_version"),
+        )
+    )

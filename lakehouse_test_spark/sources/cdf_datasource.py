@@ -85,6 +85,7 @@ from pathlib import Path
 
 from pyspark.sql.datasource import (
     DataSource,
+    DataSourceReader,
     DataSourceStreamReader,
     InputPartition,
 )
@@ -881,8 +882,58 @@ class LakehouseCDFStreamReader(DataSourceStreamReader):
         pass
 
 
+class LakehouseCDFBatchReader(DataSourceReader):
+    """BATCH change-feed read (Delta's ``readChangeFeed`` batch form):
+    ``spark.read.format("lakehouse_cdf").option("path", p)
+    .option("startingVersion", 3).option("endingVersion", 7)`` — the
+    SQL-addressable twin of ``read_changes_cdf(since, upto)``. Omitted
+    ``startingVersion`` (or ``earliest``/``-1``) is the INITIAL LOAD:
+    the net live snapshot as of ``endingVersion`` (head by default),
+    every row an ``insert`` under its owning commit's version —
+    exactly the native initial-load contract. A data-changing restate
+    inside an INCREMENTAL window raises (row deltas cannot express a
+    rewrite); the initial load tolerates backlog restates by
+    construction. Planning and row decode are the STREAM reader's own
+    methods, so the two surfaces can never diverge."""
+
+    def __init__(self, options: dict, data_columns, data_types):
+        self._r = LakehouseCDFStreamReader(options, data_columns, data_types)
+        sv = options.get("startingVersion") or options.get("startingversion")
+        if sv is not None and str(sv).lower() != "earliest":
+            self.since = int(sv) - 1
+        else:
+            self.since = -1
+        ev = options.get("endingVersion") or options.get("endingversion")
+        self.upto = int(ev) if ev is not None else None
+        if str(
+            options.get("startingMode") or options.get("startingmode") or ""
+        ).lower() == "snapshot":
+            raise ValueError(
+                "startingMode=snapshot is a STREAMING option; a batch "
+                "read gets initial-load semantics by omitting "
+                "startingVersion (and bounds it with endingVersion)"
+            )
+
+    def partitions(self) -> Sequence[InputPartition]:
+        upto = self.upto
+        if upto is None:
+            upto = max(
+                (c["version"] for c in self._r._commits()), default=-1
+            )
+        if self.since < 0:
+            return list(self._r._snapshot_partitions(upto))
+        if upto <= self.since:
+            return [_FilePartition("insert", "", upto)]
+        return list(self._r._tail_partitions(self.since, upto))
+
+    def read(self, partition: _FilePartition):
+        return self._r.read(partition)
+
+
 class LakehouseCDFDataSource(DataSource):
-    """``spark.readStream.format("lakehouse_cdf").option("path", p)``"""
+    """``spark.readStream.format("lakehouse_cdf").option("path", p)``
+    (stream) and ``spark.read.format("lakehouse_cdf")`` (batch —
+    bounded change windows / initial load)."""
 
     @classmethod
     def name(cls) -> str:
@@ -897,17 +948,24 @@ class LakehouseCDFDataSource(DataSource):
         ).lower() in ("true", "1")
         return _ddl_for_table(Path(self.options["path"]), logical)
 
-    def streamReader(self, schema) -> LakehouseCDFStreamReader:
+    def _data_shape(self, schema):
         data = [
             f
             for f in schema.fields
             if f.name not in ("_change_type", "_commit_version")
         ]
-        return LakehouseCDFStreamReader(
-            self.options,
+        return (
             [f.name for f in data],
             {f.name: f.dataType.simpleString().lower() for f in data},
         )
+
+    def streamReader(self, schema) -> LakehouseCDFStreamReader:
+        cols, types = self._data_shape(schema)
+        return LakehouseCDFStreamReader(self.options, cols, types)
+
+    def reader(self, schema) -> LakehouseCDFBatchReader:
+        cols, types = self._data_shape(schema)
+        return LakehouseCDFBatchReader(self.options, cols, types)
 
 
 def register(spark) -> None:

@@ -1,0 +1,97 @@
+"""Batch change-feed reads through the DataSource (round 9):
+``spark.read.format("lakehouse_cdf")`` — Delta's readChangeFeed batch
+form. Planning/decoding reuse the STREAM reader's methods, so the two
+surfaces cannot diverge; these tests pin the option surface and parity
+with the native ``read_changes_cdf``."""
+from __future__ import annotations
+
+import pytest
+from pyspark.sql import functions as F
+
+from lakehouse_test_spark.plans.lakehouse import LakehouseTable
+from lakehouse_test_spark.sources.cdf_datasource import register
+
+
+def _key(rows):
+    return sorted(
+        (r["k"], r["_change_type"], r["_commit_version"]) for r in rows
+    )
+
+
+def _mk(spark, tmp_path):
+    t = LakehouseTable(spark, str(tmp_path / "t"))
+    for i in range(4):
+        t.append(spark.range(i * 10, i * 10 + 3).select(F.col("id").alias("k")))
+    t.delete_where_dv("k = 21")  # v4
+    t.append(spark.range(100, 102).select(F.col("id").alias("k")))  # v5
+    return t
+
+
+def _read(spark, path, **opts):
+    r = spark.read.format("lakehouse_cdf").option("path", path)
+    for k, v in opts.items():
+        r = r.option(k, v)
+    return r.load()
+
+
+def test_batch_cdf_initial_load_and_windows(spark, tmp_path):
+    register(spark)
+    t = _mk(spark, tmp_path)
+    # initial load (no startingVersion): net live snapshot, inserts
+    got = _read(spark, str(t.path)).collect()
+    assert _key(got) == _key(t.read_changes_cdf(-1).collect())
+    # incremental window with a DV inside it
+    got = _read(spark, str(t.path), startingVersion="3").collect()
+    assert _key(got) == _key(t.read_changes_cdf(2).collect())
+    assert any(r["_change_type"] == "delete" for r in got)
+    # bounded window (endingVersion) matches the native upto form
+    got = _read(
+        spark, str(t.path), startingVersion="2", endingVersion="4"
+    ).collect()
+    assert _key(got) == _key(t.read_changes_cdf(1, upto_version=4).collect())
+    # bounded initial load: snapshot as of the bound
+    got = _read(spark, str(t.path), endingVersion="3").collect()
+    assert _key(got) == _key(
+        t.read_changes_cdf(-1, upto_version=3).collect()
+    )
+    # empty window: no rows, no crash
+    got = _read(
+        spark, str(t.path), startingVersion="6", endingVersion="5"
+    ).collect()
+    assert got == []
+
+
+def test_batch_cdf_contracts(spark, tmp_path):
+    register(spark)
+    t = _mk(spark, tmp_path)
+    t.delete_where("k = 1")  # v6: restate
+    # restate inside an incremental window raises the CDF contract
+    with pytest.raises(Exception, match="rewrite|restate|snapshot"):
+        _read(spark, str(t.path), startingVersion="5").collect()
+    # ...but the initial load tolerates it (net live snapshot)
+    got = _read(spark, str(t.path)).collect()
+    assert _key(got) == _key(t.read_changes_cdf(-1).collect())
+    # streaming-only option rejected loudly on the batch surface
+    with pytest.raises(Exception, match="STREAMING option|batch"):
+        _read(spark, str(t.path), startingMode="snapshot").collect()
+
+
+def test_batch_cdf_logical_names(spark, tmp_path):
+    register(spark)
+    t = LakehouseTable(spark, str(tmp_path / "ln"))
+    t.append(
+        spark.range(3).select(
+            F.col("id").alias("k"), (F.col("id") * 5).alias("v")
+        )
+    )
+    t.rename_column("v", "w")
+    t.append(
+        spark.range(3, 5).select(
+            F.col("id").alias("k"), (F.col("id") * 7).alias("w")
+        )
+    )
+    got = _read(spark, str(t.path), logicalNames="true").collect()
+    native = t.read_changes_cdf(-1).collect()
+    assert sorted((r["k"], r["w"]) for r in got) == sorted(
+        (r["k"], r["w"]) for r in native
+    )
