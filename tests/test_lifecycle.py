@@ -236,3 +236,113 @@ def test_wave_ae_lifecycle(spark, tmp_path):
     )
     ids3 = sorted(r["rid"] for r in c.snapshot().collect())
     assert ids3 == list(range(1, 1803))  # 1792 + 10, no collisions
+
+
+def test_round9_operations_lifecycle_end_to_end(spark, tmp_path):
+    """The 100 TB operations story, composed: a CAPPED snapshot-seeded
+    CDF stream (maxVersionsPerTrigger) feeds a curated table through
+    foreachBatch MERGE/delete; after each micro-batch the curated
+    table exports incrementally to BOTH formats with lifecycle knobs
+    (Iceberg expire+compact, Delta log retention). Asserts: curated ==
+    source net state, both exports read back equal, and every
+    metadata population is bounded — the per-micro-batch loop a real
+    deployment runs."""
+    import json as _json
+
+    from pyspark.sql import functions as F
+
+    from lakehouse_test_spark.plans.delta_export import (
+        export_delta_log,
+        read_delta_log,
+    )
+    from lakehouse_test_spark.plans.iceberg_export import (
+        export_iceberg_metadata,
+        read_iceberg,
+    )
+    from lakehouse_test_spark.plans.lakehouse import LakehouseTable
+    from lakehouse_test_spark.sources.cdf_datasource import register
+
+    register(spark)
+    src = LakehouseTable(spark, str(tmp_path / "src"))
+    for i in range(5):  # backlog, incl. a restate (seed tolerates it)
+        src.append(
+            spark.range(i * 10, i * 10 + 4).select(
+                F.col("id").alias("k"), (F.col("id") % 7).alias("v")
+            )
+        )
+    src.delete_where("k % 10 = 2")
+    cur = LakehouseTable(spark, str(tmp_path / "curated"))
+    ck = str(tmp_path / "ck")
+
+    def apply_batch(df, batch_id):
+        rows = df.collect()
+        ins = [(r["k"], r["v"]) for r in rows if r["_change_type"] == "insert"]
+        dels = [r["k"] for r in rows if r["_change_type"] == "delete"]
+        if ins:
+            df_ins = spark.createDataFrame(ins, "k long, v long")
+            if cur.latest_version() < 0:  # first batch: table is empty
+                cur.append(df_ins)
+            else:
+                cur.merge(df_ins, ["k"])
+        if dels:
+            ks = ", ".join(str(k) for k in dels)
+            cur.delete_where_dv(f"k IN ({ks})")
+        export_iceberg_metadata(
+            spark, cur, expire_keep_last=3, compact_manifests_above=4
+        )
+        export_delta_log(
+            spark, cur, checkpoint_interval=3, log_retention_versions=4
+        )
+
+    def drain():
+        q = (
+            spark.readStream.format("lakehouse_cdf")
+            .option("path", str(src.path))
+            .option("startingMode", "snapshot")
+            .option("maxVersionsPerTrigger", "2")
+            .load()
+            .writeStream.foreachBatch(apply_batch)
+            .option("checkpointLocation", ck)
+            .trigger(availableNow=True)
+            .start()
+        )
+        q.awaitTermination(120)
+
+    drain()  # seed
+    # live tail: appends + a DV, then capped catch-up runs
+    src.append(
+        spark.range(100, 104).select(
+            F.col("id").alias("k"), (F.col("id") % 7).alias("v")
+        )
+    )
+    src.delete_where_dv("k = 101")
+    src.append(
+        spark.range(200, 202).select(
+            F.col("id").alias("k"), (F.col("id") % 7).alias("v")
+        )
+    )
+    for _ in range(6):
+        drain()
+    want = sorted(
+        (r["k"], r["v"]) for r in src.snapshot().collect()
+    )
+    got = sorted((r["k"], r["v"]) for r in cur.snapshot().collect())
+    assert got == want, "curated table diverged from the source net state"
+    # both exports read back the same state
+    ice = sorted(
+        (r["k"], r["v"]) for r in read_iceberg(spark, str(cur.path)).collect()
+    )
+    dlt = sorted(
+        (r["k"], r["v"])
+        for r in read_delta_log(spark, str(cur.path)).collect()
+    )
+    assert ice == want and dlt == want
+    # lifecycle knobs held: bounded metadata on BOTH export formats
+    md = _json.loads(
+        (cur.path / "metadata" / "v1.metadata.json").read_text()
+    )
+    assert len(md["snapshots"]) <= 3 + len(md["refs"])
+    delta_jsons = [
+        p for p in (cur.path / "_delta_log").glob("*.json") if p.stem.isdigit()
+    ]
+    assert len(delta_jsons) <= 4 + 3  # retention window + ckpt tail
