@@ -898,13 +898,30 @@ class LakehouseCDFBatchReader(DataSourceReader):
 
     def __init__(self, options: dict, data_columns, data_types):
         self._r = LakehouseCDFStreamReader(options, data_columns, data_types)
-        sv = options.get("startingVersion") or options.get("startingversion")
+
+        def _opt(name: str):
+            return options.get(name) or options.get(name.lower())
+
+        sv, st = _opt("startingVersion"), _opt("startingTimestamp")
+        ev, et = _opt("endingVersion"), _opt("endingTimestamp")
+        if sv is not None and st is not None:
+            raise ValueError(
+                "pass at most one of startingVersion/startingTimestamp"
+            )
+        if ev is not None and et is not None:
+            raise ValueError(
+                "pass at most one of endingVersion/endingTimestamp"
+            )
         if sv is not None and str(sv).lower() != "earliest":
             self.since = int(sv) - 1
         else:
             self.since = -1
-        ev = options.get("endingVersion") or options.get("endingversion")
         self.upto = int(ev) if ev is not None else None
+        # timestamp forms resolve against the commit log's recorded ts
+        # (Delta's rule: startingTimestamp = the first commit AT or
+        # AFTER ts; endingTimestamp = the newest commit AT or BEFORE)
+        self._since_ts = float(st) if st is not None else None
+        self._upto_ts = float(et) if et is not None else None
         if str(
             options.get("startingMode") or options.get("startingmode") or ""
         ).lower() == "snapshot":
@@ -915,16 +932,37 @@ class LakehouseCDFBatchReader(DataSourceReader):
             )
 
     def partitions(self) -> Sequence[InputPartition]:
-        upto = self.upto
+        since, upto = self.since, self.upto
+        if self._since_ts is not None or self._upto_ts is not None:
+            pairs = sorted(
+                (c["version"], c.get("ts") or 0.0)
+                for c in self._r._commits()
+            )
+            if self._since_ts is not None:
+                at_or_after = [v for v, ts in pairs if ts >= self._since_ts]
+                # nothing at/after the timestamp: empty window
+                since = (
+                    at_or_after[0] - 1
+                    if at_or_after
+                    else (pairs[-1][0] if pairs else -1)
+                )
+            if self._upto_ts is not None:
+                at_or_before = [v for v, ts in pairs if ts <= self._upto_ts]
+                if not at_or_before:
+                    raise ValueError(
+                        f"endingTimestamp {self._upto_ts} predates the "
+                        "table's first commit"
+                    )
+                upto = at_or_before[-1]
         if upto is None:
             upto = max(
                 (c["version"] for c in self._r._commits()), default=-1
             )
-        if self.since < 0:
+        if since < 0:
             return list(self._r._snapshot_partitions(upto))
-        if upto <= self.since:
+        if upto <= since:
             return [_FilePartition("insert", "", upto)]
-        return list(self._r._tail_partitions(self.since, upto))
+        return list(self._r._tail_partitions(since, upto))
 
     def read(self, partition: _FilePartition):
         return self._r.read(partition)

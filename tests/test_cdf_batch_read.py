@@ -95,3 +95,53 @@ def test_batch_cdf_logical_names(spark, tmp_path):
     assert sorted((r["k"], r["w"]) for r in got) == sorted(
         (r["k"], r["w"]) for r in native
     )
+
+
+def test_batch_cdf_timestamp_bounds(spark, tmp_path):
+    """startingTimestamp/endingTimestamp resolve against the commit
+    log's recorded ts (Delta's rule: first commit at/after the start;
+    newest commit at/before the end); version+timestamp for the same
+    bound conflicts; a start ts after the head gives an empty window."""
+    import json
+    from pathlib import Path
+
+    register(spark)
+    t = _mk(spark, tmp_path)
+    log = sorted(Path(t.path, "_log").glob("*.json"))
+    ts_of = {
+        json.loads(p.read_text())["version"]: json.loads(p.read_text())["ts"]
+        for p in log
+    }
+    # window starting exactly at v3's ts == startingVersion=3
+    got = _read(
+        spark, str(t.path), startingTimestamp=repr(ts_of[3])
+    ).collect()
+    assert _key(got) == _key(t.read_changes_cdf(2).collect())
+    # end bounded between v3 and v4 == endingVersion=3
+    mid = (ts_of[3] + ts_of[4]) / 2
+    got = _read(
+        spark, str(t.path), startingTimestamp=repr(ts_of[2]),
+        endingTimestamp=repr(mid),
+    ).collect()
+    assert _key(got) == _key(
+        t.read_changes_cdf(1, upto_version=3).collect()
+    )
+    # initial load bounded by timestamp
+    got = _read(spark, str(t.path), endingTimestamp=repr(mid)).collect()
+    assert _key(got) == _key(
+        t.read_changes_cdf(-1, upto_version=3).collect()
+    )
+    # a start ts beyond the head: empty window, no crash
+    got = _read(
+        spark, str(t.path), startingTimestamp=repr(ts_of[5] + 10.0)
+    ).collect()
+    assert got == []
+    # conflicting forms rejected
+    with pytest.raises(Exception, match="at most one"):
+        _read(
+            spark, str(t.path), startingVersion="2",
+            startingTimestamp="123",
+        ).collect()
+    # end ts before the table existed: loud
+    with pytest.raises(Exception, match="predates"):
+        _read(spark, str(t.path), endingTimestamp="1.0").collect()
