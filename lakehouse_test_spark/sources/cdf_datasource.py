@@ -484,6 +484,25 @@ class LakehouseCDFStreamReader(DataSourceStreamReader):
             return {"version": -1}
         return {"version": int(sv) - 1}
 
+    def _log_head(self) -> int:
+        """Newest commit version by directory listing alone (scandir,
+        zero JSON parses) — the batch reader's default endingVersion."""
+        import os
+
+        hi = -1
+        try:
+            with os.scandir(self.path / "_log") as it:
+                for e in it:
+                    nm = e.name
+                    if nm.endswith(".json"):
+                        try:
+                            hi = max(hi, int(nm[:-5]))
+                        except ValueError:
+                            pass
+        except FileNotFoundError:
+            pass
+        return hi
+
     def latestOffset(self) -> dict:
         # scandir, not glob: runs EVERY trigger; at 10⁵ commits Path
         # construction dominates the listing itself
@@ -955,9 +974,7 @@ class LakehouseCDFBatchReader(DataSourceReader):
                     )
                 upto = at_or_before[-1]
         if upto is None:
-            upto = max(
-                (c["version"] for c in self._r._commits()), default=-1
-            )
+            upto = self._r._log_head()  # scandir max, no JSON parses
         if since < 0:
             return list(self._r._snapshot_partitions(upto))
         if upto <= since:
