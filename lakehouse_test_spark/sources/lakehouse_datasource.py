@@ -927,6 +927,18 @@ class LakehouseDataSource(DataSource):
 
 def register(spark) -> None:
     spark.dataSource.register(LakehouseDataSource)
+    # LakehouseSnapshotReader implements pushFilters(); on a VANILLA
+    # session (spark.sql.python.filterPushdown.enabled defaults to
+    # false) Spark REFUSES to plan such a reader outright — a
+    # PySparkAssertionError at first read, not a silent no-pushdown
+    # degrade. get_spark() sets the conf, but any stock session (the
+    # driver's, a user's) must work too, so registering the format
+    # enables the conf it requires (runtime-settable; found via
+    # tools/driver_sim.py's vanilla-session sweep).
+    try:
+        spark.conf.set("spark.sql.python.filterPushdown.enabled", "true")
+    except Exception:
+        pass  # pre-4.x sessions without the conf: nothing to enable
 
 
 def register_table(spark, path: str, name: str, engine: str = "datasource", **ref) -> None:
