@@ -54,21 +54,25 @@ traced order, not from comments):
    reader-minted cursor offsets is unsound under this engine (the
    removed r8 ``seedChunkFiles`` option proved it by duplicating
    rows), and the option now fails loudly.
-2. **Tail, capped per trigger** (``maxVersionsPerTrigger=N``): once
-   the reader has observed ANY ``partitions(start, end)`` call, the
-   version floor is known and every subsequent ``latestOffset()``
-   advances at most N commit versions past it — a stream that fell
-   behind by 10³ commits drains them as ⌈10³/N⌉ batches instead of
-   one. Restart-safe by the traced order: on EVERY restart (clean or
-   mid-batch) Spark re-plans the last checkpointed batch BEFORE the
-   first ``latestOffset()``, so the floor is fast-forwarded to the
-   checkpointed offset before the first capped answer; the cap can
-   therefore never regress an offset below a committed one (the
-   deadlock/duplicate hazard of capping blindly). Only the very
-   first batch of a FRESH start is uncapped — combine with
-   ``startingMode=snapshot`` to bound it by table size. Under
+2. **Tail, capped per trigger** (``maxVersionsPerTrigger=N`` in the
+   commit domain; ``maxFilesPerTrigger=M`` in the file-unit domain —
+   Delta's knob, splitting even ONE wide commit across triggers via
+   ``{"version": v, "files": k}`` offsets that name deterministic
+   positions in the immutable log; the two compose, version cap
+   first): once the reader has observed ANY ``partitions(start,
+   end)`` call, the floor is known and every subsequent
+   ``latestOffset()`` advances at most the cap past it — a stream
+   that fell behind by 10³ commits drains them as bounded batches
+   instead of one. Restart-safe by the traced order: on EVERY
+   restart (clean or mid-batch) Spark re-plans the last checkpointed
+   batch BEFORE the first ``latestOffset()``, so the floor is
+   fast-forwarded to the checkpointed offset before the first capped
+   answer; the cap can therefore never regress an offset below a
+   committed one (the deadlock/duplicate hazard of capping blindly).
+   Only the very first batch of a FRESH start is uncapped — combine
+   with ``startingMode=snapshot`` to bound it by table size. Under
    ``Trigger.AvailableNow`` the single eagerly-pinned end offset
-   obeys the cap, so one RUN advances at most N versions — use
+   obeys the caps, so one RUN advances at most one cap's worth — use
    ``processingTime`` for capped catch-up.
 3. **AvailableNow = one pinned batch**: the end offset is computed
    once, eagerly; the whole range (seed + tail) lands in that run.
