@@ -1638,6 +1638,60 @@ def _find_snapshot(md: dict, sid: int) -> dict:
     )
 
 
+def iceberg_remove_orphans(
+    table_path: str, older_than_s: float = 3600.0
+) -> list[str]:
+    """Iceberg's removeOrphanFiles, export-side: delete files under
+    ``metadata/`` referenced by NO snapshot of the current
+    metadata.json — the residue a crash between the atomic metadata
+    replace and the deferred purge can leave behind (expire/compact
+    purge AFTER the new metadata lands, so a crash in between orphans
+    the superseded files with nothing left referencing them).
+
+    Safety rails, exactly Iceberg's: only files OLDER than
+    ``older_than_s`` are deleted (an export running concurrently
+    writes its new manifests BEFORE repointing metadata.json — age
+    keeps in-flight files safe), and ``v1.metadata.json`` /
+    ``version-hint.text`` are always kept. Never touches anything
+    outside ``metadata/``. Returns the deleted paths."""
+    import time as _time
+
+    meta_dir = Path(table_path) / "metadata"
+    md = _load_metadata(table_path)
+    referenced: set[str] = set()
+    for s in md.get("snapshots", []):
+        mlp = Path(s["manifest-list"])
+        referenced.add(mlp.name)
+        try:
+            _, _, ms = read_ocf(mlp)
+        except (OSError, ValueError, struct.error):
+            continue
+        for m in ms:
+            referenced.add(Path(m["manifest_path"]).name)
+            try:
+                _, _, es = read_ocf(Path(m["manifest_path"]))
+            except (OSError, ValueError, struct.error):
+                continue
+            for e in es:
+                df = e.get("data_file") or {}
+                if df.get("content") in (CONTENT_DELETES, CONTENT_EQ_DELETES):
+                    referenced.add(Path(df["file_path"]).name)
+    keep = referenced | {"v1.metadata.json", "version-hint.text"}
+    now = _time.time()
+    deleted: list[str] = []
+    for f in meta_dir.iterdir():
+        if not f.is_file() or f.name in keep:
+            continue
+        try:
+            if now - f.stat().st_mtime < older_than_s:
+                continue
+            f.unlink()
+            deleted.append(str(f))
+        except OSError:
+            continue
+    return sorted(deleted)
+
+
 def iceberg_plan_files(
     table_path: str, snapshot_id: int | None = None
 ) -> tuple[list[str], list[str]]:

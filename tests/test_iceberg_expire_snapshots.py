@@ -256,3 +256,49 @@ def test_compact_merges_delete_manifests(spark, tmp_path):
     got2 = sorted(r["k"] for r in read_iceberg(spark, str(t.path)).collect())
     want2 = sorted(r["k"] for r in t.snapshot().collect())
     assert got2 == want2
+
+
+def test_remove_orphans_sweeps_crash_residue(spark, tmp_path):
+    """iceberg_remove_orphans (removeOrphanFiles analog): files no
+    snapshot references — the residue of a crash between the atomic
+    metadata replace and the deferred purge — are swept; everything
+    referenced, the metadata pair, and YOUNG files (in-flight export
+    protection) survive; reads are unchanged."""
+    import os
+    import time
+
+    from lakehouse_test_spark.plans.iceberg_export import (
+        iceberg_remove_orphans,
+        read_ocf,
+    )
+
+    t = _mk(spark, tmp_path, "orphans", commits=4)
+    meta_dir = export_iceberg_metadata(spark, t)
+    # crash residue: stray manifest-list-like and manifest-like files
+    old = meta_dir / "deadbeef-m0.avro"
+    old.write_bytes(b"Obj\x01junk")
+    young = meta_dir / "cafebabe-m0.avro"
+    young.write_bytes(b"Obj\x01junk")
+    past = time.time() - 7200
+    os.utime(old, (past, past))  # old enough to sweep
+    before = {p.name for p in meta_dir.iterdir()}
+    deleted = iceberg_remove_orphans(str(t.path), older_than_s=3600)
+    assert [Path(d).name for d in deleted] == ["deadbeef-m0.avro"]
+    after = {p.name for p in meta_dir.iterdir()}
+    assert before - after == {"deadbeef-m0.avro"}
+    assert "cafebabe-m0.avro" in after  # young: in-flight protection
+    assert read_iceberg(spark, str(t.path)).count() == 12
+    # a second sweep with zero age removes the young junk too, but
+    # NOTHING referenced: every manifest-list/manifest/delete parquet
+    # of the live metadata survives byte-identical
+    md = _md(t)
+    lists = {Path(s["manifest-list"]).name for s in md["snapshots"]}
+    refs = set(lists)
+    for s in md["snapshots"]:
+        for m in read_ocf(Path(s["manifest-list"]))[2]:
+            refs.add(Path(m["manifest_path"]).name)
+    iceberg_remove_orphans(str(t.path), older_than_s=0)
+    after2 = {p.name for p in meta_dir.iterdir()}
+    assert refs <= after2
+    assert "cafebabe-m0.avro" not in after2
+    assert read_iceberg(spark, str(t.path)).count() == 12
