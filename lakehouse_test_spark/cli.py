@@ -159,6 +159,29 @@ def build_parser() -> argparse.ArgumentParser:
              "footers, commit row counts match, metadata self-consistent",
     )
     vfy.add_argument("--table", required=True)
+
+    pipe = sub.add_parser(
+        "pipe",
+        help="admission-controlled CDC pipeline: stream SOURCE's change "
+             "feed (snapshot-seeded) into SINK via foreachBatch — "
+             "inserts merged on --merge-key (appended if omitted and "
+             "the feed has no deletes), deletes applied as deletion "
+             "vectors; one AvailableNow run per invocation (re-run to "
+             "keep draining a capped backlog)",
+    )
+    pipe.add_argument("--source", required=True, help="source table path")
+    pipe.add_argument("--sink", required=True, help="sink table path")
+    pipe.add_argument("--checkpoint", required=True,
+                      help="stream checkpoint dir (owns the cursor)")
+    pipe.add_argument("--merge-key", default=None,
+                      help="key column for MERGE upserts + DV deletes; "
+                           "omit for append-only feeds")
+    pipe.add_argument("--max-versions-per-trigger", type=positive_int,
+                      default=None, metavar="N",
+                      help="cap each micro-batch at N commit versions")
+    pipe.add_argument("--max-files-per-trigger", type=positive_int,
+                      default=None, metavar="M",
+                      help="cap each micro-batch at M planned file units")
     return p
 
 
@@ -339,6 +362,71 @@ def main(argv: list[str] | None = None, spark=None) -> int:
                 print(f"ERROR: {e}")
             print("OK" if report["ok"] else f"FAILED: {len(report['errors'])} errors")
             return 0 if report["ok"] else 1
+        elif args.verb == "pipe":
+            from lakehouse_test_spark.sources.cdf_datasource import register
+
+            register(spark)
+            sink = LakehouseTable(spark, args.sink)
+            applied = {"rows": 0, "batches": 0}
+
+            def _apply(df, batch_id):
+                rows = df.collect()
+                ins = [
+                    r for r in rows if r["_change_type"] == "insert"
+                ]
+                dels = [r for r in rows if r["_change_type"] == "delete"]
+                if dels and not args.merge_key:
+                    raise RuntimeError(
+                        "the change feed carries deletes; pass "
+                        "--merge-key to apply them (DV per key)"
+                    )
+                data_cols = [
+                    c for c in df.columns
+                    if c not in ("_change_type", "_commit_version")
+                ]
+                if ins:
+                    batch = spark.createDataFrame(
+                        [[r[c] for c in data_cols] for r in ins],
+                        df.select(*data_cols).schema,
+                    )
+                    if args.merge_key and sink.latest_version() >= 0:
+                        sink.merge(batch, [args.merge_key])
+                    else:
+                        sink.append(batch)
+                if dels:
+                    ks = ", ".join(
+                        repr(r[args.merge_key]) for r in dels
+                    )
+                    sink.delete_where_dv(f"{args.merge_key} IN ({ks})")
+                applied["rows"] += len(rows)
+                applied["batches"] += 1
+
+            reader = (
+                spark.readStream.format("lakehouse_cdf")
+                .option("path", args.source)
+                .option("startingMode", "snapshot")
+            )
+            if args.max_versions_per_trigger:
+                reader = reader.option(
+                    "maxVersionsPerTrigger", str(args.max_versions_per_trigger)
+                )
+            if args.max_files_per_trigger:
+                reader = reader.option(
+                    "maxFilesPerTrigger", str(args.max_files_per_trigger)
+                )
+            q = (
+                reader.load()
+                .writeStream.foreachBatch(_apply)
+                .option("checkpointLocation", args.checkpoint)
+                .trigger(availableNow=True)
+                .start()
+            )
+            q.awaitTermination()
+            print(
+                f"Applied {applied['rows']} change rows in "
+                f"{applied['batches']} micro-batch(es)"
+            )
+            print(f"Sink version: {sink.latest_version()}")
         elif args.verb == "curate":
             # end-to-end pretraining curation: quality gates -> exact
             # dedup -> diversity gate -> committed lakehouse table

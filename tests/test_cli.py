@@ -178,3 +178,38 @@ def test_cli_alter_rename_drop_widen(spark, tmp_path, capsys):
     assert "Widened k -> bigint" in out and "Dropped column flag" in out
     snap = LakehouseTable(spark, path).snapshot()
     assert snap.columns == ["kk"] and dict(snap.dtypes)["kk"] == "bigint"
+
+
+def test_cli_pipe_cdc_pipeline(spark, tmp_path):
+    """`cli pipe`: snapshot-seeded, capped CDC from source to sink —
+    two invocations (seed, then tail with a DV) leave the sink equal
+    to the source's net state, exactly-once across the checkpoint."""
+    from pyspark.sql import functions as F
+
+    from lakehouse_test_spark.cli import main
+    from lakehouse_test_spark.plans.lakehouse import LakehouseTable
+
+    src = LakehouseTable(spark, str(tmp_path / "src"))
+    for i in range(3):
+        src.append(
+            spark.range(i * 10, i * 10 + 4).select(F.col("id").alias("k"))
+        )
+    src.delete_where("k % 10 = 2")  # backlog restate: seed tolerates
+    sink, ck = str(tmp_path / "sink"), str(tmp_path / "ck")
+    argv = [
+        "pipe", "--source", str(src.path), "--sink", sink,
+        "--checkpoint", ck, "--merge-key", "k",
+        "--max-versions-per-trigger", "2",
+    ]
+    assert main(argv, spark=spark) in (0, None)
+    got = sorted(r["k"] for r in LakehouseTable(spark, sink).snapshot().collect())
+    assert got == sorted(r["k"] for r in src.snapshot().collect())
+    # tail: appends + a DV delete, drained by re-running the verb
+    src.append(spark.range(100, 103).select(F.col("id").alias("k")))
+    src.delete_where_dv("k = 101")
+    for _ in range(4):  # capped: multiple runs drain the backlog
+        assert main(argv, spark=spark) in (0, None)
+    got = sorted(r["k"] for r in LakehouseTable(spark, sink).snapshot().collect())
+    want = sorted(r["k"] for r in src.snapshot().collect())
+    assert got == want
+    assert 101 not in got
