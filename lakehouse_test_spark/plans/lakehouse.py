@@ -2099,6 +2099,14 @@ class LakehouseTable:
                     urlparse(p).path if p.startswith("file:") else p
                     for p in ref
                 ]
+                if not base_files:
+                    # a predicate that matched NOTHING still commits a
+                    # (zero-row) DV file; there are no deleted rows to
+                    # emit — and _read_data(*[]) would die on schema
+                    # inference (found by the r9 stream-fuzz harness:
+                    # the STREAMING feed handled empty DVs, the native
+                    # oracle crashed on them)
+                    continue
                 missing = [f for f in base_files if not Path(f).exists()]
                 if missing:
                     raise VacuumHorizonError(

@@ -353,3 +353,47 @@ def test_initial_load_on_percent_encodable_table_path(spark, tmp_path):
     ], rows
     # bounded form sees the pre-DV snapshot on the same encoded path
     assert len(t.read_changes_cdf(-1, upto_version=1).collect()) == 8
+
+
+def test_native_cdf_window_with_empty_dv_commit(spark, tmp_path):
+    """A delete_where_dv whose predicate matches NOTHING still commits
+    a zero-row DV file; a read_changes_cdf window containing it must
+    yield no delete rows — not die on empty-scan schema inference
+    (found by the r9 stream-fuzz harness: the stream handled empty
+    DVs, the native oracle crashed). Stream and native agree."""
+    import tempfile
+
+    from lakehouse_test_spark.plans.lakehouse import LakehouseTable
+    from lakehouse_test_spark.sources.cdf_datasource import register
+
+    t = LakehouseTable(spark, str(tmp_path / "emptydv"))
+    t.append(spark.range(5).select(F.col("id").alias("k")))  # v0
+    t.delete_where_dv("k > 100")  # v1: matches nothing
+    t.append(spark.range(10, 12).select(F.col("id").alias("k")))  # v2
+    native = sorted(
+        (r["k"], r["_change_type"], r["_commit_version"])
+        for r in t.read_changes_cdf(0).collect()
+    )
+    assert native == [(10, "insert", 2), (11, "insert", 2)]
+    # the streaming feed across the same window agrees
+    register(spark)
+    ck = tempfile.mkdtemp(prefix="emptydv_ck_")
+    out = str(tmp_path / "out")
+    q = (
+        spark.readStream.format("lakehouse_cdf")
+        .option("path", str(t.path))
+        .option("startingVersion", "1")
+        .load()
+        .writeStream.format("parquet")
+        .option("path", out)
+        .option("checkpointLocation", ck)
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination(60)
+    got = sorted(
+        (r["k"], r["_change_type"], r["_commit_version"])
+        for r in spark.read.parquet(out).collect()
+    )
+    assert got == native
+    shutil.rmtree(ck, ignore_errors=True)
