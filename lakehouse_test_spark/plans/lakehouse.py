@@ -140,6 +140,17 @@ class ConstraintViolationError(RuntimeError):
 
 
 
+def ts_micros(ts) -> int | None:
+    """Commit timestamp (epoch-seconds float, the ``Commit.ts`` field)
+    → integer MICROSECONDS — the one canonical conversion behind the
+    change feed's ``_commit_timestamp`` column. Both surfaces (native
+    :meth:`LakehouseTable.read_changes_cdf` and the ``lakehouse_cdf``
+    DataSource) call THIS function, so a float-rounding disagreement
+    in the last microsecond between them is structurally impossible
+    (the two feeds are hash-compared row-for-row in tests)."""
+    return None if ts is None else int(round(float(ts) * 1_000_000))
+
+
 def _footer_row_count(root: Path, files: list[str]) -> int:
     """Exact commit row count from parquet footers (driver-side
     metadata read) — replaces a per-commit Spark count job; at one
@@ -941,6 +952,41 @@ class LakehouseTable:
             F_col("_metadata.file_path").alias("_dv_file"),
             F_col("_metadata.row_index").alias("_dv_pos"),
         )
+        return self._commit_dv(matched, read_version)
+
+    def delete_keys_dv(self, keys: DataFrame, key_col: str) -> Commit:
+        """Row-level DELETE by KEY SET via deletion vectors: semi-join
+        the live files against a DISTRIBUTED key DataFrame instead of
+        compiling collected keys into an ``IN (...)`` predicate
+        string. The CDC apply path (CLI ``pipe`` verb) deletes through
+        this — interpolating keys via ``repr()`` was both a driver
+        bottleneck (O(delete keys) SQL text) and a correctness hazard
+        (a string key containing a quote produced a malformed
+        predicate; r9 ADVICE). Cost matches :meth:`delete_where_dv`:
+        one semi-join (broadcast while the key set is small) +
+        O(matched rows) written as a DV parquet; keys matching nothing
+        are a no-op, keys are deduplicated before the join."""
+        read_version = self.latest_version()
+        files = self._files_for()
+        if not files:
+            raise ValueError("cannot delete from an empty table")
+        # materialize the _metadata pseudo-columns BEFORE the join:
+        # they resolve only against the scan relation itself, not
+        # through a join (Spark drops unreferenced metadata columns)
+        base = self._apply_renames(self._read_data(*files)).withColumns(
+            {
+                "_dv_file": F_col("_metadata.file_path"),
+                "_dv_pos": F_col("_metadata.row_index"),
+            }
+        )
+        matched = base.join(
+            keys.select(key_col).distinct(), on=key_col, how="left_semi"
+        ).select("_dv_file", "_dv_pos")
+        return self._commit_dv(matched, read_version)
+
+    def _commit_dv(self, matched: DataFrame, read_version: int) -> Commit:
+        """Shared tail of the DV delete paths: drop positions already
+        deleted by live DVs, write the new DV parquet, publish."""
         existing = self._live_dv_files()
         if existing:
             prior = self.spark.read.parquet(*[str(self.path / f) for f in existing])
@@ -1987,11 +2033,16 @@ class LakehouseTable:
     ) -> DataFrame:
         """Change data feed (Delta CDF analog): every row-level change
         after ``since_version`` as (data columns, _change_type,
-        _commit_version) — appends emit ``insert`` rows, deletion-
-        vector commits emit ``delete`` rows (the deleted rows
-        themselves, recovered by semi-joining the DV positions against
-        the files they reference). Replaying the feed onto the old
-        snapshot reproduces the new one exactly (tested).
+        _commit_version, _commit_timestamp) — appends emit ``insert``
+        rows, deletion-vector commits emit ``delete`` rows (the
+        deleted rows themselves, recovered by semi-joining the DV
+        positions against the files they reference). Replaying the
+        feed onto the old snapshot reproduces the new one exactly
+        (tested). ``_commit_timestamp`` is the owning commit's
+        RECORDED wall-clock time (Delta readChangeFeed's third meta
+        column — time-windowed CDC consumers join on it without
+        resolving versions out-of-band), null only for legacy commits
+        logged before timestamps existed.
 
         Full restates (merge/delete/restore) still raise
         :class:`RestateAcrossCursorError` — a rewrite is not
@@ -2038,7 +2089,11 @@ class LakehouseTable:
                 os.path.abspath(str(self.path / f)) for _c, f in pairs0
             ]
             ver_rows = [
-                ("/".join(p.rstrip("/").split("/")[-2:]), c.version)
+                (
+                    "/".join(p.rstrip("/").split("/")[-2:]),
+                    c.version,
+                    ts_micros(c.ts),
+                )
                 for (c, _f), p in zip(pairs0, scan_paths)
             ]
             scan = self._read_data(*scan_paths).withColumn(
@@ -2051,7 +2106,8 @@ class LakehouseTable:
                 ),
             )
             vmap = self.spark.createDataFrame(
-                ver_rows, "_cdf_path STRING, _commit_version INT"
+                ver_rows,
+                "_cdf_path STRING, _commit_version INT, _commit_ts_us LONG",
             )
             data_cols = [
                 c for c in scan.columns if c != "_cdf_path"
@@ -2065,7 +2121,16 @@ class LakehouseTable:
                 self._apply_dvs(scan, upto_version)
                 .join(F.broadcast(vmap), "_cdf_path")
                 .withColumn("_change_type", F.lit("insert"))
-                .select(*data_cols, "_change_type", "_commit_version")
+                .withColumn(
+                    "_commit_timestamp",
+                    F.timestamp_micros(F_col("_commit_ts_us")),
+                )
+                .select(
+                    *data_cols,
+                    "_change_type",
+                    "_commit_version",
+                    "_commit_timestamp",
+                )
             )
             return self._apply_renames(out0)
         # O(tail) cursor: parse only commits past the cursor (the same
@@ -2080,6 +2145,13 @@ class LakehouseTable:
                 "restart from a fresh snapshot"
             )
         parts: list[DataFrame] = []
+
+        def _ts_col(c: Commit):
+            us = ts_micros(c.ts)
+            if us is None:  # legacy pre-timestamp commit
+                return F.lit(None).cast("timestamp")
+            return F.timestamp_micros(F.lit(us))
+
         for c in newer:
             if c.restate or not c.data_change:
                 continue  # compaction (full or partial): no logical change
@@ -2124,6 +2196,7 @@ class LakehouseTable:
                         {
                             "_change_type": F.lit("delete"),
                             "_commit_version": F.lit(c.version).cast("int"),
+                            "_commit_timestamp": _ts_col(c),
                         }
                     )
                 )
@@ -2140,6 +2213,7 @@ class LakehouseTable:
                         {
                             "_change_type": F.lit("insert"),
                             "_commit_version": F.lit(c.version).cast("int"),
+                            "_commit_timestamp": _ts_col(c),
                         }
                     )
                 )
@@ -2148,6 +2222,7 @@ class LakehouseTable:
                 {
                     "_change_type": F.lit("insert"),
                     "_commit_version": F.lit(0).cast("int"),
+                    "_commit_timestamp": F.lit(None).cast("timestamp"),
                 }
             )
         out = parts[0]
@@ -3654,7 +3729,7 @@ def maintain_join(
         return delta.withColumn(
             "_sign",
             F.when(F.col("_change_type") == "delete", F.lit(-1)).otherwise(F.lit(1)),
-        ).drop("_change_type", "_commit_version")
+        ).drop("_change_type", "_commit_version", "_commit_timestamp")
 
     try:
         da = _signed(left.read_changes_cdf(left_cursor))
@@ -3851,7 +3926,9 @@ def lakehouse_cdf_feed(spark: SparkSession, sf_dir: str) -> DataFrame:
     v0 = t.latest_version()
     t.append(o.where(F.col("o_orderkey") % 2 == 1).repartition(2))
     t.delete_where_dv("o_totalprice < 50000")
-    return t.read_changes_cdf(v0).localCheckpoint()
+    # _commit_timestamp is wall-clock (non-deterministic for the
+    # oracle); its value-correctness gate is cdf_commit_timestamp_feed
+    return t.read_changes_cdf(v0).drop("_commit_timestamp").localCheckpoint()
 
 
 def table_diff(

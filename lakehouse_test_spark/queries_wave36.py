@@ -138,6 +138,7 @@ def streaming_cdf_logical_names(spark: SparkSession, sf_dir: str) -> DataFrame:
         .option("path", str(t.path))
         .option("logicalNames", "true")
         .load()
+        .drop("_commit_timestamp")  # wall-clock; gated elsewhere
     )
     return _drain_to_memory(stream, "append")
 

@@ -79,6 +79,7 @@ def streaming_cdf_decimal_feed(spark: SparkSession, sf_dir: str) -> DataFrame:
         spark.readStream.format("lakehouse_cdf")
         .option("path", str(t.path))
         .load()
+        .drop("_commit_timestamp")  # wall-clock; gated elsewhere
     )
     return _drain_to_memory(stream, "append")
 
@@ -183,7 +184,7 @@ def lakehouse_cdf_bounded_window(spark: SparkSession, sf_dir: str) -> DataFrame:
     for b in range(3):
         t.append(s.where(F.col("b") == b).drop("b").repartition(2))
     t.delete_where("bal < 0")  # v3: restate BEYOND the window
-    return t.read_changes_cdf(-1, upto_version=1)
+    return t.read_changes_cdf(-1, upto_version=1).drop("_commit_timestamp")
 
 
 @query(

@@ -83,6 +83,7 @@ def streaming_cdf_snapshot_seed(spark: SparkSession, sf_dir: str) -> DataFrame:
         .option("path", str(t.path))
         .option("startingMode", "snapshot")
         .load()
+        .drop("_commit_timestamp")  # wall-clock; gated elsewhere
     )
     return _drain_to_memory(stream, "append")
 

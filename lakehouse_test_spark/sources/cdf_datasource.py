@@ -128,7 +128,8 @@ def _evolution_of(path: Path) -> tuple[dict[str, str], set[str], dict[str, str]]
 
 def _ddl_for_table(path: Path, logical: bool = False) -> str:
     """Derive the CDF schema (data columns + _change_type +
-    _commit_version) from the newest commit's first data file. With
+    _commit_version + _commit_timestamp) from the newest commit's
+    first data file. With
     ``logical`` the rename chain maps physical file columns to their
     current LOGICAL names and dropped physicals are invisible (the
     ``logicalNames`` option). Types map through the shared
@@ -163,6 +164,7 @@ def _ddl_for_table(path: Path, logical: bool = False) -> str:
         ]
         cols.append("_change_type string")
         cols.append("_commit_version int")
+        cols.append("_commit_timestamp timestamp")
         return ", ".join(cols)
 
     log = sorted((path / "_log").glob("*.json"), reverse=True)
@@ -186,6 +188,7 @@ class _FilePartition(InputPartition):
         dv_files: list[str] | None = None,
         base: str | None = None,
         dv_refs: list[list[str]] | None = None,
+        ts_us: int | None = None,
     ):
         # "insert": file is a data file, replayed whole;
         # "delete": file is a data file, positions picks deleted rows;
@@ -213,6 +216,10 @@ class _FilePartition(InputPartition):
         # matched to this base file — executors read the DV with a
         # pushed filter instead of scanning it whole
         self.dv_refs = dv_refs
+        # owning commit's recorded timestamp in MICROSECONDS (the
+        # canonical plans.lakehouse.ts_micros conversion) — emitted as
+        # the _commit_timestamp meta column; None for legacy commits
+        self.ts_us = ts_us
 
 
 def _local_path(path: str) -> str:
@@ -636,6 +643,8 @@ class LakehouseCDFStreamReader(DataSourceStreamReader):
                 per_key.setdefault(_match_key(r), []).append(r)
             for k, rs in per_key.items():
                 by_base.setdefault(k, []).append((dvp, sorted(rs)))
+        from lakehouse_test_spark.plans.lakehouse import ts_micros
+
         parts: list[InputPartition] = []
         for c, f in pairs:
             fp = os.path.abspath(str(self.path / f))
@@ -647,6 +656,7 @@ class LakehouseCDFStreamReader(DataSourceStreamReader):
                     c.version,
                     dv_files=[d for d, _r in hits] if hits else None,
                     dv_refs=[r for _d, r in hits] if hits else None,
+                    ts_us=ts_micros(c.ts),
                 )
             )
         self._require_files(upto, [p.file for p in parts])
@@ -701,6 +711,8 @@ class LakehouseCDFStreamReader(DataSourceStreamReader):
         file order; DV commits follow dv_files order then sorted
         distinct base files. Restates raise the CDF contract error;
         compactions plan empty."""
+        from lakehouse_test_spark.plans.lakehouse import ts_micros
+
         if c.get("restate"):
             if c.get("data_change", True):
                 raise RuntimeError(
@@ -708,6 +720,7 @@ class LakehouseCDFStreamReader(DataSourceStreamReader):
                     "CDF stream cannot express it — restart from a snapshot"
                 )
             return []  # compaction: no logical change
+        tsu = ts_micros(c.get("ts"))
         parts: list[_FilePartition] = []
         if c.get("dv_files"):
             # one partition per (DV file, BASE file): the driver
@@ -732,14 +745,14 @@ class LakehouseCDFStreamReader(DataSourceStreamReader):
                 ):
                     distinct.update(batch.column(0).unique().to_pylist())
                 for b in sorted(distinct):
-                    parts.append(_FilePartition("dv", dvp, v, base=b))
+                    parts.append(_FilePartition("dv", dvp, v, base=b, ts_us=tsu))
                 if not distinct:  # empty DV: keep the no-op contract
-                    parts.append(_FilePartition("dv", dvp, v))
+                    parts.append(_FilePartition("dv", dvp, v, ts_us=tsu))
         else:
             files = [str(self.path / f) for f in c.get("files", [])]
             self._require_files(v, files)
             for f in files:
-                parts.append(_FilePartition("insert", f, v))
+                parts.append(_FilePartition("insert", f, v, ts_us=tsu))
         return parts
 
     def _tail_partitions(
@@ -782,6 +795,7 @@ class LakehouseCDFStreamReader(DataSourceStreamReader):
                 "insert",
                 partition.version,
                 snap_keep_positions(partition),
+                partition.ts_us,
             )
             return
         if partition.kind == "dv":
@@ -804,7 +818,11 @@ class LakehouseCDFStreamReader(DataSourceStreamReader):
             self._require_files(partition.version, sorted(by_file))
             for fp, positions in sorted(by_file.items()):
                 yield from self._emit(
-                    fp, "delete", partition.version, sorted(positions)
+                    fp,
+                    "delete",
+                    partition.version,
+                    sorted(positions),
+                    partition.ts_us,
                 )
             return
         yield from self._emit(
@@ -812,6 +830,7 @@ class LakehouseCDFStreamReader(DataSourceStreamReader):
             partition.kind,
             partition.version,
             partition.positions,
+            partition.ts_us,
         )
 
     def _emit(
@@ -820,6 +839,7 @@ class LakehouseCDFStreamReader(DataSourceStreamReader):
         kind: str,
         version: int,
         positions: list[int] | None,
+        ts_us: int | None = None,
     ):
         import pyarrow as pa
         import pyarrow.parquet as pq
@@ -861,18 +881,37 @@ class LakehouseCDFStreamReader(DataSourceStreamReader):
         # tuples (the repo-wide standard the row loop here violated).
         if self.data_types is not None:
             try:
-                yield self._as_batch(pa, t, names, kind, version)
+                yield self._as_batch(pa, t, names, kind, version, ts_us)
                 return
             except (ValueError, pa.ArrowInvalid):
                 pass  # unsupported type for this table: row fallback
+        # row-fallback timestamp: exact epoch arithmetic (timedelta on
+        # the epoch), never float seconds — must equal the Arrow path
+        # to the microsecond
+        from datetime import datetime, timedelta, timezone
+
+        dt = (
+            None
+            if ts_us is None
+            else datetime(1970, 1, 1, tzinfo=timezone.utc)
+            + timedelta(microseconds=ts_us)
+        )
         cols = [
             t.column(n).to_pylist() if n in t.column_names else [None] * t.num_rows
             for n in names
         ]
         for row in zip(*cols):
-            yield (*row, kind, version)
+            yield (*row, kind, version, dt)
 
-    def _as_batch(self, pa, t, names: list[str], kind: str, version: int):
+    def _as_batch(
+        self,
+        pa,
+        t,
+        names: list[str],
+        kind: str,
+        version: int,
+        ts_us: int | None = None,
+    ):
         from lakehouse_test_spark.sources.lakehouse_datasource import (
             _arrow_of_ddl,
         )
@@ -899,6 +938,14 @@ class LakehouseCDFStreamReader(DataSourceStreamReader):
         fields.append(pa.field("_change_type", pa.string()))
         arrays.append(pa.array([version] * n_rows, pa.int32()))
         fields.append(pa.field("_commit_version", pa.int32()))
+        ts_type = pa.timestamp("us", tz="UTC")
+        if ts_us is None:
+            arrays.append(pa.nulls(n_rows, ts_type))
+        else:
+            arrays.append(
+                pa.array([ts_us] * n_rows, pa.int64()).cast(ts_type)
+            )
+        fields.append(pa.field("_commit_timestamp", ts_type))
         return pa.RecordBatch.from_arrays(arrays, schema=pa.schema(fields))
 
     def commit(self, end: dict) -> None:
@@ -1011,7 +1058,8 @@ class LakehouseCDFDataSource(DataSource):
         data = [
             f
             for f in schema.fields
-            if f.name not in ("_change_type", "_commit_version")
+            if f.name
+            not in ("_change_type", "_commit_version", "_commit_timestamp")
         ]
         return (
             [f.name for f in data],

@@ -79,7 +79,8 @@ class TracedCDFDataSource(LakehouseCDFDataSource):
         data = [
             f
             for f in schema.fields
-            if f.name not in ("_change_type", "_commit_version")
+            if f.name
+            not in ("_change_type", "_commit_version", "_commit_timestamp")
         ]
         return TracedCDFStreamReader(
             self.options,

@@ -872,7 +872,14 @@ def streaming_cdf_source(spark: SparkSession, sf_dir: str) -> DataFrame:
     t.append(o.where(F.col("o_orderkey") % 2 == 0).repartition(2))
     t.append(o.where(F.col("o_orderkey") % 2 == 1).repartition(2))
     t.delete_where_dv("o_totalprice < 50000")
-    stream = spark.readStream.format("lakehouse_cdf").option("path", str(t.path)).load()
+    stream = (
+        spark.readStream.format("lakehouse_cdf")
+        .option("path", str(t.path))
+        .load()
+        # wall-clock column: non-deterministic for the oracle (its
+        # value gate is cdf_commit_timestamp_feed)
+        .drop("_commit_timestamp")
+    )
     return _drain_to_memory(stream, "append")
 
 
@@ -1161,7 +1168,7 @@ def streaming_join_ivm(spark: SparkSession, sf_dir: str) -> DataFrame:
         signed = batch_df.withColumn(
             "_sign",
             F.when(F.col("_change_type") == "delete", F.lit(-1)).otherwise(F.lit(1)),
-        ).drop("_change_type", "_commit_version")
+        ).drop("_change_type", "_commit_version", "_commit_timestamp")
         inc = (
             signed.join(F.broadcast(dim), "custkey")
             .groupBy("custkey", "o_orderkey", "price", "c_mktsegment")

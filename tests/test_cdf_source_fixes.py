@@ -93,7 +93,9 @@ def test_cdf_logical_names_never_resurrects_dropped_values(spark, tmp_path):
         )
     )
     got = _drain(spark, str(t.path), "cdffix_drop", logicalNames="true")
-    assert set(got.columns) == {"k", "w", "_change_type", "_commit_version"}
+    assert set(got.columns) == {
+        "k", "w", "_change_type", "_commit_version", "_commit_timestamp"
+    }
     rows = {r["k"]: r["w"] for r in got.collect()}
     # pre-drop vintage: dead physical projected away → NULL
     assert rows[0] is None and rows[1] is None and rows[2] is None

@@ -1196,7 +1196,11 @@ def test_incremental_readers_see_logical_names_after_rename(spark, table):
     assert rc.agg(F.sum("v_usd")).collect()[0][0] == sum(range(10, 20))
 
     cdf0 = table.read_changes_cdf(-1)
-    assert set(cdf0.columns) == {"v_usd", "_change_type", "_commit_version"}
+    assert set(cdf0.columns) == {
+        "v_usd", "_change_type", "_commit_version", "_commit_timestamp"
+    }
     assert cdf0.agg(F.sum("v_usd")).collect()[0][0] == sum(range(20))
     cdf1 = table.read_changes_cdf(0)
-    assert set(cdf1.columns) == {"v_usd", "_change_type", "_commit_version"}
+    assert set(cdf1.columns) == {
+        "v_usd", "_change_type", "_commit_version", "_commit_timestamp"
+    }

@@ -267,7 +267,9 @@ def test_cdf_stream_reader_yields_recordbatches_and_range_parse(spark, tmp_path)
     for p in parts:
         for b in r.read(p):
             assert isinstance(b, pa.RecordBatch)
-            assert b.schema.names[-2:] == ["_change_type", "_commit_version"]
+            assert b.schema.names[-3:] == [
+                "_change_type", "_commit_version", "_commit_timestamp"
+            ]
             assert set(b.column("_change_type").to_pylist()) <= {"insert"}
             rows += b.num_rows
     assert rows == 8
