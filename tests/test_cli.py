@@ -213,3 +213,102 @@ def test_cli_pipe_cdc_pipeline(spark, tmp_path):
     want = sorted(r["k"] for r in src.snapshot().collect())
     assert got == want
     assert 101 not in got
+
+
+def test_cli_pipe_apply_is_distributed_and_version_ordered(spark, tmp_path):
+    """Round-10 contract for the pipe verb's apply (r9 verdict #1 +
+    ADVICE):
+
+    - the micro-batch is NEVER materialized driver-side — a collect()
+      on any DataFrame carrying the feed's meta columns fails the test
+      (the multi-file snapshot seed must flow straight into
+      sink.merge / delete_keys_dv);
+    - changes apply per key in _commit_version order: a key deleted
+      then RE-INSERTED inside one drain window ends PRESENT, a key
+      inserted then deleted ends ABSENT (the old all-inserts-then-
+      all-deletes apply lost the first case);
+    - delete keys never ride in SQL text: quote-bearing string keys
+      delete correctly (the repr()-interpolated IN(...) was malformed
+      for them).
+    """
+    from unittest import mock
+
+    from pyspark.sql import DataFrame
+    from pyspark.sql import functions as F
+
+    from lakehouse_test_spark.cli import main
+    from lakehouse_test_spark.plans.lakehouse import LakehouseTable
+
+    src = LakehouseTable(spark, str(tmp_path / "srcq"))
+    keys = ["it's", 'a"b', "plain", "victim", "gone"]
+    df = spark.createDataFrame([(k, 1) for k in keys], "k string, v int")
+    src.append(df.repartition(3))  # v0: multi-file seed
+    sink, ck = str(tmp_path / "sinkq"), str(tmp_path / "ckq")
+    argv = [
+        "pipe", "--source", str(src.path), "--sink", sink,
+        "--checkpoint", ck, "--merge-key", "k",
+    ]
+
+    real_collect = DataFrame.collect
+
+    def guarded(self):
+        if "_change_type" in self.columns:
+            raise AssertionError(
+                "pipe applied a feed batch via driver-side collect()"
+            )
+        return real_collect(self)
+
+    with mock.patch.object(DataFrame, "collect", guarded):
+        assert main(argv, spark=spark) in (0, None)
+    got = {r["k"]: r["v"] for r in LakehouseTable(spark, sink).snapshot().collect()}
+    assert got == {k: 1 for k in keys}
+
+    # one drain window carrying, for distinct keys: delete→re-insert
+    # ("victim" must end PRESENT), plain delete of a quoted key
+    # ("it's" must end ABSENT), and insert→delete ("newbie" absent)
+    src.delete_keys_dv(
+        spark.createDataFrame([("victim",), ("it's",)], "k string"), "k"
+    )  # v1
+    src.append(
+        spark.createDataFrame([("victim", 2)], "k string, v int").coalesce(1)
+    )  # v2
+    src.append(
+        spark.createDataFrame([("newbie", 9)], "k string, v int").coalesce(1)
+    )  # v3
+    src.delete_keys_dv(
+        spark.createDataFrame([("newbie",)], "k string"), "k"
+    )  # v4
+    with mock.patch.object(DataFrame, "collect", guarded):
+        assert main(argv, spark=spark) in (0, None)
+    got = {r["k"]: r["v"] for r in LakehouseTable(spark, sink).snapshot().collect()}
+    assert got == {'a"b': 1, "plain": 1, "gone": 1, "victim": 2}
+    # exactly-once across the checkpoint: an idle re-run changes nothing
+    with mock.patch.object(DataFrame, "collect", guarded):
+        assert main(argv, spark=spark) in (0, None)
+    got2 = {r["k"]: r["v"] for r in LakehouseTable(spark, sink).snapshot().collect()}
+    assert got2 == got
+
+
+def test_delete_keys_dv_api(spark, tmp_path):
+    """delete_keys_dv: distributed key-set DV delete — quote-bearing
+    and absent keys, dedup of the key frame, no-op on zero matches."""
+    from pyspark.sql import functions as F
+
+    from lakehouse_test_spark.plans.lakehouse import LakehouseTable
+
+    t = LakehouseTable(spark, str(tmp_path / "dkdv"))
+    t.append(
+        spark.createDataFrame(
+            [("it's", 1), ("x", 2), ("y", 3)], "k string, v int"
+        )
+    )
+    t.delete_keys_dv(
+        spark.createDataFrame(
+            [("it's",), ("it's",), ("absent",)], "k string"
+        ),
+        "k",
+    )
+    assert sorted(r["k"] for r in t.snapshot().collect()) == ["x", "y"]
+    # zero-match delete commits an empty DV: snapshot unchanged
+    t.delete_keys_dv(spark.createDataFrame([("nope",)], "k string"), "k")
+    assert sorted(r["k"] for r in t.snapshot().collect()) == ["x", "y"]
