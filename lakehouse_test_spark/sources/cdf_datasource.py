@@ -69,8 +69,13 @@ traced order, not from comments):
    fast-forwarded to the checkpointed offset before the first capped
    answer; the cap can therefore never regress an offset below a
    committed one (the deadlock/duplicate hazard of capping blindly).
-   Only the very first batch of a FRESH start is uncapped — combine
-   with ``startingMode=snapshot`` to bound it by table size. Under
+   NON-snapshot starts additionally SELF-COMPUTE their floor at
+   construction (``initialOffset`` is a pure function of the
+   options), so even the blind first batch of a fresh
+   ``startingVersion=earliest`` stream is capped — a 30-commit
+   backlog drains as bounded batches from batch 0, like Delta's
+   ``maxFilesPerTrigger`` on an initial load. The snapshot seed
+   stays one (live-size-bounded) batch by design. Under
    ``Trigger.AvailableNow`` the single eagerly-pinned end offset
    obeys the caps, so one RUN advances at most one cap's worth — use
    ``processingTime`` for capped catch-up.
@@ -365,13 +370,14 @@ class LakehouseCDFStreamReader(DataSourceStreamReader):
         # maxVersionsPerTrigger: tail admission control. latestOffset
         # advances at most this many commit versions past the highest
         # offset observed in ANY partitions(start, end) call (the
-        # "floor"). Until the floor is known (fresh start, before the
-        # first batch is planned) the answer is UNCAPPED — capping
-        # blind could return an offset BELOW a restarted query's
-        # committed offset, which regresses the offset log and
-        # replays committed rows. The traced engine order makes the
-        # floor known before the first latestOffset on every restart:
-        # Spark re-plans the last checkpointed batch first.
+        # "floor"). While the floor is unknown the answer is UNCAPPED
+        # — capping blind could return an offset BELOW a restarted
+        # query's committed offset, which regresses the offset log
+        # and replays committed rows. The floor is unknown ONLY for a
+        # fresh snapshot-mode start (the seed batch, bounded by live
+        # size): non-snapshot readers self-compute it below, and on
+        # every restart the traced engine order re-plans the last
+        # checkpointed batch before the first latestOffset.
         self.max_versions = int(
             options.get("maxVersionsPerTrigger")
             or options.get("maxversionspertrigger")
@@ -408,6 +414,29 @@ class LakehouseCDFStreamReader(DataSourceStreamReader):
         # commit-aligned one (complete sorts AFTER any partial of the
         # same version)
         self._floor_key: tuple[int, int, int] | None = None
+        # SELF-COMPUTED floor for non-snapshot starts (round 10): the
+        # engine's first latestOffset() on a FRESH start runs blind
+        # (before initialOffset — traced), which used to leave the
+        # caps inert on batch 0: startingVersion=earliest +
+        # maxVersionsPerTrigger replayed the WHOLE history as one
+        # batch. But a non-snapshot initialOffset is a pure function
+        # of the options, so the reader can compute its own starting
+        # floor at construction and cap even the blind first answer.
+        # Safe by construction: the self-computed floor is the
+        # MINIMUM possible offset for this stream — it can never
+        # exceed a checkpointed offset (every checkpointed offset ≥
+        # the initial one), and on restart partitions() fast-forwards
+        # past it before the first capped answer, so the cap still
+        # cannot regress the offset log. Snapshot mode keeps the
+        # blind-uncapped rule: its seed is bounded by LIVE SIZE and
+        # must land in one batch (the engine pins the end offset
+        # before the reader can tell fresh from restart).
+        # _initial_offset, not initialOffset: subclasses (the traced
+        # wrapper) override the public method to record ENGINE calls,
+        # and this constructor-time computation is not one
+        init = self._initial_offset()  # also validates the option combo
+        if "mode" not in init:
+            self._floor_key = (init["version"], 1, 0)
         # per-version planned-partition cache: latestOffset's capped
         # walk and partitions() both plan the same frontier commits;
         # bounded FIFO so a long drain can't accrete driver memory
@@ -464,6 +493,9 @@ class LakehouseCDFStreamReader(DataSourceStreamReader):
         return [json.loads(Path(p).read_text()) for _v, p in rng]
 
     def initialOffset(self) -> dict:
+        return self._initial_offset()
+
+    def _initial_offset(self) -> dict:
         # Delta's startingVersion: begin the replay at a chosen commit
         # instead of the table's birth (omit or -0/"earliest" = all).
         # startingMode=snapshot: the FIRST micro-batch is the live

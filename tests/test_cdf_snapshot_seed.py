@@ -143,20 +143,22 @@ def test_snapshot_seed_then_tail_across_restart(spark, tmp_path):
 def test_snapshot_seed_conflicts_and_empty_table(spark, tmp_path):
     t = LakehouseTable(spark, str(tmp_path / "conflict"))
     t.append(spark.range(2).select(F.col("id").alias("k")))
-    r = LakehouseCDFStreamReader(
-        {
-            "path": str(t.path),
-            "startingMode": "snapshot",
-            "startingVersion": "1",
-        },
-        None,
-    )
+    # r10: option-combo validation moved to CONSTRUCTION (the reader
+    # self-computes its admission floor there), so a bad combo fails
+    # at load() instead of at the first offset call
     with pytest.raises(ValueError, match="conflicts"):
-        r.initialOffset()
+        LakehouseCDFStreamReader(
+            {
+                "path": str(t.path),
+                "startingMode": "snapshot",
+                "startingVersion": "1",
+            },
+            None,
+        )
     with pytest.raises(ValueError, match="startingMode"):
         LakehouseCDFStreamReader(
             {"path": str(t.path), "startingMode": "bogus"}, None
-        ).initialOffset()
+        )
     # empty table: seed plans the no-op partition, no crash
     e = LakehouseTable(spark, str(tmp_path / "empty"))
     re_ = LakehouseCDFStreamReader(
