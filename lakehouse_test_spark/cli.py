@@ -84,7 +84,8 @@ def build_parser() -> argparse.ArgumentParser:
 
     mnt = sub.add_parser(
         "maintain",
-        help="lakehouse table maintenance: compact / vacuum / zorder / restore",
+        help="lakehouse table maintenance: compact / vacuum / zorder / "
+             "clean-log / restore",
     )
     mnt.add_argument("--table", required=True)
     mnt.add_argument("--compact", type=positive_int, metavar="N",
@@ -96,6 +97,10 @@ def build_parser() -> argparse.ArgumentParser:
                           "(OPTIMIZE ... CLUSTER BY analog)")
     mnt.add_argument("--vacuum", type=positive_int, metavar="KEEP",
                      help="delete files unreachable from the last KEEP versions")
+    mnt.add_argument("--clean-log", type=positive_int, metavar="KEEP",
+                     help="reclaim commit JSONs below min(newest checkpoint, "
+                          "head-KEEP+1); time travel / lagging streams below "
+                          "the cutoff then raise a restart recipe")
     mnt.add_argument("--restore", type=int, metavar="VERSION",
                      help="RESTORE the table to an earlier version (metadata-only)")
 
@@ -269,8 +274,16 @@ def main(argv: list[str] | None = None, spark=None) -> int:
                 res = table.vacuum(keep_versions=args.vacuum)
                 print(f"Vacuumed: {res['deleted']} files, horizon v{res['horizon']}")
                 did = True
+            if args.clean_log:
+                res = table.clean_log(keep_versions=args.clean_log)
+                print(
+                    f"Cleaned log: {res['deleted']} commit JSON(s), "
+                    f"earliest surviving v{res['earliest']}"
+                )
+                did = True
             if not did:
-                print("Nothing to do: pass --compact/--zorder/--cluster/--vacuum/--restore")
+                print("Nothing to do: pass --compact/--zorder/--cluster/"
+                      "--vacuum/--clean-log/--restore")
             print(f"Latest version: {table.latest_version()}")
         elif args.verb == "export":
             import json as _json

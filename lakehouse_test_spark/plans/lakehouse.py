@@ -134,6 +134,17 @@ class VacuumHorizonError(RuntimeError):
     when VACUUM removed files a past version needs)."""
 
 
+class LogRetentionError(RuntimeError):
+    """The operation needs commit JSONs that ``clean_log`` reclaimed
+    (metadata retention, Delta's log cleanup analog): time travel
+    below the retention cutoff, an incremental-read window whose floor
+    predates it, or a full-history export of a cleaned log. Recovery
+    is the same recipe as the vacuum horizon: restart the reader from
+    a fresh snapshot / re-point time travel at a retained version —
+    never silently replay a truncated chain (missing early commits
+    would fabricate a smaller table)."""
+
+
 class ConstraintViolationError(RuntimeError):
     """A write violated a table CHECK constraint; nothing was
     committed (validation runs before any file lands)."""
@@ -245,10 +256,12 @@ class LakehouseTable:
         tmp = self.log_dir / f".tmp-{uuid.uuid4().hex}"
         tmp.write_text(json.dumps(commit.__dict__))
         if not self._put_if_absent(tmp, self._commit_path(commit.version)):
+            # tail parse, not history(): only the intervening commits
+            # matter, and the conflict report must work on a
+            # retention-cleaned log too
             inter = [
                 (c.version, c.operation)
-                for c in self.history()
-                if c.version >= commit.version
+                for c in self._commits_between(commit.version - 1, None)
             ]
             raise ConcurrentModificationError(
                 f"{commit.operation} computed against version "
@@ -266,10 +279,20 @@ class LakehouseTable:
             d["data_change"] = d["operation"] != "compact"
         return Commit(**d)
 
-    def history(self) -> list[Commit]:
+    def history(self, allow_truncated: bool = False) -> list[Commit]:
         """EVERY commit ever (the audit/time-travel surface) — full
         log parse by design; snapshot PLANNING goes through
-        :meth:`_live_commits`, which reads checkpoint + tail."""
+        :meth:`_live_commits`, which reads checkpoint + tail.
+
+        After ``clean_log`` the walk would be a TRUNCATED chain, so it
+        raises the retention recipe by default — every consumer that
+        assumes completeness (full exports, audit folds) fails loudly
+        instead of fabricating a smaller table. Retention-aware
+        callers (``_live_commits``'s restate-guarded replay, fsck's
+        range-restricted cross-check) pass ``allow_truncated=True``
+        and apply their own completeness rule."""
+        if not allow_truncated:
+            self.require_full_history("this full-history walk")
         return [
             self._commit_of(json.loads(p.read_text()))
             for p in sorted(self.log_dir.glob("*.json"))
@@ -1601,9 +1624,27 @@ class LakehouseTable:
             commits = [self._commit_of(dict(d)) for d in ck["live_commits"]]
             commits += self._commits_between(ck["version"], version)
         else:
-            commits = self.history()
+            commits = self.history(allow_truncated=True)
             if version is not None:
                 commits = [c for c in commits if c.version <= version]
+            # log-retention guard: this full-history replay is only
+            # complete if a surviving RESTATE covers the base (its
+            # predecessors are superseded); otherwise the chain must
+            # start at v0, whose JSON clean_log may have reclaimed —
+            # silently replaying the truncated tail would fabricate a
+            # smaller table (same hazard class as the delta-export
+            # reader's _replay_state guard)
+            if not any(c.restate for c in commits):
+                earliest = self._log_earliest()
+                if earliest > 0:
+                    raise LogRetentionError(
+                        f"time travel to v{version} needs commit JSONs "
+                        f"below the log-retention cutoff v{earliest} "
+                        "(clean_log reclaimed them); only versions "
+                        "replayable from the retained checkpoint + "
+                        "tail, or covered by a surviving restate, "
+                        "remain readable"
+                    )
         restates = [c for c in commits if c.restate]
         if restates:
             base = restates[-1]
@@ -1631,9 +1672,18 @@ class LakehouseTable:
         (Delta ``TIMESTAMP AS OF`` resolution). Raises ValueError when
         ``ts`` predates the first commit."""
         cands = [
-            c.version for c in self.history() if c.ts is not None and c.ts <= ts
+            c.version
+            for c in self.history(allow_truncated=True)
+            if c.ts is not None and c.ts <= ts
         ]
         if not cands:
+            if self._log_earliest() > 0:
+                raise LogRetentionError(
+                    f"no surviving commit at or before timestamp {ts}: "
+                    f"clean_log reclaimed JSONs below "
+                    f"v{self._log_earliest()} — time travel by "
+                    "timestamp only reaches retained commits"
+                )
             raise ValueError(
                 f"no commit at or before timestamp {ts} (table born later)"
             )
@@ -1794,6 +1844,10 @@ class LakehouseTable:
         if name not in brs:
             raise ValueError(f"unknown branch {name!r}")
         fork = brs[name]["fork_version"]
+        # the retry-dedup below walks main's commits since the fork; a
+        # retention-cleaned window there could silently miss an
+        # already-merged copy and replay it (duplicate rows)
+        self._check_log_window(fork)
         head = self.latest_version()
         commits = sorted(self._branch_dir(name).glob("*.json"))
         # retry-safety: a crash between linking a commit into main and
@@ -1995,6 +2049,7 @@ class LakehouseTable:
         a fresh snapshot."""
         if since_version < 0:
             return self.snapshot(version=upto_version)
+        self._check_log_window(since_version)
         # O(tail) cursor: parse only commits past the cursor (the same
         # cost class the checkpointed writer uses) — an incremental
         # poll on a long-lived table must never re-read the whole log
@@ -2133,6 +2188,7 @@ class LakehouseTable:
                 )
             )
             return self._apply_renames(out0)
+        self._check_log_window(since_version)
         # O(tail) cursor: parse only commits past the cursor (the same
         # cost class the checkpointed writer uses) — an incremental
         # poll on a long-lived table must never re-read the whole log
@@ -3351,7 +3407,7 @@ class LakehouseTable:
         if self._read_checkpoint() is not None:
             try:
                 fast = [(c.version, tuple(c.files)) for c in self._live_commits()]
-                full_commits = self.history()
+                full_commits = self.history(allow_truncated=True)
                 restates = [c for c in full_commits if c.restate]
                 if restates:
                     base = restates[-1]
@@ -3361,6 +3417,14 @@ class LakehouseTable:
                         if c.version > base.version and not c.restate
                     ]
                 slow = [(c.version, tuple(c.files)) for c in full_commits]
+                earliest = self._log_earliest()
+                if earliest > 0:
+                    # retention-cleaned log: the full parse legitimately
+                    # misses live commits below the cutoff — cross-check
+                    # only the surviving range (still catches a stale or
+                    # corrupt checkpoint TAIL, the realistic damage)
+                    fast = [p for p in fast if p[0] >= earliest]
+                    slow = [p for p in slow if p[0] >= earliest]
                 if fast != slow:
                     errors.append(
                         "checkpoint divergence: checkpointed live set != "
@@ -3443,10 +3507,17 @@ class LakehouseTable:
             pinned.add(info["fork_version"])
             keep.update(f for c in self._branch_commits(name) for f in c.files)
         for v in sorted(set(range(horizon, latest + 1)) | pinned):
-            for _c, f in self._live_files(v):
-                keep.add(f)
-            for c in self._live_commits(v):
-                keep.update(c.dv_files or [])
+            try:
+                for _c, f in self._live_files(v):
+                    keep.add(f)
+                for c in self._live_commits(v):
+                    keep.update(c.dv_files or [])
+            except LogRetentionError:
+                # clean_log reclaimed this version's replay chain: it
+                # is unreadable (time travel to it raises the same
+                # recipe), so it pins no files — any file it shared
+                # with a reconstructible version is kept via that one
+                continue
         deleted = 0
         victims: list[str] = []
         now = _time.time()
@@ -3476,6 +3547,126 @@ class LakehouseTable:
         meta["vacuum_horizon"] = horizon
         self._write_meta(meta)
         return {"deleted": deleted, "horizon": horizon}
+
+    def clean_log(
+        self,
+        keep_versions: int = 100,
+        min_age_seconds: float = 0.0,
+        dry_run: bool = False,
+    ) -> dict:
+        """Commit-LOG retention (Delta's metadata cleanup; the native
+        twin of ``delta_export._clean_log``): delete commit JSONs below
+        ``cutoff = min(newest checkpoint version, head − keep_versions
+        + 1)`` — never a JSON at/above the newest checkpoint, because
+        every surviving reader path replays checkpoint + tail (the
+        checkpoint body carries the live commit set, stats, schemas
+        and DV refs; the pointer carries the streaming txn high-waters
+        forward, so writer replay-dedup survives cleanup too). Without
+        a checkpoint nothing is deleted: every reader would need the
+        full chain.
+
+        Why it matters at scale: the log itself was the last unbounded
+        metadata population — every streaming trigger's
+        ``latestOffset`` pays one O(log size) directory listing, so a
+        long-lived CDC table accretes listing cost forever (measured:
+        ~8× per-trigger planning growth from 250 → 2,000 commits;
+        ``tools/admission_probe.py``). With retention the listing is
+        pinned at O(keep_versions + tail).
+
+        Consequences, all LOUD (``LogRetentionError`` recipes, never a
+        silent truncated replay): time travel below the cutoff raises
+        unless a surviving restate covers the base; a CDF/stream
+        window whose floor predates the earliest surviving JSON
+        raises (restart from a fresh snapshot); a FULL re-export
+        raises (incremental exports resume O(new commits) and are
+        unaffected). ``version_at_timestamp`` below the cutoff raises
+        the same way.
+
+        ``min_age_seconds`` is the vacuum-style age rail: a commit
+        JSON younger than it survives even below the cutoff (a reader
+        planning against it may still be in flight — same contract as
+        ``vacuum``'s in-flight-writer guard). The earliest SURVIVING
+        version is recorded in ``_meta.json`` (``log_earliest``) and
+        is what every guard checks."""
+        head = self.latest_version()
+        try:
+            ckv = int(
+                json.loads(
+                    (self.log_dir / "_last_checkpoint").read_text()
+                )["version"]
+            )
+        except (OSError, ValueError, KeyError, json.JSONDecodeError):
+            return {"deleted": 0, "earliest": self._log_earliest()}
+        cutoff = min(ckv, head - keep_versions + 1)
+        if cutoff <= 0:
+            return {"deleted": 0, "earliest": self._log_earliest()}
+        now = _time.time()
+        deleted, kept_below = 0, []
+        victims: list[int] = []
+        for p in sorted(self.log_dir.glob("*.json")):
+            try:
+                v = int(p.stem)
+            except ValueError:
+                continue
+            if v >= cutoff:
+                continue
+            if min_age_seconds:
+                try:
+                    if now - p.stat().st_mtime < min_age_seconds:
+                        kept_below.append(v)
+                        continue  # age rail: possibly still planned against
+                except OSError:
+                    kept_below.append(v)
+                    continue
+            if dry_run:
+                victims.append(v)
+                continue
+            p.unlink(missing_ok=True)
+            deleted += 1
+        if dry_run:
+            return {
+                "deleted": 0,
+                "earliest": self._log_earliest(),
+                "would_delete": victims,
+            }
+        earliest = min(kept_below) if kept_below else cutoff
+        meta = self._read_meta()
+        meta["log_earliest"] = max(meta.get("log_earliest", 0), earliest)
+        self._write_meta(meta)
+        return {"deleted": deleted, "earliest": meta["log_earliest"]}
+
+    def _log_earliest(self) -> int:
+        """Earliest commit version whose JSON is guaranteed present
+        (0 = never cleaned). Every completeness guard checks this."""
+        return int(self._read_meta().get("log_earliest", 0))
+
+    def _check_log_window(self, since_version: int) -> None:
+        """Incremental-window completeness: a cursor whose window
+        floor predates the earliest surviving commit JSON must raise
+        the recipe — ``_commits_between`` would otherwise silently
+        skip the reclaimed versions and the reader would lose their
+        changes (the lagging-stream hazard of log retention)."""
+        earliest = self._log_earliest()
+        if earliest > 0 and since_version + 1 < earliest:
+            raise LogRetentionError(
+                f"cursor v{since_version} predates the log-retention "
+                f"cutoff v{earliest}: clean_log reclaimed the window's "
+                "commit JSONs; restart the reader from a fresh snapshot"
+            )
+
+    def require_full_history(self, what: str) -> None:
+        """Raise the retention recipe when ``history()`` would be a
+        TRUNCATED chain — for consumers that need every commit ever
+        (full exports, audit walks); incremental consumers resume
+        from their own cursor and never call this."""
+        earliest = self._log_earliest()
+        if earliest > 0:
+            raise LogRetentionError(
+                f"{what} needs the full commit history, but clean_log "
+                f"reclaimed JSONs below v{earliest}; use the "
+                "incremental path (resume from the prior export/"
+                "cursor) or re-create the consumer from a snapshot"
+            )
 
     def _check_horizon(self, version: int | None) -> None:
         horizon = self._read_meta().get("vacuum_horizon", 0)

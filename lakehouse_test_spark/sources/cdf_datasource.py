@@ -473,9 +473,26 @@ class LakehouseCDFStreamReader(DataSourceStreamReader):
         requested range (a micro-batch's window), never the whole log:
         on a long-lived table the per-batch planning cost follows the
         batch, not the commit count (same fix as the writer's
-        checkpointed replay dedup)."""
+        checkpointed replay dedup).
+
+        Log-retention guard (round 10): a window whose floor predates
+        the earliest surviving commit JSON raises the contract recipe
+        — ``clean_log`` reclaimed those versions, and silently
+        skipping them would LOSE their changes from the feed (the
+        lagging-stream hazard; same rule as the native
+        ``_check_log_window``)."""
         import os
 
+        if lo is not None and (hi is None or hi > lo):
+            earliest = self._log_earliest()
+            if earliest > 0 and lo + 1 < earliest:
+                raise RuntimeError(
+                    f"LogRetentionError: stream window floor v{lo} "
+                    f"predates the log-retention cutoff v{earliest} "
+                    "(clean_log reclaimed the window's commit JSONs); "
+                    "restart the stream from a fresh snapshot "
+                    "(startingMode=snapshot)"
+                )
         rng: list[tuple[int, str]] = []
         with os.scandir(self.path / "_log") as it:
             for e in it:
@@ -491,6 +508,14 @@ class LakehouseCDFStreamReader(DataSourceStreamReader):
                 rng.append((v, e.path))
         rng.sort()
         return [json.loads(Path(p).read_text()) for _v, p in rng]
+
+    def _log_earliest(self) -> int:
+        """Earliest commit version guaranteed present (0 = log never
+        cleaned) — recorded by ``LakehouseTable.clean_log``."""
+        meta = self.path / "_meta.json"
+        if meta.exists():
+            return int(json.loads(meta.read_text()).get("log_earliest", 0))
+        return 0
 
     def initialOffset(self) -> dict:
         return self._initial_offset()

@@ -14,6 +14,17 @@ not call-order semantics (those are engine-pinned in
 tests/test_stream_engine_contract.py).
 
 Run: python tools/admission_probe.py [--backlogs 250 1000 2000]
+
+Round 10 adds the LISTING-FLOOR phase (``--synthetic 1000 10000
+100000``): the one per-trigger cost that grows with table AGE is the
+_log directory listing inside ``latestOffset()`` — O(total commits),
+inherent to polling a file log. The phase hand-writes synthetic
+commit JSONs (no Spark jobs — only listing cost is under test),
+measures the steady-state ``latestOffset()`` at the head across the
+10³→10⁵ regime, then runs ``clean_log`` (checkpoint + retention) and
+re-measures: the post-retention cost must drop back to the
+O(keep + tail) floor regardless of how many commits the table ever
+saw. Numbers land in SCALE.md.
 """
 from __future__ import annotations
 
@@ -55,10 +66,93 @@ def drain(reader, floor_offset, head, label):
     }
 
 
+def listing_floor_phase(ns: list[int], keep: int) -> list[dict]:
+    """Steady-state latestOffset() cost vs TOTAL commit count, before
+    and after log retention. Spark-free: commit JSONs are hand-written
+    (zero-file commits — the listing, not the data, is under test)."""
+    from lakehouse_test_spark.plans.lakehouse import LakehouseTable
+    from lakehouse_test_spark.sources.cdf_datasource import (
+        LakehouseCDFStreamReader,
+    )
+
+    root = tempfile.mkdtemp(prefix="adm_probe_lst_") + "/t"
+    t = LakehouseTable(None, root)
+    now = time.time()
+    built, out = 0, []
+
+    def measure(tag: str, n_commits: int) -> dict:
+        r = LakehouseCDFStreamReader(
+            {"path": root, "maxVersionsPerTrigger": "10"}, None
+        )
+        head = t.latest_version()
+        # steady-state: floor at the head (a caught-up poller)
+        r.partitions({"version": head}, {"version": head})
+        times = []
+        for _ in range(25):
+            t0 = time.perf_counter()
+            r.latestOffset()
+            times.append(time.perf_counter() - t0)
+        row = {
+            "phase": "listing_floor",
+            "tag": tag,
+            "commits_ever": n_commits,
+            "jsons_on_disk": sum(
+                1 for _ in Path(root, "_log").glob("*.json")
+            ),
+            "latest_ms_median": round(statistics.median(times) * 1e3, 3),
+            "latest_ms_max": round(max(times) * 1e3, 3),
+        }
+        print(json.dumps(row), flush=True)
+        return row
+
+    for n in sorted(ns):
+        for v in range(built, n):
+            (t.log_dir / f"{v:020d}.json").write_text(
+                json.dumps(
+                    {
+                        "version": v,
+                        "files": [],
+                        "row_count": 0,
+                        "operation": "append",
+                        "ts": now + v,
+                        "stats": None,
+                        "restate": False,
+                        "data_change": True,
+                    }
+                )
+            )
+        built = n
+        out.append(measure("unbounded", built))
+    t.checkpoint()
+    res = t.clean_log(keep_versions=keep)
+    out.append(
+        {
+            "phase": "listing_floor",
+            "tag": "clean_log",
+            "deleted": res["deleted"],
+            "earliest": res["earliest"],
+        }
+    )
+    print(json.dumps(out[-1]), flush=True)
+    out.append(measure(f"retained_{keep}", built))
+    return out
+
+
 def main() -> None:
     ap = argparse.ArgumentParser()
     ap.add_argument("--backlogs", nargs="+", type=int, default=[250, 1000, 2000])
+    ap.add_argument(
+        "--synthetic", nargs="+", type=int, default=None,
+        help="listing-floor phase commit counts (e.g. 1000 10000 100000)",
+    )
+    ap.add_argument("--keep", type=int, default=500,
+                    help="clean_log keep_versions for the retention re-measure")
     args = ap.parse_args()
+
+    if args.synthetic:
+        results = listing_floor_phase(args.synthetic, args.keep)
+        print(json.dumps({"probe": "cdf_listing_floor", "results": results}))
+        return
 
     from pyspark.sql import SparkSession
     from pyspark.sql import functions as F
