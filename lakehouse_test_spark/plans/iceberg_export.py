@@ -942,7 +942,17 @@ def export_iceberg_metadata(
             # carries EXISTING entries from older snapshots, and a
             # strict reader scopes delete application by this bound
             "min_sequence_number": (
-                min((e.get("sequence_number") or seq) for e in entries)
+                # explicit None check: a legitimate entry sequence
+                # number of 0 (v1-style) must participate in the min,
+                # not be replaced by the writing snapshot's seq
+                min(
+                    (
+                        seq
+                        if e.get("sequence_number") is None
+                        else e["sequence_number"]
+                    )
+                    for e in entries
+                )
                 if entries
                 else seq
             ),
@@ -1547,14 +1557,26 @@ def export_iceberg_metadata(
     expired_files: set[str] = set()
     if expired_snaps:
 
-        def _walk_lists(snaps: list[dict]) -> tuple[set[str], set[str]]:
+        class _KeptWalkError(Exception):
+            """A KEPT snapshot's metadata failed to read mid-purge."""
+
+        def _walk_lists(
+            snaps: list[dict], strict: bool = False
+        ) -> tuple[set[str], set[str]]:
             paths: set[str] = set()
             del_manifests: set[str] = set()
             for s in snaps:
                 paths.add(s["manifest-list"])
                 try:
                     _, _, ms = read_ocf(Path(s["manifest-list"]))
-                except (OSError, ValueError, struct.error):
+                except (OSError, ValueError, struct.error, IndexError) as exc:
+                    # tolerable ONLY on the expired-candidate side: a
+                    # read failure on a KEPT snapshot's manifest-list
+                    # drops its manifests from the referenced set, so
+                    # shared manifests would be purged and time travel
+                    # to a RETAINED snapshot broken (r9 ADVICE)
+                    if strict:
+                        raise _KeptWalkError(s["manifest-list"]) from exc
                     continue
                 for m in ms:
                     paths.add(m["manifest_path"])
@@ -1562,12 +1584,16 @@ def export_iceberg_metadata(
                         del_manifests.add(m["manifest_path"])
             return paths, del_manifests
 
-        def _delete_parquets(manifest_paths: set[str]) -> set[str]:
+        def _delete_parquets(
+            manifest_paths: set[str], strict: bool = False
+        ) -> set[str]:
             out: set[str] = set()
             for mp in manifest_paths:
                 try:
                     _, _, es = read_ocf(Path(mp))
-                except (OSError, ValueError, struct.error):
+                except (OSError, ValueError, struct.error, IndexError) as exc:
+                    if strict:  # same kept-side rule as _walk_lists
+                        raise _KeptWalkError(mp) from exc
                     continue
                 for e in es:
                     df = e.get("data_file") or {}
@@ -1575,18 +1601,28 @@ def export_iceberg_metadata(
                         out.add(df["file_path"])
             return out
 
-        referenced, ref_dels = _walk_lists(snapshots)
-        candidates, cand_dels = _walk_lists(expired_snaps)
-        dying_dels = cand_dels - referenced
-        if dying_dels:
-            expired_files |= _delete_parquets(dying_dels) - _delete_parquets(
-                ref_dels
-            )
-        expired_files |= candidates - referenced
-        md_resolved = meta_dir.resolve()
-        expired_files = {
-            f for f in expired_files if Path(f).parent.resolve() == md_resolved
-        }
+        try:
+            referenced, ref_dels = _walk_lists(snapshots, strict=True)
+            candidates, cand_dels = _walk_lists(expired_snaps)
+            dying_dels = cand_dels - referenced
+            if dying_dels:
+                expired_files |= _delete_parquets(
+                    dying_dels
+                ) - _delete_parquets(ref_dels, strict=True)
+            expired_files |= candidates - referenced
+            md_resolved = meta_dir.resolve()
+            expired_files = {
+                f
+                for f in expired_files
+                if Path(f).parent.resolve() == md_resolved
+            }
+        except _KeptWalkError:
+            # the referenced set is incomplete → purging against it
+            # could unlink files a LIVE snapshot still needs. Skip the
+            # purge entirely: the metadata replace below still lands
+            # (expiration semantics intact), and the unreclaimed files
+            # are exactly what iceberg_remove_orphans sweeps later.
+            expired_files = set()
 
     # land the new metadata ATOMICALLY, then purge the superseded
     # export's files (deferred from the degrade paths above) and the

@@ -1058,29 +1058,76 @@ class LakehouseCDFBatchReader(DataSourceReader):
                 "startingVersion (and bounds it with endingVersion)"
             )
 
+    def _resolve_ts_bounds(
+        self, since: int, upto: int | None
+    ) -> tuple[int, int | None]:
+        """Timestamp → version resolution with a BOUNDED scan: commit
+        timestamps are non-decreasing in version (wall-clock at
+        publish), so walking the log NEWEST-FIRST stops at the first
+        commit below the bound — O(commits after the timestamp) JSON
+        parses, never a full-log parse (the r9 version resolved both
+        bounds via ``_commits()`` over the whole history).
+        ``startingTimestamp`` past the newest commit RAISES, mirroring
+        Delta's readChangeFeed (and the existing ``endingTimestamp``
+        check) — a typo'd future timestamp must not silently return an
+        empty feed."""
+        import os
+
+        vs: list[tuple[int, str]] = []
+        with os.scandir(self._r.path / "_log") as it:
+            for e in it:
+                nm = e.name
+                if nm.endswith(".json"):
+                    try:
+                        vs.append((int(nm[:-5]), e.path))
+                    except ValueError:
+                        continue
+        vs.sort(reverse=True)
+        if not vs:
+            raise ValueError(f"no commits under {self._r.path}")
+        cache: dict[int, float] = {}
+
+        def ts_of(v: int, p: str) -> float:
+            if v not in cache:
+                cache[v] = json.loads(Path(p).read_text()).get("ts") or 0.0
+            return cache[v]
+
+        if self._upto_ts is not None:
+            # newest commit at/before the end bound
+            found = None
+            for v, p in vs:
+                if ts_of(v, p) <= self._upto_ts:
+                    found = v
+                    break
+            if found is None:
+                raise ValueError(
+                    f"endingTimestamp {self._upto_ts} predates the "
+                    "table's first commit"
+                )
+            upto = found
+        if self._since_ts is not None:
+            head_v, head_p = vs[0]
+            if ts_of(head_v, head_p) < self._since_ts:
+                raise ValueError(
+                    f"startingTimestamp {self._since_ts} is greater "
+                    f"than the newest commit's timestamp "
+                    f"({ts_of(head_v, head_p)} at v{head_v}); use a "
+                    "timestamp at or before the head (Delta's "
+                    "readChangeFeed raises the same way)"
+                )
+            cand = head_v
+            for v, p in vs:  # first commit at/after the start bound
+                if ts_of(v, p) >= self._since_ts:
+                    cand = v
+                else:
+                    break
+            since = cand - 1
+        return since, upto
+
     def partitions(self) -> Sequence[InputPartition]:
         since, upto = self.since, self.upto
         if self._since_ts is not None or self._upto_ts is not None:
-            pairs = sorted(
-                (c["version"], c.get("ts") or 0.0)
-                for c in self._r._commits()
-            )
-            if self._since_ts is not None:
-                at_or_after = [v for v, ts in pairs if ts >= self._since_ts]
-                # nothing at/after the timestamp: empty window
-                since = (
-                    at_or_after[0] - 1
-                    if at_or_after
-                    else (pairs[-1][0] if pairs else -1)
-                )
-            if self._upto_ts is not None:
-                at_or_before = [v for v, ts in pairs if ts <= self._upto_ts]
-                if not at_or_before:
-                    raise ValueError(
-                        f"endingTimestamp {self._upto_ts} predates the "
-                        "table's first commit"
-                    )
-                upto = at_or_before[-1]
+            since, upto = self._resolve_ts_bounds(since, upto)
         if upto is None:
             upto = self._r._log_head()  # scandir max, no JSON parses
         if since < 0:

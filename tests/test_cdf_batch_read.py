@@ -131,11 +131,12 @@ def test_batch_cdf_timestamp_bounds(spark, tmp_path):
     assert _key(got) == _key(
         t.read_changes_cdf(-1, upto_version=3).collect()
     )
-    # a start ts beyond the head: empty window, no crash
-    got = _read(
-        spark, str(t.path), startingTimestamp=repr(ts_of[5] + 10.0)
-    ).collect()
-    assert got == []
+    # a start ts beyond the head raises (Delta parity, r9 ADVICE) —
+    # a typo'd future timestamp must not silently return 0 rows
+    with pytest.raises(Exception, match="greater than the newest"):
+        _read(
+            spark, str(t.path), startingTimestamp=repr(ts_of[5] + 10.0)
+        ).collect()
     # conflicting forms rejected
     with pytest.raises(Exception, match="at most one"):
         _read(

@@ -302,3 +302,31 @@ def test_remove_orphans_sweeps_crash_residue(spark, tmp_path):
     assert refs <= after2
     assert "cafebabe-m0.avro" not in after2
     assert read_iceberg(spark, str(t.path)).count() == 12
+
+
+def test_expire_skips_purge_when_kept_list_unreadable(spark, tmp_path):
+    """r9 ADVICE (medium): a read failure on a KEPT snapshot's
+    manifest-list must disable the purge entirely — the referenced
+    set is incomplete, and purging against it would unlink manifests
+    shared with expired snapshots, breaking time travel to a RETAINED
+    snapshot. The expiration itself (metadata replace) still lands;
+    the unreclaimed files are remove_orphans' job."""
+    t = _mk(spark, tmp_path, "keptcorrupt", commits=6)
+    meta_dir = export_iceberg_metadata(spark, t)
+    md_full = _md(t)
+    # corrupt the manifest-list of a snapshot that will be KEPT but is
+    # NOT the head (the head's list is re-read by the resume path,
+    # which degrades to a full rewrite on damage — a separate,
+    # already-tested recovery; the purge walk is what reads the
+    # second-newest kept list)
+    kept_list = Path(md_full["snapshots"][-2]["manifest-list"])
+    kept_list.write_bytes(b"Obj\x01truncated-junk")
+    before = {p.name for p in meta_dir.iterdir()}
+    export_iceberg_metadata(spark, t, expire_keep_last=2)
+    md = _md(t)
+    assert len(md["snapshots"]) == 2  # expiration semantics intact
+    after = {p.name for p in meta_dir.iterdir()}
+    # purge disabled: nothing was unlinked (metadata.json rewritten,
+    # but no .avro/.parquet vanished)
+    gone = {n for n in before - after if n.endswith((".avro", ".parquet"))}
+    assert gone == set(), gone
