@@ -157,6 +157,9 @@ def build_parser() -> argparse.ArgumentParser:
     alt.add_argument("--drop", metavar="COL", help="drop a column")
     alt.add_argument("--widen", metavar="COL:TYPE",
                      help="widen a column's type (col:bigint)")
+    alt.add_argument("--log-retention", type=int, metavar="KEEP",
+                     help="table property: auto clean_log(KEEP) on the "
+                          "checkpoint cadence (0 clears)")
 
     vfy = sub.add_parser(
         "verify",
@@ -361,8 +364,17 @@ def main(argv: list[str] | None = None, spark=None) -> int:
                 table.widen_column(col, typ)
                 print(f"Widened {col} -> {typ}")
                 did = True
+            if args.log_retention is not None:
+                table.set_log_retention(args.log_retention or None)
+                print(
+                    f"Log retention: keep {args.log_retention} versions"
+                    if args.log_retention
+                    else "Log retention: cleared"
+                )
+                did = True
             if not did:
-                print("Nothing to do: pass --rename/--drop/--widen")
+                print("Nothing to do: pass --rename/--drop/--widen/"
+                      "--log-retention")
             print(f"Columns: {table.snapshot().columns}")
         elif args.verb == "verify":
             table = LakehouseTable(spark, args.table)

@@ -550,6 +550,18 @@ class LakehouseTable:
                 self.checkpoint()
             except OSError:  # checkpointing is an optimization, never a gate
                 pass
+            # auto log retention (Delta's delta.logRetentionDuration
+            # analog, set via set_log_retention): piggybacks on the
+            # checkpoint cadence, so a long-lived streaming sink keeps
+            # its _log population bounded with zero operator action —
+            # the newly-written checkpoint covers everything the clean
+            # reclaims. Same never-a-gate rule as the checkpoint.
+            try:
+                keep = self._read_meta().get("log_retention_versions")
+                if keep:
+                    self.clean_log(keep_versions=int(keep))
+            except OSError:
+                pass
 
     def _stream_batch_high(self, prefix: str) -> int:
         """Highest committed micro-batch id for ``prefix`` (the Delta
@@ -3634,6 +3646,24 @@ class LakehouseTable:
         meta["log_earliest"] = max(meta.get("log_earliest", 0), earliest)
         self._write_meta(meta)
         return {"deleted": deleted, "earliest": meta["log_earliest"]}
+
+    def set_log_retention(self, keep_versions: int | None) -> None:
+        """Table property for AUTOMATIC log retention (Delta's
+        ``delta.logRetentionDuration`` analog, in the version domain):
+        once set, every auto-checkpoint (the 10-commit cadence on the
+        append/streaming-sink paths) also runs
+        ``clean_log(keep_versions)`` — a long-lived CDC sink keeps its
+        ``_log`` population bounded with no maintenance job. ``None``
+        or 0 clears the property. All ``clean_log`` guards apply
+        unchanged (loud recipes below the cutoff)."""
+        if keep_versions is not None and keep_versions < 0:
+            raise ValueError(f"keep_versions: {keep_versions}")
+        meta = self._read_meta()
+        if keep_versions:
+            meta["log_retention_versions"] = int(keep_versions)
+        else:
+            meta.pop("log_retention_versions", None)
+        self._write_meta(meta)
 
     def _log_earliest(self) -> int:
         """Earliest commit version whose JSON is guaranteed present

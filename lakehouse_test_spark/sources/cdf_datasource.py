@@ -227,6 +227,55 @@ class _FilePartition(InputPartition):
         self.ts_us = ts_us
 
 
+def resolve_ts_start(path: Path, ts: float) -> int:
+    """``startingTimestamp`` → starting offset (version − 1 of the
+    FIRST commit at/after ``ts`` — Delta's rule), shared by the batch
+    and STREAMING readers so the two surfaces resolve identically.
+    Bounded scan: commit timestamps are non-decreasing in version, so
+    the walk reads JSONs newest-first and stops at the first commit
+    below the bound — O(commits after the timestamp) parses, never a
+    full log parse. A timestamp past the newest commit RAISES
+    (Delta's readChangeFeed/stream behavior): a typo'd future
+    timestamp must not silently start an empty feed."""
+    import os
+
+    vs: list[tuple[int, str]] = []
+    try:
+        with os.scandir(path / "_log") as it:
+            for e in it:
+                nm = e.name
+                if nm.endswith(".json"):
+                    try:
+                        vs.append((int(nm[:-5]), e.path))
+                    except ValueError:
+                        continue
+    except FileNotFoundError:
+        pass
+    vs.sort(reverse=True)
+    if not vs:
+        raise ValueError(f"no commits under {path}")
+
+    def ts_of(p: str) -> float:
+        return json.loads(Path(p).read_text()).get("ts") or 0.0
+
+    head_v, head_p = vs[0]
+    head_ts = ts_of(head_p)
+    if head_ts < ts:
+        raise ValueError(
+            f"startingTimestamp {ts} is greater than the newest "
+            f"commit's timestamp ({head_ts} at v{head_v}); use a "
+            "timestamp at or before the head (Delta raises the same "
+            "way)"
+        )
+    cand = head_v
+    for v, p in vs:  # first commit at/after the bound
+        if ts_of(p) >= ts:
+            cand = v
+        else:
+            break
+    return cand - 1
+
+
 def _local_path(path: str) -> str:
     if path.startswith("file:"):
         from urllib.parse import urlparse
@@ -523,6 +572,11 @@ class LakehouseCDFStreamReader(DataSourceStreamReader):
     def _initial_offset(self) -> dict:
         # Delta's startingVersion: begin the replay at a chosen commit
         # instead of the table's birth (omit or -0/"earliest" = all).
+        # startingTimestamp (round 10, Delta stream parity): begin at
+        # the first commit at/after a wall-clock bound — resolved once
+        # here via the shared bounded scan, then identical to a
+        # version start (so the self-computed admission floor caps a
+        # timestamp'd catch-up from batch 0 too).
         # startingMode=snapshot: the FIRST micro-batch is the live
         # snapshot at stream start (bounded by table size, restate-
         # proof) and the stream continues from there — the catch-up
@@ -530,6 +584,9 @@ class LakehouseCDFStreamReader(DataSourceStreamReader):
         # batch-load + startingVersion pairing.
         sv = self.options.get("startingVersion") or self.options.get(
             "startingversion"
+        )
+        st = self.options.get("startingTimestamp") or self.options.get(
+            "startingtimestamp"
         )
         mode = str(
             self.options.get("startingMode")
@@ -540,14 +597,20 @@ class LakehouseCDFStreamReader(DataSourceStreamReader):
             raise ValueError(
                 f"startingMode={mode!r}: expected 'earliest' or 'snapshot'"
             )
+        if sv is not None and st is not None:
+            raise ValueError(
+                "pass at most one of startingVersion/startingTimestamp"
+            )
         if mode == "snapshot":
-            if sv is not None:
+            if sv is not None or st is not None:
                 raise ValueError(
-                    "startingMode=snapshot conflicts with startingVersion: "
-                    "the snapshot seed chooses its own start (the head at "
-                    "first trigger)"
+                    "startingMode=snapshot conflicts with startingVersion/"
+                    "startingTimestamp: the snapshot seed chooses its own "
+                    "start (the head at first trigger)"
                 )
             return {"version": -1, "mode": "snapshot"}
+        if st is not None:
+            return {"version": resolve_ts_start(self.path, float(st))}
         if sv is None or str(sv).lower() == "earliest":
             return {"version": -1}
         return {"version": int(sv) - 1}
@@ -1070,33 +1133,31 @@ class LakehouseCDFBatchReader(DataSourceReader):
         ``startingTimestamp`` past the newest commit RAISES, mirroring
         Delta's readChangeFeed (and the existing ``endingTimestamp``
         check) — a typo'd future timestamp must not silently return an
-        empty feed."""
+        empty feed. The starting side is the shared
+        :func:`resolve_ts_start` (the STREAM reader resolves its
+        ``startingTimestamp`` through the same function, so the two
+        surfaces cannot disagree)."""
         import os
 
-        vs: list[tuple[int, str]] = []
-        with os.scandir(self._r.path / "_log") as it:
-            for e in it:
-                nm = e.name
-                if nm.endswith(".json"):
-                    try:
-                        vs.append((int(nm[:-5]), e.path))
-                    except ValueError:
-                        continue
-        vs.sort(reverse=True)
-        if not vs:
-            raise ValueError(f"no commits under {self._r.path}")
-        cache: dict[int, float] = {}
-
-        def ts_of(v: int, p: str) -> float:
-            if v not in cache:
-                cache[v] = json.loads(Path(p).read_text()).get("ts") or 0.0
-            return cache[v]
-
+        if self._since_ts is not None:
+            since = resolve_ts_start(self._r.path, self._since_ts)
         if self._upto_ts is not None:
+            vs: list[tuple[int, str]] = []
+            with os.scandir(self._r.path / "_log") as it:
+                for e in it:
+                    nm = e.name
+                    if nm.endswith(".json"):
+                        try:
+                            vs.append((int(nm[:-5]), e.path))
+                        except ValueError:
+                            continue
+            vs.sort(reverse=True)
+            if not vs:
+                raise ValueError(f"no commits under {self._r.path}")
             # newest commit at/before the end bound
             found = None
             for v, p in vs:
-                if ts_of(v, p) <= self._upto_ts:
+                if (json.loads(Path(p).read_text()).get("ts") or 0.0) <= self._upto_ts:
                     found = v
                     break
             if found is None:
@@ -1105,23 +1166,6 @@ class LakehouseCDFBatchReader(DataSourceReader):
                     "table's first commit"
                 )
             upto = found
-        if self._since_ts is not None:
-            head_v, head_p = vs[0]
-            if ts_of(head_v, head_p) < self._since_ts:
-                raise ValueError(
-                    f"startingTimestamp {self._since_ts} is greater "
-                    f"than the newest commit's timestamp "
-                    f"({ts_of(head_v, head_p)} at v{head_v}); use a "
-                    "timestamp at or before the head (Delta's "
-                    "readChangeFeed raises the same way)"
-                )
-            cand = head_v
-            for v, p in vs:  # first commit at/after the start bound
-                if ts_of(v, p) >= self._since_ts:
-                    cand = v
-                else:
-                    break
-            since = cand - 1
         return since, upto
 
     def partitions(self) -> Sequence[InputPartition]:

@@ -186,3 +186,116 @@ def test_row_fallback_matches_arrow_path(spark):
             dt = row[-1]
             vals.add(int(dt.timestamp() * 1_000_000))
     assert vals == {_expected_us(1)}
+
+
+def test_stream_starting_timestamp_resolves_and_caps(spark, tmp_path):
+    """Streaming startingTimestamp (Delta stream parity, round 10):
+    the stream begins at the FIRST commit at/after the bound —
+    resolved through the same shared function as the batch reader —
+    and because the resolved start seeds the self-computed admission
+    floor, maxVersionsPerTrigger caps the catch-up from batch 0."""
+    import json as _json
+    from pathlib import Path
+
+    from lakehouse_test_spark.sources.cdf_datasource import register
+
+    register(spark)
+    t = LakehouseTable(spark, str(tmp_path / "stts"))
+    for i in range(6):
+        t.append(
+            spark.range(i * 10, i * 10 + 2).select(F.col("id").alias("k")).coalesce(1)
+        )
+    _pin_commit_ts(t)
+    ck, out = str(tmp_path / "ck"), str(tmp_path / "out")
+
+    def run_once():
+        q = (
+            spark.readStream.format("lakehouse_cdf")
+            .option("path", str(t.path))
+            .option("startingTimestamp", repr(float(BASE_TS + 3600 * 2)))
+            .option("maxVersionsPerTrigger", "2")
+            .load()
+            .writeStream.format("parquet")
+            .option("path", out)
+            .option("checkpointLocation", ck)
+            .trigger(availableNow=True)
+            .start()
+        )
+        q.awaitTermination(60)
+
+    head = t.latest_version()
+
+    def _vs():
+        o = []
+        for f in sorted(
+            Path(ck, "offsets").glob("[0-9]*"), key=lambda p: int(p.name)
+        ):
+            try:
+                d = _json.loads(f.read_text().splitlines()[-1])
+                if isinstance(d, str):
+                    d = _json.loads(d)
+                o.append(d["version"])
+            except (KeyError, _json.JSONDecodeError, IndexError):
+                continue
+        return o
+
+    runs = 0
+    while (not _vs() or _vs()[-1] < head) and runs < 8:
+        run_once()
+        runs += 1
+    vs = _vs()
+    assert vs[0] <= 3  # batch 0 capped: floor 1 + cap 2
+    deltas = [b - a for a, b in zip(vs, vs[1:])]
+    assert not deltas or max(deltas) <= 2
+    got = sorted(
+        (r["k"], r["_commit_version"])
+        for r in spark.read.parquet(out).collect()
+    )
+    want = sorted(
+        (r["k"], r["_commit_version"])
+        for r in t.read_changes_cdf(1).collect()  # first at/after = v2
+    )
+    assert got == want
+
+
+def test_stream_starting_timestamp_option_combos(spark, tmp_path):
+    from lakehouse_test_spark.sources.cdf_datasource import (
+        LakehouseCDFStreamReader,
+    )
+
+    t = _mk_table(spark)
+    with pytest.raises(ValueError, match="at most one"):
+        LakehouseCDFStreamReader(
+            {
+                "path": str(t.path),
+                "startingVersion": "1",
+                "startingTimestamp": "123",
+            },
+            None,
+        )
+    with pytest.raises(ValueError, match="conflicts"):
+        LakehouseCDFStreamReader(
+            {
+                "path": str(t.path),
+                "startingMode": "snapshot",
+                "startingTimestamp": "123",
+            },
+            None,
+        )
+    with pytest.raises(ValueError, match="greater than the newest"):
+        LakehouseCDFStreamReader(
+            {
+                "path": str(t.path),
+                "startingTimestamp": repr(float(BASE_TS + 10**7)),
+            },
+            None,
+        )
+    # at the bound: resolves to version-1 of the first at/after commit
+    r = LakehouseCDFStreamReader(
+        {
+            "path": str(t.path),
+            "startingTimestamp": repr(float(BASE_TS + 3600 * 2)),
+        },
+        None,
+    )
+    assert r.initialOffset() == {"version": 1}

@@ -205,3 +205,45 @@ def test_cli_maintain_clean_log(spark, tmp_path, capsys):
     out = capsys.readouterr().out
     assert "Cleaned log: 9 commit JSON(s), earliest surviving v9" in out
     assert _log_versions(t) == list(range(9, 12))
+
+
+def test_auto_log_retention_property(spark, tmp_path):
+    """set_log_retention: once the property is set, the 10-commit
+    auto-checkpoint cadence also cleans the log — a long-lived sink's
+    _log stays bounded with zero maintenance jobs, and every guard
+    still applies."""
+    t = LakehouseTable(spark, str(tmp_path / "auto"))
+    t.set_log_retention(3)
+    for i in range(25):
+        t.append(
+            spark.range(i * 10, i * 10 + 2).select(F.col("id").alias("k")).coalesce(1)
+        )
+    # cadence checkpoints at v10 and v20 each cleaned below
+    # min(ckpt, head-3+1): after v20's checkpoint cutoff = 18
+    assert t._log_earliest() >= 18
+    assert len(_log_versions(t)) <= 25 - 18 + 1
+    assert t.snapshot().count() == 50  # head read intact
+    with pytest.raises(LogRetentionError):
+        t.snapshot(version=2).collect()
+    # clearing the property stops further cleaning
+    t.set_log_retention(None)
+    before = len(_log_versions(t))
+    for i in range(25, 36):
+        t.append(
+            spark.range(i * 10, i * 10 + 2).select(F.col("id").alias("k")).coalesce(1)
+        )
+    assert len(_log_versions(t)) == before + 11
+
+
+def test_cli_alter_log_retention(spark, tmp_path, capsys):
+    from lakehouse_test_spark.cli import main
+
+    t = _mk(spark, tmp_path / "clialt", n=3)
+    rc = main(
+        ["alter", "--table", str(t.path), "--log-retention", "5"], spark=spark
+    )
+    assert rc in (0, None)
+    assert "keep 5 versions" in capsys.readouterr().out
+    assert t._read_meta()["log_retention_versions"] == 5
+    main(["alter", "--table", str(t.path), "--log-retention", "0"], spark=spark)
+    assert "log_retention_versions" not in t._read_meta()
