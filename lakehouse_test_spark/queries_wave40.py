@@ -348,3 +348,83 @@ def lakehouse_log_retention(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.lit(lagging_cursor_raises).alias("lagging_cursor_raises"),
         F.lit(tail.count()).cast("long").alias("tail_rows"),
     )
+
+
+@query(
+    "streaming_cdf_starting_timestamp",
+    oracle="""
+    WITH feed AS (
+      SELECT n.n_nationkey + 100 * g.i AS k, CAST(g.i AS INTEGER) AS v
+      FROM nation n, (SELECT UNNEST(range(8)) AS i) g
+      WHERE n.n_nationkey < 4 AND g.i >= 2
+    )
+    SELECT CAST(count(*) AS BIGINT) AS n_rows,
+           CAST(sum(k) AS BIGINT) AS k_sum,
+           CAST(min(v) AS INTEGER) AS min_v,
+           CAST(max(v) AS INTEGER) AS max_v,
+           TRUE AS batch0_capped
+    FROM feed
+    """,
+    tags=("streaming", "lakehouse", "cdf", "timestamp", "datasource"),
+)
+def streaming_cdf_starting_timestamp(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Streaming ``startingTimestamp`` (Delta stream parity): an
+    8-commit table with pinned deterministic timestamps, streamed from
+    v2's timestamp — the feed must contain exactly the commits at/
+    after the bound (min_v/max_v pinned into the hash), resolved by
+    the SAME shared function as the batch reader, and because the
+    resolved start seeds the self-computed admission floor,
+    ``maxVersionsPerTrigger=2`` caps the catch-up from batch 0
+    (``batch0_capped``: first end offset ≤ 3).
+
+    Scale: timestamp resolution is a bounded newest-first scan
+    (O(commits after the bound) JSON parses, never a full log parse),
+    then the drain is the ordinary capped tail — a consumer pointed at
+    "yesterday" on a years-old table pays for yesterday, not for the
+    years."""
+    from lakehouse_test_spark.plans.lakehouse import LakehouseTable
+    from lakehouse_test_spark.sources.cdf_datasource import register
+
+    register(spark)
+    n = T(spark, sf_dir, "nation").select(
+        F.col("n_nationkey").cast("long").alias("k")
+    )
+    small = n.where(F.col("k") < 4).coalesce(1)
+    t = LakehouseTable(spark, tempfile.mkdtemp(prefix="lh_cdfstts_"))
+    for i in range(8):
+        t.append(small.select((F.col("k") + 100 * i).alias("k")))
+    _pin_commit_ts(t)
+    head = t.latest_version()
+    work = tempfile.mkdtemp(prefix="lh_cdfstts_ck_")
+    ck, out = f"{work}/ck", f"{work}/out"
+
+    def run_once():
+        q = (
+            spark.readStream.format("lakehouse_cdf")
+            .option("path", str(t.path))
+            .option("startingTimestamp", repr(float(BASE_TS + 3600 * 2)))
+            .option("maxVersionsPerTrigger", "2")
+            .load()
+            .writeStream.format("parquet")
+            .option("path", out)
+            .option("checkpointLocation", ck)
+            .trigger(availableNow=True)
+            .start()
+        )
+        q.awaitTermination()
+
+    runs = 0
+    while (
+        not _end_offsets(ck) or _end_offsets(ck)[-1]["version"] < head
+    ) and runs < 8:
+        run_once()
+        runs += 1
+    vs = [o["version"] for o in _end_offsets(ck)]
+    batch0_capped = bool(vs) and vs[0] <= 3  # floor 1 + cap 2
+    return spark.read.parquet(out).agg(
+        F.count(F.lit(1)).cast("long").alias("n_rows"),
+        F.sum("k").cast("long").alias("k_sum"),
+        F.min("_commit_version").cast("int").alias("min_v"),
+        F.max("_commit_version").cast("int").alias("max_v"),
+        F.lit(batch0_capped).alias("batch0_capped"),
+    )
