@@ -412,17 +412,23 @@ def main(argv: list[str] | None = None, spark=None) -> int:
                 meta = ("_change_type", "_commit_version", "_commit_timestamp")
                 key = args.merge_key
                 if key is None:
-                    if not df.where("_change_type = 'delete'").isEmpty():
-                        raise RuntimeError(
-                            "the change feed carries deletes; pass "
-                            "--merge-key to apply them (DV per key)"
-                        )
-                    ins = df.drop(*meta)
-                    n = ins.count()
-                    applied["rows"] += n
-                    applied["batches"] += 1
-                    if n:
-                        sink.append(ins)
+                    # one evaluation of the batch: cache before the
+                    # delete-probe + count + append all re-read it
+                    df = df.persist()
+                    try:
+                        if not df.where("_change_type = 'delete'").isEmpty():
+                            raise RuntimeError(
+                                "the change feed carries deletes; pass "
+                                "--merge-key to apply them (DV per key)"
+                            )
+                        ins = df.drop(*meta)
+                        n = ins.count()
+                        applied["rows"] += n
+                        applied["batches"] += 1
+                        if n:
+                            sink.append(ins)
+                    finally:
+                        df.unpersist()
                     return
                 # Apply changes per key in _commit_version ORDER: one
                 # capped drain can carry delete v10 AND re-insert v12
@@ -436,24 +442,33 @@ def main(argv: list[str] | None = None, spark=None) -> int:
                     F.col("_commit_version").desc(),
                     (F.col("_change_type") == "delete").cast("int").desc(),
                 )
+                # cache the DEDUPED batch: without it, each downstream
+                # action (two counts + the MERGE + the delete
+                # semi-join) re-runs the window shuffle over the whole
+                # feed — ~4x the necessary I/O on the snapshot-seed
+                # batch, which IS the whole table (MEMORY_AND_DISK by
+                # default, so an oversized seed spills, never OOMs)
                 latest = (
                     df.withColumn("_rn", F.row_number().over(w))
                     .where("_rn = 1")
                     .drop("_rn")
-                )
-                ins = latest.where("_change_type = 'insert'").drop(*meta)
-                n_ins = ins.count()
-                if n_ins:
-                    if sink.latest_version() >= 0:
-                        sink.merge(ins, [key])
-                    else:
-                        sink.append(ins)
-                del_keys = latest.where("_change_type = 'delete'").select(key)
-                n_del = del_keys.count()
-                if n_del and sink.latest_version() >= 0:
-                    # keys absent from the sink are a no-op by the
-                    # semi-join; an empty sink has nothing to delete
-                    sink.delete_keys_dv(del_keys, key)
+                ).persist()
+                try:
+                    ins = latest.where("_change_type = 'insert'").drop(*meta)
+                    n_ins = ins.count()
+                    if n_ins:
+                        if sink.latest_version() >= 0:
+                            sink.merge(ins, [key])
+                        else:
+                            sink.append(ins)
+                    del_keys = latest.where("_change_type = 'delete'").select(key)
+                    n_del = del_keys.count()
+                    if n_del and sink.latest_version() >= 0:
+                        # keys absent from the sink are a no-op by the
+                        # semi-join; an empty sink has nothing to delete
+                        sink.delete_keys_dv(del_keys, key)
+                finally:
+                    latest.unpersist()
                 applied["rows"] += n_ins + n_del
                 applied["batches"] += 1
 

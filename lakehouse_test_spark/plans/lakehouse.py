@@ -1145,7 +1145,14 @@ class LakehouseTable:
         while True:
             head = self.latest_version()
             if head >= commit.version:
-                inter = [c for c in self.history() if c.version >= commit.version]
+                # tail parse, not history(): only commits at/after this
+                # version can conflict, and conflict classification
+                # must work on a retention-cleaned log (the tail always
+                # survives cleaning — cutoff ≤ newest checkpoint ≤ head)
+                inter = [
+                    c
+                    for c in self._commits_between(commit.version - 1, None)
+                ]
                 conflicts = [
                     (c.version, c.operation)
                     for c in inter
@@ -3613,38 +3620,49 @@ class LakehouseTable:
         if cutoff <= 0:
             return {"deleted": 0, "earliest": self._log_earliest()}
         now = _time.time()
-        deleted, kept_below = 0, []
-        victims: list[int] = []
+        # PLAN first (no deletes yet), ASCENDING, stopping at the first
+        # age-kept version: the survivors must be a CONTIGUOUS suffix
+        # of the log — deleting above a kept version would leave a gap
+        # the recorded log_earliest then vouches for as complete (every
+        # guard compares against ONE earliest bound, so a hole above it
+        # would silently lose a reader's window)
+        victims: list[tuple[int, Path]] = []
+        earliest = cutoff
         for p in sorted(self.log_dir.glob("*.json")):
             try:
                 v = int(p.stem)
             except ValueError:
                 continue
             if v >= cutoff:
-                continue
+                break
             if min_age_seconds:
                 try:
-                    if now - p.stat().st_mtime < min_age_seconds:
-                        kept_below.append(v)
-                        continue  # age rail: possibly still planned against
+                    young = now - p.stat().st_mtime < min_age_seconds
                 except OSError:
-                    kept_below.append(v)
-                    continue
-            if dry_run:
-                victims.append(v)
-                continue
-            p.unlink(missing_ok=True)
-            deleted += 1
+                    young = True
+                if young:
+                    # age rail: this and everything ABOVE it survives
+                    earliest = v
+                    break
+            victims.append((v, p))
         if dry_run:
             return {
                 "deleted": 0,
                 "earliest": self._log_earliest(),
-                "would_delete": victims,
+                "would_delete": [v for v, _p in victims],
             }
-        earliest = min(kept_below) if kept_below else cutoff
+        # WRITE-AHEAD: record the new earliest BEFORE any unlink — a
+        # crash mid-delete then leaves the guards CONSERVATIVE (they
+        # refuse some still-readable versions until the next clean)
+        # instead of DISABLED (silently replaying a truncated chain,
+        # the exact hazard this feature's guards exist to prevent)
         meta = self._read_meta()
         meta["log_earliest"] = max(meta.get("log_earliest", 0), earliest)
         self._write_meta(meta)
+        deleted = 0
+        for _v, p in victims:
+            p.unlink(missing_ok=True)
+            deleted += 1
         return {"deleted": deleted, "earliest": meta["log_earliest"]}
 
     def set_log_retention(self, keep_versions: int | None) -> None:
@@ -3859,7 +3877,9 @@ def maintain_rollup(
     new_cursor = source.latest_version()
     try:
         delta = source.read_changes_cdf(cursor)
-    except RestateAcrossCursorError:
+    except (RestateAcrossCursorError, LogRetentionError):
+        # LogRetentionError: the source's clean_log reclaimed this
+        # cursor's window — same recovery as a restate: rebuild
         delta = None
     empty_target = target.latest_version() < 0
     if delta is None:  # rebuild from snapshot
@@ -3960,7 +3980,10 @@ def maintain_join(
             if right_cursor >= 0
             else right.snapshot().limit(0)
         )
-    except (RestateAcrossCursorError, VacuumHorizonError):
+    except (RestateAcrossCursorError, VacuumHorizonError, LogRetentionError):
+        # LogRetentionError covers both the delta window and the
+        # right-cursor time travel on a retention-cleaned table —
+        # recovery is the same rebuild-from-current-snapshots
         da = None
     a_new = left.snapshot()
 

@@ -227,6 +227,15 @@ class _FilePartition(InputPartition):
         self.ts_us = ts_us
 
 
+def _meta_log_earliest(path: Path) -> int:
+    """Earliest commit version guaranteed present (0 = log never
+    cleaned) — recorded by ``LakehouseTable.clean_log``."""
+    meta = path / "_meta.json"
+    if meta.exists():
+        return int(json.loads(meta.read_text()).get("log_earliest", 0))
+    return 0
+
+
 def resolve_ts_start(path: Path, ts: float) -> int:
     """``startingTimestamp`` → starting offset (version − 1 of the
     FIRST commit at/after ``ts`` — Delta's rule), shared by the batch
@@ -234,9 +243,18 @@ def resolve_ts_start(path: Path, ts: float) -> int:
     Bounded scan: commit timestamps are non-decreasing in version, so
     the walk reads JSONs newest-first and stops at the first commit
     below the bound — O(commits after the timestamp) parses, never a
-    full log parse. A timestamp past the newest commit RAISES
-    (Delta's readChangeFeed/stream behavior): a typo'd future
-    timestamp must not silently start an empty feed."""
+    full log parse. Legacy ts-None commits are SKIPPED (unknown time
+    excludes them from the feed, matching the old full-scan rule),
+    never treated as epoch-0 — a None mid-walk must not truncate the
+    scan, and a None at the head must not poison the head check.
+
+    Loud edges (never a silently wrong feed): a timestamp past the
+    newest commit RAISES (Delta's behavior — a typo'd future
+    timestamp must not start an empty feed), and a bound at/below the
+    earliest SURVIVING commit's timestamp on a retention-cleaned log
+    RAISES the restart recipe — a reclaimed commit may have matched
+    the bound, so resolving to the earliest survivor would silently
+    drop its changes."""
     import os
 
     vs: list[tuple[int, str]] = []
@@ -255,24 +273,50 @@ def resolve_ts_start(path: Path, ts: float) -> int:
     if not vs:
         raise ValueError(f"no commits under {path}")
 
-    def ts_of(p: str) -> float:
-        return json.loads(Path(p).read_text()).get("ts") or 0.0
+    def ts_of(p: str) -> float | None:
+        return json.loads(Path(p).read_text()).get("ts")
 
-    head_v, head_p = vs[0]
-    head_ts = ts_of(head_p)
-    if head_ts < ts:
-        raise ValueError(
-            f"startingTimestamp {ts} is greater than the newest "
-            f"commit's timestamp ({head_ts} at v{head_v}); use a "
-            "timestamp at or before the head (Delta raises the same "
-            "way)"
-        )
-    cand = head_v
-    for v, p in vs:  # first commit at/after the bound
-        if ts_of(p) >= ts:
+    cand = None
+    newest_known: tuple[int, float] | None = None
+    oldest_known: tuple[int, float] | None = None
+    for v, p in vs:  # newest first
+        tv = ts_of(p)
+        if tv is None:
+            continue  # legacy commit: unknown time, not epoch 0
+        if newest_known is None:
+            newest_known = (v, tv)
+        oldest_known = (v, tv)
+        if tv >= ts:
             cand = v
         else:
             break
+    if newest_known is None:
+        raise ValueError(
+            f"no timestamped commits under {path}: startingTimestamp "
+            "cannot resolve (legacy log) — use startingVersion"
+        )
+    if newest_known[1] < ts:
+        raise ValueError(
+            f"startingTimestamp {ts} is greater than the newest "
+            f"commit's timestamp ({newest_known[1]} at "
+            f"v{newest_known[0]}); use a timestamp at or before the "
+            "head (Delta raises the same way)"
+        )
+    earliest = _meta_log_earliest(path)
+    if earliest > 0 and oldest_known is not None and ts <= oldest_known[1]:
+        # every surviving commit we saw is at/after the bound, so the
+        # TRUE first-at-or-after may be a reclaimed commit below the
+        # retention cutoff — resolving to the survivor would silently
+        # omit the reclaimed changes from the feed
+        if cand is not None and cand <= earliest:
+            raise ValueError(
+                f"LogRetentionError: startingTimestamp {ts} is at or "
+                f"before the earliest surviving commit's timestamp "
+                f"(v{earliest}); clean_log reclaimed the commits that "
+                "may match — start from a snapshot "
+                "(startingMode=snapshot) or a surviving version"
+            )
+    assert cand is not None  # newest_known[1] >= ts guarantees it
     return cand - 1
 
 
@@ -524,24 +568,16 @@ class LakehouseCDFStreamReader(DataSourceStreamReader):
         batch, not the commit count (same fix as the writer's
         checkpointed replay dedup).
 
-        Log-retention guard (round 10): a window whose floor predates
-        the earliest surviving commit JSON raises the contract recipe
-        — ``clean_log`` reclaimed those versions, and silently
-        skipping them would LOSE their changes from the feed (the
-        lagging-stream hazard; same rule as the native
-        ``_check_log_window``)."""
+        Log retention: versions reclaimed by ``clean_log`` are simply
+        absent here — ``_tail_partitions`` turns each sub-cutoff gap
+        into a partition that raises at READ time (planning must stay
+        quiet: on every restart the engine re-plans the last
+        CHECKPOINTED batch, whose rows were already emitted — a
+        plan-time raise would brick clean restarts of caught-up
+        streams; only a replay that actually re-reads the reclaimed
+        window must fail)."""
         import os
 
-        if lo is not None and (hi is None or hi > lo):
-            earliest = self._log_earliest()
-            if earliest > 0 and lo + 1 < earliest:
-                raise RuntimeError(
-                    f"LogRetentionError: stream window floor v{lo} "
-                    f"predates the log-retention cutoff v{earliest} "
-                    "(clean_log reclaimed the window's commit JSONs); "
-                    "restart the stream from a fresh snapshot "
-                    "(startingMode=snapshot)"
-                )
         rng: list[tuple[int, str]] = []
         with os.scandir(self.path / "_log") as it:
             for e in it:
@@ -559,12 +595,7 @@ class LakehouseCDFStreamReader(DataSourceStreamReader):
         return [json.loads(Path(p).read_text()) for _v, p in rng]
 
     def _log_earliest(self) -> int:
-        """Earliest commit version guaranteed present (0 = log never
-        cleaned) — recorded by ``LakehouseTable.clean_log``."""
-        meta = self.path / "_meta.json"
-        if meta.exists():
-            return int(json.loads(meta.read_text()).get("log_earliest", 0))
-        return 0
+        return _meta_log_earliest(self.path)
 
     def initialOffset(self) -> dict:
         return self._initial_offset()
@@ -890,7 +921,22 @@ class LakehouseCDFStreamReader(DataSourceStreamReader):
         parts: list[InputPartition] = []
         start_v = lo if lo_files is not None else lo + 1
         commits = {c["version"]: c for c in self._commits(start_v - 1, hi)}
+        # log-retention guard, at READ granularity: a version whose
+        # JSON clean_log reclaimed plans a POISONED partition that
+        # raises when (and only when) its rows would actually be
+        # re-read — silently skipping it would LOSE its changes from
+        # the feed, but raising at PLAN time would brick clean
+        # restarts (the engine re-plans the last committed batch,
+        # which is never re-read, before the first latestOffset)
+        earliest = (
+            self._log_earliest()
+            if any(v not in commits for v in range(start_v, hi + 1))
+            else 0
+        )
         for v in range(start_v, hi + 1):
+            if v not in commits and v < earliest:
+                parts.append(_FilePartition("retention_gap", "", v))
+                continue
             plan = self._planned(v, commits.get(v))
             a = lo_files if (v == lo and lo_files is not None) else 0
             b = hi_files if (v == hi and hi_files is not None) else len(plan)
@@ -902,6 +948,13 @@ class LakehouseCDFStreamReader(DataSourceStreamReader):
     _local = staticmethod(_local_path)
 
     def read(self, partition: _FilePartition):
+        if partition.kind == "retention_gap":
+            raise RuntimeError(
+                f"LogRetentionError: this replay needs commit "
+                f"v{partition.version}, whose JSON clean_log reclaimed "
+                "(below the log-retention cutoff); restart the stream "
+                "from a fresh snapshot (startingMode=snapshot)"
+            )
         if not partition.file:
             return
         import pyarrow.parquet as pq

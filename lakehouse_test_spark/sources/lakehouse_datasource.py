@@ -834,6 +834,17 @@ class LakehouseStreamReader(DataSourceStreamReader):
         return out
 
     def read(self, partition):
+        if getattr(partition, "kind", "insert") == "retention_gap":
+            # planned by the delegated CDF reader for a commit whose
+            # JSON clean_log reclaimed — replaying past it would lose
+            # its rows, so fail at read (plan-time raising would brick
+            # clean restarts of committed batches)
+            raise RuntimeError(
+                f"LogRetentionError: this replay needs commit "
+                f"v{partition.version}, whose JSON clean_log reclaimed; "
+                "restart the stream from a fresh snapshot "
+                "(startingMode=snapshot)"
+            )
         if not partition.file:
             return
         import pyarrow as pa

@@ -299,3 +299,56 @@ def test_stream_starting_timestamp_option_combos(spark, tmp_path):
         None,
     )
     assert r.initialOffset() == {"version": 1}
+
+
+def test_resolve_ts_start_none_ts_and_retention_edges(spark, tmp_path):
+    """Review fixes: legacy ts-None commits are SKIPPED (not epoch-0 —
+    a None mid-log must not truncate the newest-first walk, a None
+    head must not poison the head check), and a bound at/below the
+    earliest surviving commit's ts on a retention-cleaned log raises
+    instead of silently omitting reclaimed changes."""
+    from lakehouse_test_spark.plans.lakehouse import LakehouseTable
+    from lakehouse_test_spark.sources.cdf_datasource import resolve_ts_start
+
+    t = LakehouseTable(spark, str(tmp_path / "rts"))
+    for i in range(3):
+        t.append(
+            spark.range(i * 10, i * 10 + 2).select(F.col("id").alias("k")).coalesce(1)
+        )
+    # v0 ts=BASE, v1 ts=None (legacy), v2 ts=BASE+7200
+    _pin_commit_ts(t, drop_for={1})
+    # bound below everything: whole feed (None must not break the walk)
+    assert resolve_ts_start(t.path, float(BASE_TS - 10)) == -1
+    # bound between v0 and v2: first at/after is v2; the None v1 is
+    # excluded (unknown time), matching the old full-scan rule
+    assert resolve_ts_start(t.path, float(BASE_TS + 10)) == 1
+    # None at the HEAD: the head check uses the newest KNOWN ts
+    t.append(spark.range(100, 102).select(F.col("id").alias("k")).coalesce(1))
+    _pin_commit_ts(t, drop_for={1, 3})
+    assert resolve_ts_start(t.path, float(BASE_TS + 7200)) == 1
+    with pytest.raises(ValueError, match="greater than the newest"):
+        resolve_ts_start(t.path, float(BASE_TS + 7201))
+    # retention: bound at/below the earliest survivor's ts raises
+    t2 = LakehouseTable(spark, str(tmp_path / "rts2"))
+    for i in range(12):
+        t2.append(
+            spark.range(i, i + 1).select(F.col("id").alias("k")).coalesce(1)
+        )
+    _pin_commit_ts(t2)
+    t2.checkpoint()
+    t2.clean_log(keep_versions=3)  # earliest surviving = 9
+    with pytest.raises(ValueError, match="LogRetention"):
+        resolve_ts_start(t2.path, float(BASE_TS + 3600 * 5))
+    # bound strictly after the earliest survivor's ts: resolves fine
+    assert resolve_ts_start(t2.path, float(BASE_TS + 3600 * 10)) == 9
+
+
+def test_all_none_ts_log_raises_for_timestamp_start(spark, tmp_path):
+    from lakehouse_test_spark.plans.lakehouse import LakehouseTable
+    from lakehouse_test_spark.sources.cdf_datasource import resolve_ts_start
+
+    t = LakehouseTable(spark, str(tmp_path / "allnone"))
+    t.append(spark.range(2).select(F.col("id").alias("k")).coalesce(1))
+    _pin_commit_ts(t, drop_for={0})
+    with pytest.raises(ValueError, match="no timestamped commits"):
+        resolve_ts_start(t.path, 123.0)

@@ -247,3 +247,155 @@ def test_cli_alter_log_retention(spark, tmp_path, capsys):
     assert t._read_meta()["log_retention_versions"] == 5
     main(["alter", "--table", str(t.path), "--log-retention", "0"], spark=spark)
     assert "log_retention_versions" not in t._read_meta()
+
+
+def test_partial_rewrite_conflict_classification_on_cleaned_log(spark, tmp_path):
+    """Review fix: _publish_partial's conflict classification must
+    work on a retention-cleaned log (it parsed the FULL history, which
+    now raises) — a partial compaction racing a concurrent append
+    REBASES over it (disjoint-files rule) instead of dying with a
+    spurious LogRetentionError."""
+    t = _mk(spark, tmp_path / "pp", n=12)
+    t.clean_log(keep_versions=3)  # earliest = 9
+    bin_files = [f for _c, f in t._live_files() if "data/" in f][:1]
+    fired = {"n": 0}
+
+    def race():
+        if fired["n"] == 0:
+            fired["n"] += 1
+            t2 = LakehouseTable(spark, str(t.path))
+            t2.append(spark.range(999, 1000).select(F.col("id").alias("k")))
+
+    t._pre_publish_hook = race
+    want = sorted(r["k"] for r in t.snapshot().collect()) + [999]
+    c = t.compact_files(bin_files)
+    t._pre_publish_hook = None
+    assert c.version == t.latest_version()
+    assert sorted(r["k"] for r in t.snapshot().collect()) == want
+
+
+def test_clean_log_records_earliest_before_deleting(spark, tmp_path):
+    """Review fix (crash window): log_earliest is WRITE-AHEAD — if the
+    unlink pass dies mid-way, the guards are CONSERVATIVE (cutoff
+    already recorded), never disabled (a truncated chain silently
+    replaying as a smaller table)."""
+    from unittest import mock
+
+    t = _mk(spark, tmp_path / "wal", n=12)
+    real_unlink = __import__("pathlib").Path.unlink
+
+    def boom(self, *a, **kw):
+        raise OSError("simulated crash mid-delete")
+
+    with mock.patch.object(__import__("pathlib").Path, "unlink", boom):
+        with pytest.raises(OSError, match="simulated"):
+            t.clean_log(keep_versions=3)
+    # nothing was deleted, but the cutoff is already recorded …
+    assert len(_log_versions(t)) == 12
+    assert t._log_earliest() == 9
+    # … so time travel below it is (conservatively) refused
+    with pytest.raises(LogRetentionError):
+        t.snapshot(version=3).collect()
+    # and a re-run completes the clean
+    assert t.clean_log(keep_versions=3)["deleted"] == 9
+    assert real_unlink is not None
+
+
+def test_age_rail_keeps_contiguous_suffix(spark, tmp_path):
+    """Review fix: the age rail must never delete ABOVE a kept version
+    — survivors are a contiguous suffix, so the single recorded
+    log_earliest bound is honest (no hole above it for guards to
+    vouch for)."""
+    import os
+
+    t = _mk(spark, tmp_path / "contig", n=12)
+    past = time.time() - 7200
+    for p in t.log_dir.glob("*.json"):
+        os.utime(p, (past, past))
+    # v5 is YOUNG (e.g. a copied/touched file); v0-v4 and v6-v8 old
+    os.utime(t.log_dir / f"{5:020d}.json", None)
+    res = t.clean_log(keep_versions=3, min_age_seconds=3600)
+    # deletion stops AT v5: v0-v4 go, v5..v8 survive despite age
+    assert res == {"deleted": 5, "earliest": 5}
+    assert _log_versions(t) == list(range(5, 12))
+
+
+def test_maintain_rollup_rebuilds_after_log_retention(spark, tmp_path):
+    """Review fix: a lagging IVM cursor on a retention-cleaned source
+    takes the documented rebuild-from-snapshot recovery instead of
+    crashing with the (uncaught) LogRetentionError."""
+    from lakehouse_test_spark.plans.lakehouse import maintain_rollup
+
+    src = LakehouseTable(spark, str(tmp_path / "ivmsrc"))
+    tgt = LakehouseTable(spark, str(tmp_path / "ivmtgt"))
+    for i in range(3):
+        src.append(
+            spark.range(i * 10, i * 10 + 4).select(
+                (F.col("id") % 2).alias("g"), F.col("id").alias("v")
+            )
+        )
+    cursor = maintain_rollup(spark, src, tgt, ["g"], "v", -1)
+    for i in range(3, 15):
+        src.append(
+            spark.range(i * 10, i * 10 + 4).select(
+                (F.col("id") % 2).alias("g"), F.col("id").alias("v")
+            )
+        )
+    src.checkpoint()
+    src.clean_log(keep_versions=2)
+    assert src._log_earliest() > cursor + 1
+    new_cursor = maintain_rollup(spark, src, tgt, ["g"], "v", cursor)
+    assert new_cursor == src.latest_version()
+    got = {
+        (r["g"], r["n_rows"], r["total"]) for r in tgt.snapshot().collect()
+    }
+    want = {
+        (r["g"], r["n_rows"], r["total"])
+        for r in src.snapshot()
+        .groupBy("g")
+        .agg(F.count(F.lit(1)).alias("n_rows"), F.sum("v").alias("total"))
+        .collect()
+    }
+    assert got == want
+
+
+def test_caughtup_stream_restarts_after_clean_log(spark, tmp_path):
+    """Review fix: a CAUGHT-UP stream must restart cleanly after
+    clean_log landed above its last batch's START offset — the engine
+    re-plans the committed batch (never re-read), so the retention
+    guard must fire at READ time only. The restarted stream then
+    drains new appends exactly-once."""
+    from lakehouse_test_spark.sources.cdf_datasource import register
+
+    register(spark)
+    t = LakehouseTable(spark, str(tmp_path / "cup"))
+    t.append(spark.range(3).select(F.col("id").alias("k")))
+    ck, out = str(tmp_path / "ck"), str(tmp_path / "out")
+
+    def run_once():
+        q = (
+            spark.readStream.format("lakehouse_cdf")
+            .option("path", str(t.path))
+            .option("startingMode", "snapshot")
+            .load()
+            .writeStream.format("parquet")
+            .option("path", out)
+            .option("checkpointLocation", ck)
+            .trigger(availableNow=True)
+            .start()
+        )
+        q.awaitTermination(60)
+
+    run_once()  # seed: committed batch (-1, 0]
+    for i in range(12):
+        t.append(spark.range(100 + i, 101 + i).select(F.col("id").alias("k")))
+    for _ in range(3):
+        run_once()  # catch up fully (floor now at head)
+    t.checkpoint()
+    t.clean_log(keep_versions=2)  # cutoff ABOVE the last batch's start
+    assert t._log_earliest() >= 11
+    t.append(spark.range(900, 902).select(F.col("id").alias("k")))
+    run_once()  # restart: re-plans committed batch, then drains new
+    got = sorted(r["k"] for r in spark.read.parquet(out).collect())
+    want = sorted(r["k"] for r in t.snapshot().collect())
+    assert got == want
