@@ -501,6 +501,15 @@ class LakehouseCDFStreamReader(DataSourceStreamReader):
             raise ValueError(
                 f"maxFilesPerTrigger must be positive, got {self.max_files}"
             )
+        # skipRestates (INTERNAL; set by the plain lakehouse stream's
+        # skipChangeCommits option): plan data-changing restates as
+        # EMPTY instead of raising — the CDF surface itself never sets
+        # it (a change feed that silently skipped a rewrite would be
+        # wrong), only the appends-only plain stream, where Delta's
+        # skipChangeCommits has exactly this meaning
+        self._skip_restates = str(
+            options.get("skipRestates") or options.get("skiprestates") or ""
+        ).lower() in ("true", "1")
         # admission floor: the highest offset observed in any
         # partitions() call, as an orderable key — (version, 0, units)
         # for a mid-commit files-form offset, (version, 1, 0) for a
@@ -865,12 +874,15 @@ class LakehouseCDFStreamReader(DataSourceStreamReader):
         from lakehouse_test_spark.plans.lakehouse import ts_micros
 
         if c.get("restate"):
-            if c.get("data_change", True):
+            if c.get("data_change", True) and not self._skip_restates:
                 raise RuntimeError(
                     f"commit v{v} ({c['operation']}) is a full rewrite; "
                     "CDF stream cannot express it — restart from a snapshot"
                 )
-            return []  # compaction: no logical change
+            # compaction: no logical change — or a data-changing
+            # rewrite under the plain stream's skipChangeCommits
+            # (Delta's flag: emit only appended data, skip rewrites)
+            return []
         tsu = ts_micros(c.get("ts"))
         parts: list[_FilePartition] = []
         if c.get("dv_files"):
@@ -1248,6 +1260,14 @@ class LakehouseCDFDataSource(DataSource):
 
     def schema(self) -> str:
         _reject_ref_path(self.options["path"])  # fail at load(), loud
+        for k in self.options:
+            if k.lower() in ("skipchangecommits", "skiprestates"):
+                raise ValueError(
+                    f"{k} is a plain-stream (format 'lakehouse') "
+                    "option: a CHANGE FEED that silently skipped a "
+                    "rewrite would be wrong by definition — restates "
+                    "raise here, and consumers restart from a snapshot"
+                )
         logical = str(
             self.options.get("logicalNames")
             or self.options.get("logicalnames")

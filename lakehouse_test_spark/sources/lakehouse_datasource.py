@@ -765,10 +765,13 @@ class LakehouseStreamReader(DataSourceStreamReader):
     append-only table), later appends arrive as micro-batches. A
     deletion-vector commit fails the stream (its rows cannot be
     UN-emitted) unless ``ignoreDeletes=true`` skips it; restates
-    (merge/delete rewrites) always raise — restart from a fresh
-    snapshot, exactly Delta's contract. Compactions
-    (dataChange=false) are skipped silently. Offsets are commit
-    versions, so restarts are exactly-once against the immutable log.
+    (merge/delete rewrites) raise — restart from a fresh snapshot,
+    exactly Delta's contract — unless ``skipChangeCommits=true``
+    (Delta's modern flag, round 10): then the stream emits ONLY
+    appended data, skipping rewrite commits AND delete/DV commits
+    entirely. Compactions (dataChange=false) are skipped silently.
+    Offsets are commit versions, so restarts are exactly-once against
+    the immutable log.
 
     ``startingMode=snapshot`` (round 8) works here too — planning is
     delegated to the CDF reader, so the first micro-batch is the LIVE
@@ -789,7 +792,22 @@ class LakehouseStreamReader(DataSourceStreamReader):
             LakehouseCDFStreamReader,
         )
 
-        self._cdf = LakehouseCDFStreamReader(dict(options), None)
+        # Delta's skipChangeCommits: emit ONLY appended data — plan
+        # data-changing restates as empty (delegated via the internal
+        # skipRestates flag) and silently drop delete/DV partitions
+        # below. Supersedes ignoreDeletes (which skips ONLY deletes
+        # and still raises on rewrites, like Delta's legacy flag).
+        self.skip_change_commits = str(
+            options.get("skipChangeCommits")
+            or options.get("skipchangecommits")
+            or ""
+        ).lower() in ("true", "1")
+        cdf_opts = dict(options)
+        cdf_opts.pop("skipChangeCommits", None)
+        cdf_opts.pop("skipchangecommits", None)
+        if self.skip_change_commits:
+            cdf_opts["skipRestates"] = "true"
+        self._cdf = LakehouseCDFStreamReader(cdf_opts, None)
         path, _ = _parse_ref(options["path"])
         t = _table(path)
         meta = t._read_meta()
@@ -817,12 +835,13 @@ class LakehouseStreamReader(DataSourceStreamReader):
         out = []
         for p in parts:
             if getattr(p, "kind", "insert") in ("delete", "dv"):
-                if self.ignore_deletes:
+                if self.ignore_deletes or self.skip_change_commits:
                     continue
                 raise RuntimeError(
                     f"commit v{p.version} deletes rows; a plain stream "
                     "source cannot un-emit them — set ignoreDeletes=true "
-                    "to skip delete commits, or consume the change feed "
+                    "to skip delete commits (skipChangeCommits=true also "
+                    "skips rewrites), or consume the change feed "
                     "(format 'lakehouse_cdf') instead"
                 )
             out.append(p)

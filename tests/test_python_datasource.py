@@ -588,3 +588,63 @@ def test_starting_version_option(spark, tmp_path):
     assert drain("lakehouse_cdf", "sv_b", startingVersion="1") == 20
     assert drain("lakehouse", "sv_c", startingVersion="2") == 10
     assert drain("lakehouse", "sv_d", startingVersion="earliest") == 30
+
+
+def test_plain_stream_skip_change_commits(spark, tmp_path):
+    """skipChangeCommits (Delta's modern flag, round 10): the plain
+    stream emits ONLY appended data — a data-changing restate plans
+    empty and a DV commit's delete partitions are dropped, instead of
+    failing the stream; post-restate appends still flow, exactly-once
+    across the checkpoint. The CDF surface REJECTS the flag (a change
+    feed that skipped a rewrite would be wrong by definition)."""
+    import pytest
+    from pyspark.sql import functions as F
+
+    from lakehouse_test_spark.plans.lakehouse import LakehouseTable
+    from lakehouse_test_spark.sources.cdf_datasource import (
+        register as register_cdf,
+    )
+    from lakehouse_test_spark.sources.lakehouse_datasource import register
+
+    register(spark)
+    register_cdf(spark)
+    t = LakehouseTable(spark, str(tmp_path / "skipcc"))
+    t.append(spark.range(4).select(F.col("id").alias("k")))  # v0
+    ck, out = str(tmp_path / "ck"), str(tmp_path / "out")
+
+    def run_once():
+        q = (
+            spark.readStream.format("lakehouse")
+            .option("path", str(t.path))
+            .option("skipChangeCommits", "true")
+            .load()
+            .writeStream.format("parquet")
+            .option("path", out)
+            .option("checkpointLocation", ck)
+            .trigger(availableNow=True)
+            .start()
+        )
+        q.awaitTermination(60)
+
+    run_once()  # v0 emitted
+    t.delete_where("k = 1")  # v1: data-changing restate — skipped
+    t.append(spark.range(100, 102).select(F.col("id").alias("k")))  # v2
+    t.delete_where_dv("k = 100")  # v3: DV — skipped
+    t.append(spark.range(200, 202).select(F.col("id").alias("k")))  # v4
+    for _ in range(4):
+        run_once()
+    got = sorted(r["k"] for r in spark.read.parquet(out).collect())
+    # appends only: v0 + v2 + v4 rows, restate/DV never re-emit or
+    # un-emit anything
+    assert got == [0, 1, 2, 3, 100, 101, 200, 201]
+    # idle re-run: no duplicates
+    run_once()
+    assert sorted(r["k"] for r in spark.read.parquet(out).collect()) == got
+    # the change feed refuses the flag, loudly, at load()
+    with pytest.raises(Exception, match="plain-stream"):
+        (
+            spark.readStream.format("lakehouse_cdf")
+            .option("path", str(t.path))
+            .option("skipChangeCommits", "true")
+            .load()
+        )
