@@ -1146,13 +1146,14 @@ class LakehouseTable:
             head = self.latest_version()
             if head >= commit.version:
                 # tail parse, not history(): only commits at/after this
-                # version can conflict, and conflict classification
-                # must work on a retention-cleaned log (the tail always
-                # survives cleaning — cutoff ≤ newest checkpoint ≤ head)
-                inter = [
-                    c
-                    for c in self._commits_between(commit.version - 1, None)
-                ]
+                # version can conflict. On a retention-cleaned log the
+                # window must be COMPLETE — a reclaimed conflicting
+                # commit silently missing from `inter` would let a
+                # stale rebase resurrect rewritten rows — so a base
+                # that fell below the cutoff raises the recipe (replan
+                # from a fresh snapshot), never classifies blind
+                self._check_log_window(commit.version - 1)
+                inter = self._commits_between(commit.version - 1, None)
                 conflicts = [
                     (c.version, c.operation)
                     for c in inter

@@ -236,7 +236,7 @@ def _meta_log_earliest(path: Path) -> int:
     return 0
 
 
-def resolve_ts_start(path: Path, ts: float) -> int:
+def resolve_ts_start(path: Path, ts: float, strict: bool = True) -> int:
     """``startingTimestamp`` → starting offset (version − 1 of the
     FIRST commit at/after ``ts`` — Delta's rule), shared by the batch
     and STREAMING readers so the two surfaces resolve identically.
@@ -251,10 +251,16 @@ def resolve_ts_start(path: Path, ts: float) -> int:
     Loud edges (never a silently wrong feed): a timestamp past the
     newest commit RAISES (Delta's behavior — a typo'd future
     timestamp must not start an empty feed), and a bound at/below the
-    earliest SURVIVING commit's timestamp on a retention-cleaned log
-    RAISES the restart recipe — a reclaimed commit may have matched
-    the bound, so resolving to the earliest survivor would silently
-    drop its changes."""
+    oldest KNOWN-timestamp survivor on a retention-cleaned log RAISES
+    the restart recipe — a reclaimed (or surviving-but-untimestamped)
+    commit may have matched the bound, so resolving to the earliest
+    survivor would silently drop its changes. ``strict=False``
+    (reader CONSTRUCTION: the floor seed) returns the conservative
+    resolution instead of raising on the retention edge — a RESTART
+    never re-reads from the initial offset (the checkpointed
+    ``partitions()`` fast-forwards the floor first), so raising there
+    would brick restarts of caught-up streams; ``initialOffset()``
+    (fresh starts only, by the traced call order) stays strict."""
     import os
 
     vs: list[tuple[int, str]] = []
@@ -302,22 +308,41 @@ def resolve_ts_start(path: Path, ts: float) -> int:
             f"v{newest_known[0]}); use a timestamp at or before the "
             "head (Delta raises the same way)"
         )
+    assert cand is not None  # newest_known[1] >= ts guarantees it
     earliest = _meta_log_earliest(path)
-    if earliest > 0 and oldest_known is not None and ts <= oldest_known[1]:
-        # every surviving commit we saw is at/after the bound, so the
-        # TRUE first-at-or-after may be a reclaimed commit below the
+    if (
+        earliest > 0
+        and oldest_known is not None
+        and cand == oldest_known[0]
+        and ts <= oldest_known[1]
+    ):
+        # the walk never found a survivor BELOW the bound (comparing
+        # against the oldest KNOWN-ts survivor — a ts-None earliest
+        # survivor must not defeat the check), so the TRUE
+        # first-at-or-after may be a reclaimed commit below the
         # retention cutoff — resolving to the survivor would silently
         # omit the reclaimed changes from the feed
-        if cand is not None and cand <= earliest:
+        if strict:
             raise ValueError(
                 f"LogRetentionError: startingTimestamp {ts} is at or "
-                f"before the earliest surviving commit's timestamp "
-                f"(v{earliest}); clean_log reclaimed the commits that "
-                "may match — start from a snapshot "
+                f"before the oldest surviving timestamped commit "
+                f"(v{oldest_known[0]}); clean_log reclaimed the "
+                "commits that may match — start from a snapshot "
                 "(startingMode=snapshot) or a surviving version"
             )
-    assert cand is not None  # newest_known[1] >= ts guarantees it
     return cand - 1
+
+
+def retention_gap_error(version: int) -> RuntimeError:
+    """The one recipe for reading a retention-reclaimed commit —
+    raised by BOTH stream formats' read() paths (the plain reader
+    delegates planning here and must not drift on the message)."""
+    return RuntimeError(
+        f"LogRetentionError: this replay needs commit v{version}, "
+        "whose JSON clean_log reclaimed (below the log-retention "
+        "cutoff); restart the stream from a fresh snapshot "
+        "(startingMode=snapshot)"
+    )
 
 
 def _local_path(path: str) -> str:
@@ -501,15 +526,22 @@ class LakehouseCDFStreamReader(DataSourceStreamReader):
             raise ValueError(
                 f"maxFilesPerTrigger must be positive, got {self.max_files}"
             )
-        # skipRestates (INTERNAL; set by the plain lakehouse stream's
-        # skipChangeCommits option): plan data-changing restates as
-        # EMPTY instead of raising — the CDF surface itself never sets
-        # it (a change feed that silently skipped a rewrite would be
-        # wrong), only the appends-only plain stream, where Delta's
-        # skipChangeCommits has exactly this meaning
-        self._skip_restates = str(
-            options.get("skipRestates") or options.get("skiprestates") or ""
-        ).lower() in ("true", "1")
+        # skipChangeCommits/skipRestates are PLAIN-STREAM semantics: a
+        # change feed that silently skipped a rewrite would be wrong
+        # by definition. Rejected HERE (not only in schema(), which
+        # Spark bypasses when the user supplies an explicit schema) —
+        # the plain reader enables the behavior by setting the private
+        # attribute directly after construction, never via an option a
+        # user could reach.
+        for k in options:
+            if k.lower() in ("skipchangecommits", "skiprestates"):
+                raise ValueError(
+                    f"{k} is a plain-stream (format 'lakehouse') "
+                    "option: the change feed cannot skip rewrites — "
+                    "restates raise, and consumers restart from a "
+                    "snapshot"
+                )
+        self._skip_restates = False
         # admission floor: the highest offset observed in any
         # partitions() call, as an orderable key — (version, 0, units)
         # for a mid-commit files-form offset, (version, 1, 0) for a
@@ -535,8 +567,13 @@ class LakehouseCDFStreamReader(DataSourceStreamReader):
         # before the reader can tell fresh from restart).
         # _initial_offset, not initialOffset: subclasses (the traced
         # wrapper) override the public method to record ENGINE calls,
-        # and this constructor-time computation is not one
-        init = self._initial_offset()  # also validates the option combo
+        # and this constructor-time computation is not one. strict=
+        # False: a RESTARTED stream's constructor must not raise the
+        # startingTimestamp retention edge (its checkpointed
+        # partitions() fast-forwards the floor before anything is
+        # read); fresh starts go through initialOffset(), which is
+        # strict
+        init = self._initial_offset(strict=False)  # validates the combo
         if "mode" not in init:
             self._floor_key = (init["version"], 1, 0)
         # per-version planned-partition cache: latestOffset's capped
@@ -609,7 +646,7 @@ class LakehouseCDFStreamReader(DataSourceStreamReader):
     def initialOffset(self) -> dict:
         return self._initial_offset()
 
-    def _initial_offset(self) -> dict:
+    def _initial_offset(self, strict: bool = True) -> dict:
         # Delta's startingVersion: begin the replay at a chosen commit
         # instead of the table's birth (omit or -0/"earliest" = all).
         # startingTimestamp (round 10, Delta stream parity): begin at
@@ -650,7 +687,11 @@ class LakehouseCDFStreamReader(DataSourceStreamReader):
                 )
             return {"version": -1, "mode": "snapshot"}
         if st is not None:
-            return {"version": resolve_ts_start(self.path, float(st))}
+            return {
+                "version": resolve_ts_start(
+                    self.path, float(st), strict=strict
+                )
+            }
         if sv is None or str(sv).lower() == "earliest":
             return {"version": -1}
         return {"version": int(sv) - 1}
@@ -961,12 +1002,7 @@ class LakehouseCDFStreamReader(DataSourceStreamReader):
 
     def read(self, partition: _FilePartition):
         if partition.kind == "retention_gap":
-            raise RuntimeError(
-                f"LogRetentionError: this replay needs commit "
-                f"v{partition.version}, whose JSON clean_log reclaimed "
-                "(below the log-retention cutoff); restart the stream "
-                "from a fresh snapshot (startingMode=snapshot)"
-            )
+            raise retention_gap_error(partition.version)
         if not partition.file:
             return
         import pyarrow.parquet as pq

@@ -792,22 +792,31 @@ class LakehouseStreamReader(DataSourceStreamReader):
             LakehouseCDFStreamReader,
         )
 
-        # Delta's skipChangeCommits: emit ONLY appended data — plan
-        # data-changing restates as empty (delegated via the internal
-        # skipRestates flag) and silently drop delete/DV partitions
-        # below. Supersedes ignoreDeletes (which skips ONLY deletes
-        # and still raises on rewrites, like Delta's legacy flag).
+        # Delta's skipChangeCommits: emit ONLY appended data — the
+        # delegated CDF planner plans data-changing restates as empty
+        # (its private _skip_restates attribute, set directly below:
+        # the CDF reader REJECTS any option spelling of this, so the
+        # behavior is unreachable on the change-feed surface) and the
+        # delete/DV partitions are dropped in partitions(). Supersedes
+        # ignoreDeletes (which skips ONLY deletes and still raises on
+        # rewrites, like Delta's legacy flag).
         self.skip_change_commits = str(
             options.get("skipChangeCommits")
             or options.get("skipchangecommits")
             or ""
         ).lower() in ("true", "1")
         cdf_opts = dict(options)
-        cdf_opts.pop("skipChangeCommits", None)
-        cdf_opts.pop("skipchangecommits", None)
-        if self.skip_change_commits:
-            cdf_opts["skipRestates"] = "true"
+        for k in list(cdf_opts):
+            if k.lower() == "skipchangecommits":
+                cdf_opts.pop(k)
+            elif k.lower() == "skiprestates":
+                raise ValueError(
+                    f"{k} is not an option: use skipChangeCommits=true "
+                    "(Delta's flag) to skip rewrite and delete commits"
+                )
         self._cdf = LakehouseCDFStreamReader(cdf_opts, None)
+        if self.skip_change_commits:
+            self._cdf._skip_restates = True
         path, _ = _parse_ref(options["path"])
         t = _table(path)
         meta = t._read_meta()
@@ -858,12 +867,11 @@ class LakehouseStreamReader(DataSourceStreamReader):
             # JSON clean_log reclaimed — replaying past it would lose
             # its rows, so fail at read (plan-time raising would brick
             # clean restarts of committed batches)
-            raise RuntimeError(
-                f"LogRetentionError: this replay needs commit "
-                f"v{partition.version}, whose JSON clean_log reclaimed; "
-                "restart the stream from a fresh snapshot "
-                "(startingMode=snapshot)"
+            from lakehouse_test_spark.sources.cdf_datasource import (
+                retention_gap_error,
             )
+
+            raise retention_gap_error(partition.version)
         if not partition.file:
             return
         import pyarrow as pa

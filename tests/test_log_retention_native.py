@@ -399,3 +399,149 @@ def test_caughtup_stream_restarts_after_clean_log(spark, tmp_path):
     got = sorted(r["k"] for r in spark.read.parquet(out).collect())
     want = sorted(r["k"] for r in t.snapshot().collect())
     assert got == want
+
+
+def test_starting_timestamp_stream_restarts_after_clean_log(spark, tmp_path):
+    """Review fix: a checkpointed startingTimestamp stream must
+    RESTART cleanly after clean_log reclaimed the commits around its
+    original bound (the constructor resolves tolerantly; the floor
+    fast-forwards from the checkpoint before anything is read) — while
+    a FRESH start with the same now-reclaimed bound raises."""
+    import json as _json
+
+    from lakehouse_test_spark.sources.cdf_datasource import register
+
+    register(spark)
+    t = LakehouseTable(spark, str(tmp_path / "ttr"))
+    base = 1_700_000_000
+    for i in range(4):
+        t.append(spark.range(i, i + 1).select(F.col("id").alias("k")).coalesce(1))
+    for p in sorted(t.log_dir.glob("*.json")):
+        d = _json.loads(p.read_text())
+        d["ts"] = float(base + 3600 * d["version"])
+        p.write_text(_json.dumps(d))
+    ck, out = str(tmp_path / "ck"), str(tmp_path / "out")
+    ts_opt = repr(float(base + 3600 * 1))
+
+    def run_once(ckpt):
+        q = (
+            spark.readStream.format("lakehouse_cdf")
+            .option("path", str(t.path))
+            .option("startingTimestamp", ts_opt)
+            .load()
+            .writeStream.format("parquet")
+            .option("path", out)
+            .option("checkpointLocation", ckpt)
+            .trigger(availableNow=True)
+            .start()
+        )
+        q.awaitTermination(60)
+
+    run_once(ck)  # fresh start at v1, catches up to head
+    # roll forward with PINNED timestamps, CATCH UP, then clean past
+    # the original bound (the stream must not need the reclaimed
+    # window — that's the caught-up-restart case under repair here;
+    # a lagging stream still raises, tested elsewhere)
+    for i in range(4, 18):
+        t.append(spark.range(i, i + 1).select(F.col("id").alias("k")).coalesce(1))
+        p = t.log_dir / f"{i:020d}.json"
+        d = _json.loads(p.read_text())
+        d["ts"] = float(base + 3600 * i)
+        p.write_text(_json.dumps(d))
+    for _ in range(3):
+        run_once(ck)  # drain to the head before cleaning
+    t.checkpoint()
+    t.clean_log(keep_versions=3)
+    assert t._log_earliest() >= 15
+    t.append(spark.range(900, 902).select(F.col("id").alias("k")).coalesce(1))
+    run_once(ck)  # RESTART from the same checkpoint: must not raise
+    run_once(ck)
+    got = sorted(r["k"] for r in spark.read.parquet(out).collect())
+    # everything after v0 (the original resolved start): single-key
+    # appends v1..v17 plus the two post-clean rows — spelled out
+    # because the native cursor from v0 now (correctly) raises the
+    # retention recipe on this cleaned log
+    assert got == list(range(1, 18)) + [900, 901]
+    # a FRESH start with the same bound is loud: the matching commits
+    # were reclaimed
+    with pytest.raises(Exception, match="LogRetention"):
+        run_once(str(tmp_path / "ck_fresh"))
+
+
+def test_partial_rewrite_with_reclaimed_base_raises(spark, tmp_path):
+    """Review fix: a partial rewrite whose read base fell BELOW the
+    retention cutoff while it was in flight must raise the recipe —
+    classifying conflicts from the surviving tail alone could miss a
+    reclaimed restate and let a stale rebase resurrect rewritten
+    rows."""
+    from lakehouse_test_spark.plans.lakehouse import LogRetentionError
+
+    t = _mk(spark, tmp_path / "stale", n=4)
+    bin_files = [f for _c, f in t._live_files()][:1]
+    fired = {"n": 0}
+
+    def stall_then_roll():
+        if fired["n"] == 0:
+            fired["n"] += 1
+            t2 = LakehouseTable(spark, str(t.path))
+            for i in range(12):
+                t2.append(
+                    spark.range(500 + i, 501 + i).select(F.col("id").alias("k"))
+                )
+            t2.checkpoint()
+            t2.clean_log(keep_versions=2)
+
+    t._pre_publish_hook = stall_then_roll
+    with pytest.raises(LogRetentionError):
+        t.compact_files(bin_files)
+    t._pre_publish_hook = None
+
+
+def test_skip_restates_unreachable_as_option(spark, tmp_path):
+    """Review fix: no option spelling reaches the CDF planner's
+    skip-restates behavior — the CDF reader rejects both spellings at
+    CONSTRUCTION (so an explicit user schema, which bypasses
+    DataSource.schema(), cannot smuggle it in), and the plain stream
+    rejects the internal name with a pointer to skipChangeCommits."""
+    from lakehouse_test_spark.sources.cdf_datasource import (
+        LakehouseCDFStreamReader,
+        register,
+    )
+    from lakehouse_test_spark.sources.lakehouse_datasource import (
+        register as register_lh,
+    )
+
+    register(spark)
+    register_lh(spark)
+    t = LakehouseTable(spark, str(tmp_path / "skipopt"))
+    t.append(spark.range(3).select(F.col("id").alias("k")))
+    for opt in ("skipRestates", "skipChangeCommits"):
+        with pytest.raises(ValueError, match="plain-stream"):
+            LakehouseCDFStreamReader({"path": str(t.path), opt: "true"}, None)
+    # explicit-schema load (bypasses schema()) still fails at start
+    with pytest.raises(Exception, match="plain-stream"):
+        q = (
+            spark.readStream.format("lakehouse_cdf")
+            .schema("k bigint, _change_type string, _commit_version int, "
+                    "_commit_timestamp timestamp")
+            .option("path", str(t.path))
+            .option("skipRestates", "true")
+            .load()
+            .writeStream.format("noop")
+            .option("checkpointLocation", str(tmp_path / "ckx"))
+            .trigger(availableNow=True)
+            .start()
+        )
+        q.awaitTermination(30)
+    with pytest.raises(Exception, match="skipChangeCommits"):
+        q = (
+            spark.readStream.format("lakehouse")
+            .option("path", str(t.path))
+            .option("skipRestates", "true")
+            .load()
+            .writeStream.format("noop")
+            .option("checkpointLocation", str(tmp_path / "cky"))
+            .trigger(availableNow=True)
+            .start()
+        )
+        q.awaitTermination(30)
