@@ -190,6 +190,11 @@ def build_parser() -> argparse.ArgumentParser:
     pipe.add_argument("--max-files-per-trigger", type=positive_int,
                       default=None, metavar="M",
                       help="cap each micro-batch at M planned file units")
+    pipe.add_argument("--until-caught-up", action="store_true",
+                      help="loop AvailableNow runs until the checkpointed "
+                           "cursor reaches the source log head (each run "
+                           "is exactly-once; caps apply per run) — one "
+                           "invocation drains any backlog depth")
     return p
 
 
@@ -485,17 +490,49 @@ def main(argv: list[str] | None = None, spark=None) -> int:
                 reader = reader.option(
                     "maxFilesPerTrigger", str(args.max_files_per_trigger)
                 )
-            q = (
-                reader.load()
-                .writeStream.foreachBatch(_apply)
-                .option("checkpointLocation", args.checkpoint)
-                .trigger(availableNow=True)
-                .start()
-            )
-            q.awaitTermination()
+            stream_df = reader.load()
+
+            def _last_commit_id() -> int:
+                # newest committed micro-batch id in the checkpoint —
+                # the engine's own exactly-once ledger, so "a run
+                # advanced it" is the authoritative progress signal
+                # regardless of offset form (version vs files)
+                import os as _os
+
+                try:
+                    with _os.scandir(
+                        _os.path.join(args.checkpoint, "commits")
+                    ) as it:
+                        return max(
+                            (int(e.name) for e in it if e.name.isdigit()),
+                            default=-1,
+                        )
+                except FileNotFoundError:
+                    return -1
+
+            # The Python DataSource streaming API pins the end offset
+            # ONCE per AvailableNow run, so a single run advances at
+            # most one admission cap. --until-caught-up closes the
+            # operational gap one level up (Delta's maxFilesPerTrigger
+            # + AvailableNow analog): loop runs — each exactly-once,
+            # resumable mid-loop — until a run commits no new batch,
+            # i.e. the cursor has reached the log head.
+            runs = 0
+            while True:
+                before = _last_commit_id()
+                q = (
+                    stream_df.writeStream.foreachBatch(_apply)
+                    .option("checkpointLocation", args.checkpoint)
+                    .trigger(availableNow=True)
+                    .start()
+                )
+                q.awaitTermination()
+                runs += 1
+                if not args.until_caught_up or _last_commit_id() == before:
+                    break
             print(
                 f"Applied {applied['rows']} net change row(s) in "
-                f"{applied['batches']} micro-batch(es)"
+                f"{applied['batches']} micro-batch(es) over {runs} run(s)"
             )
             print(f"Sink version: {sink.latest_version()}")
         elif args.verb == "curate":

@@ -569,6 +569,13 @@ def export_delta_log(
         log_dir.mkdir(parents=True)
         history = table.history()
     else:
+        # log-retention window guard (r10 ADVICE): if the exported
+        # head lags below the clean_log cutoff, _commits_between would
+        # silently OMIT the reclaimed commits and the export would be
+        # silently incomplete — the exact truncated-replay hazard the
+        # retention guards exist to prevent. Raise the recipe instead
+        # (the full-export path raises through history() already).
+        table._check_log_window(resume[0])
         history = table._commits_between(resume[0], None)
     has_dv = any(c.dv_files for c in history)
     exported_protocol: dict | None = None

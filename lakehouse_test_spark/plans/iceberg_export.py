@@ -1056,6 +1056,13 @@ def export_iceberg_metadata(
     # likewise resumed below from the exported metadata + the
     # persisted fold state, not re-folded from v0).
     native_head = table.latest_version()
+    if resume_md is not None:
+        # log-retention window guard (r10 ADVICE): a resume point
+        # below the clean_log cutoff means _commits_between would
+        # silently drop the reclaimed commits' appends/rewrites from
+        # the exported snapshot chain. Raise the recipe — the
+        # degrade-to-full paths already raise correctly via history().
+        table._check_log_window(resume_head)
     history = (
         table.history()
         if resume_md is None

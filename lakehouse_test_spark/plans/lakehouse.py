@@ -560,7 +560,11 @@ class LakehouseTable:
                 keep = self._read_meta().get("log_retention_versions")
                 if keep:
                     self.clean_log(keep_versions=int(keep))
-            except OSError:
+            except (OSError, ValueError, KeyError, json.JSONDecodeError):
+                # never-a-gate: a corrupt _meta.json (JSONDecodeError)
+                # or a mangled keep value (ValueError) must not fail
+                # the append/stream-sink commit path — same tolerance
+                # clean_log applies to its own pointer reads
                 pass
 
     def _stream_batch_high(self, prefix: str) -> int:
@@ -580,7 +584,13 @@ class LakehouseTable:
             # the pointer's txn map may predate the flag (label-blind
             # fold above buried legacy markers) — scan the full log
             # during the migration session; checkpoint() under the
-            # flag persists the recovered map and retires this cost
+            # flag persists the recovered map and retires this cost.
+            # On a retention-cleaned log that full scan would be
+            # silently TRUNCATED: a legacy marker in a reclaimed JSON
+            # is lost, so writer replay-dedup could re-apply an
+            # already-committed micro-batch (duplicate rows). Fail the
+            # migration session loudly instead (r10 ADVICE).
+            self.require_full_history("legacy txn-marker migration scan")
             high, after = -1, -1
         for c in self._commits_between(after, None):
             t = txn_marker(c, self.legacy_txn_compat)

@@ -52,6 +52,7 @@ import lakehouse_test_spark.queries_wave37  # noqa: F401
 import lakehouse_test_spark.queries_wave38  # noqa: F401
 import lakehouse_test_spark.queries_wave39  # noqa: F401
 import lakehouse_test_spark.queries_wave40  # noqa: F401
+import lakehouse_test_spark.queries_wave41  # noqa: F401
 import lakehouse_test_spark.sources.python_datasource  # noqa: F401
 import lakehouse_test_spark.queries_dq  # noqa: F401
 

@@ -1181,7 +1181,12 @@ class LakehouseCDFBatchReader(DataSourceReader):
     ``startingVersion`` (or ``earliest``/``-1``) is the INITIAL LOAD:
     the net live snapshot as of ``endingVersion`` (head by default),
     every row an ``insert`` under its owning commit's version —
-    exactly the native initial-load contract. A data-changing restate
+    exactly the native initial-load contract. An EXPLICIT
+    ``startingVersion=0`` (or a ``startingTimestamp`` resolving to the
+    first commit) is NOT the initial load: it is the incremental
+    window "every change since the table's birth", per-commit history
+    including deletes — identical to the STREAM surface replaying from
+    offset ``{"version": -1}``. A data-changing restate
     inside an INCREMENTAL window raises (row deltas cannot express a
     rewrite); the initial load tolerates backlog restates by
     construction. Planning and row decode are the STREAM reader's own
@@ -1203,10 +1208,20 @@ class LakehouseCDFBatchReader(DataSourceReader):
             raise ValueError(
                 "pass at most one of endingVersion/endingTimestamp"
             )
-        if sv is not None and str(sv).lower() != "earliest":
-            self.since = int(sv) - 1
-        else:
+        # initial-load vs from-birth history: omitted / "earliest" /
+        # "-1" mean INITIAL LOAD (net snapshot), but an EXPLICIT
+        # startingVersion=0 — or a startingTimestamp at/before the
+        # first commit — is the incremental window "every change from
+        # the table's first commit" (Delta readChangeFeed parity, and
+        # byte-equal to the STREAM surface's {"version": -1} replay).
+        # since=-1 alone cannot carry both meanings, so the sentinel
+        # is an explicit flag, never an overloaded cursor value.
+        if sv is None or str(sv).lower() in ("earliest", "-1"):
+            self.initial_load = st is None  # a ts start is incremental
             self.since = -1
+        else:
+            self.initial_load = False
+            self.since = int(sv) - 1
         self.upto = int(ev) if ev is not None else None
         # timestamp forms resolve against the commit log's recorded ts
         # (Delta's rule: startingTimestamp = the first commit AT or
@@ -1255,10 +1270,17 @@ class LakehouseCDFBatchReader(DataSourceReader):
             vs.sort(reverse=True)
             if not vs:
                 raise ValueError(f"no commits under {self._r.path}")
-            # newest commit at/before the end bound
+            # newest commit at/before the end bound; legacy ts-None
+            # commits are SKIPPED as unknown-time (mirroring
+            # resolve_ts_start) — treating them as epoch 0 would let
+            # an untimestamped commit that POSTDATES the bound match
+            # and stop the newest-first walk early
             found = None
             for v, p in vs:
-                if (json.loads(Path(p).read_text()).get("ts") or 0.0) <= self._upto_ts:
+                ts = json.loads(Path(p).read_text()).get("ts")
+                if ts is None:
+                    continue
+                if ts <= self._upto_ts:
                     found = v
                     break
             if found is None:
@@ -1275,7 +1297,7 @@ class LakehouseCDFBatchReader(DataSourceReader):
             since, upto = self._resolve_ts_bounds(since, upto)
         if upto is None:
             upto = self._r._log_head()  # scandir max, no JSON parses
-        if since < 0:
+        if self.initial_load:
             return list(self._r._snapshot_partitions(upto))
         if upto <= since:
             return [_FilePartition("insert", "", upto)]

@@ -343,6 +343,36 @@ def test_resolve_ts_start_none_ts_and_retention_edges(spark, tmp_path):
     assert resolve_ts_start(t2.path, float(BASE_TS + 3600 * 10)) == 9
 
 
+def test_ending_timestamp_skips_none_ts_commits(spark, tmp_path):
+    """r10 ADVICE (low): the endingTimestamp newest-first walk must
+    SKIP legacy ts-None commits like resolve_ts_start does — treating
+    them as epoch 0 let an untimestamped commit that may POSTDATE the
+    bound match and stop the walk (here: bound between v0 and v2
+    would have resolved to the ts-None v1 instead of v0)."""
+    from lakehouse_test_spark.plans.lakehouse import LakehouseTable
+    from lakehouse_test_spark.sources.cdf_datasource import register
+
+    register(spark)
+    t = LakehouseTable(spark, str(tmp_path / "etnone"))
+    for i in range(3):
+        t.append(
+            spark.range(i * 10, i * 10 + 2).select(F.col("id").alias("k")).coalesce(1)
+        )
+    _pin_commit_ts(t, drop_for={1})  # v1 is legacy-untimestamped
+    got = (
+        spark.read.format("lakehouse_cdf")
+        .option("path", str(t.path))
+        .option("startingVersion", "0")
+        .option("endingTimestamp", repr(float(BASE_TS + 10)))
+        .load()
+        .collect()
+    )
+    # bound lands between v0 and v2 → newest at/before is v0 (the
+    # unknown-time v1 must not match), so only v0's inserts appear
+    assert sorted(r["k"] for r in got) == [0, 1]
+    assert {r["_commit_version"] for r in got} == {0}
+
+
 def test_all_none_ts_log_raises_for_timestamp_start(spark, tmp_path):
     from lakehouse_test_spark.plans.lakehouse import LakehouseTable
     from lakehouse_test_spark.sources.cdf_datasource import resolve_ts_start

@@ -289,6 +289,54 @@ def test_cli_pipe_apply_is_distributed_and_version_ordered(spark, tmp_path):
     assert got2 == got
 
 
+def test_cli_pipe_until_caught_up_drains_backlog(spark, tmp_path, capsys):
+    """r10 verdict #2: one `pipe --until-caught-up` invocation drains
+    an arbitrarily deep capped backlog (the Python DataSource API pins
+    the end offset once per AvailableNow run, so the CLI loops runs —
+    each exactly-once — until a run commits no new batch). 30-commit
+    backlog at maxVersionsPerTrigger=5 → ≥6 runs, fully drained;
+    restart mid-loop stays exactly-once; an idle re-run is one no-op
+    run."""
+    import re
+
+    from pyspark.sql import functions as F
+
+    from lakehouse_test_spark.cli import main
+    from lakehouse_test_spark.plans.lakehouse import LakehouseTable
+
+    src = LakehouseTable(spark, str(tmp_path / "srcb"))
+    src.append(spark.range(5).select(F.col("id").alias("k")))
+    sink, ck = str(tmp_path / "sinkb"), str(tmp_path / "ckb")
+    base = [
+        "pipe", "--source", str(src.path), "--sink", sink,
+        "--checkpoint", ck, "--merge-key", "k",
+        "--max-versions-per-trigger", "5",
+    ]
+    assert main(base, spark=spark) in (0, None)  # seed at v0
+    capsys.readouterr()
+    # 30-commit backlog (one delete in the middle: order must hold)
+    for i in range(29):
+        src.append(spark.range(100 + i, 101 + i).select(F.col("id").alias("k")))
+    src.delete_where_dv("k = 100")  # commit 30 of the backlog
+    # mid-loop "crash": a single capped run advances one cap only...
+    assert main(base, spark=spark) in (0, None)
+    capsys.readouterr()
+    # ...and the loop resumes from the checkpoint, exactly-once
+    assert main(base + ["--until-caught-up"], spark=spark) in (0, None)
+    out = capsys.readouterr().out
+    runs = int(re.search(r"over (\d+) run\(s\)", out).group(1))
+    assert runs >= 6  # 25 remaining versions / cap 5 + the no-op run
+    got = sorted(r["k"] for r in LakehouseTable(spark, sink).snapshot().collect())
+    want = sorted(r["k"] for r in src.snapshot().collect())
+    assert got == want and 100 not in got
+    # idle invocation: exactly one no-op run, nothing re-applied
+    assert main(base + ["--until-caught-up"], spark=spark) in (0, None)
+    out = capsys.readouterr().out
+    assert "over 1 run(s)" in out and "Applied 0 net change row(s)" in out
+    got2 = sorted(r["k"] for r in LakehouseTable(spark, sink).snapshot().collect())
+    assert got2 == got
+
+
 def test_delete_keys_dv_api(spark, tmp_path):
     """delete_keys_dv: distributed key-set DV delete — quote-bearing
     and absent keys, dedup of the key frame, no-op on zero matches."""

@@ -152,6 +152,53 @@ def test_expire_composes_with_incremental_resume(spark, tmp_path):
         export_iceberg_metadata(spark, t, expire_keep_last=0)
 
 
+def test_expire_composes_with_native_log_retention(spark, tmp_path):
+    """r10 verdict #6: BOTH lifecycles delete state — export-side
+    expiration prunes snapshots while NATIVE clean_log reclaims commit
+    JSONs. Composed per-micro-batch loop (commit → checkpoint →
+    clean_log → export+expire): every export must resume O(tail) from
+    the EXPORTED metadata and never emit a gap (cold read == native
+    snapshot after every call). When the native log is cleaned PAST
+    the export's resume cursor the exporter must degrade LOUDLY
+    (LogRetentionError recipe) and leave the previously exported
+    metadata intact and readable — never a silently shortened chain."""
+    from lakehouse_test_spark.plans.lakehouse import LogRetentionError
+
+    t = _mk(spark, tmp_path, "bothlife", commits=4)
+    export_iceberg_metadata(spark, t, expire_keep_last=2)
+    for i in range(6):
+        t.append(
+            spark.range(2000 + i, 2001 + i)
+            .select(F.col("id").alias("k"), (F.col("id") * 2.0).alias("v"))
+            .coalesce(1)
+        )
+        t.checkpoint()
+        # cutoff lands at head-1 = the resume cursor's window floor:
+        # the tightest clean that keeps the resume legal
+        t.clean_log(keep_versions=2)
+        export_iceberg_metadata(spark, t, expire_keep_last=2)
+        md = _md(t)
+        assert len(md["snapshots"]) == 2
+        assert md["current-snapshot-id"] == _snapshot_id(t.latest_version())
+        got = sorted(r["k"] for r in read_iceberg(spark, str(t.path)).collect())
+        assert got == sorted(r["k"] for r in t.snapshot().collect())
+    last_good = read_iceberg(spark, str(t.path)).count()
+    # lagging resume: 5 unexported commits, then clean past the cursor
+    for i in range(5):
+        t.append(
+            spark.range(3000 + i, 3001 + i)
+            .select(F.col("id").alias("k"), (F.col("id") * 2.0).alias("v"))
+            .coalesce(1)
+        )
+    t.checkpoint()
+    t.clean_log(keep_versions=1)
+    with pytest.raises(LogRetentionError, match="fresh snapshot"):
+        export_iceberg_metadata(spark, t, expire_keep_last=2)
+    # the exported chain is untouched by the failed call: still
+    # cold-readable at its last exported head
+    assert read_iceberg(spark, str(t.path)).count() == last_good
+
+
 def test_compact_manifests_merges_head_list(spark, tmp_path):
     """compact_manifests_above=N (rewrite_manifests analog): the head
     snapshot's data manifests merge into one per partition spec —

@@ -183,6 +183,59 @@ def test_full_export_raises_incremental_unaffected(spark, tmp_path):
         export_delta_log(spark, t)
 
 
+def test_delta_export_lagging_resume_raises(spark, tmp_path):
+    """r10 ADVICE (high): an incremental Delta export whose exported
+    head lags BELOW the clean_log cutoff must raise the recipe —
+    _commits_between would otherwise silently omit the reclaimed
+    commits and the export would be silently incomplete. (The
+    companion test above pins that a CURRENT resume is unaffected.)"""
+    from lakehouse_test_spark.plans.delta_export import export_delta_log
+
+    t = _mk(spark, tmp_path / "lagexp", n=3)
+    export_delta_log(spark, t)  # exported head = v2
+    for i in range(20):
+        t.append(spark.range(800 + i, 801 + i).select(F.col("id").alias("k")))
+    t.checkpoint()
+    t.clean_log(keep_versions=2)  # earliest ≥ 21 ≫ exported head 2
+    assert t._log_earliest() > 3
+    with pytest.raises(LogRetentionError, match="fresh snapshot"):
+        export_delta_log(spark, t)
+
+
+def test_iceberg_export_lagging_resume_raises(spark, tmp_path):
+    """Same guard on the Iceberg exporter's resume branch: a resume
+    point below the retention cutoff must never silently drop the
+    reclaimed commits' appends from the exported snapshot chain."""
+    from lakehouse_test_spark.plans.iceberg_export import (
+        export_iceberg_metadata,
+    )
+
+    t = _mk(spark, tmp_path / "lagice", n=3)
+    export_iceberg_metadata(spark, t)
+    for i in range(20):
+        t.append(spark.range(800 + i, 801 + i).select(F.col("id").alias("k")))
+    t.checkpoint()
+    t.clean_log(keep_versions=2)
+    assert t._log_earliest() > 3
+    with pytest.raises(LogRetentionError, match="fresh snapshot"):
+        export_iceberg_metadata(spark, t)
+
+
+def test_legacy_txn_migration_raises_on_cleaned_log(spark, tmp_path):
+    """r10 ADVICE (medium): legacy_txn_compat's full-log txn-marker
+    scan on a retention-cleaned log would silently lose markers in
+    reclaimed JSONs — writer replay-dedup could then re-apply an
+    already-committed micro-batch (duplicate rows). The migration
+    session must fail loudly; the default (non-compat) path stays
+    O(tail) and keeps working."""
+    t = _mk(spark, tmp_path / "legtxn", n=12)
+    t.clean_log(keep_versions=3)
+    assert t._stream_batch_high("sinkA") == -1  # default path: fine
+    tc = LakehouseTable(spark, str(t.path), legacy_txn_compat=True)
+    with pytest.raises(LogRetentionError, match="full commit history"):
+        tc._stream_batch_high("sinkA")
+
+
 def test_post_clean_maintenance_still_works(spark, tmp_path):
     t = _mk(spark, tmp_path / "maint", n=12)
     t.clean_log(keep_versions=3)

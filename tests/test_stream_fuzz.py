@@ -345,6 +345,110 @@ def test_stream_fuzz_schema_evolution_backlog(spark, tmp_path):
         )
 
 
+def test_stream_fuzz_log_retention_interplay(spark, tmp_path):
+    """r10 verdict #3: clean_log is the newest feature that can delete
+    state under a live stream — the interplay class (new feature ×
+    caps × restarts) that bit r6/r8. 3 seeded scripts mix retention
+    events into the BACKLOG (seed must plan from checkpoint + tail)
+    and the LIVE phase (a caught-up stream must drain exactly-once
+    THROUGH the event); the epilogue pins the lagging side: a clean
+    past the stream's floor makes the restart RAISE the recipe,
+    never skip the reclaimed window."""
+    import pytest
+
+    register_cdf(spark)
+    for seed in (5, 17, 29):
+        rng = random.Random(seed * 6007 + 3)
+        t = LakehouseTable(spark, str(tmp_path / f"retfuzz{seed}" / "t"))
+        lo = _apply_op(spark, t, rng, "append", 0)
+        for _ in range(rng.randint(3, 5)):
+            op = rng.choice(["append", "append", "dv", "restate", "compact"])
+            lo = _apply_op(spark, t, rng, op, lo)
+        # retention event IN THE BACKLOG: the snapshot seed plans from
+        # checkpoint + tail, so reclaimed backlog JSONs must not matter
+        t.checkpoint()
+        t.clean_log(keep_versions=rng.randint(1, 2))
+        if t.snapshot().count() == 0:
+            lo = _apply_op(spark, t, rng, "append", lo)
+        work = tempfile.mkdtemp(prefix=f"retfuzz_{seed}_")
+        ck, out = f"{work}/ck", f"{work}/out"
+        cap = rng.choice(
+            [
+                None,
+                {"maxVersionsPerTrigger": rng.randint(1, 2)},
+                {"maxFilesPerTrigger": rng.randint(2, 3)},
+            ]
+        )
+        _drain_available_now(spark, str(t.path), ck, out, cap)
+        seedv = t.latest_version()
+        # capture the native seed NOW: after the live-phase clean the
+        # seedv snapshot may be below the cutoff (time travel there
+        # raises by contract), but the stream's sink must still equal
+        # what it actually consumed — this frozen copy + the tail
+        want_seed = _rows(
+            t.read_changes_cdf(-1, upto_version=seedv).collect()
+        )
+        # live ops, stream kept caught up, then a retention event that
+        # keeps the post-seed tail (cutoff lands at/below seedv+1 so
+        # the native tail reconstruction below stays readable)
+        for _ in range(rng.randint(2, 4)):
+            op = rng.choice(["append", "append", "dv", "compact"])
+            lo = _apply_op(spark, t, rng, op, lo)
+        for _ in range(16 if cap else 2):
+            _drain_available_now(spark, str(t.path), ck, out, cap)
+        t.checkpoint()
+        t.clean_log(keep_versions=max(1, t.latest_version() - seedv))
+        # the caught-up stream drains THROUGH the retention event
+        for _ in range(rng.randint(1, 2)):
+            lo = _apply_op(spark, t, rng, rng.choice(["append", "dv"]), lo)
+        for _ in range(16 if cap else 2):
+            _drain_available_now(spark, str(t.path), ck, out, cap)
+        got = _rows(spark.read.parquet(out).collect())
+        want = sorted(want_seed + _rows(t.read_changes_cdf(seedv).collect()))
+        assert got == want, (
+            f"seed {seed} (cap={cap}, seedv={seedv}): feed diverged "
+            f"across retention events\n got={got}\nwant={want}"
+        )
+        # LAGGING epilogue: roll past the stream, clean past its floor
+        for _ in range(6):
+            lo = _apply_op(spark, t, rng, "append", lo)
+        t.checkpoint()
+        t.clean_log(keep_versions=1)
+        assert t._log_earliest() > seedv + 1
+        with pytest.raises(Exception, match="LogRetention|fresh snapshot"):
+            _drain_available_now(spark, str(t.path), ck, out, cap)
+
+
+def test_stream_caughtup_through_auto_retention(spark, tmp_path):
+    """set_log_retention's auto-cadence (clean_log piggybacked on the
+    checkpoint interval) fires UNDER a caught-up stream: the stream
+    keeps draining exactly-once through the automatic reclaim — the
+    expected rows are accumulated per commit BEFORE retention can
+    touch them, so the assertion is independent of what survives."""
+    register_cdf(spark)
+    t = LakehouseTable(spark, str(tmp_path / "autoret"))
+    t.append(spark.range(3).select(F.col("id").alias("k")))
+    work = tempfile.mkdtemp(prefix="autoret_")
+    ck, out = f"{work}/ck", f"{work}/out"
+    _drain_available_now(spark, str(t.path), ck, out, None)
+    want = _rows(t.read_changes_cdf(-1, upto_version=0).collect())
+    t.set_log_retention(3)
+    rng = random.Random(4242)
+    lo = 100
+    for i in range(12):  # crosses v10: auto checkpoint + clean_log
+        if rng.random() < 0.25:
+            t.delete_where_dv(f"k % 7 = {rng.randint(0, 6)}")
+        else:
+            t.append(spark.range(lo, lo + 2).select(F.col("id").alias("k")))
+            lo += 2
+        head = t.latest_version()
+        want += _rows(t.read_changes_cdf(head - 1).collect())
+        _drain_available_now(spark, str(t.path), ck, out, None)
+    assert t._log_earliest() > 0  # the auto-reclaim really fired
+    got = _rows(spark.read.parquet(out).collect())
+    assert got == sorted(want)
+
+
 def _wait_offsets(ck, timeout=60):
     import json
     import time
