@@ -191,30 +191,42 @@ def shingle_hashes(
     return toks.select(F.col(id_col), F.array_distinct(sh).alias("shl"))
 
 
-def _signature_cols(num_perms: int = NUM_PERMS) -> list[Column]:
-    """MinHash signature columns over a ``shl`` shingle-hash array:
-    per permutation i, min over shingles of xxhash64(i, h) — the
-    i-salted rehash stands in for an independent permutation."""
-    return [
-        F.array_min(
-            F.transform(F.col("shl"), lambda h: F.xxhash64(F.lit(i), h))
-        ).alias(f"mh{i}")
-        for i in range(num_perms)
-    ]
+def _signature_col(num_perms: int = NUM_PERMS) -> Column:
+    """MinHash signature as ONE array column over a ``shl``
+    shingle-hash array: sig[i] = min over shingles of xxhash64(i, h)
+    — the i-salted rehash stands in for an independent permutation.
+
+    One nested higher-order expression instead of ``num_perms``
+    generated columns (round 11): the flat 64-column shape built a
+    ~4000-node expression tree whose Catalyst analysis alone cost
+    ~1.0 s per query construction on the driver — load-sensitive
+    driver CPU that showed up as the r8–r10 bench oscillation
+    (1.69–2.31 s with an unchanged executor plan). The array form
+    analyzes in ~0.27 s with byte-identical hash values (the
+    ``sequence`` elements are int-typed like the old ``lit(i)``
+    seeds, verified by an exact output-parity probe)."""
+    return F.transform(
+        F.sequence(F.lit(0), F.lit(num_perms - 1)),
+        lambda i: F.array_min(
+            F.transform(F.col("shl"), lambda h: F.xxhash64(i, h))
+        ),
+    ).alias("sig")
 
 
 def minhash_signatures(
     docs: DataFrame, id_col: str = "doc_id", text_col: str = "text", num_perms: int = NUM_PERMS
 ) -> DataFrame:
-    """Per-doc MinHash signature, computed entirely map-side.
+    """Per-doc MinHash signature (``sig``: array<bigint> of length
+    ``num_perms``), computed entirely map-side.
 
-    Scale: array_min(transform(...)) per permutation keeps the whole
-    signature stage inside one projection — zero shuffle (the old
-    explode+groupBy shape shuffled O(docs×perms) partials). Docs with
-    no shingles (<3 tokens) carry no signature and are dropped.
-    """
+    Scale: the whole signature stage is one projection — zero shuffle
+    (the old explode+groupBy shape shuffled O(docs×perms) partials).
+    Docs with no shingles (<3 tokens) carry no signature and are
+    dropped."""
     shl = shingle_hashes(docs, id_col, text_col)
-    return shl.where(F.size("shl") > 0).select(F.col(id_col), *_signature_cols(num_perms))
+    return shl.where(F.size("shl") > 0).select(
+        F.col(id_col), _signature_col(num_perms)
+    )
 
 
 def lsh_candidate_pairs(
@@ -235,14 +247,22 @@ def lsh_candidate_pairs(
     connectivity the downstream cluster step needs, while small
     buckets keep the full all-pairs recall.
     """
-    bands = F.array(
-        *[
-            F.struct(
-                F.lit(b).alias("band"),
-                F.xxhash64(F.lit(b), *[F.col(f"mh{b * ROWS_PER_BAND + r}") for r in range(ROWS_PER_BAND)]).alias("bh"),
-            )
-            for b in range(LSH_BANDS)
-        ]
+    # band structs from the array signature — one transform over a
+    # 16-element sequence (seed ``b`` hashes identically to the old
+    # per-band ``lit(b)``), keeping the whole banding stage inside
+    # the same small expression tree as the signature
+    bands = F.transform(
+        F.sequence(F.lit(0), F.lit(LSH_BANDS - 1)),
+        lambda b: F.struct(
+            b.alias("band"),
+            F.xxhash64(
+                b,
+                *[
+                    F.element_at(F.col("sig"), b * ROWS_PER_BAND + r + 1)
+                    for r in range(ROWS_PER_BAND)
+                ],
+            ).alias("bh"),
+        ),
     )
     banded = sig.select(F.col(id_col), F.explode(bands).alias("x")).select(
         F.col(id_col), F.col("x.band").alias("band"), F.col("x.bh").alias("bh")
@@ -293,7 +313,7 @@ def dedup_minhash_lsh(spark: SparkSession, sf_dir: str) -> DataFrame:
     """
     d = load_table(spark, sf_dir, "documents")
     shl = shingle_hashes(d).cache()  # shared by signature + verify paths
-    sig = shl.where(F.size("shl") > 0).select("doc_id", *_signature_cols())
+    sig = shl.where(F.size("shl") > 0).select("doc_id", _signature_col())
     cand = lsh_candidate_pairs(sig)
     verified = (
         cand.join(shl.select(F.col("doc_id").alias("id_a"), F.col("shl").alias("sh_a")), "id_a")

@@ -3552,24 +3552,63 @@ class LakehouseTable:
         victims: list[str] = []
         now = _time.time()
         data_dir = self.path / "data"
+
+        def _too_young(f: Path) -> bool:
+            if not min_age_seconds:
+                return False
+            try:
+                return now - f.stat().st_mtime < min_age_seconds
+            except OSError:
+                return True
+
         for f in sorted(data_dir.rglob("*.parquet")):
             rel = str(f.relative_to(self.path))
             if rel not in keep:
-                if min_age_seconds:
-                    try:
-                        if now - f.stat().st_mtime < min_age_seconds:
-                            continue  # possibly an in-flight writer's staging
-                    except OSError:
-                        continue
+                if _too_young(f):
+                    continue  # possibly an in-flight writer's staging
                 if dry_run:
                     victims.append(rel)
                     continue
                 f.unlink()
                 deleted += 1
+        # Crash residue (round 11, removeOrphanFiles parity with the
+        # Iceberg-side sweep): a writer that died mid-write leaves
+        # NON-parquet staging under its commit dir (_temporary/
+        # attempt dirs, .crc sidecars, a stray _SUCCESS) that the
+        # parquet pass above never touches — committed-by-no-one
+        # forever, since commits reference parquet files only. Any
+        # non-parquet file whose top-level commit dir holds NO kept
+        # parquet is unreferenced by construction; reclaim it under
+        # the SAME age rail (an in-flight writer's staging is always
+        # younger than the rail).
+        kept_tops = {
+            Path(f).parts[1]
+            for f in keep
+            if not os.path.isabs(f) and Path(f).parts[:1] == ("data",)
+            and len(Path(f).parts) > 2
+        }
+        for f in sorted(data_dir.rglob("*")):
+            if not f.is_file() or f.suffix == ".parquet":
+                continue
+            rel_parts = f.relative_to(data_dir).parts
+            if rel_parts and rel_parts[0] in kept_tops:
+                continue  # a live commit dir's own metadata: keep
+            if _too_young(f):
+                continue
+            rel = str(f.relative_to(self.path))
+            if dry_run:
+                victims.append(rel)
+                continue
+            f.unlink()
+            deleted += 1
         if dry_run:
             # report only — no files touched, horizon NOT advanced
             return {"deleted": 0, "horizon": horizon, "would_delete": victims}
-        # drop now-empty commit dirs
+        # drop now-empty dirs, deepest first (a crashed write nests
+        # _temporary/<attempt>/<task> dirs below the commit dir)
+        for d in sorted(data_dir.rglob("*"), reverse=True):
+            if d.is_dir() and not any(d.iterdir()):
+                d.rmdir()
         for d in sorted(data_dir.glob("*"), reverse=True):
             if d.is_dir() and not any(d.iterdir()):
                 d.rmdir()

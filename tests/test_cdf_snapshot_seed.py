@@ -140,6 +140,23 @@ def test_snapshot_seed_then_tail_across_restart(spark, tmp_path):
         shutil.rmtree(ck, ignore_errors=True)
 
 
+def test_snapshot_seed_plans_one_partition_per_file(spark, tmp_path):
+    """r10 verdict #4 plan-shape pin: the snapshot-seed batch plans
+    ONE InputPartition per live data file — the property that makes
+    the seed scale to a 1000-executor drain of a multi-TB table (and
+    the regression guard against any driver-side funnel reappearing
+    in the seed path). DV parquets attach to their base files'
+    partitions, never widen the partition count."""
+    t = LakehouseTable(spark, str(tmp_path / "planshape"))
+    t.append(spark.range(40).select(F.col("id").alias("k")).repartition(7))  # 7 files
+    t.append(spark.range(100, 120).select(F.col("id").alias("k")).repartition(3))  # 3 files
+    t.delete_where_dv("k % 10 = 1")  # DV commit: no new base files
+    r = LakehouseCDFStreamReader({"path": str(t.path)})
+    live = t._live_files(t.latest_version())
+    parts = list(r._snapshot_partitions(t.latest_version()))
+    assert len(parts) == len(live) == 10
+
+
 def test_snapshot_seed_conflicts_and_empty_table(spark, tmp_path):
     t = LakehouseTable(spark, str(tmp_path / "conflict"))
     t.append(spark.range(2).select(F.col("id").alias("k")))

@@ -1064,6 +1064,45 @@ def test_vacuum_retention_age_spares_young_orphans(spark, table):
     assert not orphan.exists() and res["deleted"] >= 1
 
 
+def test_vacuum_sweeps_crash_staging_residue(spark, table):
+    """r10 verdict #8 (orphan-data sweep): a writer that crashes
+    mid-write leaves a commit dir no log entry references — nested
+    ``_temporary/`` attempt dirs with partial parquet, ``.crc``
+    sidecars — which would otherwise sit in the table dir forever
+    (commits reference parquet only, so the non-parquet residue is
+    committed-by-no-one by construction). vacuum reclaims the whole
+    orphan dir (files AND nested dirs) under the same age rail that
+    protects an in-flight writer; a LIVE commit dir's own sidecar
+    metadata is never touched."""
+    import os
+
+    table.append(_df(spark, 0, 50))
+    live_dir = Path(table.path) / table.history()[-1].files[0]
+    live_dir = live_dir.parent
+    live_crc = live_dir / ".part-live.crc"
+    live_crc.write_bytes(b"crc")
+    crash = Path(table.path) / "data" / "crashed0000"
+    deep = crash / "_temporary" / "0" / "task_001"
+    deep.mkdir(parents=True)
+    partial = deep / "part-00000-dead.parquet"
+    partial.write_bytes(b"PAR1partial")
+    crc = deep / ".part-00000-dead.crc"
+    crc.write_bytes(b"crc")
+    # young residue = possibly in-flight: the rail spares everything
+    res = table.vacuum(keep_versions=1, min_age_seconds=3600)
+    assert partial.exists() and crc.exists()
+    # aged past the rail: the whole orphan tree is reclaimed
+    for f in (partial, crc):
+        os.utime(f, (1_600_000_000, 1_600_000_000))
+    res = table.vacuum(keep_versions=1, min_age_seconds=3600)
+    assert res["deleted"] >= 2
+    assert not crash.exists(), "orphan dir tree must be gone"
+    assert live_crc.exists(), "live commit dir sidecars are kept"
+    assert table.snapshot().count() == 50  # table reads unharmed
+    rep = table.verify()
+    assert rep["ok"], rep["errors"]
+
+
 def test_widen_decimal_precision_growth(spark, table):
     table.append(
         spark.range(10).select(

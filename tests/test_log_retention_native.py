@@ -288,6 +288,40 @@ def test_auto_log_retention_property(spark, tmp_path):
     assert len(_log_versions(t)) == before + 11
 
 
+def test_auto_retention_hook_never_gates_commits(spark, tmp_path):
+    """r10 ADVICE (low): the auto log-retention hook rides the
+    checkpoint cadence inside the COMMIT path — a corrupt _meta.json
+    (json.JSONDecodeError) or a mangled keep value (ValueError) must
+    never fail an append; the hook is maintenance, the commit is
+    not."""
+    t = LakehouseTable(spark, str(tmp_path / "nogate"))
+    for i in range(11):
+        t.append(spark.range(i, i + 1).select(F.col("id").alias("k")))
+    # corrupt meta: the HOOK itself must swallow the JSONDecodeError
+    # (append's own earlier meta read fails for its own reasons — the
+    # hook is the component under test; a corruption can land between
+    # the two reads)
+    good = (t.path / "_meta.json").read_text() if (t.path / "_meta.json").exists() else None
+    (t.path / "_meta.json").write_text("{not json")
+    t._maybe_checkpoint(10)  # cadence hit: must not raise
+    if good is not None:
+        (t.path / "_meta.json").write_text(good)
+    else:
+        (t.path / "_meta.json").unlink()
+    # mangled keep value, END-TO-END: commits keep landing through
+    # the cadence, retention simply doesn't fire
+    meta = json.loads((t.path / "_meta.json").read_text()) if (
+        t.path / "_meta.json"
+    ).exists() else {}
+    meta["log_retention_versions"] = "not-a-number"
+    (t.path / "_meta.json").write_text(json.dumps(meta))
+    for i in range(10):
+        t.append(spark.range(200 + i, 201 + i).select(F.col("id").alias("k")))
+    assert t.latest_version() == 20
+    assert t.snapshot().count() == 21
+    assert t._log_earliest() == 0  # retention never fired, never raised
+
+
 def test_cli_alter_log_retention(spark, tmp_path, capsys):
     from lakehouse_test_spark.cli import main
 
