@@ -692,9 +692,20 @@ class LakehouseCDFStreamReader(DataSourceStreamReader):
                     self.path, float(st), strict=strict
                 )
             }
-        if sv is None or str(sv).lower() == "earliest":
+        if sv is None or str(sv).lower() in ("earliest", "-1"):
+            # "-1" aliases earliest on the stream surface too, keeping
+            # the option coherent with the batch reader's spellings
             return {"version": -1}
-        return {"version": int(sv) - 1}
+        v0 = int(sv)
+        if v0 < 0:
+            # any other negative would mint a sub-floor offset whose
+            # replay plans poisoned gap partitions — reject loudly at
+            # construction instead (round 11)
+            raise ValueError(
+                f"startingVersion={sv}: expected a version >= 0 or "
+                "'earliest'"
+            )
+        return {"version": v0 - 1}
 
     def _log_head(self) -> int:
         """Newest commit version by directory listing alone (scandir,
@@ -1220,8 +1231,14 @@ class LakehouseCDFBatchReader(DataSourceReader):
             self.initial_load = st is None  # a ts start is incremental
             self.since = -1
         else:
+            v0 = int(sv)
+            if v0 < 0:
+                raise ValueError(
+                    f"startingVersion={sv}: expected a version >= 0, "
+                    "'earliest', or -1 (initial load)"
+                )
             self.initial_load = False
-            self.since = int(sv) - 1
+            self.since = v0 - 1
         self.upto = int(ev) if ev is not None else None
         # timestamp forms resolve against the commit log's recorded ts
         # (Delta's rule: startingTimestamp = the first commit AT or

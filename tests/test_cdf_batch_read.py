@@ -177,6 +177,22 @@ def test_batch_cdf_starting_version_zero_is_history(spark, tmp_path):
         net = _read(spark, str(t.path), **opts).collect()
         assert _key(net) == _key(t.read_changes_cdf(-1).collect())
         assert len(net) == 10
+    # any OTHER negative version is rejected loudly, both surfaces
+    with pytest.raises(Exception, match="expected a version"):
+        _read(spark, str(t.path), startingVersion="-5").collect()
+    from lakehouse_test_spark.sources.cdf_datasource import (
+        LakehouseCDFStreamReader,
+    )
+
+    with pytest.raises(ValueError, match="expected a version"):
+        LakehouseCDFStreamReader(
+            {"path": str(t.path), "startingVersion": "-5"}
+        )
+    # and the stream surface honors "-1" as the earliest alias
+    r = LakehouseCDFStreamReader(
+        {"path": str(t.path), "startingVersion": "-1"}
+    )
+    assert r.initialOffset() == {"version": -1}
 
 
 def test_batch_cdf_sv0_stream_parity(spark, tmp_path):
@@ -212,6 +228,27 @@ def test_batch_cdf_sv0_stream_parity(spark, tmp_path):
     batch = _read(spark, str(t.path), startingVersion="0").collect()
     assert _key(streamed) == _key(batch)
     assert len(batch) == 18
+
+
+def test_batch_cdf_from_birth_on_cleaned_log_raises(spark, tmp_path):
+    """Round-11 composition edge: a from-birth window
+    (``startingVersion=0``) over a retention-cleaned log must RAISE
+    when its read would cover reclaimed commits — never silently
+    return only the surviving suffix (the silent-truncation hazard
+    class every clean_log guard exists for)."""
+    register(spark)
+    t = LakehouseTable(spark, str(tmp_path / "sv0clean"))
+    for i in range(12):
+        t.append(
+            spark.range(i * 10, i * 10 + 2).select(F.col("id").alias("k")).coalesce(1)
+        )
+    t.checkpoint()
+    t.clean_log(keep_versions=3)  # earliest surviving = 9
+    with pytest.raises(Exception, match="LogRetention|clean_log|fresh snapshot"):
+        _read(spark, str(t.path), startingVersion="0").collect()
+    # a window inside the surviving suffix still reads fine
+    got = _read(spark, str(t.path), startingVersion="10").collect()
+    assert sorted(r["k"] for r in got) == [100, 101, 110, 111]
 
 
 def test_batch_cdf_ts_resolving_to_v0_is_history(spark, tmp_path):

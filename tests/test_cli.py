@@ -337,6 +337,41 @@ def test_cli_pipe_until_caught_up_drains_backlog(spark, tmp_path, capsys):
     assert got2 == got
 
 
+def test_cli_pipe_until_caught_up_file_capped_wide_commit(spark, tmp_path, capsys):
+    """--until-caught-up under the FILES cap: one WIDE commit (8
+    files) at maxFilesPerTrigger=3 splits across runs via files-form
+    offsets — the loop keeps draining through the mid-commit offsets
+    and one invocation still reaches the head, exactly-once."""
+    import re
+
+    from pyspark.sql import functions as F
+
+    from lakehouse_test_spark.cli import main
+    from lakehouse_test_spark.plans.lakehouse import LakehouseTable
+
+    src = LakehouseTable(spark, str(tmp_path / "srcw"))
+    src.append(spark.range(4).select(F.col("id").alias("k")))
+    sink, ck = str(tmp_path / "sinkw"), str(tmp_path / "ckw")
+    base = [
+        "pipe", "--source", str(src.path), "--sink", sink,
+        "--checkpoint", ck, "--merge-key", "k",
+        "--max-files-per-trigger", "3",
+    ]
+    assert main(base, spark=spark) in (0, None)  # seed
+    capsys.readouterr()
+    src.append(
+        spark.range(100, 140).select(F.col("id").alias("k")).repartition(8)
+    )  # ONE wide commit: 8 files > cap
+    src.append(spark.range(200, 203).select(F.col("id").alias("k")))
+    assert main(base + ["--until-caught-up"], spark=spark) in (0, None)
+    out = capsys.readouterr().out
+    runs = int(re.search(r"over (\d+) run\(s\)", out).group(1))
+    assert runs >= 4  # ceil((8+1 files)/3) capped runs + the no-op
+    got = sorted(r["k"] for r in LakehouseTable(spark, sink).snapshot().collect())
+    want = sorted(r["k"] for r in src.snapshot().collect())
+    assert got == want
+
+
 def test_delete_keys_dv_api(spark, tmp_path):
     """delete_keys_dv: distributed key-set DV delete — quote-bearing
     and absent keys, dedup of the key frame, no-op on zero matches."""
