@@ -20,11 +20,14 @@ Decode has two layers here:
   numpy + stdlib, verified by encode/decode roundtrip against the
   sibling test encoder (progressive JPEGs raise ValueError).
   pHash consumes both for ``image/png``/``image/jpeg`` payloads.
-  Video SAMPLE decode still needs ffmpeg, absent in this container —
-  a clearly-marked NotImplementedError, with the Arrow plumbing
-  (schema, partitioning, UDF signature, batch shape) real and
-  tested around it (container metadata parses for real:
-  ``multimodal_mp4_boxes``).
+- **Motion-JPEG VIDEO decode is REAL too** (round 11,
+  ``avi_mjpeg_frames`` + ``video_frame_sample``): RIFF/AVI container
+  walk + per-frame baseline-JPEG decode — no ffmpeg, hash-gated by
+  ``multimodal_video_frames`` (quantization-exact uniform frames make
+  the decoded luminance SQL-predictable). Only INTER-FRAME codecs
+  (H.264 etc.) still need ffmpeg: the parser raises a clearly-marked
+  NotImplementedError naming the codec it found (container metadata
+  parses for real either way: ``multimodal_mp4_boxes``).
 
 Fixture note: the driver ships no binary fixture, so the ``payload``
 column is synthesized deterministically as UTF-8 bytes of
@@ -41,6 +44,7 @@ from pyspark.sql import functions as F
 from pyspark.sql.types import (
     ArrayType,
     DoubleType,
+    IntegerType,
     LongType,
     StructField,
     StructType,
@@ -222,10 +226,14 @@ def decode_media(payload: bytes, mime: str) -> bytes:
     ``image/jpeg`` (baseline T.81: Huffman + dequant + matrix IDCT +
     chroma upsample, operators/jpeg_codec.py) are decoded FOR REAL —
     no codec library anywhere — returning raw interleaved pixel
-    bytes. ``fake/*`` mimes round-trip the bytes so the pipeline is
-    testable. Video SAMPLE decode still needs ffmpeg (container
-    metadata is parsed for real by ``multimodal_mp4_boxes``); that
-    path raises a clearly-marked NotImplementedError.
+    bytes. ``video/x-msvideo`` (round 11) decodes FOR REAL too when
+    the stream is Motion-JPEG: RIFF/AVI container walk + per-frame
+    baseline-JPEG decode (:func:`video_frame_sample`), returning the
+    frames' pixel bytes concatenated. ``fake/*`` mimes round-trip the
+    bytes so the pipeline is testable. Inter-frame video codecs
+    (H.264 etc.) still need ffmpeg — the AVI parser raises a
+    NotImplementedError NAMING the codec it found; container metadata
+    is parsed for real either way (``multimodal_mp4_boxes``).
     """
     if mime.startswith("image/fake") or mime.startswith("fake/"):
         return payload
@@ -235,6 +243,8 @@ def decode_media(payload: bytes, mime: str) -> bytes:
         from lakehouse_test_spark.operators.jpeg_codec import jpeg_decode_pixels
 
         return jpeg_decode_pixels(payload).tobytes()
+    if mime in ("video/x-msvideo", "video/avi"):
+        return b"".join(f.tobytes() for f in video_frame_sample(payload))
     raise NotImplementedError(
         f"decode for mime={mime!r} requires a codec backend (ffmpeg); "
         "not available in this environment"
@@ -563,8 +573,9 @@ def phash_fingerprints(assets: DataFrame) -> DataFrame:
     Huffman + IDCT in pure numpy); payloads that are neither (or are
     malformed) use the deterministic fallback (payload bytes tiled
     into the 32×32 grid — locality-preserving, so nearby payloads
-    give nearby pixel grids; only video sample decode still needs
-    ffmpeg, the rest is unchanged).
+    give nearby pixel grids; only inter-frame video codecs still
+    need ffmpeg — MJPEG-AVI decodes for real, see
+    ``video_frame_sample`` — the rest is unchanged).
 
     Scale: Arrow-batched, numpy-einsum over the whole batch (one
     (B,32,32) tensor contraction per batch — no per-row Python), zero
@@ -621,6 +632,23 @@ def phash_fingerprints(assets: DataFrame) -> DataFrame:
                         else:
                             gray = px
                     except Exception:  # malformed/fake JPEG bytes
+                        gray = None
+                elif b_raw[:4] == b"RIFF" and b_raw[8:12] == b"AVI ":
+                    # VIDEO near-dup keys on the first frame (round
+                    # 11): MJPEG frames decode natively via the AVI
+                    # walk; inter-frame codecs and torn containers
+                    # fall back to byte tiling like any malformed
+                    # payload — the pipeline never fails on codec
+                    try:
+                        frames = video_frame_sample(b_raw, every_n=1)
+                        if frames:
+                            px = frames[0].astype(np.float64)
+                            gray = (
+                                0.299 * px[..., 0]
+                                + 0.587 * px[..., 1]
+                                + 0.114 * px[..., 2]
+                            ) if px.ndim == 3 else px
+                    except (ValueError, NotImplementedError):
                         gray = None
                 if gray is not None:
                     ri = (np.arange(n) * gray.shape[0] // n).clip(0, gray.shape[0] - 1)
@@ -920,6 +948,207 @@ def multimodal_mp4_boxes(spark: SparkSession, sf_dir: str) -> DataFrame:
         .cast("bigint")
         .alias("duration_sec_e4"),
     )
+
+
+# ---------------------------------------------------------------------------
+# AVI/MJPEG container: REAL video frame decode, no ffmpeg (round 11)
+# ---------------------------------------------------------------------------
+# Motion-JPEG in a RIFF/AVI container is the one mainstream video
+# format whose SAMPLE decode needs no codec backend beyond a baseline
+# JPEG decoder — which operators/jpeg_codec.py already implements from
+# the T.81 spec. Writer and parser below share only the bytestream
+# (the same independence posture as the JPEG pair); inter-frame codecs
+# (H.264/VP9/AV1...) stay behind the documented NotImplementedError —
+# a from-scratch motion-compensated decoder is out of scope, and the
+# parser names the codec it found so the failure is actionable.
+
+
+def avi_encode_mjpeg(
+    frames: list[bytes], width: int, height: int, fps: int = 10
+) -> bytes:
+    """Minimal spec-valid AVI wrapping baseline-JPEG frames: RIFF
+    ``AVI `` → ``hdrl`` LIST (``avih`` main header + ``strl`` with a
+    ``vids/MJPG`` stream header and a ``BITMAPINFOHEADER``) →
+    ``movi`` LIST of ``00dc`` chunks (word-aligned per RIFF) →
+    ``idx1``. Pure struct packing — the produce-path twin of
+    :func:`avi_mjpeg_frames`."""
+    import struct
+
+    def chunk(fcc: bytes, body: bytes) -> bytes:
+        pad = b"\x00" if len(body) % 2 else b""
+        return fcc + struct.pack("<I", len(body)) + body + pad
+
+    def lst(kind: bytes, body: bytes) -> bytes:
+        return chunk(b"LIST", kind + body)
+
+    n = len(frames)
+    buf_sz = max((len(f) for f in frames), default=0)
+    avih = struct.pack(
+        "<14I",
+        int(1_000_000 // max(fps, 1)),  # dwMicroSecPerFrame
+        0, 0,
+        0x10,  # AVIF_HASINDEX
+        n, 0, 1, buf_sz, width, height, 0, 0, 0, 0,
+    )
+    strh = (
+        b"vids" + b"MJPG"
+        + struct.pack("<IHHIIIIIIIi", 0, 0, 0, 0, 1, max(fps, 1), 0, n,
+                      buf_sz, 0xFFFF, 0)
+        + struct.pack("<4h", 0, 0, width, height)
+    )
+    strf = struct.pack(
+        "<IiiHH4sIiiII", 40, width, height, 1, 24, b"MJPG",
+        width * height * 3, 0, 0, 0, 0,
+    )
+    hdrl = lst(b"hdrl", chunk(b"avih", avih)
+               + lst(b"strl", chunk(b"strh", strh) + chunk(b"strf", strf)))
+    movi_body = b"movi"
+    idx_entries = []
+    for f in frames:
+        # idx1 offsets are relative to the 'movi' fourcc position
+        idx_entries.append((len(movi_body) - 4, len(f)))
+        movi_body += chunk(b"00dc", f)
+    movi = chunk(b"LIST", movi_body)
+    idx1 = b"".join(
+        b"00dc" + struct.pack("<III", 0x10, off, ln)
+        for off, ln in idx_entries
+    )
+    body = b"AVI " + hdrl + movi + chunk(b"idx1", idx1)
+    return b"RIFF" + struct.pack("<I", len(body)) + body
+
+
+def avi_mjpeg_frames(data: bytes) -> list[bytes]:
+    """Walk a RIFF/AVI container and return its video frame payloads
+    (``..dc``/``..db`` chunks inside the ``movi`` LIST), validating
+    the stream's codec: MJPG frames are standalone baseline JPEGs the
+    native decoder handles; any OTHER fccHandler raises a
+    NotImplementedError naming it (an inter-frame codec needs a
+    motion-compensated decoder this engine intentionally does not
+    ship). Word-aligned chunk padding and nested LISTs are handled
+    per the RIFF spec; truncation raises."""
+    import struct
+
+    if len(data) < 12 or data[:4] != b"RIFF" or data[8:12] != b"AVI ":
+        raise ValueError("not an AVI: bad RIFF/AVI header")
+    frames: list[bytes] = []
+    handler: list[bytes] = []
+
+    def walk(pos: int, end: int) -> None:
+        while pos + 8 <= end:
+            fcc = data[pos : pos + 4]
+            (ln,) = struct.unpack("<I", data[pos + 4 : pos + 8])
+            b0, b1 = pos + 8, pos + 8 + ln
+            if b1 > end:
+                raise ValueError(f"truncated AVI chunk {fcc!r} at {pos}")
+            if fcc == b"LIST":
+                walk(b0 + 4, b1)
+            elif fcc == b"strh" and data[b0 : b0 + 4] == b"vids":
+                handler.append(data[b0 + 4 : b0 + 8])
+            elif fcc[2:4] in (b"dc", b"db"):
+                frames.append(data[b0:b1])
+            pos = b1 + (ln & 1)  # RIFF chunks are word-aligned
+
+    declared_end = 8 + struct.unpack("<I", data[4:8])[0]
+    if declared_end > len(data):
+        raise ValueError(
+            f"truncated AVI: RIFF declares {declared_end} bytes, "
+            f"payload has {len(data)}"
+        )
+    walk(12, declared_end)
+    if frames and not handler:
+        raise ValueError("AVI carries frames but no 'vids' stream header")
+    if handler and handler[0].upper() not in (b"MJPG", b"JPEG"):
+        raise NotImplementedError(
+            f"AVI codec {handler[0]!r} needs an inter-frame decoder "
+            "(ffmpeg); only MJPG decodes natively"
+        )
+    return frames
+
+
+def video_frame_sample(payload: bytes, every_n: int = 1) -> list:
+    """REAL video frame sampling: parse the AVI container, keep every
+    ``every_n``-th frame, decode each kept frame's JPEG to pixels
+    (operators/jpeg_codec.py — no codec library). Returns a list of
+    uint8 arrays, (h, w) gray or (h, w, 3) RGB."""
+    from lakehouse_test_spark.operators.jpeg_codec import jpeg_decode_pixels
+
+    return [
+        jpeg_decode_pixels(f)
+        for f in avi_mjpeg_frames(payload)[:: max(every_n, 1)]
+    ]
+
+
+@query(
+    "multimodal_video_frames",
+    oracle="""
+    SELECT doc_id AS asset_id,
+           CAST(3 AS INTEGER) AS n_frames,
+           CAST(2 AS INTEGER) AS n_sampled,
+           CAST(((doc_id % 8) + ((doc_id + 2) % 8)) * 16 AS DOUBLE)
+             AS mean_luma
+    FROM documents
+    """,
+    tags=("multimodal", "llm", "video", "pandas_udf"),
+)
+def multimodal_video_frames(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """REAL video decode end-to-end, HASH-CHECKED (round 11 — closes
+    the last documented decode gap for the MJPEG codec): per document,
+    synthesize a 3-frame Motion-JPEG AVI (each frame a uniform
+    grayscale whose value is a multiple of 32 — a level the baseline
+    quantizer reproduces EXACTLY, so the decoded luminance is
+    SQL-predictable), then in the same Arrow-batched kernel walk the
+    RIFF container, sample every 2nd frame, decode each kept frame's
+    JPEG (operators/jpeg_codec.py, no codec library), and report the
+    decoded mean luminance. The oracle recomputes frame counts AND the
+    exact luminance from doc_id, so a hash match proves the encoder,
+    container writer, parser, sampler, and pixel decoder agree to the
+    pixel value. Inter-frame codecs stay behind the documented
+    NotImplementedError (the parser names the codec it found).
+
+    Scale: mapInPandas keeps payloads in Arrow record batches — one
+    Python worker per core, no per-row serialization, no shuffle;
+    real corpora swap the synthesis for a binary-column scan and keep
+    the identical kernel."""
+    import numpy as np
+
+    from lakehouse_test_spark.operators.jpeg_codec import (
+        jpeg_encode_pixels,
+    )
+
+    out_schema = StructType(
+        [
+            StructField("asset_id", LongType()),
+            StructField("n_frames", IntegerType()),
+            StructField("n_sampled", IntegerType()),
+            StructField("mean_luma", DoubleType()),
+        ]
+    )
+
+    def kernel(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            rows = []
+            for d in pdf["doc_id"]:
+                d = int(d)
+                jpgs = [
+                    jpeg_encode_pixels(
+                        np.full((16, 16), ((d + i) % 8) * 32, np.uint8)
+                    )
+                    for i in range(3)
+                ]
+                avi = avi_encode_mjpeg(jpgs, 16, 16, fps=5)
+                frames = video_frame_sample(avi, every_n=2)
+                luma = float(
+                    np.mean([f.astype(np.float64).mean() for f in frames])
+                )
+                rows.append(
+                    (d, len(avi_mjpeg_frames(avi)), len(frames), luma)
+                )
+            yield pd.DataFrame(
+                rows, columns=["asset_id", "n_frames", "n_sampled", "mean_luma"]
+            )
+
+    d = load_table(spark, sf_dir, "documents").select("doc_id")
+    return d.mapInPandas(kernel, out_schema)
 
 
 # ---------------------------------------------------------------------------

@@ -200,3 +200,108 @@ def test_roundtrip_never_errors_and_bounded(h, w, seed, gray):
     # worst-case quantization error bound: q=8 tables, DCT energy
     # spreads at most ~q*8 per pixel; chroma conversion adds slack
     assert float(np.max(np.abs(dec.astype(int) - img.astype(int)))) <= 96
+
+
+# ---------------------------------------------------------------------------
+# AVI/MJPEG container (round 11): real video frame decode, no ffmpeg
+# ---------------------------------------------------------------------------
+
+
+def test_avi_mjpeg_roundtrip_and_sampling():
+    """Encode 5 JPEG frames into a spec-shaped RIFF/AVI, walk the
+    container back out (byte-exact frames, word-aligned padding
+    handled), decode a 1-in-2 sample to pixels within JPEG
+    quantization error, and concatenate via decode_media."""
+    from lakehouse_test_spark.operators.multimodal import (
+        avi_encode_mjpeg,
+        avi_mjpeg_frames,
+        decode_media,
+        video_frame_sample,
+    )
+
+    frames_px, jpgs = [], []
+    for i in range(5):
+        y, x = np.mgrid[0:24, 0:32]
+        px = ((x * 4 + y * 3 + i * 11) % 256).astype(np.uint8)[..., None]
+        px = px.repeat(3, axis=2)
+        frames_px.append(px)
+        jpgs.append(jpeg_encode_pixels(px))
+    assert any(len(j) % 2 for j in jpgs)  # padding path exercised
+    avi = avi_encode_mjpeg(jpgs, 32, 24, fps=5)
+    assert [bytes(f) for f in avi_mjpeg_frames(avi)] == jpgs
+    dec = video_frame_sample(avi, every_n=2)
+    assert len(dec) == 3 and dec[0].shape == (24, 32, 3)
+    for d, p in zip(dec, frames_px[::2]):
+        assert float(np.abs(d.astype(int) - p.astype(int)).mean()) < 12
+    raw = decode_media(avi, "video/x-msvideo")
+    assert len(raw) == 5 * 24 * 32 * 3
+
+
+def test_avi_rejects_interframe_codecs_and_truncation():
+    """A non-MJPG stream header raises NotImplementedError NAMING the
+    codec (inter-frame decode is intentionally out of scope); torn
+    containers raise ValueError, never a silent empty frame list."""
+    import pytest
+
+    from lakehouse_test_spark.operators.multimodal import (
+        avi_encode_mjpeg,
+        avi_mjpeg_frames,
+    )
+
+    jpg = jpeg_encode_pixels(np.full((8, 8), 100, np.uint8))
+    avi = avi_encode_mjpeg([jpg], 8, 8)
+    with pytest.raises(NotImplementedError, match="XVID"):
+        avi_mjpeg_frames(avi.replace(b"vidsMJPG", b"vidsXVID"))
+    with pytest.raises(ValueError, match="truncated"):
+        avi_mjpeg_frames(avi[:40])
+    with pytest.raises(ValueError, match="RIFF"):
+        avi_mjpeg_frames(b"not an avi at all")
+    # frames but no stream header: loud, not a silent guess
+    naked = (
+        b"RIFF" + (len(b"AVI LIST" + b"\x00" * 4)).to_bytes(4, "little")
+    )
+    import struct
+
+    movi = b"movi" + b"00dc" + struct.pack("<I", len(jpg)) + jpg
+    if len(jpg) % 2:
+        movi += b"\x00"
+    body = b"AVI " + b"LIST" + struct.pack("<I", len(movi)) + movi
+    naked = b"RIFF" + struct.pack("<I", len(body)) + body
+    with pytest.raises(ValueError, match="stream header"):
+        avi_mjpeg_frames(naked)
+
+
+def test_video_phash_keys_on_first_frame(spark):
+    """pHash over AVI payloads (round 11): two videos sharing a first
+    frame hash identically no matter what the later frames hold; a
+    noised first frame stays within a small Hamming distance; a
+    non-MJPG video falls back to byte tiling without failing the
+    pipeline."""
+    from pyspark.sql import Row
+
+    from lakehouse_test_spark.operators.multimodal import (
+        avi_encode_mjpeg,
+        phash_fingerprints,
+    )
+
+    rng = np.random.default_rng(7)
+    base = rng.integers(0, 256, (32, 32), dtype=np.uint8)
+    noised = np.clip(base.astype(int) + rng.integers(-4, 5, base.shape), 0, 255).astype(np.uint8)
+    other = rng.integers(0, 256, (32, 32), dtype=np.uint8)
+
+    def avi(first, extra):
+        jpgs = [jpeg_encode_pixels(first)] + [jpeg_encode_pixels(f) for f in extra]
+        return avi_encode_mjpeg(jpgs, 32, 32)
+
+    a1 = avi(base, [other])
+    a2 = avi(base, [base, noised])   # same first frame, different tail
+    a3 = avi(noised, [])             # near-dup first frame
+    bad = a1.replace(b"vidsMJPG", b"vidsH264")  # unsupported codec
+    df = spark.createDataFrame(
+        [Row(asset_id=i, payload=bytearray(p)) for i, p in enumerate([a1, a2, a3, bad])]
+    )
+    got = {r["asset_id"]: r["phash"] for r in phash_fingerprints(df).collect()}
+    assert got[0] == got[1], "same first frame -> identical pHash"
+    ham = bin((got[0] ^ got[2]) & ((1 << 64) - 1)).count("1")
+    assert ham <= 10, f"noised first frame drifted {ham} bits"
+    assert 3 in got  # fallback produced a hash, pipeline intact
