@@ -196,15 +196,12 @@ def _signature_col(num_perms: int = NUM_PERMS) -> Column:
     shingle-hash array: sig[i] = min over shingles of xxhash64(i, h)
     — the i-salted rehash stands in for an independent permutation.
 
-    One nested higher-order expression instead of ``num_perms``
-    generated columns (round 11): the flat 64-column shape built a
-    ~4000-node expression tree whose Catalyst analysis alone cost
-    ~1.0 s per query construction on the driver — load-sensitive
-    driver CPU that showed up as the r8–r10 bench oscillation
-    (1.69–2.31 s with an unchanged executor plan). The array form
-    analyzes in ~0.27 s with byte-identical hash values (the
-    ``sequence`` elements are int-typed like the old ``lit(i)``
-    seeds, verified by an exact output-parity probe)."""
+    REFERENCE IMPLEMENTATION (kept for the exact-parity test of the
+    Arrow kernel below). Catalyst evaluates higher-order functions
+    interpreted — outside whole-stage codegen — so this expression,
+    while analysis-cheap, spends ~0.78 s at sf0.1 walking 64×|shl|
+    lambda invocations per doc. The production signature path is
+    :func:`signatures_from_shingles`."""
     return F.transform(
         F.sequence(F.lit(0), F.lit(num_perms - 1)),
         lambda i: F.array_min(
@@ -213,20 +210,125 @@ def _signature_col(num_perms: int = NUM_PERMS) -> Column:
     ).alias("sig")
 
 
+def _xxh64_sig_mapper(id_field: str, num_perms: int):
+    """mapInArrow kernel: per-doc MinHash signature via a vectorized
+    numpy XXH64 (guide §4.2 — batch-at-a-time native math where the
+    equivalent JVM expression chain is interpreted).
+
+    Byte-identical to ``_signature_col``: Spark's
+    ``xxhash64(int i, long h)`` is ``XXH64.hashLong(h,
+    XXH64.hashInt(i, 42))``; the per-perm seeds ``hashInt(i, 42)``
+    are constants, and ``hashLong``'s first mix ``k1 =
+    rotl31(h·P2)·P1`` is seed-independent, so one pass computes k1
+    for every shingle and each perm costs 8 vector ops + a segmented
+    min. Exactness is pinned by
+    tests/test_operators.py::test_minhash_arrow_signature_parity."""
+
+    def gen(batches):
+        import numpy as np
+        import pyarrow as pa
+        import pyarrow.compute as pc
+
+        P1 = np.uint64(0x9E3779B185EBCA87)
+        P2 = np.uint64(0xC2B2AE3D27D4EB4F)
+        P3 = np.uint64(0x165667B19E3779F9)
+        P4 = np.uint64(0x85EBCA77C2B2AE63)
+        P5 = np.uint64(0x27D4EB2F165667C5)
+
+        def rotl(x, r):
+            return (x << np.uint64(r)) | (x >> np.uint64(64 - r))
+
+        def fmix(h):
+            h = h ^ (h >> np.uint64(33))
+            h = h * P2
+            h = h ^ (h >> np.uint64(29))
+            h = h * P3
+            return h ^ (h >> np.uint64(32))
+
+        with np.errstate(over="ignore"):
+            # seed_i = XXH64.hashInt(i, 42) — i is int-typed, exactly
+            # the sequence-element type _signature_col feeds xxhash64
+            i = np.arange(num_perms, dtype=np.uint64)
+            s = (np.uint64(42) + P5 + np.uint64(4)) ^ (i * P1)
+            seeds = fmix(rotl(s, 23) * P2 + P3)
+            seed_base = seeds + P5 + np.uint64(8)
+
+            for batch in batches:
+                ids = batch.column(0)
+                lst = batch.column(1)
+                lengths = pc.list_value_length(lst).to_numpy()
+                # shingle-less docs (<3 tokens) are dropped HERE, not
+                # with a JVM-side Filter(size(shl) > 0): predicate
+                # pushdown substitutes the whole shingle HOF
+                # expression into the filter condition, so the array
+                # is built twice per row (measured 0.19 s → 5.6 s on a
+                # 50k-doc corpus). The Python stage is a projection
+                # barrier — the child computes shl exactly once.
+                keep = lengths > 0
+                if not keep.all():
+                    ids = ids.filter(pa.array(keep))
+                    lst = lst.filter(pa.array(keep))
+                    lengths = lengths[keep]
+                n = len(lengths)
+                if n == 0:
+                    continue
+                flat = (
+                    lst.flatten()
+                    .to_numpy(zero_copy_only=False)
+                    .astype(np.int64, copy=False)
+                    .view(np.uint64)
+                )
+                starts = np.zeros(n, dtype=np.int64)
+                np.cumsum(lengths[:-1], out=starts[1:])
+                k1 = rotl(flat * P2, 31) * P1  # shared by all perms
+                out = np.empty((n, num_perms), dtype=np.int64)
+                for j in range(num_perms):
+                    h = fmix(rotl(seed_base[j] ^ k1, 27) * P1 + P4)
+                    # signed min — array_min compares bigints signed
+                    out[:, j] = np.minimum.reduceat(h.view(np.int64), starts)
+                offsets = pa.array(
+                    np.arange(0, (n + 1) * num_perms, num_perms, dtype=np.int32),
+                    type=pa.int32(),
+                )
+                sig = pa.ListArray.from_arrays(
+                    offsets, pa.array(out.reshape(-1), type=pa.int64())
+                )
+                yield pa.RecordBatch.from_arrays([ids, sig], names=[id_field, "sig"])
+
+    return gen
+
+
+def signatures_from_shingles(
+    shl: DataFrame, id_col: str = "doc_id", num_perms: int = NUM_PERMS
+) -> DataFrame:
+    """MinHash signatures from a ``shl`` shingle-hash frame via the
+    Arrow numpy kernel (values byte-identical to ``_signature_col``).
+
+    Scale: still zero shuffle — one map-side Arrow pass per
+    partition; only (id, shl) crosses the Python boundary and only
+    (id, sig) comes back. Shingle-less docs are dropped inside the
+    kernel (see the in-kernel comment: a JVM Filter over the HOF
+    column would double-evaluate the shingle expression)."""
+    sel = shl.select(F.col(id_col), "shl")
+    id_type = sel.schema[id_col].dataType.simpleString()
+    return sel.mapInArrow(
+        _xxh64_sig_mapper(id_col, num_perms),
+        schema=f"{id_col} {id_type}, sig array<bigint>",
+    )
+
+
 def minhash_signatures(
     docs: DataFrame, id_col: str = "doc_id", text_col: str = "text", num_perms: int = NUM_PERMS
 ) -> DataFrame:
     """Per-doc MinHash signature (``sig``: array<bigint> of length
     ``num_perms``), computed entirely map-side.
 
-    Scale: the whole signature stage is one projection — zero shuffle
-    (the old explode+groupBy shape shuffled O(docs×perms) partials).
-    Docs with no shingles (<3 tokens) carry no signature and are
-    dropped."""
+    Scale: the whole signature stage is map-local — zero shuffle (the
+    old explode+groupBy shape shuffled O(docs×perms) partials); the
+    per-perm rehash runs in the vectorized Arrow kernel. Docs with no
+    shingles (<3 tokens) carry no signature and are dropped."""
     shl = shingle_hashes(docs, id_col, text_col)
-    return shl.where(F.size("shl") > 0).select(
-        F.col(id_col), _signature_col(num_perms)
-    )
+    return signatures_from_shingles(shl, id_col, num_perms)
 
 
 def lsh_candidate_pairs(
@@ -313,7 +415,7 @@ def dedup_minhash_lsh(spark: SparkSession, sf_dir: str) -> DataFrame:
     """
     d = load_table(spark, sf_dir, "documents")
     shl = shingle_hashes(d).cache()  # shared by signature + verify paths
-    sig = shl.where(F.size("shl") > 0).select("doc_id", _signature_col())
+    sig = signatures_from_shingles(shl)
     cand = lsh_candidate_pairs(sig)
     verified = (
         cand.join(shl.select(F.col("doc_id").alias("id_a"), F.col("shl").alias("sh_a")), "id_a")

@@ -110,7 +110,7 @@ def _drain_to_memory(stream_df: DataFrame, output_mode: str) -> DataFrame:
 
 
 def _drain_to_lakehouse(
-    stream_df: DataFrame, key_cols: list[str], state_partitions: int = 4
+    stream_df: DataFrame, key_cols: list[str], state_partitions: int = 1
 ) -> DataFrame:
     """PRODUCTION-sink drain: foreachBatch upserts each micro-batch
     into a committed :class:`LakehouseTable` (append, then MERGE keyed
@@ -127,8 +127,12 @@ def _drain_to_lakehouse(
     checkpoint commit per partition per batch, so a day×type rollup
     (hundreds of groups) under the session's 32 shuffle partitions
     spends 3× longer committing empty state files than aggregating
-    (measured: 3.4s at 32 → 1.4s at 4, sf0.1). Real deployments tune exactly
-    this knob; state volume, not parallelism, drives it."""
+    (measured: 3.4s at 32 → 1.4s at 4 → ~1.1s at 1, sf0.1; r11).
+    The gates here aggregate to at most a few hundred groups — one
+    state partition holds that at any SF, since the aggregate's
+    cardinality is bounded by days×types, not by input rows. Real
+    deployments tune exactly this knob; state volume, not
+    parallelism, drives it."""
     import tempfile
 
     from lakehouse_test_spark.plans.lakehouse import LakehouseTable

@@ -107,6 +107,43 @@ def test_shingles_short_docs_ansi_safe(spark):
     assert {r.doc_id for r in sig.select("doc_id").collect()} == {4, 5}
 
 
+def test_minhash_arrow_signature_parity(spark):
+    """The vectorized numpy-XXH64 Arrow signature kernel must be
+    byte-identical to the Catalyst expression form (sig[i] = min over
+    shingles of xxhash64(int i, long h)) — candidates and therefore
+    the whole dedup_minhash_lsh output depend on these exact values.
+
+    Runs over the real sf0.001 corpus (every doc) plus synthetic edge
+    docs (single-shingle, negative-hash-heavy long docs)."""
+    from lakehouse_test_spark.operators.dedup import (
+        _signature_col,
+        shingle_hashes,
+        signatures_from_shingles,
+    )
+
+    docs = load_table(spark, SMOKE_SF_DIR, "documents").select("doc_id", "text")
+    extra = spark.createDataFrame(
+        [
+            Row(doc_id=100001, text="alpha beta gamma"),  # exactly 1 shingle
+            Row(doc_id=100002, text=" ".join(f"tok{i % 7}" for i in range(500))),
+        ]
+    )
+    shl = shingle_hashes(docs.unionByName(extra))
+    expr = {
+        r.doc_id: list(r.sig)
+        for r in shl.where(F.size("shl") > 0)
+        .select("doc_id", _signature_col())
+        .collect()
+    }
+    arrow = {
+        r.doc_id: list(r.sig) for r in signatures_from_shingles(shl).collect()
+    }
+    assert set(expr) == set(arrow)
+    assert len(expr) > 100
+    for k in expr:
+        assert expr[k] == arrow[k], f"signature mismatch for doc {k}"
+
+
 def test_lsh_hot_bucket_stays_linear(spark):
     """1k identical docs (the boilerplate-corpus worst case) must
     produce O(n) star candidates, not the ~500k all-pairs clique, and
