@@ -210,7 +210,7 @@ def _signature_col(num_perms: int = NUM_PERMS) -> Column:
     ).alias("sig")
 
 
-def _xxh64_sig_mapper(id_field: str, num_perms: int):
+def _xxh64_sig_mapper(id_field: str, num_perms: int, banded: bool = False):
     """mapInArrow kernel: per-doc MinHash signature via a vectorized
     numpy XXH64 (guide §4.2 — batch-at-a-time native math where the
     equivalent JVM expression chain is interpreted).
@@ -222,7 +222,14 @@ def _xxh64_sig_mapper(id_field: str, num_perms: int):
     rotl31(h·P2)·P1`` is seed-independent, so one pass computes k1
     for every shingle and each perm costs 8 vector ops + a segmented
     min. Exactness is pinned by
-    tests/test_operators.py::test_minhash_arrow_signature_parity."""
+    tests/test_operators.py::test_minhash_arrow_signature_parity.
+
+    With ``banded=True`` the kernel also folds the LSH banding in —
+    emitting the exploded ``(id, band, bh)`` rows directly, where
+    ``bh = xxhash64(int band, sig[4b], .., sig[4b+3])`` (the chained
+    hashLong walk), byte-identical to the banding expression in
+    ``lsh_candidate_pairs``. This removes the interpreted 16-struct
+    band transform AND the Generate(explode) from the JVM plan."""
 
     def gen(batches):
         import numpy as np
@@ -286,14 +293,45 @@ def _xxh64_sig_mapper(id_field: str, num_perms: int):
                     h = fmix(rotl(seed_base[j] ^ k1, 27) * P1 + P4)
                     # signed min — array_min compares bigints signed
                     out[:, j] = np.minimum.reduceat(h.view(np.int64), starts)
-                offsets = pa.array(
-                    np.arange(0, (n + 1) * num_perms, num_perms, dtype=np.int32),
-                    type=pa.int32(),
+                if not banded:
+                    offsets = pa.array(
+                        np.arange(0, (n + 1) * num_perms, num_perms, dtype=np.int32),
+                        type=pa.int32(),
+                    )
+                    sig = pa.ListArray.from_arrays(
+                        offsets, pa.array(out.reshape(-1), type=pa.int64())
+                    )
+                    yield pa.RecordBatch.from_arrays(
+                        [ids, sig], names=[id_field, "sig"]
+                    )
+                    continue
+                # banded: bh[i, b] = chained hashLong over the band's
+                # ROWS_PER_BAND sig values, seeded with hashInt(b, 42)
+                n_bands = num_perms // ROWS_PER_BAND
+                b = np.arange(n_bands, dtype=np.uint64)
+                bs = (np.uint64(42) + P5 + np.uint64(4)) ^ (b * P1)
+                band_seeds = fmix(rotl(bs, 23) * P2 + P3)
+                sig_u = out.view(np.uint64)
+                bh = np.empty((n, n_bands), dtype=np.int64)
+                for bi in range(n_bands):
+                    h = np.full(n, band_seeds[bi], dtype=np.uint64)
+                    for r in range(ROWS_PER_BAND):
+                        v = sig_u[:, bi * ROWS_PER_BAND + r]
+                        h = (h + P5 + np.uint64(8)) ^ (rotl(v * P2, 31) * P1)
+                        h = fmix(rotl(h, 27) * P1 + P4)
+                    bh[:, bi] = h.view(np.int64)
+                idx = np.repeat(np.arange(n, dtype=np.int64), n_bands)
+                yield pa.RecordBatch.from_arrays(
+                    [
+                        ids.take(pa.array(idx)),
+                        pa.array(
+                            np.tile(np.arange(n_bands, dtype=np.int32), n),
+                            type=pa.int32(),
+                        ),
+                        pa.array(bh.reshape(-1), type=pa.int64()),
+                    ],
+                    names=[id_field, "band", "bh"],
                 )
-                sig = pa.ListArray.from_arrays(
-                    offsets, pa.array(out.reshape(-1), type=pa.int64())
-                )
-                yield pa.RecordBatch.from_arrays([ids, sig], names=[id_field, "sig"])
 
     return gen
 
@@ -369,6 +407,31 @@ def lsh_candidate_pairs(
     banded = sig.select(F.col(id_col), F.explode(bands).alias("x")).select(
         F.col(id_col), F.col("x.band").alias("band"), F.col("x.bh").alias("bh")
     )
+    return _pairs_from_banded(banded, id_col, star_threshold)
+
+
+def banded_from_shingles(
+    shl: DataFrame, id_col: str = "doc_id", num_perms: int = NUM_PERMS
+) -> DataFrame:
+    """Exploded LSH band rows ``(id, band, bh)`` straight from the
+    Arrow kernel — signature AND banding in one map-side pass, no
+    interpreted band transform, no Generate node. Values are
+    byte-identical to the expression banding in
+    ``lsh_candidate_pairs`` (pinned by
+    tests/test_operators.py::test_minhash_arrow_banding_parity)."""
+    sel = shl.select(F.col(id_col), "shl")
+    id_type = sel.schema[id_col].dataType.simpleString()
+    return sel.mapInArrow(
+        _xxh64_sig_mapper(id_col, num_perms, banded=True),
+        schema=f"{id_col} {id_type}, band int, bh bigint",
+    )
+
+
+def _pairs_from_banded(
+    banded: DataFrame, id_col: str = "doc_id", star_threshold: int = 64
+) -> DataFrame:
+    """Candidate pairs from exploded band rows (shared tail of the
+    expression and Arrow banding paths)."""
     # ONE hash aggregate builds each bucket's member list; pairs are
     # expanded inside the plan with array transforms (no window sort,
     # no self-join exchange, no second shuffle for the bucket stats —
@@ -415,8 +478,7 @@ def dedup_minhash_lsh(spark: SparkSession, sf_dir: str) -> DataFrame:
     """
     d = load_table(spark, sf_dir, "documents")
     shl = shingle_hashes(d).cache()  # shared by signature + verify paths
-    sig = signatures_from_shingles(shl)
-    cand = lsh_candidate_pairs(sig)
+    cand = _pairs_from_banded(banded_from_shingles(shl))
     verified = (
         cand.join(shl.select(F.col("doc_id").alias("id_a"), F.col("shl").alias("sh_a")), "id_a")
         .join(shl.select(F.col("doc_id").alias("id_b"), F.col("shl").alias("sh_b")), "id_b")

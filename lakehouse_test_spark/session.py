@@ -98,6 +98,12 @@ def get_spark(
         # consumes pushed filters to skip files via commit-log stats)
         .config("spark.sql.python.filterPushdown.enabled", "true")
         .config("spark.sql.execution.arrow.maxRecordsPerBatch", "10000")
+        # joins: let the planner pick shuffled-hash join when one
+        # side is provably much smaller per partition (guide §3.1/§9)
+        # — skips the per-partition sort SMJ pays. SMJ remains the
+        # plan whenever the size guards don't hold (big-big joins,
+        # bucketed layouts), so the spill-safe path is untouched.
+        .config("spark.sql.join.preferSortMergeJoin", "false")
         # columnar storage for our own sinks
         .config("spark.sql.parquet.compression.codec", "zstd")
         .config("spark.driver.memory", os.environ.get("SPARK_GRAFT_DRIVER_MEM", "8g"))

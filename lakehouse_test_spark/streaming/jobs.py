@@ -133,12 +133,17 @@ def _drain_to_lakehouse(
     cardinality is bounded by days×types, not by input rows. Real
     deployments tune exactly this knob; state volume, not
     parallelism, drives it."""
+    import os
     import tempfile
 
     from lakehouse_test_spark.plans.lakehouse import LakehouseTable
 
     spark = stream_df.sparkSession
-    table = LakehouseTable(spark, tempfile.mkdtemp(prefix="lh_stream_gate_"))
+    # the gate sink is a run-scoped throwaway (committed, read back
+    # once, discarded) — same tmpfs placement rationale as _ckpt();
+    # production jobs pass their own durable table path.
+    base = "/dev/shm" if os.path.isdir("/dev/shm") else None
+    table = LakehouseTable(spark, tempfile.mkdtemp(prefix="lh_stream_gate_", dir=base))
 
     def upsert(batch_df: DataFrame, batch_id: int) -> None:
         # the emptiness guard matters (AvailableNow emits a final

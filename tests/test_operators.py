@@ -144,6 +144,48 @@ def test_minhash_arrow_signature_parity(spark):
         assert expr[k] == arrow[k], f"signature mismatch for doc {k}"
 
 
+def test_minhash_arrow_banding_parity(spark):
+    """The kernel's fused banding (``banded_from_shingles``) must emit
+    exactly the (id, band, bh) rows the expression banding in
+    ``lsh_candidate_pairs`` produces — bucket membership and therefore
+    the candidate set depend on these exact values."""
+    from lakehouse_test_spark.operators.dedup import (
+        LSH_BANDS,
+        ROWS_PER_BAND,
+        banded_from_shingles,
+        shingle_hashes,
+        signatures_from_shingles,
+    )
+
+    docs = load_table(spark, SMOKE_SF_DIR, "documents").select("doc_id", "text")
+    shl = shingle_hashes(docs)
+    sig = signatures_from_shingles(shl)
+    bands_expr = F.transform(
+        F.sequence(F.lit(0), F.lit(LSH_BANDS - 1)),
+        lambda b: F.struct(
+            b.alias("band"),
+            F.xxhash64(
+                b,
+                *[
+                    F.element_at(F.col("sig"), b * ROWS_PER_BAND + r + 1)
+                    for r in range(ROWS_PER_BAND)
+                ],
+            ).alias("bh"),
+        ),
+    )
+    expr_rows = {
+        (r.doc_id, r.band, r.bh)
+        for r in sig.select("doc_id", F.explode(bands_expr).alias("x"))
+        .select("doc_id", F.col("x.band").alias("band"), F.col("x.bh").alias("bh"))
+        .collect()
+    }
+    kernel_rows = {
+        (r.doc_id, r.band, r.bh) for r in banded_from_shingles(shl).collect()
+    }
+    assert len(expr_rows) > 1000
+    assert expr_rows == kernel_rows
+
+
 def test_lsh_hot_bucket_stays_linear(spark):
     """1k identical docs (the boilerplate-corpus worst case) must
     produce O(n) star candidates, not the ~500k all-pairs clique, and
