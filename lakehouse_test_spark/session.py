@@ -183,7 +183,26 @@ def pin_fixture_tables(
         key = (os.path.abspath(sf_dir), name)
         if key in _TABLE_CACHE:
             continue
-        df = load_table(spark, sf_dir, name).repartition(par).persist()
+        base = load_table(spark, sf_dir, name)
+        # partition count derives from DATA SIZE, capped at the core
+        # count — never a core-count constant (guide §2: a partition
+        # layout tuned to the cluster width over-splits small inputs;
+        # 25-row dims were paying 32 task launches per scan, and more
+        # cores made the sf0.1 bench SLOWER). ~50k rows per task keeps
+        # codegen'd scans amortized; CPU-dense per-row consumers
+        # (shingling, simhash) re-spread themselves — they already
+        # guard with a repartition-if-narrower check. At sf≥1 every
+        # big table hits the core cap, so cluster behavior is
+        # unchanged.
+        rows = base.count()
+        # text/vector tables carry orders more CPU per row (regex,
+        # shingling, array math) than the relational tables — size
+        # their tasks by per-row work, not bytes (measured sweet spot
+        # ~600 docs/task for the text battery at sf0.1; still capped
+        # at the core count, so nothing changes at sf≥1).
+        per_task = 600 if name in ("documents", "embeddings") else 50_000
+        parts = max(1, min(par, -(-rows // per_task)))
+        df = base.repartition(parts).persist()
         df.count()
         _TABLE_CACHE[key] = df
 

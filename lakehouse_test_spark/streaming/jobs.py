@@ -74,6 +74,12 @@ def _ckpt() -> str:
 
     base = "/dev/shm" if os.path.isdir("/dev/shm") else None
     d = tempfile.mkdtemp(prefix="ckpt_", dir=base)
+    _register_cleanup(d)
+    return d
+
+
+def _register_cleanup(path: str) -> None:
+    """Sweep ``path`` at process exit (run-scoped scratch dirs)."""
     if not _CKPT_DIRS:
         import atexit
         import shutil
@@ -81,8 +87,7 @@ def _ckpt() -> str:
         atexit.register(
             lambda: [shutil.rmtree(p, ignore_errors=True) for p in _CKPT_DIRS]
         )
-    _CKPT_DIRS.append(d)
-    return d
+    _CKPT_DIRS.append(path)
 
 
 _CKPT_DIRS: list[str] = []
@@ -143,7 +148,13 @@ def _drain_to_lakehouse(
     # once, discarded) — same tmpfs placement rationale as _ckpt();
     # production jobs pass their own durable table path.
     base = "/dev/shm" if os.path.isdir("/dev/shm") else None
-    table = LakehouseTable(spark, tempfile.mkdtemp(prefix="lh_stream_gate_", dir=base))
+    gate_dir = tempfile.mkdtemp(prefix="lh_stream_gate_", dir=base)
+    # run-scoped: swept by the same atexit hook as the checkpoints
+    # (a long session runs hundreds of gate drains; the snapshot must
+    # stay readable until process exit because the returned frame is
+    # consumed lazily by the caller)
+    _register_cleanup(gate_dir)
+    table = LakehouseTable(spark, gate_dir)
 
     def upsert(batch_df: DataFrame, batch_id: int) -> None:
         # the emptiness guard matters (AvailableNow emits a final
