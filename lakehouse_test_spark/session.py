@@ -132,6 +132,13 @@ def load_table(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
     and UTC keeps date bucketing aligned with the DuckDB oracle.
     Both are runtime-settable SQL confs.
     """
+    # cache hit first: the conf writes below are 5 JVM RPC roundtrips
+    # per call, and query construction calls load_table once per
+    # referenced table — a 6-table join paid ~30 RPCs per build for
+    # confs that only matter when the parquet is actually (re-)read.
+    cached = _TABLE_CACHE.get((os.path.abspath(sf_dir), name))
+    if cached is not None:
+        return cached
     spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
     # the driver fixtures write events.ts as TIMESTAMP(MICROS,
     # isAdjustedToUTC=false); Spark 4 infers that as TIMESTAMP_NTZ by
@@ -144,9 +151,6 @@ def load_table(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
     # (often default-200) static shuffle partition count to data size
     spark.conf.set("spark.sql.adaptive.enabled", "true")
     spark.conf.set("spark.sql.adaptive.coalescePartitions.enabled", "true")
-    cached = _TABLE_CACHE.get((os.path.abspath(sf_dir), name))
-    if cached is not None:
-        return cached
     df = spark.read.parquet(f"{sf_dir}/{name}.parquet")
     if name == "events":
         ts_type = dict(df.dtypes).get("ts")

@@ -189,7 +189,20 @@ def _drain_to_lakehouse(
     # planned query in the same session could observe the override
     # from the whole stream run to stream construction only.
     prior = spark.conf.get("spark.sql.shuffle.partitions")
+    prior_nodata = spark.conf.get(
+        "spark.sql.streaming.noDataMicroBatches.enabled", "true"
+    )
     spark.conf.set("spark.sql.shuffle.partitions", str(state_partitions))
+    # no-data micro-batches exist to finalize watermark-driven output
+    # (append-mode emission, state eviction). This drain is UPDATE
+    # mode into a keyed MERGE: every group is already emitted by the
+    # data batches, the end state is batch-slicing-independent, and
+    # the bounded gate discards its checkpoint — so the trailing
+    # empty batch is pure bookkeeping (one extra state commit + batch
+    # plan per run; ~0.5 s at sf0.1, verified result-hash-identical).
+    # Memory-sink gates (append-mode windows DO need watermark
+    # finalization) keep the default.
+    spark.conf.set("spark.sql.streaming.noDataMicroBatches.enabled", "false")
     try:
         q = (
             stream_df.writeStream.foreachBatch(upsert)
@@ -200,6 +213,9 @@ def _drain_to_lakehouse(
         )
     finally:
         spark.conf.set("spark.sql.shuffle.partitions", prior)
+        spark.conf.set(
+            "spark.sql.streaming.noDataMicroBatches.enabled", prior_nodata
+        )
     try:
         q.awaitTermination()
     finally:
