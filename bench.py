@@ -76,12 +76,15 @@ def main() -> None:
         for t in TABLE_NAMES:
             load_table(spark, sf_dir, t).count()
 
+    from lakehouse_test_spark.session import release_query_caches
+
     # untimed warm pass (JIT + codegen compilation), then timed pass —
     # steady-state engine time is what a long-running cluster job sees
     for name in HEADLINE:
         q = REGISTRY.get(name)
         if q is not None:
             q.fn(spark, sf_dir).write.format("noop").mode("overwrite").save()
+            release_query_caches()
 
     # best-of-3 timed passes per query: single-pass numbers on a
     # shared box carry scheduler noise comparable to the fastest
@@ -97,6 +100,12 @@ def main() -> None:
             df.write.format("noop").mode("overwrite").save()
             dt = round(time.time() - t0, 3)
             timings[name] = min(timings.get(name, dt), dt)
+            # release query-LOCAL caches (e.g. dedup's shingle frame)
+            # so the next pass times the full pipeline, not a cache
+            # hit from this one; the pinned fixture tables stay.
+            # Untimed on purpose: unpersist is bench hygiene, not
+            # query work.
+            release_query_caches()
 
     total = round(sum(timings.values()), 3)
 
@@ -118,6 +127,7 @@ def main() -> None:
             t0 = time.time()
             q.fn(spark, sf_dir).write.format("noop").mode("overwrite").save()
             cold[name] = round(time.time() - t0, 3)
+            release_query_caches()
         unpinned_total = round(sum(cold.values()), 3)
 
     print(
@@ -130,6 +140,9 @@ def main() -> None:
                 "sf": sf,
                 "pinned_tables": pinned,
                 "unpinned_total_sec": unpinned_total,
+                # proof the $SPARK_GRAFT_CPUS contract took effect:
+                # local[N] surfaces here as N (VERDICT r11 item 2)
+                "default_parallelism": spark.sparkContext.defaultParallelism,
             }
         )
     )

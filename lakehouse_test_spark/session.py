@@ -38,6 +38,28 @@ TABLE_NAMES = (
 DEFAULT_SF_DIR = os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
 
 
+def _default_local_dir(master: str) -> str | None:
+    """Shuffle/spill scratch dir (guide §2.1: shuffle files live on
+    the node's LOCAL disks), or None to keep Spark's default.
+
+    SPARK_GRAFT_LOCAL_DIR always wins ("none" keeps Spark's default).
+    Without it, RAM-backed /dev/shm is used ONLY for local[...]
+    masters: a single-box sandbox run's shuffle volume is bounded by
+    the fixture size and tmpfs saves ~0.12 s per exchange at sf0.1.
+    On a cluster master the default must stay Spark's: shuffle SPILL
+    happens exactly under memory pressure, so defaulting spill into a
+    RAM-backed tmpfs at 100 TB is an OOM/ENOSPC machine — production
+    points SPARK_GRAFT_LOCAL_DIR (or the cluster manager's
+    SPARK_LOCAL_DIRS) at the instance NVMe instead.
+    """
+    local_dir = os.environ.get("SPARK_GRAFT_LOCAL_DIR")
+    if local_dir is not None:
+        return local_dir
+    if master.startswith("local") and os.path.isdir("/dev/shm"):
+        return "/dev/shm/spark-local"
+    return None
+
+
 def get_spark(
     app_name: str = "lakehouse_test_spark",
     master: str | None = None,
@@ -57,17 +79,7 @@ def get_spark(
     if shuffle_partitions is None:
         shuffle_partitions = int(cpus) if cpus else 32
 
-    # Shuffle/spill scratch space (guide §2.1: shuffle files live on
-    # the node's LOCAL disks). On a real cluster spark.local.dir
-    # points at the fastest local storage available (instance NVMe);
-    # in this sandbox that is the RAM-backed /dev/shm — measured
-    # ~0.12 s saved per exchange at sf0.1 vs the / filesystem.
-    # Parameterised: SPARK_GRAFT_LOCAL_DIR overrides (set it to the
-    # NVMe mount in production; "none" keeps Spark's default), and
-    # the fallback when /dev/shm is absent is Spark's default.
-    local_dir = os.environ.get("SPARK_GRAFT_LOCAL_DIR")
-    if local_dir is None and os.path.isdir("/dev/shm"):
-        local_dir = "/dev/shm/spark-local"
+    local_dir = _default_local_dir(master)
     if local_dir and local_dir.lower() != "none":
         os.makedirs(local_dir, exist_ok=True)
 
@@ -204,11 +216,55 @@ def pin_fixture_tables(
         # their tasks by per-row work, not bytes (measured sweet spot
         # ~600 docs/task for the text battery at sf0.1; still capped
         # at the core count, so nothing changes at sf≥1).
-        per_task = 600 if name in ("documents", "embeddings") else 50_000
+        # events is CPU-dense too: its consumers parse JSON per row
+        # (get_json_object), which r11's 50k-rows/task starved at
+        # sf0.1 (events pinned at 2 partitions → json_agg_by_prop
+        # −63% in the r11 driver bench). Measured r12 sweep at sf0.1:
+        # json_agg_by_prop 0.27 s at 2 parts → 0.14 s at 16, flat to
+        # 32; join_asof flat 2→16 and worse at 32 — so ~6k rows/task
+        # (17 parts at sf0.1). Relational tables stay at 50k/task:
+        # widening lineitem/orders was re-measured (12→16/24/32) and
+        # made the interleaved bench WORSE on every layout tried
+        # (sweep in OPTIMIZATION_r12.md) — their per-row work is
+        # codegen'd column math, already amortized.
+        if name in ("documents", "embeddings"):
+            per_task = 600
+        elif name == "events":
+            per_task = 6_000
+        else:
+            per_task = 50_000
         parts = max(1, min(par, -(-rows // per_task)))
         df = base.repartition(parts).persist()
         df.count()
         _TABLE_CACHE[key] = df
+
+
+#: caches created INSIDE a query's plan (e.g. dedup_minhash_lsh's
+#: shingle frame, shared by its signature and verify paths). They are
+#: legitimate within one execution, but Spark's CacheManager would
+#: also serve them to the NEXT execution of the same query — which
+#: turns a best-of-N benchmark into a partially-cached measurement.
+#: bench.py releases them between timed passes (guide §1: time the
+#: full pipeline, not a cache hit); production pipelines that run a
+#: query once are unaffected.
+_QUERY_CACHES: list[DataFrame] = []
+
+
+def register_query_cache(df: DataFrame) -> DataFrame:
+    """Track a query-local cached frame for release_query_caches()."""
+    _QUERY_CACHES.append(df)
+    return df
+
+
+def release_query_caches() -> None:
+    """Unpersist every registered query-local cache (bench hygiene —
+    the next execution recomputes the full pipeline)."""
+    for df in _QUERY_CACHES:
+        try:
+            df.unpersist()
+        except Exception:
+            pass
+    _QUERY_CACHES.clear()
 
 
 def unpin_fixture_tables() -> None:
