@@ -157,25 +157,31 @@ def _drain_to_lakehouse(
     table = LakehouseTable(spark, gate_dir)
 
     def upsert(batch_df: DataFrame, batch_id: int) -> None:
-        # the emptiness guard matters (AvailableNow emits a final
-        # watermark-commit batch that is usually EMPTY — merging it
-        # would be a full-table no-op rewrite), but a bare isEmpty()
-        # executes the whole micro-batch plan once and the write then
-        # executes it AGAIN.  persist + count materializes the batch
-        # exactly once; the guard and the write both read the cache.
+        # one file per batch (coalesce(1)): the upserted aggregate is
+        # small by construction (state bounded by the watermark/window
+        # grain), and per-batch file spray is the small-files
+        # anti-pattern.
+        if table.latest_version() < 0:
+            # first batch: append directly — ONE execution of the
+            # micro-batch plan (r12; the r11 shape persisted + counted
+            # first, materializing the plan once for the emptiness
+            # guard and once more for the write — measured ~0.2 s of
+            # the bounded drain). An empty first batch commits an
+            # empty file: same final aggregate, and it only occurs for
+            # an empty source, where the old early-return left the
+            # gate table with no readable version at all.
+            table.append(batch_df.coalesce(1), operation="stream-append")
+            return
+        # later batches MERGE; the emptiness guard matters here
+        # (AvailableNow can emit a trailing watermark-commit batch
+        # that is EMPTY — merging it would be a full-table no-op
+        # rewrite). persist + count materializes the batch exactly
+        # once; the guard and the write both read the cache.
         batch_df.persist()
         try:
             if batch_df.count() == 0:
                 return
-            # one file per batch: the upserted aggregate is small by
-            # construction (state bounded by the watermark/window
-            # grain), and per-batch file spray is the small-files
-            # anti-pattern
-            small = batch_df.coalesce(1)
-            if table.latest_version() < 0:
-                table.append(small, operation="stream-append")
-            else:
-                table.merge(small, key_cols=key_cols)
+            table.merge(batch_df.coalesce(1), key_cols=key_cols)
         finally:
             batch_df.unpersist()
 
@@ -222,7 +228,17 @@ def _drain_to_lakehouse(
         # bounded gate run: the checkpoint has no replay value and
         # would otherwise leak into /dev/shm on every invocation
         shutil.rmtree(ck, ignore_errors=True)
-    return table.snapshot()
+    # The gate table is a run-scoped throwaway. Detach the returned
+    # frame from its files — localCheckpoint(eager) cuts the lineage
+    # and holds the (group-cardinality-bounded) aggregate as
+    # MEMORY_AND_DISK blocks — then sweep the gate dir NOW instead of
+    # at process exit: a long session running hundreds of drains was
+    # pinning hundreds of committed parquet snapshots in /dev/shm
+    # until exit (r12; the atexit sweep stays as the exception-path
+    # backstop).
+    out = table.snapshot().localCheckpoint(eager=True)
+    shutil.rmtree(gate_dir, ignore_errors=True)
+    return out
 
 
 @query(
