@@ -303,28 +303,29 @@ def events_daily_rollup(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Daily per-type event rollup (the batch twin of the streaming
     tumbling window in streaming/jobs.py).
 
-    Two-level aggregation instead of countDistinct (guide §2.3
-    "aggregate before you shuffle"): pre-aggregate by (day, type,
-    user), then roll up — the mixed distinct/non-distinct aggregate
-    otherwise plans an Expand that duplicates every input row 2× in
-    front of the first exchange. The pre-agg shuffles at most
-    |distinct (day,type,user)| partially-aggregated rows, and the
-    rollup sums are exact: per-user decimal sums re-sum to the same
-    total (decimal addition is associative), counts of counts equal
-    count(*). Result is bit-identical to the countDistinct form —
-    pinned by tests/test_r12_optimizations.py — and r12-measured
-    0.38→0.35 s / 0.66→0.55 s (two runs) at sf0.1.
+    r12 two-level-agg experiment (VERDICT r11 item 6): a manual
+    pre-aggregate-by-(day,type,user)-then-roll-up rewrite was built,
+    parity-pinned, plan-dumped and benched — and produced a
+    PLAN-EQUIVALENT result: Spark 4's RewriteDistinctAggregates
+    already plans a single-distinct aggregate as exactly that
+    two-level shape (no Expand; see
+    plans/r12/events_daily_rollup_{before,after}.txt — same two
+    exchanges, same grouping keys, same shuffle width). Measured
+    deltas were inside run-order noise, so the declarative
+    countDistinct form stays; the equivalence proof lives in
+    tests/test_r12_optimizations.py.
     """
     e = T(spark, sf_dir, "events")
-    pre = e.groupBy(
-        F.to_date(F.date_trunc("day", "ts")).alias("day"),
-        "event_type",
-        "user_id",
-    ).agg(F.count(F.lit(1)).alias("c"), dsum(F.col("value")).alias("v"))
-    return pre.groupBy("day", "event_type").agg(
-        F.sum("c").alias("n_events"),
-        F.count(F.lit(1)).alias("n_users"),
-        dround(F.sum("v"), 2).alias("total_value"),
+    return (
+        e.groupBy(
+            F.to_date(F.date_trunc("day", "ts")).alias("day"),
+            "event_type",
+        )
+        .agg(
+            F.count(F.lit(1)).alias("n_events"),
+            F.countDistinct("user_id").alias("n_users"),
+            dround(dsum(F.col("value")), 2).alias("total_value"),
+        )
     )
 
 

@@ -16,30 +16,33 @@ from lakehouse_test_spark.session import load_table
 
 
 def test_events_daily_rollup_two_level_parity(spark, sf_dir):
-    """The two-level (day,type,user) pre-aggregation must reproduce
-    the replaced countDistinct/Expand form bit-for-bit: counts of
+    """Equivalence proof for the r12 two-level-agg experiment
+    (VERDICT r11 item 6, disproved): a manual
+    pre-aggregate-by-(day,type,user)-then-roll-up form is
+    bit-identical to the query's countDistinct form — counts of
     per-user counts == count(*), count of pre-agg rows ==
-    countDistinct(user_id), and re-summed per-user decimal sums ==
-    the direct decimal sum (decimal addition is associative)."""
+    countDistinct(user_id), re-summed per-user decimal sums == the
+    direct decimal sum. Spark 4 already PLANS the countDistinct this
+    way (no Expand), so the query keeps the declarative form; this
+    test pins that the two shapes cannot drift apart."""
     e = load_table(spark, sf_dir, "events")
-    old = (
-        e.groupBy(
-            F.to_date(F.date_trunc("day", "ts")).alias("day"),
-            "event_type",
-        )
-        .agg(
-            F.count(F.lit(1)).alias("n_events"),
-            F.countDistinct("user_id").alias("n_users"),
-            dround(dsum(F.col("value")), 2).alias("total_value"),
-        )
+    pre = e.groupBy(
+        F.to_date(F.date_trunc("day", "ts")).alias("day"),
+        "event_type",
+        "user_id",
+    ).agg(F.count(F.lit(1)).alias("c"), dsum(F.col("value")).alias("v"))
+    two_level = pre.groupBy("day", "event_type").agg(
+        F.sum("c").alias("n_events"),
+        F.count(F.lit(1)).alias("n_users"),
+        dround(F.sum("v"), 2).alias("total_value"),
     )
-    new = events_daily_rollup(spark, sf_dir)
-    assert [(f.name, f.dataType) for f in new.schema.fields] == [
-        (f.name, f.dataType) for f in old.schema.fields
+    declared = events_daily_rollup(spark, sf_dir)
+    assert [(f.name, f.dataType) for f in two_level.schema.fields] == [
+        (f.name, f.dataType) for f in declared.schema.fields
     ]
-    rows_old = sorted(map(tuple, old.collect()))
-    rows_new = sorted(map(tuple, new.collect()))
-    assert rows_new == rows_old
+    rows_two_level = sorted(map(tuple, two_level.collect()))
+    rows_declared = sorted(map(tuple, declared.collect()))
+    assert rows_two_level == rows_declared
 
 
 def test_lakehouse_gate_dir_swept_immediately(spark, sf_dir):
