@@ -230,6 +230,14 @@ def _xxh64_sig_mapper(id_field: str, num_perms: int, banded: bool = False):
     hashLong walk), byte-identical to the banding expression in
     ``lsh_candidate_pairs``. This removes the interpreted 16-struct
     band transform AND the Generate(explode) from the JVM plan."""
+    if banded and num_perms % ROWS_PER_BAND:
+        # n_bands derives from num_perms // ROWS_PER_BAND below; a
+        # non-divisible num_perms would silently drop the trailing
+        # permutations and diverge from the LSH_BANDS expression path
+        raise ValueError(
+            f"banded kernel needs num_perms divisible by {ROWS_PER_BAND}; "
+            f"got {num_perms}"
+        )
 
     def gen(batches):
         import numpy as np
@@ -260,7 +268,14 @@ def _xxh64_sig_mapper(id_field: str, num_perms: int, banded: bool = False):
             seeds = fmix(rotl(s, 23) * P2 + P3)
             seed_base = seeds + P5 + np.uint64(8)
 
-            for batch in batches:
+        for batch in batches:
+            # errstate scoped per batch and EXITED before each yield:
+            # holding it across a yield leaves overflow suppression
+            # active in the consuming worker thread between batches
+            # (r11 ADVICE), masking overflow warnings in unrelated
+            # code; wrapping-uint64 overflow is intentional only for
+            # the hash math below.
+            with np.errstate(over="ignore"):
                 ids = batch.column(0)
                 lst = batch.column(1)
                 lengths = pc.list_value_length(lst).to_numpy()
@@ -301,37 +316,39 @@ def _xxh64_sig_mapper(id_field: str, num_perms: int, banded: bool = False):
                     sig = pa.ListArray.from_arrays(
                         offsets, pa.array(out.reshape(-1), type=pa.int64())
                     )
-                    yield pa.RecordBatch.from_arrays(
+                    rb = pa.RecordBatch.from_arrays(
                         [ids, sig], names=[id_field, "sig"]
                     )
-                    continue
-                # banded: bh[i, b] = chained hashLong over the band's
-                # ROWS_PER_BAND sig values, seeded with hashInt(b, 42)
-                n_bands = num_perms // ROWS_PER_BAND
-                b = np.arange(n_bands, dtype=np.uint64)
-                bs = (np.uint64(42) + P5 + np.uint64(4)) ^ (b * P1)
-                band_seeds = fmix(rotl(bs, 23) * P2 + P3)
-                sig_u = out.view(np.uint64)
-                bh = np.empty((n, n_bands), dtype=np.int64)
-                for bi in range(n_bands):
-                    h = np.full(n, band_seeds[bi], dtype=np.uint64)
-                    for r in range(ROWS_PER_BAND):
-                        v = sig_u[:, bi * ROWS_PER_BAND + r]
-                        h = (h + P5 + np.uint64(8)) ^ (rotl(v * P2, 31) * P1)
-                        h = fmix(rotl(h, 27) * P1 + P4)
-                    bh[:, bi] = h.view(np.int64)
-                idx = np.repeat(np.arange(n, dtype=np.int64), n_bands)
-                yield pa.RecordBatch.from_arrays(
-                    [
-                        ids.take(pa.array(idx)),
-                        pa.array(
-                            np.tile(np.arange(n_bands, dtype=np.int32), n),
-                            type=pa.int32(),
-                        ),
-                        pa.array(bh.reshape(-1), type=pa.int64()),
-                    ],
-                    names=[id_field, "band", "bh"],
-                )
+                else:
+                    # banded: bh[i, b] = chained hashLong over the
+                    # band's ROWS_PER_BAND sig values, seeded with
+                    # hashInt(b, 42)
+                    n_bands = num_perms // ROWS_PER_BAND
+                    b = np.arange(n_bands, dtype=np.uint64)
+                    bs = (np.uint64(42) + P5 + np.uint64(4)) ^ (b * P1)
+                    band_seeds = fmix(rotl(bs, 23) * P2 + P3)
+                    sig_u = out.view(np.uint64)
+                    bh = np.empty((n, n_bands), dtype=np.int64)
+                    for bi in range(n_bands):
+                        h = np.full(n, band_seeds[bi], dtype=np.uint64)
+                        for r in range(ROWS_PER_BAND):
+                            v = sig_u[:, bi * ROWS_PER_BAND + r]
+                            h = (h + P5 + np.uint64(8)) ^ (rotl(v * P2, 31) * P1)
+                            h = fmix(rotl(h, 27) * P1 + P4)
+                        bh[:, bi] = h.view(np.int64)
+                    idx = np.repeat(np.arange(n, dtype=np.int64), n_bands)
+                    rb = pa.RecordBatch.from_arrays(
+                        [
+                            ids.take(pa.array(idx)),
+                            pa.array(
+                                np.tile(np.arange(n_bands, dtype=np.int32), n),
+                                type=pa.int32(),
+                            ),
+                            pa.array(bh.reshape(-1), type=pa.int64()),
+                        ],
+                        names=[id_field, "band", "bh"],
+                    )
+            yield rb
 
     return gen
 
